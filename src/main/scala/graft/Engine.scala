@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session facade for the engine.
+  *
+  * The reference (Apache Hive 2.3.2, `/root/reference`) funnels every query
+  * through `ql/Driver.java:404` (compile: parse -> semantic analysis ->
+  * logical optimize -> task DAG) and `ql/Driver.java:1848` (execute over
+  * MR/Tez/Spark-RDD). On Spark, that whole lifecycle IS Catalyst + Tungsten,
+  * so the engine owns only what Hive's `SessionState`/`HiveConf` owned:
+  * session configuration, catalog/view bootstrap, and function registration
+  * (ref: `ql/exec/FunctionRegistry.java:193-533`).
+  *
+  * Scale posture (targets a 1000-executor / 100 TB deployment even though
+  * tests run on local[32]):
+  *   - AQE on: runtime join re-planning replaces Hive's
+  *     `CommonJoinResolver` (runtime mapjoin conversion) and
+  *     `SkewJoinResolver` (runtime skew splits).
+  *   - autoBroadcastJoinThreshold 64m: dimension tables (region, nation,
+  *     supplier, part at TPC-H shape) broadcast instead of shuffling the
+  *     fact table.
+  *   - shuffle.partitions is a session-level default only; AQE coalesces
+  *     to the data's real size at runtime.
+  */
+object Engine {
+
+  /** The driver testdata tables (TESTDATA.md). */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def session(appName: String = "graft",
+              master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+              shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // Hive 2.x arithmetic is non-ANSI (overflow wraps, bad casts -> NULL);
+      // keep ANSI off so dialect-sensitive expressions match the reference.
+      .config("spark.sql.ansi.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    functions.Registry.registerAll(spark)
+    spark
+  }
+
+  /** Ensure gap functions are present on an externally-built session. */
+  def prepare(spark: SparkSession): SparkSession = {
+    functions.Registry.registerAll(spark)
+    spark
+  }
+
+  /** Register every testdata table under `dir` as a temp view (idempotent)
+    * and return them by name. Mirrors Hive's metastore-backed name
+    * resolution (`ql/metadata/Table.java`) with Spark temp views; a real
+    * deployment would use a persistent catalog + partitioned layout.
+    */
+  def tables(spark: SparkSession, dir: String): Map[String, DataFrame] = {
+    prepare(spark)
+    tableNames.map { name =>
+      val df = read(spark, dir, name)
+      df.createOrReplaceTempView(name)
+      name -> df
+    }.toMap
+  }
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark cannot represent
+    * (SPARK-40819): read it as raw nanos and truncate to microseconds —
+    * the same truncation DuckDB applies casting timestamp_ns -> TIMESTAMP,
+    * keeping oracle parity.
+    */
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      try {
+        val raw = spark.read.parquet(s"$dir/events.parquet")
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      } finally spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+}

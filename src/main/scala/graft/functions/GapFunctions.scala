@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{CaseWhen, EqualTo, Expression, Literal}
+import org.apache.spark.sql.functions._
+
+/** The scalar-function tail the reference registers
+  * (`ql/exec/FunctionRegistry.java:193-533`) and Spark 4 lacks.
+  *
+  * Strategy (SURVEY.md §7.2 item 3): plain registrations first; the hot
+  * string/hash path (`fingerprint64`) is a native Catalyst expression with
+  * codegen (see [[Fingerprint64]]) so it stays inside whole-stage codegen
+  * at 100 TB scan scale.
+  */
+object GapFunctions {
+
+  /** Hive `field(needle, v1, v2, ...)` -> 1-based index of the first match,
+    * 0 if none (ref: ql/udf/generic/GenericUDFField.java). Built as a pure
+    * Catalyst CaseWhen chain so it codegens like a hand-written CASE.
+    */
+  private def fieldBuilder(exprs: Seq[Expression]): Expression = {
+    val needle = exprs.head
+    val branches = exprs.tail.zipWithIndex.map { case (e, i) =>
+      (EqualTo(needle, e), Literal(i + 1))
+    }
+    CaseWhen(branches, Some(Literal(0)))
+  }
+
+  // --- Hive data-masking family (ref: ql/exec/FunctionRegistry.java:525-531,
+  // ql/udf/generic/GenericUDFMaskFirstN.java etc). Upper -> X, lower -> x,
+  // digit -> n; other chars pass through. Spark 3.4+ has `mask` but not the
+  // positional *_n variants.
+  private def maskChar(c: Char): Char =
+    if (c.isUpper) 'X' else if (c.isLower) 'x' else if (c.isDigit) 'n' else c
+
+  def maskAll(s: String): String = if (s == null) null else s.map(maskChar)
+  def maskFirstN(s: String, n: Int): String =
+    if (s == null) null
+    else {
+      val k = math.max(0, math.min(n, s.length))
+      s.substring(0, k).map(maskChar) + s.substring(k)
+    }
+  def maskLastN(s: String, n: Int): String =
+    if (s == null) null
+    else {
+      val k = math.max(0, math.min(n, s.length))
+      s.substring(0, s.length - k) + s.substring(s.length - k).map(maskChar)
+    }
+  def maskShowFirstN(s: String, n: Int): String =
+    if (s == null) null
+    else {
+      val k = math.max(0, math.min(n, s.length))
+      s.substring(0, k) + s.substring(k).map(maskChar)
+    }
+  def maskShowLastN(s: String, n: Int): String =
+    if (s == null) null
+    else {
+      val k = math.max(0, math.min(n, s.length))
+      s.substring(0, s.length - k).map(maskChar) + s.substring(s.length - k)
+    }
+
+  /** Hive `sort_array_by(arr_of_struct, 'fieldName')`
+    * (ref: ql/udf/generic/GenericUDFSortArrayByField.java) as a Column
+    * helper: delegates to Catalyst's higher-order `array_sort` with a field
+    * comparator — fully codegen'd, no UDF.
+    */
+  def sortArrayBy(arr: Column, field: String): Column =
+    array_sort(arr, (l, r) =>
+      when(l.getField(field) < r.getField(field), -1)
+        .when(l.getField(field) > r.getField(field), 1)
+        .otherwise(0))
+
+  /** Hive `parse_url_tuple(url, 'HOST', 'PATH', ...)` UDTF
+    * (ref: ql/udf/generic/GenericUDTFParseUrlTuple.java) re-expressed as a
+    * struct of scalar `parse_url` calls (each codegen'd).
+    */
+  def parseUrlTuple(url: Column, parts: String*): Column =
+    struct(parts.map(p => parse_url(url, lit(p)).as(p.toLowerCase)): _*)
+
+  /** Hive `replicate_rows(n, ...)` UDTF
+    * (ref: ql/exec/FunctionRegistry.java:494; used to expand
+    * INTERSECT/EXCEPT ALL): emit each row n times. Distributed — the
+    * expansion happens per-partition via explode, no driver loop.
+    */
+  def replicateRows(df: DataFrame, nCol: Column): DataFrame = {
+    val cols = df.columns
+    df.withColumn("__rep", explode(sequence(lit(1L), nCol.cast("long"))))
+      .select(cols.head, cols.tail: _*)
+  }
+
+  def fingerprint64(c: Column): Column =
+    org.apache.spark.sql.GraftSqlShim.column(
+      Fingerprint64(org.apache.spark.sql.GraftSqlShim.expression(c)))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("field", fieldBuilder, "built-in")
+    reg.createOrReplaceTempFunction("fingerprint64",
+      exprs => Fingerprint64(exprs.head), "built-in")
+    spark.udf.register("mask_all", (s: String) => maskAll(s))
+    spark.udf.register("mask_first_n", (s: String, n: Int) => maskFirstN(s, n))
+    spark.udf.register("mask_last_n", (s: String, n: Int) => maskLastN(s, n))
+    spark.udf.register("mask_show_first_n",
+      (s: String, n: Int) => maskShowFirstN(s, n))
+    spark.udf.register("mask_show_last_n",
+      (s: String, n: Int) => maskShowLastN(s, n))
+  }
+}

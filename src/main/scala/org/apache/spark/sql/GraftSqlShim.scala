@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to `private[sql]` Catalyst plumbing (Column <-> Expression).
+  * Lives under org.apache.spark.sql solely for access; no Spark internals
+  * are modified. Used by graft's custom Catalyst expressions.
+  */
+object GraftSqlShim {
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+}
