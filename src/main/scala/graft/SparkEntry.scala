@@ -20,7 +20,9 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Windows.queries ++
       graft.queries.SetOps.queries ++
-      graft.queries.Generators.queries
+      graft.queries.Generators.queries ++
+      graft.queries.FunctionSweeps.queries ++
+      graft.queries.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -28,5 +30,7 @@ object SparkEntry {
     graft.queries.Relational.oracleSql ++
       graft.queries.Windows.oracleSql ++
       graft.queries.SetOps.oracleSql ++
-      graft.queries.Generators.oracleSql
+      graft.queries.Generators.oracleSql ++
+      graft.queries.FunctionSweeps.oracleSql ++
+      graft.queries.Pipeline.oracleSql
 }

@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for 100 TB corpus pipelines (north-star
+  * extras, BASELINE.json): exact, normalized-exact, exact n-gram Jaccard,
+  * MinHash+LSH, and SimHash.
+  *
+  * Scale design: every variant is a constant number of shuffles over
+  * keys much smaller than documents (hashes, shingles, band buckets) —
+  * no driver-side collection, no O(n²) pair enumeration. Candidate-pair
+  * generation goes through inverted-index joins (shared shingle / shared
+  * LSH bucket) so the quadratic blowup is bounded per key; `maxShingleFreq`
+  * drops degenerate stop-shingles the way prefix-filtering systems do.
+  */
+object Dedup {
+
+  /** Whitespace-normalize + lowercase. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Exact duplicate groups by content hash: one shuffle on md5(text),
+    * map-side partial agg. Output: smallest doc id kept per group +
+    * multiplicity. */
+  def exactGroups(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id",
+                  normalized: Boolean = false): DataFrame = {
+    val key = if (normalized) md5(normalize(col(textCol)))
+              else md5(col(textCol))
+    docs.groupBy(key.as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("keep_id")
+  }
+
+  /** Distinct word n-gram shingles per document: (id, shingle). */
+  def shingles(docs: DataFrame, n: Int = 3, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    val grams = expr(
+      s"""array_distinct(transform(sequence(0, size(tks) - $n),
+            i -> array_join(slice(tks, i + 1, $n), ' ')))""")
+    docs.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("tks"))
+      .filter(size(col("tks")) >= n)
+      .select(col("id"), explode(grams).as("shingle"))
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs via inverted-index join:
+    * explode shingles -> self-join on shingle (only docs sharing one
+    * meet) -> intersection counts -> |A|+|B|-∩ union. Jaccard is an
+    * exact integer ratio — bit-identical at any parallelism.
+    *
+    * @param maxShingleFreq drop shingles appearing in more docs than
+    *   this (stop-shingle cap bounding join fanout at corpus scale);
+    *   None = exact result.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+                   maxShingleFreq: Option[Int] = None,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val sh0 = shingles(docs, n, textCol, idCol)
+    val sh = maxShingleFreq match {
+      case Some(cap) =>
+        val freq = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("shingle")
+        sh0.join(freq, "shingle")
+      case None => sh0
+    }
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = sh.withColumnRenamed("id", "doc_a")
+    val b = sh.withColumnRenamed("id", "doc_b")
+    val inter = a.join(b,
+        a("shingle") === b("shingle") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+    inter
+      .join(sizes.withColumnRenamed("id", "doc_a")
+        .withColumnRenamed("sz", "sa"), "doc_a")
+      .join(sizes.withColumnRenamed("id", "doc_b")
+        .withColumnRenamed("sz", "sb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("ni").cast("double") / (col("sa") + col("sb") - col("ni")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // --- MinHash + LSH ---------------------------------------------------
+
+  /** Mersenne prime modulus for the affine hash family. */
+  private val P = 2147483647L // 2^31 - 1
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** Deterministic (a, b) parameters: fixed-seed 64-bit LCG, no runtime
+    * randomness — signatures are reproducible across runs/clusters. */
+  private[operators] val perms: Seq[(Long, Long)] = {
+    var s = 0x5DEECE66DL
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L
+      (s >>> 16) % (P - 1) }
+    Seq.fill(NumHashes)((next() + 1, next()))
+  }
+
+  /** 64-slot MinHash signature per doc: shingle -> 31-bit base hash ->
+    * 64 affine permutations -> columnar min per slot (64 codegen'd agg
+    * expressions; one shuffle on doc id). */
+  def minhashSignatures(docs: DataFrame, n: Int = 3,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val sh = shingles(docs, n, textCol, idCol)
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(P)))
+    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(P))).as(s"m$i")
+    }
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: 16 bands x 4 rows; docs sharing any band bucket are
+    * candidates. Returns (band, bucket, id). */
+  def minhashBands(sigs: DataFrame): DataFrame = {
+    val bands = (0 until Bands).map { bIdx =>
+      val slots = (0 until RowsPerBand)
+        .map(r => col(s"m${bIdx * RowsPerBand + r}"))
+      struct(lit(bIdx).as("band"),
+        xxhash64(slots: _*).as("bucket"), col("id").as("id"))
+    }
+    sigs.select(explode(array(bands: _*)).as("e")).select("e.*")
+  }
+
+  /** Candidate pairs from band buckets (distinct over bands). */
+  def minhashCandidates(sigs: DataFrame): DataFrame = {
+    val bands = minhashBands(sigs)
+    val l = bands.select(col("band"), col("bucket"), col("id").as("doc_a"))
+    val r = bands.select(col("band").as("band_r"),
+      col("bucket").as("bucket_r"), col("id").as("doc_b"))
+    l.join(r, col("band") === col("band_r") &&
+        col("bucket") === col("bucket_r") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Full MinHash dedup: LSH candidates verified with exact Jaccard
+    * (verification joins only candidate docs' shingles — the exact pass
+    * never touches non-candidate pairs). */
+  def minhashDedup(docs: DataFrame, threshold: Double, n: Int = 3,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val cands = minhashCandidates(minhashSignatures(docs, n, textCol, idCol))
+    val candDocs = cands.select(col("doc_a").as("id"))
+      .union(cands.select(col("doc_b").as("id"))).distinct()
+    val subset = docs.join(candDocs, docs(idCol) === candDocs("id"))
+      .drop(candDocs("id"))
+    jaccardPairs(subset, threshold, n, None, textCol, idCol)
+      .join(cands, Seq("doc_a", "doc_b"), "left_semi")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // --- SimHash ---------------------------------------------------------
+
+  /** 64-bit SimHash per document: token-frequency-weighted bit votes of
+    * xxhash64(token); 64 codegen'd sum expressions, one shuffle on doc
+    * id. Near-dup = small Hamming distance. */
+  def simhash(docs: DataFrame, textCol: String = "text",
+              idCol: String = "doc_id"): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"v$i")
+    }
+    val bits = (0 until 64).map { i =>
+      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }
+    tf.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"), bits.reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** Hamming-distance near-dup pairs via 8x8-bit band blocking (two
+    * docs within distance d <= 7 share at least one identical byte-band;
+    * the band join bounds the pair space like LSH). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int,
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    val sigs = simhash(docs, textCol, idCol)
+    val bands = sigs.select(col("id"), col("simhash"),
+      explode(array((0 until 8).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 8).bitwiseAND(255).as("bucket"))): _*))
+        .as("e"))
+      .select(col("id"), col("simhash"), col("e.band"), col("e.bucket"))
+    val l = bands.toDF("doc_a", "sig_a", "band", "bucket")
+    val r = bands.toDF("doc_b", "sig_b", "band_r", "bucket_r")
+    val ham = {
+      val x = col("sig_a").bitwiseXOR(col("sig_b"))
+      (0 until 8).map(b => bit_count(shiftright(x, b * 8).bitwiseAND(255)))
+        .reduce(_ + _)
+    }
+    l.join(r, col("band") === col("band_r") &&
+        col("bucket") === col("bucket_r") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`), north-star
+  * extra per BASELINE.json.
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set
+  * against the corpus; the corpus never shuffles, each partition scores
+  * locally and only (query, candidate, score) survivors move. Scale
+  * path: random-hyperplane LSH bucketing — candidates share a signature
+  * bucket, turning the n×m cross product into an inverted-index join.
+  */
+object Similarity {
+
+  /** Index-ordered double dot product (deterministic fold order — the
+    * same sequential sum every engine computes). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k neighbors for each query vector (queries broadcast;
+    * ranking via TakeOrderedAndProject-style window filter). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** All pairs above a cosine threshold (embedding near-dup detection).
+    * Exact O(n²/2) scoring — used under a pre-filter or on LSH
+    * candidates at scale. */
+  def cosinePairs(corpus: DataFrame, threshold: Double,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(idCol).as("vec_a"), asDouble(col(vecCol)).as("va"))
+    val b = corpus.select(col(idCol).as("vec_b"), asDouble(col(vecCol)).as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosine(col("va"), col("vb")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Deterministic pseudo-random hyperplanes (fixed-seed LCG). */
+  private def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    var s = 0x9E3779B97F4A7C15L
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 11).toDouble / (1L << 53).toDouble) * 2d - 1d
+    }
+    Array.fill(nPlanes, dim)(next())
+  }
+
+  /** Random-hyperplane LSH signature (sign bits packed into a long). */
+  def lshSignature(vec: Column, nPlanes: Int, dim: Int): Column = {
+    val ps = planes(nPlanes, dim)
+    (0 until nPlanes).map { i =>
+      val proj = aggregate(
+        zip_with(vec, array(ps(i).map(lit): _*), (x, w) => x * w),
+        lit(0d), (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Approximate top-k: score only candidates sharing the query's LSH
+    * bucket (multi-band: `bands` sub-signatures, any-band match). At
+    * corpus scale this replaces the cross join with an equi-join on
+    * (band, bucket) — shuffle keys are tiny longs. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nPlanes: Int = 16, bands: Int = 4, dim: Int = 64,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(nPlanes % bands == 0)
+    val rows = nPlanes / bands
+    def withBands(df: DataFrame, id: String, vec: String) = {
+      val sig = lshSignature(asDouble(col(vecCol)), nPlanes, dim)
+      df.select(col(idCol).as(id), asDouble(col(vecCol)).as(vec),
+          sig.as("sig"))
+        .select(col(id), col(vec), explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * rows)
+              .bitwiseAND((1L << rows) - 1).as("bucket"))): _*)).as("e"))
+        .select(col(id), col(vec), col("e.band"), col("e.bucket"))
+    }
+    val c = withBands(corpus, "neighbor_id", "cv")
+    val q = withBands(queries, "query_id", "qv")
+      .withColumnRenamed("band", "band_q")
+      .withColumnRenamed("bucket", "bucket_q")
+    val cand = c.join(broadcast(q),
+        col("band") === col("band_q") && col("bucket") === col("bucket_q") &&
+          col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand.select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .orderBy("query_id", "rnk")
+  }
+}

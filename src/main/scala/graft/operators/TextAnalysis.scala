@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.functions.GapFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale corpus pipelines: token
+  * counting, quality scoring, language ID, document fingerprinting.
+  *
+  * All operators are pure column expressions (whole-stage codegen, no
+  * UDFs) so a 100 TB corpus pass is a single scan with no shuffle; the
+  * only shuffling operator here is `topNgrams` (partial-agg on gram).
+  *
+  * Reference analogs: Hive ships `sentences`, `ngrams`, `context_ngrams`
+  * (ql/udf/generic/GenericUDAFnGrams.java, GenericUDFSentences.java) but
+  * no quality/langid/fingerprint operators — those are the north-star
+  * extras (BASELINE.json).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  private val stopwords = Seq("the", "a", "and", "of", "to")
+
+  /** Per-document token/char/quality statistics. Exact integer counts
+    * with double ratios — deterministic under any partitioning. */
+  def textStats(docs: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val nChars = length(col(textCol))
+    val nAlpha = length(regexp_replace(col(textCol), "\\s+", ""))
+    val nUniq = size(array_distinct(toks))
+    val nStop = size(filter(toks,
+      x => stopwords.map(s => x === s).reduce(_ || _)))
+    docs.select(col(idCol),
+      n.as("n_tokens"),
+      nChars.as("n_chars"),
+      (nAlpha.cast("double") / n).as("avg_token_len"),
+      (nStop.cast("double") / n).as("stop_ratio"),
+      (nUniq.cast("double") / n).as("uniq_ratio"),
+      ((nUniq.cast("double") / n) * least(n.cast("double") / 50, lit(1d)))
+        .as("quality_score"))
+  }
+
+  /** Stopword-profile language ID (n-gram heuristic simplified to
+    * function-word hits; deterministic argmax with fixed tie order). */
+  def langId(docs: DataFrame, textCol: String = "text",
+             idCol: String = "doc_id"): DataFrame = {
+    val toks = tokens(col(textCol))
+    def hits(ws: Seq[String]) =
+      size(filter(toks, x => ws.map(s => x === s).reduce(_ || _)))
+    val en = hits(Seq("the", "a", "and", "of", "to"))
+    val de = hits(Seq("der", "die", "das", "und"))
+    val es = hits(Seq("el", "los", "las", "y"))
+    val fr = hits(Seq("le", "les", "et", "ou"))
+    docs.select(col(idCol),
+      en.as("en_hits"), de.as("de_hits"), es.as("es_hits"), fr.as("fr_hits"),
+      when(greatest(en, de, es, fr) === 0, "und")
+        .when(en >= greatest(de, es, fr), "en")
+        .when(de >= greatest(es, fr), "de")
+        .when(es >= fr, "es")
+        .otherwise("fr").as("pred_lang"))
+  }
+
+  /** 64-bit content fingerprint over whitespace-normalized lowercase text
+    * (native codegen'd expression — see graft.functions.Fingerprint64). */
+  def fingerprints(docs: DataFrame, textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+      GapFunctions.fingerprint64(
+        regexp_replace(lower(trim(col(textCol))), "\\s+", " ")).as("fp"))
+
+  /** Top-k n-grams with counts (re-expression of Hive's `ngrams` UDAF as
+    * explode -> partial-agg -> TakeOrderedAndProject; the shuffle carries
+    * (gram, partial count) pairs, never documents). */
+  def topNgrams(docs: DataFrame, n: Int, k: Int,
+                textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val grams = expr(
+      s"""transform(sequence(0, size(tks) - $n),
+            i -> array_join(slice(tks, i + 1, $n), ' '))""")
+    docs.select(toks.as("tks"))
+      .filter(size(col("tks")) >= n)
+      .select(explode(grams).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(k)
+  }
+}

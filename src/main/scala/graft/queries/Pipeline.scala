@@ -1,0 +1,214 @@
+package graft.queries
+
+import graft.Engine
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operator inventory (north-star extras per
+  * BASELINE.json): dedup (exact / normalized / n-gram Jaccard / MinHash
+  * LSH / SimHash), similarity search (brute-force + LSH), text analysis,
+  * multimodal feature plumbing, plus sketch aggregates. Exact variants
+  * carry a DuckDB oracle; hash-family variants (xxhash64-based) are
+  * Spark-deterministic and verified by ScalaTest invariants instead.
+  */
+object Pipeline {
+
+  private def t(spark: SparkSession, dir: String): Map[String, DataFrame] =
+    Engine.tables(spark, dir)
+
+  def q_dedup_exact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(t(spark, dir)("documents"))
+
+  val q_dedup_exact_sql: String = """
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+           count(*) AS n_dups
+    FROM documents GROUP BY md5(text) ORDER BY keep_id"""
+
+  def q_dedup_norm(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(t(spark, dir)("documents"), normalized = true)
+
+  val q_dedup_norm_sql: String = """
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             AS content_hash,
+           min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY 1 ORDER BY keep_id"""
+
+  def q_dedup_jaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(t(spark, dir)("documents"), threshold = 0.05)
+
+  val q_dedup_jaccard_sql: String = """
+    WITH toks AS (SELECT doc_id,
+                         string_split_regex(trim(text), '\s+') AS l
+                  FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    generate_series(1, len(l) - 2),
+                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS s
+           FROM toks WHERE len(l) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(ni AS DOUBLE)/(sa.n + sb.n - ni) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = da
+               JOIN sizes sb ON sb.doc_id = db
+    WHERE CAST(ni AS DOUBLE)/(sa.n + sb.n - ni) >= 0.05
+    ORDER BY doc_a, doc_b"""
+
+  /** MinHash LSH dedup — Spark-hash-based, verified by JaccardSpec
+    * invariants (candidates ⊆ exact pairs at the same threshold). */
+  def q_dedup_minhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedup(t(spark, dir)("documents"), threshold = 0.05)
+
+  def q_dedup_simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(t(spark, dir)("documents")).orderBy("id")
+
+  def q_text_stats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.textStats(t(spark, dir)("documents")).orderBy("doc_id")
+
+  val q_text_stats_sql: String = """
+    WITH t AS (SELECT doc_id, text,
+                      string_split_regex(trim(text), '\s+') AS l
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(l) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+             / len(l) AS avg_token_len,
+           CAST(len(list_filter(l,
+             x -> x IN ('the','a','and','of','to'))) AS DOUBLE)/len(l)
+             AS stop_ratio,
+           CAST(len(list_distinct(l)) AS DOUBLE)/len(l) AS uniq_ratio,
+           (CAST(len(list_distinct(l)) AS DOUBLE)/len(l)) *
+             least(CAST(len(l) AS DOUBLE)/50, CAST(1 AS DOUBLE))
+             AS quality_score
+    FROM t ORDER BY doc_id"""
+
+  def q_text_langid(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(t(spark, dir)("documents")).orderBy("doc_id")
+
+  val q_text_langid_sql: String = """
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+               FROM documents),
+    s AS (SELECT doc_id,
+      CAST(len(list_filter(l, x -> x IN ('the','a','and','of','to')))
+        AS INT) AS en_hits,
+      CAST(len(list_filter(l, x -> x IN ('der','die','das','und')))
+        AS INT) AS de_hits,
+      CAST(len(list_filter(l, x -> x IN ('el','los','las','y')))
+        AS INT) AS es_hits,
+      CAST(len(list_filter(l, x -> x IN ('le','les','et','ou')))
+        AS INT) AS fr_hits
+      FROM t)
+    SELECT doc_id, en_hits, de_hits, es_hits, fr_hits,
+           CASE WHEN greatest(en_hits, de_hits, es_hits, fr_hits) = 0
+                  THEN 'und'
+                WHEN en_hits >= greatest(de_hits, es_hits, fr_hits)
+                  THEN 'en'
+                WHEN de_hits >= greatest(es_hits, fr_hits) THEN 'de'
+                WHEN es_hits >= fr_hits THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM s ORDER BY doc_id"""
+
+  def q_text_ngrams(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topNgrams(t(spark, dir)("documents"), n = 2, k = 20)
+
+  val q_text_ngrams_sql: String = """
+    WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS l
+                  FROM documents),
+    g AS (SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+                   i -> l[i] || ' ' || l[i+1])) AS gram
+          FROM toks WHERE len(l) >= 2)
+    SELECT gram, count(*) AS cnt FROM g
+    GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20"""
+
+  /** fingerprint64 — custom codegen'd expression; Spark-only, covered by
+    * FingerprintSpec's known-value assertions. */
+  def q_text_fingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(t(spark, dir)("documents")).orderBy("doc_id")
+
+  def q_sim_topk(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir)("embeddings")
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), k = 5)
+  }
+
+  val q_sim_topk_sql: String = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+    scored AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      list_dot_product(q.v, e.v) /
+        (sqrt(list_dot_product(q.v, q.v)) *
+         sqrt(list_dot_product(e.v, e.v))) AS cos_sim
+      FROM q JOIN e ON e.vec_id <> q.vec_id)
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
+      FROM scored)
+    WHERE rnk <= 5 ORDER BY query_id, rnk"""
+
+  def q_sim_pairs(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairs(t(spark, dir)("embeddings"), threshold = 0.4)
+
+  val q_sim_pairs_sql: String = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) *
+              sqrt(list_dot_product(b.v, b.v))) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))) >= 0.4
+    ORDER BY vec_a, vec_b"""
+
+  /** LSH-bucketed ANN — recall vs brute force asserted in SimilaritySpec. */
+  def q_sim_lsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir)("embeddings")
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5)
+  }
+
+  def q_multimodal(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.mediaTable(t(spark, dir)("documents"))).orderBy("doc_id")
+
+  /** Sketch aggregates (HLL / KLL): approximate by design, so
+    * Spark-deterministic rows-only. */
+  def q_agg_approx(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir)("lineitem")
+    li.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("acd_part"),
+        approx_count_distinct(col("l_suppkey")).as("acd_supp"),
+        expr("approx_percentile(l_quantity, 0.5)").as("ap50"),
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.75))")
+          .as("ap_price"))
+      .orderBy("l_returnflag")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (q_dedup_exact _),
+    "q_dedup_norm" -> (q_dedup_norm _),
+    "q_dedup_jaccard" -> (q_dedup_jaccard _),
+    "q_dedup_minhash" -> (q_dedup_minhash _),
+    "q_dedup_simhash" -> (q_dedup_simhash _),
+    "q_text_stats" -> (q_text_stats _),
+    "q_text_langid" -> (q_text_langid _),
+    "q_text_ngrams" -> (q_text_ngrams _),
+    "q_text_fingerprint" -> (q_text_fingerprint _),
+    "q_sim_topk" -> (q_sim_topk _),
+    "q_sim_pairs" -> (q_sim_pairs _),
+    "q_sim_lsh" -> (q_sim_lsh _),
+    "q_multimodal" -> (q_multimodal _),
+    "q_agg_approx" -> (q_agg_approx _))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" -> q_dedup_exact_sql,
+    "q_dedup_norm" -> q_dedup_norm_sql,
+    "q_dedup_jaccard" -> q_dedup_jaccard_sql,
+    "q_text_stats" -> q_text_stats_sql,
+    "q_text_langid" -> q_text_langid_sql,
+    "q_text_ngrams" -> q_text_ngrams_sql,
+    "q_sim_topk" -> q_sim_topk_sql,
+    "q_sim_pairs" -> q_sim_pairs_sql)
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Per-user session state (top-level so the state Encoder codegens). */
+case class SessState(lastUs: Long, nEvents: Long, nSessions: Long)
+
+/** Streaming ingest, re-expressing the reference's transactional ingest
+  * API (hcatalog/streaming/.../HiveEndPoint.java:62 — endpoint ->
+  * TransactionBatch -> write/commit into ACID deltas) on Structured
+  * Streaming: the checkpointed file sink gives the same exactly-once
+  * batch-commit contract (offsets+commits WAL instead of metastore txns),
+  * and `Trigger.AvailableNow` is the "drain one transaction batch" mode.
+  *
+  * Beyond reference parity (Hive 2.3 has no stream queries, SURVEY.md
+  * §2.12): watermarked windowed aggregation and stateful sessionization,
+  * the streaming twins of q_events_window / q_events_sessionize.
+  */
+object Ingest {
+
+  /** File-stream ingest with exactly-once commit semantics. */
+  def fileIngest(spark: SparkSession, srcDir: String, schema: StructType,
+                 format: String, destDir: String,
+                 checkpointDir: String): StreamingQuery =
+    spark.readStream.format(format).schema(schema).load(srcDir)
+      .writeStream.format("parquet")
+      .option("path", destDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Watermarked tumbling-window aggregation over event time. Late rows
+    * beyond the watermark are dropped — state is bounded, which is what
+    * lets this run unbounded at 100 TB/day. */
+  def windowedCounts(events: DataFrame,
+                     windowLen: String = "5 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        col("total_value"))
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp)
+  case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** Stateful per-user sessionization via mapGroupsWithState — the
+    * KeyValueGroupedDataset custom-state tier (SURVEY.md §7 streaming).
+    * State per user is 24 bytes; keys partition across executors. */
+  def sessionize(events: Dataset[Ev],
+                 gapSeconds: Long = 1800): Dataset[UserSessions] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessState, UserSessions](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
+          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+          var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+          sorted.foreach { e =>
+            val us = e.ts.getTime * 1000L
+            val isNew = st.lastUs == Long.MinValue ||
+              us - st.lastUs > gapSeconds * 1000000L
+            st = SessState(us, st.nEvents + 1,
+              st.nSessions + (if (isNew) 1 else 0))
+          }
+          state.update(st)
+          UserSessions(user, st.nEvents, st.nSessions)
+      }
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Corpus with planted exact + near duplicates.
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"),     // exact dup of 1
+    (3L, "THE  quick brown FOX jumps over the lazy dog again and again"),    // normalized dup of 1
+    (4L, "the quick brown fox jumps over the lazy cat again and again"),     // near dup (1 token)
+    (5L, "completely different content about spark engines and shuffles here"),
+    (6L, "another unrelated document mentioning joins aggregates and windows today")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses exact duplicates, keeps min id") {
+    val g = Dedup.exactGroups(docs).collect()
+    val dupGroup = g.find(_.getAs[Long]("n_dups") == 2).get
+    assert(dupGroup.getAs[Long]("keep_id") === 1L)
+    assert(g.length === 5) // 6 docs, one pair collapsed
+  }
+
+  test("normalized exactGroups also collapses case/whitespace variants") {
+    val g = Dedup.exactGroups(docs, normalized = true).collect()
+    val dupGroup = g.find(_.getAs[Long]("n_dups") == 3).get
+    assert(dupGroup.getAs[Long]("keep_id") === 1L)
+    assert(g.length === 4)
+  }
+
+  test("jaccardPairs finds planted near-dups with exact scores") {
+    val pairs = Dedup.jaccardPairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exact dups have jaccard 1.0
+    assert(pairs.exists { case (a, b, j) => a == 1 && b == 2 && j == 1.0 })
+    // near-dup 1-4 differs in one token -> high but < 1
+    val near = pairs.find { case (a, b, _) => a == 1 && b == 4 }
+    assert(near.exists { case (_, _, j) => j > 0.5 && j < 1.0 })
+    // unrelated docs never pair
+    assert(!pairs.exists { case (a, b, _) => b == 5 || b == 6 })
+  }
+
+  test("maxShingleFreq cap drops stop-shingle fanout but keeps dups") {
+    val pairs = Dedup.jaccardPairs(docs, threshold = 0.9,
+        maxShingleFreq = Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("minhashDedup recovers high-jaccard pairs (LSH recall)") {
+    val got = Dedup.minhashDedup(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L))) // identical docs always collide
+    // every reported pair must be a true pair at the threshold
+    val exact = Dedup.jaccardPairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact))
+  }
+
+  test("minhash signatures are deterministic across runs") {
+    val s1 = Dedup.minhashSignatures(docs).orderBy("id").collect().toSeq
+    val s2 = Dedup.minhashSignatures(docs).orderBy("id").collect().toSeq
+    assert(s1 === s2)
+  }
+
+  test("simhash: identical docs equal, near-dups close, unrelated far") {
+    val sig = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sig(1L) === sig(2L))
+    assert(ham(sig(1L), sig(4L)) < ham(sig(1L), sig(5L)))
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("jaccard pairs on real corpus match minhash verification path") {
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+    val exact = Dedup.jaccardPairs(real, 0.5).count()
+    val mh = Dedup.minhashDedup(real, 0.5).count()
+    assert(mh <= exact)
+    if (exact > 0) assert(mh.toDouble / exact > 0.5) // recall sanity
+  }
+}

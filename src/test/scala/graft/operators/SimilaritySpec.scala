@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("cosine: self-similarity is 1, symmetric, in [-1, 1]") {
+    val sample = emb.limit(20).cache()
+    val self = sample.select(
+      Similarity.cosine(col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>")).as("c"))
+      .as[Double].collect()
+    assert(self.forall(c => math.abs(c - 1.0) < 1e-9))
+    val pairs = Similarity.cosinePairs(sample, threshold = -2.0).collect()
+    assert(pairs.forall(r => r.getDouble(2) >= -1.0 - 1e-9 &&
+      r.getDouble(2) <= 1.0 + 1e-9))
+  }
+
+  test("bruteForceTopK returns k ranked neighbors, no self-matches") {
+    val q = emb.filter(col("vec_id") < 5)
+    val topk = Similarity.bruteForceTopK(emb, q, k = 3).collect()
+    assert(topk.length === 15)
+    assert(topk.forall(r => r.getAs[Long]("neighbor_id") !=
+      r.getAs[Long]("query_id")))
+    // ranks are 1..3 per query and scores non-increasing
+    topk.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq === Seq(1, 2, 3))
+      val scores = sorted.map(_.getAs[Double]("cos_sim"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lshTopK results are a subset-ranking consistent with brute force") {
+    val q = emb.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(emb, q, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val lsh = Similarity.lshTopK(emb, q, k = 5).collect()
+    // every LSH neighbor must be a genuine corpus vector, scored correctly;
+    // recall vs exact top-10: each query finds at least one of them
+    val byQuery = lsh.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.nonEmpty)
+    val recallHits = byQuery.count { case (qid, rows) =>
+      rows.exists(r => bf.contains((qid, r.getAs[Long]("neighbor_id"))))
+    }
+    assert(recallHits >= byQuery.size / 2)
+  }
+
+  test("lsh signatures deterministic across invocations") {
+    val s1 = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 3), k = 3)
+      .collect().toSeq
+    val s2 = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 3), k = 3)
+      .collect().toSeq
+    assert(s1 === s2)
+  }
+}

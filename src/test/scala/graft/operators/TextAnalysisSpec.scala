@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "completely unique words everywhere nothing repeats"),
+    (3L, "der die das und etwas mehr text")
+  ).toDF("doc_id", "text")
+
+  test("textStats computes exact token statistics") {
+    val r = TextAnalysis.textStats(docs).orderBy("doc_id").collect()
+    val d1 = r(0)
+    assert(d1.getAs[Int]("n_tokens") === 6)
+    assert(d1.getAs[Int]("n_chars") === 22)
+    assert(d1.getAs[Double]("stop_ratio") === 2.0 / 6) // two 'the'
+    assert(d1.getAs[Double]("uniq_ratio") === 5.0 / 6)
+    val d2 = r(1)
+    assert(d2.getAs[Double]("uniq_ratio") === 1.0)
+  }
+
+  test("langId picks the profile with most function-word hits") {
+    val r = TextAnalysis.langId(docs).orderBy("doc_id").collect()
+    assert(r(0).getAs[String]("pred_lang") === "en")
+    assert(r(2).getAs[String]("pred_lang") === "de")
+  }
+
+  test("fingerprints are stable and normalization-insensitive") {
+    val variants = Seq(
+      (1L, "Hello  World"),
+      (2L, "hello world"),
+      (3L, "  HELLO   WORLD  ")).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprints(variants).collect()
+      .map(_.getAs[Long]("fp")).distinct
+    assert(fps.length === 1)
+  }
+
+  test("topNgrams returns most frequent n-grams with deterministic ties") {
+    val r = TextAnalysis.topNgrams(docs, n = 2, k = 3).collect()
+    assert(r.nonEmpty)
+    val counts = r.map(_.getAs[Long]("cnt"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("multimodal feature extraction is deterministic with real schema") {
+    val media = Multimodal.mediaTable(docs)
+    assert(media.schema("media").dataType.typeName === "binary")
+    val f = Multimodal.extractFeatures(media).orderBy("doc_id").collect()
+    assert(f.length === 3)
+    assert(f(0).getAs[Long]("n_bytes") === 22)
+    assert(f(0).getAs[Seq[Double]]("features").sum === 22.0) // hist sums to len
+    val again = Multimodal.extractFeatures(media).orderBy("doc_id").collect()
+    assert(f.map(_.getAs[Long]("checksum")).toSeq ===
+      again.map(_.getAs[Long]("checksum")).toSeq)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  private def writeBatch(dir: String, name: String, lines: Seq[String]): Unit =
+    Files.write(Paths.get(dir, name), lines.mkString("\n").getBytes)
+
+  test("fileIngest commits batches exactly once across restarts") {
+    val base = Files.createTempDirectory("graft_ingest").toString
+    val src = s"$base/src"; val dst = s"$base/dst"; val cp = s"$base/cp"
+    Files.createDirectories(Paths.get(src))
+    writeBatch(src, "b1.json", Seq(
+      """{"event_id":1,"ts":"2024-01-01T00:00:00Z","event_type":"click","value":1.5}""",
+      """{"event_id":2,"ts":"2024-01-01T00:01:00Z","event_type":"view","value":2.0}"""))
+    val q1 = Ingest.fileIngest(spark, src, schema, "json", dst, cp)
+    q1.awaitTermination()
+    assert(spark.read.parquet(dst).count() === 2)
+    // second transaction batch + restart: only new rows commit
+    writeBatch(src, "b2.json", Seq(
+      """{"event_id":3,"ts":"2024-01-01T00:02:00Z","event_type":"click","value":3.0}"""))
+    val q2 = Ingest.fileIngest(spark, src, schema, "json", dst, cp)
+    q2.awaitTermination()
+    assert(spark.read.parquet(dst).count() === 3)
+    // restart with NO new data: nothing duplicated (exactly-once)
+    val q3 = Ingest.fileIngest(spark, src, schema, "json", dst, cp)
+    q3.awaitTermination()
+    assert(spark.read.parquet(dst).count() === 3)
+  }
+
+  test("windowedCounts aggregates a file stream with watermark") {
+    val base = Files.createTempDirectory("graft_window").toString
+    val src = s"$base/src"
+    Files.createDirectories(Paths.get(src))
+    writeBatch(src, "b1.json", Seq(
+      """{"event_id":1,"ts":"2024-01-01T00:00:30Z","event_type":"click","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01T00:01:30Z","event_type":"click","value":2.0}""",
+      """{"event_id":3,"ts":"2024-01-01T00:06:30Z","event_type":"view","value":4.0}"""))
+    val stream = spark.readStream.schema(schema).json(src)
+    val q = Ingest.windowedCounts(stream)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("winout")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("winout").collect()
+    val click = rows.find(_.getAs[String]("event_type") == "click").get
+    assert(click.getAs[Long]("n") === 2)
+    assert(click.getAs[Double]("total_value") === 3.0)
+    val view = rows.find(_.getAs[String]("event_type") == "view").get
+    assert(view.getAs[Long]("n") === 1)
+  }
+
+  test("stateful sessionize counts sessions across micro-batches") {
+    val base = Files.createTempDirectory("graft_sess").toString
+    val src = s"$base/src"
+    Files.createDirectories(Paths.get(src))
+    // user 7: two events 10 min apart (1 session), then one 2h later
+    writeBatch(src, "b1.json", Seq(
+      """{"event_id":1,"ts":"2024-01-01T00:00:00Z","event_type":"a","value":0},""".dropRight(1),
+      """{"event_id":2,"ts":"2024-01-01T00:10:00Z","event_type":"a","value":0}"""))
+    val evs = spark.readStream.schema(schema).json(src)
+      .withColumn("user_id", lit(7L))
+      .select(col("user_id"), col("ts")).as[Ingest.Ev]
+    val q = Ingest.sessionize(evs)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("sessout")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val r1 = spark.table("sessout").collect().last
+    assert(r1.getAs[Long]("n_events") === 2)
+    assert(r1.getAs[Long]("n_sessions") === 1)
+  }
+}
