@@ -43,6 +43,16 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // Local-bench sizing: testdata tables are single ~1-40 MB parquet
+      // files; the 128m default would scan each in ONE task, idling 31
+      // cores. 4m splits sf0.1 scans across the box. (A 100 TB deployment
+      // keeps the default — files there are many and block-sized.)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      // AQE coalesces shuffles to actual data size at runtime; keep the
+      // pre-AQE partition count modest so stage task counts match the
+      // local core budget rather than a cluster's.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "32")
       // Hive 2.x arithmetic is non-ANSI (overflow wraps, bad casts -> NULL);
       // keep ANSI off so dialect-sensitive expressions match the reference.
       .config("spark.sql.ansi.enabled", "false")
@@ -63,14 +73,19 @@ object Engine {
     * resolution (`ql/metadata/Table.java`) with Spark temp views; a real
     * deployment would use a persistent catalog + partitioned layout.
     */
-  def tables(spark: SparkSession, dir: String): Map[String, DataFrame] = {
-    prepare(spark)
-    tableNames.map { name =>
-      val df = read(spark, dir, name)
-      df.createOrReplaceTempView(name)
-      name -> df
-    }.toMap
-  }
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      Map[String, DataFrame]]()
+
+  def tables(spark: SparkSession, dir: String): Map[String, DataFrame] =
+    tableCache.computeIfAbsent((spark, dir), { _ =>
+      prepare(spark)
+      tableNames.map { name =>
+        val df = read(spark, dir, name)
+        df.createOrReplaceTempView(name)
+        name -> df
+      }.toMap
+    })
 
   /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark cannot represent
     * (SPARK-40819): read it as raw nanos and truncate to microseconds —

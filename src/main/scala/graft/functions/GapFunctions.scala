@@ -88,6 +88,24 @@ object GapFunctions {
       .select(cols.head, cols.tail: _*)
   }
 
+  /** Hive `uniontype<T0,T1,...>` (SURVEY.md §1.2) has no Spark type;
+    * the engine's encoding is a tagged struct `struct<tag:int,
+    * field0:T0, ...>`, mirroring how Hive itself only touches unions via
+    * the create_union/extract_union UDFs
+    * (ql/exec/FunctionRegistry.java:459-460, GenericUDFUnion). */
+  def createUnion(tag: Column, values: Column*): Column =
+    struct(tag.as("tag") +:
+      values.zipWithIndex.map { case (v, i) => v.as(s"field$i") }: _*)
+
+  /** extract_union(u) -> the full tagged struct (Hive returns the same
+    * struct-of-all-alternatives view). */
+  def extractUnion(u: Column): Column = u
+
+  /** extract_union(u, tag) -> the value slot for that tag (NULL if the
+    * union currently holds a different alternative is the caller's
+    * responsibility, same as Hive). */
+  def extractUnion(u: Column, tag: Int): Column = u.getField(s"field$tag")
+
   def fingerprint64(c: Column): Column =
     org.apache.spark.sql.GraftSqlShim.column(
       Fingerprint64(org.apache.spark.sql.GraftSqlShim.expression(c)))

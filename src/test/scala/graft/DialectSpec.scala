@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** HiveQL-dialect surface checks (SURVEY.md §2.13/§3.5): the DDL/DML and
+  * dialect constructs the reference's users write must parse and run on
+  * the Spark dialect as-is.
+  */
+class DialectSpec extends SparkSpec {
+
+  private lazy val views = Engine.tables(spark, sfDir)
+
+  test("CREATE TABLE / INSERT / CREATE VIEW / DROP lifecycle") {
+    views
+    spark.sql("DROP TABLE IF EXISTS ddl_t")
+    spark.sql("CREATE TABLE ddl_t (k INT, v STRING) USING parquet")
+    spark.sql("INSERT INTO ddl_t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT OVERWRITE TABLE ddl_t VALUES (3, 'c')")
+    assert(spark.table("ddl_t").count() === 1)
+    spark.sql("CREATE OR REPLACE VIEW ddl_v AS SELECT k * 2 AS k2 FROM ddl_t")
+    assert(spark.sql("SELECT k2 FROM ddl_v").head().getInt(0) === 6)
+    spark.sql("DROP VIEW ddl_v")
+    spark.sql("DROP TABLE ddl_t")
+  }
+
+  test("CTAS with partitioning") {
+    views
+    spark.sql("DROP TABLE IF EXISTS ddl_ctas")
+    spark.sql("""CREATE TABLE ddl_ctas USING parquet
+                 PARTITIONED BY (y)
+                 AS SELECT o_orderkey, year(o_orderdate) AS y FROM orders""")
+    assert(spark.table("ddl_ctas").count() ===
+      spark.table("orders").count())
+    spark.sql("DROP TABLE ddl_ctas")
+  }
+
+  test("DISTRIBUTE BY / SORT BY / CLUSTER BY parse and execute") {
+    views
+    val d = spark.sql(
+      "SELECT l_orderkey FROM lineitem DISTRIBUTE BY l_orderkey SORT BY l_orderkey")
+    assert(d.count() > 0)
+    val c = spark.sql("SELECT l_orderkey FROM lineitem CLUSTER BY l_orderkey")
+    assert(c.count() > 0)
+    // sortWithinPartitions invariant: each partition is sorted
+    val parts = spark.table("lineitem").repartition(4, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .select("l_orderkey").rdd
+      .mapPartitions { it =>
+        val a = it.map(_.getLong(0)).toArray
+        Iterator.single(a.zip(a.drop(1)).forall { case (x, y) => x <= y })
+      }.collect()
+    assert(parts.forall(identity))
+  }
+
+  test("TABLESAMPLE syntax") {
+    views
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM lineitem TABLESAMPLE (10 PERCENT)")
+      .head().getLong(0)
+    assert(n > 0 && n < spark.table("lineitem").count())
+  }
+
+  test("TRANSFORM ... USING pipes rows through an external script") {
+    views
+    val out = spark.sql(
+      """SELECT TRANSFORM(l_orderkey) USING 'cat' AS (k STRING)
+         FROM (SELECT l_orderkey FROM lineitem LIMIT 5)""")
+    assert(out.count() === 5)
+  }
+
+  test("EXPLAIN and ANALYZE TABLE run") {
+    views
+    assert(spark.sql("EXPLAIN FORMATTED SELECT count(*) FROM orders")
+      .head().getString(0).contains("Physical Plan"))
+    spark.sql("DROP TABLE IF EXISTS stats_t")
+    spark.sql("CREATE TABLE stats_t USING parquet AS SELECT * FROM nation")
+    spark.sql("ANALYZE TABLE stats_t COMPUTE STATISTICS FOR ALL COLUMNS")
+    val desc = spark.sql("DESCRIBE EXTENDED stats_t").collect().mkString
+    assert(desc.contains("Statistics"))
+    spark.sql("DROP TABLE stats_t")
+  }
+
+  test("broadcast and skew-handling knobs are live (AQE)") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") === "true")
+    // a dimension join actually plans as broadcast
+    val m = views
+    val j = m("orders").join(m("customer"),
+      col("o_custkey") === col("c_custkey"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+}

@@ -54,6 +54,17 @@ class GapFunctionsSpec extends SparkSpec {
     assert(r === Row("example.com", "/path/p", "x=1&y=2"))
   }
 
+  test("uniontype round-trip via tagged-struct encoding") {
+    val df = Seq((0, 42, "ignored"), (1, -1, "hello")).toDF("tag", "i", "s")
+    val u = df.select(GapFunctions.createUnion($"tag", $"i", $"s").as("u"))
+    val tags = u.select($"u.tag").as[Int].collect().toSeq
+    assert(tags === Seq(0, 1))
+    val f0 = u.select(GapFunctions.extractUnion($"u", 0)).as[Int].collect()
+    val f1 = u.select(GapFunctions.extractUnion($"u", 1)).as[String].collect()
+    assert(f0.toSeq === Seq(42, -1))
+    assert(f1.toSeq === Seq("ignored", "hello"))
+  }
+
   test("replicate_rows emits each row n times, distributed") {
     val df = Seq(("a", 2L), ("b", 3L)).toDF("k", "n")
     val out = GapFunctions.replicateRows(df, col("n"))
