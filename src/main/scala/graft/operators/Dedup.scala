@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Present._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -31,7 +33,7 @@ object Dedup {
               else md5(col(textCol))
     docs.groupBy(key.as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
-      .orderBy("keep_id")
+      .presentSorted("keep_id")
   }
 
   /** Distinct word n-gram shingles per document: (id, shingle). */
@@ -57,7 +59,16 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
                    maxShingleFreq: Option[Int] = None,
                    textCol: String = "text",
-                   idCol: String = "doc_id"): DataFrame = {
+                   idCol: String = "doc_id"): DataFrame =
+    jaccardPairsRaw(docs, threshold, n, maxShingleFreq, textCol, idCol)
+      .presentSorted("doc_a", "doc_b")
+
+  /** Unsorted pair stream — the composable core (downstream operators
+    * keep full parallelism; only terminal results get presentSorted). */
+  def jaccardPairsRaw(docs: DataFrame, threshold: Double, n: Int = 3,
+                      maxShingleFreq: Option[Int] = None,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
     val sh0 = shingles(docs, n, textCol, idCol)
     val sh = maxShingleFreq match {
       case Some(cap) =>
@@ -81,7 +92,6 @@ object Dedup {
         (col("ni").cast("double") / (col("sa") + col("sb") - col("ni")))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy("doc_a", "doc_b")
   }
 
   // --- MinHash + LSH ---------------------------------------------------
@@ -149,9 +159,9 @@ object Dedup {
       .union(cands.select(col("doc_b").as("id"))).distinct()
     val subset = docs.join(candDocs, docs(idCol) === candDocs("id"))
       .drop(candDocs("id"))
-    jaccardPairs(subset, threshold, n, None, textCol, idCol)
+    jaccardPairsRaw(subset, threshold, n, None, textCol, idCol)
       .join(cands, Seq("doc_a", "doc_b"), "left_semi")
-      .orderBy("doc_a", "doc_b")
+      .presentSorted("doc_a", "doc_b")
   }
 
   // --- SimHash ---------------------------------------------------------
@@ -202,6 +212,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .orderBy("doc_a", "doc_b")
+      .presentSorted("doc_a", "doc_b")
   }
 }

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.Present._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -51,7 +53,7 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .orderBy("query_id", "rnk")
+      .presentSorted("query_id", "rnk")
   }
 
   /** All pairs above a cosine threshold (embedding near-dup detection).
@@ -69,7 +71,7 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-      .orderBy("vec_a", "vec_b")
+      .presentSorted("vec_a", "vec_b")
   }
 
   /** Deterministic pseudo-random hyperplanes (fixed-seed LCG). */
@@ -134,6 +136,6 @@ object Similarity {
         cosine(col("qv"), col("cv")).as("cos_sim"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
-      .orderBy("query_id", "rnk")
+      .presentSorted("query_id", "rnk")
   }
 }

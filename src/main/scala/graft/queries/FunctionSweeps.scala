@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Present._
+
 import graft.Engine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -40,7 +42,7 @@ object FunctionSweeps {
         regexp_extract(col("c_name"), "([0-9]+)", 1).as("rex"),
         levenshtein(col("c_mktsegment"), lit("BUILDING")).as("lev"),
         trim(concat(lit("  "), col("c_mktsegment"), lit("  "))).as("trm"))
-      .orderBy("c_custkey")
+      .presentSorted("c_custkey")
   }
 
   val q_fn_string_sql: String = """
@@ -87,7 +89,7 @@ object FunctionSweeps {
         round(atan2(col("p_size"), lit(7)), 6).as("at2"),
         round(sin(col("p_size")), 6).as("sn"),
         round(cos(col("p_size")), 6).as("cs"))
-      .orderBy("p_partkey")
+      .presentSorted("p_partkey")
   }
 
   val q_fn_math_sql: String = """
@@ -130,7 +132,7 @@ object FunctionSweeps {
         unix_timestamp(col("o_orderdate")).as("ue"),
         from_unixtime(unix_timestamp(col("o_orderdate"))).as("fu"),
         to_date(col("o_orderdate")).cast("timestamp").as("dto"))
-      .orderBy("o_orderkey")
+      .presentSorted("o_orderkey")
   }
 
   val q_fn_datetime_sql: String = """
@@ -170,7 +172,7 @@ object FunctionSweeps {
         col("c_mktsegment").isin("BUILDING", "AUTOMOBILE").as("inb"),
         col("c_acctbal").between(0, 1000).as("btw"),
         expr("nullif(c_nationkey, 10) IS NULL").as("isn"))
-      .orderBy("c_custkey")
+      .presentSorted("c_custkey")
   }
 
   val q_fn_cond_sql: String = """
@@ -201,7 +203,7 @@ object FunctionSweeps {
         base64(col("c_name").cast("binary")).as("b64"),
         expr("cast(unbase64(base64(cast(c_name as binary))) as string)")
           .as("rt"))
-      .orderBy("c_custkey")
+      .presentSorted("c_custkey")
   }
 
   val q_fn_hash_sql: String = """

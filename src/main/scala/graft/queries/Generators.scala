@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Present._
+
 import graft.Engine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -22,7 +24,7 @@ object Generators {
     val d = t(spark, dir)("documents")
     d.select(explode(split(col("text"), " ")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
-      .orderBy("token")
+      .presentSorted("token")
   }
 
   val q_lateral_explode_sql: String = """
@@ -36,7 +38,7 @@ object Generators {
     d.filter(col("doc_id") < 20)
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
-      .orderBy("doc_id", "pos")
+      .presentSorted("doc_id", "pos")
   }
 
   val q_lateral_posexplode_sql: String = """
@@ -55,7 +57,7 @@ object Generators {
         explode_outer(filter(split(col("text"), " "), x => length(x) >= 8))
           .as("token"))
       .groupBy("doc_id").agg(count(col("token")).as("n_long"))
-      .orderBy("doc_id")
+      .presentSorted("doc_id")
   }
 
   val q_lateral_outer_sql: String = """

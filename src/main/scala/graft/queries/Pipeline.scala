@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Present._
+
 import graft.Engine
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -63,10 +65,10 @@ object Pipeline {
     Dedup.minhashDedup(t(spark, dir)("documents"), threshold = 0.05)
 
   def q_dedup_simhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhash(t(spark, dir)("documents")).orderBy("id")
+    Dedup.simhash(t(spark, dir)("documents")).presentSorted("id")
 
   def q_text_stats(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.textStats(t(spark, dir)("documents")).orderBy("doc_id")
+    TextAnalysis.textStats(t(spark, dir)("documents")).presentSorted("doc_id")
 
   val q_text_stats_sql: String = """
     WITH t AS (SELECT doc_id, text,
@@ -87,7 +89,7 @@ object Pipeline {
     FROM t ORDER BY doc_id"""
 
   def q_text_langid(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.langId(t(spark, dir)("documents")).orderBy("doc_id")
+    TextAnalysis.langId(t(spark, dir)("documents")).presentSorted("doc_id")
 
   val q_text_langid_sql: String = """
     WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
@@ -127,7 +129,7 @@ object Pipeline {
   /** fingerprint64 — custom codegen'd expression; Spark-only, covered by
     * FingerprintSpec's known-value assertions. */
   def q_text_fingerprint(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.fingerprints(t(spark, dir)("documents")).orderBy("doc_id")
+    TextAnalysis.fingerprints(t(spark, dir)("documents")).presentSorted("doc_id")
 
   def q_sim_topk(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir)("embeddings")
@@ -171,7 +173,7 @@ object Pipeline {
 
   def q_multimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
-      Multimodal.mediaTable(t(spark, dir)("documents"))).orderBy("doc_id")
+      Multimodal.mediaTable(t(spark, dir)("documents"))).presentSorted("doc_id")
 
   /** Sketch aggregates (HLL / KLL): approximate by design, so
     * Spark-deterministic rows-only. */
@@ -183,7 +185,7 @@ object Pipeline {
         expr("approx_percentile(l_quantity, 0.5)").as("ap50"),
         expr("approx_percentile(l_extendedprice, array(0.25, 0.75))")
           .as("ap_price"))
-      .orderBy("l_returnflag")
+      .presentSorted("l_returnflag")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Present._
+
 import graft.Engine
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -50,7 +52,7 @@ object Relational {
         (sum(col("epc")).cast("double") / 100 / count(lit(1))).as("avg_price"),
         (sum(col("dc")).cast("double") / 100 / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
+      .presentSorted("l_returnflag", "l_linestatus")
   }
 
   val q1_agg_sql: String = """
@@ -125,7 +127,7 @@ object Relational {
       .groupBy("n_name")
       .agg(count(lit(1)).as("n_orders"),
         (sum(cents(col("o_totalprice"))).cast("double") / 100).as("total_rev"))
-      .orderBy("n_name")
+      .presentSorted("n_name")
   }
 
   val q_join_inner_sql: String = """
@@ -144,7 +146,7 @@ object Relational {
         col("c_custkey") === col("o_custkey"), "left")
       .groupBy("c_custkey")
       .agg(count(col("o_orderkey")).as("n_f_orders"))
-      .orderBy("c_custkey")
+      .presentSorted("c_custkey")
   }
 
   val q_join_left_sql: String = """
@@ -160,7 +162,7 @@ object Relational {
       .join(m("orders"), col("l_orderkey") === col("o_orderkey"), "right")
       .groupBy("o_orderkey")
       .agg(count(col("l_linenumber")).as("n_big_items"))
-      .orderBy("o_orderkey")
+      .presentSorted("o_orderkey")
   }
 
   val q_join_right_sql: String = """
@@ -181,7 +183,7 @@ object Relational {
         coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
         coalesce(col("n_rich_cust"), lit(0L)).as("n_rich_cust"),
         coalesce(col("n_supp"), lit(0L)).as("n_supp"))
-      .orderBy("nationkey")
+      .presentSorted("nationkey")
   }
 
   val q_join_full_sql: String = """
@@ -202,7 +204,7 @@ object Relational {
       .join(m("orders").filter(col("o_totalprice") > 400000),
         col("c_custkey") === col("o_custkey"), "left_semi")
       .select("c_custkey", "c_name")
-      .orderBy("c_custkey")
+      .presentSorted("c_custkey")
   }
 
   val q_join_semi_sql: String = """
@@ -219,7 +221,7 @@ object Relational {
       .join(m("orders").filter(col("o_orderstatus") === "P"),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
-      .orderBy("c_custkey")
+      .presentSorted("c_custkey")
   }
 
   val q_join_anti_sql: String = """
@@ -236,7 +238,7 @@ object Relational {
     c.join(s, col("k") <=> col("k2"))
       .groupBy(coalesce(col("k"), lit(-1)).as("k"))
       .agg(count(lit(1)).as("n_pairs"))
-      .orderBy("k")
+      .presentSorted("k")
   }
 
   val q_join_nullsafe_sql: String = """
@@ -251,7 +253,7 @@ object Relational {
     val m = t(spark, dir)
     m("region").crossJoin(m("nation"))
       .select("r_name", "n_name")
-      .orderBy("r_name", "n_name")
+      .presentSorted("r_name", "n_name")
   }
 
   val q_join_cross_sql: String = """
@@ -272,7 +274,7 @@ object Relational {
       .agg(
         (sum(cents(col("l_extendedprice"))).cast("double") / 100).as("revenue"),
         count(lit(1)).as("n_items"))
-      .orderBy("r_name")
+      .presentSorted("r_name")
   }
 
   val q_join_broadcast_sql: String = """
@@ -303,7 +305,7 @@ object Relational {
         (sum_distinct(cents(col("l_quantity"))).cast("double") / 100)
           .as("sum_dist_qty"),
         count(lit(1)).as("n"))
-      .orderBy("l_returnflag")
+      .presentSorted("l_returnflag")
   }
 
   val q_agg_distinct_sql: String = """
@@ -324,7 +326,7 @@ object Relational {
         grouping(col("l_linestatus")).as("g2"),
         count(lit(1)).as("n"),
         (sum(cents(col("l_quantity"))).cast("double") / 100).as("sum_qty"))
-      .orderBy(col("g1"), col("g2"),
+      .presentSorted(col("g1"), col("g2"),
         coalesce(col("l_returnflag"), lit("")),
         coalesce(col("l_linestatus"), lit("")))
   }
@@ -346,7 +348,7 @@ object Relational {
       .agg(grouping(col("o_orderstatus")).as("g"),
         count(lit(1)).as("n"),
         (sum(cents(col("o_totalprice"))).cast("double") / 100).as("total"))
-      .orderBy(coalesce(col("y"), lit(-1)),
+      .presentSorted(coalesce(col("y"), lit(-1)),
         coalesce(col("o_orderstatus"), lit("")))
   }
 
@@ -395,7 +397,7 @@ object Relational {
         round(var_pop(col("l_quantity")), 6).as("v_pop"),
         round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
         round(covar_pop(col("l_quantity"), col("l_discount")), 6).as("cov_qd"))
-      .orderBy("l_returnflag")
+      .presentSorted("l_returnflag")
   }
 
   val q_agg_stats_sql: String = """
@@ -420,7 +422,7 @@ object Relational {
         min(col("l_returnflag")).as("min_flag"),
         max(col("l_returnflag")).as("max_flag"),
         count(lit(1)).as("n"))
-      .orderBy("l_linestatus")
+      .presentSorted("l_linestatus")
   }
 
   val q_agg_minmax_sql: String = """
@@ -442,7 +444,7 @@ object Relational {
           .as("statuses"),
         array_join(sort_array(collect_list(col("o_orderpriority"))), ",")
           .as("priorities"))
-      .orderBy("o_custkey")
+      .presentSorted("o_custkey")
   }
 
   val q_agg_collect_sql: String = """
@@ -464,7 +466,7 @@ object Relational {
         round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
         round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"),
         round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
-      .orderBy("l_returnflag")
+      .presentSorted("l_returnflag")
   }
 
   val q_agg_percentile_sql: String = """
@@ -482,7 +484,7 @@ object Relational {
       .agg((sum(cents(col("l_extendedprice"))).cast("double") / 100).as("rev"),
         count(lit(1)).as("n_items"))
       .filter(col("rev") > 20000000)
-      .orderBy("l_suppkey")
+      .presentSorted("l_suppkey")
   }
 
   val q_agg_having_sql: String = """
@@ -519,7 +521,7 @@ object Relational {
   def q_limit_offset(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir)("orders")
     o.select("o_orderkey", "o_totalprice")
-      .orderBy("o_orderkey")
+      .presentSorted("o_orderkey")
       .offset(100).limit(10)
   }
 
@@ -534,7 +536,7 @@ object Relational {
     val li = t(spark, dir)("lineitem")
     li.filter(pmod(col("l_orderkey"), lit(97)) === 0)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      .orderBy("l_orderkey", "l_linenumber")
+      .presentSorted("l_orderkey", "l_linenumber")
   }
 
   val q_tablesample_sql: String = """

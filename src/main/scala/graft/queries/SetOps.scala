@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Present._
+
 import graft.Engine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -27,7 +29,7 @@ object SetOps {
 
   def q_setop_union_all(spark: SparkSession, dir: String): DataFrame = {
     val (a, b) = sides(spark, dir)
-    a.union(b).groupBy("k").agg(count(lit(1)).as("n")).orderBy("k")
+    a.union(b).groupBy("k").agg(count(lit(1)).as("n")).presentSorted("k")
   }
 
   val q_setop_union_all_sql: String =
@@ -35,7 +37,7 @@ object SetOps {
 
   def q_setop_union_distinct(spark: SparkSession, dir: String): DataFrame = {
     val (a, b) = sides(spark, dir)
-    a.union(b).distinct().orderBy("k")
+    a.union(b).distinct().presentSorted("k")
   }
 
   val q_setop_union_distinct_sql: String =
@@ -43,7 +45,7 @@ object SetOps {
 
   def q_setop_intersect(spark: SparkSession, dir: String): DataFrame = {
     val (a, b) = sides(spark, dir)
-    a.intersect(b).orderBy("k")
+    a.intersect(b).presentSorted("k")
   }
 
   val q_setop_intersect_sql: String =
@@ -51,7 +53,7 @@ object SetOps {
 
   def q_setop_except(spark: SparkSession, dir: String): DataFrame = {
     val (a, b) = sides(spark, dir)
-    a.except(b).orderBy("k")
+    a.except(b).presentSorted("k")
   }
 
   val q_setop_except_sql: String =
@@ -59,7 +61,7 @@ object SetOps {
 
   def q_setop_intersect_all(spark: SparkSession, dir: String): DataFrame = {
     val (a, b) = sides(spark, dir)
-    a.intersectAll(b).groupBy("k").agg(count(lit(1)).as("n")).orderBy("k")
+    a.intersectAll(b).groupBy("k").agg(count(lit(1)).as("n")).presentSorted("k")
   }
 
   val q_setop_intersect_all_sql: String =
@@ -67,7 +69,7 @@ object SetOps {
 
   def q_setop_except_all(spark: SparkSession, dir: String): DataFrame = {
     val (a, b) = sides(spark, dir)
-    a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("n")).orderBy("k")
+    a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("n")).presentSorted("k")
   }
 
   val q_setop_except_all_sql: String =

@@ -1,5 +1,7 @@
 package graft.queries
 
+import graft.Present._
+
 import graft.Engine
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -34,7 +36,7 @@ object Windows {
         row_number().over(wKey).as("rn"),
         rank().over(wp).as("rk"),
         dense_rank().over(wp).as("drk"))
-      .orderBy("o_custkey", "o_orderkey")
+      .presentSorted("o_custkey", "o_orderkey")
   }
 
   val q_window_rank_sql: String = """
@@ -54,7 +56,7 @@ object Windows {
         (sum(cents(col("o_totalprice")))
           .over(wKey.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("double") / 100).as("run_total"))
-      .orderBy("o_custkey", "o_orderkey")
+      .presentSorted("o_custkey", "o_orderkey")
   }
 
   val q_window_running_sql: String = """
@@ -73,7 +75,7 @@ object Windows {
     o.select(col("o_custkey"), col("o_orderkey"),
         (sum(cents(col("o_totalprice"))).over(f).cast("double") / 100 /
           count(lit(1)).over(f)).as("mv_avg"))
-      .orderBy("o_custkey", "o_orderkey")
+      .presentSorted("o_custkey", "o_orderkey")
   }
 
   val q_window_frame_sql: String = """
@@ -96,7 +98,7 @@ object Windows {
     withDays.select(col("o_custkey"), col("o_orderkey"), col("days"),
         (sum(cents(col("o_totalprice"))).over(wr).cast("double") / 100)
           .as("trail30"))
-      .orderBy("o_custkey", "o_orderkey")
+      .presentSorted("o_custkey", "o_orderkey")
   }
 
   val q_window_range_sql: String = """
@@ -124,7 +126,7 @@ object Windows {
           .as("first_price"),
         (last(cents(col("o_totalprice"))).over(full).cast("double") / 100)
           .as("last_price"))
-      .orderBy("o_custkey", "o_orderkey")
+      .presentSorted("o_custkey", "o_orderkey")
   }
 
   val q_window_leadlag_sql: String = """
@@ -146,7 +148,7 @@ object Windows {
         ntile(4).over(wKey).as("quartile"),
         percent_rank().over(wKey).as("pr"),
         cume_dist().over(wKey).as("cd"))
-      .orderBy("o_custkey", "o_orderkey")
+      .presentSorted("o_custkey", "o_orderkey")
   }
 
   val q_window_ntile_sql: String = """
@@ -167,7 +169,7 @@ object Windows {
     o.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
-      .orderBy("o_custkey", "rn")
+      .presentSorted("o_custkey", "rn")
   }
 
   val q_window_topk_sql: String = """
@@ -191,7 +193,7 @@ object Windows {
         (sum(cents(col("value"))).cast("double") / 100).as("total_value"))
       .select(col("window.start").as("ws"), col("event_type"),
         col("n"), col("total_value"))
-      .orderBy("ws", "event_type")
+      .presentSorted("ws", "event_type")
   }
 
   val q_events_window_sql: String = """
@@ -217,7 +219,7 @@ object Windows {
       .groupBy("user_id", "sess")
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
-      .orderBy("user_id", "sess")
+      .presentSorted("user_id", "sess")
   }
 
   val q_events_sessionize_sql: String = """
