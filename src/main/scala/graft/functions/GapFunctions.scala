@@ -115,6 +115,8 @@ object GapFunctions {
     reg.createOrReplaceTempFunction("field", fieldBuilder, "built-in")
     reg.createOrReplaceTempFunction("fingerprint64",
       exprs => Fingerprint64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("hive_hash",
+      exprs => HiveHash(exprs), "built-in")
     spark.udf.register("mask_all", (s: String) => maskAll(s))
     spark.udf.register("mask_first_n", (s: String, n: Int) => maskFirstN(s, n))
     spark.udf.register("mask_last_n", (s: String, n: Int) => maskLastN(s, n))

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bit-compatible re-implementation of Hive's `hash()` UDF.
+  *
+  * Semantics transcribed from the reference:
+  *  - per-value hash: serde2/objectinspector/ObjectInspectorUtils.java:643-714
+  *    (null->0, boolean->1/0, byte/short/int->value,
+  *     long->(int)((v>>>32)^v), float->floatToIntBits,
+  *     double->fold of doubleToLongBits, string->31-fold over UTF-8 bytes)
+  *  - multi-arg combine: getBucketHashCode, ObjectInspectorUtils.java:633-640
+  *    (h = 31*h + fieldHash, seed 0)
+  *  - UDF entry: ql/udf/generic/GenericUDFHash.java:46-53
+  *
+  * Bit-compatibility matters because Hive bucket layouts are derived from
+  * this value (getBucketNumber) — an engine reading Hive-bucketed tables
+  * must agree on it. Interpreted eval (CodegenFallback) — not a hot path.
+  */
+case class HiveHash(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def prettyName: String = "hive_hash"
+
+  override def eval(input: InternalRow): Any = {
+    var h = 0
+    children.foreach { c =>
+      h = 31 * h + HiveHash.hashValue(c.eval(input), c.dataType)
+    }
+    h
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HiveHash =
+    copy(children = newChildren)
+}
+
+object HiveHash {
+  def hashValue(v: Any, dt: DataType): Int = v match {
+    case null => 0
+    case b: Boolean => if (b) 1 else 0
+    case b: Byte => b.toInt
+    case s: Short => s.toInt
+    case i: Int => i
+    case l: Long => ((l >>> 32) ^ l).toInt
+    case f: Float => java.lang.Float.floatToIntBits(f)
+    case d: Double =>
+      val a = java.lang.Double.doubleToLongBits(d)
+      ((a >>> 32) ^ a).toInt
+    case s: UTF8String =>
+      val bytes = s.getBytes
+      var r = 0
+      var i = 0
+      while (i < bytes.length) { r = r * 31 + bytes(i); i += 1 }
+      r
+    case other =>
+      throw new IllegalArgumentException(
+        s"hive_hash: unsupported type $dt ($other)")
+  }
+}

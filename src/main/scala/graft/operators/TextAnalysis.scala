@@ -72,6 +72,32 @@ object TextAnalysis {
       GapFunctions.fingerprint64(
         regexp_replace(lower(trim(col(textCol))), "\\s+", " ")).as("fp"))
 
+  /** Hive `context_ngrams(sentences, array("the", null), k)` — top-k
+    * fillers for the holes (nulls) in a context pattern (ref:
+    * ql/udf/generic/GenericUDAFContextNGrams.java). Re-expressed as
+    * gram-explode -> fixed-position filter -> hole projection -> top-k;
+    * same shuffle shape as topNgrams. */
+  def contextNgrams(docs: DataFrame, pattern: Seq[Option[String]], k: Int,
+                    textCol: String = "text"): DataFrame = {
+    val n = pattern.length
+    require(n >= 2 && pattern.exists(_.isEmpty) && pattern.exists(_.nonEmpty))
+    val gramArr = expr(
+      s"transform(sequence(0, size(tks) - $n), i -> slice(tks, i + 1, $n))")
+    val fixed = pattern.zipWithIndex
+      .collect { case (Some(w), i) => col("g").getItem(i) === w }
+      .reduce(_ && _)
+    val holes = pattern.zipWithIndex
+      .collect { case (None, i) => col("g").getItem(i) }
+    docs.select(tokens(col(textCol)).as("tks"))
+      .filter(size(col("tks")) >= n)
+      .select(explode(gramArr).as("g"))
+      .filter(fixed)
+      .select(concat_ws(" ", holes: _*).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(k)
+  }
+
   /** Top-k n-grams with counts (re-expression of Hive's `ngrams` UDAF as
     * explode -> partial-agg -> TakeOrderedAndProject; the shuffle carries
     * (gram, partial count) pairs, never documents). */

@@ -171,6 +171,36 @@ object Pipeline {
     Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5)
   }
 
+  /** context_ngrams: top fillers after 'the' (Hive
+    * GenericUDAFContextNGrams re-expression). */
+  def q_text_context_ngrams(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.contextNgrams(t(spark, dir)("documents"),
+      Seq(Some("the"), None), k = 10)
+
+  val q_text_context_ngrams_sql: String = """
+    WITH toks AS (SELECT string_split_regex(trim(text), '\s+') AS l
+                  FROM documents),
+    w AS (SELECT unnest(list_transform(
+            list_filter(generate_series(1, len(l) - 1), i -> l[i] = 'the'),
+            i -> l[i+1])) AS gram
+          FROM toks WHERE len(l) >= 2)
+    SELECT gram, count(*) AS cnt FROM w
+    GROUP BY gram ORDER BY cnt DESC, gram LIMIT 10"""
+
+  /** MatchPath PTF: click-streak-then-purchase funnels per user
+    * (rows-only; MatchPathSpec pins semantics on planted sequences). */
+  def q_matchpath(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir)("events")
+    graft.operators.MatchPath.matchPath(e,
+      partitionCols = Seq("user_id"),
+      orderCols = Seq("ts", "event_id"),
+      symbols = Seq('c' -> (col("event_type") === "click"),
+        'p' -> (col("event_type") === "purchase")),
+      pattern = "c+p",
+      keep = Seq("user_id", "event_id", "event_type"))
+      .presentSorted("user_id", "match_id", "match_pos")
+  }
+
   def q_multimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
       Multimodal.mediaTable(t(spark, dir)("documents"))).presentSorted("doc_id")
@@ -197,6 +227,8 @@ object Pipeline {
     "q_text_stats" -> (q_text_stats _),
     "q_text_langid" -> (q_text_langid _),
     "q_text_ngrams" -> (q_text_ngrams _),
+    "q_text_context_ngrams" -> (q_text_context_ngrams _),
+    "q_matchpath" -> (q_matchpath _),
     "q_text_fingerprint" -> (q_text_fingerprint _),
     "q_sim_topk" -> (q_sim_topk _),
     "q_sim_pairs" -> (q_sim_pairs _),
@@ -211,6 +243,7 @@ object Pipeline {
     "q_text_stats" -> q_text_stats_sql,
     "q_text_langid" -> q_text_langid_sql,
     "q_text_ngrams" -> q_text_ngrams_sql,
+    "q_text_context_ngrams" -> q_text_context_ngrams_sql,
     "q_sim_topk" -> q_sim_topk_sql,
     "q_sim_pairs" -> q_sim_pairs_sql)
 }

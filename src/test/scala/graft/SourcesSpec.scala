@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink format parity (SURVEY.md §1.3 serdes): the reference reads
+  * delimited text (LazySimpleSerDe), CSV (OpenCSVSerde), JSON
+  * (DelimitedJSONSerDe), regex text (RegexSerDe), ORC and Parquet; our
+  * engine maps each to a Spark reader with explicit schema (schema-on-read,
+  * never inferSchema — SURVEY.md §1.1). Avro and RCFile: no connector in
+  * this Spark distribution, declared out of scope.
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val sample = spark.read.parquet(s"$sfDir/customer.parquet")
+    .select("c_custkey", "c_name", "c_acctbal").orderBy("c_custkey").limit(50)
+
+  private val schema = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_acctbal", DoubleType)))
+
+  private def roundTrip(fmt: String): Unit = {
+    val p = s"${Files.createTempDirectory("graft_src")}/$fmt"
+    sample.write.format(fmt).option("header", "true").save(p)
+    val back = spark.read.format(fmt).option("header", "true")
+      .schema(schema).load(p)
+    assert(back.orderBy("c_custkey").collect().toSeq ===
+      sample.collect().toSeq, s"$fmt round-trip")
+  }
+
+  test("csv round-trip with explicit schema")(roundTrip("csv"))
+  test("json round-trip with explicit schema")(roundTrip("json"))
+  test("orc round-trip with explicit schema")(roundTrip("orc"))
+
+  test("regex-over-text source (RegexSerDe equivalent)") {
+    val p = s"${Files.createTempDirectory("graft_src")}/rx"
+    sample.select(concat(col("c_custkey"), lit(":"), col("c_name"))
+      .as("value")).write.text(p)
+    val parsed = spark.read.text(p).select(
+      regexp_extract(col("value"), "^([0-9]+):(.*)$", 1).cast("long")
+        .as("c_custkey"),
+      regexp_extract(col("value"), "^([0-9]+):(.*)$", 2).as("c_name"))
+    assert(parsed.orderBy("c_custkey").select("c_name").as[String]
+      .collect().toSeq ===
+      sample.select("c_name").as[String].collect().toSeq)
+  }
+
+  test("delimited text source (LazySimpleSerDe equivalent)") {
+    val p = s"${Files.createTempDirectory("graft_src")}/delim"
+    sample.select(concat_ws("", col("c_custkey"), col("c_name"),
+      col("c_acctbal"))).write.text(p)
+    val cols = split(col("value"), "")
+    val parsed = spark.read.text(p).select(
+      cols.getItem(0).cast("long").as("c_custkey"),
+      cols.getItem(1).as("c_name"),
+      cols.getItem(2).cast("double").as("c_acctbal"))
+    assert(parsed.orderBy("c_custkey").collect().toSeq ===
+      sample.collect().toSeq)
+  }
+
+  test("parquet scan prunes columns and pushes filters") {
+    val q = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_quantity")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      scan.linesIterator.filter(_.contains("PushedFilters")).mkString)
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      scan.linesIterator.filter(_.contains("ReadSchema")).mkString)
+  }
+}

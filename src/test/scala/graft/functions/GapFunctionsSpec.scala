@@ -54,6 +54,28 @@ class GapFunctionsSpec extends SparkSpec {
     assert(r === Row("example.com", "/path/p", "x=1&y=2"))
   }
 
+  test("hive_hash is bit-compatible with Hive's ObjectInspectorUtils") {
+    // expected values follow ObjectInspectorUtils.java:643-714 +
+    // getBucketHashCode (31-fold): verified by hand.
+    val r = spark.sql("""SELECT
+        hive_hash(42) AS h_int,
+        hive_hash(CAST(42 AS BIGINT)) AS h_long,
+        hive_hash(CAST(-1 AS BIGINT)) AS h_neg_long,
+        hive_hash('abc') AS h_str,
+        hive_hash(true) AS h_bool,
+        hive_hash(CAST(1.5 AS DOUBLE)) AS h_double,
+        hive_hash(1, 'a') AS h_multi""").head()
+    assert(r.getAs[Int]("h_int") === 42)
+    assert(r.getAs[Int]("h_long") === 42)
+    // (-1L >>> 32) ^ -1L = 0xFFFFFFFF ^ ...FFFF = 0xFFFFFFFF00000000 -> 0
+    assert(r.getAs[Int]("h_neg_long") === 0)
+    assert(r.getAs[Int]("h_str") === "abc".hashCode) // ASCII == String.hashCode
+    assert(r.getAs[Int]("h_bool") === 1)
+    val bits = java.lang.Double.doubleToLongBits(1.5)
+    assert(r.getAs[Int]("h_double") === ((bits >>> 32) ^ bits).toInt)
+    assert(r.getAs[Int]("h_multi") === 31 * 1 + 'a'.toInt)
+  }
+
   test("uniontype round-trip via tagged-struct encoding") {
     val df = Seq((0, 42, "ignored"), (1, -1, "hello")).toDF("tag", "i", "s")
     val u = df.select(GapFunctions.createUnion($"tag", $"i", $"s").as("u"))

@@ -46,6 +46,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("contextNgrams counts hole fillers for a fixed context") {
+    val d = Seq((1L, "the cat and the dog and the cat")).toDF("doc_id", "text")
+    val r = TextAnalysis.contextNgrams(d, Seq(Some("the"), None), 5)
+      .as[(String, Long)].collect().toSeq
+    assert(r === Seq(("cat", 2L), ("dog", 1L)))
+  }
+
   test("multimodal feature extraction is deterministic with real schema") {
     val media = Multimodal.mediaTable(docs)
     assert(media.schema("media").dataType.typeName === "binary")
