@@ -62,9 +62,18 @@ object Engine {
     spark
   }
 
-  /** Ensure gap functions are present on an externally-built session. */
+  /** Ensure gap functions + the engine's dialect/runtime posture on any
+    * session, including externally-built ones (the driver's smoke test
+    * hands us its own). Everything set here is runtime-settable SQLConf. */
   def prepare(spark: SparkSession): SparkSession = {
     functions.Registry.registerAll(spark)
+    // Hive 2.x is non-ANSI: '' casts to NULL, overflow wraps
+    // (SURVEY.md §7.3 dialect list)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
     spark
   }
 

@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.SetOps.queries ++
       graft.queries.Generators.queries ++
       graft.queries.FunctionSweeps.queries ++
-      graft.queries.Pipeline.queries
+      graft.queries.Pipeline.queries ++
+      graft.queries.Subqueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.SetOps.oracleSql ++
       graft.queries.Generators.oracleSql ++
       graft.queries.FunctionSweeps.oracleSql ++
-      graft.queries.Pipeline.oracleSql
+      graft.queries.Pipeline.oracleSql ++
+      graft.queries.Subqueries.oracleSql
 }
