@@ -95,6 +95,74 @@ object Similarity {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** IVF (inverted-file) ANN — the k-means scale path. Train a coarse
+    * quantizer (deterministic init: every (n/k)-th vector by id rank;
+    * `iters` Lloyd steps, all as broadcast-join + groupBy-avg), assign
+    * each corpus vector to its nearest centroid (inverted lists), then
+    * answer queries by exact-scoring only the `nprobe` nearest lists.
+    * At 100 TB: centroids broadcast (k x dim doubles), the corpus is
+    * scanned once per Lloyd step and once to assign; queries never touch
+    * vectors outside their probed lists.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nprobe: Int = 4, iters: Int = 3,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("v"))
+      .cache()
+    val n = c.count()
+    val stride = math.max(1L, n / nCentroids)
+    // deterministic seeding: rank by id, take every stride-th vector
+    val seeded = c.withColumn("rk",
+        row_number().over(Window.orderBy("cid")))
+      .filter((col("rk") - 1) % stride === 0 && col("rk") <= stride * nCentroids)
+      .select((col("rk") / stride).cast("int").as("centroid_id"),
+        col("v").as("cv"))
+    var centroids = seeded
+    (1 to iters).foreach { _ =>
+      val assigned = assignNearest(c, centroids)
+      centroids = assigned.join(c, "cid")
+        .select(col("centroid_id"),
+          posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("centroid_id", "i").agg(avg(col("x")).as("m"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("p"))
+        .select(col("centroid_id"), expr("transform(p, e -> e.m)").as("cv"))
+    }
+    val lists = assignNearest(c, centroids)
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    // nprobe nearest centroids per query
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("centroid_id"),
+        dot(col("qv"), col("cv")).as("score"))
+      .withColumn("pr", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("centroid_id"))))
+      .filter(col("pr") <= nprobe)
+      .select("query_id", "qv", "centroid_id")
+    val cand = probes.join(lists, "centroid_id")
+      .join(c, "cid")
+      .filter(col("cid") =!= col("query_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand.select(col("query_id"), col("cid").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .presentSorted("query_id", "rnk")
+  }
+
+  /** Nearest centroid per corpus vector (broadcast argmax of dot — the
+    * corpus side never shuffles). */
+  private def assignNearest(c: DataFrame, centroids: DataFrame): DataFrame =
+    c.crossJoin(broadcast(centroids))
+      .select(col("cid"), col("centroid_id"),
+        dot(col("v"), col("cv")).as("score"))
+      .withColumn("rk", row_number().over(Window.partitionBy("cid")
+        .orderBy(col("score").desc, col("centroid_id"))))
+      .filter(col("rk") === 1)
+      .select("cid", "centroid_id")
+
   /** Approximate top-k: score only candidates sharing the query's LSH
     * bucket (multi-band: `bands` sub-signatures, any-band match). At
     * corpus scale this replaces the cross join with an equi-join on

@@ -50,6 +50,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recallHits >= byQuery.size / 2)
   }
 
+  test("ivfTopK: probed-list ANN with sane recall vs brute force") {
+    val q = emb.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(emb, q, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.ivfTopK(emb, q, k = 5, nCentroids = 8, nprobe = 3)
+      .collect()
+    val byQuery = ivf.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size === 10) // every query answered
+    byQuery.foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("rnk")).sorted.toSeq === (1 to 5))
+    }
+    val recallHits = byQuery.count { case (qid, rows) =>
+      rows.exists(r => bf.contains((qid, r.getAs[Long]("neighbor_id"))))
+    }
+    assert(recallHits >= 5, s"IVF recall too low: $recallHits/10")
+  }
+
   test("lsh signatures deterministic across invocations") {
     val s1 = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 3), k = 3)
       .collect().toSeq
