@@ -36,6 +36,7 @@ object Engine {
     val spark = SparkSession.builder()
       .appName(appName)
       .master(master)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -1,0 +1,88 @@
+package graft
+
+/** Remaining scalar-function tail: Hive built-ins with no DuckDB oracle
+  * equivalent, pinned against Hive-documented semantics as literal
+  * assertions (ref: ql/exec/FunctionRegistry.java registrations cited
+  * per case).
+  */
+class FunctionTailSpec extends SparkSpec {
+
+  private def one(sql: String): Any =
+    spark.sql(s"SELECT $sql").head().get(0)
+
+  test("elt / field (FunctionRegistry.java:227,226)") {
+    assert(one("elt(2, 'a', 'b', 'c')") === "b")
+    assert(one("field('b', 'a', 'b', 'c')") === 2)
+  }
+
+  test("format_number / space / locate (FunctionRegistry.java:283,199,243)") {
+    assert(one("format_number(1234567.891, 2)") === "1,234,567.89")
+    assert(one("concat('a', space(3), 'b')") === "a   b")
+    assert(one("locate('ar', 'spark')") === 3)
+  }
+
+  test("conv / bin / hex family (FunctionRegistry.java:238-241)") {
+    assert(one("conv('255', 10, 16)") === "FF")
+    assert(one("conv('FF', 16, 10)") === "255")
+    assert(one("bin(10)") === "1010")
+    assert(one("unhex(hex('hi'))") === Array[Byte]('h', 'i'))
+  }
+
+  test("initcap / sentences (FunctionRegistry.java:232,282)") {
+    assert(one("initcap('spark sql engine')") === "Spark Sql Engine")
+    val s = one("sentences('Hello there. How are you?')")
+    assert(s.toString.contains("Hello"))
+  }
+
+  test("crc32 / xxhash64 / sha1 (FunctionRegistry.java:246-252)") {
+    assert(one("crc32('ABC')") === 2743272264L)
+    assert(one("sha1('abc')") === "a9993e364706816aba3e25717850c26c9cd0d89d")
+    assert(one("xxhash64('abc')") !== null)
+  }
+
+  test("str_to_map / sort_array (FunctionRegistry.java:270,456)") {
+    assert(one("str_to_map('a:1,b:2', ',', ':')['b']") === "2")
+    assert(one("sort_array(array(3, 1, 2))")
+      .asInstanceOf[scala.collection.Seq[Int]].toSeq === Seq(1, 2, 3))
+  }
+
+  test("parse_url (FunctionRegistry.java:265)") {
+    assert(one("parse_url('https://h.io/p?q=1', 'HOST')") === "h.io")
+    assert(one("parse_url('https://h.io/p?q=1', 'QUERY', 'q')") === "1")
+  }
+
+  test("xpath family (FunctionRegistry.java:324-332)") {
+    assert(one("xpath_string('<a><b>bb</b></a>', 'a/b')") === "bb")
+    assert(one("xpath_int('<a>5</a>', 'a')") === 5)
+    assert(one("xpath('<a><b>1</b><b>2</b></a>', 'a/b/text()')")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq === Seq("1", "2"))
+  }
+
+  test("named_struct / map_keys / map_values / array fns (FunctionRegistry.java:454-478)") {
+    assert(one("named_struct('k', 1, 'v', 'x').k") === 1)
+    assert(one("sort_array(map_keys(map('a',1,'b',2)))")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq === Seq("a", "b"))
+    assert(one("array_contains(array(1,2,3), 2)") === true)
+    assert(one("size(array(1,2,3))") === 3)
+  }
+
+  test("java_method / reflect (FunctionRegistry.java:462-464)") {
+    assert(one("java_method('java.lang.Math', 'abs', -3)") === "3")
+  }
+
+  test("fingerprint64 and dot_product resolve via SparkSessionExtensions") {
+    // Engine.session carries spark.sql.extensions=graft.GraftExtensions;
+    // a sibling session with fresh state still resolves the functions
+    val fresh = spark.newSession()
+    assert(fresh.sql("SELECT fingerprint64('hello')").head().getLong(0) ===
+      graft.functions.Fingerprint64.hash("hello"))
+    assert(fresh.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d))")
+      .head().getDouble(0) === 11.0)
+  }
+
+  test("driver smoke path: entry() works on a vanilla sibling session") {
+    val vanilla = spark.newSession() // fresh SQLConf, no graft prep
+    assert(SparkEntry.entry(vanilla).count() > 0)
+  }
+}
