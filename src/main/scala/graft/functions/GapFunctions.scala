@@ -110,6 +110,21 @@ object GapFunctions {
     org.apache.spark.sql.GraftSqlShim.column(
       Fingerprint64(org.apache.spark.sql.GraftSqlShim.expression(c)))
 
+  /** Hive `in_file(str, filename)` (ref: ql/udf/generic/GenericUDFInFile
+    * .java): true iff `str` equals a full line of the file. Executors
+    * cache file contents per JVM (Hive ships the file via distributed
+    * cache; here any shared-FS path works). */
+  private val inFileCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
+  def inFile(s: String, path: String): java.lang.Boolean = {
+    if (s == null || path == null) return null
+    val lines = inFileCache.computeIfAbsent(path, { p =>
+      scala.io.Source.fromFile(p).getLines().toSet
+    })
+    lines.contains(s)
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("field", fieldBuilder, "built-in")
@@ -124,5 +139,6 @@ object GapFunctions {
       (s: String, n: Int) => maskShowFirstN(s, n))
     spark.udf.register("mask_show_last_n",
       (s: String, n: Int) => maskShowLastN(s, n))
+    spark.udf.register("in_file", (s: String, path: String) => inFile(s, path))
   }
 }

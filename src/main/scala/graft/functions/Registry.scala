@@ -13,6 +13,7 @@ object Registry {
     if (!registered.contains(spark)) {
       GapFunctions.register(spark)
       Aggregators.register(spark)
+      BitmapAgg.register(spark)
       registered += spark
     }
   }
