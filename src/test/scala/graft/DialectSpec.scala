@@ -68,6 +68,25 @@ class DialectSpec extends SparkSpec {
     assert(out.count() === 5)
   }
 
+  test("external partitioned table + partition recovery (MSCK)") {
+    views
+    val base = java.nio.file.Files.createTempDirectory("graft_msck").toString
+    val o = spark.table("orders")
+      .withColumn("y", year(col("o_orderdate")))
+    graft.operators.Writes.writePartitioned(o, base, Seq("y"))
+    spark.sql("DROP TABLE IF EXISTS msck_t")
+    spark.sql(s"""CREATE TABLE msck_t (o_orderkey BIGINT, o_custkey BIGINT,
+      o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP,
+      o_orderpriority STRING) USING parquet PARTITIONED BY (y INT)
+      LOCATION '$base'""")
+    spark.sql("MSCK REPAIR TABLE msck_t")
+    assert(spark.table("msck_t").count() === o.count())
+    // partition pruning against the recovered partitions
+    val one = spark.table("msck_t").filter(col("y") === 1995)
+    assert(one.count() === o.filter(col("y") === 1995).count())
+    spark.sql("DROP TABLE msck_t")
+  }
+
   test("EXPLAIN and ANALYZE TABLE run") {
     views
     assert(spark.sql("EXPLAIN FORMATTED SELECT count(*) FROM orders")

@@ -70,6 +70,18 @@ class FunctionTailSpec extends SparkSpec {
     assert(one("java_method('java.lang.Math', 'abs', -3)") === "3")
   }
 
+  test("histogram_numeric / percentile builtins (FunctionRegistry.java:437,434)") {
+    Engine.tables(spark, sfDir)
+    val h = spark.sql(
+      "SELECT histogram_numeric(l_quantity, 5) FROM lineitem").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(h.length === 5)
+    val p = spark.sql(
+      "SELECT percentile(l_quantity, 0.5), percentile_approx(l_quantity, 0.5) FROM lineitem")
+      .head()
+    assert(p.getDouble(0) > 0 && p.getDouble(1) > 0)
+  }
+
   test("fingerprint64 and dot_product resolve via SparkSessionExtensions") {
     // Engine.session carries spark.sql.extensions=graft.GraftExtensions;
     // a sibling session with fresh state still resolves the functions
