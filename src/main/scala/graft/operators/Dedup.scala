@@ -164,6 +164,59 @@ object Dedup {
       .presentSorted("doc_a", "doc_b")
   }
 
+  /** Connected components over a near-dup pair graph: docs linked
+    * transitively (a~b, b~c => {a,b,c}) collapse to one group labeled by
+    * the smallest member id.
+    *
+    * Distributed min-label propagation: each round joins every node to
+    * its neighbors' current labels and keeps the minimum; converges in
+    * O(log(longest chain)) rounds (dup clusters are shallow in practice
+    * — `maxIter` bounds pathological chains). No driver-side union-find,
+    * no collect: state is a (node, label) table re-shuffled per round.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    var labels = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+      .distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "v")
+          .withColumnRenamed("label", "vlabel"), "v")
+        .groupBy(col("u").as("node"))
+        .agg(min(col("vlabel")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("label", "old"),
+        "node").filter(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("group_id"))
+  }
+
+  /** End-to-end corpus dedup: near-dup pairs (exact Jaccard) ->
+    * transitive groups -> keep the smallest doc id per group. Returns the
+    * surviving documents (the pipeline's "clean corpus" output). */
+  def dedupCorpus(docs: DataFrame, threshold: Double, n: Int = 3,
+                  textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val pairs = jaccardPairsRaw(docs, threshold, n, None, textCol, idCol)
+    val groups = connectedComponents(pairs)
+    val losers = groups.filter(col("doc_id") =!= col("group_id"))
+      .select(col("doc_id"))
+    docs.join(losers, docs(idCol) === losers("doc_id"), "left_anti")
+  }
+
   // --- SimHash ---------------------------------------------------------
 
   /** 64-bit SimHash per document: token-frequency-weighted bit votes of

@@ -64,6 +64,12 @@ object Pipeline {
   def q_dedup_minhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashDedup(t(spark, dir)("documents"), threshold = 0.05)
 
+  /** End-to-end corpus dedup: pairs -> transitive groups -> survivors
+    * (rows-only; DedupSpec pins group semantics on planted chains). */
+  def q_dedup_corpus(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupCorpus(t(spark, dir)("documents"), threshold = 0.05)
+      .select(col("doc_id"), col("n_chars")).presentSorted("doc_id")
+
   def q_dedup_simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(t(spark, dir)("documents")).presentSorted("id")
 
@@ -223,6 +229,7 @@ object Pipeline {
     "q_dedup_norm" -> (q_dedup_norm _),
     "q_dedup_jaccard" -> (q_dedup_jaccard _),
     "q_dedup_minhash" -> (q_dedup_minhash _),
+    "q_dedup_corpus" -> (q_dedup_corpus _),
     "q_dedup_simhash" -> (q_dedup_simhash _),
     "q_text_stats" -> (q_text_stats _),
     "q_text_langid" -> (q_text_langid _),

@@ -76,6 +76,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("connectedComponents merges transitive chains to min label") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (7L, 8L))
+      .toDF("doc_a", "doc_b")
+    val groups = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups(1L) === 1L && groups(2L) === 1L && groups(3L) === 1L)
+    assert(groups(5L) === 5L && groups(6L) === 5L)
+    assert(groups(7L) === 7L && groups(8L) === 7L && groups(9L) === 7L)
+  }
+
+  test("dedupCorpus keeps one representative per near-dup group") {
+    val out = Dedup.dedupCorpus(docs, threshold = 0.4)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    // 1,2,3,4 are one transitive group (exact+norm+near dup) -> keep 1
+    assert(ids.contains(1L))
+    assert(!ids.contains(2L) && !ids.contains(3L))
+    assert(ids.contains(5L) && ids.contains(6L))
+  }
+
   test("jaccard pairs on real corpus match minhash verification path") {
     val real = spark.read.parquet(s"$sfDir/documents.parquet")
     val exact = Dedup.jaccardPairs(real, 0.5).count()
