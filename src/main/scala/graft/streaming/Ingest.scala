@@ -45,6 +45,21 @@ object Ingest {
       .select(col("window.start").as("ws"), col("event_type"), col("n"),
         col("total_value"))
 
+  /** Streaming exact dedup with BOUNDED state — the streaming twin of
+    * graft.operators.Dedup.exactGroups for ingest pipelines: rows whose
+    * normalized-content hash was already seen inside the watermark
+    * horizon are dropped; state older than the horizon is evicted, so
+    * an unbounded stream holds only `horizon` worth of hashes (8-byte
+    * keys) per partition. */
+  def streamingDedup(docs: DataFrame, textCol: String = "text",
+                     tsCol: String = "ts",
+                     horizon: String = "1 hour"): DataFrame =
+    docs.withColumn("content_hash",
+        org.apache.spark.sql.functions.md5(
+          graft.operators.Dedup.normalize(col(textCol))))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp)
   case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
 

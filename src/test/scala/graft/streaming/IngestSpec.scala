@@ -62,6 +62,31 @@ class IngestSpec extends SparkSpec {
     assert(view.getAs[Long]("n") === 1)
   }
 
+  test("streamingDedup drops repeated content within the watermark") {
+    val base = Files.createTempDirectory("graft_sdedup").toString
+    val src = s"$base/src"
+    Files.createDirectories(Paths.get(src))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    writeBatch(src, "b1.json", Seq(
+      """{"doc_id":1,"ts":"2024-01-01T00:00:00Z","text":"same content"}""",
+      """{"doc_id":2,"ts":"2024-01-01T00:01:00Z","text":"SAME   content"}""",
+      """{"doc_id":3,"ts":"2024-01-01T00:02:00Z","text":"different content"}"""))
+    val stream = spark.readStream.schema(docSchema).json(src)
+    val q = Ingest.streamingDedup(stream)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sdedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val ids = spark.table("sdedup").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    // docs 1 and 2 normalize to the same content -> one survives
+    assert(ids.length === 2 && ids.contains(3L))
+    assert(ids.intersect(Seq(1L, 2L)).length === 1)
+  }
+
   test("stateful sessionize counts sessions across micro-batches") {
     val base = Files.createTempDirectory("graft_sess").toString
     val src = s"$base/src"
