@@ -207,6 +207,20 @@ object Pipeline {
       .presentSorted("user_id", "match_id", "match_pos")
   }
 
+  /** As-of join: purchases pick up the latest prior click per user
+    * (rows-only; AsOfJoinSpec pins <= / tolerance semantics). */
+  def q_asof(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir)("events")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    graft.operators.AsOfJoin.asof(purchases, clicks, "user_id", "ts",
+        payload = Seq("click_id"))
+      .select(col("user_id"), col("event_id"), col("asof_click_id"))
+      .presentSorted("user_id", "event_id")
+  }
+
   def q_multimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
       Multimodal.mediaTable(t(spark, dir)("documents"))).presentSorted("doc_id")
@@ -236,6 +250,7 @@ object Pipeline {
     "q_text_ngrams" -> (q_text_ngrams _),
     "q_text_context_ngrams" -> (q_text_context_ngrams _),
     "q_matchpath" -> (q_matchpath _),
+    "q_asof" -> (q_asof _),
     "q_text_fingerprint" -> (q_text_fingerprint _),
     "q_sim_topk" -> (q_sim_topk _),
     "q_sim_pairs" -> (q_sim_pairs _),
