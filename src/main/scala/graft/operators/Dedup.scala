@@ -175,8 +175,12 @@ object Dedup {
     * no collect: state is a (node, label) table re-shuffled per round.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    // materialize the pair list ONCE — the input is typically an
+    // expensive similarity pipeline, and every propagation round below
+    // would otherwise re-execute it from scratch
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = p.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
     var labels = edges.select(col("u").as("node"))
       .union(edges.select(col("v").as("node")))
       .distinct()
@@ -190,14 +194,13 @@ object Dedup {
           .withColumnRenamed("label", "vlabel"), "v")
         .groupBy(col("u").as("node"))
         .agg(min(col("vlabel")).as("nmin"))
+      val newLabel = least(col("label"), coalesce(col("nmin"), col("label")))
       val next = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label")))
-            .as("label"))
+        .select(col("node"), newLabel.as("label"),
+          (newLabel =!= col("label")).as("chg"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "old"),
-        "node").filter(col("label") =!= col("old")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("chg")).limit(1).count()
+      labels = next.select("node", "label")
       converged = changed == 0
       i += 1
     }
