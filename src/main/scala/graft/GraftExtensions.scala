@@ -30,5 +30,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("hive_hash"),
       info("hive_hash", "hive_hash(...) - Hive-bit-compatible hash"),
       (exprs: Seq[Expression]) => HiveHash(exprs)))
+    e.injectOptimizerRule(_ => graft.plans.StatsAnswerRule())
   }
 }
