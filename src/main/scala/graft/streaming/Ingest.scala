@@ -60,6 +60,28 @@ object Ingest {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Watermarked stream-stream interval join: each purchase joins the
+    * clicks of the same user within the preceding `window`. Both sides'
+    * state is bounded by their watermarks + the interval bound — the
+    * planner derives the eviction horizon from the join condition, so
+    * unbounded streams run with bounded memory. */
+  def streamStreamAttribution(clicks: DataFrame, purchases: DataFrame,
+                              window: String = "1 hour",
+                              watermark: String = "2 hours"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+        col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $window"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("click_id"), col("purchase_ts"), col("click_ts"))
+  }
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp)
   case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
 

@@ -62,6 +62,36 @@ class IngestSpec extends SparkSpec {
     assert(view.getAs[Long]("n") === 1)
   }
 
+  test("stream-stream interval join attributes purchases to recent clicks") {
+    val base = Files.createTempDirectory("graft_ssj").toString
+    val csrc = s"$base/clicks"; val psrc = s"$base/purchases"
+    Files.createDirectories(Paths.get(csrc))
+    Files.createDirectories(Paths.get(psrc))
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType)))
+    writeBatch(csrc, "c1.json", Seq(
+      """{"event_id":1,"ts":"2024-01-01T00:10:00Z","user_id":7}""",
+      """{"event_id":2,"ts":"2024-01-01T02:00:00Z","user_id":7}""",
+      """{"event_id":3,"ts":"2024-01-01T00:20:00Z","user_id":9}"""))
+    writeBatch(psrc, "p1.json", Seq(
+      """{"event_id":10,"ts":"2024-01-01T00:30:00Z","user_id":7}"""))
+    val clicks = spark.readStream.schema(evSchema).json(csrc)
+    val purchases = spark.readStream.schema(evSchema).json(psrc)
+    val q = Ingest.streamStreamAttribution(clicks, purchases)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ssj")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("ssj").collect()
+    // purchase 10 (user 7 @00:30) matches click 1 (@00:10, within 1h);
+    // click 2 is later, click 3 is another user
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("purchase_id") === 10L)
+    assert(rows.head.getAs[Long]("click_id") === 1L)
+  }
+
   test("streamingDedup drops repeated content within the watermark") {
     val base = Files.createTempDirectory("graft_sdedup").toString
     val src = s"$base/src"
