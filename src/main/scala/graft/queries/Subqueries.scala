@@ -172,7 +172,106 @@ object Subqueries {
       GROUP BY c_custkey)
     GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
 
+  /** TPC-H Q2 shape: correlated scalar-min subquery over a join. */
+  def q2_min_cost(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir)
+    spark.sql("""
+      SELECT s_suppkey, s_name, s_acctbal FROM supplier s
+      WHERE s_acctbal = (SELECT min(s2.s_acctbal) FROM supplier s2
+                         WHERE s2.s_nationkey = s.s_nationkey)
+      ORDER BY s_suppkey""")
+  }
+
+  val q2_min_cost_sql: String = """
+    SELECT s_suppkey, s_name, s_acctbal FROM supplier s
+    WHERE s_acctbal = (SELECT min(s2.s_acctbal) FROM supplier s2
+                       WHERE s2.s_nationkey = s.s_nationkey)
+    ORDER BY s_suppkey"""
+
+  /** TPC-H Q18 shape: IN over a grouped HAVING subquery. */
+  def q18_big_orders(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir)
+    spark.sql("""
+      SELECT c_custkey, o_orderkey,
+             CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100
+               AS total_qty
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 150)
+      GROUP BY c_custkey, o_orderkey
+      ORDER BY c_custkey, o_orderkey""")
+  }
+
+  val q18_big_orders_sql: String = """
+    SELECT c_custkey, o_orderkey,
+           CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100
+             AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150)
+    GROUP BY c_custkey, o_orderkey
+    ORDER BY c_custkey, o_orderkey"""
+
+  /** TPC-H Q22 shape: substring buckets + scalar-avg subquery + NOT
+    * EXISTS anti-join. */
+  def q22_global_sales(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir)
+    spark.sql("""
+      SELECT seg, count(*) AS numcust,
+             CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100
+               AS totacctbal
+      FROM (SELECT substr(c_name, 10, 2) AS seg, c_acctbal FROM customer c
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c.c_custkey
+                                AND o_orderstatus = 'P'))
+      GROUP BY seg ORDER BY seg""")
+  }
+
+  val q22_global_sales_sql: String = """
+    SELECT seg, count(*) AS numcust,
+           CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100
+             AS totacctbal
+    FROM (SELECT substr(c_name, 10, 2) AS seg, c_acctbal FROM customer c
+          WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                             WHERE c_acctbal > 0)
+            AND NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c.c_custkey
+                              AND o_orderstatus = 'P'))
+    GROUP BY seg ORDER BY seg"""
+
+  /** Theta (non-equi) join — Hive plans the equi part at the join and
+    * theta residuals as post-join filters (SURVEY.md §2.3); here the
+    * whole predicate is non-equi -> BroadcastNestedLoopJoin. */
+  def q_join_theta(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir)
+    spark.sql("""
+      SELECT a.s_suppkey AS sk_a, b.s_suppkey AS sk_b
+      FROM supplier a JOIN supplier b
+        ON a.s_nationkey = b.s_nationkey
+       AND a.s_suppkey < b.s_suppkey
+       AND abs(a.s_acctbal - b.s_acctbal) < 100
+      ORDER BY sk_a, sk_b""")
+  }
+
+  val q_join_theta_sql: String = """
+    SELECT a.s_suppkey AS sk_a, b.s_suppkey AS sk_b
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey
+     AND a.s_suppkey < b.s_suppkey
+     AND abs(a.s_acctbal - b.s_acctbal) < 100
+    ORDER BY sk_a, sk_b"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost" -> (q2_min_cost _),
+    "q18_big_orders" -> (q18_big_orders _),
+    "q22_global_sales" -> (q22_global_sales _),
+    "q_join_theta" -> (q_join_theta _),
     "q_subquery_scalar" -> (q_subquery_scalar _),
     "q_subquery_in" -> (q_subquery_in _),
     "q_subquery_corr" -> (q_subquery_corr _),
@@ -182,6 +281,10 @@ object Subqueries {
     "q13_custdist" -> (q13_custdist _))
 
   def oracleSql: Map[String, String] = Map(
+    "q2_min_cost" -> q2_min_cost_sql,
+    "q18_big_orders" -> q18_big_orders_sql,
+    "q22_global_sales" -> q22_global_sales_sql,
+    "q_join_theta" -> q_join_theta_sql,
     "q_subquery_scalar" -> q_subquery_scalar_sql,
     "q_subquery_in" -> q_subquery_in_sql,
     "q_subquery_corr" -> q_subquery_corr_sql,

@@ -68,6 +68,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("graft.functions.DotProduct.dot"), p.take(2000))
   }
 
+  test("parquet reads are vectorized (Batched columnar scan)") {
+    // Hive's opt-in VectorizedRowBatch path (SURVEY.md §2.1) is Spark's
+    // default columnar reader — assert it stays on for the workhorse scan
+    val p = plan("q1_agg")
+    val scan = p.linesIterator.find(_.contains("Batched")).getOrElse("")
+    assert(scan.contains("Batched: true"), scan)
+  }
+
   test("semi/anti joins plan as joins, not subquery re-execution") {
     assert(plan("q_join_semi").contains("LeftSemi"))
     assert(plan("q_join_anti").contains("LeftAnti"))
