@@ -49,21 +49,22 @@ object AsOfJoin {
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // carry the matched right row as ONE struct: ts and payload always
+    // come from the same row, so a legitimately-NULL payload on the true
+    // as-of match stays NULL instead of falling back to a stale older row
+    val matchStruct = when(col("__tag") === 0,
+      struct(col(tsCol).as("__mts") +:
+        payload.map(c => col(s"__p_$c").as(c)): _*))
     val carried = l.unionByName(r.select(l.columns.map(col): _*))
-      .withColumn("__rts", last(when(col("__tag") === 0, col(tsCol)),
-        ignoreNulls = true).over(w))
-    val withPayload = payload.foldLeft(carried) { (df, c) =>
-      df.withColumn(s"__v_$c",
-        last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
+      .withColumn("__m", last(matchStruct, ignoreNulls = true).over(w))
     val fresh = tolerance match {
-      case Some(s) => unix_micros(col(tsCol)) - unix_micros(col("__rts")) <=
-        s * 1000000L
+      case Some(s) => unix_micros(col(tsCol)) -
+        unix_micros(col("__m.__mts")) <= s * 1000000L
       case None => lit(true)
     }
-    withPayload.filter(col("__tag") === 1)
+    carried.filter(col("__tag") === 1)
       .select(leftCols.map(col) ++ payload.map(c =>
-        when(col("__rts").isNotNull && fresh, col(s"__v_$c"))
+        when(col("__m").isNotNull && fresh, col(s"__m.$c"))
           .otherwise(lit(null)).as(s"asof_$c")): _*)
   }
 }

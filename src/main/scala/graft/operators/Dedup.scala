@@ -38,13 +38,24 @@ object Dedup {
 
   /** Distinct word n-gram shingles per document: (id, shingle). */
   def shingles(docs: DataFrame, n: Int = 3, textCol: String = "text",
-               idCol: String = "doc_id"): DataFrame = {
+               idCol: String = "doc_id"): DataFrame =
+    shinglesWithSize(docs, n, textCol, idCol).select("id", "shingle")
+
+  /** Shingles carrying the document's distinct-shingle count computed at
+    * explode time: (id, shingle, sz). Carrying sz on each exploded row
+    * costs one long and removes the two sizes-aggregation joins from the
+    * Jaccard pipeline — and lets the size-ratio prune run BEFORE the
+    * pair groupBy. */
+  def shinglesWithSize(docs: DataFrame, n: Int = 3, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
     val grams = expr(
       s"""array_distinct(transform(sequence(0, size(tks) - $n),
             i -> array_join(slice(tks, i + 1, $n), ' ')))""")
     docs.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("tks"))
       .filter(size(col("tks")) >= n)
-      .select(col("id"), explode(grams).as("shingle"))
+      .select(col("id"), grams.as("g"))
+      .select(col("id"), explode(col("g")).as("shingle"),
+        size(col("g")).cast("long").as("sz"))
   }
 
   /** Exact n-gram Jaccard near-duplicate pairs via inverted-index join:
@@ -69,25 +80,37 @@ object Dedup {
                       maxShingleFreq: Option[Int] = None,
                       textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame = {
-    val sh0 = shingles(docs, n, textCol, idCol)
+    val sh0 = shinglesWithSize(docs, n, textCol, idCol)
     val sh = maxShingleFreq match {
       case Some(cap) =>
+        // stop-shingle cap: a shingle shared by f docs contributes
+        // O(f²) co-occurrence rows; dropping degenerate high-df
+        // shingles bounds the self-join fanout per key. Sizes are
+        // recomputed over the SURVIVING shingles so Jaccard stays a
+        // true ratio of the filtered shingle space (identical docs
+        // still score 1.0 under any cap).
         val freq = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap).select("shingle")
-        sh0.join(freq, "shingle")
+        val filtered = sh0.select("id", "shingle").join(freq, "shingle")
+        val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
+        filtered.join(sizes, "id").select("id", "shingle", "sz")
       case None => sh0
     }
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val a = sh.withColumnRenamed("id", "doc_a")
-    val b = sh.withColumnRenamed("id", "doc_b")
+    val a = sh.select(col("id").as("doc_a"), col("shingle"),
+      col("sz").as("sa"))
+    val b = sh.select(col("id").as("doc_b"), col("shingle").as("shingle_b"),
+      col("sz").as("sb"))
+    // size-ratio prefilter BEFORE the pair groupBy: since ni <= min(sa,
+    // sb), jaccard <= min/max — pairs whose sizes alone cap jaccard
+    // below the threshold never enter the shuffle-heavy co-occurrence
+    // count. Exact: it only removes pairs that cannot pass the final
+    // filter.
     val inter = a.join(b,
-        a("shingle") === b("shingle") && col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+        col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b") &&
+          least(col("sa"), col("sb")) >=
+            lit(threshold) * greatest(col("sa"), col("sb")))
+      .groupBy("doc_a", "doc_b", "sa", "sb").agg(count(lit(1)).as("ni"))
     inter
-      .join(sizes.withColumnRenamed("id", "doc_a")
-        .withColumnRenamed("sz", "sa"), "doc_a")
-      .join(sizes.withColumnRenamed("id", "doc_b")
-        .withColumnRenamed("sz", "sb"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("ni").cast("double") / (col("sa") + col("sb") - col("ni")))
           .as("jaccard"))
@@ -154,7 +177,11 @@ object Dedup {
   def minhashDedup(docs: DataFrame, threshold: Double, n: Int = 3,
                    textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
+    // candidate pairs are tiny (post-LSH); materialize them eagerly so
+    // the signature pipeline runs exactly once and the verification
+    // stage re-shingles only candidate documents, not the corpus
     val cands = minhashCandidates(minhashSignatures(docs, n, textCol, idCol))
+      .localCheckpoint()
     val candDocs = cands.select(col("doc_a").as("id"))
       .union(cands.select(col("doc_b").as("id"))).distinct()
     val subset = docs.join(candDocs, docs(idCol) === candDocs("id"))
@@ -195,13 +222,17 @@ object Dedup {
         .groupBy(col("u").as("node"))
         .agg(min(col("vlabel")).as("nmin"))
       val newLabel = least(col("label"), coalesce(col("nmin"), col("label")))
+      // lazy checkpoint + a max(chg) probe: ONE job per round both
+      // materializes the round's state into the block store and answers
+      // convergence — no separate probe job per iteration
       val next = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"), newLabel.as("label"),
           (newLabel =!= col("label")).as("chg"))
-        .localCheckpoint()
-      val changed = next.filter(col("chg")).limit(1).count()
+        .localCheckpoint(eager = false)
+      val anyChange = next.agg(coalesce(max(col("chg")), lit(false)))
+        .head.getBoolean(0)
       labels = next.select("node", "label")
-      converged = changed == 0
+      converged = !anyChange
       i += 1
     }
     labels.select(col("node").as("doc_id"), col("label").as("group_id"))
@@ -209,11 +240,20 @@ object Dedup {
 
   /** End-to-end corpus dedup: near-dup pairs (exact Jaccard) ->
     * transitive groups -> keep the smallest doc id per group. Returns the
-    * surviving documents (the pipeline's "clean corpus" output). */
+    * surviving documents (the pipeline's "clean corpus" output).
+    *
+    * The stop-shingle cap defaults ON here: on a real corpus one
+    * degenerate shingle ("in the the") appears in a large fraction of
+    * documents and makes the inverted-index self-join quadratic on that
+    * key. A shingle shared by >1000 docs carries ~no Jaccard signal;
+    * pass None only when bit-exactness against an uncapped oracle is
+    * required. */
   def dedupCorpus(docs: DataFrame, threshold: Double, n: Int = 3,
+                  maxShingleFreq: Option[Int] = Some(1000),
                   textCol: String = "text",
                   idCol: String = "doc_id"): DataFrame = {
-    val pairs = jaccardPairsRaw(docs, threshold, n, None, textCol, idCol)
+    val pairs =
+      jaccardPairsRaw(docs, threshold, n, maxShingleFreq, textCol, idCol)
     val groups = connectedComponents(pairs)
     val losers = groups.filter(col("doc_id") =!= col("group_id"))
       .select(col("doc_id"))

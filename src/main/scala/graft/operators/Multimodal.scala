@@ -17,8 +17,13 @@ object Multimodal {
 
   case class MediaRow(doc_id: Long, media: Array[Byte], format: String,
                       n_bytes: Long)
+  /** Feature vector flattened to fixed scalar slots (f0..f3) — scalar
+    * columns survive any downstream compare/sort harness and columnar
+    * stats (min/max pruning) apply per-slot, which an array column
+    * would forfeit. */
   case class MediaFeatures(doc_id: Long, n_bytes: Long, checksum: Long,
-                           mean_byte: Double, features: Array[Double])
+                           mean_byte: Double, f0: Double, f1: Double,
+                           f2: Double, f3: Double)
 
   /** Build a media table from documents (payload = UTF-8 bytes standing
     * in for an image/audio blob). */
@@ -57,7 +62,8 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { r =>
           val (checksum, mean, hist) = decodeStub(r.media)
-          MediaFeatures(r.doc_id, r.n_bytes, checksum, mean, hist)
+          MediaFeatures(r.doc_id, r.n_bytes, checksum, mean,
+            hist(0), hist(1), hist(2), hist(3))
         }
       }.toDF()
   }

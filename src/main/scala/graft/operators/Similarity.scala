@@ -96,13 +96,15 @@ object Similarity {
   }
 
   /** IVF (inverted-file) ANN — the k-means scale path. Train a coarse
-    * quantizer (deterministic init: every (n/k)-th vector by id rank;
-    * `iters` Lloyd steps, all as broadcast-join + groupBy-avg), assign
-    * each corpus vector to its nearest centroid (inverted lists), then
-    * answer queries by exact-scoring only the `nprobe` nearest lists.
-    * At 100 TB: centroids broadcast (k x dim doubles), the corpus is
-    * scanned once per Lloyd step and once to assign; queries never touch
-    * vectors outside their probed lists.
+    * quantizer (deterministic init: the k corpus vectors with the
+    * smallest xxhash64(id) — a uniform pseudo-random sample picked by a
+    * distributed TakeOrdered top-k, no global sort or single-partition
+    * window anywhere; `iters` Lloyd steps, all as broadcast-join +
+    * groupBy-avg), assign each corpus vector to its nearest centroid
+    * (inverted lists), then answer queries by exact-scoring only the
+    * `nprobe` nearest lists. At 100 TB: centroids broadcast (k x dim
+    * doubles), the corpus is scanned once per Lloyd step and once to
+    * assign; queries never touch vectors outside their probed lists.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nprobe: Int = 4, iters: Int = 3,
@@ -110,15 +112,15 @@ object Similarity {
               vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("v"))
       .cache()
-    val n = c.count()
-    val stride = math.max(1L, n / nCentroids)
-    // deterministic seeding: rank by id, take every stride-th vector
-    val seeded = c.withColumn("rk",
-        row_number().over(Window.orderBy("cid")))
-      .filter((col("rk") - 1) % stride === 0 && col("rk") <= stride * nCentroids)
-      .select((col("rk") / stride).cast("int").as("centroid_id"),
-        col("v").as("cv"))
-    var centroids = seeded
+    // deterministic seeds: k smallest hashes of the id — the centroid
+    // label is the hash itself (any distinct label works; contiguity is
+    // not needed). Plans as TakeOrderedAndProject: parallel partial
+    // top-k, only k rows ever meet. localCheckpoint keeps each Lloyd
+    // step's lineage flat (k rows, eager, cheap).
+    var centroids = c
+      .select(xxhash64(col("cid")).as("centroid_id"), col("v").as("cv"))
+      .orderBy("centroid_id").limit(nCentroids)
+      .localCheckpoint()
     (1 to iters).foreach { _ =>
       val assigned = assignNearest(c, centroids)
       centroids = assigned.join(c, "cid")
@@ -128,8 +130,15 @@ object Similarity {
         .groupBy("centroid_id")
         .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("p"))
         .select(col("centroid_id"), expr("transform(p, e -> e.m)").as("cv"))
+        .localCheckpoint()
     }
-    val lists = assignNearest(c, centroids)
+    // inverted lists materialize here (two longs per corpus row — the
+    // index IVF exists to build); after this the cached vectors are no
+    // longer needed, so release them instead of pinning the corpus in
+    // executor memory for the rest of the session
+    val lists = assignNearest(c, centroids).localCheckpoint()
+    c.unpersist()
+    val cf = corpus.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("v"))
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))
     // nprobe nearest centroids per query
@@ -141,7 +150,7 @@ object Similarity {
       .filter(col("pr") <= nprobe)
       .select("query_id", "qv", "centroid_id")
     val cand = probes.join(lists, "centroid_id")
-      .join(c, "cid")
+      .join(cf, "cid")
       .filter(col("cid") =!= col("query_id"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))

@@ -23,6 +23,15 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "and", "of", "to")
 
+  /** Codegen'd count of tokens in a literal word set (one hashed probe
+    * per token; see graft.functions.TokenSetCount — interpreted
+    * size(filter(..)) HOFs were the corpus-scan hot spot). */
+  private def setHits(toks: Column, ws: Seq[String]): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(graft.functions.TokenSetCount(
+      GraftSqlShim.expression(toks), ws))
+  }
+
   /** Per-document token/char/quality statistics. Exact integer counts
     * with double ratios — deterministic under any partitioning. */
   def textStats(docs: DataFrame, textCol: String = "text",
@@ -32,8 +41,7 @@ object TextAnalysis {
     val nChars = length(col(textCol))
     val nAlpha = length(regexp_replace(col(textCol), "\\s+", ""))
     val nUniq = size(array_distinct(toks))
-    val nStop = size(filter(toks,
-      x => stopwords.map(s => x === s).reduce(_ || _)))
+    val nStop = setHits(toks, stopwords)
     docs.select(col(idCol),
       n.as("n_tokens"),
       nChars.as("n_chars"),
@@ -49,8 +57,7 @@ object TextAnalysis {
   def langId(docs: DataFrame, textCol: String = "text",
              idCol: String = "doc_id"): DataFrame = {
     val toks = tokens(col(textCol))
-    def hits(ws: Seq[String]) =
-      size(filter(toks, x => ws.map(s => x === s).reduce(_ || _)))
+    def hits(ws: Seq[String]) = setHits(toks, ws)
     val en = hits(Seq("the", "a", "and", "of", "to"))
     val de = hits(Seq("der", "die", "das", "und"))
     val es = hits(Seq("el", "los", "las", "y"))

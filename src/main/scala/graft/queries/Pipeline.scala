@@ -235,6 +235,11 @@ object Pipeline {
         expr("approx_percentile(l_quantity, 0.5)").as("ap50"),
         expr("approx_percentile(l_extendedprice, array(0.25, 0.75))")
           .as("ap_price"))
+      // scalar slots, not an array column: downstream compare/sort
+      // harnesses and columnar stats both need plain doubles
+      .select(col("l_returnflag"), col("acd_part"), col("acd_supp"),
+        col("ap50"), element_at(col("ap_price"), 1).as("ap25"),
+        element_at(col("ap_price"), 2).as("ap75"))
       .presentSorted("l_returnflag")
   }
 

@@ -59,7 +59,8 @@ class TextAnalysisSpec extends SparkSpec {
     val f = Multimodal.extractFeatures(media).orderBy("doc_id").collect()
     assert(f.length === 3)
     assert(f(0).getAs[Long]("n_bytes") === 22)
-    assert(f(0).getAs[Seq[Double]]("features").sum === 22.0) // hist sums to len
+    assert(Seq("f0", "f1", "f2", "f3")
+      .map(f(0).getAs[Double](_)).sum === 22.0) // hist sums to len
     val again = Multimodal.extractFeatures(media).orderBy("doc_id").collect()
     assert(f.map(_.getAs[Long]("checksum")).toSeq ===
       again.map(_.getAs[Long]("checksum")).toSeq)
