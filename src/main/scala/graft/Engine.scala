@@ -57,6 +57,10 @@ object Engine {
       // Hive 2.x arithmetic is non-ANSI (overflow wraps, bad casts -> NULL);
       // keep ANSI off so dialect-sensitive expressions match the reference.
       .config("spark.sql.ansi.enabled", "false")
+      // Hive char(n) semantics: CAST pads and comparisons see the padded
+      // value (serde2/typeinfo/CharTypeInfo.java); without this Spark
+      // treats CHAR(n)/VARCHAR(n) casts as plain STRING.
+      .config("spark.sql.preserveCharVarcharTypeInfo", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     functions.Registry.registerAll(spark)
@@ -71,6 +75,7 @@ object Engine {
     // Hive 2.x is non-ANSI: '' casts to NULL, overflow wraps
     // (SURVEY.md §7.3 dialect list)
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.preserveCharVarcharTypeInfo", "true")
     spark.conf.set("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")

@@ -30,6 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("hive_hash"),
       info("hive_hash", "hive_hash(...) - Hive-bit-compatible hash"),
       (exprs: Seq[Expression]) => HiveHash(exprs)))
+    graft.functions.TableFunctions.all.foreach { case (name, builder, usage) =>
+      e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
     e.injectOptimizerRule(_ => graft.plans.StatsAnswerRule())
   }
 }

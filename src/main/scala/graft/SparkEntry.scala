@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.Generators.queries ++
       graft.queries.FunctionSweeps.queries ++
       graft.queries.Pipeline.queries ++
-      graft.queries.Subqueries.queries
+      graft.queries.Subqueries.queries ++
+      graft.queries.TypeSystem.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.Generators.oracleSql ++
       graft.queries.FunctionSweeps.oracleSql ++
       graft.queries.Pipeline.oracleSql ++
-      graft.queries.Subqueries.oracleSql
+      graft.queries.Subqueries.oracleSql ++
+      graft.queries.TypeSystem.oracleSql
 }

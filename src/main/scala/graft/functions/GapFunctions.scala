@@ -64,11 +64,13 @@ object GapFunctions {
     * helper: delegates to Catalyst's higher-order `array_sort` with a field
     * comparator — fully codegen'd, no UDF.
     */
-  def sortArrayBy(arr: Column, field: String): Column =
+  def sortArrayBy(arr: Column, field: String, asc: Boolean = true): Column = {
+    val sign = if (asc) 1 else -1
     array_sort(arr, (l, r) =>
-      when(l.getField(field) < r.getField(field), -1)
-        .when(l.getField(field) > r.getField(field), 1)
+      when(l.getField(field) < r.getField(field), -1 * sign)
+        .when(l.getField(field) > r.getField(field), 1 * sign)
         .otherwise(0))
+  }
 
   /** Hive `parse_url_tuple(url, 'HOST', 'PATH', ...)` UDTF
     * (ref: ql/udf/generic/GenericUDTFParseUrlTuple.java) re-expressed as a
@@ -125,9 +127,20 @@ object GapFunctions {
     lines.contains(s)
   }
 
+  /** Hive CAST(s AS VARCHAR(n)) TRUNCATES on overflow
+    * (serde2/typeinfo/BaseCharUtils.java enforceMaxLength); Spark's
+    * VARCHAR(n) cast raises EXCEED_LIMIT_LENGTH instead, so the
+    * truncating dialect cast gets its own name. Pure Substring —
+    * codegen'd. */
+  private def hiveVarcharBuilder(exprs: Seq[Expression]): Expression =
+    org.apache.spark.sql.catalyst.expressions.Substring(exprs(0),
+      Literal(1), exprs(1))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("field", fieldBuilder, "built-in")
+    reg.createOrReplaceTempFunction("hive_varchar", hiveVarcharBuilder,
+      "built-in")
     reg.createOrReplaceTempFunction("fingerprint64",
       exprs => Fingerprint64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("hive_hash",

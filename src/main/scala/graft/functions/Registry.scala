@@ -12,6 +12,7 @@ object Registry {
   def registerAll(spark: SparkSession): Unit = synchronized {
     if (!registered.contains(spark)) {
       GapFunctions.register(spark)
+      TableFunctions.register(spark)
       Aggregators.register(spark)
       BitmapAgg.register(spark)
       registered += spark

@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+import org.apache.spark.sql.catalyst.expressions.{ArrayRepeat, ArraySort, BloomFilterMightContain, CaseWhen, Cast, CreateNamedStruct, Expression, GreaterThan, Inline, LambdaFunction, LessThan, Literal, ParseUrl, UnresolvedNamedLambdaVariable}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL-callable table functions + sketch-filter pair from the reference's
+  * registry that Spark lacks as SQL names
+  * (ql/exec/FunctionRegistry.java:377,446,456,493-500).
+  *
+  * Each is an expression BUILDER over Spark's own codegen'd primitives,
+  * so `LATERAL VIEW parse_url_tuple(...)` / `replicate_rows(...)` parse
+  * in plain SQL exactly as in the reference dialect — no UDTF
+  * row-at-a-time evaluation anywhere.
+  */
+object TableFunctions {
+
+  private def constString(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, _) => s.toString
+    case Literal(s: String, _) => s
+    case _ => throw new IllegalArgumentException(
+      s"$what must be a constant string, got $e")
+  }
+
+  /** Hive `parse_url_tuple(url, 'HOST', 'PATH', ...)` UDTF
+    * (ref: ql/udf/generic/GenericUDTFParseUrlTuple.java): one output
+    * column per requested part, usable in LATERAL VIEW. Built as
+    * Inline(array(named_struct(part -> parse_url(url, part)...))) — each
+    * part extraction is Spark's codegen'd ParseUrl. */
+  def parseUrlTupleBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length >= 2,
+      "parse_url_tuple(url, part1[, part2...]) needs at least two arguments")
+    val url = exprs.head
+    val fields = exprs.tail.flatMap { p =>
+      val name = constString(p, "parse_url_tuple part")
+      Seq(Literal(name.toLowerCase), ParseUrl(Seq(url, p)))
+    }
+    Inline(org.apache.spark.sql.catalyst.expressions.CreateArray(
+      Seq(CreateNamedStruct(fields))))
+  }
+
+  /** Hive `replicate_rows(n, cols...)` UDTF
+    * (ref: ql/exec/FunctionRegistry.java:494, GenericUDTFReplicateRows):
+    * emits each input row n times with output columns col0 (= n),
+    * col1, ... — the INTERSECT/EXCEPT ALL expansion primitive. Built as
+    * Inline(array_repeat(struct, n)): the expansion is per-partition
+    * inside codegen, no driver loop. */
+  def replicateRowsBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length >= 2,
+      "replicate_rows(n, cols...) needs at least two arguments")
+    val fields = exprs.zipWithIndex.flatMap { case (e, i) =>
+      Seq(Literal(s"col$i"), e)
+    }
+    Inline(ArrayRepeat(CreateNamedStruct(fields),
+      Cast(exprs.head, IntegerType)))
+  }
+
+  /** Hive `sort_array_by(arr, 'field'[, 'ASC'|'DESC'])`
+    * (ref: ql/udf/generic/GenericUDFSortArrayByField.java) — delegates
+    * to the Column-API comparator (Catalyst array_sort, codegen'd). */
+  def sortArrayByBuilder(exprs: Seq[Expression]): Expression = {
+    val (field, asc) = exprs.tail match {
+      case Seq(f) => (constString(f, "sort_array_by field"), true)
+      case Seq(f, o) => (constString(f, "sort_array_by field"),
+        constString(o, "sort_array_by order").equalsIgnoreCase("ASC"))
+      case _ => throw new IllegalArgumentException(
+        "sort_array_by(arr, field[, order]) takes 2 or 3 arguments")
+    }
+    val sign = if (asc) 1 else -1
+    val l = UnresolvedNamedLambdaVariable(Seq("l"))
+    val r = UnresolvedNamedLambdaVariable(Seq("r"))
+    val fl = UnresolvedExtractValue(l, Literal(field))
+    val fr = UnresolvedExtractValue(r, Literal(field))
+    val cmp = CaseWhen(Seq(
+      LessThan(fl, fr) -> Literal(-sign),
+      GreaterThan(fl, fr) -> Literal(sign)), Some(Literal(0)))
+    ArraySort(exprs.head, LambdaFunction(cmp, Seq(l, r)))
+  }
+
+  /** Hive `bloom_filter(col[, expectedEntries[, numBits]])` aggregate
+    * (ref: ql/exec/FunctionRegistry.java:446, GenericUDAFBloomFilter) —
+    * Spark's internal BloomFilterAggregate exposed under the reference
+    * name. Returns the serialized filter as binary. */
+  def bloomFilterBuilder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(c) => new BloomFilterAggregate(c)
+    case Seq(c, n) => new BloomFilterAggregate(c, Cast(n, LongType))
+    case Seq(c, n, b) =>
+      new BloomFilterAggregate(c, Cast(n, LongType), Cast(b, LongType), 0, 0)
+    case _ => throw new IllegalArgumentException(
+      "bloom_filter(col[, expectedEntries[, numBits]])")
+  }
+
+  /** Hive `in_bloom_filter(value, bloom)` (FunctionRegistry.java:377,
+    * GenericUDFInBloomFilter): membership probe — no false negatives,
+    * tunable false positives; the semijoin-reduction primitive. */
+  def inBloomFilterBuilder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(v, bloom) => BloomFilterMightContain(bloom, v)
+    case _ => throw new IllegalArgumentException(
+      "in_bloom_filter(value, bloom)")
+  }
+
+  val all: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+    ("parse_url_tuple", parseUrlTupleBuilder _,
+      "parse_url_tuple(url, part1, ...) - one column per URL part"),
+    ("replicate_rows", replicateRowsBuilder _,
+      "replicate_rows(n, cols...) - repeat the row n times"),
+    ("sort_array_by", sortArrayByBuilder _,
+      "sort_array_by(arr, field[, order]) - sort array<struct> by field"),
+    ("bloom_filter", bloomFilterBuilder _,
+      "bloom_filter(col[, expectedEntries[, numBits]]) - build a bloom filter"),
+    ("in_bloom_filter", inBloomFilterBuilder _,
+      "in_bloom_filter(value, bloom) - bloom membership probe"))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    all.foreach { case (name, builder, _) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}

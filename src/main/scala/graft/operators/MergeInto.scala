@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,61 +11,217 @@ import org.apache.spark.sql.functions._
   * ROW__ID against ACID delta files
   * (ql/parse/UpdateDeleteSemanticAnalyzer.java:327,594; merge-on-read in
   * ql/io/orc/OrcRawRecordMerger.java). Spark-on-parquet has no delta
-  * log, so the same semantics are had by join + full-table (or
-  * partition-scoped) rewrite — the copy-on-write strategy. No
-  * concurrent-writer isolation (Hive's comes from the metastore txn
-  * manager, out of scope per SURVEY.md).
+  * log, so the same semantics are had by join + rewrite — the
+  * copy-on-write strategy. No concurrent-writer isolation (Hive's comes
+  * from the metastore txn manager, out of scope per SURVEY.md).
   *
-  * Scale note: at 100 TB the rewrite is bounded by partition pruning —
-  * pass `partitionCols` so only partitions containing matches rewrite
-  * (the dynamic-partition-overwrite path), mirroring how Hive's rewrite
-  * only touches affected buckets.
+  * MERGE follows Hive's clause semantics
+  * (UpdateDeleteSemanticAnalyzer.java:594): any number of
+  * `WHEN MATCHED [AND cond] THEN UPDATE SET ... / DELETE` clauses plus
+  * `WHEN NOT MATCHED [AND cond] THEN INSERT` clauses, first matching
+  * clause wins, and multiple source rows matching one target row raise
+  * a cardinality violation (Hive's enforce.cardinality.check).
+  *
+  * In clause conditions and SET expressions the target row is aliased
+  * `t` and the source row `s` (e.g. `col("s.amount") > col("t.amount")`).
+  *
+  * Scale: pass `partitionCols` (the table's physical partitioning) and
+  * only partitions containing matched or inserted rows are rewritten —
+  * each via stage-then-swap of that partition's directory; unaffected
+  * partitions are never read, shuffled, or rewritten. Partition columns
+  * cannot be updated (same restriction as Hive), which is what makes the
+  * affected-partition set computable from pre-images alone.
   */
 object MergeInto {
 
+  sealed trait MatchedAction { def cond: Option[Column] }
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET col -> expr. Columns not in
+    * `set` keep their target value. */
+  case class UpdateAction(set: Map[String, Column],
+                          cond: Option[Column] = None) extends MatchedAction
+  /** WHEN MATCHED [AND cond] THEN DELETE. */
+  case class DeleteAction(cond: Option[Column] = None) extends MatchedAction
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT. `values` maps target
+    * columns to expressions over `s`; unmapped columns take the source
+    * column of the same name (null if the source lacks it). */
+  case class InsertAction(values: Map[String, Column] = Map.empty,
+                          cond: Option[Column] = None)
+
+  /** First-matching-case-wins CASE chain. */
+  private def chain(cases: Seq[(Column, Column)], default: Column): Column =
+    cases.foldRight(default) { case ((c, v), els) => when(c, v).otherwise(els) }
+
   /** UPDATE target SET (via `updates` expr map) WHERE `cond`. */
   def update(spark: SparkSession, path: String, cond: Column,
-             updates: Map[String, Column]): Unit = {
+             updates: Map[String, Column],
+             partitionCols: Seq[String] = Nil): Unit = {
+    require(updates.keySet.intersect(partitionCols.toSet).isEmpty,
+      "partition columns cannot be updated")
     val t = spark.read.parquet(path)
+    val hit = coalesce(cond, lit(false))
     val updated = updates.foldLeft(t) { case (df, (c, v)) =>
-      df.withColumn(c, when(cond, v).otherwise(col(c)))
+      df.withColumn(c, when(hit, v).otherwise(col(c)))
     }
-    rewrite(spark, updated, path)
+    if (partitionCols.isEmpty) rewrite(spark, updated, path)
+    else {
+      val aff = t.filter(hit).select(partitionCols.map(col): _*).distinct()
+      rewritePartitions(spark, updated.join(aff, partitionCols, "left_semi"),
+        path, partitionCols)
+    }
   }
 
   /** DELETE FROM target WHERE `cond`. */
-  def delete(spark: SparkSession, path: String, cond: Column): Unit =
-    rewrite(spark, spark.read.parquet(path).filter(!coalesce(cond, lit(false))),
-      path)
+  def delete(spark: SparkSession, path: String, cond: Column,
+             partitionCols: Seq[String] = Nil): Unit = {
+    val t = spark.read.parquet(path)
+    val keep = t.filter(!coalesce(cond, lit(false)))
+    if (partitionCols.isEmpty) rewrite(spark, keep, path)
+    else {
+      val aff = t.filter(coalesce(cond, lit(false)))
+        .select(partitionCols.map(col): _*).distinct()
+      rewritePartitions(spark, keep.join(aff, partitionCols, "left_semi"),
+        path, partitionCols)
+    }
+  }
+
+  /** Full Hive-style MERGE INTO target USING source ON target.key =
+    * source.key, with ordered matched/not-matched clause lists. */
+  def mergeInto(spark: SparkSession, path: String, source: DataFrame,
+                key: String, matched: Seq[MatchedAction],
+                notMatched: Seq[InsertAction] = Seq(InsertAction()),
+                partitionCols: Seq[String] = Nil): Unit = {
+    matched.foreach {
+      case UpdateAction(set, _) =>
+        require(set.keySet.intersect(partitionCols.toSet).isEmpty,
+          "partition columns cannot be updated")
+      case _ =>
+    }
+    // Hive cardinality check: >1 source row per target match is an error
+    // (otherwise the same target row would be updated twice / multiplied)
+    val dups = source.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).count()
+    if (dups > 0) throw new IllegalArgumentException(
+      s"MERGE cardinality violation: multiple source rows share key '$key'")
+
+    val t = spark.read.parquet(path)
+    val tCols = t.columns.toSeq
+    val sCols = source.columns.toSet
+    val joined = t.alias("t").join(source.alias("s"),
+      col(s"t.$key") === col(s"s.$key"), "left")
+    val isMatched = col(s"s.$key").isNotNull
+    def armed(a: MatchedAction): Column =
+      isMatched && a.cond.getOrElse(lit(true))
+
+    val keepChain = chain(matched.map(a =>
+      armed(a) -> lit(!a.isInstanceOf[DeleteAction])), lit(true))
+    val kept = joined.filter(keepChain).select(tCols.map { c =>
+      chain(matched.map(a => armed(a) -> (a match {
+        case UpdateAction(set, _) => set.getOrElse(c, col(s"t.$c"))
+        case _: DeleteAction => col(s"t.$c")
+      })), col(s"t.$c")).as(c)
+    }: _*)
+
+    val unmatchedSrc = source.alias("s")
+      .join(t.select(col(key).as("__tk")), col(s"s.$key") === col("__tk"),
+        "left_anti")
+    def insertRows(clauses: Seq[InsertAction]): DataFrame = {
+      val (frames, _) = clauses.foldLeft(
+          (Seq.empty[DataFrame], lit(false): Column)) {
+        case ((acc, prior), ins) =>
+          val cond = ins.cond.getOrElse(lit(true)) && !prior
+          val rows = unmatchedSrc.filter(cond).select(tCols.map { c =>
+            ins.values.getOrElse(c,
+              if (sCols(c)) col(s"s.$c")
+              else lit(null).cast(t.schema(c).dataType)).as(c)
+          }: _*)
+          (acc :+ rows, prior || ins.cond.getOrElse(lit(true)))
+      }
+      frames.reduceOption(_ unionByName _)
+        .getOrElse(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], t.schema))
+    }
+    val inserts = insertRows(notMatched)
+    val result = kept.unionByName(inserts)
+
+    if (partitionCols.isEmpty) rewrite(spark, result, path)
+    else {
+      val anyMatchedCond = matched.map(_.cond.getOrElse(lit(true)))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val affT = joined.filter(isMatched && anyMatchedCond)
+        .select(partitionCols.map(c => col(s"t.$c").as(c)): _*)
+      val affI = inserts.select(partitionCols.map(col): _*)
+      val aff = affT.unionByName(affI).distinct()
+      rewritePartitions(spark, result.join(aff, partitionCols, "left_semi"),
+        path, partitionCols)
+    }
+  }
 
   /** MERGE INTO target USING source ON key:
     * matched -> overwrite with source row; not matched -> insert.
     * (WHEN MATCHED DELETE variant via `deleteMatched`.) */
   def merge(spark: SparkSession, path: String, source: DataFrame,
-            key: String, deleteMatched: Boolean = false): Unit = {
-    val t = spark.read.parquet(path)
-    val merged =
-      if (deleteMatched) t.join(source.select(key), Seq(key), "left_anti")
-      else {
-        val cols = t.columns
-        val notMatched = source.join(t.select(key), Seq(key), "left_anti")
-        val kept = t.join(source.select(key), Seq(key), "left_anti")
-        val updatedRows = source.select(cols.map(col): _*)
-          .join(t.select(key), Seq(key), "left_semi")
-        kept.unionByName(updatedRows).unionByName(notMatched.select(cols.map(col): _*))
-      }
-    rewrite(spark, merged, path)
+            key: String, deleteMatched: Boolean = false): Unit =
+    if (deleteMatched)
+      mergeInto(spark, path, source, key, Seq(DeleteAction()),
+        notMatched = Nil)
+    else
+      mergeInto(spark, path, source, key,
+        Seq(UpdateAction(source.columns.map(c => c -> col(s"s.$c")).toMap)))
+
+  /** Copy-on-write commit: stage to a temp dir, then swap via the
+    * backup-rename protocol (recoverable: the previous data survives as
+    * `<path>__cow_backup` until the new data is in place). */
+  private def rewrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val dst = new Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + "__cow_tmp")
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    swapInto(fs, tmp, dst)
   }
 
-  /** Copy-on-write commit: stage, swap. (Spark's FileCommitProtocol
-    * makes the stage write atomic; the swap is the MoveTask.) */
-  private def rewrite(spark: SparkSession, df: DataFrame, path: String): Unit = {
-    val tmp = path + "__cow_tmp"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  /** Partition-scoped copy-on-write: stage only affected partitions,
+    * then swap each staged partition directory into the table. The
+    * table must be physically partitioned by `partitionCols` (written
+    * via Writes.writePartitioned). */
+  private def rewritePartitions(spark: SparkSession, df: DataFrame,
+                                path: String,
+                                partitionCols: Seq[String]): Unit = {
+    val dst = new Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + "__cow_tmp")
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(tmp.toString)
+    partitionDirs(fs, tmp, partitionCols.length).foreach { staged =>
+      val rel = staged.toUri.getPath.stripPrefix(tmp.toUri.getPath)
+        .stripPrefix("/")
+      val target = new Path(dst, rel)
+      fs.mkdirs(target.getParent)
+      swapInto(fs, staged, target)
+    }
+    fs.delete(tmp, true)
+  }
+
+  /** Leaf `col=value/...` partition directories at the given depth. */
+  private def partitionDirs(fs: FileSystem, base: Path,
+                            depth: Int): Seq[Path] =
+    if (depth == 0) Seq(base)
+    else fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .flatMap(st => partitionDirs(fs, st.getPath, depth - 1))
+
+  /** Recoverable swap: dst -> backup, src -> dst, drop backup; on a
+    * failed swap the backup is restored, and a crash between renames
+    * leaves the old data intact under `<dst>__cow_backup`. */
+  private def swapInto(fs: FileSystem, src: Path, dst: Path): Unit = {
+    val backup = new Path(dst.getParent, dst.getName + "__cow_backup")
+    fs.delete(backup, true)
+    val hadOld = fs.exists(dst)
+    if (hadOld && !fs.rename(dst, backup))
+      throw new java.io.IOException(s"could not back up $dst")
+    if (!fs.rename(src, dst)) {
+      if (hadOld) fs.rename(backup, dst)
+      throw new java.io.IOException(s"rename $src -> $dst failed")
+    }
+    if (hadOld) fs.delete(backup, true)
   }
 }

@@ -59,10 +59,19 @@ object Writes {
     val tmp = path + "__compact_tmp"
     spark.read.parquet(path).repartition(targetFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    // resolve the FILE'S filesystem (not fs.defaultFS) and swap via the
+    // backup-rename protocol: the old data survives until the new data
+    // is in place, so a crash mid-swap cannot lose the dataset
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backup = new org.apache.hadoop.fs.Path(path + "__compact_backup")
+    fs.delete(backup, true)
+    if (!fs.rename(dst, backup))
+      throw new java.io.IOException(s"could not back up $dst")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)) {
+      fs.rename(backup, dst)
+      throw new java.io.IOException(s"rename $tmp -> $dst failed")
+    }
+    fs.delete(backup, true)
   }
 }

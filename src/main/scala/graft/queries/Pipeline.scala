@@ -225,6 +225,35 @@ object Pipeline {
     Multimodal.extractFeatures(
       Multimodal.mediaTable(t(spark, dir)("documents"))).presentSorted("doc_id")
 
+  /** Bloom-prefiltered exact dedup: build a bloom filter over the
+    * duplicate content hashes (tiny side), probe every document against
+    * it BEFORE the exact semijoin — the Hive semijoin-reduction pattern
+    * (bloom_filter/in_bloom_filter, FunctionRegistry.java:446,377). At
+    * 100 TB only bloom-passing docs (true dups + ~1% false positives)
+    * enter the shuffle; the exact semijoin then removes false positives,
+    * so the result is EXACTLY the un-prefiltered semijoin — which is
+    * what the oracle checks. */
+  def q_dedup_bloom(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir) // registers temp views + functions
+    spark.sql("""
+      WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+      d AS (SELECT content_hash FROM h
+            GROUP BY content_hash HAVING count(*) > 1)
+      SELECT doc_id, content_hash FROM h
+      WHERE in_bloom_filter(xxhash64(content_hash),
+              (SELECT bloom_filter(xxhash64(content_hash), 100000) FROM d))
+        AND content_hash IN (SELECT content_hash FROM d)
+      ORDER BY doc_id""")
+  }
+
+  val q_dedup_bloom_sql: String = """
+    WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+    d AS (SELECT content_hash FROM h
+          GROUP BY content_hash HAVING count(*) > 1)
+    SELECT doc_id, content_hash FROM h
+    WHERE content_hash IN (SELECT content_hash FROM d)
+    ORDER BY doc_id"""
+
   /** Sketch aggregates (HLL / KLL): approximate by design, so
     * Spark-deterministic rows-only. */
   def q_agg_approx(spark: SparkSession, dir: String): DataFrame = {
@@ -249,6 +278,7 @@ object Pipeline {
     "q_dedup_jaccard" -> (q_dedup_jaccard _),
     "q_dedup_minhash" -> (q_dedup_minhash _),
     "q_dedup_corpus" -> (q_dedup_corpus _),
+    "q_dedup_bloom" -> (q_dedup_bloom _),
     "q_dedup_simhash" -> (q_dedup_simhash _),
     "q_text_stats" -> (q_text_stats _),
     "q_text_langid" -> (q_text_langid _),
@@ -267,6 +297,7 @@ object Pipeline {
     "q_dedup_exact" -> q_dedup_exact_sql,
     "q_dedup_norm" -> q_dedup_norm_sql,
     "q_dedup_jaccard" -> q_dedup_jaccard_sql,
+    "q_dedup_bloom" -> q_dedup_bloom_sql,
     "q_text_stats" -> q_text_stats_sql,
     "q_text_langid" -> q_text_langid_sql,
     "q_text_ngrams" -> q_text_ngrams_sql,

@@ -82,6 +82,59 @@ class FunctionTailSpec extends SparkSpec {
     assert(p.getDouble(0) > 0 && p.getDouble(1) > 0)
   }
 
+  test("parse_url_tuple UDTF in SQL + LATERAL VIEW (FunctionRegistry.java:500)") {
+    val r = spark.sql(
+      "SELECT parse_url_tuple('https://h.io/p?q=1', 'HOST', 'PATH', 'QUERY')")
+      .head()
+    assert(r.getString(0) === "h.io")
+    assert(r.getString(1) === "/p")
+    assert(r.getString(2) === "q=1")
+    val lv = spark.sql("""
+      SELECT u, host, pth FROM (SELECT 'https://a.io/x' AS u)
+      LATERAL VIEW parse_url_tuple(u, 'HOST', 'PATH') t AS host, pth""")
+      .head()
+    assert(lv.getString(1) === "a.io" && lv.getString(2) === "/x")
+  }
+
+  test("replicate_rows UDTF in SQL (FunctionRegistry.java:494)") {
+    val rows = spark.sql("""
+      SELECT n, v FROM (SELECT 3L AS k, 'x' AS s)
+      LATERAL VIEW replicate_rows(k, s) t AS n, v""").collect()
+    assert(rows.length === 3)
+    assert(rows.forall(r => r.getLong(0) === 3L && r.getString(1) === "x"))
+  }
+
+  test("sort_array_by as a SQL name (FunctionRegistry.java:456)") {
+    val r = spark.sql("""
+      SELECT sort_array_by(array(named_struct('k', 3, 'v', 'c'),
+        named_struct('k', 1, 'v', 'a'), named_struct('k', 2, 'v', 'b')), 'k')
+      """).head().getSeq[org.apache.spark.sql.Row](0)
+    assert(r.map(_.getInt(0)) === Seq(1, 2, 3))
+    val d = spark.sql("""
+      SELECT sort_array_by(array(named_struct('k', 1), named_struct('k', 3),
+        named_struct('k', 2)), 'k', 'DESC')""")
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(d.map(_.getInt(0)) === Seq(3, 2, 1))
+  }
+
+  test("bloom_filter / in_bloom_filter (FunctionRegistry.java:446,377)") {
+    Engine.tables(spark, sfDir)
+    // no false negatives: every present key probes true (the bloom must
+    // be a constant/scalar-subquery — Spark broadcasts it to the probe)
+    val missed = spark.sql("""
+      SELECT count(*) FROM customer WHERE NOT in_bloom_filter(c_custkey,
+        (SELECT bloom_filter(c_custkey, 2000) FROM customer))""")
+      .head().getLong(0)
+    assert(missed === 0L)
+    // selectivity sanity: absent key range mostly probes false
+    val fp = spark.sql("""
+      SELECT count(*) FROM range(1000000, 1100000)
+      WHERE in_bloom_filter(id,
+        (SELECT bloom_filter(c_custkey, 2000) FROM customer))""")
+      .head().getLong(0)
+    assert(fp < 5000L) // ~3% default fpp headroom
+  }
+
   test("fingerprint64 and dot_product resolve via SparkSessionExtensions") {
     // Engine.session carries spark.sql.extensions=graft.GraftExtensions;
     // a sibling session with fresh state still resolves the functions
