@@ -38,8 +38,11 @@ object Aggregators {
   class TopKStrings(k: Int, cap: Int = 1024)
       extends Aggregator[String, TopKBuf, Seq[(String, Long)]] {
     override def zero: TopKBuf = TopKBuf(Map.empty)
+    // amortized trim: let the buffer grow to 2x cap, then one O(cap log
+    // cap) sort halves it — O(log cap) per insert instead of a full
+    // re-sort on EVERY over-cap insert
     private def trim(m: Map[String, Long]): Map[String, Long] =
-      if (m.size <= cap) m
+      if (m.size <= cap * 2) m
       else m.toSeq.sortBy { case (s, n) => (-n, s) }.take(cap).toMap
     override def reduce(b: TopKBuf, in: String): TopKBuf =
       TopKBuf(trim(b.counts.updated(in, b.counts.getOrElse(in, 0L) + 1L)))

@@ -119,9 +119,17 @@ object GapFunctions {
   private val inFileCache =
     new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
 
+  /** Hive ships in_file lookup files via distributed cache (small by
+    * construction); cap what one executor JVM will pin in memory. */
+  private val InFileMaxBytes = 64L << 20
+
   def inFile(s: String, path: String): java.lang.Boolean = {
     if (s == null || path == null) return null
     val lines = inFileCache.computeIfAbsent(path, { p =>
+      val sz = new java.io.File(p).length()
+      require(sz <= InFileMaxBytes,
+        s"in_file: $p is $sz bytes (cap ${InFileMaxBytes}); " +
+          "use a join against the file read as a table instead")
       scala.io.Source.fromFile(p).getLines().toSet
     })
     lines.contains(s)
@@ -140,6 +148,16 @@ object GapFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("field", fieldBuilder, "built-in")
     reg.createOrReplaceTempFunction("hive_varchar", hiveVarcharBuilder,
+      "built-in")
+    // Hive virtual columns (ql/exec/TableScanOperator.java:110;
+    // SURVEY.md §2.1) under their Hive names. BLOCK__OFFSET__INSIDE__FILE
+    // maps to the split/block start offset (Spark tracks per-split, not
+    // per-row, offsets — same granularity Hive reports for ORC/parquet).
+    reg.createOrReplaceTempFunction("input__file__name",
+      _ => org.apache.spark.sql.catalyst.expressions.InputFileName(),
+      "built-in")
+    reg.createOrReplaceTempFunction("block__offset__inside__file",
+      _ => org.apache.spark.sql.catalyst.expressions.InputFileBlockStart(),
       "built-in")
     reg.createOrReplaceTempFunction("fingerprint64",
       exprs => Fingerprint64(exprs.head), "built-in")

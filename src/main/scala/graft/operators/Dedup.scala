@@ -48,14 +48,26 @@ object Dedup {
     * pair groupBy. */
   def shinglesWithSize(docs: DataFrame, n: Int = 3, textCol: String = "text",
                        idCol: String = "doc_id"): DataFrame = {
-    val grams = expr(
-      s"""array_distinct(transform(sequence(0, size(tks) - $n),
-            i -> array_join(slice(tks, i + 1, $n), ' ')))""")
+    // codegen'd native shingle build (graft.functions.WordShingles);
+    // identical output to the interpreted HOF chain it replaced
+    def grams: Column = {
+      import org.apache.spark.sql.GraftSqlShim
+      GraftSqlShim.column(graft.functions.WordShingles(
+        GraftSqlShim.expression(col("tks")), n))
+    }
+    // plan-shape note: the generator child must stay the INLINE gram
+    // expression. Aliasing the array into a column first looks cleaner
+    // but makes Catalyst (a) infer a size(g)>0 filter from the Generate
+    // and push it to the scan with the whole HOF expression inlined —
+    // computing shingles twice more per doc outside codegen — and (b)
+    // carry the array through the generate. sz as a sibling projection
+    // costs one extra per-DOC gram build; the explode itself stays the
+    // only per-shingle work.
     docs.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("tks"))
       .filter(size(col("tks")) >= n)
-      .select(col("id"), grams.as("g"))
-      .select(col("id"), explode(col("g")).as("shingle"),
-        size(col("g")).cast("long").as("sz"))
+      .select(col("id"), size(grams).cast("long").as("sz"), col("tks"))
+      .select(col("id"), col("sz"), explode(grams).as("shingle"))
+      .select("id", "shingle", "sz")
   }
 
   /** Exact n-gram Jaccard near-duplicate pairs via inverted-index join:
@@ -92,8 +104,11 @@ object Dedup {
         val freq = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap).select("shingle")
         val filtered = sh0.select("id", "shingle").join(freq, "shingle")
-        val sizes = filtered.groupBy("id").agg(count(lit(1)).as("sz"))
-        filtered.join(sizes, "id").select("id", "shingle", "sz")
+        // post-cap sizes via one window pass (single shuffle on id)
+        // instead of a groupBy + join-back (two)
+        filtered.withColumn("sz",
+            count(lit(1)).over(Window.partitionBy("id")))
+          .select("id", "shingle", "sz")
       case None => sh0
     }
     val a = sh.select(col("id").as("doc_a"), col("shingle"),

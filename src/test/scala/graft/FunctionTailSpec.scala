@@ -135,6 +135,16 @@ class FunctionTailSpec extends SparkSpec {
     assert(fp < 5000L) // ~3% default fpp headroom
   }
 
+  test("virtual columns INPUT__FILE__NAME / BLOCK__OFFSET__INSIDE__FILE " +
+      "(TableScanOperator.java:110)") {
+    Engine.tables(spark, sfDir)
+    val r = spark.sql("""
+      SELECT input__file__name() f, block__offset__inside__file() o
+      FROM lineitem LIMIT 1""").head()
+    assert(r.getString(0).endsWith(".parquet"))
+    assert(r.getLong(1) >= 0L)
+  }
+
   test("fingerprint64 and dot_product resolve via SparkSessionExtensions") {
     // Engine.session carries spark.sql.extensions=graft.GraftExtensions;
     // a sibling session with fresh state still resolves the functions

@@ -76,6 +76,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(scan.contains("Batched: true"), scan)
   }
 
+  test("ivfTopK: every window is key-partitioned (no global-window funnel)") {
+    val e = Engine.tables(spark, sfDir)("embeddings")
+    val q = graft.operators.Similarity.ivfTopK(
+      e, e.filter(col("vec_id") < 5), k = 3)
+    val windows = q.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"single-partition window in ivfTopK plan: $w"))
+  }
+
   test("semi/anti joins plan as joins, not subquery re-execution") {
     assert(plan("q_join_semi").contains("LeftSemi"))
     assert(plan("q_join_anti").contains("LeftAnti"))

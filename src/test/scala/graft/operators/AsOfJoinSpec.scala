@@ -42,6 +42,24 @@ class AsOfJoinSpec extends SparkSpec {
       (30.0, Some("B")), (40.0, None)))
   }
 
+  test("NULL payload on the true match stays NULL (no stale fallback)") {
+    // the latest preceding snapshot at t=100 carries a NULL label; the
+    // join must NOT fall back to the older non-null 'A'
+    val snaps = Seq((1L, ts(0), Some("A")), (1L, ts(100), None))
+      .toDF("user_id", "ts", "label")
+    val evs = Seq((1L, ts(150), 1.0)).toDF("user_id", "ts", "value")
+    val got = AsOfJoin.asof(evs, snaps, "user_id", "ts", Seq("label"))
+      .select("asof_label").as[Option[String]].collect().toSeq
+    assert(got === Seq(None))
+    // and the tolerance check must judge freshness on that SAME row:
+    // the null-label row at t=100 is fresh (age 50 <= 60), so the match
+    // is the null label — not the stale-but-nonnull t=0 row
+    val tol = AsOfJoin.asof(evs, snaps, "user_id", "ts", Seq("label"),
+        tolerance = Some(60L))
+      .select("asof_label").as[Option[String]].collect().toSeq
+    assert(tol === Seq(None))
+  }
+
   test("one shuffle: plan has a single hashpartitioning exchange") {
     val q = AsOfJoin.asof(events, snapshots, "user_id", "ts", Seq("label"))
     val p = q.queryExecution.executedPlan.toString

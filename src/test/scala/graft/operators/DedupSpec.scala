@@ -95,6 +95,31 @@ class DedupSpec extends SparkSpec {
     assert(ids.contains(5L) && ids.contains(6L))
   }
 
+  test("planted stop-shingle: capped dedupCorpus ignores the hot shingle " +
+      "but still collapses true dups") {
+    // every doc shares one degenerate header shingle; only 1/2 are real
+    // dups. Uncapped, the header alone links nothing (jaccard below
+    // threshold) but fans the self-join on one key; capped, the header
+    // never enters the join and results are unchanged.
+    val header = "shared boilerplate header"
+    val d = Seq(
+      (1L, s"$header alpha beta gamma delta epsilon"),
+      (2L, s"$header alpha beta gamma delta epsilon"),
+      (3L, s"$header completely different body about engines"),
+      (4L, s"$header yet another unrelated body mentioning windows"),
+      (5L, s"$header fifth body with its own unique words here")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(d, threshold = 0.5,
+        maxShingleFreq = Some(2))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 4L, 5L))
+    // sanity: capped candidate generation drops the header shingle rows
+    val capped = Dedup.jaccardPairs(d, threshold = 0.5,
+      maxShingleFreq = Some(2)).collect().map(r => (r.getLong(0),
+      r.getLong(1))).toSet
+    assert(capped === Set((1L, 2L)))
+  }
+
   test("jaccard pairs on real corpus match minhash verification path") {
     val real = spark.read.parquet(s"$sfDir/documents.parquet")
     val exact = Dedup.jaccardPairs(real, 0.5).count()
