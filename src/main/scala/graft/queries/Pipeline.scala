@@ -64,11 +64,42 @@ object Pipeline {
   def q_dedup_minhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashDedup(t(spark, dir)("documents"), threshold = 0.05)
 
-  /** End-to-end corpus dedup: pairs -> transitive groups -> survivors
-    * (rows-only; DedupSpec pins group semantics on planted chains). */
+  /** End-to-end corpus dedup: pairs -> transitive groups -> survivors.
+    * Oracle: the same exact-Jaccard pair graph closed transitively with
+    * a recursive CTE (min-label per component). The default stop-shingle
+    * cap (1000) cannot trigger at the oracle scale (500 docs), so capped
+    * Spark output == uncapped SQL ground truth. */
   def q_dedup_corpus(spark: SparkSession, dir: String): DataFrame =
     Dedup.dedupCorpus(t(spark, dir)("documents"), threshold = 0.05)
       .select(col("doc_id"), col("n_chars")).presentSorted("doc_id")
+
+  val q_dedup_corpus_sql: String = """
+    WITH RECURSIVE toks AS (SELECT doc_id,
+                                   string_split_regex(trim(text), '\s+') AS l
+                            FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    generate_series(1, len(l) - 2),
+                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS s
+           FROM toks WHERE len(l) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS (SELECT da, db
+              FROM inter JOIN sizes sa ON sa.doc_id = da
+                         JOIN sizes sb ON sb.doc_id = db
+              WHERE CAST(ni AS DOUBLE)/(sa.n + sb.n - ni) >= 0.05),
+    edges AS (SELECT da AS u, db AS v FROM pairs
+              UNION SELECT db, da FROM pairs),
+    reach(node, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, r.label FROM reach r JOIN edges e ON e.u = r.node),
+    labels AS (SELECT node, min(label) AS label FROM reach GROUP BY node)
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM labels WHERE node <> label)
+    ORDER BY doc_id"""
 
   def q_dedup_simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(t(spark, dir)("documents")).presentSorted("id")
@@ -193,8 +224,12 @@ object Pipeline {
     SELECT gram, count(*) AS cnt FROM w
     GROUP BY gram ORDER BY cnt DESC, gram LIMIT 10"""
 
-  /** MatchPath PTF: click-streak-then-purchase funnels per user
-    * (rows-only; MatchPathSpec pins semantics on planted sequences). */
+  /** MatchPath PTF: click-streak-then-purchase funnels per user.
+    * Oracle: gaps-and-islands SQL — for pattern c+p the greedy
+    * non-overlapping regex matches are exactly "each maximal click run
+    * immediately followed by a purchase", so the SQL ground truth is
+    * exact. MatchPathSpec additionally pins the general regex engine on
+    * planted sequences. */
   def q_matchpath(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir)("events")
     graft.operators.MatchPath.matchPath(e,
@@ -207,12 +242,48 @@ object Pipeline {
       .presentSorted("user_id", "match_id", "match_pos")
   }
 
-  /** As-of join: purchases pick up the latest prior click per user
-    * (rows-only; AsOfJoinSpec pins <= / tolerance semantics). */
+  val q_matchpath_sql: String = """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      make_timestamp(epoch_ns(ts) // 1000) AS tsx,
+                      CASE WHEN event_type = 'click' THEN 'c'
+                           WHEN event_type = 'purchase' THEN 'p'
+                           ELSE '.' END AS sym
+               FROM events),
+    o AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY tsx, event_id) AS rn
+          FROM e),
+    runs AS (SELECT *, CASE WHEN sym = 'c' AND
+                 coalesce(lag(sym) OVER (PARTITION BY user_id
+                                         ORDER BY rn), 'x') <> 'c'
+               THEN 1 ELSE 0 END AS run_start FROM o),
+    grp AS (SELECT *, sum(run_start) OVER (PARTITION BY user_id
+                                           ORDER BY rn) AS run_id
+            FROM runs),
+    cruns AS (SELECT user_id, run_id, min(rn) AS c_start, max(rn) AS c_end
+              FROM grp WHERE sym = 'c' GROUP BY user_id, run_id),
+    matches AS (SELECT p.user_id, c.c_start, p.rn AS p_rn
+                FROM grp p JOIN cruns c
+                  ON p.user_id = c.user_id AND p.rn = c.c_end + 1
+                WHERE p.sym = 'p'),
+    numbered AS (SELECT *, CAST(row_number() OVER (PARTITION BY user_id
+                   ORDER BY c_start) - 1 AS INT) AS match_id
+                 FROM matches)
+    SELECT g.user_id, g.event_id, g.event_type, n.match_id,
+           CAST(g.rn - n.c_start AS INT) AS match_pos
+    FROM numbered n JOIN grp g
+      ON g.user_id = n.user_id AND g.rn BETWEEN n.c_start AND n.p_rn
+    ORDER BY g.user_id, n.match_id, match_pos"""
+
+  /** As-of join: purchases pick up the latest prior click per user.
+    * Clicks are deduped to one per (user, ts) first — at equal
+    * timestamps "the" as-of match is otherwise arbitrary in ANY engine,
+    * and determinism is what lets this hash-match DuckDB's native
+    * ASOF JOIN. */
   def q_asof(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir)("events")
     val clicks = e.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      .groupBy("user_id", "ts")
+      .agg(max(col("event_id")).as("click_id"))
     val purchases = e.filter(col("event_type") === "purchase")
       .select("user_id", "ts", "event_id", "value")
     graft.operators.AsOfJoin.asof(purchases, clicks, "user_id", "ts",
@@ -220,6 +291,19 @@ object Pipeline {
       .select(col("user_id"), col("event_id"), col("asof_click_id"))
       .presentSorted("user_id", "event_id")
   }
+
+  val q_asof_sql: String = """
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      make_timestamp(epoch_ns(ts) // 1000) AS tsx
+               FROM events),
+    c AS (SELECT user_id, tsx, max(event_id) AS click_id FROM e
+          WHERE event_type = 'click' GROUP BY user_id, tsx),
+    p AS (SELECT user_id, event_id, tsx FROM e
+          WHERE event_type = 'purchase')
+    SELECT p.user_id, p.event_id, c.click_id AS asof_click_id
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.tsx >= c.tsx
+    ORDER BY p.user_id, p.event_id"""
 
   def q_multimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
@@ -298,6 +382,9 @@ object Pipeline {
     "q_dedup_norm" -> q_dedup_norm_sql,
     "q_dedup_jaccard" -> q_dedup_jaccard_sql,
     "q_dedup_bloom" -> q_dedup_bloom_sql,
+    "q_dedup_corpus" -> q_dedup_corpus_sql,
+    "q_asof" -> q_asof_sql,
+    "q_matchpath" -> q_matchpath_sql,
     "q_text_stats" -> q_text_stats_sql,
     "q_text_langid" -> q_text_langid_sql,
     "q_text_ngrams" -> q_text_ngrams_sql,
