@@ -57,8 +57,9 @@ object Similarity {
   }
 
   /** All pairs above a cosine threshold (embedding near-dup detection).
-    * Exact O(n²/2) scoring — used under a pre-filter or on LSH
-    * candidates at scale. */
+    * Exact O(n²/2) scoring — a verification PRIMITIVE for small inputs
+    * or pre-filtered candidate sets; the corpus-scale default is
+    * [[cosinePairsBlocked]]. */
   def cosinePairs(corpus: DataFrame, threshold: Double,
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
@@ -68,6 +69,48 @@ object Similarity {
     val a = base
     val b = base.toDF("vec_b", "vb", "nb")
     a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .presentSorted("vec_a", "vec_b")
+  }
+
+  /** Embedding near-dup pairs at corpus scale: LSH band-bucket blocking
+    * generates candidates (two vectors meet only if some band of their
+    * hyperplane signature matches — an equi-join on small long keys,
+    * never an n² enumeration), then each candidate pair is verified with
+    * the exact cosine and the threshold re-applied. Every emitted pair
+    * is therefore exact; recall vs the O(n²) scan is the standard LSH
+    * trade (more planes/bands => higher recall), pinned by
+    * SimilaritySpec on the real corpus. */
+  def cosinePairsBlocked(corpus: DataFrame, threshold: Double,
+                         nPlanes: Int = 24, bands: Int = 8, dim: Int = 64,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    require(nPlanes % bands == 0)
+    val rows = nPlanes / bands
+    val sig = lshSignature(asDouble(col(vecCol)), nPlanes, dim)
+    val banded = corpus
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+        sig.as("sig"))
+      .select(col("id"), col("v"), explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * rows)
+            .bitwiseAND((1L << rows) - 1).as("bucket"))): _*)).as("e"))
+      .select(col("id"), col("v"), col("e.band"), col("e.bucket"))
+    // candidate IDs from bucket co-membership; dedup over bands BEFORE
+    // vectors re-attach (the distinct shuffles 16-byte id pairs only)
+    val l = banded.select(col("id").as("vec_a"), col("band"), col("bucket"))
+    val r = banded.select(col("id").as("vec_b"), col("band").as("band_r"),
+      col("bucket").as("bucket_r"))
+    val candIds = l.join(r, col("band") === col("band_r") &&
+        col("bucket") === col("bucket_r") && col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val va = banded.select(col("id").as("vec_a"), col("v").as("va"))
+      .distinct()
+      .withColumn("na", sqrt(dot(col("va"), col("va"))))
+    val vb = va.toDF("vec_b", "vb", "nb")
+    candIds.join(va, "vec_a").join(vb, "vec_b")
       .select(col("vec_a"), col("vec_b"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)

@@ -67,6 +67,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recallHits >= 5, s"IVF recall too low: $recallHits/10")
   }
 
+  test("cosinePairsBlocked: every pair exact, decent recall vs O(n2) scan") {
+    val exact = Similarity.cosinePairs(emb, threshold = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exactPairs = exact.map(t => (t._1, t._2)).toSet
+    val blocked = Similarity.cosinePairsBlocked(emb, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // no false positives: blocked pairs are a subset with the SAME score
+    val exactScore = exact.map(t => (t._1, t._2) -> t._3).toMap
+    blocked.foreach { case (a, b, s) =>
+      assert(exactPairs.contains((a, b)), s"($a,$b) not a true pair")
+      assert(s === exactScore((a, b)))
+    }
+    // recall: band blocking keeps the majority of true near-dup pairs
+    if (exact.nonEmpty)
+      assert(blocked.length.toDouble / exact.length > 0.5,
+        s"recall ${blocked.length}/${exact.length}")
+  }
+
   test("lsh signatures deterministic across invocations") {
     val s1 = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 3), k = 3)
       .collect().toSeq

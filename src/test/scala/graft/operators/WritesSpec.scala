@@ -58,6 +58,8 @@ class WritesSpec extends SparkSpec {
       spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       val joined = spark.table("bt1").join(spark.table("bt2"), "o_orderkey")
       val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"),
+        s"bucketed join should plan sort-merge (the SMB path):\n$plan")
       assert(!plan.contains("Exchange hashpartitioning"),
         s"bucketed join should not shuffle:\n$plan")
       assert(joined.count() === o.count())
