@@ -82,6 +82,39 @@ object Ingest {
         col("click_id"), col("purchase_ts"), col("click_ts"))
   }
 
+  /** Streaming upsert sink: each micro-batch MERGEs into a parquet
+    * table keyed by `key` — the streaming twin of the reference's
+    * ACID ingest-then-compact flow (HiveEndPoint transaction batches +
+    * the compactor), collapsed into foreachBatch + copy-on-write MERGE.
+    * Exactly-once per key: replaying a batch after a crash re-applies
+    * the same upserts idempotently (matched rows overwrite with the
+    * same values, unmatched insert once). Batches are deduped on the
+    * key (last value wins within a batch) to satisfy MERGE's
+    * cardinality contract. */
+  def upsertSink(updates: DataFrame, destPath: String, key: String,
+                 checkpointDir: String): StreamingQuery =
+    updates.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val rest = batch.columns.filterNot(_ == key).map(col)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(key).orderBy(struct(rest: _*).desc)
+        val deduped = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val dest = new org.apache.hadoop.fs.Path(destPath)
+        val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(dest))
+          deduped.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+            .parquet(destPath)
+        else
+          graft.operators.MergeInto.merge(spark, destPath, deduped, key)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp)
   case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
 

@@ -40,6 +40,38 @@ class IngestSpec extends SparkSpec {
     assert(spark.read.parquet(dst).count() === 3)
   }
 
+  test("upsertSink MERGEs each micro-batch into the table exactly once") {
+    val base = Files.createTempDirectory("graft_upsert").toString
+    val src = s"$base/src"; val dst = s"$base/t"; val cp = s"$base/cp"
+    Files.createDirectories(Paths.get(src))
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("amount", DoubleType)))
+    writeBatch(src, "b1.json", Seq(
+      """{"id":1,"amount":10.0}""", """{"id":2,"amount":20.0}""",
+      """{"id":2,"amount":25.0}""")) // in-batch dup: one row must win
+    val q1 = Ingest.upsertSink(
+      spark.readStream.schema(sch).json(src), dst, "id", cp)
+    q1.awaitTermination()
+    val after1 = spark.read.parquet(dst).orderBy("id")
+      .as[(Long, Double)].collect().toSeq
+    assert(after1.map(_._1) === Seq(1L, 2L))
+    assert(after1(1)._2 === 25.0) // last-wins dedup picked the larger row
+    // batch 2: update id=1, insert id=3
+    writeBatch(src, "b2.json", Seq(
+      """{"id":1,"amount":99.0}""", """{"id":3,"amount":30.0}"""))
+    val q2 = Ingest.upsertSink(
+      spark.readStream.schema(sch).json(src), dst, "id", cp)
+    q2.awaitTermination()
+    val after2 = spark.read.parquet(dst).orderBy("id")
+      .as[(Long, Double)].collect().toSeq
+    assert(after2 === Seq((1L, 99.0), (2L, 25.0), (3L, 30.0)))
+    // restart with no new data: nothing reapplied (exactly-once)
+    val q3 = Ingest.upsertSink(
+      spark.readStream.schema(sch).json(src), dst, "id", cp)
+    q3.awaitTermination()
+    assert(spark.read.parquet(dst).count() === 3)
+  }
+
   test("windowedCounts aggregates a file stream with watermark") {
     val base = Files.createTempDirectory("graft_window").toString
     val src = s"$base/src"
