@@ -52,6 +52,85 @@ object Writes {
     } finally src.unpersist()
   }
 
+  /** Hive `LOAD DATA INPATH 'src' [OVERWRITE] INTO TABLE t
+    * [PARTITION (...)]` (ql/parse/LoadSemanticAnalyzer.java): a file
+    * MOVE into the table (or partition) directory — no parse, no
+    * rewrite; Hive appends `_copy_N` on name collisions, reproduced
+    * here. `src` may be a file or a directory of files. */
+  def loadData(spark: SparkSession, src: String, tableDir: String,
+               overwrite: Boolean = false,
+               partition: Seq[(String, String)] = Nil): Unit = {
+    val srcPath = new org.apache.hadoop.fs.Path(src)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = srcPath.getFileSystem(conf)
+    val destDir = partition.foldLeft(new org.apache.hadoop.fs.Path(tableDir)) {
+      case (p, (k, v)) => new org.apache.hadoop.fs.Path(p, s"$k=$v")
+    }
+    val destFs = destDir.getFileSystem(conf)
+    if (overwrite && destFs.exists(destDir))
+      destFs.listStatus(destDir).filter(_.isFile)
+        .foreach(st => destFs.delete(st.getPath, false))
+    destFs.mkdirs(destDir)
+    val files =
+      if (fs.getFileStatus(srcPath).isDirectory)
+        fs.listStatus(srcPath).filter(_.isFile).map(_.getPath)
+      else Array(srcPath)
+    files.foreach { f =>
+      var target = new org.apache.hadoop.fs.Path(destDir, f.getName)
+      var n = 0
+      while (destFs.exists(target)) { // Hive's _copy_N collision rule
+        n += 1
+        target = new org.apache.hadoop.fs.Path(destDir,
+          s"${f.getName}_copy_$n")
+      }
+      if (!fs.rename(f, target))
+        throw new java.io.IOException(s"LOAD DATA: move $f -> $target failed")
+    }
+  }
+
+  /** Hive `EXPORT TABLE t TO 'dir'` (ql/parse/ExportSemanticAnalyzer
+    * .java): data files + a metadata descriptor (here the Spark schema
+    * JSON standing in for Hive's `_metadata` thrift dump). */
+  def exportTable(spark: SparkSession, tableDir: String,
+                  destDir: String): Unit = {
+    val df = spark.read.parquet(tableDir)
+    val dest = new org.apache.hadoop.fs.Path(destDir)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val data = new org.apache.hadoop.fs.Path(dest, "data")
+    fs.mkdirs(data)
+    val src = new org.apache.hadoop.fs.Path(tableDir)
+    src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(src).filter(_.isFile)
+      .filterNot(_.getPath.getName.startsWith("_"))
+      .foreach { st =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new org.apache.hadoop.fs.Path(data, st.getPath.getName),
+          false, spark.sparkContext.hadoopConfiguration)
+      }
+    val meta = fs.create(new org.apache.hadoop.fs.Path(dest, "_metadata"))
+    try meta.write(df.schema.json.getBytes("UTF-8")) finally meta.close()
+  }
+
+  /** Hive `IMPORT TABLE t FROM 'dir'`
+    * (ql/parse/ImportSemanticAnalyzer.java): validates the descriptor,
+    * then moves the exported data files in. Returns the schema read
+    * from the descriptor. */
+  def importTable(spark: SparkSession, srcDir: String,
+                  tableDir: String): org.apache.spark.sql.types.StructType = {
+    val src = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaPath = new org.apache.hadoop.fs.Path(src, "_metadata")
+    require(fs.exists(metaPath), s"IMPORT: no _metadata under $srcDir")
+    val meta = new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(metaPath)),
+      "UTF-8")
+    val schema = org.apache.spark.sql.types.DataType.fromJson(meta)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    loadData(spark, new org.apache.hadoop.fs.Path(src, "data").toString,
+      tableDir)
+    schema
+  }
+
   /** Small-file compaction (ref: ql/exec/AbstractFileMergeOperator /
     * OrcFileMergeOperator — Hive's merge-files task): rewrite a dataset
     * directory to `targetFiles` output files. */

@@ -188,6 +188,69 @@ class GoldenSemanticsSpec extends SparkSpec {
     assert(got === Seq(1, 2, 3))
   }
 
+  // ql/src/test/queries/clientpositive/windowing.q fixture: the 26-row
+  // part_tiny table, read straight from the reference's data/files
+  // (^A-delimited; same LOAD the .q performs)
+  private lazy val partTiny = {
+    val df = spark.read
+      .option("sep", "")
+      .schema("p_partkey LONG, p_name STRING, p_mfgr STRING, " +
+        "p_brand STRING, p_type STRING, p_size INT, p_container STRING, " +
+        "p_retailprice DOUBLE, p_comment STRING")
+      .csv("/root/reference/data/files/part_tiny.txt")
+    df.createOrReplaceTempView("part_tiny")
+    df
+  }
+
+  test("windowing.q testWindowing: rank/dense_rank/running sum " +
+      "(distribute by / sort by window syntax)") {
+    partTiny
+    val got = sorted("""
+      select p_mfgr, p_name, p_size,
+      rank() over(distribute by p_mfgr sort by p_name) as r,
+      dense_rank() over(distribute by p_mfgr sort by p_name) as dr,
+      round(sum(p_retailprice) over (distribute by p_mfgr sort by p_name
+        rows between unbounded preceding and current row), 2) as s1
+      from part_tiny""")
+    // golden head + tail rows from windowing.q.out (ties share rank 1
+    // but the ROWS frame still advances the running sum)
+    assert(got.length === 26)
+    assert(got.contains(Seq("Manufacturer#1",
+      "almond antique burnished rose metallic", "2", "1", "1", "1173.15")))
+    assert(got.contains(Seq("Manufacturer#1",
+      "almond antique burnished rose metallic", "2", "1", "1", "2346.3")))
+    assert(got.contains(Seq("Manufacturer#1",
+      "almond antique chartreuse lavender yellow", "34", "3", "2",
+      "4100.06")))
+    assert(got.contains(Seq("Manufacturer#2",
+      "almond aquamarine sandy cyan gainsboro", "18", "5", "5", "8923.62")))
+    assert(got.contains(Seq("Manufacturer#5",
+      "almond azure blanched chiffon midnight", "23", "5", "5", "7672.66")))
+  }
+
+  test("windowing.q testGroupByWithPartitioning: group-by under windows, " +
+      "lag with column default") {
+    partTiny
+    val got = sorted("""
+      select p_mfgr, p_name, p_size, min(p_retailprice) as mn,
+      rank() over(distribute by p_mfgr sort by p_name) as r,
+      dense_rank() over(distribute by p_mfgr sort by p_name) as dr,
+      p_size - lag(p_size, 1, p_size)
+        over(distribute by p_mfgr sort by p_name) as deltaSz
+      from part_tiny
+      group by p_mfgr, p_name, p_size""")
+    assert(got.length === 25) // dup part collapses under group by
+    assert(got.contains(Seq("Manufacturer#1",
+      "almond antique burnished rose metallic", "2", "1173.15", "1", "1",
+      "0")))
+    assert(got.contains(Seq("Manufacturer#1",
+      "almond antique chartreuse lavender yellow", "34", "1753.76", "2",
+      "2", "32")))
+    assert(got.contains(Seq("Manufacturer#1",
+      "almond antique salmon chartreuse burlywood", "6", "1602.59", "3",
+      "3", "-28")))
+  }
+
   test("char_comparison.q: padded comparisons, leading vs trailing space") {
     def one(sql: String): Boolean =
       spark.sql(s"SELECT $sql").head().getBoolean(0)

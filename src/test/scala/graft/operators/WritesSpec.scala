@@ -66,6 +66,52 @@ class WritesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("LOAD DATA moves files in; OVERWRITE replaces; _copy_N on clash") {
+    val base = tmp()
+    val table = s"$base/t"
+    val stage1 = s"$base/stage1"; val stage2 = s"$base/stage2"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(stage1)
+    Seq((2L, "b")).toDF("id", "v").write.parquet(stage2)
+    Writes.loadData(spark, stage1, table)
+    assert(spark.read.parquet(table).count() === 1)
+    // second load APPENDS (and renames colliding file names)
+    Writes.loadData(spark, stage2, table)
+    assert(spark.read.parquet(table).orderBy("id")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a"), (2L, "b")))
+    // overwrite load replaces content
+    val stage3 = s"$base/stage3"
+    Seq((9L, "z")).toDF("id", "v").write.parquet(stage3)
+    Writes.loadData(spark, stage3, table, overwrite = true)
+    assert(spark.read.parquet(table).as[(Long, String)].collect().toSeq ===
+      Seq((9L, "z")))
+  }
+
+  test("LOAD DATA into a partition directory") {
+    val base = tmp()
+    val table = s"$base/t"
+    Seq((1L, "x")).toDF("id", "v").write
+      .parquet(s"$base/seed") // stage
+    Writes.loadData(spark, s"$base/seed", table,
+      partition = Seq("region" -> "us"))
+    val got = spark.read.parquet(table)
+    assert(got.columns.toSet === Set("id", "v", "region"))
+    assert(got.head().getAs[String]("region") === "us")
+  }
+
+  test("EXPORT then IMPORT round-trips data and schema descriptor") {
+    val base = tmp()
+    val table = s"$base/t"
+    Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "v", "w")
+      .write.parquet(table)
+    Writes.exportTable(spark, table, s"$base/exp")
+    assert(new java.io.File(s"$base/exp/_metadata").exists())
+    val schema = Writes.importTable(spark, s"$base/exp", s"$base/t2")
+    assert(schema.fieldNames.toSeq === Seq("id", "v", "w"))
+    assert(spark.read.parquet(s"$base/t2").orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq ===
+      Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+  }
+
   test("multiInsert fans one scan into several sinks") {
     val base = tmp()
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
