@@ -42,24 +42,47 @@ case class HiveHash(children: Seq[Expression])
 }
 
 object HiveHash {
-  def hashValue(v: Any, dt: DataType): Int = v match {
-    case null => 0
-    case b: Boolean => if (b) 1 else 0
-    case b: Byte => b.toInt
-    case s: Short => s.toInt
-    case i: Int => i
-    case l: Long => ((l >>> 32) ^ l).toInt
-    case f: Float => java.lang.Float.floatToIntBits(f)
-    case d: Double =>
+  def hashValue(v: Any, dt: DataType): Int = (v, dt) match {
+    case (null, _) => 0
+    // TIMESTAMP: TimestampWritable.hashCode (serde2/io/TimestampWritable
+    // .java:406-411) — seconds<<30 | nanos, folded. Spark's value is
+    // epoch micros; Hive's nanos part only ever holds micro precision
+    // here, so the two agree exactly.
+    case (l: Long, TimestampType) =>
+      val seconds = Math.floorDiv(l, 1000000L)
+      val nanos = Math.floorMod(l, 1000000L) * 1000L
+      val x = (seconds << 30) | nanos
+      ((x >>> 32) ^ x).toInt
+    // DECIMAL: HiveDecimalWritable.hashCode -> normalized (trailing
+    // zeros stripped) BigDecimal.hashCode
+    // (storage-api/.../common/type/HiveDecimal.java normalization)
+    case (d: org.apache.spark.sql.types.Decimal, _) =>
+      d.toJavaBigDecimal.stripTrailingZeros().hashCode()
+    // BINARY: BytesWritable.hashCode = WritableComparator.hashBytes
+    // (seed 1, 31-fold)
+    case (b: Array[Byte], _) =>
+      var r = 1
+      var i = 0
+      while (i < b.length) { r = 31 * r + b(i); i += 1 }
+      r
+    case (b: Boolean, _) => if (b) 1 else 0
+    case (b: Byte, _) => b.toInt
+    case (s: Short, _) => s.toInt
+    // covers INT and DATE (DateWritable.hashCode = daysSinceEpoch,
+    // which IS Spark's DateType value)
+    case (i: Int, _) => i
+    case (l: Long, _) => ((l >>> 32) ^ l).toInt
+    case (f: Float, _) => java.lang.Float.floatToIntBits(f)
+    case (d: Double, _) =>
       val a = java.lang.Double.doubleToLongBits(d)
       ((a >>> 32) ^ a).toInt
-    case s: UTF8String =>
+    case (s: UTF8String, _) =>
       val bytes = s.getBytes
       var r = 0
       var i = 0
       while (i < bytes.length) { r = r * 31 + bytes(i); i += 1 }
       r
-    case other =>
+    case (other, _) =>
       throw new IllegalArgumentException(
         s"hive_hash: unsupported type $dt ($other)")
   }

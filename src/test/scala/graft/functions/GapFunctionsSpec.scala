@@ -76,6 +76,26 @@ class GapFunctionsSpec extends SparkSpec {
     assert(r.getAs[Int]("h_multi") === 31 * 1 + 'a'.toInt)
   }
 
+  test("hive_hash covers date/timestamp/decimal/binary writable contracts") {
+    val r = spark.sql("""SELECT
+        hive_hash(DATE '1970-01-02') AS h_date,
+        hive_hash(TIMESTAMP '1970-01-01 00:00:01Z') AS h_ts,
+        hive_hash(CAST(1.5 AS DECIMAL(4,2))) AS h_dec,
+        hive_hash(CAST(1.50 AS DECIMAL(6,4))) AS h_dec_norm,
+        hive_hash(CAST(X'0102' AS BINARY)) AS h_bin""").head()
+    // DateWritable.hashCode = daysSinceEpoch
+    assert(r.getAs[Int]("h_date") === 1)
+    // TimestampWritable.hashCode: (seconds<<30 | nanos) folded
+    val x = 1L << 30
+    assert(r.getAs[Int]("h_ts") === ((x >>> 32) ^ x).toInt)
+    // HiveDecimal normalizes trailing zeros -> same hash at any scale
+    val bd = new java.math.BigDecimal("1.5").hashCode
+    assert(r.getAs[Int]("h_dec") === bd)
+    assert(r.getAs[Int]("h_dec_norm") === bd)
+    // BytesWritable.hashCode: 31-fold, seed 1
+    assert(r.getAs[Int]("h_bin") === 31 * (31 * 1 + 1) + 2)
+  }
+
   test("uniontype round-trip via tagged-struct encoding") {
     val df = Seq((0, 42, "ignored"), (1, -1, "hello")).toDF("tag", "i", "s")
     val u = df.select(GapFunctions.createUnion($"tag", $"i", $"s").as("u"))
