@@ -104,8 +104,12 @@ object Ingest {
           .filter(col("__rn") === 1).drop("__rn")
         val dest = new org.apache.hadoop.fs.Path(destPath)
         val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(dest))
-          deduped.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+        // Overwrite (not ErrorIfExists): a crashed first-batch attempt
+        // can leave a partial directory behind; re-creating from the
+        // replayed batch is the idempotent recovery
+        if (!fs.exists(dest) ||
+            fs.listStatus(dest).forall(!_.getPath.getName.endsWith(".parquet")))
+          deduped.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(destPath)
         else
           graft.operators.MergeInto.merge(spark, destPath, deduped, key)

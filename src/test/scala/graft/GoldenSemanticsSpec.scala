@@ -188,6 +188,68 @@ class GoldenSemanticsSpec extends SparkSpec {
     assert(got === Seq(1, 2, 3))
   }
 
+  // ql/src/test/queries/clientpositive/join_nullsafe.q fixture
+  // (data/files/in8.txt: ^A-delimited, empty field = NULL)
+  private lazy val myinput1 = {
+    val df = Seq[(Option[Int], Option[Int])](
+      (None, None), (None, Some(10)), (Some(10), None), (None, Some(35)),
+      (Some(48), None), (Some(100), Some(100)))
+      .toDF("key", "value")
+    df.createOrReplaceTempView("myinput1")
+    df
+  }
+
+  test("join_nullsafe.q: <=> matches NULL keys in inner joins (golden)") {
+    myinput1
+    assert(sorted(
+      "select * from myinput1 a join myinput1 b on a.key<=>b.value")
+      === golden("""
+        10 NULL NULL 10
+        100 100 100 100
+        NULL 10 10 NULL
+        NULL 10 48 NULL
+        NULL 10 NULL NULL
+        NULL 35 10 NULL
+        NULL 35 48 NULL
+        NULL 35 NULL NULL
+        NULL NULL 10 NULL
+        NULL NULL 48 NULL
+        NULL NULL NULL NULL"""))
+  }
+
+  test("join_nullsafe.q: three-way all-null-safe join (golden)") {
+    myinput1
+    assert(sorted("""
+      select * from myinput1 a
+      join myinput1 b on a.key<=>b.value AND a.value<=>b.key
+      join myinput1 c on a.key<=>c.key AND a.value<=>c.value""")
+      === golden("""
+        10 NULL NULL 10 10 NULL
+        100 100 100 100 100 100
+        NULL 10 10 NULL NULL 10
+        NULL NULL NULL NULL NULL NULL"""))
+  }
+
+  test("join_nullsafe.q: LEFT OUTER with <=> preserves unmatched 48 (golden)") {
+    myinput1
+    assert(sorted("""
+      select * from myinput1 a LEFT OUTER JOIN myinput1 b
+      on a.key<=>b.value""")
+      === golden("""
+        10 NULL NULL 10
+        100 100 100 100
+        48 NULL NULL NULL
+        NULL 10 10 NULL
+        NULL 10 48 NULL
+        NULL 10 NULL NULL
+        NULL 35 10 NULL
+        NULL 35 48 NULL
+        NULL 35 NULL NULL
+        NULL NULL 10 NULL
+        NULL NULL 48 NULL
+        NULL NULL NULL NULL"""))
+  }
+
   // ql/src/test/queries/clientpositive/windowing.q fixture: the 26-row
   // part_tiny table, read straight from the reference's data/files
   // (^A-delimited; same LOAD the .q performs)
