@@ -101,13 +101,14 @@ object Dedup {
         // recomputed over the SURVIVING shingles so Jaccard stays a
         // true ratio of the filtered shingle space (identical docs
         // still score 1.0 under any cap).
-        val freq = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("shingle")
-        val filtered = sh0.select("id", "shingle").join(freq, "shingle")
-        // post-cap sizes via one window pass (single shuffle on id)
-        // instead of a groupBy + join-back (two)
-        filtered.withColumn("sz",
-            count(lit(1)).over(Window.partitionBy("id")))
+        // anti-join against the (small) hot-shingle list — AQE
+        // broadcasts it, so the main shingle stream is filtered without
+        // shuffling — then post-cap sizes via one window pass on id
+        val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("shingle")
+        sh0.select("id", "shingle")
+          .join(hot, Seq("shingle"), "left_anti")
+          .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
           .select("id", "shingle", "sz")
       case None => sh0
     }
