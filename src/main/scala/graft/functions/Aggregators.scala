@@ -59,6 +59,95 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
+  /** Output row of the Hive ngrams family: the gram as a token array +
+    * estimated frequency (ql/udf/generic/GenericUDAFnGrams.java output
+    * inspector). */
+  case class NgramFreq(ngram: Seq[String], estfrequency: Double)
+
+  private val Sep = ""
+
+  private def topK(m: Map[String, Long], k: Int): Seq[NgramFreq] =
+    m.toSeq.sortBy { case (g, c) => (-c, g) }.take(k)
+      .map { case (g, c) => NgramFreq(g.split(Sep).toSeq, c.toDouble) }
+
+  private def bounded(m: Map[String, Long], cap: Int): Map[String, Long] =
+    if (m.size <= cap * 2) m
+    else m.toSeq.sortBy { case (g, c) => (-c, g) }.take(cap).toMap
+
+  /** Hive `ngrams(array<array<string>>, n, k)` UDAF
+    * (GenericUDAFnGrams.java): top-k n-grams per sentence list; the
+    * buffer is frequency-bounded like Hive's precision factor. */
+  class NgramsAgg(n: Int, k: Int, cap: Int = 4096)
+      extends Aggregator[Seq[Seq[String]], TopKBuf, Seq[NgramFreq]] {
+    override def zero: TopKBuf = TopKBuf(Map.empty)
+    override def reduce(b: TopKBuf, sentences: Seq[Seq[String]]): TopKBuf = {
+      var m = b.counts
+      if (sentences != null) sentences.foreach { s =>
+        if (s != null && s.length >= n) {
+          var i = 0
+          while (i <= s.length - n) {
+            val g = s.slice(i, i + n).mkString(Sep)
+            m = m.updated(g, m.getOrElse(g, 0L) + 1L)
+            i += 1
+          }
+        }
+      }
+      TopKBuf(bounded(m, cap))
+    }
+    override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
+      TopKBuf(bounded(b.counts.foldLeft(a.counts) { case (acc, (g, c)) =>
+        acc.updated(g, acc.getOrElse(g, 0L) + c)
+      }, cap))
+    override def finish(r: TopKBuf): Seq[NgramFreq] = topK(r.counts, k)
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    override def outputEncoder: Encoder[Seq[NgramFreq]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Hive `context_ngrams(array<array<string>>, array(pattern...), k)`
+    * (GenericUDAFContextNGrams.java): nulls in the pattern are holes;
+    * top-k hole fillers where the fixed words match. */
+  class ContextNgramsAgg(pattern: Seq[Option[String]], k: Int,
+                         cap: Int = 4096)
+      extends Aggregator[Seq[Seq[String]], TopKBuf, Seq[NgramFreq]] {
+    private val len = pattern.length
+    override def zero: TopKBuf = TopKBuf(Map.empty)
+    override def reduce(b: TopKBuf, sentences: Seq[Seq[String]]): TopKBuf = {
+      var m = b.counts
+      if (sentences != null) sentences.foreach { s =>
+        if (s != null && s.length >= len) {
+          var i = 0
+          while (i <= s.length - len) {
+            var ok = true
+            var j = 0
+            while (ok && j < len) {
+              pattern(j) match {
+                case Some(w) => ok = s(i + j) == w
+                case None =>
+              }
+              j += 1
+            }
+            if (ok) {
+              val g = pattern.zipWithIndex
+                .collect { case (None, j2) => s(i + j2) }.mkString(Sep)
+              m = m.updated(g, m.getOrElse(g, 0L) + 1L)
+            }
+            i += 1
+          }
+        }
+      }
+      TopKBuf(bounded(m, cap))
+    }
+    override def merge(a: TopKBuf, b: TopKBuf): TopKBuf =
+      TopKBuf(bounded(b.counts.foldLeft(a.counts) { case (acc, (g, c)) =>
+        acc.updated(g, acc.getOrElse(g, 0L) + c)
+      }, cap))
+    override def finish(r: TopKBuf): Seq[NgramFreq] = topK(r.counts, k)
+    override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    override def outputEncoder: Encoder[Seq[NgramFreq]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** Register SQL-callable forms (Hive: CREATE TEMPORARY FUNCTION;
     * ref ql/parse/FunctionSemanticAnalyzer.java). */
   def register(spark: SparkSession): Unit = {

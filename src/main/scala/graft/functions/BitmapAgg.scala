@@ -67,5 +67,15 @@ object BitmapAgg {
     spark.udf.register("bitmap_or", (a: Seq[Long], b: Seq[Long]) => or(a, b))
     spark.udf.register("bitmap_count", (a: Seq[Long]) => cardinality(a))
     spark.udf.register("bitmap_empty", (a: Seq[Long]) => isEmpty(a))
+    // the reference's registry names for the same family
+    // (ql/exec/FunctionRegistry.java:441-445; set semantics per
+    // README — the wire format is the sparse word array, not javaewah)
+    spark.udf.register("ewah_bitmap",
+      org.apache.spark.sql.functions.udaf(new BitmapAggregator))
+    spark.udf.register("ewah_bitmap_and",
+      (a: Seq[Long], b: Seq[Long]) => and(a, b))
+    spark.udf.register("ewah_bitmap_or",
+      (a: Seq[Long], b: Seq[Long]) => or(a, b))
+    spark.udf.register("ewah_bitmap_empty", (a: Seq[Long]) => isEmpty(a))
   }
 }

@@ -159,6 +159,24 @@ object GapFunctions {
     reg.createOrReplaceTempFunction("block__offset__inside__file",
       _ => org.apache.spark.sql.catalyst.expressions.InputFileBlockStart(),
       "built-in")
+    // Hive's FLOOR(ts TO unit) internals (FunctionRegistry.java:209-217,
+    // GenericUDFFloorCeilBase) — each is date_trunc at that unit
+    Seq("day", "hour", "minute", "month", "quarter", "second", "week",
+      "year").foreach { unit =>
+      reg.createOrReplaceTempFunction(s"floor_$unit",
+        exprs => org.apache.spark.sql.catalyst.expressions.TruncTimestamp(
+          Literal(unit.toUpperCase), exprs.head), "built-in")
+    }
+    // logged_in_user (FunctionRegistry.java:205) == session user
+    reg.createOrReplaceTempFunction("logged_in_user",
+      _ => org.apache.spark.sql.catalyst.expressions.CurrentUser(),
+      "built-in")
+    // Hive registers the bracket operator as function "index"
+    // (FunctionRegistry.java:300): 0-based array element / map value —
+    // exactly Spark's extract-value semantics
+    reg.createOrReplaceTempFunction("index",
+      exprs => org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+        exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("fingerprint64",
       exprs => Fingerprint64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("hive_hash",

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
 import org.apache.spark.sql.catalyst.expressions.{ArrayRepeat, ArraySort, BloomFilterMightContain, CaseWhen, Cast, CreateNamedStruct, Expression, GreaterThan, Inline, LambdaFunction, LessThan, Literal, ParseUrl, UnresolvedNamedLambdaVariable}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL-callable table functions + sketch-filter pair from the reference's
@@ -102,7 +102,85 @@ object TableFunctions {
       "in_bloom_filter(value, bloom)")
   }
 
+  private def constInt(e: Expression, what: String): Int =
+    if (e.foldable) e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be a constant integer, got $other")
+    } else throw new IllegalArgumentException(s"$what must be constant")
+
+  /** Hive ngrams take array<string> or array<array<string>> (sentences
+    * output); normalize to the sentence-list shape. */
+  private def asSentences(e: Expression): Expression = e.dataType match {
+    case ArrayType(ArrayType(StringType, _), _) => e
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.expressions.CreateArray(Seq(e))
+    case other => throw new IllegalArgumentException(
+      s"ngrams expects array<string> or array<array<string>>, got $other")
+  }
+
+  private def udafExpr[I](
+      agg: org.apache.spark.sql.expressions.Aggregator[I, _, _],
+      enc: org.apache.spark.sql.Encoder[I], child: Expression): Expression = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.eagerExpression(
+      org.apache.spark.sql.functions.udaf(agg, enc)(
+        GraftSqlShim.column(child)))
+  }
+
+  private def sentEnc =
+    org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[Seq[Seq[String]]]()
+
+  /** Hive `ngrams(sentences, n, k[, pf])` UDAF as a SQL name
+    * (FunctionRegistry.java:438, GenericUDAFnGrams.java). The optional
+    * precision factor is accepted and ignored (fixed buffer cap). */
+  def ngramsBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length >= 3, "ngrams(sentences, n, k[, pf])")
+    udafExpr(new Aggregators.NgramsAgg(constInt(exprs(1), "ngrams n"),
+      constInt(exprs(2), "ngrams k")), sentEnc, asSentences(exprs(0)))
+  }
+
+  /** Hive `context_ngrams(sentences, array(pattern...), k[, pf])`
+    * (FunctionRegistry.java:439, GenericUDAFContextNGrams.java). */
+  def contextNgramsBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length >= 3, "context_ngrams(sentences, pattern, k[, pf])")
+    require(exprs(1).foldable, "context_ngrams pattern must be constant")
+    val arr = exprs(1).eval()
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val pattern = (0 until arr.numElements()).map(i =>
+      if (arr.isNullAt(i)) None else Some(arr.getUTF8String(i).toString))
+    udafExpr(new Aggregators.ContextNgramsAgg(pattern,
+      constInt(exprs(2), "context_ngrams k")), sentEnc,
+      asSentences(exprs(0)))
+  }
+
+  /** Hive `create_union(tag, v0, v1, ...)` / `extract_union(u[, tag])`
+    * (FunctionRegistry.java:459-460) over the engine's tagged-struct
+    * uniontype encoding (see GapFunctions.createUnion). */
+  def createUnionBuilder(exprs: Seq[Expression]): Expression =
+    CreateNamedStruct(Literal("tag") +: exprs.head +:
+      exprs.tail.zipWithIndex.flatMap { case (e, i) =>
+        Seq(Literal(s"field$i"), e)
+      })
+
+  def extractUnionBuilder(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(u) => u
+    case Seq(u, tag) => org.apache.spark.sql.catalyst.analysis
+      .UnresolvedExtractValue(u, Literal(s"field${constInt(tag, "tag")}"))
+    case _ => throw new IllegalArgumentException("extract_union(u[, tag])")
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+    ("ngrams", ngramsBuilder _,
+      "ngrams(sentences, n, k) - top-k n-grams with frequencies"),
+    ("context_ngrams", contextNgramsBuilder _,
+      "context_ngrams(sentences, pattern, k) - top-k context fillers"),
+    ("create_union", createUnionBuilder _,
+      "create_union(tag, v0, ...) - tagged-struct uniontype value"),
+    ("extract_union", extractUnionBuilder _,
+      "extract_union(u[, tag]) - uniontype alternatives"),
     ("parse_url_tuple", parseUrlTupleBuilder _,
       "parse_url_tuple(url, part1, ...) - one column per URL part"),
     ("replicate_rows", replicateRowsBuilder _,

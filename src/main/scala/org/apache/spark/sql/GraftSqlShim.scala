@@ -11,4 +11,11 @@ object GraftSqlShim {
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Eagerly converts the Column's node tree to a Catalyst expression.
+    * Needed when an expression built from Column API (e.g. a typed UDAF
+    * invocation) is returned from a FunctionRegistry builder — the lazy
+    * ColumnNodeExpression wrapper would never be converted there. */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
