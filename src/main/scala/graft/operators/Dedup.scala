@@ -142,8 +142,9 @@ object Dedup {
   val RowsPerBand: Int = NumHashes / Bands
 
   /** Deterministic (a, b) parameters: fixed-seed 64-bit LCG, no runtime
-    * randomness — signatures are reproducible across runs/clusters. */
-  private[operators] val perms: Seq[(Long, Long)] = {
+    * randomness — signatures are reproducible across runs/clusters
+    * (and by the oracle, which re-derives them into SQL). */
+  private[graft] val perms: Seq[(Long, Long)] = {
     var s = 0x5DEECE66DL
     def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L
       (s >>> 16) % (P - 1) }
@@ -152,12 +153,15 @@ object Dedup {
 
   /** 64-slot MinHash signature per doc: shingle -> 31-bit base hash ->
     * 64 affine permutations -> columnar min per slot (64 codegen'd agg
-    * expressions; one shuffle on doc id). */
+    * expressions; one shuffle on doc id). The base hash is the engine's
+    * own FNV-1a fingerprint (not a Spark-internal hash) so signatures
+    * are reproducible by any engine, including the oracle. */
   def minhashSignatures(docs: DataFrame, n: Int = 3,
                         textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame = {
     val sh = shingles(docs, n, textCol, idCol)
-      .withColumn("h", pmod(xxhash64(col("shingle")), lit(P)))
+      .withColumn("h", pmod(
+        graft.functions.GapFunctions.fingerprint64(col("shingle")), lit(P)))
     val mins = perms.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(P))).as(s"m$i")
     }
@@ -279,15 +283,18 @@ object Dedup {
   // --- SimHash ---------------------------------------------------------
 
   /** 64-bit SimHash per document: token-frequency-weighted bit votes of
-    * xxhash64(token); 64 codegen'd sum expressions, one shuffle on doc
-    * id. Near-dup = small Hamming distance. */
+    * fingerprint64(token); 64 codegen'd sum expressions, one shuffle on
+    * doc id. Near-dup = small Hamming distance. The token hash is the
+    * engine's own FNV-1a expression (not a Spark-internal hash) so the
+    * full signature is reproducible by any engine — the DuckDB oracle
+    * recomputes it from first principles. */
   def simhash(docs: DataFrame, textCol: String = "text",
               idCol: String = "doc_id"): DataFrame = {
     val tf = docs
       .select(col(idCol).as("id"),
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .groupBy("id", "tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", graft.functions.GapFunctions.fingerprint64(col("tok")))
     val votes = (0 until 64).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("cnt"))
         .otherwise(-col("cnt"))).as(s"v$i")

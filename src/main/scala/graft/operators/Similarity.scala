@@ -117,8 +117,9 @@ object Similarity {
       .presentSorted("vec_a", "vec_b")
   }
 
-  /** Deterministic pseudo-random hyperplanes (fixed-seed LCG). */
-  private def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+  /** Deterministic pseudo-random hyperplanes (fixed-seed LCG) — also
+    * re-derived into the oracle's SQL, so keep it stable. */
+  private[graft] def planes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
     var s = 0x9E3779B97F4A7C15L
     def next(): Double = {
       s = s * 6364136223846793005L + 1442695040888963407L

@@ -59,10 +59,66 @@ object Pipeline {
     WHERE CAST(ni AS DOUBLE)/(sa.n + sb.n - ni) >= 0.05
     ORDER BY doc_a, doc_b"""
 
-  /** MinHash LSH dedup — Spark-hash-based, verified by JaccardSpec
-    * invariants (candidates ⊆ exact pairs at the same threshold). */
+  /** MinHash LSH dedup. Ground-truth oracle: the 64 affine-permutation
+    * slot minima are recomputed in SQL from the SAME (a,b) constants
+    * (interpolated below from Dedup.perms), candidate pairs come from
+    * direct band-slot equality (what the engine's bucket hash encodes),
+    * and candidates are verified with exact Jaccard — the full LSH
+    * pipeline checked end to end, not just its invariants. */
   def q_dedup_minhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashDedup(t(spark, dir)("documents"), threshold = 0.05)
+
+  val q_dedup_minhash_sql: String = {
+    val fnv = """list_reduce(
+        list_prepend(CAST(14695981039346656037 AS HUGEINT),
+          list_transform(range(1, length(s) + 1),
+            i -> CAST(unicode(s[i]) AS HUGEINT))),
+        (acc, b) -> ((acc - acc % 256 +
+                      xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+                     * 1099511628211) % 18446744073709551616)"""
+    val slotMins = Dedup.perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min((h * CAST($a AS BIGINT) + $b) % 2147483647) AS m$i"
+    }.mkString(",\n             ")
+    val bandEq = (0 until Dedup.Bands).map { bi =>
+      (0 until Dedup.RowsPerBand)
+        .map(r => s"a.m${bi * Dedup.RowsPerBand + r} = " +
+          s"b.m${bi * Dedup.RowsPerBand + r}")
+        .mkString("(", " AND ", ")")
+    }.mkString("\n          OR ")
+    s"""
+    WITH toks AS (SELECT doc_id,
+                         string_split_regex(trim(text), '\\s+') AS l
+                  FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    generate_series(1, len(l) - 2),
+                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]))) AS s
+           FROM toks WHERE len(l) >= 3),
+    hh AS (SELECT doc_id, s,
+             CAST((((CASE WHEN hu >= 9223372036854775808
+                     THEN hu - 18446744073709551616 ELSE hu END)
+                    % 2147483647) + 2147483647) % 2147483647 AS BIGINT) AS h
+           FROM (SELECT doc_id, s, $fnv AS hu FROM sh)),
+    sigs AS (SELECT doc_id,
+             $slotMins
+             FROM hh GROUP BY doc_id),
+    cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+             WHERE $bandEq),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    exact AS (SELECT da AS doc_a, db AS doc_b,
+                     CAST(ni AS DOUBLE)/(sa.n + sb.n - ni) AS jaccard
+              FROM inter JOIN sizes sa ON sa.doc_id = da
+                         JOIN sizes sb ON sb.doc_id = db
+              WHERE CAST(ni AS DOUBLE)/(sa.n + sb.n - ni) >= 0.05)
+    SELECT e.doc_a, e.doc_b, e.jaccard
+    FROM exact e JOIN cand c
+      ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+    ORDER BY e.doc_a, e.doc_b"""
+  }
 
   /** End-to-end corpus dedup: pairs -> transitive groups -> survivors.
     * Oracle: the same exact-Jaccard pair graph closed transitively with
@@ -103,6 +159,38 @@ object Pipeline {
 
   def q_dedup_simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(t(spark, dir)("documents")).presentSorted("id")
+
+  /** Ground-truth SimHash: FNV-1a per token (HUGEINT modular math),
+    * frequency-weighted bit votes, 64-bit signature — byte-for-byte the
+    * operator's contract, derived independently. */
+  val q_dedup_simhash_sql: String = """
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+                  FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS cnt
+           FROM (SELECT doc_id, unnest(l) AS tok FROM toks)
+           GROUP BY doc_id, tok),
+    fp AS (SELECT doc_id, cnt, list_reduce(
+             list_prepend(CAST(14695981039346656037 AS HUGEINT),
+               list_transform(range(1, length(tok) + 1),
+                 i -> CAST(unicode(tok[i]) AS HUGEINT))),
+             (acc, b) -> ((acc - acc % 256 +
+                           xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+                          * 1099511628211) % 18446744073709551616) AS hu
+           FROM tf),
+    votes AS (SELECT doc_id, i,
+                     sum(CASE WHEN (hu // CAST(power(2, i) AS HUGEINT)) % 2
+                            = 1 THEN cnt ELSE -cnt END) AS v
+              FROM fp CROSS JOIN range(0, 64) AS r(i)
+              GROUP BY doc_id, i),
+    sig AS (SELECT doc_id,
+                   sum(CASE WHEN v > 0 THEN CAST(power(2, i) AS HUGEINT)
+                       ELSE CAST(0 AS HUGEINT) END) AS hu
+            FROM votes GROUP BY doc_id)
+    SELECT doc_id AS id,
+           CAST(CASE WHEN hu >= 9223372036854775808
+                THEN hu - 18446744073709551616 ELSE hu END AS BIGINT)
+             AS simhash
+    FROM sig ORDER BY id"""
 
   def q_text_stats(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.textStats(t(spark, dir)("documents")).presentSorted("doc_id")
@@ -163,10 +251,30 @@ object Pipeline {
     SELECT gram, count(*) AS cnt FROM g
     GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20"""
 
-  /** fingerprint64 — custom codegen'd expression; Spark-only, covered by
-    * FingerprintSpec's known-value assertions. */
+  /** fingerprint64 — custom codegen'd expression. The oracle recomputes
+    * FNV-1a from first principles in SQL (HUGEINT modular arithmetic
+    * over the normalized text's bytes; the corpus is ASCII so
+    * codepoints ARE the UTF-8 bytes), so the hash contract itself is
+    * ground-truth-checked, not just self-consistent. */
   def q_text_fingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(t(spark, dir)("documents")).presentSorted("doc_id")
+
+  val q_text_fingerprint_sql: String = """
+    WITH n AS (SELECT doc_id,
+                      regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+               FROM documents),
+    h AS (SELECT doc_id, list_reduce(
+            list_prepend(CAST(14695981039346656037 AS HUGEINT),
+              list_transform(range(1, length(s) + 1),
+                i -> CAST(unicode(s[i]) AS HUGEINT))),
+            (acc, b) -> ((acc - acc % 256 +
+                          xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+                         * 1099511628211) % 18446744073709551616) AS hu
+          FROM n)
+    SELECT doc_id,
+           CAST(CASE WHEN hu >= 9223372036854775808
+                THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS fp
+    FROM h ORDER BY doc_id"""
 
   def q_sim_topk(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir)("embeddings")
@@ -202,10 +310,51 @@ object Pipeline {
              sqrt(list_dot_product(b.v, b.v))) >= 0.4
     ORDER BY vec_a, vec_b"""
 
-  /** LSH-bucketed ANN — recall vs brute force asserted in SimilaritySpec. */
+  /** LSH-bucketed ANN. Ground-truth oracle: the 16 hyperplanes are
+    * interpolated below from the SAME fixed-seed generator, band
+    * buckets recomputed from dot-product signs (bit-exact sequential
+    * folds on both engines), candidates from bucket equality, then the
+    * exact cosine ranking — the whole approximate index checked end to
+    * end. SimilaritySpec additionally pins recall vs brute force. */
   def q_sim_lsh(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir)("embeddings")
     Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5)
+  }
+
+  val q_sim_lsh_sql: String = {
+    val nPlanes = 16; val bands = 4; val rows = 4; val dim = 64
+    val ps = Similarity.planes(nPlanes, dim)
+    def planeArr(i: Int): String =
+      ps(i).map(_.toString).mkString("[", ", ", "]")
+    val buckets = (0 until bands).map { b =>
+      (0 until rows).map { r =>
+        val i = b * rows + r
+        s"(CASE WHEN list_dot_product(v, ${planeArr(i)}) > 0 " +
+          s"THEN ${1 << r} ELSE 0 END)"
+      }.mkString("(", " +\n          ", s") AS k$b")
+    }.mkString(",\n        ")
+    val bandOr = (0 until bands).map(b => s"q.k$b = c.k$b")
+      .mkString(" OR ")
+    s"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (SELECT vec_id, v,
+        $buckets
+      FROM e),
+    q AS (SELECT * FROM sig WHERE vec_id < 10),
+    cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+             FROM q JOIN sig c ON c.vec_id <> q.vec_id
+             WHERE $bandOr),
+    scored AS (SELECT cand.query_id, cand.neighbor_id,
+        list_dot_product(qe.v, ce.v) /
+          (sqrt(list_dot_product(qe.v, qe.v)) *
+           sqrt(list_dot_product(ce.v, ce.v))) AS cos_sim
+      FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+                JOIN e ce ON ce.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
+      FROM scored)
+    WHERE rnk <= 5 ORDER BY query_id, rnk"""
   }
 
   /** context_ngrams: top fillers after 'the' (Hive
@@ -309,6 +458,36 @@ object Pipeline {
     Multimodal.extractFeatures(
       Multimodal.mediaTable(t(spark, dir)("documents"))).presentSorted("doc_id")
 
+  /** The decode step is a stub, but it is a DETERMINISTIC stub — so the
+    * whole mapPartitions plumbing (schema, batching, per-byte feature
+    * math) is ground-truth checked by recomputing the same byte
+    * statistics in SQL (ASCII corpus: codepoints are the bytes;
+    * wrapping 64-bit checksum via HUGEINT modular fold). */
+  val q_multimodal_sql: String = """
+    WITH b AS (SELECT doc_id, length(text) AS n,
+                      list_transform(range(1, length(text) + 1),
+                        i -> unicode(text[i])) AS bs
+               FROM documents),
+    agg AS (SELECT doc_id, n,
+      list_reduce(list_prepend(CAST(17 AS HUGEINT),
+          list_transform(bs, x -> CAST(x AS HUGEINT))),
+        (h, x) -> (h * 31 + x) % 18446744073709551616) AS cs,
+      list_sum(bs) AS sb,
+      len(list_filter(bs, x -> x % 4 = 0)) AS h0,
+      len(list_filter(bs, x -> x % 4 = 1)) AS h1,
+      len(list_filter(bs, x -> x % 4 = 2)) AS h2,
+      len(list_filter(bs, x -> x % 4 = 3)) AS h3
+      FROM b)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN cs >= 9223372036854775808
+                THEN cs - 18446744073709551616 ELSE cs END AS BIGINT)
+             AS checksum,
+           CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(sb AS DOUBLE) / n END AS mean_byte,
+           CAST(h0 AS DOUBLE) AS f0, CAST(h1 AS DOUBLE) AS f1,
+           CAST(h2 AS DOUBLE) AS f2, CAST(h3 AS DOUBLE) AS f3
+    FROM agg ORDER BY doc_id"""
+
   /** Bloom-prefiltered exact dedup: build a bloom filter over the
     * duplicate content hashes (tiny side), probe every document against
     * it BEFORE the exact semijoin — the Hive semijoin-reduction pattern
@@ -385,6 +564,11 @@ object Pipeline {
     "q_dedup_corpus" -> q_dedup_corpus_sql,
     "q_asof" -> q_asof_sql,
     "q_matchpath" -> q_matchpath_sql,
+    "q_text_fingerprint" -> q_text_fingerprint_sql,
+    "q_dedup_simhash" -> q_dedup_simhash_sql,
+    "q_dedup_minhash" -> q_dedup_minhash_sql,
+    "q_sim_lsh" -> q_sim_lsh_sql,
+    "q_multimodal" -> q_multimodal_sql,
     "q_text_stats" -> q_text_stats_sql,
     "q_text_langid" -> q_text_langid_sql,
     "q_text_ngrams" -> q_text_ngrams_sql,
