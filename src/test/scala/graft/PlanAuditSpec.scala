@@ -88,6 +88,40 @@ class PlanAuditSpec extends SparkSpec {
       s"single-partition window in ivfTopK plan: $w"))
   }
 
+  test("AQE splits a planted skewed join at runtime (SkewJoinResolver " +
+      "replacement)") {
+    // one key holds ~90% of the left side; with small skew thresholds
+    // the runtime re-planner must mark the sort-merge join skew-handled
+    val conf = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      import spark.implicits._
+      val left = spark.range(0, 200000)
+        .select((when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id")))
+          .as("k"), col("id").as("payload"))
+      val right = spark.range(0, 1000).select(col("id").as("k"),
+        (col("id") * 2).as("v"))
+      val joined = left.join(right, "k")
+      // materialize THIS Dataset's query execution (count() would spawn
+      // a separate one and leave this adaptive plan unexecuted).
+      // 180000 rows collapse onto k=7; of the id%10==0 rows only
+      // multiples of 10 below 1000 find a right match
+      assert(joined.collect().length === 180100)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew="),
+        s"expected a skew-handled join in the adaptive plan:\n" +
+          finalPlan.take(1500))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("semi/anti joins plan as joins, not subquery re-execution") {
     assert(plan("q_join_semi").contains("LeftSemi"))
     assert(plan("q_join_anti").contains("LeftAnti"))
