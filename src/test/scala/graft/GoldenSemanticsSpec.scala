@@ -170,6 +170,92 @@ class GoldenSemanticsSpec extends SparkSpec {
         NULL"""))
   }
 
+  // ql/src/test/queries/clientpositive/groupby_grouping_sets_grouping.q
+  // fixture (data/files/groupby_groupingid.txt) — NULL VALUES in the
+  // grouping columns, so data-nulls and aggregate-nulls coexist and
+  // only grouping()/grouping_id() tells them apart
+  private lazy val t1g = {
+    val df = Seq[(Option[Int], Option[Int])]((Some(1), None),
+      (Some(1), Some(1)), (Some(2), Some(2)), (Some(3), Some(3)),
+      (Some(3), None), (Some(4), Some(5))).toDF("key", "value")
+    df.createOrReplaceTempView("t1_grouping")
+    df
+  }
+
+  test("groupby_grouping_sets_grouping.q: rollup with data-nulls — " +
+      "grouping() separates them from aggregate nulls") {
+    t1g
+    // Hive's `grouping__id` virtual column == grouping_id()
+    assert(sorted("""
+      select key, value, grouping_id(), grouping(key), grouping(value)
+      from t1_grouping group by rollup(key, value)""")
+      === golden("""
+        1 1 0 0 0
+        1 NULL 0 0 0
+        1 NULL 1 0 1
+        2 2 0 0 0
+        2 NULL 1 0 1
+        3 3 0 0 0
+        3 NULL 0 0 0
+        3 NULL 1 0 1
+        4 5 0 0 0
+        4 NULL 1 0 1
+        NULL NULL 3 1 1"""))
+  }
+
+  test("groupby_grouping_sets_grouping.q: cube variant (golden)") {
+    t1g
+    assert(sorted("""
+      select key, value, grouping_id(), grouping(key), grouping(value)
+      from t1_grouping group by cube(key, value)""")
+      === golden("""
+        1 1 0 0 0
+        1 NULL 0 0 0
+        1 NULL 1 0 1
+        2 2 0 0 0
+        2 NULL 1 0 1
+        3 3 0 0 0
+        3 NULL 0 0 0
+        3 NULL 1 0 1
+        4 5 0 0 0
+        4 NULL 1 0 1
+        NULL 1 2 1 0
+        NULL 2 2 1 0
+        NULL 3 2 1 0
+        NULL 5 2 1 0
+        NULL NULL 2 1 0
+        NULL NULL 3 1 1"""))
+  }
+
+  test("groupby_grouping_sets_grouping.q: grouping() in HAVING (golden)") {
+    t1g
+    assert(sorted("""
+      select key, value from t1_grouping
+      group by cube(key, value) having grouping(key) = 1""")
+      === golden("""
+        NULL 1
+        NULL 2
+        NULL 3
+        NULL 5
+        NULL NULL
+        NULL NULL"""))
+    assert(sorted("""
+      select key, value, grouping(key) + grouping(value) as x
+      from t1_grouping group by cube(key, value)
+      having grouping(key) + grouping(value) > 0""")
+      === golden("""
+        1 NULL 1
+        2 NULL 1
+        3 NULL 1
+        4 NULL 1
+        NULL 1 1
+        NULL 2 1
+        NULL 3 1
+        NULL 5 1
+        NULL NULL 1
+        NULL NULL 2"""))
+  }
+
   test("lateral_view.q: multiple lateral views form a cartesian product") {
     val got = spark.sql("""
       SELECT myTable.myCol, myTable2.myCol2 FROM (SELECT 1 AS k)
