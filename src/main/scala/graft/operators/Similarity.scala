@@ -62,7 +62,15 @@ object Similarity {
     * [[cosinePairsBlocked]]. */
   def cosinePairs(corpus: DataFrame, threshold: Double,
                   idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame = {
+                  vecCol: String = "embedding"): DataFrame =
+    cosinePairsRaw(corpus, threshold, idCol, vecCol)
+      .presentSorted("vec_a", "vec_b")
+
+  /** Unsorted pair stream — the composable core (downstream operators
+    * keep full parallelism). */
+  def cosinePairsRaw(corpus: DataFrame, threshold: Double,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
     val base = corpus.select(col(idCol).as("vec_a"),
         asDouble(col(vecCol)).as("va"))
       .withColumn("na", sqrt(dot(col("va"), col("va"))))
@@ -72,7 +80,27 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-      .presentSorted("vec_a", "vec_b")
+  }
+
+  /** Embedding-cosine near-dup corpus dedup: pairs above the cosine
+    * threshold -> transitive groups (distributed min-label propagation,
+    * see Dedup.connectedComponents) -> keep the smallest id per group.
+    * `blocked = true` (the 100 TB default) generates candidate pairs
+    * via LSH band blocking instead of the exact O(n²) scan. */
+  def dedupEmbeddings(corpus: DataFrame, threshold: Double,
+                      blocked: Boolean = true,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val pairs =
+      (if (blocked)
+        cosinePairsBlockedRaw(corpus, threshold, idCol = idCol,
+          vecCol = vecCol)
+      else cosinePairsRaw(corpus, threshold, idCol, vecCol))
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val groups = Dedup.connectedComponents(pairs)
+    val losers = groups.filter(col("doc_id") =!= col("group_id"))
+      .select(col("doc_id"))
+    corpus.join(losers, corpus(idCol) === losers("doc_id"), "left_anti")
   }
 
   /** Embedding near-dup pairs at corpus scale: LSH band-bucket blocking
@@ -86,7 +114,15 @@ object Similarity {
   def cosinePairsBlocked(corpus: DataFrame, threshold: Double,
                          nPlanes: Int = 24, bands: Int = 8, dim: Int = 64,
                          idCol: String = "vec_id",
-                         vecCol: String = "embedding"): DataFrame = {
+                         vecCol: String = "embedding"): DataFrame =
+    cosinePairsBlockedRaw(corpus, threshold, nPlanes, bands, dim, idCol,
+      vecCol).presentSorted("vec_a", "vec_b")
+
+  /** Unsorted blocked-pair stream (composable core). */
+  def cosinePairsBlockedRaw(corpus: DataFrame, threshold: Double,
+                            nPlanes: Int = 24, bands: Int = 8,
+                            dim: Int = 64, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
     require(nPlanes % bands == 0)
     val rows = nPlanes / bands
     val sig = lshSignature(asDouble(col(vecCol)), nPlanes, dim)
@@ -114,7 +150,6 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-      .presentSorted("vec_a", "vec_b")
   }
 
   /** Deterministic pseudo-random hyperplanes (fixed-seed LCG) — also

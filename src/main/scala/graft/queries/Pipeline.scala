@@ -357,6 +357,34 @@ object Pipeline {
     WHERE rnk <= 5 ORDER BY query_id, rnk"""
   }
 
+  /** Embedding-cosine near-dup corpus dedup: cosine pairs -> transitive
+    * groups -> survivors. The oracle runs the exact pair graph through
+    * a recursive-CTE closure; the query uses the exact (unblocked) path
+    * so both sides see the same graph — SimilaritySpec separately pins
+    * the blocked candidate generator against this exact path. */
+  def q_dedup_embedding(spark: SparkSession, dir: String): DataFrame =
+    Similarity.dedupEmbeddings(t(spark, dir)("embeddings"),
+        threshold = 0.4, blocked = false)
+      .select(col("vec_id")).presentSorted("vec_id")
+
+  val q_dedup_embedding_sql: String = """
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                         FROM embeddings),
+    pairs AS (SELECT a.vec_id AS u, b.vec_id AS w
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+              WHERE list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) *
+                     sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+    edges AS (SELECT u, w FROM pairs UNION SELECT w, u FROM pairs),
+    reach(node, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT ed.w, r.label FROM reach r JOIN edges ed ON ed.u = r.node),
+    labels AS (SELECT node, min(label) AS label FROM reach GROUP BY node)
+    SELECT vec_id FROM embeddings
+    WHERE vec_id NOT IN (SELECT node FROM labels WHERE node <> label)
+    ORDER BY vec_id"""
+
   /** context_ngrams: top fillers after 'the' (Hive
     * GenericUDAFContextNGrams re-expression). */
   def q_text_context_ngrams(spark: SparkSession, dir: String): DataFrame =
@@ -542,6 +570,7 @@ object Pipeline {
     "q_dedup_minhash" -> (q_dedup_minhash _),
     "q_dedup_corpus" -> (q_dedup_corpus _),
     "q_dedup_bloom" -> (q_dedup_bloom _),
+    "q_dedup_embedding" -> (q_dedup_embedding _),
     "q_dedup_simhash" -> (q_dedup_simhash _),
     "q_text_stats" -> (q_text_stats _),
     "q_text_langid" -> (q_text_langid _),
@@ -562,6 +591,7 @@ object Pipeline {
     "q_dedup_jaccard" -> q_dedup_jaccard_sql,
     "q_dedup_bloom" -> q_dedup_bloom_sql,
     "q_dedup_corpus" -> q_dedup_corpus_sql,
+    "q_dedup_embedding" -> q_dedup_embedding_sql,
     "q_asof" -> q_asof_sql,
     "q_matchpath" -> q_matchpath_sql,
     "q_text_fingerprint" -> q_text_fingerprint_sql,

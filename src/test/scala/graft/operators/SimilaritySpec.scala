@@ -85,6 +85,25 @@ class SimilaritySpec extends SparkSpec {
         s"recall ${blocked.length}/${exact.length}")
   }
 
+  test("dedupEmbeddings keeps one representative per cosine component") {
+    val exact = Similarity.dedupEmbeddings(emb, threshold = 0.4,
+      blocked = false).select("vec_id").as[Long].collect().toSet
+    // survivors + losers partition the corpus; every dropped vector has
+    // a surviving near-dup path (its component's min id survives)
+    assert(exact.nonEmpty && exact.size < emb.count())
+    val pairs = Similarity.cosinePairs(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // directly-linked near-dups never BOTH survive
+    pairs.foreach { case (a, b) =>
+      assert(!(exact.contains(a) && exact.contains(b)), s"($a,$b)")
+    }
+    // blocked path: survivors are a superset (LSH may miss pairs, which
+    // only UNDER-merges — it never drops a doc without a found dup)
+    val blocked = Similarity.dedupEmbeddings(emb, threshold = 0.4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(exact.subsetOf(blocked))
+  }
+
   test("lsh signatures deterministic across invocations") {
     val s1 = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 3), k = 3)
       .collect().toSeq
