@@ -52,6 +52,52 @@ object Multimodal {
     (checksum, mean, hist)
   }
 
+  /** Resize: media payload -> payload at a target resolution. The
+    * codec body is a STUB (deterministic byte subsampling standing in
+    * for a real scaler); the engine surface — binary-in/binary-out
+    * per-partition batching, metadata recomputation — is real. At
+    * 100 TB this runs wherever the scan runs; nothing shuffles. */
+  case class ResizedRow(doc_id: Long, media: Array[Byte], format: String,
+                        n_bytes: Long)
+
+  def resize(media: DataFrame, targetBytes: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media", "format", "n_bytes").as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val out =
+          if (r.media.length <= targetBytes) r.media
+          else { // stub scaler: stride-subsample to the target size
+            val stride = r.media.length.toDouble / targetBytes
+            Array.tabulate(targetBytes)(i => r.media((i * stride).toInt))
+          }
+        ResizedRow(r.doc_id, out, r.format, out.length.toLong)
+      }).toDF()
+  }
+
+  /** Frame sampling: one media payload -> n frame payloads, exploded to
+    * a row per frame (the shape a video pipeline feeds to per-frame
+    * feature extraction). Stub decoder: contiguous byte ranges stand in
+    * for decoded frames; the row explosion, frame indexing, and
+    * downstream-compatible schema are the real contract. */
+  case class FrameRow(doc_id: Long, frame_no: Int, media: Array[Byte],
+                      format: String, n_bytes: Long)
+
+  def sampleFrames(media: DataFrame, nFrames: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media", "format", "n_bytes").as[MediaRow]
+      .flatMap { r =>
+        val n = math.min(nFrames, math.max(1, r.media.length))
+        (0 until n).map { f =>
+          val from = r.media.length.toLong * f / n
+          val until = r.media.length.toLong * (f + 1) / n
+          val bytes = r.media.slice(from.toInt, until.toInt)
+          FrameRow(r.doc_id, f, bytes, r.format, bytes.length.toLong)
+        }
+      }.toDF()
+  }
+
   /** Batched per-partition feature extraction (mapPartitions is the
     * right tier here — the decode is genuinely imperative; everything
     * upstream/downstream stays in Catalyst). */

@@ -65,4 +65,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(f.map(_.getAs[Long]("checksum")).toSeq ===
       again.map(_.getAs[Long]("checksum")).toSeq)
   }
+
+  test("multimodal resize bounds payloads; schema/metadata stay coherent") {
+    val media = Multimodal.mediaTable(docs)
+    val out = Multimodal.resize(media, targetBytes = 10).collect()
+    out.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("media")
+      assert(bytes.length <= 10)
+      assert(r.getAs[Long]("n_bytes") === bytes.length.toLong)
+    }
+    // deterministic: same subsample on re-run
+    val again = Multimodal.resize(media, targetBytes = 10).collect()
+    assert(out.map(_.getAs[Array[Byte]]("media").toSeq).toSeq ===
+      again.map(_.getAs[Array[Byte]]("media").toSeq).toSeq)
+  }
+
+  test("multimodal frame sampling explodes one row per frame, " +
+      "partitioning the payload") {
+    val media = Multimodal.mediaTable(docs)
+    val frames = Multimodal.sampleFrames(media, nFrames = 4)
+      .orderBy("doc_id", "frame_no").collect()
+    val byDoc = frames.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.values.forall(_.length === 4))
+    // frames reassemble to the original payload, in order
+    val original = media.orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Array[Byte]]("media"))
+    original.foreach { case (id, bytes) =>
+      val re = byDoc(id).sortBy(_.getAs[Int]("frame_no"))
+        .flatMap(_.getAs[Array[Byte]]("media"))
+      assert(re.toSeq === bytes.toSeq)
+    }
+  }
 }
