@@ -29,16 +29,24 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // dead localCheckpoint blocks from finished queries are reclaimed
+    // by the ContextCleaner only after a driver GC; force one between
+    // phases so earlier reps' state never squeezes later ones
+    def drainDeadBlocks(): Unit = { System.gc(); Thread.sleep(500) }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(materialize(_, "/root/testdata/sf0.001")) // warmup
+    drainDeadBlocks()
     // two timed reps, report the min — steady-state per-query cost,
     // insulated from one-off GC/scheduler noise on a shared box
     val rep1 = names.map(n => n -> materialize(n, sfDir)).toMap
+    drainDeadBlocks()
     val results = names.map { n =>
       val t2 = materialize(n, sfDir)
       val t1 = rep1(n)
       n -> (if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
     }
+    drainDeadBlocks()
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -54,6 +54,11 @@ object Engine {
       // pre-AQE partition count modest so stage task counts match the
       // local core budget rather than a cluster's.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "32")
+      // iterative operators localCheckpoint transient state; the
+      // ContextCleaner only reclaims those blocks after a driver GC,
+      // and the default periodic GC (30 min) lets them pile up across
+      // many short queries in one JVM
+      .config("spark.cleaner.periodicGC.interval", "1min")
       // Hive 2.x arithmetic is non-ANSI (overflow wraps, bad casts -> NULL);
       // keep ANSI off so dialect-sensitive expressions match the reference.
       .config("spark.sql.ansi.enabled", "false")

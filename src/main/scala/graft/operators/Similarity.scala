@@ -89,12 +89,18 @@ object Similarity {
     * via LSH band blocking instead of the exact O(n²) scan. */
   def dedupEmbeddings(corpus: DataFrame, threshold: Double,
                       blocked: Boolean = true,
+                      nPlanes: Int = 24, bands: Int = 4,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
+    // default banding here is 4 bands x 6 rows: corpus dedup wants
+    // SELECTIVITY (64-value buckets shrink the candidate space ~16x vs
+    // 8-value) and accepts the lower per-pair recall — duplicate
+    // clusters are linked through many pairs, so the component usually
+    // survives a missed edge. Pass bands=8 to bias recall instead.
     val pairs =
       (if (blocked)
-        cosinePairsBlockedRaw(corpus, threshold, idCol = idCol,
-          vecCol = vecCol)
+        cosinePairsBlockedRaw(corpus, threshold, nPlanes, bands,
+          idCol = idCol, vecCol = vecCol)
       else cosinePairsRaw(corpus, threshold, idCol, vecCol))
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val groups = Dedup.connectedComponents(pairs)
@@ -163,13 +169,15 @@ object Similarity {
     Array.fill(nPlanes, dim)(next())
   }
 
-  /** Random-hyperplane LSH signature (sign bits packed into a long). */
+  /** Random-hyperplane LSH signature (sign bits packed into a long).
+    * Each projection is the codegen'd DotProduct against a literal
+    * plane array — same sequential fold (and therefore the same sign
+    * bits) as the interpreted HOF formulation it replaced, several
+    * times faster per vector. */
   def lshSignature(vec: Column, nPlanes: Int, dim: Int): Column = {
     val ps = planes(nPlanes, dim)
     (0 until nPlanes).map { i =>
-      val proj = aggregate(
-        zip_with(vec, array(ps(i).map(lit): _*), (x, w) => x * w),
-        lit(0d), (acc, x) => acc + x)
+      val proj = dot(vec, array(ps(i).map(lit): _*))
       when(proj > 0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
   }

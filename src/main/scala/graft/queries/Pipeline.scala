@@ -357,24 +357,45 @@ object Pipeline {
     WHERE rnk <= 5 ORDER BY query_id, rnk"""
   }
 
-  /** Embedding-cosine near-dup corpus dedup: cosine pairs -> transitive
-    * groups -> survivors. The oracle runs the exact pair graph through
-    * a recursive-CTE closure; the query uses the exact (unblocked) path
-    * so both sides see the same graph — SimilaritySpec separately pins
-    * the blocked candidate generator against this exact path. */
+  /** Embedding-cosine near-dup corpus dedup, on the LSH-BLOCKED scale
+    * path (the one a 100 TB corpus runs). The oracle recomputes the
+    * same pipeline exactly: hyperplane band buckets from the same
+    * generator constants, candidate pairs by bucket equality, exact
+    * cosine verification, recursive-CTE closure — deterministic on both
+    * engines, so even the approximate index hash-matches. */
   def q_dedup_embedding(spark: SparkSession, dir: String): DataFrame =
     Similarity.dedupEmbeddings(t(spark, dir)("embeddings"),
-        threshold = 0.4, blocked = false)
+        threshold = 0.4)
       .select(col("vec_id")).presentSorted("vec_id")
 
-  val q_dedup_embedding_sql: String = """
+  val q_dedup_embedding_sql: String = {
+    val nPlanes = 24; val bands = 4; val rows = 6; val dim = 64
+    val ps = Similarity.planes(nPlanes, dim)
+    def planeArr(i: Int): String =
+      ps(i).map(_.toString).mkString("[", ", ", "]")
+    val buckets = (0 until bands).map { b =>
+      (0 until rows).map { r =>
+        val i = b * rows + r
+        s"(CASE WHEN list_dot_product(v, ${planeArr(i)}) > 0 " +
+          s"THEN ${1 << r} ELSE 0 END)"
+      }.mkString("(", " +\n          ", s") AS k$b")
+    }.mkString(",\n        ")
+    val bandOr = (0 until bands).map(b => s"a.k$b = b.k$b").mkString(" OR ")
+    s"""
     WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v
                          FROM embeddings),
-    pairs AS (SELECT a.vec_id AS u, b.vec_id AS w
-              FROM e a JOIN e b ON a.vec_id < b.vec_id
-              WHERE list_dot_product(a.v, b.v) /
-                    (sqrt(list_dot_product(a.v, a.v)) *
-                     sqrt(list_dot_product(b.v, b.v))) >= 0.4),
+    sig AS (SELECT vec_id, v,
+        $buckets
+      FROM e),
+    cand AS (SELECT DISTINCT a.vec_id AS u, b.vec_id AS w
+             FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+             WHERE $bandOr),
+    pairs AS (SELECT u, w
+              FROM cand JOIN e ea ON ea.vec_id = u
+                        JOIN e eb ON eb.vec_id = w
+              WHERE list_dot_product(ea.v, eb.v) /
+                    (sqrt(list_dot_product(ea.v, ea.v)) *
+                     sqrt(list_dot_product(eb.v, eb.v))) >= 0.4),
     edges AS (SELECT u, w FROM pairs UNION SELECT w, u FROM pairs),
     reach(node, label) AS (
       SELECT u, u FROM edges
@@ -384,6 +405,7 @@ object Pipeline {
     SELECT vec_id FROM embeddings
     WHERE vec_id NOT IN (SELECT node FROM labels WHERE node <> label)
     ORDER BY vec_id"""
+  }
 
   /** context_ngrams: top fillers after 'the' (Hive
     * GenericUDAFContextNGrams re-expression). */
