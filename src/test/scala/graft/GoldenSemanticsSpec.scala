@@ -399,6 +399,48 @@ class GoldenSemanticsSpec extends SparkSpec {
       "3", "-28")))
   }
 
+  // ql/src/test/queries/clientpositive/count.q fixture
+  // (data/files/in4.txt, ^A-delimited, empty = NULL)
+  private lazy val abcd = {
+    val df = Seq[(Option[Int], Option[Int], Option[Int], Option[Int])](
+      (None, Some(35), Some(23), Some(6)), (Some(10), Some(1000),
+        Some(50), Some(1)), (Some(100), Some(100), Some(10), Some(3)),
+      (Some(12), None, Some(80), Some(2)), (Some(10), Some(100), None,
+        Some(5)), (Some(10), Some(100), Some(45), Some(4)),
+      (Some(12), Some(100), Some(75), Some(7))).toDF("a", "b", "c", "d")
+    df.createOrReplaceTempView("abcd")
+    df
+  }
+
+  test("count.q: grouped multi-DISTINCT over null-bearing columns") {
+    abcd
+    assert(sorted("""
+      select a, count(distinct b), count(distinct c), sum(d)
+      from abcd group by a""")
+      === golden("""
+        10 2 2 10
+        100 1 1 3
+        12 1 2 9
+        NULL 1 1 6"""))
+  }
+
+  test("count.q: the 21-aggregate sweep (multi-column DISTINCT null " +
+      "semantics)") {
+    abcd
+    // count(distinct x,y) counts tuples with NO null component — the
+    // golden encodes exactly which of the 15 column subsets drop rows
+    assert(sorted("""
+      select count(1), count(*), count(a), count(b), count(c), count(d),
+        count(distinct a), count(distinct b), count(distinct c),
+        count(distinct d), count(distinct a,b), count(distinct b,c),
+        count(distinct c,d), count(distinct a,d), count(distinct a,c),
+        count(distinct b,d), count(distinct a,b,c),
+        count(distinct b,c,d), count(distinct a,c,d),
+        count(distinct a,b,d), count(distinct a,b,c,d) from abcd""")
+      === golden(
+        "7 7 6 6 6 7 3 3 6 7 4 5 6 6 5 6 4 5 5 5 4"))
+  }
+
   test("char_comparison.q: padded comparisons, leading vs trailing space") {
     def one(sql: String): Boolean =
       spark.sql(s"SELECT $sql").head().getBoolean(0)
