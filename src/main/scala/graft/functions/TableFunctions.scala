@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
-import org.apache.spark.sql.catalyst.expressions.{ArrayRepeat, ArraySort, BloomFilterMightContain, CaseWhen, Cast, CreateNamedStruct, Expression, GreaterThan, Inline, LambdaFunction, LessThan, Literal, ParseUrl, UnresolvedNamedLambdaVariable}
+import org.apache.spark.sql.catalyst.expressions.{And, ArrayRepeat, ArraySort, AssertTrue, BloomFilterMightContain, CaseWhen, Cast, CreateNamedStruct, Expression, GreaterThan, GreaterThanOrEqual, If, Inline, LambdaFunction, LessThan, LessThanOrEqual, Literal, ParseUrl, UnresolvedNamedLambdaVariable}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -54,8 +54,16 @@ object TableFunctions {
     val fields = exprs.zipWithIndex.flatMap { case (e, i) =>
       Seq(Literal(s"col$i"), e)
     }
-    Inline(ArrayRepeat(CreateNamedStruct(fields),
-      Cast(exprs.head, IntegerType)))
+    // The Hive count is bigint; an unchecked narrow to int would wrap a
+    // count > Int.MaxValue (possibly to a negative value emitting zero
+    // rows). Range-check and fail loudly instead.
+    val nLong = Cast(exprs.head, LongType)
+    val inRange = And(GreaterThanOrEqual(nLong, Literal(Int.MinValue.toLong)),
+      LessThanOrEqual(nLong, Literal(Int.MaxValue.toLong)))
+    val checkedN = If(inRange, Cast(nLong, IntegerType),
+      Cast(new AssertTrue(inRange,
+        Literal("replicate_rows: count outside int range")), IntegerType))
+    Inline(ArrayRepeat(CreateNamedStruct(fields), checkedN))
   }
 
   /** Hive `sort_array_by(arr, 'field'[, 'ASC'|'DESC'])`

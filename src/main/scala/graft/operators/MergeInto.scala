@@ -65,8 +65,7 @@ object MergeInto {
     if (partitionCols.isEmpty) rewrite(spark, updated, path)
     else {
       val aff = t.filter(hit).select(partitionCols.map(col): _*).distinct()
-      rewritePartitions(spark, updated.join(aff, partitionCols, "left_semi"),
-        path, partitionCols)
+      rewritePartitions(spark, updated, path, partitionCols, aff)
     }
   }
 
@@ -79,8 +78,7 @@ object MergeInto {
     else {
       val aff = t.filter(coalesce(cond, lit(false)))
         .select(partitionCols.map(col): _*).distinct()
-      rewritePartitions(spark, keep.join(aff, partitionCols, "left_semi"),
-        path, partitionCols)
+      rewritePartitions(spark, keep, path, partitionCols, aff)
     }
   }
 
@@ -96,14 +94,16 @@ object MergeInto {
           "partition columns cannot be updated")
       case _ =>
     }
-    // Hive cardinality check: >1 source row per target match is an error
-    // (otherwise the same target row would be updated twice / multiplied)
-    val dups = source.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+    val t = spark.read.parquet(path)
+    // Hive cardinality check (enforce.cardinality.check): error only when
+    // multiple SOURCE rows match the same TARGET row. Duplicate keys among
+    // not-matched source rows are legal and insert multiple rows.
+    val dups = source.join(t.select(col(key)), Seq(key), "left_semi")
+      .groupBy(col(key)).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1).limit(1).count()
     if (dups > 0) throw new IllegalArgumentException(
-      s"MERGE cardinality violation: multiple source rows share key '$key'")
-
-    val t = spark.read.parquet(path)
+      s"MERGE cardinality violation: multiple source rows match one " +
+        s"target row on key '$key'")
     val tCols = t.columns.toSeq
     val sCols = source.columns.toSet
     val joined = t.alias("t").join(source.alias("s"),
@@ -151,8 +151,7 @@ object MergeInto {
         .select(partitionCols.map(c => col(s"t.$c").as(c)): _*)
       val affI = inserts.select(partitionCols.map(col): _*)
       val aff = affT.unionByName(affI).distinct()
-      rewritePartitions(spark, result.join(aff, partitionCols, "left_semi"),
-        path, partitionCols)
+      rewritePartitions(spark, result, path, partitionCols, aff)
     }
   }
 
@@ -179,24 +178,46 @@ object MergeInto {
     swapInto(fs, tmp, dst)
   }
 
-  /** Partition-scoped copy-on-write: stage only affected partitions,
-    * then swap each staged partition directory into the table. The
-    * table must be physically partitioned by `partitionCols` (written
-    * via Writes.writePartitioned). */
+  /** Partition-scoped copy-on-write: stage only the partitions in `aff`
+    * (the distinct affected partition tuples), then swap each staged
+    * partition directory into the table. A partition whose rows are ALL
+    * removed produces no staged directory — its live directory is
+    * deleted so the removed rows don't survive. The table must be
+    * physically partitioned by `partitionCols` (written via
+    * Writes.writePartitioned). `aff` is collected on the driver: it is
+    * the distinct partition-tuple set, bounded by partition count, not
+    * row count. */
   private def rewritePartitions(spark: SparkSession, df: DataFrame,
-                                path: String,
-                                partitionCols: Seq[String]): Unit = {
+                                path: String, partitionCols: Seq[String],
+                                aff: DataFrame): Unit = {
+    val affRows = aff.collect()
+    if (affRows.isEmpty) return // nothing matched or inserted: no-op
     val dst = new Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(path + "__cow_tmp")
-    df.write.mode(SaveMode.Overwrite)
+    val affLocal = spark.createDataFrame(
+      java.util.Arrays.asList(affRows: _*), aff.schema)
+    df.join(broadcast(affLocal), partitionCols, "left_semi")
+      .write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*).parquet(tmp.toString)
-    partitionDirs(fs, tmp, partitionCols.length).foreach { staged =>
-      val rel = staged.toUri.getPath.stripPrefix(tmp.toUri.getPath)
-        .stripPrefix("/")
-      val target = new Path(dst, rel)
-      fs.mkdirs(target.getParent)
-      swapInto(fs, staged, target)
+    val stagedRels = partitionDirs(fs, tmp, partitionCols.length).map {
+      staged =>
+        val rel = staged.toUri.getPath.stripPrefix(tmp.toUri.getPath)
+          .stripPrefix("/")
+        val target = new Path(dst, rel)
+        fs.mkdirs(target.getParent)
+        swapInto(fs, staged, target)
+        rel
+    }.toSet
+    // affected partitions that staged nothing were fully emptied:
+    // remove their live directories
+    affRows.foreach { row =>
+      val rel = partitionCols.map { c =>
+        val v = row.get(row.fieldIndex(c))
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(c, if (v == null) null else v.toString)
+      }.mkString("/")
+      if (!stagedRels.contains(rel)) fs.delete(new Path(dst, rel), true)
     }
     fs.delete(tmp, true)
   }

@@ -67,14 +67,17 @@ object Writes {
       case (p, (k, v)) => new org.apache.hadoop.fs.Path(p, s"$k=$v")
     }
     val destFs = destDir.getFileSystem(conf)
+    // Hive OVERWRITE clears the whole table/partition location,
+    // including stale subdirectories — not just top-level files
     if (overwrite && destFs.exists(destDir))
-      destFs.listStatus(destDir).filter(_.isFile)
-        .foreach(st => destFs.delete(st.getPath, false))
+      destFs.listStatus(destDir)
+        .foreach(st => destFs.delete(st.getPath, true))
     destFs.mkdirs(destDir)
     val files =
       if (fs.getFileStatus(srcPath).isDirectory)
         fs.listStatus(srcPath).filter(_.isFile).map(_.getPath)
       else Array(srcPath)
+    val sameFs = fs.getUri == destFs.getUri
     files.foreach { f =>
       var target = new org.apache.hadoop.fs.Path(destDir, f.getName)
       var n = 0
@@ -83,8 +86,14 @@ object Writes {
         target = new org.apache.hadoop.fs.Path(destDir,
           s"${f.getName}_copy_$n")
       }
-      if (!fs.rename(f, target))
-        throw new java.io.IOException(s"LOAD DATA: move $f -> $target failed")
+      if (sameFs) {
+        if (!fs.rename(f, target))
+          throw new java.io.IOException(
+            s"LOAD DATA: move $f -> $target failed")
+      } else if (!org.apache.hadoop.fs.FileUtil.copy(fs, f, destFs, target,
+          /* deleteSource = */ true, conf))
+        throw new java.io.IOException(
+          s"LOAD DATA: cross-filesystem move $f -> $target failed")
     }
   }
 

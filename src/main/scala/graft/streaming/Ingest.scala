@@ -89,16 +89,28 @@ object Ingest {
     * Exactly-once per key: replaying a batch after a crash re-applies
     * the same upserts idempotently (matched rows overwrite with the
     * same values, unmatched insert once). Batches are deduped on the
-    * key (last value wins within a batch) to satisfy MERGE's
-    * cardinality contract. */
+    * key to satisfy MERGE's cardinality contract: with `seqCol` the row
+    * with the highest sequence/event-time wins (true last-value-wins);
+    * without, the winner is the deterministic max tuple over the
+    * orderable payload columns (unorderable types like map are skipped,
+    * so they never break the sort). */
   def upsertSink(updates: DataFrame, destPath: String, key: String,
-                 checkpointDir: String): StreamingQuery =
+                 checkpointDir: String,
+                 seqCol: Option[String] = None): StreamingQuery =
     updates.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val rest = batch.columns.filterNot(_ == key).map(col)
+        val order: org.apache.spark.sql.Column = seqCol match {
+          case Some(s) => col(s).desc
+          case None =>
+            val orderable = batch.schema.fields.filter(f =>
+              f.name != key && org.apache.spark.sql.catalyst.expressions
+                .RowOrdering.isOrderable(f.dataType))
+            if (orderable.isEmpty) lit(1).asc
+            else struct(orderable.map(f => col(f.name)).toIndexedSeq: _*).desc
+        }
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(key).orderBy(struct(rest: _*).desc)
+          .partitionBy(key).orderBy(order)
         val deduped = batch
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")

@@ -104,6 +104,16 @@ class FunctionTailSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) === 3L && r.getString(1) === "x"))
   }
 
+  test("replicate_rows rejects counts outside int range") {
+    val e = intercept[Exception] {
+      spark.sql("""
+        SELECT n, v FROM (SELECT 5000000000 AS k, 'x' AS s)
+        LATERAL VIEW replicate_rows(k, s) t AS n, v""").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("int range") ||
+      Option(e.getCause).exists(_.getMessage.contains("int range")))
+  }
+
   test("sort_array_by as a SQL name (FunctionRegistry.java:456)") {
     val r = spark.sql("""
       SELECT sort_array_by(array(named_struct('k', 3, 'v', 'c'),

@@ -95,6 +95,17 @@ class MergeIntoSpec extends SparkSpec {
     assert(e.getMessage.contains("cardinality"))
   }
 
+  test("duplicate NOT-MATCHED source keys are legal and insert all rows") {
+    // Hive's enforce.cardinality.check only rejects multiple source rows
+    // matching the same TARGET row; unmatched duplicates insert.
+    val p = freshTable()
+    val src = Seq((9L, "x", 1.0), (9L, "y", 2.0)).toDF("id", "name", "amount")
+    MergeInto.merge(spark, p, src, "id")
+    val got = spark.read.parquet(p).filter($"id" === 9)
+      .select("name").as[String].collect().sorted.toSeq
+    assert(got === Seq("x", "y"))
+  }
+
   private def freshPartitioned(): String = {
     val p = s"${Files.createTempDirectory("graft_merge_part")}/t"
     Seq((1L, "us", 10.0), (2L, "us", 20.0), (3L, "eu", 30.0),
@@ -135,6 +146,36 @@ class MergeIntoSpec extends SparkSpec {
     val got = spark.read.parquet(p).select("id").as[Long].collect().sorted
     assert(got === Seq(1L, 3L, 4L))
     assert(partMtime(p, "ap") === apBefore)
+  }
+
+  test("deleting every row of a partition removes its directory") {
+    val p = freshPartitioned()
+    MergeInto.delete(spark, p, col("region") === "eu",
+      partitionCols = Seq("region"))
+    assert(!new java.io.File(s"$p/region=eu").exists())
+    val got = spark.read.parquet(p).select("id").as[Long].collect().sorted
+    assert(got === Seq(1L, 2L, 4L))
+  }
+
+  test("MERGE whose DeleteAction empties a partition removes it") {
+    val p = freshPartitioned()
+    val src = Seq((3L, "eu", 0.0), (5L, "ap", 50.0))
+      .toDF("id", "region", "amount")
+    MergeInto.mergeInto(spark, p, src, "id",
+      matched = Seq(MergeInto.DeleteAction()),
+      partitionCols = Seq("region"))
+    assert(!new java.io.File(s"$p/region=eu").exists())
+    val got = spark.read.parquet(p).select("id").as[Long].collect().sorted
+    assert(got === Seq(1L, 2L, 4L, 5L))
+  }
+
+  test("update matching nothing leaves all partition files untouched") {
+    val p = freshPartitioned()
+    val before = Seq("us", "eu", "ap").map(r => partMtime(p, r))
+    MergeInto.update(spark, p, col("id") === 999,
+      Map("amount" -> lit(0.0)), partitionCols = Seq("region"))
+    val after = Seq("us", "eu", "ap").map(r => partMtime(p, r))
+    assert(after === before)
   }
 
   test("updating a partition column is rejected") {

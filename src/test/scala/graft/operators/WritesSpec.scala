@@ -86,6 +86,20 @@ class WritesSpec extends SparkSpec {
       Seq((9L, "z")))
   }
 
+  test("LOAD DATA OVERWRITE clears stale subdirectories too") {
+    val base = tmp()
+    val table = s"$base/t"
+    // a stale partition-style subdir that keeps contributing rows if
+    // overwrite only removes top-level files
+    Seq((1L, "old")).toDF("id", "v").write.parquet(s"$table/stale=1")
+    val stage = s"$base/stage"
+    Seq((9L, "z")).toDF("id", "v").write.parquet(stage)
+    Writes.loadData(spark, stage, table, overwrite = true)
+    assert(!new java.io.File(s"$table/stale=1").exists())
+    assert(spark.read.parquet(table).as[(Long, String)].collect().toSeq ===
+      Seq((9L, "z")))
+  }
+
   test("LOAD DATA into a partition directory") {
     val base = tmp()
     val table = s"$base/t"

@@ -72,6 +72,26 @@ class IngestSpec extends SparkSpec {
     assert(spark.read.parquet(dst).count() === 3)
   }
 
+  test("upsertSink with seqCol: highest sequence wins, not max payload") {
+    val base = Files.createTempDirectory("graft_upsert_seq").toString
+    val src = s"$base/src"; val dst = s"$base/t"; val cp = s"$base/cp"
+    Files.createDirectories(Paths.get(src))
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("seq", LongType), StructField("amount", DoubleType)))
+    // the LATER row (seq=2) carries the SMALLER amount: max-tuple-wins
+    // would pick 20.0, last-value-wins must pick 5.0
+    writeBatch(src, "b1.json", Seq(
+      """{"id":1,"seq":1,"amount":20.0}""",
+      """{"id":1,"seq":2,"amount":5.0}"""))
+    val q = Ingest.upsertSink(
+      spark.readStream.schema(sch).json(src), dst, "id", cp,
+      seqCol = Some("seq"))
+    q.awaitTermination()
+    val got = spark.read.parquet(dst)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 2L, 5.0)))
+  }
+
   test("windowedCounts aggregates a file stream with watermark") {
     val base = Files.createTempDirectory("graft_window").toString
     val src = s"$base/src"
