@@ -112,20 +112,32 @@ object Dedup {
           .select("id", "shingle", "sz")
       case None => sh0
     }
-    val a = sh.select(col("id").as("doc_a"), col("shingle"),
-      col("sz").as("sa"))
-    val b = sh.select(col("id").as("doc_b"), col("shingle").as("shingle_b"),
-      col("sz").as("sb"))
+    // Inverted-index pair generation as ONE groupBy(shingle) instead of
+    // a self-join: the tokenize+shingle pipeline runs once (a self-join
+    // computes each side from scratch), the shingle stream shuffles once
+    // instead of twice, df=1 shingles (the long-tail majority of a real
+    // corpus) are dropped BEFORE any pair work, and the shingle strings
+    // are dropped at the group boundary so only (id, sz) longs flow on.
+    // Postings lists are bounded by maxShingleFreq at corpus scale.
+    val grouped = sh
+      .groupBy("shingle")
+      .agg(collect_list(struct(col("id"), col("sz"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select("ds")
     // size-ratio prefilter BEFORE the pair groupBy: since ni <= min(sa,
     // sb), jaccard <= min/max — pairs whose sizes alone cap jaccard
     // below the threshold never enter the shuffle-heavy co-occurrence
     // count. Exact: it only removes pairs that cannot pass the final
     // filter.
-    val inter = a.join(b,
-        col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b") &&
-          least(col("sa"), col("sb")) >=
-            lit(threshold) * greatest(col("sa"), col("sb")))
-      .groupBy("doc_a", "doc_b", "sa", "sb").agg(count(lit(1)).as("ni"))
+    val inter = grouped
+      .select(col("ds"), explode(col("ds")).as("a"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.id") < col("b.id") &&
+        least(col("a.sz"), col("b.sz")) >=
+          lit(threshold) * greatest(col("a.sz"), col("b.sz")))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        col("a.sz").as("sa"), col("b.sz").as("sb"))
+      .agg(count(lit(1)).as("ni"))
     inter
       .select(col("doc_a"), col("doc_b"),
         (col("ni").cast("double") / (col("sa") + col("sb") - col("ni")))
@@ -182,7 +194,9 @@ object Dedup {
 
   /** Candidate pairs from band buckets (distinct over bands). */
   def minhashCandidates(sigs: DataFrame): DataFrame = {
-    val bands = minhashBands(sigs)
+    // (band, bucket, id) longs feed both sides of the self-join; the
+    // lazy checkpoint runs the signature pipeline once, not twice
+    val bands = minhashBands(sigs).localCheckpoint(eager = false)
     val l = bands.select(col("band"), col("bucket"), col("id").as("doc_a"))
     val r = bands.select(col("band").as("band_r"),
       col("bucket").as("bucket_r"), col("id").as("doc_b"))
@@ -313,12 +327,15 @@ object Dedup {
                    textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
     val sigs = simhash(docs, textCol, idCol)
+    // 4 longs per band row; lazily checkpointed so the token-vote
+    // signature aggregation feeds both self-join sides from one pass
     val bands = sigs.select(col("id"), col("simhash"),
       explode(array((0 until 8).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * 8).bitwiseAND(255).as("bucket"))): _*))
         .as("e"))
       .select(col("id"), col("simhash"), col("e.band"), col("e.bucket"))
+      .localCheckpoint(eager = false)
     val l = bands.toDF("doc_a", "sig_a", "band", "bucket")
     val r = bands.toDF("doc_b", "sig_b", "band_r", "bucket_r")
     val ham = {

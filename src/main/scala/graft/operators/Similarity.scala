@@ -131,15 +131,19 @@ object Similarity {
                             vecCol: String = "embedding"): DataFrame = {
     require(nPlanes % bands == 0)
     val rows = nPlanes / bands
-    val sig = lshSignature(asDouble(col(vecCol)), nPlanes, dim)
-    val banded = corpus
-      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
-        sig.as("sig"))
-      .select(col("id"), col("v"), explode(array((0 until bands).map(b =>
+    // signatures are (id, long) — tiny — and feed BOTH sides of the
+    // band self-join below. The lazy checkpoint materializes the
+    // nPlanes-dot-product scan once instead of once per join side.
+    val sigs = corpus
+      .select(col(idCol).as("id"),
+        lshSignature(asDouble(col(vecCol)), nPlanes, dim).as("sig"))
+      .localCheckpoint(eager = false)
+    val banded = sigs
+      .select(col("id"), explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), b * rows)
             .bitwiseAND((1L << rows) - 1).as("bucket"))): _*)).as("e"))
-      .select(col("id"), col("v"), col("e.band"), col("e.bucket"))
+      .select(col("id"), col("e.band"), col("e.bucket"))
     // candidate IDs from bucket co-membership; dedup over bands BEFORE
     // vectors re-attach (the distinct shuffles 16-byte id pairs only)
     val l = banded.select(col("id").as("vec_a"), col("band"), col("bucket"))
@@ -148,8 +152,11 @@ object Similarity {
     val candIds = l.join(r, col("band") === col("band_r") &&
         col("bucket") === col("bucket_r") && col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
-    val va = banded.select(col("id").as("vec_a"), col("v").as("va"))
-      .distinct()
+    // vectors re-attach straight from the corpus scan (column-pruned,
+    // vectorized) — never from the exploded band stream, which would
+    // need a distinct() shuffle carrying full vectors
+    val va = corpus.select(col(idCol).as("vec_a"),
+        asDouble(col(vecCol)).as("va"))
       .withColumn("na", sqrt(dot(col("va"), col("va"))))
     val vb = va.toDF("vec_b", "vb", "nb")
     candIds.join(va, "vec_a").join(vb, "vec_b")
@@ -269,18 +276,17 @@ object Similarity {
               vecCol: String = "embedding"): DataFrame = {
     require(nPlanes % bands == 0)
     val rows = nPlanes / bands
-    def withBands(df: DataFrame, id: String, vec: String) = {
+    def withBands(df: DataFrame, id: String) = {
       val sig = lshSignature(asDouble(col(vecCol)), nPlanes, dim)
-      df.select(col(idCol).as(id), asDouble(col(vecCol)).as(vec),
-          sig.as("sig"))
-        .select(col(id), col(vec), explode(array((0 until bands).map(b =>
+      df.select(col(idCol).as(id), sig.as("sig"))
+        .select(col(id), explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
             shiftright(col("sig"), b * rows)
               .bitwiseAND((1L << rows) - 1).as("bucket"))): _*)).as("e"))
-        .select(col(id), col(vec), col("e.band"), col("e.bucket"))
+        .select(col(id), col("e.band"), col("e.bucket"))
     }
-    val c = withBands(corpus, "neighbor_id", "cv")
-    val q = withBands(queries, "query_id", "qv")
+    val c = withBands(corpus, "neighbor_id")
+    val q = withBands(queries, "query_id")
       .withColumnRenamed("band", "band_q")
       .withColumnRenamed("bucket", "bucket_q")
     // dedup candidate (query, neighbor) ID pairs BEFORE re-attaching the
@@ -291,8 +297,12 @@ object Similarity {
         col("band") === col("band_q") && col("bucket") === col("bucket_q") &&
           col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id")).distinct()
-    val qv = q.select(col("query_id"), col("qv")).distinct()
-    val cv = c.select(col("neighbor_id"), col("cv")).distinct()
+    // vectors re-attach from the original column-pruned scans, not from
+    // the exploded band stream (which would distinct() full vectors)
+    val qv = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     candIds.join(broadcast(qv), "query_id").join(cv, "neighbor_id")
