@@ -91,58 +91,70 @@ object Dedup {
   def jaccardPairsRaw(docs: DataFrame, threshold: Double, n: Int = 3,
                       maxShingleFreq: Option[Int] = None,
                       textCol: String = "text",
-                      idCol: String = "doc_id"): DataFrame = {
-    val sh0 = shinglesWithSize(docs, n, textCol, idCol)
-    val sh = maxShingleFreq match {
-      case Some(cap) =>
-        // stop-shingle cap: a shingle shared by f docs contributes
-        // O(f²) co-occurrence rows; dropping degenerate high-df
-        // shingles bounds the self-join fanout per key. Sizes are
-        // recomputed over the SURVIVING shingles so Jaccard stays a
-        // true ratio of the filtered shingle space (identical docs
-        // still score 1.0 under any cap).
-        // anti-join against the (small) hot-shingle list — AQE
-        // broadcasts it, so the main shingle stream is filtered without
-        // shuffling — then post-cap sizes via one window pass on id
-        val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select("shingle")
-        sh0.select("id", "shingle")
-          .join(hot, Seq("shingle"), "left_anti")
-          .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
-          .select("id", "shingle", "sz")
-      case None => sh0
-    }
-    // Inverted-index pair generation as ONE groupBy(shingle) instead of
-    // a self-join: the tokenize+shingle pipeline runs once (a self-join
-    // computes each side from scratch), the shingle stream shuffles once
-    // instead of twice, df=1 shingles (the long-tail majority of a real
-    // corpus) are dropped BEFORE any pair work, and the shingle strings
-    // are dropped at the group boundary so only (id, sz) longs flow on.
-    // Postings lists are bounded by maxShingleFreq at corpus scale.
-    val grouped = sh
-      .groupBy("shingle")
-      .agg(collect_list(struct(col("id"), col("sz"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
-      .select("ds")
-    // size-ratio prefilter BEFORE the pair groupBy: since ni <= min(sa,
-    // sb), jaccard <= min/max — pairs whose sizes alone cap jaccard
-    // below the threshold never enter the shuffle-heavy co-occurrence
-    // count. Exact: it only removes pairs that cannot pass the final
-    // filter.
-    val inter = grouped
-      .select(col("ds"), explode(col("ds")).as("a"))
-      .select(col("a"), explode(col("ds")).as("b"))
-      .filter(col("a.id") < col("b.id") &&
-        least(col("a.sz"), col("b.sz")) >=
-          lit(threshold) * greatest(col("a.sz"), col("b.sz")))
-      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        col("a.sz").as("sa"), col("b.sz").as("sb"))
-      .agg(count(lit(1)).as("ni"))
-    inter
-      .select(col("doc_a"), col("doc_b"),
-        (col("ni").cast("double") / (col("sa") + col("sb") - col("ni")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+                      idCol: String = "doc_id"): DataFrame = maxShingleFreq match {
+    // Both paths build the inverted index as ONE groupBy(shingle)
+    // instead of a self-join: the tokenize+shingle pipeline runs once
+    // (a self-join computes each side from scratch), the shingle stream
+    // shuffles once instead of twice, df=1 shingles (the long-tail
+    // majority of a real corpus) never reach pair generation, and the
+    // shingle strings are dropped at the group boundary so only id/size
+    // longs flow on.
+    case None =>
+      // exact path: per-doc sizes are known at explode time, so they
+      // ride inside the postings structs and the size-ratio prefilter
+      // runs BEFORE the pair groupBy: since ni <= min(sa, sb),
+      // jaccard <= min/max — pairs whose sizes alone cap jaccard below
+      // the threshold never enter the shuffle-heavy co-occurrence
+      // count. Exact: it only removes pairs that cannot pass the final
+      // filter.
+      val grouped = shinglesWithSize(docs, n, textCol, idCol)
+        .groupBy("shingle")
+        .agg(collect_list(struct(col("id"), col("sz"))).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select("ds")
+      grouped
+        .select(col("ds"), explode(col("ds")).as("a"))
+        .select(col("a"), explode(col("ds")).as("b"))
+        .filter(col("a.id") < col("b.id") &&
+          least(col("a.sz"), col("b.sz")) >=
+            lit(threshold) * greatest(col("a.sz"), col("b.sz")))
+        .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+          col("a.sz").as("sa"), col("b.sz").as("sb"))
+        .agg(count(lit(1)).as("ni"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("ni").cast("double") / (col("sa") + col("sb") - col("ni")))
+            .as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    case Some(cap) =>
+      // stop-shingle cap: a shingle shared by f docs contributes O(f²)
+      // co-occurrence rows; dropping degenerate high-df shingles bounds
+      // the fanout per key. The cap is applied AT the postings groupBy
+      // (no separate hot-list aggregation or anti-join pass), and
+      // per-doc sizes are recomputed from the surviving postings — an
+      // id-only shuffle — so Jaccard stays a true ratio of the filtered
+      // shingle space (identical docs still score 1.0 under any cap).
+      val groups = shingles(docs, n, textCol, idCol)
+        .groupBy("shingle").agg(collect_list(col("id")).as("ids"))
+        .filter(size(col("ids")) <= cap)
+        .select("ids")
+        .localCheckpoint(eager = false) // feeds sizes AND pair-gen once
+      val sizes = groups.select(explode(col("ids")).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("sz"))
+      val inter = groups.filter(size(col("ids")) >= 2)
+        .select(col("ids"), explode(col("ids")).as("a"))
+        .select(col("a"), explode(col("ids")).as("b"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a").as("doc_a"), col("b").as("doc_b"))
+        .agg(count(lit(1)).as("ni"))
+      // sizes re-attach on the post-aggregation pair stream (tiny
+      // relative to co-occurrences)
+      inter
+        .join(sizes.toDF("doc_a", "sa"), "doc_a")
+        .join(sizes.toDF("doc_b", "sb"), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (col("ni").cast("double") / (col("sa") + col("sb") - col("ni")))
+            .as("jaccard"))
+        .filter(col("jaccard") >= threshold)
   }
 
   // --- MinHash + LSH ---------------------------------------------------
@@ -242,10 +254,13 @@ object Dedup {
     val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
     val edges = p.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .union(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
-    var labels = edges.select(col("u").as("node"))
-      .union(edges.select(col("v").as("node")))
-      .distinct()
-      .withColumn("label", col("node"))
+    // init fused with round one: every node appears as `u` in the
+    // symmetric edge list, so one groupBy yields both the node set and
+    // its first min-label propagation (label = min(self, neighbors)) —
+    // a full distinct + join round cheaper than starting from
+    // label = node
+    var labels = edges.groupBy(col("u").as("node"))
+      .agg(least(col("node"), min(col("v"))).as("label"))
       .localCheckpoint()
     var converged = false
     var i = 0
