@@ -23,6 +23,7 @@ object SparkEntry {
       graft.queries.Generators.queries ++
       graft.queries.FunctionSweeps.queries ++
       graft.queries.Pipeline.queries ++
+      graft.queries.Curation.queries ++
       graft.queries.Subqueries.queries ++
       graft.queries.TypeSystem.queries
 
@@ -35,6 +36,7 @@ object SparkEntry {
       graft.queries.Generators.oracleSql ++
       graft.queries.FunctionSweeps.oracleSql ++
       graft.queries.Pipeline.oracleSql ++
+      graft.queries.Curation.oracleSql ++
       graft.queries.Subqueries.oracleSql ++
       graft.queries.TypeSystem.oracleSql
 }

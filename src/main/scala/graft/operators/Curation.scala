@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.functions.GapFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines (north-star
+  * extras, BASELINE.json): PII detection/redaction, intra-document
+  * repetition metrics, deterministic stratified sampling, and sequence
+  * packing.
+  *
+  * Scale design: PII and sampling are pure column expressions (one scan,
+  * no shuffle, whole-stage codegen — regexps and the codegen'd FNV
+  * fingerprint). Repetition is explode -> two-level partial agg keyed by
+  * (doc, gram) — the shuffle carries gram counts, never documents.
+  * Packing is one window pass per stratum: at 100 TB each language
+  * partitions independently and the running sum never leaves its
+  * executor except at stratum boundaries.
+  */
+object Curation {
+
+  /** Conservative pattern set, identical semantics under Java regex and
+    * RE2 (no lookaround/backrefs — both engines must agree for the
+    * oracle to hash-match). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Per-document PII hit counts + the redacted text (emails first so
+    * their digit runs can't be re-matched as phone/IP fragments). One
+    * scan, zero shuffle. */
+  def piiRedact(docs: DataFrame, textCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val txt = col(textCol)
+    def hits(re: String): Column =
+      size(regexp_extract_all(txt, lit(re), lit(0)))
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(txt, EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]"),
+        Ipv4Re, "[IP]")
+    docs.select(col(idCol),
+      hits(EmailRe).as("n_emails"),
+      hits(PhoneRe).as("n_phones"),
+      hits(Ipv4Re).as("n_ips"),
+      redacted.as("redacted"))
+  }
+
+  /** Per-document n-gram repetition profile (the Gopher-style "fraction
+    * of the doc that is its most repeated n-gram" quality signal): total
+    * n-grams, the dominant n-gram (count ties broken by smallest gram —
+    * deterministic under any partitioning), and its mass fraction.
+    * Explode -> partial agg on (doc, gram) -> one window pass per doc.
+    */
+  def repetitionStats(docs: DataFrame, n: Int = 2,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val grams = expr(
+      s"""transform(sequence(0, size(tks) - $n),
+            i -> array_join(slice(tks, i + 1, $n), ' '))""")
+    val counts = docs
+      .select(col(idCol).as("id"), toks.as("tks"))
+      .filter(size(col("tks")) >= n)
+      .select(col("id"), explode(grams).as("gram"))
+      .groupBy("id", "gram").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("id")
+    val byTop = Window.partitionBy("id")
+      .orderBy(col("cnt").desc, col("gram"))
+    counts
+      .withColumn("n_grams", sum(col("cnt")).over(w))
+      .withColumn("rk", row_number().over(byTop))
+      .filter(col("rk") === 1)
+      .select(col("id").as(idCol), col("n_grams"),
+        col("gram").as("top_gram"), col("cnt").as("top_cnt"),
+        (col("cnt").cast("double") / col("n_grams")).as("top_frac"))
+  }
+
+  /** Deterministic stratified sampling: a document is kept iff
+    * pmod(fingerprint64(stratum ':' id), 100) < its stratum's keep
+    * percentage. No randomness, no sort — the same rows survive on any
+    * cluster, any partitioning, any engine (the oracle replays the FNV
+    * fold in SQL). This is how a 100 TB pipeline downsamples
+    * overrepresented strata (e.g. English) in one scan. */
+  def stratifiedSample(docs: DataFrame, strataCol: String,
+                       pctByStratum: Map[String, Int], defaultPct: Int,
+                       idCol: String = "doc_id"): DataFrame = {
+    val bucket = pmod(GapFunctions.fingerprint64(
+      concat(col(strataCol), lit(":"), col(idCol).cast("string"))), lit(100))
+    val pct = pctByStratum.foldLeft(lit(defaultPct)) {
+      case (els, (s, p)) => when(col(strataCol) === s, lit(p)).otherwise(els)
+    }
+    docs.withColumn("bucket", bucket).filter(col("bucket") < pct)
+  }
+
+  /** Next-fit sequence packing: within each stratum, documents in id
+    * order are laid end-to-end and cut into fixed-size token windows;
+    * each doc reports its window (`seq_id`) and offset in it. One
+    * cumulative-sum window pass per stratum — the streaming layout a
+    * tokenizer-sharding job computes before writing training shards. */
+  def packSequences(docs: DataFrame, seqLen: Int,
+                    strataCol: String = "lang",
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val nToks = size(TextAnalysis.tokens(col(textCol)))
+    val w = Window.partitionBy(strataCol).orderBy(idCol)
+    docs
+      .select(col(idCol), col(strataCol), nToks.cast("long").as("n_tokens"))
+      .withColumn("start_off", coalesce(
+        sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col(idCol), col(strataCol), col("n_tokens"),
+        expr(s"start_off div $seqLen").as("seq_id"),
+        pmod(col("start_off"), lit(seqLen.toLong)).as("seq_off"))
+  }
+}
