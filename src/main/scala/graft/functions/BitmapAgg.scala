@@ -77,5 +77,10 @@ object BitmapAgg {
     spark.udf.register("ewah_bitmap_or",
       (a: Seq[Long], b: Seq[Long]) => or(a, b))
     spark.udf.register("ewah_bitmap_empty", (a: Seq[Long]) => isEmpty(a))
+    // actual EWAH64 RLW byte stream at the serialization boundary
+    // (see graft.functions.Ewah)
+    spark.udf.register("ewah_encode", (a: Seq[Long]) => Ewah.encode(a))
+    spark.udf.register("ewah_decode",
+      (b: Array[Byte]) => Ewah.decode(b))
   }
 }
