@@ -49,6 +49,27 @@ object Subqueries {
                           WHERE n_regionkey = 2)
     ORDER BY s_suppkey"""
 
+  /** NOT IN three-valued-logic edge (clientpositive/subquery_notin.q):
+    * one NULL anywhere in the subquery empties a NOT IN result — the
+    * classic warehouse-migration trap — while the same predicate over a
+    * null-free subquery behaves like an anti-join. Both variants in one
+    * result so the oracle pins both sides of the rule. */
+  def q_subquery_notin(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir)
+    spark.sql(q_subquery_notin_sql)
+  }
+
+  val q_subquery_notin_sql: String = """
+    SELECT 'no_nulls' AS variant, count(*) AS n FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 400000)
+    UNION ALL
+    SELECT 'with_null' AS variant, count(*) AS n FROM customer
+    WHERE c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 1000 = 0
+                                        THEN NULL ELSE o_custkey END
+                            FROM orders)
+    ORDER BY variant"""
+
   /** Correlated EXISTS with an inner aggregate guard (decorrelation). */
   def q_subquery_corr(spark: SparkSession, dir: String): DataFrame = {
     t(spark, dir)
@@ -274,6 +295,7 @@ object Subqueries {
     "q_join_theta" -> (q_join_theta _),
     "q_subquery_scalar" -> (q_subquery_scalar _),
     "q_subquery_in" -> (q_subquery_in _),
+    "q_subquery_notin" -> (q_subquery_notin _),
     "q_subquery_corr" -> (q_subquery_corr _),
     "q_cte" -> (q_cte _),
     "q_fn_numeric_edge" -> (q_fn_numeric_edge _),
@@ -287,6 +309,7 @@ object Subqueries {
     "q_join_theta" -> q_join_theta_sql,
     "q_subquery_scalar" -> q_subquery_scalar_sql,
     "q_subquery_in" -> q_subquery_in_sql,
+    "q_subquery_notin" -> q_subquery_notin_sql,
     "q_subquery_corr" -> q_subquery_corr_sql,
     "q_cte" -> q_cte_sql,
     "q_fn_numeric_edge" -> q_fn_numeric_edge_sql,

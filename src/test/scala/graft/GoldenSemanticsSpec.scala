@@ -441,6 +441,30 @@ class GoldenSemanticsSpec extends SparkSpec {
         "7 7 6 6 6 7 3 3 6 7 4 5 6 6 5 6 4 5 5 5 4"))
   }
 
+  // ql/src/test/queries/clientpositive/subquery_notin.q semantics:
+  // NOT IN is three-valued — one NULL in the subquery output makes
+  // every `x NOT IN (...)` predicate UNKNOWN, so the result is empty;
+  // NOT EXISTS over the same rows is unaffected
+  test("subquery_notin.q: a NULL in the subquery empties NOT IN") {
+    import spark.implicits._
+    Seq(Some(1), Some(2), Some(3)).toDF("k")
+      .createOrReplaceTempView("notin_outer")
+    Seq(Some(2), None).toDF("v").createOrReplaceTempView("notin_nullv")
+    Seq(Some(2)).toDF("v").createOrReplaceTempView("notin_clean")
+    assert(spark.sql(
+      "SELECT k FROM notin_outer WHERE k NOT IN (SELECT v FROM notin_nullv)")
+      .count() === 0)
+    assert(spark.sql(
+      "SELECT k FROM notin_outer WHERE k NOT IN (SELECT v FROM notin_clean)")
+      .as[Int].collect().sorted.toSeq === Seq(1, 3))
+    // NOT EXISTS is two-valued: the NULL row never equals k, so only
+    // k = 2 is excluded
+    assert(spark.sql("""
+      SELECT k FROM notin_outer o WHERE NOT EXISTS
+        (SELECT 1 FROM notin_nullv i WHERE i.v = o.k)""")
+      .as[Int].collect().sorted.toSeq === Seq(1, 3))
+  }
+
   test("char_comparison.q: padded comparisons, leading vs trailing space") {
     def one(sql: String): Boolean =
       spark.sql(s"SELECT $sql").head().getBoolean(0)
