@@ -122,6 +122,33 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("piiRedact and stratifiedSample are single-scan, shuffle-free") {
+    for (q <- Seq("q_pii_redact", "q_sample_stratified")) {
+      val p = plan(q)
+      // presentSorted contributes the single terminal repartition; the
+      // operator itself must add no exchange of its own
+      assert("Exchange".r.findAllIn(p).length <= 1, s"$q:\n${p.take(1200)}")
+      assert("Scan parquet".r.findAllIn(p).length === 1, s"$q scans once")
+    }
+  }
+
+  test("packSequences: one stratum exchange, one scan") {
+    val p = plan("q_pack_sequences")
+    // stratum hash exchange + terminal presentation shuffle only
+    assert("Exchange".r.findAllIn(p).length <= 2, p.take(1200))
+    assert("Scan parquet".r.findAllIn(p).length === 1)
+  }
+
+  test("jaccard inverted index reads the corpus exactly once") {
+    val df = graft.operators.Dedup.jaccardPairsRaw(
+      Engine.tables(spark, sfDir)("documents"), threshold = 0.05)
+    val p = df.queryExecution.executedPlan.toString
+    // the postings groupBy replaces the shingle self-join: a second
+    // "Scan parquet" would mean the tokenize+shingle pipeline (and the
+    // 100 TB scan under it) runs twice
+    assert("Scan parquet".r.findAllIn(p).length === 1, p.take(1500))
+  }
+
   test("semi/anti joins plan as joins, not subquery re-execution") {
     assert(plan("q_join_semi").contains("LeftSemi"))
     assert(plan("q_join_anti").contains("LeftAnti"))
