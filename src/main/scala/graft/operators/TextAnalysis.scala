@@ -105,6 +105,33 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Top-k characteristic terms per document by tf-idf. The idf is the
+    * rational N/df (log-free: ln is monotone, so per-term ordering is
+    * the classic one, and staying inside IEEE +,*,/ keeps the scores
+    * bit-identical across engines — the oracle hash-matches). Shape:
+    * explode -> (doc, term) partial agg -> broadcast df join -> one
+    * per-doc window; the corpus total rides in as a broadcast scalar,
+    * never a driver-side count. */
+  def tfidfTopTerms(docs: DataFrame, k: Int, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col(idCol)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .select(col("id"), col("term"),
+        (col("tf").cast("double") *
+          (col("n").cast("double") / col("df"))).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Top-k n-grams with counts (re-expression of Hive's `ngrams` UDAF as
     * explode -> partial-agg -> TakeOrderedAndProject; the shuffle carries
     * (gram, partial count) pairs, never documents). */

@@ -407,6 +407,37 @@ object Pipeline {
     ORDER BY vec_id"""
   }
 
+  /** Characteristic terms per document (tf-idf with rational idf —
+    * log-free so both engines produce bit-identical doubles). */
+  def q_text_tfidf(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(t(spark, dir)("documents"), k = 3)
+      .presentSorted("doc_id", "rnk")
+
+  val q_text_tfidf_sql: String = """
+    WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text),
+                    '\s+')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    s AS (SELECT tf.doc_id, tf.term,
+            CAST(tf.tf AS DOUBLE) * (CAST(n.n AS DOUBLE) / df.df) AS score
+          FROM tf JOIN df USING (term) CROSS JOIN n),
+    r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC, term) AS INT) AS rnk
+          FROM s)
+    SELECT doc_id, term, score, rnk FROM r WHERE rnk <= 3
+    ORDER BY doc_id, rnk"""
+
+  /** IVF (k-means inverted-file) ANN — the trained-quantizer scale
+    * path. Approximate by construction AND float-order-sensitive in its
+    * centroid averages, so Spark-deterministic rows-only; recall vs
+    * brute force is pinned by SimilaritySpec. */
+  def q_sim_ivf(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir)("embeddings")
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5)
+  }
+
   /** context_ngrams: top fillers after 'the' (Hive
     * GenericUDAFContextNGrams re-expression). */
   def q_text_context_ngrams(spark: SparkSession, dir: String): DataFrame =
@@ -604,6 +635,8 @@ object Pipeline {
     "q_sim_topk" -> (q_sim_topk _),
     "q_sim_pairs" -> (q_sim_pairs _),
     "q_sim_lsh" -> (q_sim_lsh _),
+    "q_sim_ivf" -> (q_sim_ivf _),
+    "q_text_tfidf" -> (q_text_tfidf _),
     "q_multimodal" -> (q_multimodal _),
     "q_agg_approx" -> (q_agg_approx _))
 
@@ -626,5 +659,6 @@ object Pipeline {
     "q_text_ngrams" -> q_text_ngrams_sql,
     "q_text_context_ngrams" -> q_text_context_ngrams_sql,
     "q_sim_topk" -> q_sim_topk_sql,
-    "q_sim_pairs" -> q_sim_pairs_sql)
+    "q_sim_pairs" -> q_sim_pairs_sql,
+    "q_text_tfidf" -> q_text_tfidf_sql)
 }
