@@ -56,16 +56,23 @@ object Bench {
     // per-query scheduling gaps the way a real engine serves concurrent
     // clients. Sequential min-of-2 stays the primary (baseline-
     // comparable) number.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val w0 = System.nanoTime()
-    val futs = names.map(n => scala.concurrent.Future(materialize(n, sfDir)))
-    scala.concurrent.Await.result(
-      scala.concurrent.Future.sequence(futs),
-      scala.concurrent.duration.Duration.Inf)
-    val wall = (System.nanoTime() - w0) / 1e9
-    pool.shutdown()
+    def concurrentDrain(): Double = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val w0 = System.nanoTime()
+      val futs = names.map(n => scala.concurrent.Future(materialize(n, sfDir)))
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration.Inf)
+      pool.shutdown()
+      (System.nanoTime() - w0) / 1e9
+    }
+    // min of two reps, like the sequential metric — a single drain is
+    // hostage to one bad GC pause on a shared box
+    val wall1 = concurrentDrain()
+    drainDeadBlocks()
+    val wall = math.min(wall1, concurrentDrain())
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"concurrent_wall":$wall,"concurrent_threads":4,"sf":"$sfDir"}""")
     spark.stop()
   }
