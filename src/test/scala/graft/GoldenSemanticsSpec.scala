@@ -465,6 +465,51 @@ class GoldenSemanticsSpec extends SparkSpec {
       .as[Int].collect().sorted.toSeq === Seq(1, 3))
   }
 
+  // ql/src/test/queries/clientpositive/order_null.q semantics: Hive
+  // (and Spark) default NULLS FIRST on ASC, NULLS LAST on DESC, with
+  // explicit NULLS FIRST/LAST overrides
+  test("order_null.q: default and explicit null ordering") {
+    import spark.implicits._
+    Seq(Some(2), None, Some(1)).toDF("v").createOrReplaceTempView("ord_n")
+    def run(sql: String): Seq[Option[Int]] =
+      spark.sql(sql).collect().toSeq
+        .map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(run("SELECT v FROM ord_n ORDER BY v")
+      === Seq(None, Some(1), Some(2)))
+    assert(run("SELECT v FROM ord_n ORDER BY v DESC")
+      === Seq(Some(2), Some(1), None))
+    assert(run("SELECT v FROM ord_n ORDER BY v ASC NULLS LAST")
+      === Seq(Some(1), Some(2), None))
+    assert(run("SELECT v FROM ord_n ORDER BY v DESC NULLS FIRST")
+      === Seq(None, Some(2), Some(1)))
+  }
+
+  // ql/src/test/queries/clientpositive/union_null.q: a bare NULL branch
+  // takes the other branch's type; mixed numeric branches promote
+  test("union_null.q: NULL literal and numeric type coercion in UNION") {
+    val u1 = spark.sql("SELECT 'a' AS x UNION ALL SELECT NULL")
+    assert(u1.schema("x").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(u1.collect().map(r => Option(r.getString(0))).toSet
+      === Set(Some("a"), None))
+    val u2 = spark.sql("SELECT 1 AS x UNION ALL SELECT 2.5")
+    assert(u2.schema("x").dataType.typeName.startsWith("decimal"))
+  }
+
+  // ql/src/test/queries/clientpositive/nullgroup.q: global aggregates
+  // over an empty relation produce one row (count 0, null min/max);
+  // grouped aggregates produce zero rows
+  test("nullgroup.q: aggregates over empty input") {
+    import spark.implicits._
+    Seq.empty[(Int, Int)].toDF("k", "v").createOrReplaceTempView("empty_t")
+    val g = spark.sql(
+      "SELECT count(*) AS c, min(v) AS mn, max(v) AS mx FROM empty_t")
+      .head()
+    assert(g.getLong(0) === 0L && g.isNullAt(1) && g.isNullAt(2))
+    assert(spark.sql(
+      "SELECT k, count(*) FROM empty_t GROUP BY k").count() === 0)
+  }
+
   test("char_comparison.q: padded comparisons, leading vs trailing space") {
     def one(sql: String): Boolean =
       spark.sql(s"SELECT $sql").head().getBoolean(0)
