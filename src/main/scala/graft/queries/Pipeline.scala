@@ -569,6 +569,90 @@ object Pipeline {
            CAST(h2 AS DOUBLE) AS f2, CAST(h3 AS DOUBLE) AS f3
     FROM agg ORDER BY doc_id"""
 
+  /** Resize plumbing end-to-end: stride-subsample stub scaler, then the
+    * same deterministic byte statistics as q_multimodal — the oracle
+    * recomputes the subsampled byte list and its folds in SQL, so the
+    * whole binary-in/binary-out mapPartitions tier is hash-checked. */
+  def q_multimodal_resize(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+        Multimodal.resize(
+          Multimodal.mediaTable(t(spark, dir)("documents")), targetBytes = 64))
+      .presentSorted("doc_id")
+
+  val q_multimodal_resize_sql: String = """
+    WITH b0 AS (SELECT doc_id, length(text) AS n0,
+                       list_transform(range(1, length(text) + 1),
+                         i -> unicode(text[i])) AS bs0
+                FROM documents),
+    rs AS (SELECT doc_id,
+             CASE WHEN n0 <= 64 THEN bs0
+                  ELSE list_transform(range(0, 64),
+                    i -> bs0[CAST(floor(i * (n0 / 64.0)) AS INT) + 1]) END
+               AS bs
+           FROM b0),
+    agg AS (SELECT doc_id, len(bs) AS n,
+      list_reduce(list_prepend(CAST(17 AS HUGEINT),
+          list_transform(bs, x -> CAST(x AS HUGEINT))),
+        (h, x) -> (h * 31 + x) % 18446744073709551616) AS cs,
+      list_sum(bs) AS sb,
+      len(list_filter(bs, x -> x % 4 = 0)) AS h0,
+      len(list_filter(bs, x -> x % 4 = 1)) AS h1,
+      len(list_filter(bs, x -> x % 4 = 2)) AS h2,
+      len(list_filter(bs, x -> x % 4 = 3)) AS h3
+      FROM rs)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN cs >= 9223372036854775808
+                THEN cs - 18446744073709551616 ELSE cs END AS BIGINT)
+             AS checksum,
+           CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(sb AS DOUBLE) / n END AS mean_byte,
+           CAST(h0 AS DOUBLE) AS f0, CAST(h1 AS DOUBLE) AS f1,
+           CAST(h2 AS DOUBLE) AS f2, CAST(h3 AS DOUBLE) AS f3
+    FROM agg ORDER BY doc_id"""
+
+  /** Frame-sample plumbing: one payload -> 4 contiguous byte-range
+    * "frames", one row each, digested per frame under a composite
+    * frame_id = doc_id * 4 + frame_no; the oracle slices the same
+    * ranges in SQL (every testdata doc is >= 4 bytes, so the frame
+    * count is always 4 on both sides). */
+  def q_multimodal_frames(spark: SparkSession, dir: String): DataFrame = {
+    val frames = Multimodal.sampleFrames(
+      Multimodal.mediaTable(t(spark, dir)("documents")), nFrames = 4)
+    Multimodal.extractFeatures(
+        frames.select((col("doc_id") * 4 + col("frame_no")).as("doc_id"),
+          col("media"), col("format"), col("n_bytes")))
+      .withColumnRenamed("doc_id", "frame_id")
+      .presentSorted("frame_id")
+  }
+
+  val q_multimodal_frames_sql: String = """
+    WITH b0 AS (SELECT doc_id, length(text) AS n0,
+                       list_transform(range(1, length(text) + 1),
+                         i -> unicode(text[i])) AS bs0
+                FROM documents),
+    fr AS (SELECT doc_id, f,
+             bs0[(n0 * f) // 4 + 1 : (n0 * (f + 1)) // 4] AS bs
+           FROM b0 CROSS JOIN (SELECT unnest(range(0, 4)) AS f) fs),
+    agg AS (SELECT doc_id, f, len(bs) AS n,
+      list_reduce(list_prepend(CAST(17 AS HUGEINT),
+          list_transform(bs, x -> CAST(x AS HUGEINT))),
+        (h, x) -> (h * 31 + x) % 18446744073709551616) AS cs,
+      list_sum(bs) AS sb,
+      len(list_filter(bs, x -> x % 4 = 0)) AS h0,
+      len(list_filter(bs, x -> x % 4 = 1)) AS h1,
+      len(list_filter(bs, x -> x % 4 = 2)) AS h2,
+      len(list_filter(bs, x -> x % 4 = 3)) AS h3
+      FROM fr)
+    SELECT doc_id * 4 + f AS frame_id, CAST(n AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN cs >= 9223372036854775808
+                THEN cs - 18446744073709551616 ELSE cs END AS BIGINT)
+             AS checksum,
+           CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(sb AS DOUBLE) / n END AS mean_byte,
+           CAST(h0 AS DOUBLE) AS f0, CAST(h1 AS DOUBLE) AS f1,
+           CAST(h2 AS DOUBLE) AS f2, CAST(h3 AS DOUBLE) AS f3
+    FROM agg ORDER BY frame_id"""
+
   /** Bloom-prefiltered exact dedup: build a bloom filter over the
     * duplicate content hashes (tiny side), probe every document against
     * it BEFORE the exact semijoin — the Hive semijoin-reduction pattern
@@ -637,6 +721,8 @@ object Pipeline {
     "q_sim_lsh" -> (q_sim_lsh _),
     "q_sim_ivf" -> (q_sim_ivf _),
     "q_text_tfidf" -> (q_text_tfidf _),
+    "q_multimodal_resize" -> (q_multimodal_resize _),
+    "q_multimodal_frames" -> (q_multimodal_frames _),
     "q_multimodal" -> (q_multimodal _),
     "q_agg_approx" -> (q_agg_approx _))
 
@@ -660,5 +746,7 @@ object Pipeline {
     "q_text_context_ngrams" -> q_text_context_ngrams_sql,
     "q_sim_topk" -> q_sim_topk_sql,
     "q_sim_pairs" -> q_sim_pairs_sql,
-    "q_text_tfidf" -> q_text_tfidf_sql)
+    "q_text_tfidf" -> q_text_tfidf_sql,
+    "q_multimodal_resize" -> q_multimodal_resize_sql,
+    "q_multimodal_frames" -> q_multimodal_frames_sql)
 }
