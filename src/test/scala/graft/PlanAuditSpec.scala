@@ -122,6 +122,38 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("partition pruning: static filters and dynamic (DPP) star joins " +
+      "skip partitions") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_prune").toString
+    Engine.tables(spark, sfDir)("orders")
+      .withColumn("opart", pmod(col("o_custkey"), lit(10)))
+      .write.partitionBy("opart").mode("overwrite").parquet(s"$base/fact")
+    val fact = spark.read.parquet(s"$base/fact")
+    // static: the literal partition predicate must reach PartitionFilters
+    // (directory-level skip), not the data filters
+    val p1 = fact.filter(col("opart") === 3).select("o_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(p1.contains("PartitionFilters") && p1.contains("opart"),
+      p1.take(1200))
+    // dynamic: joining on the partition column against a filtered
+    // (broadcastable) dim must plan a DPP subquery — at 100 TB this is
+    // the difference between scanning one partition and all of them
+    import spark.implicits._
+    // partition values are directory strings, inferred INT on read; the
+    // dim key must match exactly (a cast on the partition column
+    // disqualifies it as a DPP key) and the build side must carry a
+    // SELECTIVE FILTER that survives optimization — a filter over a
+    // local relation constant-folds away, so the dim is parquet-backed
+    import spark.implicits._
+    (0 until 10).map(i => (i, s"t$i")).toDF("opart", "tag")
+      .write.mode("overwrite").parquet(s"$base/dim")
+    val dim = spark.read.parquet(s"$base/dim").filter(col("tag") === "t3")
+    val q2 = fact.join(dim, "opart").select("o_orderkey", "tag")
+    val p2 = q2.queryExecution.executedPlan.toString
+    assert(p2.toLowerCase.contains("dynamicpruning"), p2.take(1500))
+  }
+
   test("piiRedact and stratifiedSample are single-scan, shuffle-free") {
     for (q <- Seq("q_pii_redact", "q_sample_stratified")) {
       val p = plan(q)
