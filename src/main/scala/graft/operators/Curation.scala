@@ -97,20 +97,38 @@ object Curation {
 
   /** Next-fit sequence packing: within each stratum, documents in id
     * order are laid end-to-end and cut into fixed-size token windows;
-    * each doc reports its window (`seq_id`) and offset in it. One
-    * cumulative-sum window pass per stratum — the streaming layout a
-    * tokenizer-sharding job computes before writing training shards. */
+    * each doc reports its window (`seq_id`) and offset in it.
+    *
+    * Distributed prefix sum, NOT one window partition per stratum — a
+    * single-language 100 TB corpus would otherwise funnel through one
+    * task. Docs bucket by id range; each bucket cumsums locally, bucket
+    * totals (one row per bucket) take a tiny second-level scan, and the
+    * bucket base offsets join back. Identical output to the
+    * single-window formulation at any `idBucket` size. */
   def packSequences(docs: DataFrame, seqLen: Int,
                     strataCol: String = "lang",
                     textCol: String = "text",
-                    idCol: String = "doc_id"): DataFrame = {
+                    idCol: String = "doc_id",
+                    idBucket: Long = 1000L): DataFrame = {
     val nToks = size(TextAnalysis.tokens(col(textCol)))
-    val w = Window.partitionBy(strataCol).orderBy(idCol)
-    docs
+    val base = docs
       .select(col(idCol), col(strataCol), nToks.cast("long").as("n_tokens"))
-      .withColumn("start_off", coalesce(
-        sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
+      .withColumn("__b", expr(s"$idCol div $idBucket"))
+    val wLocal = Window.partitionBy(col(strataCol), col("__b")).orderBy(idCol)
+    val local = base.withColumn("local_off", coalesce(
+      sum(col("n_tokens")).over(
+        wLocal.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // per-(stratum, bucket) totals: one row each — the second-level
+    // prefix runs over bucket counts, not documents
+    val wBuckets = Window.partitionBy(strataCol).orderBy("__b")
+    val bases = base.groupBy(col(strataCol), col("__b"))
+      .agg(sum(col("n_tokens")).as("__t"))
+      .withColumn("bucket_base", coalesce(
+        sum(col("__t")).over(
+          wBuckets.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(strataCol), col("__b"), col("bucket_base"))
+    local.join(bases, Seq(strataCol, "__b"))
+      .withColumn("start_off", col("bucket_base") + col("local_off"))
       .select(col(idCol), col(strataCol), col("n_tokens"),
         expr(s"start_off div $seqLen").as("seq_id"),
         pmod(col("start_off"), lit(seqLen.toLong)).as("seq_off"))

@@ -52,6 +52,19 @@ class CurationSpec extends SparkSpec {
     assert(s.filter(col("bucket") >= 100 || col("bucket") < 0).count() === 0)
   }
 
+  test("packSequences distributed prefix sum matches at any bucket size") {
+    val docs = (0L until 500L)
+      .map(i => (i, if (i % 3 == 0) "en" else "de",
+        Seq.fill((i % 17 + 1).toInt)("t").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    def run(b: Long) = Curation.packSequences(docs, seqLen = 64,
+        idBucket = b).orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    val one = run(1000000L) // single bucket: the sequential formulation
+    assert(run(7L) === one) // many buckets must agree exactly
+    assert(run(64L) === one)
+  }
+
   test("packSequences lays docs end-to-end per stratum") {
     val docs = Seq(
       (1L, "en", "a b c"), // 3 toks: seq 0 off 0
