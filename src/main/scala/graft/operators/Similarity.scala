@@ -216,8 +216,10 @@ object Similarity {
       .orderBy("centroid_id").limit(nCentroids)
       .localCheckpoint()
     (1 to iters).foreach { _ =>
-      val assigned = assignNearest(c, centroids)
-      centroids = assigned.join(c, "cid")
+      // assignNearest keeps v on the row, so the mean step needs no
+      // corpus re-join — each Lloyd iteration is broadcast-score +
+      // groupBy only
+      centroids = assignNearest(c, centroids)
         .select(col("centroid_id"),
           posexplode(col("v")).as(Seq("i", "x")))
         .groupBy("centroid_id", "i").agg(avg(col("x")).as("m"))
@@ -230,7 +232,8 @@ object Similarity {
     // index IVF exists to build); after this the cached vectors are no
     // longer needed, so release them instead of pinning the corpus in
     // executor memory for the rest of the session
-    val lists = assignNearest(c, centroids).localCheckpoint()
+    val lists = assignNearest(c, centroids)
+      .select("cid", "centroid_id").localCheckpoint()
     c.unpersist()
     val cf = corpus.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("v"))
     val q = queries.select(col(idCol).as("query_id"),
@@ -256,15 +259,16 @@ object Similarity {
   }
 
   /** Nearest centroid per corpus vector (broadcast argmax of dot — the
-    * corpus side never shuffles). */
+    * corpus side never shuffles). Keeps `v` on the output row so
+    * downstream steps don't re-join the corpus. */
   private def assignNearest(c: DataFrame, centroids: DataFrame): DataFrame =
     c.crossJoin(broadcast(centroids))
-      .select(col("cid"), col("centroid_id"),
+      .select(col("cid"), col("centroid_id"), col("v"),
         dot(col("v"), col("cv")).as("score"))
       .withColumn("rk", row_number().over(Window.partitionBy("cid")
         .orderBy(col("score").desc, col("centroid_id"))))
       .filter(col("rk") === 1)
-      .select("cid", "centroid_id")
+      .select("cid", "centroid_id", "v")
 
   /** Approximate top-k: score only candidates sharing the query's LSH
     * bucket (multi-band: `bands` sub-signatures, any-band match). At
