@@ -61,6 +61,48 @@ class SourcesSpec extends SparkSpec {
       sample.collect().toSeq)
   }
 
+  test("parquet schema evolution: added columns merge, old rows go null") {
+    // Hive parquet tables evolve by ALTER TABLE ADD COLUMNS; readers
+    // see the union schema with nulls for pre-evolution files
+    val p = s"${Files.createTempDirectory("graft_src")}/evo"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$p/part=1")
+    Seq((2L, "b", 9.5)).toDF("id", "v", "w").write.parquet(s"$p/part=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(p)
+      .select("id", "v", "w").orderBy("id")
+    assert(merged.columns.toSeq === Seq("id", "v", "w"))
+    val rows = merged.collect()
+    assert(rows(0).isNullAt(2)) // pre-evolution file: null w
+    assert(rows(1).getDouble(2) === 9.5)
+  }
+
+  test("compression codecs round-trip (gzip, snappy, zstd)") {
+    for ((codec, ext) <- Seq("gzip" -> "gz", "snappy" -> "snappy",
+        "zstd" -> "zstd")) {
+      val p = s"${Files.createTempDirectory("graft_src")}/$codec"
+      sample.write.option("compression", codec).parquet(p)
+      assert(spark.read.parquet(p).orderBy("c_custkey").collect().toSeq
+        === sample.collect().toSeq, s"codec $codec")
+      assert(new java.io.File(p).listFiles()
+        .exists(_.getName.contains(s".$ext.parquet")), s"$codec file ext")
+    }
+  }
+
+  test("Hive \\N null-string convention on delimited text") {
+    // LazySimpleSerDe writes NULL as \N (serdeConstants: the default
+    // serialization.null.format); the CSV reader's nullValue option
+    // reproduces it both ways
+    val p = s"${Files.createTempDirectory("graft_src")}/nulls"
+    Seq((1L, Some("x")), (2L, None)).toDF("id", "v")
+      .write.option("nullValue", "\\N").option("delimiter", "\t").csv(p)
+    val txt = spark.read.text(p).as[String].collect().sorted
+    assert(txt.exists(_.endsWith("\\N")), txt.mkString("|"))
+    val back = spark.read.option("nullValue", "\\N").option("delimiter", "\t")
+      .schema(StructType(Seq(StructField("id", LongType),
+        StructField("v", StringType)))).csv(p)
+      .orderBy("id").collect()
+    assert(back(0).getString(1) === "x" && back(1).isNullAt(1))
+  }
+
   test("jdbc source round-trips and pushes predicates (jdbc-handler " +
       "equivalent, ref jdbc-handler/src/.../JdbcStorageHandler.java)") {
     val url = "jdbc:derby:memory:graftdb;create=true"
