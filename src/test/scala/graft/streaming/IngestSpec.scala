@@ -72,6 +72,31 @@ class IngestSpec extends SparkSpec {
     assert(spark.read.parquet(dst).count() === 3)
   }
 
+  test("curation operators compose into a streaming pipeline unchanged") {
+    // piiRedact and stratifiedSample are stateless column pipelines, so
+    // the same operator code runs under readStream — the property a
+    // unified batch/streaming curation engine needs
+    val base = Files.createTempDirectory("graft_stream_cur").toString
+    val src = s"$base/src"; val dst = s"$base/dst"; val cp = s"$base/cp"
+    Files.createDirectories(Paths.get(src))
+    writeBatch(src, "d1.json", Seq(
+      """{"doc_id":1,"lang":"en","text":"mail a@b.io please"}""",
+      """{"doc_id":2,"lang":"de","text":"nichts zu sehen"}"""))
+    val sch = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(sch).json(src)
+    val q = graft.operators.Curation.piiRedact(stream)
+      .writeStream.format("parquet").option("path", dst)
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(dst).orderBy("doc_id")
+      .select("doc_id", "n_emails", "redacted")
+      .as[(Long, Int, String)].collect().toSeq
+    assert(got === Seq((1L, 1, "mail [EMAIL] please"),
+      (2L, 0, "nichts zu sehen")))
+  }
+
   test("upsertSink with seqCol: highest sequence wins, not max payload") {
     val base = Files.createTempDirectory("graft_upsert_seq").toString
     val src = s"$base/src"; val dst = s"$base/t"; val cp = s"$base/cp"
