@@ -309,6 +309,24 @@ object Dedup {
     docs.join(losers, docs(idCol) === losers("doc_id"), "left_anti")
   }
 
+  /** Benchmark decontamination: which corpus documents share at least
+    * `minShared` distinct word n-grams with any eval-set document (the
+    * pre-training hygiene pass that keeps eval data out of training
+    * corpora). Eval sets are small, so their shingles BROADCAST — the
+    * corpus side streams through the scan with no shuffle; only actual
+    * overlap hits reach the (doc, eval) aggregation. */
+  def contamination(corpus: DataFrame, evalSet: DataFrame, n: Int = 8,
+                    minShared: Int = 1, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val ev = shingles(evalSet, n, textCol, idCol)
+      .select(col("id").as("eval_id"), col("shingle"))
+    val cs = shingles(corpus, n, textCol, idCol)
+    cs.join(broadcast(ev), "shingle")
+      .groupBy(col("id").as("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   // --- SimHash ---------------------------------------------------------
 
   /** 64-bit SimHash per document: token-frequency-weighted bit votes of

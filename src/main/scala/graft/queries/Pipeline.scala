@@ -407,6 +407,32 @@ object Pipeline {
     ORDER BY vec_id"""
   }
 
+  /** Decontamination sweep: corpus docs sharing 5-grams with a
+    * held-out "eval" slice (doc_id < 20 stands in for a benchmark
+    * set). */
+  def q_decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir)("documents")
+    Dedup.contamination(d.filter(col("doc_id") >= 20),
+        d.filter(col("doc_id") < 20), n = 5, minShared = 2)
+      .presentSorted("doc_id", "eval_id")
+  }
+
+  val q_decontaminate_sql: String = """
+    WITH toks AS (SELECT doc_id,
+                         string_split_regex(trim(text), '\s+') AS l
+                  FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_distinct(list_transform(
+                    generate_series(1, len(l) - 4),
+                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' ||
+                         l[i+3] || ' ' || l[i+4]))) AS s
+           FROM toks WHERE len(l) >= 5)
+    SELECT c.doc_id, e.doc_id AS eval_id, count(*) AS shared
+    FROM sh c JOIN sh e ON c.s = e.s
+    WHERE c.doc_id >= 20 AND e.doc_id < 20
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    ORDER BY c.doc_id, eval_id"""
+
   /** Characteristic terms per document (tf-idf with rational idf —
     * log-free so both engines produce bit-identical doubles). */
   def q_text_tfidf(spark: SparkSession, dir: String): DataFrame =
@@ -721,6 +747,7 @@ object Pipeline {
     "q_sim_lsh" -> (q_sim_lsh _),
     "q_sim_ivf" -> (q_sim_ivf _),
     "q_text_tfidf" -> (q_text_tfidf _),
+    "q_decontaminate" -> (q_decontaminate _),
     "q_multimodal_resize" -> (q_multimodal_resize _),
     "q_multimodal_frames" -> (q_multimodal_frames _),
     "q_multimodal" -> (q_multimodal _),
@@ -747,6 +774,7 @@ object Pipeline {
     "q_sim_topk" -> q_sim_topk_sql,
     "q_sim_pairs" -> q_sim_pairs_sql,
     "q_text_tfidf" -> q_text_tfidf_sql,
+    "q_decontaminate" -> q_decontaminate_sql,
     "q_multimodal_resize" -> q_multimodal_resize_sql,
     "q_multimodal_frames" -> q_multimodal_frames_sql)
 }

@@ -120,6 +120,26 @@ class DedupSpec extends SparkSpec {
     assert(capped === Set((1L, 2L)))
   }
 
+  test("contamination flags corpus docs quoting eval n-grams; eval side " +
+      "broadcasts") {
+    val evalSet = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "he said the quick brown fox jumps over a fence today"),
+      (2L, "entirely unrelated text about spark execution plans"),
+      (3L, "pack my box with five dozen liquor jugs she replied"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.contamination(corpus, evalSet, n = 5, minShared = 1)
+    val got = hits.select("doc_id", "eval_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 100L), (3L, 101L)))
+    // the eval side must broadcast: the corpus never shuffles before
+    // the hit aggregation
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1000))
+  }
+
   test("jaccard pairs on real corpus match minhash verification path") {
     val real = spark.read.parquet(s"$sfDir/documents.parquet")
     val exact = Dedup.jaccardPairs(real, 0.5).count()
