@@ -23,6 +23,19 @@ class DialectSpec extends SparkSpec {
     spark.sql("DROP TABLE ddl_t")
   }
 
+  test("CREATE TEMPORARY MACRO equivalent: SQL scalar function") {
+    // Hive macros (CREATE TEMPORARY MACRO sigmoid(x DOUBLE) 1.0/(1.0+
+    // exp(-x)), ql/ddl CreateMacroDesc) map to Spark SQL UDFs — a named
+    // SQL expression usable anywhere a function is
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION sigmoid_m(x DOUBLE)
+      RETURNS DOUBLE RETURN 1.0 / (1.0 + exp(-x))""")
+    assert(spark.sql("SELECT sigmoid_m(0.0d) AS s").head().getDouble(0)
+      === 0.5)
+    assert(spark.sql(
+      "SELECT sum(CASE WHEN sigmoid_m(CAST(id AS DOUBLE)) > 0.5 THEN 1 " +
+        "ELSE 0 END) AS n FROM range(5)").head().getLong(0) === 4L)
+  }
+
   test("CTAS with partitioning") {
     views
     spark.sql("DROP TABLE IF EXISTS ddl_ctas")
