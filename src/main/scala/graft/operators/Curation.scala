@@ -95,6 +95,51 @@ object Curation {
     docs.withColumn("bucket", bucket).filter(col("bucket") < pct)
   }
 
+  /** End-to-end corpus curation — the full training-data pipeline as
+    * one composable operator: repetition-quality filter -> exact dedup
+    * -> transitive near-dedup -> benchmark decontamination ->
+    * stratified downsampling -> sequence packing. Every stage is one of
+    * this engine's primitives, so the whole chain keeps their scale
+    * contracts (single scans, broadcast/inverted-index joins, bounded
+    * shuffles) and the composite output is hash-checked end to end
+    * against an oracle that replays the chain in SQL. */
+  def curateCorpus(docs: DataFrame, evalSet: DataFrame,
+                   maxTopGramFrac: Double = 0.2,
+                   jaccardThreshold: Double = 0.5,
+                   decontamNgram: Int = 5, decontamMinShared: Int = 2,
+                   pctByStratum: Map[String, Int] = Map("en" -> 50),
+                   defaultPct: Int = 80, seqLen: Int = 512,
+                   strataCol: String = "lang",
+                   textCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    // 1. repetition-quality gate (docs too short for a bigram pass)
+    val rep = repetitionStats(docs, n = 2, textCol, idCol)
+      .select(col(idCol), col("top_frac"))
+    val quality = docs.join(rep, Seq(idCol), "left")
+      .filter(col("top_frac").isNull || col("top_frac") <= maxTopGramFrac)
+      .drop("top_frac")
+    // 2. exact dedup: smallest id per content hash survives
+    val keepExact = quality
+      .groupBy(md5(col(textCol)).as("__h"))
+      .agg(min(col(idCol)).as("__keep"))
+      .select(col("__keep").as(idCol))
+    val exact = quality.join(keepExact, Seq(idCol), "left_semi")
+    // 3. transitive near-dedup (inverted-index Jaccard + connected
+    //    components; stop-shingle cap on)
+    val near = Dedup.dedupCorpus(exact, jaccardThreshold,
+      textCol = textCol, idCol = idCol)
+    // 4. benchmark decontamination: drop docs quoting the eval set
+    val dirty = Dedup.contamination(near, evalSet, decontamNgram,
+        decontamMinShared, textCol, idCol)
+      .select(col("doc_id").as(idCol)).distinct()
+    val clean = near.join(dirty, Seq(idCol), "left_anti")
+    // 5. deterministic stratified downsampling
+    val sampled = stratifiedSample(clean, strataCol, pctByStratum,
+      defaultPct, idCol).drop("bucket")
+    // 6. pack the survivors into training sequences
+    packSequences(sampled, seqLen, strataCol, textCol, idCol)
+  }
+
   /** Next-fit sequence packing: within each stratum, documents in id
     * order are laid end-to-end and cut into fixed-size token windows;
     * each doc reports its window (`seq_id`) and offset in it.
