@@ -164,11 +164,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("packSequences: one stratum exchange, one scan") {
+  test("packSequences: distributed prefix sum, no stratum-wide window " +
+      "over documents") {
     val p = plan("q_pack_sequences")
-    // stratum hash exchange + terminal presentation shuffle only
-    assert("Exchange".r.findAllIn(p).length <= 2, p.take(1200))
-    assert("Scan parquet".r.findAllIn(p).length === 1)
+    // two branches (local cumsums + bucket bases) over the scan, a
+    // broadcast join of the tiny base table, terminal presentation sort
+    assert("Scan parquet".r.findAllIn(p).length <= 2, p.take(1500))
+    assert("Exchange".r.findAllIn(p).length <= 5, p.take(1500))
+    // the document-stream window must partition by (stratum, bucket) —
+    // a stratum-only window over docs would serialize each language
+    assert(p.contains("windowspecdefinition(lang"), p.take(1500))
+    assert(p.contains("__b"), p.take(1500))
+    // bucket bases attach via broadcast, not a corpus shuffle join
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
   test("jaccard inverted index reads the corpus exactly once") {
