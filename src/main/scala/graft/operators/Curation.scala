@@ -112,22 +112,30 @@ object Curation {
                    strataCol: String = "lang",
                    textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
+    // Each stage's survivor set feeds 2+ downstream consumers; the lazy
+    // checkpoints materialize every stage exactly once instead of
+    // re-deriving the whole upstream chain per consumer. (A production
+    // 100 TB run would write intermediate tables at the same
+    // boundaries.)
     // 1. repetition-quality gate (docs too short for a bigram pass)
     val rep = repetitionStats(docs, n = 2, textCol, idCol)
       .select(col(idCol), col("top_frac"))
     val quality = docs.join(rep, Seq(idCol), "left")
       .filter(col("top_frac").isNull || col("top_frac") <= maxTopGramFrac)
       .drop("top_frac")
+      .localCheckpoint(eager = false)
     // 2. exact dedup: smallest id per content hash survives
     val keepExact = quality
       .groupBy(md5(col(textCol)).as("__h"))
       .agg(min(col(idCol)).as("__keep"))
       .select(col("__keep").as(idCol))
     val exact = quality.join(keepExact, Seq(idCol), "left_semi")
+      .localCheckpoint(eager = false)
     // 3. transitive near-dedup (inverted-index Jaccard + connected
     //    components; stop-shingle cap on)
     val near = Dedup.dedupCorpus(exact, jaccardThreshold,
-      textCol = textCol, idCol = idCol)
+        textCol = textCol, idCol = idCol)
+      .localCheckpoint(eager = false)
     // 4. benchmark decontamination: drop docs quoting the eval set
     val dirty = Dedup.contamination(near, evalSet, decontamNgram,
         decontamMinShared, textCol, idCol)
