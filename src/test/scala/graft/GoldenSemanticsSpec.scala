@@ -510,6 +510,40 @@ class GoldenSemanticsSpec extends SparkSpec {
       "SELECT k, count(*) FROM empty_t GROUP BY k").count() === 0)
   }
 
+  // ql/src/test/queries/clientpositive/join_filters.q semantics: a
+  // predicate in a LEFT JOIN's ON clause restricts which right rows
+  // MATCH (unmatched left rows survive with nulls); the same predicate
+  // in WHERE filters the joined result (dropping null-extended rows)
+  test("join_filters.q: ON-clause vs WHERE predicate on outer joins") {
+    import spark.implicits._
+    Seq((1, 10), (2, 20)).toDF("k", "a").createOrReplaceTempView("jf_l")
+    Seq((1, 100), (2, 5)).toDF("k", "b").createOrReplaceTempView("jf_r")
+    val on = spark.sql("""
+      SELECT l.k, r.b FROM jf_l l
+      LEFT JOIN jf_r r ON l.k = r.k AND r.b > 50 ORDER BY l.k""")
+      .collect().map(r => (r.getInt(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)))).toSeq
+    assert(on === Seq((1, Some(100)), (2, None))) // k=2 survives, null b
+    val where = spark.sql("""
+      SELECT l.k, r.b FROM jf_l l
+      LEFT JOIN jf_r r ON l.k = r.k WHERE r.b > 50 ORDER BY l.k""")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    assert(where === Seq((1, 100))) // WHERE drops the null-extended row
+  }
+
+  // groupby/orderby position aliases (Hive
+  // hive.groupby.position.alias / orderby.position.alias; Spark has
+  // them on by default)
+  test("position aliases: GROUP BY 1 and ORDER BY 1 resolve to columns") {
+    import spark.implicits._
+    Seq(("b", 2), ("a", 1), ("a", 3)).toDF("g", "v")
+      .createOrReplaceTempView("pos_t")
+    val rows = spark.sql(
+      "SELECT g, sum(v) AS s FROM pos_t GROUP BY 1 ORDER BY 1 DESC")
+      .as[(String, Long)].collect().toSeq
+    assert(rows === Seq(("b", 2L), ("a", 4L)))
+  }
+
   test("char_comparison.q: padded comparisons, leading vs trailing space") {
     def one(sql: String): Boolean =
       spark.sql(s"SELECT $sql").head().getBoolean(0)
