@@ -159,6 +159,22 @@ object GapFunctions {
     reg.createOrReplaceTempFunction("block__offset__inside__file",
       _ => org.apache.spark.sql.catalyst.expressions.InputFileBlockStart(),
       "built-in")
+    // ROW__ID (TableScanOperator.java:110; on ACID tables a struct of
+    // writeid/bucketid/rowid). Copy-on-write tables have no write ids;
+    // the stand-in mirrors the struct shape with the scan-unique
+    // coordinates Spark has: task partition as the bucket, the
+    // monotonic per-row counter as the row ordinal. Unique within a
+    // scan — the same guarantee Hive gives outside ACID tables.
+    reg.createOrReplaceTempFunction("row__id",
+      _ => org.apache.spark.sql.catalyst.expressions.CreateNamedStruct(Seq(
+        Literal("writeid"), Literal(0L),
+        Literal("bucketid"),
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.expressions.SparkPartitionID(),
+          org.apache.spark.sql.types.LongType),
+        Literal("rowid"),
+        org.apache.spark.sql.catalyst.expressions.MonotonicallyIncreasingID())),
+      "built-in")
     // Hive's FLOOR(ts TO unit) internals (FunctionRegistry.java:209-217,
     // GenericUDFFloorCeilBase) — each is date_trunc at that unit
     Seq("day", "hour", "minute", "month", "quarter", "second", "week",

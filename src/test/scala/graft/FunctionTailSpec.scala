@@ -153,6 +153,14 @@ class FunctionTailSpec extends SparkSpec {
       FROM lineitem LIMIT 1""").head()
     assert(r.getString(0).endsWith(".parquet"))
     assert(r.getLong(1) >= 0L)
+    // ROW__ID: the ACID virtual column's struct shape, unique per row
+    // within a scan
+    val ids = spark.sql("""
+      SELECT row__id() AS rid FROM lineitem LIMIT 1000""")
+      .selectExpr("rid.writeid", "rid.bucketid", "rid.rowid").collect()
+    assert(ids.forall(_.getLong(0) === 0L))
+    assert(ids.map(r => (r.getLong(1), r.getLong(2))).distinct.length
+      === ids.length)
   }
 
   test("fingerprint64 and dot_product resolve via SparkSessionExtensions") {
