@@ -65,6 +65,24 @@ class CurationSpec extends SparkSpec {
     assert(run(64L) === one)
   }
 
+  test("operators degrade to empty outputs on empty input, no crashes") {
+    val empty = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "lang", "text")
+    assert(Curation.piiRedact(empty).count() === 0)
+    assert(Curation.repetitionStats(empty).count() === 0)
+    assert(Curation.stratifiedSample(empty, "lang", Map("en" -> 10), 50,
+      idCol = "doc_id").count() === 0)
+    assert(Curation.packSequences(empty, 512).count() === 0)
+    assert(Dedup.jaccardPairsRaw(empty, 0.5).count() === 0)
+    assert(Dedup.jaccardPairsRaw(empty, 0.5,
+      maxShingleFreq = Some(10)).count() === 0)
+    assert(Dedup.dedupCorpus(empty, 0.5).count() === 0)
+    assert(Dedup.contamination(empty, empty).count() === 0)
+    val some = Seq((1L, "en", "a b c d e f")).toDF("doc_id", "lang", "text")
+    assert(Dedup.contamination(some, empty, n = 2).count() === 0)
+    assert(Curation.curateCorpus(empty, empty).count() === 0)
+  }
+
   test("packSequences lays docs end-to-end per stratum") {
     val docs = Seq(
       (1L, "en", "a b c"), // 3 toks: seq 0 off 0
