@@ -1,0 +1,388 @@
+package graft.sources
+
+import java.math.{BigDecimal => JBigDecimal, BigInteger}
+import java.nio.ByteBuffer
+import java.sql.{Date, Timestamp}
+import java.util.{ArrayList => JArrayList, HashMap => JHashMap}
+
+import scala.collection.JavaConverters._
+
+import org.apache.avro.{LogicalType, LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.Schema.Type
+import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileStream,
+  DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader,
+  GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.avro.util.Utf8
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode,
+  SparkSession}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
+  DataSourceRegister, PrunedScan, RelationProvider, SchemaRelationProvider}
+import org.apache.spark.sql.types._
+
+/** Avro container-file source/sink (reference: serde2/avro/AvroSerDe.java,
+  * AvroDeserializer.java, AvroSerializer.java — `STORED AS AVRO` tables).
+  * The distribution ships the Avro core jars but not the spark-avro
+  * connector, so this is a self-contained reader/writer on the public
+  * Avro 1.12 API, registered as a Spark V1 data source under the short
+  * name "avro".
+  *
+  * Scale design: Avro container files are splittable on their sync
+  * markers (AvroSerdeUtils reads them the same way via mapred splits).
+  * The reader therefore parallelizes on BLOCK SPLITS, not whole files —
+  * each task seeks to the first sync past its split start and reads
+  * until the first sync past its end, so one 10 GB file fans out across
+  * the cluster exactly like the reference's mapred input format. Schema
+  * is read once, from a single file header, on the driver.
+  *
+  * Type bridge (both directions): null unions → nullable; decimal
+  * (bytes + logicalType decimal, AvroSerDe.DECIMAL_TYPE_NAME), date
+  * (int), timestamp-millis/micros (long), enum → string, fixed → binary,
+  * array/map/record recursively. Spark writes timestamp-micros to keep
+  * its microsecond precision (Hive 2.x writes millis; both are read).
+  */
+object AvroIO {
+
+  /** Default split size: one task per 128 MB of container file. */
+  val DefaultSplitBytes: Long = 128L * 1024 * 1024
+
+  // ---------------------------------------------------------------- schema
+
+  /** Avro → Spark type. Unions must be [null, X]; general unions are the
+    * reference's uniontype, which our engine models as a tagged struct
+    * (create_union) and does not accept from Avro files either.
+    */
+  def sparkType(s: Schema): DataType = s.getType match {
+    case Type.BOOLEAN => BooleanType
+    case Type.INT =>
+      if (isLogical(s, "date")) DateType else IntegerType
+    case Type.LONG =>
+      if (isLogical(s, "timestamp-millis") || isLogical(s, "timestamp-micros"))
+        TimestampType
+      else LongType
+    case Type.FLOAT => FloatType
+    case Type.DOUBLE => DoubleType
+    case Type.STRING => StringType
+    case Type.ENUM => StringType
+    case Type.BYTES | Type.FIXED =>
+      s.getLogicalType match {
+        case d: LogicalTypes.Decimal => DecimalType(d.getPrecision, d.getScale)
+        case _ => BinaryType
+      }
+    case Type.ARRAY => ArrayType(sparkType(s.getElementType))
+    case Type.MAP => MapType(StringType, sparkType(s.getValueType))
+    case Type.RECORD => StructType(s.getFields.asScala.toSeq.map(f =>
+      StructField(f.name, sparkType(f.schema))))
+    case Type.UNION =>
+      val branches = s.getTypes.asScala.filterNot(_.getType == Type.NULL)
+      require(branches.size == 1,
+        s"general avro unions unsupported (uniontype): $s")
+      sparkType(branches.head)
+    case Type.NULL => NullType
+  }
+
+  private def isLogical(s: Schema, name: String): Boolean = {
+    val lt = s.getLogicalType
+    lt != null && lt.getName == name
+  }
+
+  /** Spark → Avro schema; nullable fields become [null, X] unions. */
+  def avroSchema(dt: DataType, name: String): Schema = dt match {
+    case BooleanType => Schema.create(Type.BOOLEAN)
+    case ByteType | ShortType | IntegerType => Schema.create(Type.INT)
+    case LongType => Schema.create(Type.LONG)
+    case FloatType => Schema.create(Type.FLOAT)
+    case DoubleType => Schema.create(Type.DOUBLE)
+    case StringType => Schema.create(Type.STRING)
+    case BinaryType => Schema.create(Type.BYTES)
+    case DateType =>
+      LogicalTypes.date().addToSchema(Schema.create(Type.INT))
+    case TimestampType =>
+      LogicalTypes.timestampMicros().addToSchema(Schema.create(Type.LONG))
+    case d: DecimalType =>
+      LogicalTypes.decimal(d.precision, d.scale)
+        .addToSchema(Schema.create(Type.BYTES))
+    case ArrayType(et, containsNull) =>
+      Schema.createArray(option(avroSchema(et, name + "_item"), containsNull))
+    case MapType(StringType, vt, valueContainsNull) =>
+      Schema.createMap(option(avroSchema(vt, name + "_value"),
+        valueContainsNull))
+    case st: StructType =>
+      val rec = Schema.createRecord(name, null, "graft.avro", false)
+      rec.setFields(st.fields.toSeq.map { f =>
+        new Schema.Field(f.name,
+          option(avroSchema(f.dataType, name + "_" + f.name), f.nullable),
+          null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+      }.asJava)
+      rec
+    case other => sys.error(s"unsupported avro sink type: $other")
+  }
+
+  private def option(s: Schema, nullable: Boolean): Schema =
+    if (nullable) Schema.createUnion(Schema.create(Type.NULL), s) else s
+
+  // ----------------------------------------------------------------- read
+
+  /** One reader task: (file, start, end) — read records in blocks whose
+    * first sync marker falls in [start, end). */
+  private case class Split(path: String, start: Long, end: Long)
+
+  def inferSchema(spark: SparkSession, path: String): StructType = {
+    val (files, fs) = listAvro(spark, path)
+    require(files.nonEmpty, s"no .avro files under $path")
+    val in = fs.open(files.head.getPath)
+    try {
+      val stream = new DataFileStream[GenericRecord](in,
+        new GenericDatumReader[GenericRecord]())
+      val st = sparkType(stream.getSchema).asInstanceOf[StructType]
+      stream.close()
+      st
+    } finally in.close()
+  }
+
+  private def listAvro(spark: SparkSession, path: String) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(s => s.isFile &&
+          s.getPath.getName.endsWith(".avro")).toSeq
+      else Seq(fs.getFileStatus(p))
+    (files, fs)
+  }
+
+  def read(spark: SparkSession, path: String,
+      schema: Option[StructType] = None,
+      splitBytes: Long = DefaultSplitBytes): DataFrame = {
+    val st = schema.getOrElse(inferSchema(spark, path))
+    readPruned(spark, path, st, st.fieldNames, splitBytes)
+  }
+
+  /** Column-pruned scan: full records are decoded (row format — same cost
+    * profile as the reference serde) but only requested fields are
+    * converted and carried. */
+  def readPruned(spark: SparkSession, path: String, full: StructType,
+      required: Array[String], splitBytes: Long): DataFrame = {
+    val (files, _) = listAvro(spark, path)
+    val splits = files.flatMap { f =>
+      val len = f.getLen
+      (0L until len by splitBytes.max(1L)).map(s =>
+        Split(f.getPath.toString, s, (s + splitBytes).min(len)))
+    }
+    val pruned = StructType(required.map(n => full(full.fieldIndex(n))))
+    val fieldIdx = required.toSeq // serializable
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf()))
+    val slices = math.max(1, math.min(splits.size,
+      spark.sparkContext.defaultParallelism))
+    val rdd = spark.sparkContext.parallelize(splits, slices)
+      .flatMap { sp =>
+        val reader = new DataFileReader[GenericRecord](
+          new FsInput(new Path(sp.path), confBc.value.value),
+          new GenericDatumReader[GenericRecord]())
+        // claim blocks whose sync lands in [start, end): standard avro
+        // mapred split protocol (sync past start, read until pastSync(end))
+        reader.sync(sp.start)
+        val fields = fieldIdx.map(n => reader.getSchema.getField(n))
+        new Iterator[Row] {
+          private var done = false
+          def hasNext: Boolean = {
+            if (!done && (!reader.hasNext || reader.pastSync(sp.end))) {
+              done = true; reader.close()
+            }
+            !done
+          }
+          def next(): Row = {
+            val rec = reader.next()
+            Row.fromSeq(fields.map(f =>
+              fromAvro(rec.get(f.pos()), f.schema())))
+          }
+        }
+      }
+    spark.createDataFrame(rdd, pruned)
+  }
+
+  /** Avro runtime value → external Spark row value. */
+  def fromAvro(v: Any, s: Schema): Any = {
+    if (v == null) return null
+    s.getType match {
+      case Type.UNION =>
+        val branch = s.getTypes.asScala.find(_.getType != Type.NULL).get
+        fromAvro(v, branch)
+      case Type.STRING => v.toString
+      case Type.ENUM => v.toString
+      case Type.BYTES | Type.FIXED =>
+        val bytes = v match {
+          case bb: ByteBuffer =>
+            val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); b
+          case f: GenericData.Fixed => f.bytes()
+          case b: Array[Byte] => b
+        }
+        s.getLogicalType match {
+          case d: LogicalTypes.Decimal =>
+            new JBigDecimal(new BigInteger(bytes), d.getScale)
+          case _ => bytes
+        }
+      case Type.INT if isLogical(s, "date") =>
+        Date.valueOf(java.time.LocalDate.ofEpochDay(
+          v.asInstanceOf[Int].toLong))
+      case Type.LONG if isLogical(s, "timestamp-millis") =>
+        new Timestamp(v.asInstanceOf[Long])
+      case Type.LONG if isLogical(s, "timestamp-micros") =>
+        val us = v.asInstanceOf[Long]
+        val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+        t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+        t
+      case Type.ARRAY =>
+        v.asInstanceOf[java.util.Collection[Any]].asScala.toSeq
+          .map(fromAvro(_, s.getElementType))
+      case Type.MAP =>
+        v.asInstanceOf[java.util.Map[Any, Any]].asScala.map { case (k, mv) =>
+          k.toString -> fromAvro(mv, s.getValueType)
+        }.toMap
+      case Type.RECORD =>
+        val rec = v.asInstanceOf[GenericRecord]
+        Row.fromSeq(s.getFields.asScala.toSeq.map(f =>
+          fromAvro(rec.get(f.pos()), f.schema())))
+      case _ => v // boolean/int/long/float/double pass through
+    }
+  }
+
+  // ---------------------------------------------------------------- write
+
+  /** External Spark row value → Avro runtime value. */
+  def toAvro(v: Any, dt: DataType, s: Schema): Any = {
+    if (v == null) return null
+    val target = if (s.getType == Type.UNION)
+      s.getTypes.asScala.find(_.getType != Type.NULL).get else s
+    (dt, v) match {
+      case (StringType, x) => x.toString
+      case (BinaryType, b: Array[Byte]) => ByteBuffer.wrap(b)
+      case (DateType, d: Date) => d.toLocalDate.toEpochDay.toInt
+      case (TimestampType, t: Timestamp) =>
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      case (d: DecimalType, x: JBigDecimal) =>
+        ByteBuffer.wrap(x.setScale(d.scale).unscaledValue().toByteArray)
+      case (d: DecimalType, x: BigDecimal) =>
+        toAvro(x.bigDecimal, d, target)
+      case (ByteType, x: Byte) => x.toInt
+      case (ShortType, x: Short) => x.toInt
+      case (ArrayType(et, _), xs: scala.collection.Seq[_]) =>
+        val out = new JArrayList[Any](xs.size)
+        xs.foreach(e => out.add(toAvro(e, et, target.getElementType)))
+        out
+      case (MapType(_, vt, _), m: scala.collection.Map[_, _]) =>
+        val out = new JHashMap[Any, Any](m.size)
+        m.foreach { case (k, mv) =>
+          out.put(k.toString, toAvro(mv, vt, target.getValueType))
+        }
+        out
+      case (st: StructType, r: Row) =>
+        val rec = new GenericData.Record(target)
+        st.fields.zipWithIndex.foreach { case (f, i) =>
+          rec.put(i, toAvro(r.get(i), f.dataType,
+            target.getFields.get(i).schema()))
+        }
+        rec
+      case (_, x) => x
+    }
+  }
+
+  def write(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite,
+      compression: String = "snappy"): Unit = {
+    val spark = df.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    val out = new Path(path)
+    val fs = out.getFileSystem(conf)
+    if (fs.exists(out)) mode match {
+      case SaveMode.Overwrite => fs.delete(out, true)
+      case SaveMode.ErrorIfExists => sys.error(s"path exists: $path")
+      case SaveMode.Ignore => return
+      case SaveMode.Append => // fall through, part files get fresh names
+    }
+    fs.mkdirs(out)
+    val st = df.schema
+    val schemaJson = avroSchema(st, "topLevelRecord").toString
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf))
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    df.rdd.mapPartitionsWithIndex { (i, rows) =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val schema = new Schema.Parser().parse(schemaJson)
+        val file = new Path(path, f"part-$i%05d-$stamp.avro")
+        val os = file.getFileSystem(confBc.value.value).create(file, true)
+        val w = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](schema))
+        w.setCodec(compression match {
+          case "none" => CodecFactory.nullCodec()
+          case "deflate" => CodecFactory.deflateCodec(6)
+          case "zstd" => CodecFactory.zstandardCodec(3)
+          case _ => CodecFactory.snappyCodec()
+        })
+        w.create(schema, os)
+        rows.foreach { r =>
+          w.append(toAvro(r, st, schema).asInstanceOf[GenericRecord])
+        }
+        w.close()
+        Iterator.single(1)
+      }
+    }.count(): Unit
+  }
+}
+
+/** `spark.read.format("avro")` / `df.write.format("avro")` registration
+  * (V1 relation API; META-INF/services carries the short name). */
+class AvroDataSource extends RelationProvider with SchemaRelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "avro"
+
+  private def path(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", sys.error("avro source requires a path"))
+
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    AvroRelation(path(parameters), None,
+      parameters.get("splitBytes").map(_.toLong)
+        .getOrElse(AvroIO.DefaultSplitBytes))(ctx)
+
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String], schema: StructType): BaseRelation =
+    AvroRelation(path(parameters), Some(schema),
+      parameters.get("splitBytes").map(_.toLong)
+        .getOrElse(AvroIO.DefaultSplitBytes))(ctx)
+
+  override def createRelation(ctx: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val p = path(parameters)
+    AvroIO.write(data, p, mode,
+      parameters.getOrElse("compression", "snappy"))
+    AvroRelation(p, Some(data.schema), AvroIO.DefaultSplitBytes)(ctx)
+  }
+}
+
+case class AvroRelation(path: String, userSchema: Option[StructType],
+    splitBytes: Long)(@transient val ctx: SQLContext)
+    extends BaseRelation with PrunedScan {
+
+  override def sqlContext: SQLContext = ctx
+
+  override val schema: StructType =
+    userSchema.getOrElse(AvroIO.inferSchema(ctx.sparkSession, path))
+
+  override def buildScan(
+      requiredColumns: Array[String]): org.apache.spark.rdd.RDD[Row] = {
+    // empty projection (e.g. count(*)) still needs row multiplicity
+    val cols = if (requiredColumns.isEmpty) Array(schema.fieldNames.head)
+      else requiredColumns
+    val df = AvroIO.readPruned(ctx.sparkSession, path, schema, cols,
+      splitBytes)
+    if (requiredColumns.isEmpty) df.rdd.map(_ => Row.empty) else df.rdd
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.AvroIO
+
+/** Avro source/sink (SURVEY §2.1, reference serde2/avro/AvroSerDe.java):
+  * round-trips through our container-file reader/writer, the full type
+  * bridge (decimal/date/timestamp logical types, nested record/array/map),
+  * the `format("avro")` registration, column pruning, and the sync-marker
+  * split protocol (a file read with tiny splitBytes must not duplicate or
+  * drop rows — blocks are claimed by the split owning their sync point).
+  */
+class AvroSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String) =
+    s"${Files.createTempDirectory("graft_avro")}/$tag"
+
+  test("round-trip of TPC-H slice via AvroIO and format(\"avro\")") {
+    val sample = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+      .orderBy("c_custkey").limit(100)
+    val p = tmp("cust")
+    AvroIO.write(sample, p)
+    val back = AvroIO.read(spark, p)
+    assert(back.schema === StructType(sample.schema.map(_.copy(
+      nullable = true))))
+    assert(back.orderBy("c_custkey").collect().toSeq ===
+      sample.collect().toSeq)
+    // registered short name resolves to our source
+    val viaFormat = spark.read.format("avro").load(p)
+    assert(viaFormat.orderBy("c_custkey").collect().toSeq ===
+      sample.collect().toSeq)
+    val p2 = tmp("cust2")
+    sample.write.format("avro").save(p2)
+    assert(spark.read.format("avro").load(p2).count() === 100)
+  }
+
+  test("type bridge: decimal, date, timestamp, binary, nested") {
+    val df = spark.sql("""
+      SELECT CAST(id AS INT) i, CAST(id AS DECIMAL(20, 4)) * 1.5 dec,
+             DATE'2024-02-29' + make_interval(0, 0, 0, CAST(id AS INT)) d,
+             TIMESTAMP'2024-03-15 13:45:00.123456' ts,
+             encode(CAST(id AS STRING), 'UTF-8') bin,
+             named_struct('a', id, 'b', CAST(id AS STRING)) rec,
+             array(id, id + 1) arr,
+             map('k', id) m,
+             IF(id % 2 = 0, NULL, CAST(id AS STRING)) maybe
+      FROM range(10)""")
+    val p = tmp("types")
+    AvroIO.write(df, p, compression = "deflate")
+    val back = AvroIO.read(spark, p).orderBy("i")
+    assert(back.collect().toSeq === df.orderBy("i").collect().toSeq)
+    assert(back.schema("dec").dataType === DecimalType(23, 5))
+    assert(back.schema("d").dataType === DateType)
+    assert(back.schema("ts").dataType === TimestampType)
+  }
+
+  test("sync-marker splits: tiny splitBytes neither drops nor duplicates") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").limit(2000).coalesce(1)
+    val p = tmp("split")
+    AvroIO.write(docs, p, compression = "none")
+    val whole = AvroIO.read(spark, p).agg(count("*"),
+      sum(length(col("text")))).head()
+    // 4 KB splits on a single file: many tasks over one container
+    val sliced = AvroIO.read(spark, p, splitBytes = 4096).agg(count("*"),
+      sum(length(col("text")))).head()
+    assert(sliced === whole)
+    assert(whole.getLong(0) === docs.count())
+  }
+
+  test("column pruning through format(\"avro\") and count(*) scan") {
+    val sample = spark.range(50).select(col("id"),
+      concat(lit("n"), col("id")).as("name"), (col("id") * 2).as("v"))
+    val p = tmp("prune")
+    sample.write.format("avro").save(p)
+    val q = spark.read.format("avro").load(p).select("name")
+    assert(q.collect().map(_.getString(0)).sorted.head === "n0")
+    assert(spark.read.format("avro").load(p).count() === 50)
+  }
+}

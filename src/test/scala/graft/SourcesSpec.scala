@@ -8,8 +8,9 @@ import org.apache.spark.sql.types._
   * delimited text (LazySimpleSerDe), CSV (OpenCSVSerde), JSON
   * (DelimitedJSONSerDe), regex text (RegexSerDe), ORC and Parquet; our
   * engine maps each to a Spark reader with explicit schema (schema-on-read,
-  * never inferSchema — SURVEY.md §1.1). Avro and RCFile: no connector in
-  * this Spark distribution, declared out of scope.
+  * never inferSchema — SURVEY.md §1.1). Avro: own connector, see
+  * AvroSourceSpec. RCFile: no connector in this Spark distribution,
+  * declared out of scope.
   */
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
