@@ -52,6 +52,29 @@ object TextAnalysis {
         .as("quality_score"))
   }
 
+  /** GPT-2-style pre-tokenizer segments: a leading-space word, number,
+    * or punctuation run. RE2-compatible (no lookahead) so the DuckDB
+    * oracle replays it verbatim. */
+  private[graft] val preTokenRe =
+    " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** Token counting at the three granularities a training pipeline
+    * budgets with: whitespace tokens, BPE pre-tokenizer segments, and a
+    * BPE-ish subword estimate (ceil(len/4) per segment — the classic
+    * ~4-chars-per-token heuristic, integer math for cross-engine
+    * parity). Pure column expressions: one scan, no shuffle. */
+  def tokenCounts(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val pre = regexp_extract_all(col(textCol), lit(preTokenRe), lit(0))
+    docs.select(col(idCol), col(textCol), pre.as("pre"))
+      .select(col(idCol),
+        size(tokens(col(textCol))).as("n_ws_tokens"),
+        size(col("pre")).as("n_pretokens"),
+        aggregate(col("pre"), lit(0), (acc, t) =>
+          acc + ((length(t) + lit(3)) / lit(4)).cast("int"))
+          .as("n_bpeish_tokens"))
+  }
+
   /** Stopword-profile language ID (n-gram heuristic simplified to
     * function-word hits; deterministic argmax with fixed tie order). */
   def langId(docs: DataFrame, textCol: String = "text",

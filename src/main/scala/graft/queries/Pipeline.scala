@@ -213,6 +213,23 @@ object Pipeline {
              AS quality_score
     FROM t ORDER BY doc_id"""
 
+  def q_text_tokens(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(t(spark, dir)("documents"))
+      .presentSorted("doc_id")
+
+  val q_text_tokens_sql: String = """
+    WITH t AS (SELECT doc_id,
+                 string_split_regex(trim(text), '\s+') AS ws,
+                 regexp_extract_all(text,
+                   ' ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+') AS pre
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(ws) AS INT) AS n_ws_tokens,
+           CAST(len(pre) AS INT) AS n_pretokens,
+           CAST(COALESCE(list_sum(list_transform(pre,
+             x -> (length(x) + 3) // 4)), 0) AS INT) AS n_bpeish_tokens
+    FROM t ORDER BY doc_id"""
+
   def q_text_langid(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(t(spark, dir)("documents")).presentSorted("doc_id")
 
@@ -736,6 +753,7 @@ object Pipeline {
     "q_dedup_embedding" -> (q_dedup_embedding _),
     "q_dedup_simhash" -> (q_dedup_simhash _),
     "q_text_stats" -> (q_text_stats _),
+    "q_text_tokens" -> (q_text_tokens _),
     "q_text_langid" -> (q_text_langid _),
     "q_text_ngrams" -> (q_text_ngrams _),
     "q_text_context_ngrams" -> (q_text_context_ngrams _),
@@ -768,6 +786,7 @@ object Pipeline {
     "q_sim_lsh" -> q_sim_lsh_sql,
     "q_multimodal" -> q_multimodal_sql,
     "q_text_stats" -> q_text_stats_sql,
+    "q_text_tokens" -> q_text_tokens_sql,
     "q_text_langid" -> q_text_langid_sql,
     "q_text_ngrams" -> q_text_ngrams_sql,
     "q_text_context_ngrams" -> q_text_context_ngrams_sql,
