@@ -101,6 +101,27 @@ class GoldenReplaySpec extends SparkSpec {
       .createOrReplaceTempView(table)
   }
 
+  private val insertRe =
+    "(?is)insert\\s+(overwrite|into)\\s+table\\s+(\\w+)\\s+(select.*)".r
+  private val fromInsertRe =
+    "(?is)from\\s+(\\w+)\\s+insert\\s+(overwrite|into)\\s+table\\s+(\\w+)\\s+(select.*)".r
+
+  /** INSERT replay: run the select, apply Hive's insert-cast to the
+    * target's declared column types by position, then replace or append
+    * the view. */
+  private def insertInto(table: String, overwrite: Boolean,
+      sel: org.apache.spark.sql.DataFrame): Unit = {
+    val schema = spark.table(table).schema
+    val cast = sel.toDF(schema.fieldNames.toIndexedSeq: _*)
+      .select(schema.fields.map(f =>
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
+    val merged = if (overwrite) cast else spark.table(table).union(cast)
+    val snap = merged.collect().toSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize[Row](snap, 2), schema)
+      .createOrReplaceTempView(table)
+  }
+
   /** SORT_AND_HASH goldens append a base64 digest line per block. */
   private def isHashLine(l: String): Boolean =
     l.matches("[A-Za-z0-9+/]{22}==")
@@ -143,6 +164,17 @@ class GoldenReplaySpec extends SparkSpec {
         case loadRe(fileName, ow, table) =>
           loadData(fileName, table, ow != null)
         case _ => fail(s"unhandled load in $file: $q")
+      } else if (ql.startsWith("insert")) q match {
+        case insertRe(mode, table, sel) =>
+          insertInto(table, mode.equalsIgnoreCase("overwrite"),
+            spark.sql(sel))
+        case _ => fail(s"unhandled insert in $file: $q")
+      } else if (ql.startsWith("from")) q match {
+        // Hive FROM-first single insert; Spark parses FROM-first SELECT
+        case fromInsertRe(from, mode, table, sel) =>
+          insertInto(table, mode.equalsIgnoreCase("overwrite"),
+            spark.sql(s"FROM $from $sel"))
+        case _ => fail(s"unhandled from-insert in $file: $q")
       } else if (ql.startsWith("select")) {
         val got = spark.sql(q).collect().toSeq.map(fmt).sorted
         assert(got === b.rows.filterNot(isHashLine).sorted,
@@ -173,5 +205,26 @@ class GoldenReplaySpec extends SparkSpec {
   test("join_filters.q golden replay (ON-clause filter placement matrix " +
       "on outer joins, 112 goldens)") {
     assert(replay("join_filters.q.out") === 112)
+  }
+
+  test("ppd_join.q golden replay (predicate pushdown through join chains)") {
+    src
+    assert(replay("ppd_join.q.out") === 2)
+  }
+
+  test("subquery_exists.q golden replay (correlated EXISTS decorrelation)") {
+    src
+    assert(replay("subquery_exists.q.out") >= 4)
+  }
+
+  test("innerjoin.q golden replay (INSERT OVERWRITE then read back)") {
+    src
+    assert(replay("innerjoin.q.out") >= 3)
+  }
+
+  test("groupby2.q golden replay (FROM-first insert, multi-DISTINCT agg, " +
+      "double-to-string concat)") {
+    src
+    assert(replay("groupby2.q.out") === 1)
   }
 }
