@@ -48,8 +48,6 @@ object Bench {
     }
     drainDeadBlocks()
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // secondary throughput metric: wall-clock to drain the whole set
     // with 4 concurrent submitters on the same session — overlapping
@@ -73,7 +71,34 @@ object Bench {
     val wall1 = concurrentDrain()
     drainDeadBlocks()
     val wall = math.min(wall1, concurrentDrain())
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"concurrent_wall":$wall,"concurrent_threads":4,"sf":"$sfDir"}""")
+
+    def r3(v: Double): String = f"$v%.3f"
+    // full per-query detail goes to a file (the harness captures only a
+    // ~2k-char stdout tail, which a 97-entry JSON object overflows);
+    // stdout carries one compact line that fits that window whole
+    val allQs = results
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val detailPath = new java.io.File("BENCH_DETAIL.json").getAbsolutePath
+    val pw = new java.io.PrintWriter(detailPath, "UTF-8")
+    try pw.println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$allQs,"concurrent_wall":${r3(wall)},"concurrent_threads":4,"sf":"$sfDir"}""")
+    finally pw.close()
+
+    val headline = Seq(
+      "q1_agg", "q3_topk", "q18_big_orders", "q_join_inner",
+      "q_join_broadcast", "q_agg_distinct", "q_agg_percentile",
+      "q_window_rank", "q_window_topk", "q_json_tuple", "q_fn_string",
+      "q_subquery_corr", "q_dedup_exact", "q_dedup_jaccard",
+      "q_dedup_minhash", "q_dedup_simhash", "q_dedup_corpus",
+      "q_dedup_embedding", "q_sim_topk", "q_sim_lsh", "q_sim_ivf",
+      "q_sim_pairs", "q_text_langid", "q_text_tfidf", "q_text_ngrams",
+      "q_pii_redact", "q_quality_repetition", "q_pack_sequences",
+      "q_curate_pipeline", "q_decontaminate", "q_multimodal", "q_asof",
+      "q_matchpath", "q_events_sessionize")
+    val resultMap = results.toMap
+    val headQs = headline.flatMap(n => resultMap.get(n).map(v => "\"" + n + "\":" + r3(v)))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$headQs,"concurrent_wall":${r3(wall)},"concurrent_threads":4,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
     spark.stop()
   }
 }
