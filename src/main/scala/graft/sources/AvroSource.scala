@@ -162,9 +162,31 @@ object AvroIO {
     readPruned(spark, path, st, st.fieldNames, splitBytes)
   }
 
+  /** Structural type equality ignoring nullability flags (a user schema
+    * may tighten nullability without changing the wire type). */
+  private def sameShape(a: DataType, b: DataType): Boolean = (a, b) match {
+    case (ArrayType(ae, _), ArrayType(be, _)) => sameShape(ae, be)
+    case (MapType(ak, av, _), MapType(bk, bv, _)) =>
+      sameShape(ak, bk) && sameShape(av, bv)
+    case (as: StructType, bs: StructType) =>
+      as.length == bs.length && as.fields.zip(bs.fields).forall {
+        case (af, bf) => af.name == bf.name &&
+          sameShape(af.dataType, bf.dataType)
+      }
+    case _ => a == b
+  }
+
   /** Column-pruned scan: full records are decoded (row format — same cost
     * profile as the reference serde) but only requested fields are
-    * converted and carried. */
+    * converted and carried.
+    *
+    * Each task resolves the declared columns against ITS OWN file's
+    * writer schema (files in one directory may diverge): a type mismatch
+    * fails with a named error instead of emitting rows whose runtime
+    * types disagree with the declared StructType, and a field missing
+    * from an older file reads as null when the declared column is
+    * nullable (Avro reader-schema evolution for the add-a-column case;
+    * ref: serde2/avro/SchemaResolutionProblem handling in AvroSerDe). */
   def readPruned(spark: SparkSession, path: String, full: StructType,
       required: Array[String], splitBytes: Long): DataFrame = {
     val (files, _) = listAvro(spark, path)
@@ -174,7 +196,8 @@ object AvroIO {
         Split(f.getPath.toString, s, (s + splitBytes).min(len)))
     }
     val pruned = StructType(required.map(n => full(full.fieldIndex(n))))
-    val fieldIdx = required.toSeq // serializable
+    val fieldInfo = pruned.fields.toSeq.map(f =>
+      (f.name, f.dataType, f.nullable)) // serializable
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sessionState.newHadoopConf()))
@@ -185,22 +208,45 @@ object AvroIO {
         val reader = new DataFileReader[GenericRecord](
           new FsInput(new Path(sp.path), confBc.value.value),
           new GenericDatumReader[GenericRecord]())
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; reader.close() }
+        // limit/take/early-terminating joins abandon the iterator before
+        // exhaustion — the task-completion hook closes the file anyway
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeOnce())
         // claim blocks whose sync lands in [start, end): standard avro
         // mapred split protocol (sync past start, read until pastSync(end))
         reader.sync(sp.start)
-        val fields = fieldIdx.map(n => reader.getSchema.getField(n))
+        val fileSchema = reader.getSchema
+        val fields = fieldInfo.map { case (name, declared, nullable) =>
+          Option(fileSchema.getField(name)) match {
+            case Some(f) =>
+              val fileType = sparkType(f.schema())
+              if (!sameShape(fileType, declared)) sys.error(
+                s"avro schema mismatch in ${sp.path}: field '$name' is " +
+                  s"$fileType in the file but declared $declared")
+              Some(f)
+            case None =>
+              if (!nullable) sys.error(
+                s"avro file ${sp.path} has no field '$name' and the " +
+                  "declared column is not nullable")
+              None
+          }
+        }
         new Iterator[Row] {
           private var done = false
           def hasNext: Boolean = {
             if (!done && (!reader.hasNext || reader.pastSync(sp.end))) {
-              done = true; reader.close()
+              done = true; closeOnce()
             }
             !done
           }
           def next(): Row = {
             val rec = reader.next()
-            Row.fromSeq(fields.map(f =>
-              fromAvro(rec.get(f.pos()), f.schema())))
+            Row.fromSeq(fields.map {
+              case Some(f) => fromAvro(rec.get(f.pos()), f.schema())
+              case None => null
+            })
           }
         }
       }

@@ -84,4 +84,48 @@ class AvroSourceSpec extends SparkSpec {
     assert(q.collect().map(_.getString(0)).sorted.head === "n0")
     assert(spark.read.format("avro").load(p).count() === 50)
   }
+
+  test("user schema: added nullable column reads as null (evolution)") {
+    val p = tmp("evolve")
+    spark.range(10).select(col("id"), concat(lit("n"), col("id")).as("name"))
+      .write.format("avro").save(p)
+    val declared = StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("added", IntegerType, nullable = true)))
+    val back = spark.read.format("avro").schema(declared).load(p)
+    assert(back.count() === 10)
+    assert(back.where(col("added").isNull).count() === 10)
+  }
+
+  test("user schema: type mismatch and non-nullable-missing fail clearly") {
+    val p = tmp("mismatch")
+    spark.range(5).select(col("id"), concat(lit("n"), col("id")).as("name"))
+      .write.format("avro").save(p)
+    val wrongType = StructType(Seq(StructField("name", IntegerType)))
+    val e1 = intercept[org.apache.spark.SparkException] {
+      spark.read.format("avro").schema(wrongType).load(p).collect()
+    }
+    assert(e1.getMessage.contains("avro schema mismatch") ||
+      Option(e1.getCause).exists(_.getMessage.contains("avro schema mismatch")))
+    val missingStrict = StructType(Seq(
+      StructField("nope", LongType, nullable = false)))
+    val e2 = intercept[org.apache.spark.SparkException] {
+      spark.read.format("avro").schema(missingStrict).load(p).collect()
+    }
+    assert(e2.getMessage.contains("no field 'nope'") ||
+      Option(e2.getCause).exists(_.getMessage.contains("no field 'nope'")))
+  }
+
+  test("partially-consumed scan (limit) completes without leaking readers") {
+    val p = tmp("partial")
+    spark.range(5000).select(col("id"),
+      concat(lit("x"), col("id")).as("s")).coalesce(1)
+      .write.format("avro").save(p)
+    // small splits ⇒ several open files per task; limit abandons the
+    // iterators early — the task-completion listener must close them
+    val few = spark.read.format("avro")
+      .option("splitBytes", "4096").load(p).limit(3).collect()
+    assert(few.length === 3)
+  }
 }
