@@ -210,14 +210,27 @@ object MergeInto {
         rel
     }.toSet
     // affected partitions that staged nothing were fully emptied:
-    // remove their live directories
-    affRows.foreach { row =>
-      val rel = partitionCols.map { c =>
-        val v = row.get(row.fieldIndex(c))
+    // remove their live directories. Values are rendered via Spark's own
+    // Cast-to-string (the writer path's rendering) — JVM toString differs
+    // for timestamps (trailing ".0") and would never match a live dir.
+    val affRendered = affLocal.select(partitionCols.map(c =>
+      col(c).cast("string").as(c)): _*).collect()
+    affRendered.foreach { row =>
+      val rel = partitionCols.zipWithIndex.map { case (c, i) =>
         org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .getPartitionPathString(c, if (v == null) null else v.toString)
+          .getPartitionPathString(c,
+            if (row.isNullAt(i)) null else row.getString(i))
       }.mkString("/")
-      if (!stagedRels.contains(rel)) fs.delete(new Path(dst, rel), true)
+      if (!stagedRels.contains(rel)) {
+        fs.delete(new Path(dst, rel), true)
+        // prune now-empty ancestor partition dirs (multi-level partitioning)
+        var parent = new Path(dst, rel).getParent
+        while (parent != null && parent.toUri.getPath != dst.toUri.getPath &&
+            fs.exists(parent) && fs.listStatus(parent).isEmpty) {
+          fs.delete(parent, false)
+          parent = parent.getParent
+        }
+      }
     }
     fs.delete(tmp, true)
   }

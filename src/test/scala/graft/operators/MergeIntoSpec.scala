@@ -157,6 +157,29 @@ class MergeIntoSpec extends SparkSpec {
     assert(got === Seq(1L, 2L, 4L))
   }
 
+  test("emptied timestamp/date partitions are removed (writer-rendered paths)") {
+    // java.sql.Timestamp.toString renders "…:00.0" while Spark's writer
+    // path does not — the emptied-dir computation must use the writer's
+    // rendering or the directory silently survives
+    val p = s"${Files.createTempDirectory("graft_merge_ts")}/t"
+    spark.sql("""
+      SELECT * FROM VALUES
+        (1L, TIMESTAMP'2024-01-01 00:00:00', DATE'2024-01-01'),
+        (2L, TIMESTAMP'2024-01-02 12:30:00', DATE'2024-01-02')
+        AS v(id, ts, d)""")
+      .write.partitionBy("ts", "d").parquet(p)
+    val dirs0 = new java.io.File(p).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs0.size === 2)
+    MergeInto.delete(spark, p, col("id") === 1L,
+      partitionCols = Seq("ts", "d"))
+    val dirs1 = new java.io.File(p).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs1.size === 1, s"emptied ts partition must be deleted: $dirs1")
+    val got = spark.read.parquet(p).select("id").as[Long].collect().toSeq
+    assert(got === Seq(2L))
+  }
+
   test("MERGE whose DeleteAction empties a partition removes it") {
     val p = freshPartitioned()
     val src = Seq((3L, "eu", 0.0), (5L, "ap", 50.0))
