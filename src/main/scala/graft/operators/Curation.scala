@@ -106,6 +106,7 @@ object Curation {
   def curateCorpus(docs: DataFrame, evalSet: DataFrame,
                    maxTopGramFrac: Double = 0.2,
                    jaccardThreshold: Double = 0.5,
+                   maxShingleFreq: Option[Int] = Some(1000),
                    decontamNgram: Int = 5, decontamMinShared: Int = 2,
                    pctByStratum: Map[String, Int] = Map("en" -> 50),
                    defaultPct: Int = 80, seqLen: Int = 512,
@@ -132,9 +133,11 @@ object Curation {
     val exact = quality.join(keepExact, Seq(idCol), "left_semi")
       .localCheckpoint(eager = false)
     // 3. transitive near-dedup (inverted-index Jaccard + connected
-    //    components; stop-shingle cap on)
+    //    components). The stop-shingle cap defaults on for production
+    //    corpora; the oracle-checked query passes None so engine and
+    //    oracle compute the same function by construction.
     val near = Dedup.dedupCorpus(exact, jaccardThreshold,
-        textCol = textCol, idCol = idCol)
+        maxShingleFreq = maxShingleFreq, textCol = textCol, idCol = idCol)
       .localCheckpoint(eager = false)
     // 4. benchmark decontamination: drop docs quoting the eval set
     val dirty = Dedup.contamination(near, evalSet, decontamNgram,

@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Sanity bound for the exact (uncapped) Jaccard path: a shingle whose
+    * postings list exceeds this produces O(df²) pairs AND a single
+    * aggregation buffer holding the whole list — the exact path fails
+    * loudly at this bound rather than OOM. Var so specs can exercise the
+    * guard on small corpora; production code treats it as a constant. */
+  private[graft] var MaxExactPostings: Int = 1 << 16
+
   /** Whitespace-normalize + lowercase. */
   def normalize(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
@@ -107,10 +114,22 @@ object Dedup {
       // the threshold never enter the shuffle-heavy co-occurrence
       // count. Exact: it only removes pairs that cannot pass the final
       // filter.
+      // The exact path materializes each shingle's postings in one agg
+      // buffer — fine for bounded-df corpora (every df counts toward the
+      // O(df²) pair output anyway), hopeless for a degenerate hot
+      // shingle. Fail loudly at the sanity bound instead of OOMing the
+      // buffer; corpora with hot shingles take the capped path.
       val grouped = shinglesWithSize(docs, n, textCol, idCol)
         .groupBy("shingle")
         .agg(collect_list(struct(col("id"), col("sz"))).as("ds"))
         .filter(size(col("ds")) >= 2)
+        // assert_true yields NULL whenever it passes, so isNull keeps
+        // every surviving row; a bare `… || lit(true)` would be
+        // constant-folded away along with the assertion
+        .filter(assert_true(size(col("ds")) <= MaxExactPostings,
+          concat(lit("jaccard exact path: a shingle occurs in "),
+            size(col("ds")),
+            lit(s" docs (> $MaxExactPostings); use maxShingleFreq"))).isNull)
         .select("ds")
       grouped
         .select(col("ds"), explode(col("ds")).as("a"))

@@ -139,8 +139,11 @@ object Curation {
     * one SQL chain. */
   def q_curate_pipeline(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir)("documents")
+    // maxShingleFreq = None: the oracle SQL replays an UNCAPPED Jaccard
+    // join, so the checked query must compute the identical function —
+    // capped-vs-uncapped parity on low-df test data would be accidental
     Cur.curateCorpus(d.filter(col("doc_id") >= 20),
-        d.filter(col("doc_id") < 20))
+        d.filter(col("doc_id") < 20), maxShingleFreq = None)
       .presentSorted("doc_id")
   }
 
