@@ -47,8 +47,55 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** ALL sequential word n-grams (duplicates kept, positional order),
+  * space-joined — the repetition-profile variant of [[WordShingles]].
+  * Replaces the interpreted `transform(sequence(...), i ->
+  * array_join(slice(...)))` chain, which pays a lambda dispatch, a
+  * sliced array copy, and a join per position outside codegen. */
+case class WordGrams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"word_grams requires array<string> and n >= 1, got " +
+        s"${child.dataType}, n=$n")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_grams"
+
+  protected override def nullSafeEval(input: Any): Any =
+    WordShingles.grams(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WordShingles.grams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGrams =
+    copy(child = newChild)
+}
+
 object WordShingles {
   private val Space = UTF8String.fromString(" ")
+
+  /** All space-joined n-grams in positional order, duplicates kept. */
+  def grams(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    val out = len - n + 1
+    if (out <= 0) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) { toks(i) = tokens.getUTF8String(i); i += 1 }
+    val arr = new Array[Any](out)
+    i = 0
+    while (i < out) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = toks(i + j); j += 1 }
+      arr(i) = UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
 
   /** Distinct space-joined n-grams, first-occurrence order. */
   def shingles(tokens: ArrayData, n: Int): ArrayData = {

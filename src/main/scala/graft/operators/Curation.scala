@@ -58,24 +58,28 @@ object Curation {
                       textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
-    val grams = expr(
-      s"""transform(sequence(0, size(tks) - $n),
-            i -> array_join(slice(tks, i + 1, $n), ' '))""")
+    // codegen'd gram build (graft.functions.WordGrams): identical output
+    // to the interpreted transform/slice/array_join chain it replaced
+    def grams: Column = {
+      import org.apache.spark.sql.GraftSqlShim
+      GraftSqlShim.column(graft.functions.WordGrams(
+        GraftSqlShim.expression(col("tks")), n))
+    }
     val counts = docs
       .select(col(idCol).as("id"), toks.as("tks"))
       .filter(size(col("tks")) >= n)
       .select(col("id"), explode(grams).as("gram"))
       .groupBy("id", "gram").agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy("id")
-    val byTop = Window.partitionBy("id")
-      .orderBy(col("cnt").desc, col("gram"))
+    // dominant gram via one partial-aggregable groupBy, no window sort:
+    // min of (-cnt, gram) is max count with ties to the smallest gram —
+    // the same deterministic tie-break as ORDER BY cnt DESC, gram
     counts
-      .withColumn("n_grams", sum(col("cnt")).over(w))
-      .withColumn("rk", row_number().over(byTop))
-      .filter(col("rk") === 1)
-      .select(col("id").as(idCol), col("n_grams"),
-        col("gram").as("top_gram"), col("cnt").as("top_cnt"),
-        (col("cnt").cast("double") / col("n_grams")).as("top_frac"))
+      .groupBy(col("id").as(idCol))
+      .agg(sum(col("cnt")).as("n_grams"),
+        min(struct((-col("cnt")).as("nc"), col("gram").as("g"))).as("top"))
+      .select(col(idCol), col("n_grams"),
+        col("top.g").as("top_gram"), (-col("top.nc")).as("top_cnt"),
+        ((-col("top.nc")).cast("double") / col("n_grams")).as("top_frac"))
   }
 
   /** Deterministic stratified sampling: a document is kept iff

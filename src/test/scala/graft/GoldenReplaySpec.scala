@@ -63,11 +63,13 @@ class GoldenReplaySpec extends SparkSpec {
     out.result()
   }
 
-  private val ctasRe = "(?is)create table (\\w+)\\s+as\\s+(select.*)".r
+  private val ctasRe = "(?is)create table `?(\\w+)`?\\s+as\\s+(select.*)".r
+  // a view over temp views replays as a temp view of the same query
+  private val viewRe = "(?is)create view `?(\\w+)`?\\s+as\\s+(select.*)".r
   // column list, then any physical clauses (CLUSTERED BY / STORED AS /
   // ROW FORMAT) — physical layout is a no-op for temp-view replay
   private val createRe =
-    "(?is)create table (\\w+)\\s*\\(([^)]*)\\).*".r
+    "(?is)create table `?(\\w+)`?\\s*\\(([^)]*)\\).*".r
   private val loadRe =
     "(?is)load data local inpath '[^']*/([^'/]+)'\\s+(overwrite\\s+)?into table (\\w+).*".r
 
@@ -101,10 +103,12 @@ class GoldenReplaySpec extends SparkSpec {
       .createOrReplaceTempView(table)
   }
 
+  // Hive allows omitting TABLE and inserting literal VALUES rows
   private val insertRe =
-    "(?is)insert\\s+(overwrite|into)\\s+table\\s+(\\w+)\\s+(select.*)".r
+    "(?is)insert\\s+(overwrite|into)\\s+(?:table\\s+)?`?(\\w+)`?\\s+((?:select|values).*)".r
+  // FROM-first insert: the from clause may be a whole join tree
   private val fromInsertRe =
-    "(?is)from\\s+(\\w+)\\s+insert\\s+(overwrite|into)\\s+table\\s+(\\w+)\\s+(select.*)".r
+    "(?is)from\\s+(.+?)\\s+insert\\s+(overwrite|into)\\s+table\\s+`?(\\w+)`?\\s+(select.*)".r
 
   /** INSERT replay: run the select, apply Hive's insert-cast to the
     * target's declared column types by position, then replace or append
@@ -129,7 +133,7 @@ class GoldenReplaySpec extends SparkSpec {
   private def emptyView(name: String, cols: String): Unit = {
     val schema = StructType(cols.split(",").map { c =>
       val p = c.trim.split("\\s+")
-      StructField(p(0), p(1).toLowerCase match {
+      StructField(p(0).replace("`", ""), p(1).toLowerCase match {
         case "int" => IntegerType
         case "bigint" => LongType
         case "double" => DoubleType
@@ -160,12 +164,17 @@ class GoldenReplaySpec extends SparkSpec {
           spark.sql(sel).createOrReplaceTempView(name)
         case createRe(name, cols) => emptyView(name, cols)
         case _ => fail(s"unhandled create in $file: $q")
+      } else if (ql.startsWith("create view")) q match {
+        case viewRe(name, sel) =>
+          spark.sql(sel).createOrReplaceTempView(name)
+        case _ => fail(s"unhandled view in $file: $q")
       } else if (ql.startsWith("load data")) q match {
         case loadRe(fileName, ow, table) =>
           loadData(fileName, table, ow != null)
         case _ => fail(s"unhandled load in $file: $q")
       } else if (ql.startsWith("insert")) q match {
         case insertRe(mode, table, sel) =>
+          // `VALUES (...)` is itself a valid Spark query
           insertInto(table, mode.equalsIgnoreCase("overwrite"),
             spark.sql(sel))
         case _ => fail(s"unhandled insert in $file: $q")
