@@ -260,15 +260,21 @@ object Similarity {
 
   /** Nearest centroid per corpus vector (broadcast argmax of dot — the
     * corpus side never shuffles). Keeps `v` on the output row so
-    * downstream steps don't re-join the corpus. */
+    * downstream steps don't re-join the corpus.
+    *
+    * Argmax as min(struct(-score, centroid_id)) — a partial-aggregable
+    * groupBy (map-side combine collapses the k-fanout before the
+    * shuffle, no per-key sort), with the same deterministic tie-break
+    * as ORDER BY score DESC, centroid_id. first(v) is well-defined:
+    * every fanout row of a cid carries the identical vector. */
   private def assignNearest(c: DataFrame, centroids: DataFrame): DataFrame =
     c.crossJoin(broadcast(centroids))
-      .select(col("cid"), col("centroid_id"), col("v"),
-        dot(col("v"), col("cv")).as("score"))
-      .withColumn("rk", row_number().over(Window.partitionBy("cid")
-        .orderBy(col("score").desc, col("centroid_id"))))
-      .filter(col("rk") === 1)
-      .select("cid", "centroid_id", "v")
+      .select(col("cid"), col("v"), struct(
+        (-dot(col("v"), col("cv"))).as("ns"),
+        col("centroid_id").as("ci")).as("pick"))
+      .groupBy("cid")
+      .agg(min(col("pick")).as("best"), first(col("v")).as("v"))
+      .select(col("cid"), col("best.ci").as("centroid_id"), col("v"))
 
   /** Approximate top-k: score only candidates sharing the query's LSH
     * bucket (multi-band: `bands` sub-signatures, any-band match). At
