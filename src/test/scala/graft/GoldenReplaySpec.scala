@@ -37,6 +37,87 @@ class GoldenReplaySpec extends SparkSpec {
   /** `src1` (QTestUtil loads kv3.txt into it). */
   private lazy val src1: Unit = kvView("kv3.txt", "src1")
 
+  /** The cbo fixture family (q_test_init.sql:269-312): comma-delimited
+    * cbo_t1/t2 (partition dt='2014'), cbo_t3, and src_cbo = copy of src.
+    * Keys keep their literal leading/trailing spaces; \N is NULL. */
+  private lazy val cbo: Unit = {
+    def load(file: String, view: String, dt: Option[String]): Unit = {
+      val s = scala.io.Source.fromFile(s"/root/reference/data/files/$file")
+      val lines = try s.getLines().toVector finally s.close()
+      val rows = lines.map { l =>
+        val a = l.split(",", -1)
+        def f(i: Int): String = {
+          val v = if (i < a.length) a(i) else null
+          if (v == null || v == "\\N") null else v
+        }
+        Row.fromSeq(Seq[Any](f(0), f(1),
+          Option(f(2)).flatMap(_.toIntOption).map(Int.box).orNull,
+          Option(f(3)).flatMap(_.toFloatOption).map(Float.box).orNull,
+          Option(f(4)).flatMap(_.toBooleanOption).map(Boolean.box).orNull)
+          ++ dt.toSeq)
+      }
+      val base = StructType(Seq(
+        StructField("key", StringType), StructField("value", StringType),
+        StructField("c_int", IntegerType),
+        StructField("c_float", FloatType),
+        StructField("c_boolean", BooleanType)))
+      val schema = dt.fold(base)(_ =>
+        StructType(base.fields :+ StructField("dt", StringType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize[Row](rows, 2), schema)
+        .createOrReplaceTempView(view)
+    }
+    load("cbo_t1.txt", "cbo_t1", Some("2014"))
+    load("cbo_t2.txt", "cbo_t2", Some("2014"))
+    load("cbo_t3.txt", "cbo_t3", None)
+    src
+    spark.table("src").createOrReplaceTempView("src_cbo")
+  }
+
+  /** Typed delimited fixture (q_test_init.sql lazy-text semantics). */
+  private def delimView(file: String, view: String, delim: Char,
+      colSpec: String): Unit = {
+    val schema = StructType(colSpec.split(",").map { c =>
+      val p = c.trim.split("\\s+")
+      StructField(p(0), p(1).toLowerCase match {
+        case "int" => IntegerType
+        case "bigint" => LongType
+        case "double" => DoubleType
+        case _ => StringType
+      })
+    })
+    val s = scala.io.Source.fromFile(s"/root/reference/data/files/$file")
+    val rows = try s.getLines().map { l =>
+      val a = l.split(java.util.regex.Pattern.quote(delim.toString), -1)
+      Row.fromSeq(schema.fields.zipWithIndex.map { case (f, i) =>
+        val raw = if (i < a.length) a(i) else null
+        if (raw == null || raw == "\\N") null else ((f.dataType match {
+          case IntegerType => raw.toIntOption.map(Int.box).orNull
+          case LongType => raw.toLongOption.map(Long.box).orNull
+          case DoubleType => raw.toDoubleOption.map(Double.box).orNull
+          case _ => raw
+        }): Any)
+      }.toSeq)
+    }.toVector finally s.close()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize[Row](rows, 2), schema)
+      .createOrReplaceTempView(view)
+  }
+
+  /** TPC-H-shaped qtest fixtures (q_test_init.sql:277-311). */
+  private lazy val tpchFixtures: Unit = {
+    delimView("part_tiny.txt", "part", '',
+      "p_partkey int, p_name string, p_mfgr string, p_brand string, " +
+        "p_type string, p_size int, p_container string, " +
+        "p_retailprice double, p_comment string")
+    delimView("lineitem.txt", "lineitem", '|',
+      "l_orderkey int, l_partkey int, l_suppkey int, l_linenumber int, " +
+        "l_quantity double, l_extendedprice double, l_discount double, " +
+        "l_tax double, l_returnflag string, l_linestatus string, " +
+        "l_shipdate string, l_commitdate string, l_receiptdate string, " +
+        "l_shipinstruct string, l_shipmode string, l_comment string")
+  }
+
   private case class Block(query: String, rows: Seq[String])
 
   /** One block per POSTHOOK statement: the (possibly multi-line) query
@@ -301,6 +382,32 @@ class GoldenReplaySpec extends SparkSpec {
     // Spark says "true" and double — dialect divergences),
     // ambiguous_col.q (Hive tolerates ambiguous column refs Spark
     // rejects at analysis)
+    val failures = files.flatMap { f =>
+      try {
+        if (replay(f) < 1) Some(f -> "no select blocks asserted") else None
+      } catch {
+        case e: Throwable =>
+          Some(f -> Option(e.getMessage).getOrElse("?").take(300))
+      }
+    }
+    assert(failures.isEmpty,
+      failures.map { case (f, m) => s"$f: $m" }.mkString("\n\n"))
+  }
+
+  test("batch golden replay: cbo corpus over the cbo_t fixture family") {
+    cbo; tpchFixtures
+    val files = Seq(
+      "cbo_simple_select.q.out", "cbo_union.q.out",
+      "cbo_subq_exists.q.out", "cbo_subq_in.q.out",
+      "cbo_subq_not_in.q.out",
+      "cbo_gby.q.out", "cbo_gby_empty.q.out", "cbo_join.q.out",
+      "cbo_semijoin.q.out", "subquery_in.q.out", "subquery_views.q.out")
+    // not replayed, with reasons: cbo_limit.q (ORDER BY c_int LIMIT with
+    // ties asserts an engine-defined subset), cbo_const.q (Hive
+    // interval_day_time() constructor syntax), cbo_windowing.q (RANGE
+    // frame over a string order key — Hive permits, Spark type-checks),
+    // cbo_udf_max.q (struct cell rendering: Hive prints JSON with its
+    // expr$N field names)
     val failures = files.flatMap { f =>
       try {
         if (replay(f) < 1) Some(f -> "no select blocks asserted") else None
