@@ -37,6 +37,17 @@ class GoldenReplaySpec extends SparkSpec {
   /** `src1` (QTestUtil loads kv3.txt into it). */
   private lazy val src1: Unit = kvView("kv3.txt", "src1")
 
+  /** `srcpart`: kv1 loaded into 4 partitions ds×hr (q_test_init.sql). */
+  private lazy val srcpart: Unit = {
+    src
+    val base = spark.table("src")
+    val parts = for (ds <- Seq("2008-04-08", "2008-04-09");
+                     hr <- Seq("11", "12")) yield
+      base.withColumn("ds", org.apache.spark.sql.functions.lit(ds))
+        .withColumn("hr", org.apache.spark.sql.functions.lit(hr))
+    parts.reduce(_ union _).createOrReplaceTempView("srcpart")
+  }
+
   /** The cbo fixture family (q_test_init.sql:269-312): comma-delimited
     * cbo_t1/t2 (partition dt='2014'), cbo_t3, and src_cbo = copy of src.
     * Keys keep their literal leading/trailing spaces; \N is NULL. */
@@ -142,7 +153,9 @@ class GoldenReplaySpec extends SparkSpec {
         while (i < lines.length &&
             !lines(i).startsWith("PREHOOK: query:") &&
             !lines(i).startsWith("Warning:")) {
-          rows += lines(i); i += 1
+          // "RUN: Stage-..." hook-echo lines are not result rows
+          if (!lines(i).startsWith("RUN: ")) rows += lines(i)
+          i += 1
         }
         out += Block(q.toString, rows.result())
       } else i += 1
@@ -150,13 +163,14 @@ class GoldenReplaySpec extends SparkSpec {
     out.result()
   }
 
-  private val ctasRe = "(?is)create table `?(\\w+)`?\\s+as\\s+(select.*)".r
+  private val ctasRe =
+    "(?is)create table (?:if\\s+not\\s+exists\\s+)?`?(\\w+)`?\\s+as\\s+(select.*)".r
   // a view over temp views replays as a temp view of the same query
   private val viewRe = "(?is)create view `?(\\w+)`?\\s+as\\s+(select.*)".r
   // column list, then any physical clauses (CLUSTERED BY / STORED AS /
   // ROW FORMAT) — physical layout is a no-op for temp-view replay
   private val createRe =
-    "(?is)create table `?(\\w+)`?\\s*\\(([^)]*)\\).*".r
+    "(?is)create table (?:if\\s+not\\s+exists\\s+)?`?(\\w+)`?\\s*\\(([^)]*)\\).*".r
   private val loadRe =
     "(?is)load data local inpath '[^']*/([^'/]+)'\\s+(overwrite\\s+)?into table (\\w+).*".r
 
@@ -190,23 +204,74 @@ class GoldenReplaySpec extends SparkSpec {
       .createOrReplaceTempView(table)
   }
 
-  // Hive allows omitting TABLE and inserting literal VALUES rows
+  // Hive allows omitting TABLE, a PARTITION spec (static and/or
+  // dynamic), and inserting literal VALUES rows
   private val insertRe =
-    "(?is)insert\\s+(overwrite|into)\\s+(?:table\\s+)?`?(\\w+)`?\\s+((?:select|values).*)".r
-  // FROM-first insert: the from clause may be a whole join tree
-  private val fromInsertRe =
-    "(?is)from\\s+(.+?)\\s+insert\\s+(overwrite|into)\\s+table\\s+`?(\\w+)`?\\s+(select.*)".r
+    ("(?is)insert\\s+(overwrite|into)\\s+(?:table\\s+)?`?(\\w+)`?\\s*" +
+      "(?:partition\\s*\\(([^)]*)\\))?\\s*((?:select|values).*)").r
+  // FROM-first insert: the from clause may be a whole join tree, and
+  // several INSERT segments may share it (Hive multi-insert)
+  private val fromHeadRe =
+    "(?is)from\\s+(.+?)\\s+(insert\\s+(?:overwrite|into)\\s+table\\s+.*)".r
+  private val insertSegRe =
+    ("(?is)insert\\s+(overwrite|into)\\s+table\\s+" +
+      "`?(\\w+)`?\\s*(?:partition\\s*\\(([^)]*)\\))?\\s*(select.*)").r
+  // CREATE TABLE [IF NOT EXISTS] x LIKE y — empty view with y's schema
+  private val likeRe =
+    "(?is)create table (?:if\\s+not\\s+exists\\s+)?`?(\\w+)`?\\s+like\\s+`?(\\w+)`?.*".r
+
+  /** PARTITION clause entries in order: name -> Some(static value) or
+    * None (dynamic — its value is a trailing select column). */
+  private def parsePartSpec(spec: String): Seq[(String, Option[String])] =
+    if (spec == null || spec.trim.isEmpty) Nil
+    else spec.split(",").toSeq.map { e =>
+      e.split("=", 2) match {
+        case Array(n, v) =>
+          n.trim.toLowerCase -> Some(v.trim
+            .stripPrefix("'").stripSuffix("'")
+            .stripPrefix("\"").stripSuffix("\""))
+        case Array(n) => n.trim.toLowerCase -> None
+      }
+    }
 
   /** INSERT replay: run the select, apply Hive's insert-cast to the
     * target's declared column types by position, then replace or append
-    * the view. */
+    * the view. Static PARTITION values are spliced in at their schema
+    * positions; dynamic partition values ride as trailing select
+    * columns (Hive's own contract). An OVERWRITE with a fully-static
+    * partition spec replaces only that partition. */
   private def insertInto(table: String, overwrite: Boolean,
-      sel: org.apache.spark.sql.DataFrame): Unit = {
+      sel: org.apache.spark.sql.DataFrame,
+      partSpec: String = null): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
     val schema = spark.table(table).schema
-    val cast = sel.toDF(schema.fieldNames.toIndexedSeq: _*)
-      .select(schema.fields.map(f =>
-        org.apache.spark.sql.functions.col(f.name).cast(f.dataType)): _*)
-    val merged = if (overwrite) cast else spark.table(table).union(cast)
+    val static = parsePartSpec(partSpec).collect {
+      case (n, Some(v)) => n -> v
+    }.toMap
+    val selCols = sel.toDF(sel.columns.indices.map(i => s"__c$i"): _*)
+    var si = 0
+    val aligned = selCols.select(schema.fields.map { f =>
+      static.get(f.name.toLowerCase) match {
+        case Some(v) => lit(v).cast(f.dataType).as(f.name)
+        case None =>
+          val c = col(s"__c$si").cast(f.dataType).as(f.name); si += 1; c
+      }
+    }.toIndexedSeq: _*)
+    val cast = aligned
+    val spec = parsePartSpec(partSpec)
+    val merged =
+      if (overwrite && spec.nonEmpty) {
+        // partitioned OVERWRITE (static or dynamic) replaces only the
+        // partitions present in the insert's own output — Hive's
+        // dynamic-partition overwrite contract
+        val pFields = spec.map { case (n, _) =>
+          schema.fields.find(_.name.equalsIgnoreCase(n)).get.name }
+        val aff = cast.select(pFields.map(col): _*).distinct()
+        spark.table(table).join(aff, pFields, "left_anti")
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*) // using-join
+          .union(cast)                            // may reorder columns
+      } else if (overwrite) cast
+      else spark.table(table).union(cast)
     val snap = merged.collect().toSeq
     spark.createDataFrame(
       spark.sparkContext.parallelize[Row](snap, 2), schema)
@@ -259,10 +324,25 @@ class GoldenReplaySpec extends SparkSpec {
       // Murmur3 and would never match the golden sums
       val q = q0.replaceAll("(?i)(?<![\\w_])hash\\(", "hive_hash(")
       val ql = q.toLowerCase
+      def assertSelect(query: String): Unit = {
+        val got = spark.sql(query).collect().toSeq.map(fmt).sorted
+        assert(got === b.rows.filterNot(isHashLine).sorted,
+          s"golden mismatch in $file for: $query")
+        asserted += 1
+      }
       if (ql.startsWith("create table")) q match {
         case ctasRe(name, sel) =>
           spark.sql(sel).createOrReplaceTempView(name)
-        case createRe(name, cols) => emptyView(name, cols)
+        case likeRe(name, other) =>
+          spark.table(other).limit(0).createOrReplaceTempView(name)
+        case createRe(name, cols) =>
+          // PARTITIONED BY columns are part of the logical schema
+          val partByRe = "(?is).*partitioned\\s+by\\s*\\(([^)]*)\\).*".r
+          val full = q match {
+            case partByRe(p) => cols + "," + p
+            case _ => cols
+          }
+          emptyView(name, full)
         case _ => fail(s"unhandled create in $file: $q")
       } else if (ql.startsWith("create view")) q match {
         case viewRe(name, sel) =>
@@ -273,22 +353,27 @@ class GoldenReplaySpec extends SparkSpec {
           loadData(fileName, table, ow != null)
         case _ => fail(s"unhandled load in $file: $q")
       } else if (ql.startsWith("insert")) q match {
-        case insertRe(mode, table, sel) =>
+        case insertRe(mode, table, part, sel) =>
           // `VALUES (...)` is itself a valid Spark query
           insertInto(table, mode.equalsIgnoreCase("overwrite"),
-            spark.sql(sel))
+            spark.sql(sel), part)
         case _ => fail(s"unhandled insert in $file: $q")
       } else if (ql.startsWith("from")) q match {
-        // Hive FROM-first single insert; Spark parses FROM-first SELECT
-        case fromInsertRe(from, mode, table, sel) =>
-          insertInto(table, mode.equalsIgnoreCase("overwrite"),
-            spark.sql(s"FROM $from $sel"))
-        case _ => fail(s"unhandled from-insert in $file: $q")
+        // Hive FROM-first inserts (possibly MULTI-insert: one scan, many
+        // sinks); each segment replays as FROM <tree> SELECT ...
+        case fromHeadRe(from, rest) =>
+          rest.split("(?is)(?=insert\\s+(?:overwrite|into)\\s+table)")
+            .map(_.trim).filter(_.nonEmpty).foreach {
+              case insertSegRe(mode, table, part, sel) =>
+                insertInto(table, mode.equalsIgnoreCase("overwrite"),
+                  spark.sql(s"FROM $from $sel"), part)
+              case seg => fail(s"unhandled insert segment in $file: $seg")
+            }
+        case _ =>
+          // FROM-first bare SELECT — Spark parses it as a query
+          assertSelect(q)
       } else if (ql.startsWith("select")) {
-        val got = spark.sql(q).collect().toSeq.map(fmt).sorted
-        assert(got === b.rows.filterNot(isHashLine).sorted,
-          s"golden mismatch in $file for: $q")
-        asserted += 1
+        assertSelect(q)
       } // set/explain/drop blocks replay as no-ops
     }
     asserted
@@ -414,6 +499,42 @@ class GoldenReplaySpec extends SparkSpec {
       } catch {
         case e: Throwable =>
           Some(f -> Option(e.getMessage).getOrElse("?").take(300))
+      }
+    }
+    assert(failures.isEmpty,
+      failures.map { case (f, m) => s"$f: $m" }.mkString("\n\n"))
+  }
+
+  test("batch golden replay: srcpart corpus (partition pruning, dynamic " +
+      "partitions, ppd, map-joins)") {
+    src; src1; srcpart
+    val files = Seq(
+      "auto_join9.q.out", "auto_join14.q.out", "auto_join19.q.out",
+      "auto_join19_inclause.q.out", "auto_join25.q.out",
+      "join9.q.out", "join14.q.out", "join26.q.out", "join28.q.out",
+      "join32.q.out", "join33.q.out", "join_empty.q.out",
+      "join_merge_multi_expressions.q.out",
+      "groupby_ppr.q.out", "groupby_map_ppr.q.out",
+      "groupby_ppr_multi_distinct.q.out",
+      "groupby_map_ppr_multi_distinct.q.out",
+      "input_part0.q.out", "input_part1.q.out",
+      "input_part2.q.out", "input_part3.q.out", "input_part5.q.out",
+      "input_part7.q.out", "input_part9.q.out",
+      "ppd2.q.out", "ppd_constant_where.q.out", "ppd_udf_case.q.out",
+      "ppr_allchildsarenull.q.out", "ppr_pushdown3.q.out",
+      "mapjoin_mapjoin.q.out", "mapjoin_subquery.q.out",
+      "mapjoin_distinct.q.out", "partition_boolexpr.q.out",
+      "constant_prop_2.q.out", "filter_numeric.q.out",
+      "load_dyn_part1.q.out", "load_dyn_part2.q.out",
+      "load_dyn_part3.q.out", "load_dyn_part8.q.out",
+      "load_dyn_part13.q.out", "mi.q.out")
+    // input42.q left out: its selects sample with rand(100)
+    val failures = files.flatMap { f =>
+      try {
+        if (replay(f) < 1) Some(f -> "no select blocks asserted") else None
+      } catch {
+        case e: Throwable =>
+          Some(f -> Option(e.getMessage).getOrElse("?").take(250))
       }
     }
     assert(failures.isEmpty,
