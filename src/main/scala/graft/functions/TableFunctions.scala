@@ -198,7 +198,18 @@ object TableFunctions {
     ("bloom_filter", bloomFilterBuilder _,
       "bloom_filter(col[, expectedEntries[, numBits]]) - build a bloom filter"),
     ("in_bloom_filter", inBloomFilterBuilder _,
-      "in_bloom_filter(value, bloom) - bloom membership probe"))
+      "in_bloom_filter(value, bloom) - bloom membership probe"),
+    // Hive interval constructors (ql/udf/generic/GenericUDFInternalInterval
+    // .java via FunctionRegistry.java:533): '2 1:2:3' / '1-2' strings to
+    // Spark's native interval types — a Cast, so fully codegen'd
+    ("interval_day_time",
+      (exprs: Seq[Expression]) => Cast(exprs.head,
+        org.apache.spark.sql.types.DayTimeIntervalType()),
+      "interval_day_time('d h:m:s') - day-time interval value"),
+    ("interval_year_month",
+      (exprs: Seq[Expression]) => Cast(exprs.head,
+        org.apache.spark.sql.types.YearMonthIntervalType()),
+      "interval_year_month('y-m') - year-month interval value"))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

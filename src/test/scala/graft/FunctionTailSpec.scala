@@ -127,6 +127,20 @@ class FunctionTailSpec extends SparkSpec {
     assert(d.map(_.getInt(0)) === Seq(3, 2, 1))
   }
 
+  test("interval_day_time / interval_year_month constructors " +
+      "(FunctionRegistry.java:533)") {
+    val r = spark.sql("""
+      SELECT interval_day_time('2 1:2:3') = INTERVAL '2 1:2:3' DAY TO SECOND,
+             interval_year_month('1-2') = INTERVAL '1-2' YEAR TO MONTH,
+             CAST(TIMESTAMP'2024-01-01 00:00:00'
+                  + interval_day_time('1 0:0:0') AS STRING),
+             CAST(DATE'2024-01-31' + interval_year_month('0-1') AS STRING)
+      """).head()
+    assert(r.getBoolean(0) && r.getBoolean(1))
+    assert(r.getString(2) === "2024-01-02 00:00:00")
+    assert(r.getString(3) === "2024-02-29")
+  }
+
   test("bloom_filter / in_bloom_filter (FunctionRegistry.java:446,377)") {
     Engine.tables(spark, sfDir)
     // no false negatives: every present key probes true (the bloom must

@@ -13,6 +13,14 @@ import org.apache.spark.sql.types._
   * fixture load (kv1.txt → `src`) unlocks whole files at a time.
   */
 class GoldenReplaySpec extends SparkSpec {
+  // Isolated child session: qtest fixture views (`lineitem`, `part`,
+  // `srcpart`, ...) share names with other suites' testdata views, and
+  // suites run in parallel over one underlying session — newSession()
+  // gives this suite its own temp-view catalog on the same context.
+  override lazy val spark: org.apache.spark.sql.SparkSession =
+    Engine.prepare(Engine.session(appName = "graft-test",
+      master = "local[4]", shufflePartitions = 4).newSession())
+
   import spark.implicits._
 
   private val outDir =
@@ -166,7 +174,9 @@ class GoldenReplaySpec extends SparkSpec {
   private val ctasRe =
     "(?is)create table (?:if\\s+not\\s+exists\\s+)?`?(\\w+)`?\\s+as\\s+(select.*)".r
   // a view over temp views replays as a temp view of the same query
-  private val viewRe = "(?is)create view `?(\\w+)`?\\s+as\\s+(select.*)".r
+  // (PARTITIONED ON is a physical hint — no-op for the logical replay)
+  private val viewRe = ("(?is)create view `?(\\w+)`?\\s*" +
+    "(?:partitioned\\s+on\\s*\\([^)]*\\)\\s*)?as\\s+(select.*)").r
   // column list, then any physical clauses (CLUSTERED BY / STORED AS /
   // ROW FORMAT) — physical layout is a no-op for temp-view replay
   private val createRe =
@@ -304,6 +314,14 @@ class GoldenReplaySpec extends SparkSpec {
         case d: java.math.BigDecimal => d.stripTrailingZeros.toPlainString
         case d: scala.math.BigDecimal =>
           d.bigDecimal.stripTrailingZeros.toPlainString
+        // HiveIntervalDayTime "%d %02d:%02d:%02d.%09d", YearMonth "%d-%d"
+        case d: java.time.Duration =>
+          val sign = if (d.isNegative) "-" else ""
+          val a = d.abs
+          f"$sign${a.toDays} ${a.toHoursPart}%02d:${a.toMinutesPart}%02d:" +
+            f"${a.toSecondsPart}%02d.${a.toNanosPart}%09d"
+        case p: java.time.Period =>
+          s"${p.getYears}-${p.getMonths}"
         case v => v.toString
       }).mkString("\t")
 
@@ -480,13 +498,14 @@ class GoldenReplaySpec extends SparkSpec {
   }
 
   test("batch golden replay: cbo corpus over the cbo_t fixture family") {
-    cbo; tpchFixtures
+    cbo; tpchFixtures; srcpart
     val files = Seq(
       "cbo_simple_select.q.out", "cbo_union.q.out",
       "cbo_subq_exists.q.out", "cbo_subq_in.q.out",
       "cbo_subq_not_in.q.out",
       "cbo_gby.q.out", "cbo_gby_empty.q.out", "cbo_join.q.out",
-      "cbo_semijoin.q.out", "subquery_in.q.out", "subquery_views.q.out")
+      "cbo_semijoin.q.out", "cbo_const.q.out", "subquery_in.q.out",
+      "subquery_views.q.out")
     // not replayed, with reasons: cbo_limit.q (ORDER BY c_int LIMIT with
     // ties asserts an engine-defined subset), cbo_const.q (Hive
     // interval_day_time() constructor syntax), cbo_windowing.q (RANGE
