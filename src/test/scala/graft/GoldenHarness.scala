@@ -1,0 +1,661 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Golden mismatch: a replayed SELECT produced different rows than the
+  * reference's committed `.q.out` golden. */
+final class GoldenMismatch(msg: String) extends AssertionError(msg)
+
+/** Raw qtest fixture data, parsed once per JVM (pure file reads — no
+  * Spark). Mirrors the reference's q_test_init.sql table set. */
+object GoldenFixtures {
+  /** UTF-8 first; files that aren't valid UTF-8 (e.g. Latin-1 test
+    * data) re-read as ISO-8859-1, which accepts every byte. */
+  def lines(file: String): Vector[String] = {
+    def read(codec: scala.io.Codec): Vector[String] = {
+      val s = scala.io.Source.fromFile(
+        s"/root/reference/data/files/$file")(codec)
+      try s.getLines().toVector finally s.close()
+    }
+    try read(scala.io.Codec.UTF8)
+    catch { case _: java.nio.charset.MalformedInputException =>
+      read(scala.io.Codec.ISO8859) }
+  }
+
+  /** ^A-delimited key,value (kv*.txt). -1 limit keeps empty fields:
+    * kv3.txt has a bare "^A" line meaning (empty key, empty value). */
+  def kv(file: String): Vector[(String, String)] =
+    lines(file).map { l =>
+      val a = l.split("", -1)
+      (if (a.length > 0) a(0) else "", if (a.length > 1) a(1) else null)
+    }
+
+  lazy val kv1: Vector[(String, String)] = kv("kv1.txt")
+  lazy val kv3: Vector[(String, String)] = kv("kv3.txt")
+
+  /** cbo_t*.txt: comma-delimited, \N is NULL, keys keep literal spaces. */
+  def cboRows(file: String, dt: Option[String]): Vector[Row] =
+    lines(file).map { l =>
+      val a = l.split(",", -1)
+      def f(i: Int): String = {
+        val v = if (i < a.length) a(i) else null
+        if (v == null || v == "\\N") null else v
+      }
+      Row.fromSeq(Seq[Any](f(0), f(1),
+        Option(f(2)).flatMap(_.toIntOption).map(Int.box).orNull,
+        Option(f(3)).flatMap(_.toFloatOption).map(Float.box).orNull,
+        Option(f(4)).flatMap(_.toBooleanOption).map(Boolean.box).orNull)
+        ++ dt.toSeq)
+    }
+
+  private val decRe = "decimal\\((\\d+),(\\d+)\\)".r
+  private val arrRe = "(?s)array\\s*<(.*)>".r
+  private val mapRe = "(?s)map\\s*<(.*)>".r
+  private val structRe = "(?s)struct\\s*<(.*)>".r
+
+  /** Split on `sep` at depth 0 only — commas inside `<>` (complex
+    * types) and `()` (decimal(p,s)) don't split. */
+  def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case c @ ('<' | '(') => depth += 1; cur.append(c)
+      case c @ ('>' | ')') => depth -= 1; cur.append(c)
+      case `sep` if depth == 0 => out += cur.result(); cur.clear()
+      case c => cur.append(c)
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Hive DDL type name → Spark type, incl. nested array/map/struct
+    * (ref: serde2/typeinfo/TypeInfoUtils parser grammar). */
+  def hiveType(t: String): DataType = t.trim.toLowerCase match {
+    case "tinyint" => ByteType
+    case "smallint" => ShortType
+    case "int" => IntegerType
+    case "bigint" => LongType
+    case "float" => FloatType
+    case "double" => DoubleType
+    case "boolean" => BooleanType
+    case "timestamp" => TimestampType
+    case "date" => DateType
+    case "binary" => BinaryType
+    case decRe(pr, sc) => DecimalType(pr.toInt, sc.toInt)
+    case "decimal" => DecimalType(10, 0) // Hive's default (p,s)
+    case arrRe(et) => ArrayType(hiveType(et))
+    case mapRe(kv) =>
+      val p = splitTop(kv, ',')
+      MapType(hiveType(p(0)), hiveType(p(1)))
+    case structRe(fs) =>
+      StructType(splitTop(fs, ',').map { f =>
+        val Array(n, ft) = f.split(":", 2)
+        StructField(n.trim.replace("`", ""), hiveType(ft))
+      })
+    case _ => StringType // string / char(n) / varchar(n) text replay
+  }
+
+  /** Hive lazy-parse: \N or an unparseable primitive reads as NULL.
+    * Complex types follow LazySerDe's nested-separator scheme: a value
+    * at nesting level i splits on char(i+2) — top-level columns split
+    * on ^A, their collection items on ^B, map key/value on ^C, and so
+    * on (ref: serde2/lazy/LazySerDeParameters separators). */
+  def parseRaw(raw: String, dt: DataType, level: Int = 0): Any =
+    if (raw == null || raw == "\\N") null else dt match {
+      case ArrayType(et, _) =>
+        raw.split((level + 2).toChar.toString, -1).toSeq
+          .map(parseRaw(_, et, level + 1))
+      case MapType(kt, vt, _) =>
+        raw.split((level + 2).toChar.toString, -1).toSeq.map { e =>
+          val kv = e.split((level + 3).toChar.toString, -1)
+          parseRaw(kv(0), kt, level + 2) ->
+            parseRaw(if (kv.length > 1) kv(1) else null, vt, level + 2)
+        }.toMap
+      case st: StructType =>
+        val a = raw.split((level + 2).toChar.toString, -1)
+        Row.fromSeq(st.fields.zipWithIndex.map { case (f, i) =>
+          parseRaw(if (i < a.length) a(i) else null, f.dataType, level + 1)
+        }.toSeq)
+      case _ => parsePrim(raw, dt)
+    }
+
+  private def parsePrim(raw: String, dt: DataType): Any =
+    dt match {
+      case ByteType => raw.toByteOption.map(Byte.box).orNull
+      case ShortType => raw.toShortOption.map(Short.box).orNull
+      case IntegerType => raw.toIntOption.map(Int.box).orNull
+      case LongType => raw.toLongOption.map(Long.box).orNull
+      case FloatType => raw.toFloatOption.map(Float.box).orNull
+      case DoubleType => raw.toDoubleOption.map(Double.box).orNull
+      case BooleanType => raw.toBooleanOption.map(Boolean.box).orNull
+      case TimestampType =>
+        try java.sql.Timestamp.valueOf(raw)
+        catch { case _: IllegalArgumentException => null }
+      case DateType =>
+        try java.sql.Date.valueOf(raw)
+        catch { case _: IllegalArgumentException => null }
+      case d: DecimalType =>
+        try new java.math.BigDecimal(raw).setScale(d.scale)
+        catch { case _: ArithmeticException | _: NumberFormatException =>
+          null }
+      case _ => raw
+    }
+
+  /** Column-spec string → schema; commas inside decimal(p,s) and
+    * complex-type angle brackets survive. A COMMENT tail is dropped. */
+  def colSchema(colSpec: String): StructType =
+    StructType(splitTop(colSpec, ',').map { c =>
+      val p = c.trim.split("\\s+", 2)
+      val t = splitTop(p(1), ' ').headOption.getOrElse(p(1))
+      StructField(p(0).replace("`", ""), hiveType(t))
+    })
+
+  /** Typed delimited rows (q_test_init.sql lazy-text semantics). */
+  def delimRows(file: String, delim: Char, schema: StructType)
+      : Vector[Row] =
+    lines(file).map { l =>
+      val a = l.split(java.util.regex.Pattern.quote(delim.toString), -1)
+      Row.fromSeq(schema.fields.zipWithIndex.map { case (f, i) =>
+        parseRaw(if (i < a.length) a(i) else null, f.dataType)
+      }.toSeq)
+    }
+}
+
+/** Golden REPLAY harness: parse a committed `.q.out` golden, execute
+  * every statement of the original `.q` script in order through this
+  * engine — CREATE TABLE becomes an empty temp view, LOAD DATA parses
+  * the delimited fixture, CTAS/INSERT materialize into the view — and
+  * assert every SELECT block literally against the golden rows as a
+  * sorted multiset (these files are SORT_QUERY_RESULTS).
+  *
+  * One instance per SparkSession: fixture views and the CREATEd temp
+  * views live in the session's temp catalog, so a fresh `newSession()`
+  * per replayed file gives full isolation (no cross-file view leaks).
+  */
+class GoldenHarness(val spark: SparkSession) {
+  import GoldenFixtures._
+
+  private val outDir =
+    "/root/reference/ql/src/test/results/clientpositive"
+
+  private def register(rows: Vector[Row], schema: StructType,
+      view: String): Unit =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize[Row](rows, 2), schema)
+      .createOrReplaceTempView(view)
+
+  private val kvSchema = StructType(Seq(
+    StructField("key", StringType), StructField("value", StringType)))
+
+  private def kvView(data: Vector[(String, String)], view: String): Unit =
+    register(data.map(t => Row(t._1, t._2)), kvSchema, view)
+
+  lazy val src: Unit = kvView(kv1, "src")
+  lazy val src1: Unit = kvView(kv3, "src1")
+
+  /** `srcpart`: kv1 loaded into 4 partitions ds×hr (q_test_init.sql). */
+  lazy val srcpart: Unit = {
+    val schema = StructType(kvSchema.fields ++ Seq(
+      StructField("ds", StringType), StructField("hr", StringType)))
+    val rows = for (ds <- Vector("2008-04-08", "2008-04-09");
+                    hr <- Vector("11", "12");
+                    t <- kv1) yield Row(t._1, t._2, ds, hr)
+    register(rows, schema, "srcpart")
+  }
+
+  /** The cbo fixture family (q_test_init.sql:269-312). */
+  lazy val cbo: Unit = {
+    val base = StructType(Seq(
+      StructField("key", StringType), StructField("value", StringType),
+      StructField("c_int", IntegerType),
+      StructField("c_float", FloatType),
+      StructField("c_boolean", BooleanType)))
+    val withDt = StructType(base.fields :+ StructField("dt", StringType))
+    register(cboRows("cbo_t1.txt", Some("2014")), withDt, "cbo_t1")
+    register(cboRows("cbo_t2.txt", Some("2014")), withDt, "cbo_t2")
+    register(cboRows("cbo_t3.txt", None), base, "cbo_t3")
+    src
+    spark.table("src").createOrReplaceTempView("src_cbo")
+  }
+
+  def delimView(file: String, view: String, delim: Char,
+      colSpec: String): Unit = {
+    val schema = colSchema(colSpec)
+    register(delimRows(file, delim, schema), schema, view)
+  }
+
+  /** `over10k` (data/files/over10k): the windowing/PTF fixture. */
+  lazy val over10k: Unit =
+    delimView("over10k", "over10k", '|',
+      "t tinyint, si smallint, i int, b bigint, f float, d double, " +
+        "bo boolean, s string, ts timestamp, dec decimal(4,2), bin string")
+
+  /** `over1k` — the 1k-row sibling of over10k (same schema). */
+  lazy val over1k: Unit =
+    delimView("over1k", "over1k", '|',
+      "t tinyint, si smallint, i int, b bigint, f float, d double, " +
+        "bo boolean, s string, ts timestamp, dec decimal(4,2), bin string")
+
+  /** `alltypesorc` — the qtest ORC fixture, read natively. */
+  lazy val alltypesorc: Unit =
+    spark.read.orc("/root/reference/data/files/alltypesorc")
+      .createOrReplaceTempView("alltypesorc")
+
+  /** TPC-H-shaped qtest fixtures (q_test_init.sql:277-311). */
+  lazy val tpchFixtures: Unit = {
+    delimView("part_tiny.txt", "part", '',
+      "p_partkey int, p_name string, p_mfgr string, p_brand string, " +
+        "p_type string, p_size int, p_container string, " +
+        "p_retailprice double, p_comment string")
+    delimView("lineitem.txt", "lineitem", '|',
+      "l_orderkey int, l_partkey int, l_suppkey int, l_linenumber int, " +
+        "l_quantity double, l_extendedprice double, l_discount double, " +
+        "l_tax double, l_returnflag string, l_linestatus string, " +
+        "l_shipdate string, l_commitdate string, l_receiptdate string, " +
+        "l_shipinstruct string, l_shipmode string, l_comment string")
+  }
+
+  /** srcbucket (2 files) / srcbucket2 (4 files): int-keyed kv text. */
+  lazy val srcbucket: Unit = {
+    val schema = StructType(Seq(
+      StructField("key", IntegerType), StructField("value", StringType)))
+    register(
+      Vector("srcbucket0.txt", "srcbucket1.txt")
+        .flatMap(delimRows(_, '', schema)), schema, "srcbucket")
+    register(
+      Vector("srcbucket20.txt", "srcbucket21.txt", "srcbucket22.txt",
+        "srcbucket23.txt").flatMap(delimRows(_, '', schema)),
+      schema, "srcbucket2")
+  }
+
+  /** `primitives`: comma-delimited typed table, 4 month partitions. */
+  lazy val primitives: Unit = {
+    val colSpec = "id int, bool_col boolean, tinyint_col tinyint, " +
+      "smallint_col smallint, int_col int, bigint_col bigint, " +
+      "float_col float, double_col double, date_string_col string, " +
+      "string_col string, timestamp_col timestamp"
+    val schema = colSchema(colSpec)
+    val full = StructType(schema.fields ++ Seq(
+      StructField("year", IntegerType), StructField("month", IntegerType)))
+    val rows = Vector(1, 2, 3, 4).flatMap { m =>
+      delimRows(f"types/primitives/09$m%02d01.txt", ',', schema)
+        .map(r => Row.fromSeq(r.toSeq ++ Seq(2009, m)))
+    }
+    register(rows, full, "primitives")
+  }
+
+  /** Empty dest tables every qtest session starts with (dest3 is
+    * partitioned with one pre-added empty partition). */
+  lazy val dests: Unit = {
+    register(Vector.empty, kvSchema, "dest1")
+    register(Vector.empty, kvSchema, "dest2")
+    register(Vector.empty, StructType(kvSchema.fields ++ Seq(
+      StructField("ds", StringType), StructField("hr", StringType))),
+      "dest3")
+    register(Vector.empty, kvSchema, "dest4")
+    register(Vector.empty, kvSchema, "dest4_sequencefile")
+  }
+
+  /** src_json: one JSON document per line. */
+  lazy val srcJson: Unit =
+    register(
+      GoldenFixtures.kv("json.txt").map(t => Row(t._1)),
+      StructType(Seq(StructField("json", StringType))), "src_json")
+
+  /** Every fixture the sweep preloads. A fixture that fails to load
+    * only fails the files that reference its view. */
+  def loadAll(): Unit =
+    Seq(() => src, () => src1, () => srcpart, () => cbo,
+      () => tpchFixtures, () => over10k, () => over1k,
+      () => alltypesorc,
+      () => srcbucket, () => primitives, () => dests, () => srcJson)
+      .foreach(f => scala.util.Try(f()))
+
+  case class Block(query: String, rows: Seq[String])
+
+  /** One block per POSTHOOK statement: the (possibly multi-line) query
+    * text, then its emitted rows (tab-separated, NULL for null). */
+  def blocks(file: String): Seq[Block] = {
+    val s = scala.io.Source.fromFile(s"$outDir/$file")
+    val lines = try s.getLines().toVector finally s.close()
+    val out = Vector.newBuilder[Block]
+    var i = 0
+    while (i < lines.length) {
+      if (lines(i).startsWith("POSTHOOK: query: ")) {
+        val q = new StringBuilder(
+          lines(i).stripPrefix("POSTHOOK: query: "))
+        i += 1
+        while (i < lines.length &&
+            !lines(i).startsWith("POSTHOOK: type:")) {
+          q.append('\n').append(lines(i)); i += 1
+        }
+        while (i < lines.length && (lines(i).startsWith("POSTHOOK:") ||
+            lines(i).startsWith("#### A masked pattern"))) i += 1
+        val rows = Vector.newBuilder[String]
+        while (i < lines.length &&
+            !lines(i).startsWith("PREHOOK: query:") &&
+            !lines(i).startsWith("Warning:")) {
+          // "RUN: Stage-..." hook-echo lines are not result rows
+          if (!lines(i).startsWith("RUN: ")) rows += lines(i)
+          i += 1
+        }
+        out += Block(q.toString, rows.result())
+      } else i += 1
+    }
+    out.result()
+  }
+
+  private val ctasRe =
+    "(?is)create table (?:if\\s+not\\s+exists\\s+)?`?(\\w+)`?\\s+as\\s+(select.*)".r
+  // a view over temp views replays as a temp view of the same query;
+  // an optional explicit column list renames the select's output
+  // (PARTITIONED ON is a physical hint — no-op for the logical replay)
+  private val viewRe = ("(?is)create view (?:if\\s+not\\s+exists\\s+)?" +
+    "`?([\\w.]+)`?\\s*(?:\\(([^)]*)\\)\\s*)?" +
+    "(?:comment\\s+'[^']*'\\s*)?" +
+    "(?:partitioned\\s+on\\s*\\([^)]*\\)\\s*)?as\\s+((?:select|with).*)").r
+  // column list, then any physical clauses (CLUSTERED BY / STORED AS /
+  // ROW FORMAT) — physical layout is a no-op for temp-view replay
+  private val createRe =
+    "(?is)create (?:external\\s+)?table (?:if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?\\s*\\(.*".r
+  // Avro-schema-carrying CREATE with no column list: the schema is the
+  // avro.schema.literal TBLPROPERTY (ref: serde2/avro/AvroSerDe —
+  // STORED AS AVRO tables); bridged through AvroIO.sparkType
+  private val createAvroRe = ("(?is)create (?:external\\s+)?table " +
+    "(?:if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?\\s+row format serde\\s+" +
+    "'org\\.apache\\.hadoop\\.hive\\.serde2\\.avro\\.AvroSerDe'.*" +
+    "'avro\\.schema\\.literal'\\s*=\\s*'(\\{.*?\\})'.*").r
+  private val loadRe =
+    ("(?is)load data local inpath ['\"][^'\"]*/([^'\"/]+)['\"]\\s+" +
+      "(overwrite\\s+)?into table `?([\\w.]+)`?\\s*" +
+      "(?:partition\\s*\\(([^)]*)\\))?.*").r
+  private val addColsRe =
+    "(?is)alter table `?([\\w.]+)`?\\s+add columns\\s*\\((.*)\\).*".r
+
+  /** Per-view field delimiter recorded from `ROW FORMAT DELIMITED
+    * FIELDS TERMINATED BY '<d>'` in the replayed CREATE (default ^A). */
+  private val viewDelims = scala.collection.mutable.Map[String, String]()
+  private val termRe =
+    "(?is).*fields\\s+terminated\\s+by\\s+'([^']+)'.*".r
+
+  /** LOAD DATA replay: parse the delimited fixture per the view's
+    * schema (Hive text semantics: missing / unparseable → NULL) and
+    * append (or replace, on OVERWRITE) into the temp view. A PARTITION
+    * spec splices its static values at their schema positions, and an
+    * OVERWRITE with a spec replaces only that partition. `.avro`
+    * fixtures read through the engine's own Avro source. */
+  private def loadData(fileName: String, table: String,
+      overwrite: Boolean, partSpec: String = null): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val schema = spark.table(table).schema
+    val static = parsePartSpec(partSpec).collect {
+      case (n, Some(v)) => n -> v
+    }.toMap
+    val dataFields = schema.fields.filterNot(f =>
+      static.contains(f.name.toLowerCase))
+    val sel: DataFrame =
+      if (fileName.endsWith(".avro")) {
+        var df = graft.sources.AvroIO.read(spark,
+          s"/root/reference/data/files/$fileName")
+        // schema evolution: a file written before ADD COLUMNS pads the
+        // new trailing columns with NULL (Avro reader-schema contract)
+        while (df.columns.length < dataFields.length)
+          df = df.withColumn(s"__pad${df.columns.length}",
+            lit(null).cast(dataFields(df.columns.length).dataType))
+        df
+      } else {
+        val delim = viewDelims.getOrElse(table.toLowerCase, "\u0001")
+        val rows = GoldenFixtures.lines(fileName).map { l =>
+          val a = l.split(java.util.regex.Pattern.quote(delim), -1)
+          Row.fromSeq(dataFields.zipWithIndex.map { case (f, i) =>
+            parseRaw(if (i < a.length) a(i) else null, f.dataType)
+          }.toSeq)
+        }
+        spark.createDataFrame(
+          spark.sparkContext.parallelize[Row](rows, 2),
+          StructType(dataFields.toIndexedSeq))
+      }
+    insertInto(table, overwrite, sel, partSpec)
+  }
+
+  // Hive allows omitting TABLE, a PARTITION spec (static and/or
+  // dynamic), and inserting literal VALUES rows
+  private val insertRe =
+    ("(?is)insert\\s+(overwrite|into)\\s+(?:table\\s+)?`?(\\w+)`?\\s*" +
+      "(?:partition\\s*\\(([^)]*)\\))?\\s*((?:select|values).*)").r
+  // FROM-first insert: the from clause may be a whole join tree, and
+  // several INSERT segments may share it (Hive multi-insert)
+  private val fromHeadRe =
+    "(?is)from\\s+(.+?)\\s+(insert\\s+(?:overwrite|into)\\s+table\\s+.*)".r
+  private val insertSegRe =
+    ("(?is)insert\\s+(overwrite|into)\\s+table\\s+" +
+      "`?(\\w+)`?\\s*(?:partition\\s*\\(([^)]*)\\))?\\s*(select.*)").r
+  // CREATE TABLE [IF NOT EXISTS] x LIKE y — empty view with y's schema
+  private val likeRe =
+    "(?is)create table (?:if\\s+not\\s+exists\\s+)?`?(\\w+)`?\\s+like\\s+`?(\\w+)`?.*".r
+
+  /** PARTITION clause entries in order: name -> Some(static value) or
+    * None (dynamic — its value is a trailing select column). */
+  private def parsePartSpec(spec: String): Seq[(String, Option[String])] =
+    if (spec == null || spec.trim.isEmpty) Nil
+    else spec.split(",").toSeq.map { e =>
+      e.split("=", 2) match {
+        case Array(n, v) =>
+          n.trim.toLowerCase -> Some(v.trim
+            .stripPrefix("'").stripSuffix("'")
+            .stripPrefix("\"").stripSuffix("\""))
+        case Array(n) => n.trim.toLowerCase -> None
+      }
+    }
+
+  /** INSERT replay: run the select, apply Hive's insert-cast to the
+    * target's declared column types by position, then replace or append
+    * the view. Static PARTITION values are spliced in at their schema
+    * positions; dynamic partition values ride as trailing select
+    * columns (Hive's own contract). An OVERWRITE with a partition spec
+    * replaces only the partitions present in the insert's output. */
+  private def insertInto(table: String, overwrite: Boolean,
+      sel: DataFrame, partSpec: String = null): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val schema = spark.table(table).schema
+    val static = parsePartSpec(partSpec).collect {
+      case (n, Some(v)) => n -> v
+    }.toMap
+    val selCols = sel.toDF(sel.columns.indices.map(i => s"__c$i"): _*)
+    var si = 0
+    val cast = selCols.select(schema.fields.map { f =>
+      static.get(f.name.toLowerCase) match {
+        case Some(v) => lit(v).cast(f.dataType).as(f.name)
+        case None =>
+          val c = col(s"__c$si").cast(f.dataType).as(f.name); si += 1; c
+      }
+    }.toIndexedSeq: _*)
+    val spec = parsePartSpec(partSpec)
+    val merged =
+      if (overwrite && spec.nonEmpty) {
+        // partitioned OVERWRITE (static or dynamic) replaces only the
+        // partitions present in the insert's own output — Hive's
+        // dynamic-partition overwrite contract
+        val pFields = spec.map { case (n, _) =>
+          schema.fields.find(_.name.equalsIgnoreCase(n)).get.name }
+        val aff = cast.select(pFields.map(col): _*).distinct()
+        spark.table(table).join(aff, pFields, "left_anti")
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*) // using-join
+          .union(cast)                            // may reorder columns
+      } else if (overwrite) cast
+      else spark.table(table).union(cast)
+    val snap = merged.take(2000001).toSeq
+    if (snap.size > 2000000) throw new IllegalStateException(
+      s"replay insert into $table exceeded 2M rows -- runaway result")
+    register(snap.toVector, schema, table)
+  }
+
+  /** SORT_AND_HASH goldens append a base64 digest line per block. */
+  private def isHashLine(l: String): Boolean =
+    l.matches("[A-Za-z0-9+/]{22}==")
+
+  private def emptyView(name: String, cols: String): Unit =
+    register(Vector.empty, colSchema(cols), name)
+
+  /** Body of the first balanced paren group — the column list of a
+    * CREATE TABLE, robust to nested parens like decimal(4,2). */
+  private def parenBody(q: String): String = {
+    val start = q.indexOf('(')
+    require(start >= 0, s"no column list in: $q")
+    var depth = 0; var i = start
+    while (i < q.length) {
+      q(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return q.substring(start + 1, i)
+        case _ =>
+      }
+      i += 1
+    }
+    sys.error(s"unbalanced parens in: $q")
+  }
+
+  /** Decimal cells: older goldens print HiveDecimal-normalized values
+    * (123.0BD as "123"); newer ones keep the declared scale
+    * ("1173.150"). Per-file flag, default normalize. */
+  private def fmt(r: Row, stripDecZeros: Boolean = true): String =
+    (0 until r.length).map(i =>
+      if (r.isNullAt(i)) "NULL" else r.get(i) match {
+        case d: java.math.BigDecimal =>
+          if (stripDecZeros) d.stripTrailingZeros.toPlainString
+          else d.toPlainString
+        case d: scala.math.BigDecimal =>
+          if (stripDecZeros) d.bigDecimal.stripTrailingZeros.toPlainString
+          else d.bigDecimal.toPlainString
+        // HiveIntervalDayTime "%d %02d:%02d:%02d.%09d", YearMonth "%d-%d"
+        case d: java.time.Duration =>
+          val sign = if (d.isNegative) "-" else ""
+          val a = d.abs
+          f"$sign${a.toDays} ${a.toHoursPart}%02d:${a.toMinutesPart}%02d:" +
+            f"${a.toSecondsPart}%02d.${a.toNanosPart}%09d"
+        case p: java.time.Period =>
+          s"${p.getYears}-${p.getMonths}"
+        case v => v.toString
+      }).mkString("\t")
+
+  /** Execute the file's statements in golden order; returns how many
+    * SELECT blocks were asserted. `skip` drops individual statements
+    * with a documented engine divergence. Throws [[GoldenMismatch]] on
+    * a row mismatch and IllegalStateException on an unhandled
+    * statement shape. */
+  def replay(file: String,
+      skip: String => Boolean = _ => false,
+      stripDecZeros: Boolean = true): Int = {
+    var asserted = 0
+    def unhandled(what: String, q: String): Nothing =
+      throw new IllegalStateException(s"unhandled $what in $file: $q")
+    blocks(file).filterNot(b => skip(b.query)).foreach { b =>
+      // leading -- comment lines (e.g. -- SORT_QUERY_RESULTS) ride along
+      // with the first statement in the golden
+      val q0 = b.query.linesIterator
+        .dropWhile(l => l.trim.isEmpty || l.trim.startsWith("--"))
+        .mkString("\n").trim
+      // goldens call Hive's `hash` (ObjectInspectorUtils contract) —
+      // that is our SQL-registered hive_hash; Spark's own `hash` is
+      // Murmur3 and would never match the golden sums
+      val q = q0.replaceAll("(?i)(?<![\\w_])hash\\(", "hive_hash(")
+      val ql = q.toLowerCase
+      def assertSelect(query: String): Unit = {
+        val want = b.rows.filterNot(isHashLine).sorted
+        // bounded materialization: a replay bug that inflates the
+        // result (e.g. a dropped join condition) must fail fast, not
+        // OOM the driver -- anything past want+100 rows is a mismatch
+        val cap = want.size + 101
+        val taken = spark.sql(query).take(cap).toSeq
+        if (taken.size == cap)
+          throw new GoldenMismatch(
+            s"golden mismatch in $file for: $query\n" +
+              s"got >=$cap rows, want ${want.size}")
+        val got = taken.map(fmt(_, stripDecZeros)).sorted
+        if (got != want)
+          throw new GoldenMismatch(
+            s"golden mismatch in $file for: $query\n" +
+              s"got ${got.size} rows, want ${want.size};" +
+              s" first diff: ${got.zipAll(want, "<none>", "<none>")
+                .find(p => p._1 != p._2).getOrElse(("", ""))}")
+        asserted += 1
+      }
+      if (ql.startsWith("create table") ||
+          ql.startsWith("create external table")) q match {
+        case ctasRe(name, sel) =>
+          spark.sql(sel).createOrReplaceTempView(name)
+        case likeRe(name, other) =>
+          spark.table(other).limit(0).createOrReplaceTempView(name)
+        case createAvroRe(name, schemaJson) =>
+          // STORED-AS-AVRO table whose schema is the avro.schema.literal
+          // TBLPROPERTY -- bridge it through the engine's Avro source
+          val avro = new org.apache.avro.Schema.Parser().parse(schemaJson)
+          register(Vector.empty,
+            graft.sources.AvroIO.sparkType(avro).asInstanceOf[StructType],
+            name)
+        case createRe(name) =>
+          // balanced-paren column list (decimal(4,2) nests parens);
+          // PARTITIONED BY columns are part of the logical schema
+          val cols = parenBody(q)
+          val partByRe = "(?is).*partitioned\\s+by\\s*\\(([^)]*)\\).*".r
+          val full = q match {
+            case partByRe(p) => cols + "," + p
+            case _ => cols
+          }
+          emptyView(name, full)
+          q match { // remember the declared text delimiter for LOAD DATA
+            case termRe(d) => viewDelims(name.toLowerCase) =
+              d.replace("\\t", "\t").replace("\\001", "\u0001")
+            case _ =>
+          }
+        case _ => unhandled("create", q)
+      } else if (ql.startsWith("create view")) q match {
+        case viewRe(name, colList, sel) =>
+          val df = spark.sql(sel)
+          (if (colList == null || colList.trim.isEmpty) df
+           else df.toDF(colList.split(",").map(_.trim.replace("`", ""))
+             .toIndexedSeq: _*))
+            .createOrReplaceTempView(name)
+        case _ => unhandled("view", q)
+      } else if (ql.startsWith("load data")) q match {
+        case loadRe(fileName, ow, table, part) =>
+          loadData(fileName, table, ow != null, part)
+        case _ => unhandled("load", q)
+      } else if (ql.startsWith("alter table")) q match {
+        case addColsRe(table, cols) =>
+          // widen the view: existing rows read NULL in the new columns
+          import org.apache.spark.sql.functions.lit
+          var df = spark.table(table)
+          colSchema(cols).fields.foreach(f =>
+            df = df.withColumn(f.name, lit(null).cast(f.dataType)))
+          val schema = df.schema
+          register(df.collect().toVector, schema, table)
+        case _ => // other ALTERs (rename/partition/props) are no-ops
+      } else if (ql.startsWith("insert")) q match {
+        case insertRe(mode, table, part, sel) =>
+          // `VALUES (...)` is itself a valid Spark query
+          insertInto(table, mode.equalsIgnoreCase("overwrite"),
+            spark.sql(sel), part)
+        case _ => unhandled("insert", q)
+      } else if (ql.startsWith("from")) q match {
+        // Hive FROM-first inserts (possibly MULTI-insert: one scan, many
+        // sinks); each segment replays as FROM <tree> SELECT ...
+        case fromHeadRe(from, rest) =>
+          rest.split("(?is)(?=insert\\s+(?:overwrite|into)\\s+table)")
+            .map(_.trim).filter(_.nonEmpty).foreach {
+              case insertSegRe(mode, table, part, sel) =>
+                insertInto(table, mode.equalsIgnoreCase("overwrite"),
+                  spark.sql(s"FROM $from $sel"), part)
+              case seg => unhandled("insert segment", seg)
+            }
+        case _ =>
+          // FROM-first bare SELECT — Spark parses it as a query
+          assertSelect(q)
+      } else if (ql.startsWith("select")) {
+        assertSelect(q)
+      } // set/explain/drop blocks replay as no-ops
+    }
+    asserted
+  }
+}
