@@ -12,16 +12,18 @@ final class GoldenMismatch(msg: String) extends AssertionError(msg)
 object GoldenFixtures {
   /** UTF-8 first; files that aren't valid UTF-8 (e.g. Latin-1 test
     * data) re-read as ISO-8859-1, which accepts every byte. */
-  def lines(file: String): Vector[String] = {
+  def readLines(path: String): Vector[String] = {
     def read(codec: scala.io.Codec): Vector[String] = {
-      val s = scala.io.Source.fromFile(
-        s"/root/reference/data/files/$file")(codec)
+      val s = scala.io.Source.fromFile(path)(codec)
       try s.getLines().toVector finally s.close()
     }
     try read(scala.io.Codec.UTF8)
     catch { case _: java.nio.charset.MalformedInputException =>
       read(scala.io.Codec.ISO8859) }
   }
+
+  def lines(file: String): Vector[String] =
+    readLines(s"/root/reference/data/files/$file")
 
   /** ^A-delimited key,value (kv*.txt). -1 limit keeps empty fields:
     * kv3.txt has a bare "^A" line meaning (empty key, empty value). */
@@ -50,17 +52,23 @@ object GoldenFixtures {
     }
 
   private val decRe = "decimal\\((\\d+),(\\d+)\\)".r
+  private val charRe = "char\\s*\\((\\d+)\\)".r
+  private val varcharRe = "varchar\\s*\\((\\d+)\\)".r
   private val arrRe = "(?s)array\\s*<(.*)>".r
   private val mapRe = "(?s)map\\s*<(.*)>".r
   private val structRe = "(?s)struct\\s*<(.*)>".r
 
   /** Split on `sep` at depth 0 only — commas inside `<>` (complex
-    * types) and `()` (decimal(p,s)) don't split. */
+    * types), `()` (decimal(p,s)), and backticks (quoted column names
+    * may contain commas) don't split. */
   def splitTop(s: String, sep: Char): Seq[String] = {
     val out = Vector.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0
+    var tick = false
     s.foreach {
+      case '`' => tick = !tick; cur.append('`')
+      case c if tick => cur.append(c)
       case c @ ('<' | '(') => depth += 1; cur.append(c)
       case c @ ('>' | ')') => depth -= 1; cur.append(c)
       case `sep` if depth == 0 => out += cur.result(); cur.clear()
@@ -85,6 +93,11 @@ object GoldenFixtures {
     case "binary" => BinaryType
     case decRe(pr, sc) => DecimalType(pr.toInt, sc.toInt)
     case "decimal" => DecimalType(10, 0) // Hive's default (p,s)
+    // real char/varchar types: the engine runs with
+    // preserveCharVarcharTypeInfo, so Hive's pad/truncate semantics
+    // apply (CharTypeInfo / VarcharTypeInfo)
+    case charRe(n) => CharType(n.toInt)
+    case varcharRe(n) => VarcharType(n.toInt)
     case arrRe(et) => ArrayType(hiveType(et))
     case mapRe(kv) =>
       val p = splitTop(kv, ',')
@@ -97,26 +110,48 @@ object GoldenFixtures {
     case _ => StringType // string / char(n) / varchar(n) text replay
   }
 
+  /** LazySerDe nested-separator bytes in order (ref:
+    * serde2/lazy/LazySerDeParameters.collectSeparators): field delim,
+    * ^B, ^C, then 4-8, 11, 14-26, 28-31 — \t \n \f \r \e are skipped
+    * because they plausibly occur in string data. Indices 0-2 can be
+    * overridden per table by FIELDS/COLLECTION ITEMS/MAP KEYS
+    * TERMINATED BY. */
+  val defaultSeps: IndexedSeq[String] =
+    (Seq(1, 2, 3) ++ (4 to 8) ++ Seq(11) ++ (14 to 26) ++ (28 to 31))
+      .map(_.toChar.toString).toIndexedSeq
+
   /** Hive lazy-parse: \N or an unparseable primitive reads as NULL.
     * Complex types follow LazySerDe's nested-separator scheme: a value
-    * at nesting level i splits on char(i+2) — top-level columns split
+    * at nesting level i splits on seps(i+1) — top-level columns split
     * on ^A, their collection items on ^B, map key/value on ^C, and so
-    * on (ref: serde2/lazy/LazySerDeParameters separators). */
-  def parseRaw(raw: String, dt: DataType, level: Int = 0): Any =
+    * on through the extended table. */
+  def parseRaw(raw: String, dt: DataType, level: Int = 0,
+      seps: IndexedSeq[String] = defaultSeps): Any =
     if (raw == null || raw == "\\N") null else dt match {
       case ArrayType(et, _) =>
-        raw.split((level + 2).toChar.toString, -1).toSeq
-          .map(parseRaw(_, et, level + 1))
+        // zero-length field = zero elements (LazyArray), not [""]
+        if (raw.isEmpty) Seq.empty
+        else raw.split(java.util.regex.Pattern.quote(seps(level + 1)), -1)
+          .toSeq.map(parseRaw(_, et, level + 1, seps))
       case MapType(kt, vt, _) =>
-        raw.split((level + 2).toChar.toString, -1).toSeq.map { e =>
-          val kv = e.split((level + 3).toChar.toString, -1)
-          parseRaw(kv(0), kt, level + 2) ->
-            parseRaw(if (kv.length > 1) kv(1) else null, vt, level + 2)
-        }.toMap
+        // LinkedHashMap: Hive's LazyMap iterates (and the golden
+        // renders) entries in FILE order, not hash order
+        val m = scala.collection.mutable.LinkedHashMap.empty[Any, Any]
+        raw.split(java.util.regex.Pattern.quote(seps(level + 1)), -1)
+          .foreach { e =>
+            val kv =
+              e.split(java.util.regex.Pattern.quote(seps(level + 2)), -1)
+            m(parseRaw(kv(0), kt, level + 2, seps)) =
+              parseRaw(if (kv.length > 1) kv(1) else null, vt,
+                level + 2, seps)
+          }
+        m
       case st: StructType =>
-        val a = raw.split((level + 2).toChar.toString, -1)
+        val a =
+          raw.split(java.util.regex.Pattern.quote(seps(level + 1)), -1)
         Row.fromSeq(st.fields.zipWithIndex.map { case (f, i) =>
-          parseRaw(if (i < a.length) a(i) else null, f.dataType, level + 1)
+          parseRaw(if (i < a.length) a(i) else null, f.dataType,
+            level + 1, seps)
         }.toSeq)
       case _ => parsePrim(raw, dt)
     }
@@ -140,6 +175,8 @@ object GoldenFixtures {
         try new java.math.BigDecimal(raw).setScale(d.scale)
         catch { case _: ArithmeticException | _: NumberFormatException =>
           null }
+      case BinaryType =>
+        raw.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       case _ => raw
     }
 
@@ -180,11 +217,28 @@ class GoldenHarness(val spark: SparkSession) {
   private val outDir =
     "/root/reference/ql/src/test/results/clientpositive"
 
+  /** createDataFrame rejects char/varchar schemas outright, so build
+    * with string columns and CAST to the declared char/varchar types —
+    * with preserveCharVarcharTypeInfo on, the cast applies Hive's
+    * pad/truncate semantics and the view keeps the real type. */
   private def register(rows: Vector[Row], schema: StructType,
-      view: String): Unit =
-    spark.createDataFrame(
-      spark.sparkContext.parallelize[Row](rows, 2), schema)
-      .createOrReplaceTempView(view)
+      view: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val hasCv = schema.fields.exists(f =>
+      f.dataType.isInstanceOf[CharType] ||
+        f.dataType.isInstanceOf[VarcharType])
+    val plain = if (!hasCv) schema else StructType(schema.fields.map {
+      case f if f.dataType.isInstanceOf[CharType] ||
+          f.dataType.isInstanceOf[VarcharType] =>
+        f.copy(dataType = StringType)
+      case f => f
+    })
+    val df0 = spark.createDataFrame(
+      spark.sparkContext.parallelize[Row](rows, 2), plain)
+    val df = if (!hasCv) df0 else df0.select(schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    df.createOrReplaceTempView(view)
+  }
 
   private val kvSchema = StructType(Seq(
     StructField("key", StringType), StructField("value", StringType)))
@@ -298,6 +352,40 @@ class GoldenHarness(val spark: SparkSession) {
     register(Vector.empty, kvSchema, "dest4_sequencefile")
   }
 
+  /** `src_thrift`: the Complex-thrift SequenceFile fixture, re-derived
+    * from its deterministic generator (reference
+    * serde/src/test/.../thrift_test/CreateSequenceFile.java:114-150):
+    * row i has aint = the i-th `new Random(20081215).nextInt()`,
+    * astring = "record_i", lint = [i,2i,3i], lstring =
+    * [10i,100i,1000i as strings], lintstring = [(i², i³, i)],
+    * mstringstring = {key_i: value_i}; plus one all-null record whose
+    * aint stays 0 (thrift primitive field). The uniontype columns
+    * (attributes, unionfield1-3) are omitted — files touching them
+    * fail their own replay only. */
+  lazy val srcThrift: Unit = {
+    val aints = Vector(1712634731, 465985200, -751827638, 477111222,
+      -734328909, -1952710710, 1244525190, -1461153973, 1638581578,
+      336964413)
+    val isSchema = StructType(Seq(
+      StructField("myint", IntegerType),
+      StructField("mystring", StringType),
+      StructField("underscore_int", IntegerType)))
+    val schema = StructType(Seq(
+      StructField("aint", IntegerType),
+      StructField("astring", StringType),
+      StructField("lint", ArrayType(IntegerType)),
+      StructField("lstring", ArrayType(StringType)),
+      StructField("lintstring", ArrayType(isSchema)),
+      StructField("mstringstring", MapType(StringType, StringType))))
+    val rows = (0 until 10).map { i =>
+      Row(aints(i), s"record_$i", Seq(i, i * 2, i * 3),
+        Seq("" + i * 10, "" + i * 100, "" + i * 1000),
+        Seq(Row(i * i, "" + (i * i * i), i)),
+        Map(s"key_$i" -> s"value_$i"))
+    }.toVector :+ Row(0, null, null, null, null, null)
+    register(rows, schema, "src_thrift")
+  }
+
   /** src_json: one JSON document per line. */
   lazy val srcJson: Unit =
     register(
@@ -309,7 +397,7 @@ class GoldenHarness(val spark: SparkSession) {
   def loadAll(): Unit =
     Seq(() => src, () => src1, () => srcpart, () => cbo,
       () => tpchFixtures, () => over10k, () => over1k,
-      () => alltypesorc,
+      () => alltypesorc, () => srcThrift,
       () => srcbucket, () => primitives, () => dests, () => srcJson)
       .foreach(f => scala.util.Try(f()))
 
@@ -318,8 +406,7 @@ class GoldenHarness(val spark: SparkSession) {
   /** One block per POSTHOOK statement: the (possibly multi-line) query
     * text, then its emitted rows (tab-separated, NULL for null). */
   def blocks(file: String): Seq[Block] = {
-    val s = scala.io.Source.fromFile(s"$outDir/$file")
-    val lines = try s.getLines().toVector finally s.close()
+    val lines = GoldenFixtures.readLines(s"$outDir/$file")
     val out = Vector.newBuilder[Block]
     var i = 0
     while (i < lines.length) {
@@ -347,8 +434,13 @@ class GoldenHarness(val spark: SparkSession) {
     out.result()
   }
 
+  // physical clauses (ROW FORMAT / STORED AS) between the name and AS
+  // are no-ops for a temp-view CTAS replay
   private val ctasRe =
-    "(?is)create table (?:if\\s+not\\s+exists\\s+)?`?(\\w+)`?\\s+as\\s+(select.*)".r
+    ("(?is)create table (?:if\\s+not\\s+exists\\s+)?`?(\\w+)`?" +
+      "(?:\\s+row\\s+format\\s+delimited[^()]*?)?" +
+      "(?:\\s+stored\\s+as\\s+\\w+)?" +
+      "\\s+as\\s+((?:select|with).*)").r
   // a view over temp views replays as a temp view of the same query;
   // an optional explicit column list renames the select's output
   // (PARTITIONED ON is a physical hint — no-op for the logical replay)
@@ -373,12 +465,39 @@ class GoldenHarness(val spark: SparkSession) {
       "(?:partition\\s*\\(([^)]*)\\))?.*").r
   private val addColsRe =
     "(?is)alter table `?([\\w.]+)`?\\s+add columns\\s*\\((.*)\\).*".r
+  private val replaceColsRe =
+    "(?is)alter table `?([\\w.]+)`?\\s+replace columns\\s*\\((.*)\\).*".r
+  private val renameRe =
+    "(?is)alter table `?([\\w.]+)`?\\s+rename to\\s+`?([\\w.]+)`?\\s*".r
 
-  /** Per-view field delimiter recorded from `ROW FORMAT DELIMITED
-    * FIELDS TERMINATED BY '<d>'` in the replayed CREATE (default ^A). */
-  private val viewDelims = scala.collection.mutable.Map[String, String]()
+  /** Per-view separator overrides recorded from `ROW FORMAT DELIMITED
+    * FIELDS/COLLECTION ITEMS/MAP KEYS TERMINATED BY` in the replayed
+    * CREATE (defaults ^A ^B ^C). */
+  private val viewSeps =
+    scala.collection.mutable.Map[String, IndexedSeq[String]]()
   private val termRe =
     "(?is).*fields\\s+terminated\\s+by\\s+'([^']+)'.*".r
+  private val collTermRe =
+    "(?is).*collection\\s+items\\s+terminated\\s+by\\s+'([^']+)'.*".r
+  private val mapkeyTermRe =
+    "(?is).*map\\s+keys\\s+terminated\\s+by\\s+'([^']+)'.*".r
+
+  private def unescDelim(d: String): String = d
+    .replace("\\t", "\t").replace("\\001", "")
+    .replace("\\002", "").replace("\\003", "")
+    .replace("\\004", "")
+
+  /** Record TERMINATED BY overrides for `view` from create text `q`. */
+  private def recordDelims(view: String, q: String): Unit = {
+    var s = defaultSeps
+    q match { case termRe(d) => s = s.updated(0, unescDelim(d))
+              case _ => }
+    q match { case collTermRe(d) => s = s.updated(1, unescDelim(d))
+              case _ => }
+    q match { case mapkeyTermRe(d) => s = s.updated(2, unescDelim(d))
+              case _ => }
+    if (s != defaultSeps) viewSeps(view.toLowerCase) = s
+  }
 
   /** LOAD DATA replay: parse the delimited fixture per the view's
     * schema (Hive text semantics: missing / unparseable → NULL) and
@@ -406,11 +525,12 @@ class GoldenHarness(val spark: SparkSession) {
             lit(null).cast(dataFields(df.columns.length).dataType))
         df
       } else {
-        val delim = viewDelims.getOrElse(table.toLowerCase, "\u0001")
+        val seps = viewSeps.getOrElse(table.toLowerCase, defaultSeps)
         val rows = GoldenFixtures.lines(fileName).map { l =>
-          val a = l.split(java.util.regex.Pattern.quote(delim), -1)
+          val a = l.split(java.util.regex.Pattern.quote(seps(0)), -1)
           Row.fromSeq(dataFields.zipWithIndex.map { case (f, i) =>
-            parseRaw(if (i < a.length) a(i) else null, f.dataType)
+            parseRaw(if (i < a.length) a(i) else null, f.dataType,
+              0, seps)
           }.toSeq)
         }
         spark.createDataFrame(
@@ -424,14 +544,16 @@ class GoldenHarness(val spark: SparkSession) {
   // dynamic), and inserting literal VALUES rows
   private val insertRe =
     ("(?is)insert\\s+(overwrite|into)\\s+(?:table\\s+)?`?(\\w+)`?\\s*" +
-      "(?:partition\\s*\\(([^)]*)\\))?\\s*((?:select|values).*)").r
+      "(?:partition\\s*\\(([^)]*)\\))?\\s*" +
+      "((?:select|values|map\\s|reduce\\s).*)").r
   // FROM-first insert: the from clause may be a whole join tree, and
   // several INSERT segments may share it (Hive multi-insert)
   private val fromHeadRe =
     "(?is)from\\s+(.+?)\\s+(insert\\s+(?:overwrite|into)\\s+table\\s+.*)".r
   private val insertSegRe =
     ("(?is)insert\\s+(overwrite|into)\\s+table\\s+" +
-      "`?(\\w+)`?\\s*(?:partition\\s*\\(([^)]*)\\))?\\s*(select.*)").r
+      "`?(\\w+)`?\\s*(?:partition\\s*\\(([^)]*)\\))?\\s*" +
+      "((?:select|map\\s|reduce\\s).*)").r
   // CREATE TABLE [IF NOT EXISTS] x LIKE y — empty view with y's schema
   private val likeRe =
     "(?is)create table (?:if\\s+not\\s+exists\\s+)?`?(\\w+)`?\\s+like\\s+`?(\\w+)`?.*".r
@@ -443,10 +565,10 @@ class GoldenHarness(val spark: SparkSession) {
     else spec.split(",").toSeq.map { e =>
       e.split("=", 2) match {
         case Array(n, v) =>
-          n.trim.toLowerCase -> Some(v.trim
+          n.trim.toLowerCase.replace("`", "") -> Some(v.trim
             .stripPrefix("'").stripSuffix("'")
             .stripPrefix("\"").stripSuffix("\""))
-        case Array(n) => n.trim.toLowerCase -> None
+        case Array(n) => n.trim.toLowerCase.replace("`", "") -> None
       }
     }
 
@@ -492,6 +614,174 @@ class GoldenHarness(val spark: SparkSession) {
     register(snap.toVector, schema, table)
   }
 
+  private val usingRe = "(?is)using\\s+'([^']*)'".r
+  private val tsOnRe = ("(?is)([\\w.]+)\\s+tablesample\\s*\\(\\s*bucket" +
+    "\\s+(\\d+)\\s+out\\s+of\\s+(\\d+)\\s+on\\s+([^)]+)\\)").r
+  private val mrRe = "(?is)\\s*(?:map|reduce)\\s+(.+?)\\s+(using\\s+.*)".r
+
+  /** Hive dialect shims applied to every replayed statement:
+    *  - `hash(` → `hive_hash(` (goldens sum Hive's
+    *    ObjectInspectorUtils hash contract, not Murmur3);
+    *  - backslash escapes inside `USING '<script>'`: Hive splits the
+    *    script on spaces only, so a parser-unescaped tab survives as
+    *    one argv element — Spark hands the script to `bash -c`, which
+    *    would re-split on it. Re-quote the escape (`tr \t _` →
+    *    `"tr '\t' _"`) so the subprocess sees Hive's argv;
+    *  - `t TABLESAMPLE (BUCKET x OUT OF y ON cols)` → Hive's own
+    *    deterministic sample predicate `(hash & MAX_INT) % y = x-1`
+    *    (ref ql/parse/SemanticAnalyzer genSamplePredicate);
+    *  - `default.`-qualified names → bare (fixtures are temp views). */
+  private def dialectShims(q0: String): String = {
+    val q1 = q0.replaceAll("(?i)(?<![\\w_])hash\\(", "hive_hash(")
+      // Hive's stddev/std/variance/var are the POPULATION variants
+      // (FunctionRegistry: GenericUDAFStd/GenericUDAFVariance);
+      // Spark's same-named functions are the SAMPLE variants
+      .replaceAll("(?i)(?<![\\w_])(?:stddev|std)\\s*\\(", "stddev_pop(")
+      .replaceAll("(?i)(?<![\\w_])variance\\s*\\(", "var_pop(")
+    val q2 = usingRe.replaceAllIn(q1, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        if (!m.group(1).contains("\\")) m.group(0)
+        else "USING \"" +
+          m.group(1).replaceAll("\\\\(.)", "'\\\\\\\\$1'") + "\""))
+    val q3 = tsOnRe.replaceAllIn(q2, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        s"(select * from ${m.group(1)} where (hive_hash(${m.group(4).trim})" +
+          s" & 2147483647) % ${m.group(3)} = ${m.group(2).toInt - 1})"))
+    val q4 = q3.replaceAll("(?i)(?<![\\w.`])`?default`?\\.(?=`?\\w)", "")
+    // SORT BY + LIMIT: Hive's qtest runs one reducer, so its partial
+    // sort IS total and LIMIT takes the global extremes; Spark's
+    // partition-local sort would feed LIMIT arbitrary rows. ORDER BY
+    // reproduces the single-reducer golden. (Multiset comparison makes
+    // the rewrite a no-op for queries without LIMIT.)
+    val q4l = q4.toLowerCase
+    val q5 =
+      if (q4l.contains("sort by") && q4l.matches("(?s).*\\blimit\\s+\\d.*") &&
+          !q4l.contains("distribute by") && !q4l.contains("cluster by"))
+        q4.replaceAll("(?i)\\bsort\\s+by\\b", "order by")
+      else q4
+    // MAP/REDUCE sugar keeps its own TRANSFORM rewrite path
+    val q6 =
+      if (q5.toLowerCase.contains("transform")) fixTransformIo(q5) else q5
+    // Hive's noop/noopwithmap test PTFs pass rows through unchanged
+    // (ql/udf/ptf/Noop.java); strip to the underlying relation — the
+    // goldens' window functions re-declare their own specs. Fixpoint
+    // loop unwraps nested calls innermost-first.
+    defaultOverOrder(stripNoops(q6))
+  }
+
+  private val noopCallRe = "(?i)\\bnoop(?:withmap)?\\s*\\(".r
+
+  /** Hive's noop/noopwithmap test PTFs pass rows through unchanged
+    * (ql/udf/ptf/Noop.java): replace `noop(on <rel> [partition/
+    * distribute by ..][sort/order by ..])` with `<rel>`, balanced-paren
+    * aware so subquery inputs survive. Innermost-first via fixpoint. */
+  private def stripNoops(q0: String): String = {
+    var q = q0
+    var m = noopCallRe.findFirstMatchIn(q)
+    while (m.isDefined) {
+      val open = q.indexOf('(', m.get.start)
+      var depth = 0; var j = open; var close = -1
+      while (j < q.length && close < 0) {
+        q(j) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) close = j
+          case _ =>
+        }
+        j += 1
+      }
+      if (close < 0) return q
+      var body = q.substring(open + 1, close).trim
+        .replaceFirst("(?is)^on\\s+", "")
+      // cut at the first top-level partitioning/ordering clause
+      val bl = body.toLowerCase
+      var d = 0; var cut = -1; var k = 0
+      while (k < body.length && cut < 0) {
+        body(k) match {
+          case '(' => d += 1
+          case ')' => d -= 1
+          case _ =>
+        }
+        if (d == 0 && (k == 0 || body(k - 1).isWhitespace) &&
+            (bl.startsWith("partition by", k) ||
+              bl.startsWith("distribute by", k) ||
+              bl.startsWith("sort by", k) ||
+              bl.startsWith("order by", k))) cut = k
+        k += 1
+      }
+      if (cut >= 0) body = body.substring(0, cut).trim
+      q = q.substring(0, m.get.start) + body + q.substring(close + 1)
+      m = noopCallRe.findFirstMatchIn(q)
+    }
+    q
+  }
+
+  /** Hive defaults a window spec with PARTITION BY but no ORDER BY to
+    * ordering on the partition key (ql/parse/PTFTranslator
+    * applyConstantPartition); Spark's ranking functions reject the
+    * unordered spec instead. */
+  private val unorderedOverRe = ("(?is)\\bover\\s*\\(\\s*" +
+    "(?:partition|distribute)\\s+by\\s+([^()]+?)\\s*\\)").r
+  private def defaultOverOrder(q: String): String =
+    unorderedOverRe.replaceAllIn(q, m => {
+      val cols = m.group(1).trim
+      val cl = cols.toLowerCase
+      if (cl.contains("order by") || cl.contains("sort by") ||
+          cl.contains(" rows") || cl.contains(" range")) m.group(0)
+      else scala.util.matching.Regex.quoteReplacement(
+        s"over (partition by $cols order by $cols)")
+    })
+      // empty over(): one partition, engine-defined order — order by a
+      // constant for Spark's ranking functions (same multiset)
+      .replaceAll("(?i)\\bover\\s*\\(\\s*\\)", "over (order by 1)")
+
+  private val transformIoRe =
+    ("(?is)\\busing\\s+('[^']*'|\"[^\"]*\")" +
+      "(\\s+as\\s+(?:\\([^)]*\\)|`?\\w+`?(?:\\s*,\\s*`?\\w+`?)*))?").r
+
+  /** Hive's TRANSFORM streams TAB-delimited text in both directions by
+    * default (ql/exec/ScriptOperator + LazySimpleSerDe with
+    * field.delim='\t'); Spark's default script IO schema uses ^A. Make
+    * Hive's contract explicit so scripts like `tr '\t' _` see the same
+    * bytes they saw under Hive. */
+  private def fixTransformIo(q: String): String =
+    if (q.toLowerCase.contains("row format")) q
+    else transformIoRe.replaceAllIn(q, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        "ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\t' USING " +
+          m.group(1) + Option(m.group(2)).getOrElse("") +
+          " ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\t' "))
+
+  /** Hive's `MAP exprs USING ...` / `REDUCE exprs USING ...` insert
+    * bodies are sugar for `SELECT TRANSFORM(exprs) USING ...`
+    * (ref ql/parse/HiveParser.g selectClause). */
+  private def mapReduceSugar(sel: String): String = sel match {
+    case _ if sel.toLowerCase.matches("(?s)\\s*(?:select|values).*") => sel
+    case mrRe(exprs, rest) =>
+      fixTransformIo(s"SELECT TRANSFORM($exprs) $rest")
+    case _ => sel
+  }
+
+  /** Fallback for floating-point accumulation-order tails: rows match
+    * if every cell is string-equal or numerically within 1e-6 relative
+    * (Hive and Spark sum doubles in different orders; the goldens pin
+    * Hive's order). */
+  private def tolerantEq(got: Seq[String], want: Seq[String]): Boolean = {
+    def toD(s: String): Option[Double] =
+      if (s.isEmpty || !s.exists(_.isDigit)) None else s.toDoubleOption
+    got.size == want.size && got.zip(want).forall { case (g, w) =>
+      g == w || {
+        val ga = g.split("\t", -1); val wa = w.split("\t", -1)
+        ga.length == wa.length && ga.zip(wa).forall { case (a, b) =>
+          a == b || ((toD(a), toD(b)) match {
+            case (Some(x), Some(y)) => math.abs(x - y) <=
+              1e-6 * math.max(1.0, math.max(math.abs(x), math.abs(y)))
+            case _ => false
+          })
+        }
+      }
+    }
+  }
+
   /** SORT_AND_HASH goldens append a base64 digest line per block. */
   private def isHashLine(l: String): Boolean =
     l.matches("[A-Za-z0-9+/]{22}==")
@@ -516,6 +806,53 @@ class GoldenHarness(val spark: SparkSession) {
     sys.error(s"unbalanced parens in: $q")
   }
 
+  /** Hive timestamp text: yyyy-MM-dd HH:mm:ss[.fff...] with the
+    * fractional part dropped when zero and trailing zeros trimmed
+    * (TimestampWritable.toString). */
+  private def tsString(t: java.time.LocalDateTime): String = {
+    val base = f"${t.getYear}%04d-${t.getMonthValue}%02d-" +
+      f"${t.getDayOfMonth}%02d ${t.getHour}%02d:${t.getMinute}%02d:" +
+      f"${t.getSecond}%02d"
+    if (t.getNano == 0) base
+    else base + "." + f"${t.getNano}%09d".reverse.dropWhile(_ == '0')
+      .reverse
+  }
+
+  private def tsAny(v: Any): Option[String] = v match {
+    case t: java.sql.Timestamp => Some(tsString(t.toLocalDateTime))
+    case t: java.time.LocalDateTime => Some(tsString(t))
+    case t: java.time.Instant => Some(tsString(
+      java.time.LocalDateTime.ofInstant(t, java.time.ZoneId.systemDefault)))
+    case _ => None
+  }
+
+  /** Hive's JSON-ish rendering of values INSIDE complex types
+    * (SerDeUtils.buildJSONString, ref serde2/SerDeUtils.java:200):
+    * strings (and date/timestamp) quoted (no inner escaping — Hive
+    * appends raw), numbers and booleans bare, null unquoted, arrays
+    * `[..]`, maps and structs `{..}` in data order. */
+  private def hiveJson(v: Any): String = v match {
+    case null => "null"
+    case s: String => "\"" + s + "\""
+    case d @ (_: java.sql.Date | _: java.time.LocalDate) =>
+      "\"" + d.toString + "\""
+    case t if tsAny(t).isDefined => "\"" + tsAny(t).get + "\""
+    case r: Row =>
+      r.schema.fields.zipWithIndex.map { case (f, i) =>
+        "\"" + f.name + "\":" + hiveJson(r.get(i))
+      }.mkString("{", ",", "}")
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, mv) => hiveJson(k) + ":" + hiveJson(mv) }
+        .mkString("{", ",", "}")
+    case s: scala.collection.Seq[_] =>
+      s.map(hiveJson).mkString("[", ",", "]")
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: scala.math.BigDecimal => d.bigDecimal.toPlainString
+    case b: Array[Byte] =>
+      new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    case other => other.toString
+  }
+
   /** Decimal cells: older goldens print HiveDecimal-normalized values
     * (123.0BD as "123"); newer ones keep the declared scale
     * ("1173.150"). Per-file flag, default normalize. */
@@ -536,6 +873,11 @@ class GoldenHarness(val spark: SparkSession) {
             f"${a.toSecondsPart}%02d.${a.toNanosPart}%09d"
         case p: java.time.Period =>
           s"${p.getYears}-${p.getMonths}"
+        case v @ (_: Row | _: scala.collection.Map[_, _] |
+                  _: scala.collection.Seq[_]) => hiveJson(v)
+        case b: Array[Byte] =>
+          new String(b, java.nio.charset.StandardCharsets.UTF_8)
+        case t if tsAny(t).isDefined => tsAny(t).get
         case v => v.toString
       }).mkString("\t")
 
@@ -556,11 +898,10 @@ class GoldenHarness(val spark: SparkSession) {
       val q0 = b.query.linesIterator
         .dropWhile(l => l.trim.isEmpty || l.trim.startsWith("--"))
         .mkString("\n").trim
-      // goldens call Hive's `hash` (ObjectInspectorUtils contract) —
-      // that is our SQL-registered hive_hash; Spark's own `hash` is
-      // Murmur3 and would never match the golden sums
-      val q = q0.replaceAll("(?i)(?<![\\w_])hash\\(", "hive_hash(")
+      val q = dialectShims(q0)
       val ql = q.toLowerCase
+      if (sys.env.contains("GOLDEN_TRACE"))
+        println(s"[replay] ${q.linesIterator.mkString(" ").take(100)}")
       def assertSelect(query: String): Unit = {
         val want = b.rows.filterNot(isHashLine).sorted
         // bounded materialization: a replay bug that inflates the
@@ -573,7 +914,7 @@ class GoldenHarness(val spark: SparkSession) {
             s"golden mismatch in $file for: $query\n" +
               s"got >=$cap rows, want ${want.size}")
         val got = taken.map(fmt(_, stripDecZeros)).sorted
-        if (got != want)
+        if (got != want && !tolerantEq(got, want))
           throw new GoldenMismatch(
             s"golden mismatch in $file for: $query\n" +
               s"got ${got.size} rows, want ${want.size};" +
@@ -598,17 +939,14 @@ class GoldenHarness(val spark: SparkSession) {
           // balanced-paren column list (decimal(4,2) nests parens);
           // PARTITIONED BY columns are part of the logical schema
           val cols = parenBody(q)
-          val partByRe = "(?is).*partitioned\\s+by\\s*\\(([^)]*)\\).*".r
-          val full = q match {
-            case partByRe(p) => cols + "," + p
-            case _ => cols
-          }
+          // PARTITIONED BY needs balanced-paren extraction too:
+          // `partitioned by (dt varchar(10), region int)` nests parens
+          val pbIdx = ql.indexOf("partitioned by")
+          val full =
+            if (pbIdx >= 0) cols + "," + parenBody(q.substring(pbIdx))
+            else cols
           emptyView(name, full)
-          q match { // remember the declared text delimiter for LOAD DATA
-            case termRe(d) => viewDelims(name.toLowerCase) =
-              d.replace("\\t", "\t").replace("\\001", "\u0001")
-            case _ =>
-          }
+          recordDelims(name, q) // declared text delimiters for LOAD DATA
         case _ => unhandled("create", q)
       } else if (ql.startsWith("create view")) q match {
         case viewRe(name, colList, sel) =>
@@ -623,6 +961,35 @@ class GoldenHarness(val spark: SparkSession) {
           loadData(fileName, table, ow != null, part)
         case _ => unhandled("load", q)
       } else if (ql.startsWith("alter table")) q match {
+        case renameRe(from, to) =>
+          // the new view captures the resolved plan, so dropping the
+          // old name afterwards is safe
+          spark.table(from).createOrReplaceTempView(to)
+          spark.catalog.dropTempView(from)
+          viewSeps.get(from.toLowerCase)
+            .foreach(viewSeps(to.toLowerCase) = _)
+        case replaceColsRe(table, cols) =>
+          // Hive REPLACE COLUMNS reinterprets the stored bytes with the
+          // new schema: columns map by POSITION, narrowed/widened with
+          // text-cast semantics, surplus columns dropped
+          import org.apache.spark.sql.functions.{col, lit}
+          val df = spark.table(table)
+          val newSchema = colSchema(cols)
+          val sel = newSchema.fields.zipWithIndex.map { case (f, i) =>
+            if (i < df.columns.length) {
+              val from = df.schema.fields(i).dataType
+              // incompatible reinterpretations (array<int> -> int) go
+              // through text, like Hive re-reading the stored bytes
+              val c = col(df.columns(i))
+              val via =
+                if (org.apache.spark.sql.catalyst.expressions.Cast
+                    .canCast(from, f.dataType)) c
+                else c.cast(StringType)
+              via.cast(f.dataType).as(f.name)
+            } else lit(null).cast(f.dataType).as(f.name)
+          }
+          register(df.select(sel.toIndexedSeq: _*).collect().toVector,
+            newSchema, table)
         case addColsRe(table, cols) =>
           // widen the view: existing rows read NULL in the new columns
           import org.apache.spark.sql.functions.lit
@@ -636,7 +1003,7 @@ class GoldenHarness(val spark: SparkSession) {
         case insertRe(mode, table, part, sel) =>
           // `VALUES (...)` is itself a valid Spark query
           insertInto(table, mode.equalsIgnoreCase("overwrite"),
-            spark.sql(sel), part)
+            spark.sql(mapReduceSugar(sel)), part)
         case _ => unhandled("insert", q)
       } else if (ql.startsWith("from")) q match {
         // Hive FROM-first inserts (possibly MULTI-insert: one scan, many
@@ -646,7 +1013,7 @@ class GoldenHarness(val spark: SparkSession) {
             .map(_.trim).filter(_.nonEmpty).foreach {
               case insertSegRe(mode, table, part, sel) =>
                 insertInto(table, mode.equalsIgnoreCase("overwrite"),
-                  spark.sql(s"FROM $from $sel"), part)
+                  spark.sql(s"FROM $from ${mapReduceSugar(sel)}"), part)
               case seg => unhandled("insert segment", seg)
             }
         case _ =>

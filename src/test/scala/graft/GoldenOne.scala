@@ -1,0 +1,32 @@
+package graft
+
+/** Debug: replay named `.q.out` files and print the full stack on
+  * failure. `sbt "Test/runMain graft.GoldenOne file1.q.out ..."` */
+object GoldenOne {
+  def main(args: Array[String]): Unit = {
+    val root = Engine.session(appName = "golden-one",
+      master = "local[8]", shufflePartitions = 4)
+    if (args.headOption.contains("--sql")) {
+      // args(1) is a FILE holding the SQL (shell quoting is hopeless)
+      val spark = Engine.prepare(root.newSession())
+      new GoldenHarness(spark).loadAll()
+      val sql = scala.io.Source.fromFile(args(1)).mkString
+      spark.sql(sql).show(30, truncate = false)
+      root.stop(); return
+    }
+    args.foreach { f =>
+      val spark = Engine.prepare(root.newSession())
+      val h = new GoldenHarness(spark)
+      h.loadAll()
+      try {
+        val n = h.replay(f, skip = GoldenSweep.autoSkip)
+        println(s"PASS\t$f\t$n asserts")
+      } catch {
+        case e: Throwable =>
+          println(s"FAIL\t$f")
+          e.printStackTrace(System.out)
+      }
+    }
+    root.stop()
+  }
+}
