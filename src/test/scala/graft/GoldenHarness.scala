@@ -120,6 +120,10 @@ object GoldenFixtures {
     (Seq(1, 2, 3) ++ (4 to 8) ++ Seq(11) ++ (14 to 26) ++ (28 to 31))
       .map(_.toChar.toString).toIndexedSeq
 
+  /** The reference's qtest timezone (QTestUtil: "US/Pacific"). */
+  val goldenZone: java.time.ZoneId =
+    java.time.ZoneId.of("America/Los_Angeles")
+
   /** Hive lazy-parse: \N or an unparseable primitive reads as NULL.
     * Complex types follow LazySerDe's nested-separator scheme: a value
     * at nesting level i splits on seps(i+1) — top-level columns split
@@ -166,15 +170,23 @@ object GoldenFixtures {
       case DoubleType => raw.toDoubleOption.map(Double.box).orNull
       case BooleanType => raw.toBooleanOption.map(Boolean.box).orNull
       case TimestampType =>
-        try java.sql.Timestamp.valueOf(raw)
+        // text timestamps are wall-clock in the qtest zone
+        // (US/Pacific), not the JVM default
+        try java.sql.Timestamp.from(
+          java.sql.Timestamp.valueOf(raw).toLocalDateTime
+            .atZone(goldenZone).toInstant)
         catch { case _: IllegalArgumentException => null }
       case DateType =>
         try java.sql.Date.valueOf(raw)
         catch { case _: IllegalArgumentException => null }
       case d: DecimalType =>
-        try new java.math.BigDecimal(raw).setScale(d.scale)
-        catch { case _: ArithmeticException | _: NumberFormatException =>
-          null }
+        // HiveDecimal semantics: round to the declared scale (1E-99 →
+        // 0.000...), NULL only when the integer part overflows p-s
+        try {
+          val bd = new java.math.BigDecimal(raw)
+            .setScale(d.scale, java.math.RoundingMode.HALF_UP)
+          if (bd.precision > d.precision) null else bd
+        } catch { case _: NumberFormatException => null }
       case BinaryType =>
         raw.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       case _ => raw
@@ -214,8 +226,48 @@ object GoldenFixtures {
 class GoldenHarness(val spark: SparkSession) {
   import GoldenFixtures._
 
+  // The reference's qtest driver pins US/Pacific (QTestUtil sets
+  // user.timezone); every golden's timestamp rendering and
+  // numeric<->timestamp conversion assumes it.
+  spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+
   private val outDir =
     "/root/reference/ql/src/test/results/clientpositive"
+
+  /** char/varchar → string, recursively (they also hide inside
+    * array/map/struct element types). */
+  private def stripCharVarchar(dt: DataType): DataType = dt match {
+    case _: CharType | _: VarcharType => StringType
+    case ArrayType(et, n) => ArrayType(stripCharVarchar(et), n)
+    case MapType(k, v, n) =>
+      MapType(stripCharVarchar(k), stripCharVarchar(v), n)
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(dataType = stripCharVarchar(f.dataType))))
+    case other => other
+  }
+
+  /** Hive char/varchar SILENTLY truncate to their length
+    * (BaseCharUtils.getTruncated); Spark's cast throws
+    * EXCEED_LIMIT_LENGTH instead — pre-truncate, then cast (which
+    * pads char), recursing into arrays and structs. */
+  private def cvCast(c: org.apache.spark.sql.Column, dt: DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{substring, struct, transform}
+    dt match {
+      case CharType(n) => substring(c, 1, n).cast(dt)
+      case VarcharType(n) => substring(c, 1, n).cast(dt)
+      // no outer cast: the rebuilt value already carries the char/
+      // varchar element types, and a struct-level cast would re-pad
+      // varchar fields
+      case ArrayType(et, _) if stripCharVarchar(et) != et =>
+        transform(c, x => cvCast(x, et))
+      case st: StructType if stripCharVarchar(st) != st =>
+        struct(st.fields.map(f =>
+          cvCast(c.getField(f.name), f.dataType).as(f.name))
+          .toIndexedSeq: _*)
+      case _ => c.cast(dt)
+    }
+  }
 
   /** createDataFrame rejects char/varchar schemas outright, so build
     * with string columns and CAST to the declared char/varchar types —
@@ -224,19 +276,13 @@ class GoldenHarness(val spark: SparkSession) {
   private def register(rows: Vector[Row], schema: StructType,
       view: String): Unit = {
     import org.apache.spark.sql.functions.col
-    val hasCv = schema.fields.exists(f =>
-      f.dataType.isInstanceOf[CharType] ||
-        f.dataType.isInstanceOf[VarcharType])
-    val plain = if (!hasCv) schema else StructType(schema.fields.map {
-      case f if f.dataType.isInstanceOf[CharType] ||
-          f.dataType.isInstanceOf[VarcharType] =>
-        f.copy(dataType = StringType)
-      case f => f
-    })
+    val plain = StructType(schema.fields.map(f =>
+      f.copy(dataType = stripCharVarchar(f.dataType))))
+    val hasCv = plain != schema
     val df0 = spark.createDataFrame(
       spark.sparkContext.parallelize[Row](rows, 2), plain)
     val df = if (!hasCv) df0 else df0.select(schema.fields.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      cvCast(col(f.name), f.dataType).as(f.name)).toIndexedSeq: _*)
     df.createOrReplaceTempView(view)
   }
 
@@ -425,7 +471,10 @@ class GoldenHarness(val spark: SparkSession) {
             !lines(i).startsWith("PREHOOK: query:") &&
             !lines(i).startsWith("Warning:")) {
           // "RUN: Stage-..." hook-echo lines are not result rows
-          if (!lines(i).startsWith("RUN: ")) rows += lines(i)
+          // hook-echo lines and masked paths are not result rows
+          if (!lines(i).startsWith("RUN: ") &&
+              !lines(i).startsWith("#### A masked pattern"))
+            rows += lines(i)
           i += 1
         }
         out += Block(q.toString, rows.result())
@@ -437,31 +486,32 @@ class GoldenHarness(val spark: SparkSession) {
   // physical clauses (ROW FORMAT / STORED AS) between the name and AS
   // are no-ops for a temp-view CTAS replay
   private val ctasRe =
-    ("(?is)create table (?:if\\s+not\\s+exists\\s+)?`?(\\w+)`?" +
+    ("(?is)create\\s+table\\s+(?:if\\s+not\\s+exists\\s+)?`?(\\w+)`?" +
       "(?:\\s+row\\s+format\\s+delimited[^()]*?)?" +
       "(?:\\s+stored\\s+as\\s+\\w+)?" +
       "\\s+as\\s+((?:select|with).*)").r
   // a view over temp views replays as a temp view of the same query;
   // an optional explicit column list renames the select's output
   // (PARTITIONED ON is a physical hint — no-op for the logical replay)
-  private val viewRe = ("(?is)create view (?:if\\s+not\\s+exists\\s+)?" +
+  private val viewRe = ("(?is)create\\s+view\\s+(?:if\\s+not\\s+exists\\s+)?" +
     "`?([\\w.]+)`?\\s*(?:\\(([^)]*)\\)\\s*)?" +
     "(?:comment\\s+'[^']*'\\s*)?" +
     "(?:partitioned\\s+on\\s*\\([^)]*\\)\\s*)?as\\s+((?:select|with).*)").r
   // column list, then any physical clauses (CLUSTERED BY / STORED AS /
   // ROW FORMAT) — physical layout is a no-op for temp-view replay
   private val createRe =
-    "(?is)create (?:external\\s+)?table (?:if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?\\s*\\(.*".r
+    "(?is)create\\s+(?:external\\s+)?table\\s+(?:if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?\\s*\\(.*".r
   // Avro-schema-carrying CREATE with no column list: the schema is the
   // avro.schema.literal TBLPROPERTY (ref: serde2/avro/AvroSerDe —
   // STORED AS AVRO tables); bridged through AvroIO.sparkType
-  private val createAvroRe = ("(?is)create (?:external\\s+)?table " +
-    "(?:if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?\\s+row format serde\\s+" +
-    "'org\\.apache\\.hadoop\\.hive\\.serde2\\.avro\\.AvroSerDe'.*" +
-    "'avro\\.schema\\.literal'\\s*=\\s*'(\\{.*?\\})'.*").r
+  private val createAvroRe = ("(?is)create\\s+(?:external\\s+)?table\\s+" +
+    "(?:if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?\\s+row\\s+format\\s+" +
+    "serde\\s+'org\\.apache\\.hadoop\\.hive\\.serde2\\.avro\\.AvroSerDe'" +
+    // greedy {...}: the avro schema JSON nests braces
+    ".*'avro\\.schema\\.literal'\\s*=\\s*'(\\{.*\\})'.*").r
   private val loadRe =
-    ("(?is)load data local inpath ['\"][^'\"]*/([^'\"/]+)['\"]\\s+" +
-      "(overwrite\\s+)?into table `?([\\w.]+)`?\\s*" +
+    ("(?is)load\\s+data\\s+local\\s+inpath\\s+['\"][^'\"]*/([^'\"/]+)['\"]\\s+" +
+      "(overwrite\\s+)?into\\s+table\\s+`?([\\w.]+)`?\\s*" +
       "(?:partition\\s*\\(([^)]*)\\))?.*").r
   private val addColsRe =
     "(?is)alter table `?([\\w.]+)`?\\s+add columns\\s*\\((.*)\\).*".r
@@ -469,6 +519,44 @@ class GoldenHarness(val spark: SparkSession) {
     "(?is)alter table `?([\\w.]+)`?\\s+replace columns\\s*\\((.*)\\).*".r
   private val renameRe =
     "(?is)alter table `?([\\w.]+)`?\\s+rename to\\s+`?([\\w.]+)`?\\s*".r
+
+  /** Databases created by the replayed script: a flat temp-view
+    * namespace stands in for them, so `db.table` references strip the
+    * prefix (cross-db name collisions fail their own file only). */
+  private val knownDbs = scala.collection.mutable.Set[String]()
+
+  /** Avro field defaults per STORED-AS-AVRO view (reader-schema
+    * evolution fills missing fields with their declared default). */
+  private val avroDefaults =
+    scala.collection.mutable.Map[String, Map[String, Any]]()
+
+  /** EXPORT TABLE snapshots keyed by the export path's basename —
+    * IMPORT derives the table name from the path, like the reference's
+    * ImportSemanticAnalyzer. */
+  private val exports =
+    scala.collection.mutable.Map[String, (Vector[Row], StructType)]()
+
+  private val exportRe = ("(?is)export\\s+table\\s+`?([\\w.]+)`?\\s*" +
+    "(?:partition\\s*\\(([^)]*)\\))?\\s+to\\s+['\"]([^'\"]+)['\"].*").r
+  private val importRe = ("(?is)import\\s+(?:(?:external\\s+)?table\\s+" +
+    "`?([\\w.]+)`?\\s*(?:partition\\s*\\(([^)]*)\\))?\\s+)?" +
+    "from\\s+['\"]([^'\"]+)['\"].*").r
+  private val createDbRe =
+    "(?is)create\\s+(?:database|schema)\\s+(?:if\\s+not\\s+exists\\s+)?`?(\\w+)`?.*".r
+
+  private def pathKey(p: String): String =
+    p.replaceAll("/+$", "").split('/').last.toLowerCase
+
+  /** Rows of `t` restricted to a static partition spec (all rows when
+    * the spec is null/empty). */
+  private def partFiltered(t: String, part: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = spark.table(t)
+    parsePartSpec(part).collect { case (n, Some(v)) => n -> v }
+      .foldLeft(df) { case (d, (n, v)) =>
+        d.filter(col(n) === lit(v).cast(df.schema.fields
+          .find(_.name.equalsIgnoreCase(n)).get.dataType)) }
+  }
 
   /** Per-view separator overrides recorded from `ROW FORMAT DELIMITED
     * FIELDS/COLLECTION ITEMS/MAP KEYS TERMINATED BY` in the replayed
@@ -518,12 +606,23 @@ class GoldenHarness(val spark: SparkSession) {
       if (fileName.endsWith(".avro")) {
         var df = graft.sources.AvroIO.read(spark,
           s"/root/reference/data/files/$fileName")
-        // schema evolution: a file written before ADD COLUMNS pads the
-        // new trailing columns with NULL (Avro reader-schema contract)
-        while (df.columns.length < dataFields.length)
+        // schema evolution: a file written before ADD COLUMNS fills
+        // the new trailing columns with the reader schema's field
+        // DEFAULT, null when none (Avro reader-schema contract)
+        val defaults =
+          avroDefaults.getOrElse(table.toLowerCase, Map.empty)
+        while (df.columns.length < dataFields.length) {
+          val f = dataFields(df.columns.length)
           df = df.withColumn(s"__pad${df.columns.length}",
-            lit(null).cast(dataFields(df.columns.length).dataType))
+            lit(defaults.getOrElse(f.name.toLowerCase, null))
+              .cast(f.dataType))
+        }
         df
+      } else if (fileName.endsWith(".orc")) {
+        spark.read.orc(s"/root/reference/data/files/$fileName")
+      } else if (fileName.endsWith(".parquet") ||
+          fileName.endsWith(".parq")) {
+        spark.read.parquet(s"/root/reference/data/files/$fileName")
       } else {
         val seps = viewSeps.getOrElse(table.toLowerCase, defaultSeps)
         val rows = GoldenFixtures.lines(fileName).map { l =>
@@ -533,17 +632,22 @@ class GoldenHarness(val spark: SparkSession) {
               0, seps)
           }.toSeq)
         }
+        // char/varchar would be rejected by createDataFrame; build as
+        // string — insertInto casts to the declared types anyway
+        val plain = dataFields.map(f =>
+          f.copy(dataType = stripCharVarchar(f.dataType)))
         spark.createDataFrame(
           spark.sparkContext.parallelize[Row](rows, 2),
-          StructType(dataFields.toIndexedSeq))
+          StructType(plain.toIndexedSeq))
       }
     insertInto(table, overwrite, sel, partSpec)
   }
 
-  // Hive allows omitting TABLE, a PARTITION spec (static and/or
-  // dynamic), and inserting literal VALUES rows
+  // Hive allows omitting TABLE, an explicit column list, a PARTITION
+  // spec (static and/or dynamic), and inserting literal VALUES rows
   private val insertRe =
     ("(?is)insert\\s+(overwrite|into)\\s+(?:table\\s+)?`?(\\w+)`?\\s*" +
+      "(\\(\\s*(?!select)`?\\w+`?(?:\\s*,\\s*`?\\w+`?)*\\s*\\))?\\s*" +
       "(?:partition\\s*\\(([^)]*)\\))?\\s*" +
       "((?:select|values|map\\s|reduce\\s).*)").r
   // FROM-first insert: the from clause may be a whole join tree, and
@@ -556,7 +660,7 @@ class GoldenHarness(val spark: SparkSession) {
       "((?:select|map\\s|reduce\\s).*)").r
   // CREATE TABLE [IF NOT EXISTS] x LIKE y — empty view with y's schema
   private val likeRe =
-    "(?is)create table (?:if\\s+not\\s+exists\\s+)?`?(\\w+)`?\\s+like\\s+`?(\\w+)`?.*".r
+    "(?is)create\\s+table\\s+(?:if\\s+not\\s+exists\\s+)?`?(\\w+)`?\\s+like\\s+`?(\\w+)`?.*".r
 
   /** PARTITION clause entries in order: name -> Some(static value) or
     * None (dynamic — its value is a trailing select column). */
@@ -579,19 +683,27 @@ class GoldenHarness(val spark: SparkSession) {
     * columns (Hive's own contract). An OVERWRITE with a partition spec
     * replaces only the partitions present in the insert's output. */
   private def insertInto(table: String, overwrite: Boolean,
-      sel: DataFrame, partSpec: String = null): Unit = {
+      sel: DataFrame, partSpec: String = null,
+      colList: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
     val schema = spark.table(table).schema
     val static = parsePartSpec(partSpec).collect {
       case (n, Some(v)) => n -> v
     }.toMap
     val selCols = sel.toDF(sel.columns.indices.map(i => s"__c$i"): _*)
+    val listed = colList.map(_.toLowerCase)
     var si = 0
     val cast = selCols.select(schema.fields.map { f =>
       static.get(f.name.toLowerCase) match {
-        case Some(v) => lit(v).cast(f.dataType).as(f.name)
+        case Some(v) => cvCast(lit(v), f.dataType).as(f.name)
+        case None if listed.nonEmpty =>
+          // explicit column list: unlisted columns read NULL
+          val idx = listed.indexOf(f.name.toLowerCase)
+          if (idx >= 0) cvCast(col(s"__c$idx"), f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
         case None =>
-          val c = col(s"__c$si").cast(f.dataType).as(f.name); si += 1; c
+          val c = cvCast(col(s"__c$si"), f.dataType).as(f.name)
+          si += 1; c
       }
     }.toIndexedSeq: _*)
     val spec = parsePartSpec(partSpec)
@@ -608,9 +720,12 @@ class GoldenHarness(val spark: SparkSession) {
           .union(cast)                            // may reorder columns
       } else if (overwrite) cast
       else spark.table(table).union(cast)
-    val snap = merged.take(2000001).toSeq
-    if (snap.size > 2000000) throw new IllegalStateException(
-      s"replay insert into $table exceeded 2M rows -- runaway result")
+    // qtest fixtures top out ~2k rows and their join products well
+    // under this; a tighter cap keeps a runaway insert (dropped join
+    // condition) from OOMing six concurrent sweep workers
+    val snap = merged.take(300001).toSeq
+    if (snap.size > 300000) throw new IllegalStateException(
+      s"replay insert into $table exceeded 300k rows -- runaway result")
     register(snap.toVector, schema, table)
   }
 
@@ -647,7 +762,12 @@ class GoldenHarness(val spark: SparkSession) {
       scala.util.matching.Regex.quoteReplacement(
         s"(select * from ${m.group(1)} where (hive_hash(${m.group(4).trim})" +
           s" & 2147483647) % ${m.group(3)} = ${m.group(2).toInt - 1})"))
-    val q4 = q3.replaceAll("(?i)(?<![\\w.`])`?default`?\\.(?=`?\\w)", "")
+    var q4 = q3.replaceAll("(?i)(?<![\\w.`])`?default`?\\.(?=`?\\w)", "")
+    // flatten script-created databases into the temp-view namespace
+    knownDbs.foreach { db =>
+      q4 = q4.replaceAll(
+        s"(?i)(?<![\\w.`])`?$db`?\\.(?=`?\\w)", "")
+    }
     // SORT BY + LIMIT: Hive's qtest runs one reducer, so its partial
     // sort IS total and LIMIT takes the global extremes; Spark's
     // partition-local sort would feed LIMIT arbitrary rows. ORDER BY
@@ -765,9 +885,23 @@ class GoldenHarness(val spark: SparkSession) {
     * if every cell is string-equal or numerically within 1e-6 relative
     * (Hive and Spark sum doubles in different orders; the goldens pin
     * Hive's order). */
-  private def tolerantEq(got: Seq[String], want: Seq[String]): Boolean = {
-    def toD(s: String): Option[Double] =
-      if (s.isEmpty || !s.exists(_.isDigit)) None else s.toDoubleOption
+  private def toD(s: String): Option[Double] =
+    if (s.isEmpty || !s.exists(_.isDigit)) None else s.toDoubleOption
+
+  /** Sort key with numeric cells rounded to 6 significant digits, so
+    * rows whose float tails differ between engines still align. */
+  private def normKey(row: String): String =
+    row.split("\t", -1).map(c => toD(c) match {
+      case Some(d) if !d.isNaN && !d.isInfinite =>
+        new java.math.BigDecimal(d)
+          .round(new java.math.MathContext(6)).toString
+      case _ => c
+    }).mkString("\t")
+
+  private def tolerantEq(got0: Seq[String], want0: Seq[String])
+      : Boolean = {
+    val got = got0.sortBy(normKey)
+    val want = want0.sortBy(normKey)
     got.size == want.size && got.zip(want).forall { case (g, w) =>
       g == w || {
         val ga = g.split("\t", -1); val wa = w.split("\t", -1)
@@ -775,7 +909,13 @@ class GoldenHarness(val spark: SparkSession) {
           a == b || ((toD(a), toD(b)) match {
             case (Some(x), Some(y)) => math.abs(x - y) <=
               1e-6 * math.max(1.0, math.max(math.abs(x), math.abs(y)))
-            case _ => false
+            case _ =>
+              // collect_set renders in engine-defined order — compare
+              // bracketed lists as multisets
+              a.startsWith("[") && a.endsWith("]") &&
+                b.startsWith("[") && b.endsWith("]") &&
+                a.substring(1, a.length - 1).split(",").sorted.toSeq ==
+                  b.substring(1, b.length - 1).split(",").sorted.toSeq
           })
         }
       }
@@ -819,10 +959,11 @@ class GoldenHarness(val spark: SparkSession) {
   }
 
   private def tsAny(v: Any): Option[String] = v match {
-    case t: java.sql.Timestamp => Some(tsString(t.toLocalDateTime))
+    case t: java.sql.Timestamp => Some(tsString(
+      t.toInstant.atZone(GoldenFixtures.goldenZone).toLocalDateTime))
     case t: java.time.LocalDateTime => Some(tsString(t))
     case t: java.time.Instant => Some(tsString(
-      java.time.LocalDateTime.ofInstant(t, java.time.ZoneId.systemDefault)))
+      t.atZone(GoldenFixtures.goldenZone).toLocalDateTime))
     case _ => None
   }
 
@@ -914,12 +1055,25 @@ class GoldenHarness(val spark: SparkSession) {
             s"golden mismatch in $file for: $query\n" +
               s"got >=$cap rows, want ${want.size}")
         val got = taken.map(fmt(_, stripDecZeros)).sorted
-        if (got != want && !tolerantEq(got, want))
+        // decimal cells: some goldens normalize trailing zeros
+        // (HiveDecimal), newer ones keep declared scale — retry with
+        // the other convention before failing
+        lazy val gotAlt = taken.map(fmt(_, !stripDecZeros)).sorted
+        if (got != want && !tolerantEq(got, want) &&
+            gotAlt != want && !tolerantEq(gotAlt, want)) {
+          if (sys.env.contains("GOLDEN_DUMP")) {
+            println(s"[dump] tolerant(got)=${tolerantEq(got, want)} " +
+              s"tolerant(alt)=${tolerantEq(gotAlt, want)}")
+            gotAlt.sortBy(normKey).zipAll(want.sortBy(normKey), "<none>",
+              "<none>").filter(p => p._1 != p._2).take(8).foreach(p =>
+              println(s"[dump] alt  ${p._1}\n[dump] want ${p._2}"))
+          }
           throw new GoldenMismatch(
             s"golden mismatch in $file for: $query\n" +
               s"got ${got.size} rows, want ${want.size};" +
               s" first diff: ${got.zipAll(want, "<none>", "<none>")
                 .find(p => p._1 != p._2).getOrElse(("", ""))}")
+        }
         asserted += 1
       }
       if (ql.startsWith("create table") ||
@@ -932,6 +1086,17 @@ class GoldenHarness(val spark: SparkSession) {
           // STORED-AS-AVRO table whose schema is the avro.schema.literal
           // TBLPROPERTY -- bridge it through the engine's Avro source
           val avro = new org.apache.avro.Schema.Parser().parse(schemaJson)
+          // field defaults fill evolution gaps when older files load
+          import scala.jdk.CollectionConverters._
+          avroDefaults(name.toLowerCase) = avro.getFields.asScala.map {
+            f =>
+              val d = f.defaultVal()
+              f.name.toLowerCase -> (d match {
+                case null | org.apache.avro.JsonProperties.NULL_VALUE =>
+                  null
+                case v => v
+              })
+          }.toMap
           register(Vector.empty,
             graft.sources.AvroIO.sparkType(avro).asInstanceOf[StructType],
             name)
@@ -1000,10 +1165,14 @@ class GoldenHarness(val spark: SparkSession) {
           register(df.collect().toVector, schema, table)
         case _ => // other ALTERs (rename/partition/props) are no-ops
       } else if (ql.startsWith("insert")) q match {
-        case insertRe(mode, table, part, sel) =>
+        case insertRe(mode, table, cols, part, sel) =>
           // `VALUES (...)` is itself a valid Spark query
+          val colList =
+            if (cols == null) Nil
+            else cols.stripPrefix("(").stripSuffix(")").split(",")
+              .toSeq.map(_.trim.replace("`", "")).filter(_.nonEmpty)
           insertInto(table, mode.equalsIgnoreCase("overwrite"),
-            spark.sql(mapReduceSugar(sel)), part)
+            spark.sql(mapReduceSugar(sel)), part, colList)
         case _ => unhandled("insert", q)
       } else if (ql.startsWith("from")) q match {
         // Hive FROM-first inserts (possibly MULTI-insert: one scan, many
@@ -1021,7 +1190,56 @@ class GoldenHarness(val spark: SparkSession) {
           assertSelect(q)
       } else if (ql.startsWith("select")) {
         assertSelect(q)
-      } // set/explain/drop blocks replay as no-ops
+      } else if (ql.startsWith("create database") ||
+          ql.startsWith("create schema")) q match {
+        case createDbRe(db) => knownDbs += db.toLowerCase
+        case _ =>
+      } else if (ql.startsWith("export table")) q match {
+        case exportRe(t, part, path) =>
+          exports(pathKey(path)) =
+            (partFiltered(t, part).collect().toVector,
+              spark.table(t).schema)
+        case _ => // masked path — downstream select fails the file
+      } else if (ql.startsWith("import")) q match {
+        case importRe(t, part, path) =>
+          exports.get(pathKey(path)).foreach { case (rows, schema) =>
+            val target =
+              if (t == null) pathKey(path)
+              else t.split('.').last
+            val wanted =
+              if (part == null) rows
+              else {
+                val statics = parsePartSpec(part).collect {
+                  case (n, Some(v)) => n.toLowerCase -> v }.toMap
+                val idx = schema.fields.zipWithIndex.collect {
+                  case (f, i) if statics.contains(f.name.toLowerCase) =>
+                    i -> statics(f.name.toLowerCase) }
+                rows.filter(r => idx.forall { case (i, v) =>
+                  !r.isNullAt(i) && r.get(i).toString == v })
+              }
+            // import into an existing table appends (Hive adds the
+            // partitions); into a fresh name it recreates
+            val existing = scala.util.Try(spark.table(target)).toOption
+            val merged = existing match {
+              case Some(df) if df.columns.length == schema.fields.length =>
+                df.collect().toVector ++ wanted
+              case _ => wanted
+            }
+            register(merged, schema, target)
+          }
+        case _ =>
+      } else if (ql.startsWith("drop table") ||
+          ql.startsWith("drop view")) {
+        // real drops matter: the exim pattern is export → drop →
+        // import-recreate, and a stale view would shadow the import
+        val dropRe =
+          "(?is)drop\\s+(?:table|view)\\s+(?:if\\s+exists\\s+)?`?([\\w.]+)`?\\s*(?:purge\\s*)?".r
+        q match {
+          case dropRe(n) =>
+            spark.catalog.dropTempView(n.split('.').last)
+          case _ =>
+        }
+      } // set/explain blocks replay as no-ops
     }
     asserted
   }
