@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // The reference's qtest driver runs in US/Pacific (QTestUtil sets
+  // user.timezone): ORC fixture files store PST wall clocks, and the
+  // golden replays (session TZ pinned to America/Los_Angeles in
+  // GoldenHarness) only round-trip them when the ORC reader's JVM
+  // zone matches. Engine sessions still pin session TZ to UTC above,
+  // so non-golden behavior is unchanged.
+  "-Duser.timezone=America/Los_Angeles",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

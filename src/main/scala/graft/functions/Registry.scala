@@ -15,6 +15,7 @@ object Registry {
       TableFunctions.register(spark)
       Aggregators.register(spark)
       BitmapAgg.register(spark)
+      ComputeStats.register(spark)
       registered += spark
     }
   }
