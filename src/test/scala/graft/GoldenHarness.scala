@@ -630,6 +630,11 @@ class GoldenHarness(val spark: SparkSession) {
               .cast(f.dataType))
         }
         df
+      } else if (fileName.endsWith(".rc")) {
+        graft.sources.RcFileIO.read(spark,
+          s"/root/reference/data/files/$fileName",
+          StructType(dataFields.map(f =>
+            f.copy(dataType = stripCharVarchar(f.dataType))).toIndexedSeq))
       } else if (fileName.endsWith(".orc")) {
         spark.read.orc(s"/root/reference/data/files/$fileName")
       } else if (fileName.endsWith(".parquet") ||
@@ -1131,6 +1136,83 @@ class GoldenHarness(val spark: SparkSession) {
     r
   }
 
+  /** Hive compares timestamp with numbers as epoch seconds
+    * (TimestampWritable.getDouble); Spark rejects the mixed-type
+    * comparison. Extract the offending column from the analyzer
+    * message and cast its numeric comparisons. */
+  private def errorRewrites(q: String, msg: String): Seq[String] = {
+    if (msg == null) Nil
+    else if (msg.contains("BINARY_OP_DIFF_TYPES"))
+      "\"\\((\\w+) *(?:<=|>=|<>|!=|=|<|>)".r.findFirstMatchIn(msg)
+        .map(_.group(1)).toSeq.map { c =>
+          q.replaceAll(
+            s"(?i)\\b($c)\\s*(<=|>=|<>|!=|=|<|>)\\s*(-?\\d+(?:\\.\\d+)?)",
+            "cast($1 as double) $2 $3")
+        }
+    else if (msg.contains("EXCEED_LIMIT_LENGTH"))
+      Seq(castCharRewrite(q))
+    else Nil
+  }
+
+  /** Run an INSERT/CTAS body; on Spark's char/varchar overflow error
+    * retry once with the Hive truncating-cast rewrite applied to the
+    * select text. */
+  private def withCharCastRetry(sel: String)(body: String => Unit): Unit =
+    try body(sel) catch {
+      case e if {
+        def m(t: Throwable) = Option(t).flatMap(x =>
+          Option(x.getMessage)).exists(_.contains("EXCEED_LIMIT_LENGTH"))
+        m(e) || m(e.getCause)
+      } =>
+        val r = castCharRewrite(sel)
+        if (r == sel) throw e else body(r)
+    }
+
+  /** Hive CASTs to char/varchar silently truncate
+    * (BaseCharUtils.getTruncated); Spark raises EXCEED_LIMIT_LENGTH.
+    * Rewrite `cast(X as varchar(n))` to a truncating substr and
+    * `cast(X as char(n))` to truncate-and-pad (HiveChar renders
+    * padded). Balanced-paren scan; repeats until no cast remains. */
+  private def castCharRewrite(q0: String): String = {
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      val sites = "(?is)\\bcast\\s*\\(".r.findAllMatchIn(q).toSeq
+      // one replace per pass, scanning right to left so the balanced
+      // spans computed against the current text stay valid
+      sites.reverseIterator.takeWhile(_ => !changed).foreach { mm =>
+        val open = q.indexOf('(', mm.start)
+        var depth = 0
+        var i = open
+        var close = -1
+        while (i < q.length && close < 0) {
+          q(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = i
+            case _ =>
+          }
+          i += 1
+        }
+        if (close > 0) {
+          val body = q.substring(open + 1, close)
+          "(?is)^(.*)\\s+as\\s+(char|varchar)\\s*\\(\\s*(\\d+)\\s*\\)\\s*$".r
+            .findFirstMatchIn(body).foreach { b =>
+              val expr = b.group(1)
+              val n = b.group(3)
+              val repl =
+                if (b.group(2).equalsIgnoreCase("varchar"))
+                  s"substr(cast($expr as string), 1, $n)"
+                else s"rpad(cast($expr as string), $n, ' ')"
+              q = q.substring(0, mm.start) + repl + q.substring(close + 1)
+              changed = true
+            }
+        }
+      }
+    }
+    q
+  }
+
   /** Candidate translations for Hive window forms Spark rejects,
     * tried in order until one runs and matches the golden. */
   private def windowRewrites(q: String): Seq[String] = {
@@ -1317,8 +1399,7 @@ class GoldenHarness(val spark: SparkSession) {
           val taken =
             try spark.sql(q1).take(cap).toSeq
             catch {
-              case e: org.apache.spark.sql.AnalysisException =>
-                return Some(e)
+              case e if scala.util.control.NonFatal(e) => return Some(e)
             }
           if (taken.size == cap)
             return Some(new GoldenMismatch(
@@ -1352,6 +1433,21 @@ class GoldenHarness(val spark: SparkSession) {
           // that runs AND matches the golden wins
           var ok = windowRewrites(query)
             .exists(q2 => q2 != query && attempt(q2).isEmpty)
+          if (!ok) {
+            // chase analyzer errors (one rewrite may surface the
+            // next mixed-type comparison) up to a small bound
+            var cur = query
+            var res: Option[Throwable] = Some(first)
+            var guard = 0
+            while (res.isDefined && guard < 4) {
+              errorRewrites(cur, res.get.getMessage).headOption
+                .filter(_ != cur) match {
+                case Some(q2) => cur = q2; res = attempt(q2); guard += 1
+                case None => guard = 4
+              }
+            }
+            ok ||= res.isEmpty && cur != query
+          }
           if (!ok && Option(first.getMessage).exists(
               _.contains("POS_OUT_OF_RANGE"))) {
             // goldens written before HIVE_ORDERBY_POSITION_ALIAS
@@ -1374,7 +1470,15 @@ class GoldenHarness(val spark: SparkSession) {
           ql.startsWith("create temporary table") ||
           ql.startsWith("create external table")) q match {
         case ctasRe(name, sel) =>
-          hiveAutoNames(spark.sql(sel)).createOrReplaceTempView(name)
+          withCharCastRetry(sel) { s =>
+            hiveAutoNames(spark.sql(s)).createOrReplaceTempView(name)
+            // CTAS materializes in Hive, so a too-long char/varchar
+            // cast must surface HERE for the retry to rewrite it —
+            // probe only when such a cast is present (views are lazy)
+            if ("(?is)\\bcast\\s*\\(.*\\bas\\s+(?:char|varchar)\\s*\\(".r
+                .findFirstIn(s).isDefined)
+              spark.table(name).foreach(_ => ())
+          }
           applyTestMask(name)
         case likeRe(name, other) =>
           spark.table(other).limit(0).createOrReplaceTempView(name)
@@ -1505,8 +1609,10 @@ class GoldenHarness(val spark: SparkSession) {
             if (cols == null) Nil
             else cols.stripPrefix("(").stripSuffix(")").split(",")
               .toSeq.map(_.trim.replace("`", "")).filter(_.nonEmpty)
-          insertInto(table, mode.equalsIgnoreCase("overwrite"),
-            spark.sql(mapReduceSugar(sel)), part, colList)
+          withCharCastRetry(mapReduceSugar(sel)) { s =>
+            insertInto(table, mode.equalsIgnoreCase("overwrite"),
+              spark.sql(s), part, colList)
+          }
         case _ => unhandled("insert", q)
       } else if (ql.startsWith("from")) q match {
         // Hive FROM-first inserts (possibly MULTI-insert: one scan, many
@@ -1519,6 +1625,15 @@ class GoldenHarness(val spark: SparkSession) {
                   spark.sql(s"FROM $from ${mapReduceSugar(sel)}"), part)
               case seg => unhandled("insert segment", seg)
             }
+        case _ if ql.contains("insert overwrite") &&
+            ql.contains("directory") =>
+          // FROM-first INSERT OVERWRITE DIRECTORY: evaluate only (the
+          // goldens inspect the directory via masked dfs output)
+          ("(?is)(from\\s+.+?)\\s+insert\\s+overwrite\\s+" +
+            "(?:local\\s+)?directory\\s+'[^']*'\\s*" +
+            "(?:row\\s+format[^;]*?)?(?:stored\\s+as\\s+\\w+\\s*)?" +
+            "(select\\s+.*)").r.findFirstMatchIn(q).foreach(m =>
+            spark.sql(s"${m.group(1)} ${m.group(2)}").count())
         case _ =>
           // FROM-first bare SELECT — Spark parses it as a query
           assertSelect(q)
