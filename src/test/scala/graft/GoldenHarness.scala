@@ -575,6 +575,10 @@ class GoldenHarness(val spark: SparkSession) {
     * CREATE (defaults ^A ^B ^C). */
   private val viewSeps =
     scala.collection.mutable.Map[String, IndexedSeq[String]]()
+  /** partition columns per created table (Hive keeps them LAST in the
+    * logical schema; ADD COLUMNS slots new columns before them) */
+  private val tablePartCols =
+    scala.collection.mutable.Map[String, Seq[String]]()
   private val termRe =
     "(?is).*fields\\s+terminated\\s+by\\s+'([^']+)'.*".r
   private val collTermRe =
@@ -1510,6 +1514,9 @@ class GoldenHarness(val spark: SparkSession) {
           val full =
             if (pbIdx >= 0) cols + "," + parenBody(q.substring(pbIdx))
             else cols
+          if (pbIdx >= 0)
+            tablePartCols(name.toLowerCase) =
+              colSchema(parenBody(q.substring(pbIdx))).fieldNames.toSeq
           emptyView(name, full)
           recordDelims(name, q) // declared text delimiters for LOAD DATA
         case _ => unhandled("create", q)
@@ -1594,13 +1601,20 @@ class GoldenHarness(val spark: SparkSession) {
           register(df.select(sel.toIndexedSeq: _*).collect().toVector,
             newSchema, table)
         case addColsRe(table, cols) =>
-          // widen the view: existing rows read NULL in the new columns
-          import org.apache.spark.sql.functions.lit
+          // widen the view: existing rows read NULL in the new columns,
+          // which slot in BEFORE the partition columns (Hive keeps
+          // partition columns last in the logical schema)
+          import org.apache.spark.sql.functions.{col, lit}
           var df = spark.table(table)
           colSchema(cols).fields.foreach(f =>
             df = df.withColumn(f.name, lit(null).cast(f.dataType)))
-          val schema = df.schema
-          register(df.collect().toVector, schema, table)
+          val pcs = tablePartCols.getOrElse(table.toLowerCase, Nil)
+          if (pcs.nonEmpty) {
+            val (parts, data) = df.columns.partition(c =>
+              pcs.exists(_.equalsIgnoreCase(c)))
+            df = df.select((data ++ parts).map(col).toIndexedSeq: _*)
+          }
+          register(df.collect().toVector, df.schema, table)
         case _ => // other ALTERs (rename/partition/props) are no-ops
       } else if (ql.startsWith("insert")) q match {
         case insertRe(mode, table, cols, part, sel) =>

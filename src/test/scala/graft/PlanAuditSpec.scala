@@ -34,6 +34,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
+  test("compute_stats aggregates partially (sketch merges by OR, " +
+      "O(k) bytes per group cross the shuffle)") {
+    functions.Registry.registerAll(spark)
+    Engine.tables(spark, sfDir)
+    val p = spark.sql(
+      "select compute_stats(l_quantity, 16) from lineitem group by l_returnflag")
+      .queryExecution.executedPlan.toString
+    // TypedImperativeAggregate plans as ObjectHashAggregate; partial +
+    // final instances prove the map-side combine runs before the
+    // exchange (the FM sketch merges by OR, so this is lossless)
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p.take(900))
+    assert(p.contains("Exchange hashpartitioning"), p.take(900))
+  }
+
   test("scans prune columns: q1 reads only the 6 needed lineitem columns") {
     val p = plan("q1_agg")
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
