@@ -1470,6 +1470,9 @@ class GoldenHarness(val spark: SparkSession) {
         }
         asserted += 1
       }
+      // statement dispatch; re-entrant so composite statements (e.g.
+      // WITH-prefixed inserts) can re-dispatch their tail
+      def exec(q: String, ql: String): Unit = {
       if (ql.startsWith("create table") ||
           ql.startsWith("create temporary table") ||
           ql.startsWith("create external table")) q match {
@@ -1703,7 +1706,42 @@ class GoldenHarness(val spark: SparkSession) {
             spark.catalog.dropTempView(n.split('.').last)
           case _ =>
         }
+      } else if (ql.startsWith("with") &&
+          ql.matches("(?s).*\\binsert\\s+(?:overwrite|into)\\b.*")) {
+        // WITH-prefixed INSERT (Hive allows `WITH ctes FROM x INSERT
+        // ...`): materialize each CTE as a temp view (balanced-paren
+        // scan — CTE bodies nest freely), then re-dispatch the tail
+        var rest = q.trim.substring(4)
+        var more = true
+        while (more) {
+          more = false
+          "(?is)^\\s*,?\\s*(\\w+)\\s+as\\s*\\(".r
+            .findFirstMatchIn(rest).foreach { m =>
+              val open = m.end - 1
+              var depth = 0
+              var i = open
+              var close = -1
+              while (i < rest.length && close < 0) {
+                rest(i) match {
+                  case '(' => depth += 1
+                  case ')' => depth -= 1; if (depth == 0) close = i
+                  case _ =>
+                }
+                i += 1
+              }
+              if (close > 0) {
+                spark.sql(rest.substring(open + 1, close))
+                  .createOrReplaceTempView(m.group(1))
+                rest = rest.substring(close + 1)
+                more = rest.matches("(?s)^\\s*,.*")
+              }
+            }
+        }
+        val tail = rest.trim
+        exec(tail, tail.toLowerCase)
       } // set/explain blocks replay as no-ops
+      }
+      exec(q, ql)
     }
     asserted
   }
