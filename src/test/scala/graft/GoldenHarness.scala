@@ -1706,6 +1706,42 @@ class GoldenHarness(val spark: SparkSession) {
             spark.catalog.dropTempView(n.split('.').last)
           case _ =>
         }
+      } else if (ql.startsWith("update ")) {
+        // ACID UPDATE replays as a column-conditional rebuild of the
+        // view (the engine's real MERGE/UPDATE lives in MergeInto;
+        // fixtures here are tiny temp views)
+        "(?is)^update\\s+`?([\\w.]+)`?\\s+set\\s+(.*?)(?:\\s+where\\s+(.*))?$"
+          .r("t", "sets", "w").findFirstMatchIn(q).foreach { m =>
+            val table = m.group("t").split('.').last
+            val assigns = splitTop(m.group("sets"), ',').map { a =>
+              val kv = a.split("=", 2)
+              kv(0).trim.replace("`", "") -> kv(1).trim
+            }
+            val w = Option(m.group("w"))
+            val cols = spark.table(table).columns.map { c =>
+              assigns.find(_._1.equalsIgnoreCase(c)) match {
+                case Some((_, e)) => w match {
+                  case Some(p) => s"if(($p), ($e), `$c`) as `$c`"
+                  case None => s"($e) as `$c`"
+                }
+                case None => s"`$c`"
+              }
+            }
+            val df =
+              spark.sql(s"select ${cols.mkString(", ")} from $table")
+            register(df.collect().toVector, df.schema, table)
+          }
+      } else if (ql.startsWith("delete from")) {
+        "(?is)^delete\\s+from\\s+`?([\\w.]+)`?(?:\\s+where\\s+(.*))?$"
+          .r("t", "w").findFirstMatchIn(q).foreach { m =>
+            val table = m.group("t").split('.').last
+            val df = Option(m.group("w")) match {
+              case Some(p) =>
+                spark.table(table).where(s"not coalesce(($p), false)")
+              case None => spark.table(table).limit(0)
+            }
+            register(df.collect().toVector, df.schema, table)
+          }
       } else if (ql.startsWith("with") &&
           ql.matches("(?s).*\\binsert\\s+(?:overwrite|into)\\b.*")) {
         // WITH-prefixed INSERT (Hive allows `WITH ctes FROM x INSERT
