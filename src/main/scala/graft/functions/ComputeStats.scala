@@ -60,6 +60,28 @@ case class ComputeStats(
   override def nullable: Boolean = false
   override def dataType: DataType = StringType
 
+  /** numBitVectors must be a constant in [0, 1024] — Hive rejects
+    * anything above MAX_BIT_VECTORS
+    * (GenericUDAFComputeStats.java:905-908), and a non-foldable
+    * argument would otherwise fail obscurely at eval time. */
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (!numVectorsExpr.foldable)
+      TypeCheckFailure(
+        "compute_stats: numBitVectors must be a constant")
+    else numVectorsExpr.eval(InternalRow.empty) match {
+      case null => TypeCheckFailure(
+        "compute_stats: numBitVectors must not be null")
+      case n: Number if n.intValue() < 0 || n.intValue() > 1024 =>
+        TypeCheckFailure("compute_stats: numBitVectors must be " +
+          s"between 0 and 1024, got ${n.intValue()}")
+      case _: Number => TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"compute_stats: numBitVectors must be integral, got $other")
+    }
+  }
+
   private lazy val numVectors: Int =
     numVectorsExpr.eval(InternalRow.empty) match {
       case null => 0
@@ -102,9 +124,12 @@ case class ComputeStats(
           case s: Short => s.toLong
           case i: Int => i.toLong
           case l0: Long =>
-            // timestamps hash/compare at second granularity
-            // (PrimitiveObjectInspectorUtils.getLong -> getSeconds)
-            if (child.dataType == TimestampType) l0 / 1000000L else l0
+            // timestamps hash/compare at second granularity, FLOORED —
+            // TimestampUtils.millisToSeconds does (millis-999)/1000 for
+            // negatives (storage-api TimestampUtils.java:174-180), so a
+            // pre-1970 fractional second rounds toward -inf, not zero
+            if (child.dataType == TimestampType)
+              Math.floorDiv(l0, 1000000L) else l0
         }
         if (!buf.has || l < buf.minL) buf.minL = l
         if (!buf.has || l > buf.maxL) buf.maxL = l

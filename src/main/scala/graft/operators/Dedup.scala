@@ -19,12 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Sanity bound for the exact (uncapped) Jaccard path: a shingle whose
-    * postings list exceeds this produces O(df²) pairs AND a single
-    * aggregation buffer holding the whole list — the exact path fails
-    * loudly at this bound rather than OOM. Var so specs can exercise the
-    * guard on small corpora; production code treats it as a constant. */
-  private[graft] var MaxExactPostings: Int = 1 << 16
+  /** Default sanity bound for the exact (uncapped) Jaccard path: a
+    * shingle whose postings list exceeds this produces O(df²) pairs AND
+    * a single aggregation buffer holding the whole list — the exact
+    * path fails loudly at this bound rather than OOM. Overridable per
+    * call via `maxExactPostings`. */
+  val DefaultMaxExactPostings: Int = 1 << 16
 
   /** Whitespace-normalize + lowercase. */
   def normalize(text: Column): Column =
@@ -89,8 +89,11 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
                    maxShingleFreq: Option[Int] = None,
                    textCol: String = "text",
-                   idCol: String = "doc_id"): DataFrame =
-    jaccardPairsRaw(docs, threshold, n, maxShingleFreq, textCol, idCol)
+                   idCol: String = "doc_id",
+                   maxExactPostings: Int = DefaultMaxExactPostings)
+      : DataFrame =
+    jaccardPairsRaw(docs, threshold, n, maxShingleFreq, textCol, idCol,
+        maxExactPostings)
       .presentSorted("doc_a", "doc_b")
 
   /** Unsorted pair stream — the composable core (downstream operators
@@ -98,7 +101,9 @@ object Dedup {
   def jaccardPairsRaw(docs: DataFrame, threshold: Double, n: Int = 3,
                       maxShingleFreq: Option[Int] = None,
                       textCol: String = "text",
-                      idCol: String = "doc_id"): DataFrame = maxShingleFreq match {
+                      idCol: String = "doc_id",
+                      maxExactPostings: Int = DefaultMaxExactPostings)
+      : DataFrame = maxShingleFreq match {
     // Both paths build the inverted index as ONE groupBy(shingle)
     // instead of a self-join: the tokenize+shingle pipeline runs once
     // (a self-join computes each side from scratch), the shingle stream
@@ -126,10 +131,10 @@ object Dedup {
         // assert_true yields NULL whenever it passes, so isNull keeps
         // every surviving row; a bare `… || lit(true)` would be
         // constant-folded away along with the assertion
-        .filter(assert_true(size(col("ds")) <= MaxExactPostings,
+        .filter(assert_true(size(col("ds")) <= maxExactPostings,
           concat(lit("jaccard exact path: a shingle occurs in "),
             size(col("ds")),
-            lit(s" docs (> $MaxExactPostings); use maxShingleFreq"))).isNull)
+            lit(s" docs (> $maxExactPostings); use maxShingleFreq"))).isNull)
         .select("ds")
       grouped
         .select(col("ds"), explode(col("ds")).as("a"))

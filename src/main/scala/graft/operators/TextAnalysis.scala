@@ -132,9 +132,12 @@ object TextAnalysis {
     * rational N/df (log-free: ln is monotone, so per-term ordering is
     * the classic one, and staying inside IEEE +,*,/ keeps the scores
     * bit-identical across engines — the oracle hash-matches). Shape:
-    * explode -> (doc, term) partial agg -> broadcast df join -> one
-    * per-doc window; the corpus total rides in as a broadcast scalar,
-    * never a driver-side count. */
+    * explode -> (doc, term) partial agg -> shuffle join with the
+    * document-frequency table -> one per-doc window. The df table is
+    * one row per DISTINCT TERM — at corpus scale that's a
+    * billions-of-rows vocabulary, so it must NOT be broadcast; AQE
+    * still picks a broadcast join when the vocabulary is genuinely
+    * small. Only the corpus total (one row) rides in broadcast. */
   def tfidfTopTerms(docs: DataFrame, k: Int, textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
     val tf = docs
@@ -145,7 +148,7 @@ object TextAnalysis {
     val n = docs.select(countDistinct(col(idCol)).as("n"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
       .orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(df), "term")
+    tf.join(df, "term")
       .crossJoin(broadcast(n))
       .select(col("id"), col("term"),
         (col("tf").cast("double") *

@@ -219,22 +219,30 @@ object RcFileIO {
   /** Typed distributed read: one task per container file, cells
     * lazy-parsed per the declared schema (unparseable → NULL, the
     * LazySimpleSerDe contract). */
-  def read(spark: SparkSession, path: String,
-      schema: StructType): DataFrame = {
+  /** `zone` anchors text timestamp cells (Hive wall-clock strings) to
+    * an explicit instant; defaults to the session timezone so results
+    * don't depend on the JVM default zone (which sbt pins to
+    * America/Los_Angeles for golden replay). */
+  def read(spark: SparkSession, path: String, schema: StructType,
+      zone: Option[String] = None): DataFrame = {
+    val zoneId = zone.getOrElse(
+      spark.conf.get("spark.sql.session.timeZone"))
     val types = schema.fields.map(_.dataType).toSeq
     val rdd = spark.sparkContext.binaryFiles(path)
       .flatMap { case (_, pds) => rows(pds.toArray()) }
       .map { cells =>
+        val z = java.time.ZoneId.of(zoneId)
         Row.fromSeq(types.zipWithIndex.map { case (dt, i) =>
           val cell = if (i < cells.length) cells(i) else null
           if (cell == null) null
-          else parseCell(new String(cell, "UTF-8"), dt)
+          else parseCell(new String(cell, "UTF-8"), dt, z)
         })
       }
     spark.createDataFrame(rdd, schema)
   }
 
-  private def parseCell(raw: String, dt: DataType): Any = dt match {
+  private def parseCell(raw: String, dt: DataType,
+      zone: java.time.ZoneId): Any = dt match {
     case StringType => raw
     case IntegerType => raw.toIntOption.map(Int.box).orNull
     case LongType => raw.toLongOption.map(Long.box).orNull
@@ -253,8 +261,13 @@ object RcFileIO {
       try java.sql.Date.valueOf(raw)
       catch { case _: IllegalArgumentException => null }
     case TimestampType =>
-      try java.sql.Timestamp.valueOf(raw)
-      catch { case _: IllegalArgumentException => null }
+      // wall-clock string -> instant via the EXPLICIT zone, not the
+      // JVM default (Timestamp.valueOf would bind to user.timezone)
+      try {
+        val ldt = java.time.LocalDateTime.parse(
+          raw.trim.replaceFirst(" ", "T"))
+        java.sql.Timestamp.from(ldt.atZone(zone).toInstant)
+      } catch { case _: java.time.format.DateTimeParseException => null }
     case BinaryType => raw.getBytes("UTF-8")
     case other => sys.error(s"rcfile: unsupported column type $other")
   }

@@ -193,6 +193,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
+  test("tfidf joins the vocabulary without a forced broadcast") {
+    // the df (document-frequency) side is one row per DISTINCT TERM —
+    // a billions-of-rows table at corpus scale. The ONLY broadcast
+    // hint allowed in the plan is the one-row corpus total; the
+    // vocabulary join must be left to the planner (AQE may still
+    // broadcast when stats say it's genuinely small).
+    val df = graft.operators.TextAnalysis.tfidfTopTerms(
+      Engine.tables(spark, sfDir)("documents"), k = 3)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+        => h
+    }
+    assert(hints.length === 1,
+      s"expected only the corpus-total broadcast hint, got: $hints")
+    assert(hints.head.child.stats.sizeInBytes < 1000,
+      "the broadcast hint must sit on the one-row total, not the vocab")
+  }
+
   test("jaccard inverted index reads the corpus exactly once") {
     val df = graft.operators.Dedup.jaccardPairsRaw(
       Engine.tables(spark, sfDir)("documents"), threshold = 0.05)

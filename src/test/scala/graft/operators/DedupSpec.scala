@@ -43,23 +43,20 @@ class DedupSpec extends SparkSpec {
   }
 
   test("exact path fails loudly past the postings sanity bound") {
-    // a shingle hotter than MaxExactPostings means O(df²) pairs and one
+    // a shingle hotter than maxExactPostings means O(df²) pairs and one
     // giant agg buffer — the uncapped path must error, not OOM
     val hot = (1L to 6L).map(i => (i, s"common shingle here tail$i"))
       .toDF("doc_id", "text")
-    val saved = Dedup.MaxExactPostings
-    Dedup.MaxExactPostings = 4
-    try {
-      val e = intercept[Exception] {
-        Dedup.jaccardPairs(hot, threshold = 0.1).collect()
-      }
-      def msgs(t: Throwable): Seq[String] =
-        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
-      assert(msgs(e).exists(m => m != null && m.contains("maxShingleFreq")))
-      // same corpus passes under the capped path
-      assert(Dedup.jaccardPairs(hot, threshold = 0.1,
-        maxShingleFreq = Some(6)).count() >= 1)
-    } finally Dedup.MaxExactPostings = saved
+    val e = intercept[Exception] {
+      Dedup.jaccardPairs(hot, threshold = 0.1,
+        maxExactPostings = 4).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("maxShingleFreq")))
+    // same corpus passes under the capped path
+    assert(Dedup.jaccardPairs(hot, threshold = 0.1,
+      maxShingleFreq = Some(6)).count() >= 1)
   }
 
   test("maxShingleFreq cap drops stop-shingle fanout but keeps dups") {
