@@ -34,5 +34,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
     e.injectOptimizerRule(_ => graft.plans.StatsAnswerRule())
+    e.injectResolutionRule(_ => graft.plans.HiveCharCoercion)
   }
 }

@@ -1,0 +1,642 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+import org.apache.spark.sql.types.{DataType, StringType, StructField,
+  StructType}
+
+import graft.HiveTypes.cvCast
+import graft.operators.MergeInto
+
+/** Hive SQL statement dialect: the statement surface Hive accepts but
+  * Spark's parser rejects — ACID `UPDATE`/`DELETE`/`MERGE INTO`
+  * (ref: ql/parse/UpdateDeleteSemanticAnalyzer.java:62,86,327,594),
+  * `LOAD DATA`, `EXPORT`/`IMPORT`
+  * (ql/parse/ExportSemanticAnalyzer.java, ImportSemanticAnalyzer.java),
+  * Hive-shaped `INSERT` (FROM-first multi-insert, WITH-prefixed
+  * inserts, static/dynamic PARTITION specs, explicit column lists),
+  * and `ALTER TABLE/VIEW ... RENAME` (incl. PARTITION RENAME).
+  *
+  * `execute(sql)` parses and runs a statement, returning false when
+  * the text is not in this dialect surface (the caller then runs it as
+  * a plain Spark query). Storage effects go through protected hooks so
+  * one grammar+dispatch serves both bindings:
+  *
+  *  - production: temp views rebuild in place (localCheckpoint — no
+  *    driver collect); catalog tables route UPDATE/DELETE/MERGE to
+  *    [[MergeInto]]'s partition-scoped copy-on-write on the table
+  *    location, and EXPORT/IMPORT move real parquet snapshots.
+  *  - golden replay: the test harness overrides the hooks with its
+  *    fixture machinery (delimited text views, in-memory exports).
+  */
+class HiveStatements(val spark: SparkSession) {
+  import HiveStatements._
+
+  // ---------------------------------------------------------------
+  // hooks
+  // ---------------------------------------------------------------
+
+  /** Replace `table`'s contents with `df` (computed against the OLD
+    * contents — implementations must materialize before re-binding the
+    * name, or the new definition would lazily read itself). */
+  protected def rebuild(table: String, df: DataFrame): Unit =
+    df.localCheckpoint().createOrReplaceTempView(table)
+
+  /** Bind a WITH-clause CTE for a statement being unrolled. */
+  protected def bindCte(name: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(name)
+
+  /** Move a temp view to a new name. A rename onto the same name
+    * (e.g. cross-database renames under a flat namespace) is a
+    * no-op rather than a destructive re-register + drop. */
+  protected def renameView(from: String, to: String): Unit =
+    if (!from.equalsIgnoreCase(to)) {
+      spark.table(from).createOrReplaceTempView(to)
+      spark.catalog.dropTempView(from)
+    }
+
+  /** Run one INSERT statement's select text into `table`. */
+  protected def insertStatement(table: String, overwrite: Boolean,
+      selSql: String, partSpec: String, colList: Seq[String]): Unit =
+    insertInto(table, overwrite, spark.sql(selSql), partSpec, colList)
+
+  /** One segment of a FROM-first (multi-)insert: `FROM <from>
+    * INSERT ... <sel>`. */
+  protected def insertSegment(from: String, table: String,
+      overwrite: Boolean, sel: String, partSpec: String): Unit =
+    insertStatement(table, overwrite, s"FROM $from $sel", partSpec, Nil)
+
+  /** LOAD DATA: append/overwrite `path`'s rows into `table`. The
+    * default parses Hive's default lazy-text layout (ctrl-A delimited,
+    * `\N` nulls) against the table's declared schema. */
+  protected def loadStatement(path: String, table: String,
+      overwrite: Boolean, partSpec: String): Unit = {
+    val schema = spark.table(table).schema
+    val static = parsePartSpec(partSpec).collect {
+      case (n, Some(v)) => n.toLowerCase }.toSet
+    val dataFields = schema.fields.filterNot(f =>
+      static.contains(f.name.toLowerCase))
+    val raw = spark.read.text(path)
+    val cells = org.apache.spark.sql.functions.split(col("value"),
+      "\u0001", -1)
+    val parsed = raw.select(dataFields.zipWithIndex.map { case (f, i) =>
+      val c = when(cells.getItem(i) === "\\N" || cells.getItem(i).isNull,
+        lit(null)).otherwise(cells.getItem(i))
+      cvCast(c, f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+    insertInto(table, overwrite, parsed, partSpec,
+      dataFields.map(_.name).toSeq)
+  }
+
+  /** EXPORT TABLE snapshot: write the (optionally partition-filtered)
+    * rows plus the full table schema under `path`. */
+  protected def exportSnapshot(table: String, partSpec: String,
+      path: String): Unit = {
+    val df = partFiltered(table, partSpec)
+    df.write.mode("overwrite").parquet(s"$path/data")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$path/_graft_schema.json"), true)
+    out.write(spark.table(table).schema.json.getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** IMPORT: materialize an exported snapshot as `table` (appending
+    * when the table already exists with the same width — Hive adds
+    * the partitions). */
+  protected def importSnapshot(table: String, partSpec: String,
+      path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schemaFile = new org.apache.hadoop.fs.Path(
+      s"$path/_graft_schema.json")
+    if (!fs.exists(schemaFile)) return
+    val in = fs.open(schemaFile)
+    val json = scala.io.Source.fromInputStream(in).mkString
+    in.close()
+    val schema = DataType.fromJson(json).asInstanceOf[StructType]
+    var df = spark.read.schema(schema).parquet(s"$path/data")
+    val statics = parsePartSpec(partSpec).collect {
+      case (n, Some(v)) => n.toLowerCase -> v }.toMap
+    if (statics.nonEmpty)
+      df = df.filter(schema.fields.filter(f =>
+        statics.contains(f.name.toLowerCase)).map(f =>
+        col(f.name).cast(StringType) === statics(f.name.toLowerCase))
+        .reduce(_ && _))
+    val existing = scala.util.Try(spark.table(table)).toOption
+    val merged = existing match {
+      case Some(t) if t.columns.length == schema.fields.length =>
+        t.unionByName(df)
+      case _ => df
+    }
+    rebuild(table, merged)
+  }
+
+  /** Re-dispatch the tail of a composite statement (WITH-prefixed
+    * inserts). Default: this dialect, else a plain Spark query. */
+  protected def dispatchTail(sql: String): Unit =
+    if (!execute(sql)) spark.sql(sql).count()
+
+  /** Apply a schema change (ALTER ... CHANGE COLUMN) to `table`.
+    * Return true when the binding handled it (e.g. by reinterpreting
+    * stored bytes schema-on-read); false → the caller materializes a
+    * cast of the current values instead. */
+  protected def applyNewSchema(table: String, newSchema: StructType,
+      cascade: Boolean): Boolean = false
+
+  // ---------------------------------------------------------------
+  // shared semantics
+  // ---------------------------------------------------------------
+
+  /** Whether `name` currently resolves to a session temp view. */
+  protected def isTempView(name: String): Boolean =
+    spark.sessionState.catalog.getTempView(
+      name.split('.').last.toLowerCase).isDefined
+
+  /** Catalog (non-temp) parquet table → (location, partition cols). */
+  private def tableLocation(name: String): Option[(String, Seq[String])] =
+    scala.util.Try {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          name.split('.').last))
+      (meta.location.toString, meta.partitionColumnNames)
+    }.toOption
+
+  /** Partition-filtered view of a table per a PARTITION(...) spec. */
+  protected def partFiltered(t: String, part: String): DataFrame = {
+    val df = spark.table(t)
+    parsePartSpec(part).collect { case (n, Some(v)) => n -> v }
+      .foldLeft(df) { case (d, (n, v)) =>
+        d.filter(col(n).cast(StringType) === v)
+      }
+  }
+
+  /** INSERT semantics shared by every insert form: run the select,
+    * apply Hive's insert-cast to the target's declared column types by
+    * position, splice static PARTITION values at their schema
+    * positions (dynamic partition values ride as trailing select
+    * columns — Hive's own contract; null/empty dynamic string values
+    * map to `__HIVE_DEFAULT_PARTITION__`), then replace or append. An
+    * OVERWRITE with a partition spec replaces only the partitions
+    * present in the insert's own output. */
+  def insertInto(table: String, overwrite: Boolean, sel: DataFrame,
+      partSpec: String = null, colList: Seq[String] = Nil): Unit = {
+    val schema = spark.table(table).schema
+    val spec = parsePartSpec(partSpec)
+    val static = spec.collect { case (n, Some(v)) => n -> v }.toMap
+    val dynamic = spec.collect { case (n, None) => n }.toSet
+    // Hive's converters read a CHAR value through getStrippedValue —
+    // char→string/varchar/number conversions see the pad-stripped
+    // text (HiveCharConverter), and char→char re-pads from it
+    val selCols = sel.toDF(sel.columns.indices.map(i => s"__c$i"): _*)
+      .select(sel.schema.fields.zipWithIndex.map { case (f, i) =>
+        f.dataType match {
+          case _: org.apache.spark.sql.types.CharType =>
+            org.apache.spark.sql.functions.rtrim(col(s"__c$i"))
+              .as(s"__c$i")
+          case _ => col(s"__c$i")
+        }
+      }.toIndexedSeq: _*)
+    val listed = colList.map(_.toLowerCase)
+    var si = 0
+    def dynPart(raw: Column, f: StructField): Column =
+      if (f.dataType == StringType)
+        // hive.exec.default.partition.name: a null or empty dynamic
+        // partition value lands in the default partition
+        when(raw.isNull || raw.cast(StringType) === "",
+          lit(DefaultPartitionName))
+          .otherwise(raw.cast(StringType)).as(f.name)
+      else cvCast(raw, f.dataType).as(f.name)
+    val cast = selCols.select(schema.fields.map { f =>
+      static.get(f.name.toLowerCase) match {
+        case Some(v) => cvCast(lit(v), f.dataType).as(f.name)
+        case None if listed.nonEmpty =>
+          // explicit column list: values map by LIST position
+          // (including dynamic partition columns named in the list);
+          // unlisted columns read NULL
+          val idx = listed.indexOf(f.name.toLowerCase)
+          if (idx < 0) lit(null).cast(f.dataType).as(f.name)
+          else if (dynamic.contains(f.name.toLowerCase))
+            dynPart(col(s"__c$idx"), f)
+          else cvCast(col(s"__c$idx"), f.dataType).as(f.name)
+        case None =>
+          val raw = col(s"__c$si"); si += 1
+          if (dynamic.contains(f.name.toLowerCase)) dynPart(raw, f)
+          else cvCast(raw, f.dataType).as(f.name)
+      }
+    }.toIndexedSeq: _*)
+    val merged =
+      if (overwrite && spec.nonEmpty) {
+        // partitioned OVERWRITE (static or dynamic) replaces only the
+        // partitions present in the insert's own output — Hive's
+        // dynamic-partition overwrite contract
+        val pFields = spec.map { case (n, _) =>
+          schema.fields.find(_.name.equalsIgnoreCase(n)).get.name }
+        val aff = cast.select(pFields.map(col): _*).distinct()
+        spark.table(table).join(aff, pFields, "left_anti")
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+          .union(cast)
+      } else if (overwrite) cast
+      else spark.table(table).union(cast)
+    rebuild(table, merged)
+  }
+
+  // ---------------------------------------------------------------
+  // dispatch
+  // ---------------------------------------------------------------
+
+  /** Execute `sql0` if it is a dialect statement; false = not ours. */
+  def execute(sql0: String): Boolean = {
+    val q = sql0.trim.stripSuffix(";")
+    val ql = q.toLowerCase
+    if (ql.startsWith("update ")) q match {
+      case updateRe(t, sets, w) =>
+        val table = t.split('.').last
+        val assigns = splitTop(sets, ',').map { a =>
+          val kv = a.split("=", 2)
+          kv(0).trim.replace("`", "") -> kv(1).trim
+        }
+        val cond = Option(w).map(expr).getOrElse(lit(true))
+        tableLocation(table) match {
+          case Some((loc, parts)) if !isTempView(table) =>
+            MergeInto.update(spark, loc, cond,
+              assigns.map { case (c, e) => c -> expr(e) }.toMap, parts)
+            spark.catalog.refreshTable(table)
+          case _ =>
+            val hit = coalesce(cond, lit(false))
+            val df = spark.table(table)
+            rebuild(table, df.select(df.columns.map { c =>
+              assigns.find(_._1.equalsIgnoreCase(c)) match {
+                case Some((_, e)) =>
+                  // the assigned value coerces to the COLUMN's type
+                  // (Hive casts; an unparseable value reads NULL) —
+                  // without this the when() would coerce the whole
+                  // column to the value's type instead
+                  when(hit, cvCast(expr(e), df.schema(c).dataType))
+                    .otherwise(col(c)).as(c)
+                case None => col(c)
+              }
+            }.toIndexedSeq: _*))
+        }
+        true
+      case _ => false
+    } else if (ql.startsWith("delete from")) q match {
+      case deleteRe(t, w) =>
+        val table = t.split('.').last
+        val cond = Option(w).map(expr).getOrElse(lit(true))
+        tableLocation(table) match {
+          case Some((loc, parts)) if !isTempView(table) =>
+            MergeInto.delete(spark, loc, cond, parts)
+            spark.catalog.refreshTable(table)
+          case _ =>
+            rebuild(table,
+              spark.table(table).where(!coalesce(cond, lit(false))))
+        }
+        true
+      case _ => false
+    } else if (ql.startsWith("merge into")) q match {
+      case mergeRe(t, tAlias, src, sAlias, on, clauses) =>
+        executeMerge(t.split('.').last, Option(tAlias), src.trim,
+          Option(sAlias), on, clauses)
+        true
+      case _ => false
+    } else if (ql.startsWith("load data")) q match {
+      case loadRe(path, ow, table, part) =>
+        loadStatement(path, table.split('.').last, ow != null, part)
+        true
+      case _ => false
+    } else if (ql.startsWith("export table")) q match {
+      case exportRe(t, part, path) =>
+        exportSnapshot(t.split('.').last, part, path)
+        true
+      case _ => false
+    } else if (ql.startsWith("import")) q match {
+      case importRe(t, part, path) =>
+        val target = if (t == null)
+          path.replaceAll("/+$", "").split('/').last.toLowerCase
+        else t.split('.').last
+        importSnapshot(target, part, path)
+        true
+      case _ => false
+    } else if (ql.startsWith("alter table") || ql.startsWith("alter view"))
+      q match {
+        case renamePartRe(t, fromSpec, toSpec) =>
+          val table = t.split('.').last
+          val from = parsePartSpec(fromSpec).collect {
+            case (n, Some(v)) => n -> v }
+          val to = parsePartSpec(toSpec).collect {
+            case (n, Some(v)) => n.toLowerCase -> v }.toMap
+          val df = spark.table(table)
+          val hit = from.map { case (n, v) =>
+            col(n).cast(StringType) <=> lit(v) }.reduce(_ && _)
+          rebuild(table, df.select(df.columns.map { c =>
+            to.get(c.toLowerCase) match {
+              case Some(v) =>
+                when(hit, cvCast(lit(v), df.schema(c).dataType))
+                  .otherwise(col(c)).as(c)
+              case None => col(c)
+            }
+          }.toIndexedSeq: _*))
+          true
+        case renameRe(from, to) if isTempView(from) =>
+          renameView(from.split('.').last, to.split('.').last)
+          true
+        case dropPartRe(t, specs) =>
+          // DROP PARTITION (possibly several, each with comparators:
+          // Hive allows p < '2014-09-24'): drop rows matching ANY spec
+          val table = t.split('.').last
+          val df = spark.table(table)
+          val drop = partitionCondRe.findAllMatchIn(specs).map { m =>
+            splitTop(m.group(1), ',').map { e =>
+              partCompRe.findFirstMatchIn(e) match {
+                case Some(c) =>
+                  val l = col(c.group(1))
+                  val v = lit(c.group(3).trim
+                    .stripPrefix("'").stripSuffix("'")
+                    .stripPrefix("\"").stripSuffix("\""))
+                    .cast(df.schema(c.group(1)).dataType)
+                  c.group(2) match {
+                    case "=" => l <=> v
+                    case "<>" | "!=" => !(l <=> v)
+                    case "<" => l < v
+                    case "<=" => l <= v
+                    case ">" => l > v
+                    case ">=" => l >= v
+                  }
+                case None => lit(false)
+              }
+            }.reduce(_ && _)
+          }.reduceOption(_ || _).getOrElse(lit(false))
+          rebuild(table, df.filter(!coalesce(drop, lit(false))))
+          true
+        case changeColRe(t, oldName, newName, typ, pos, cascade) =>
+          // CHANGE COLUMN: rename + retype + optional FIRST/AFTER
+          // repositioning. Metadata-first: applyNewSchema lets the
+          // binding reinterpret stored bytes; the fallback casts the
+          // materialized values.
+          val table = t.split('.').last
+          val df = spark.table(table)
+          val dt = org.apache.spark.sql.catalyst.parser
+            .CatalystSqlParser.parseDataType(typ)
+          var fields = df.schema.fields.map { f =>
+            if (f.name.equalsIgnoreCase(oldName))
+              StructField(newName, dt, nullable = true)
+            else f
+          }.toVector
+          Option(pos).map(_.trim.toLowerCase).foreach { p =>
+            val idx = fields.indexWhere(_.name.equalsIgnoreCase(newName))
+            val f = fields(idx)
+            val rest = fields.patch(idx, Nil, 1)
+            fields =
+              if (p == "first") f +: rest
+              else {
+                val after = p.stripPrefix("after").trim.replace("`", "")
+                val at = rest.indexWhere(_.name.equalsIgnoreCase(after))
+                if (at < 0) f +: rest
+                else (rest.take(at + 1) :+ f) ++ rest.drop(at + 1)
+              }
+          }
+          val newSchema = StructType(fields)
+          if (!applyNewSchema(table, newSchema,
+              cascade != null && cascade.equalsIgnoreCase("cascade"))) {
+            // cast fallback keyed by OLD position: field i reads old
+            // column i (Hive's positional bytes contract)
+            val cols = fields.map { f =>
+              val oldIdx = df.schema.fields.indexWhere(x =>
+                f.name.equalsIgnoreCase(
+                  if (x.name.equalsIgnoreCase(oldName)) newName
+                  else x.name))
+              cvCast(col(df.columns(oldIdx)), f.dataType).as(f.name)
+            }
+            rebuild(table, df.select(cols: _*))
+          }
+          true
+        case _ => false
+      }
+    else if (ql.startsWith("with") &&
+        ql.matches("(?s).*\\binsert\\s+(?:overwrite|into)\\b.*")) {
+      // WITH-prefixed INSERT (Hive allows `WITH ctes FROM x INSERT
+      // ...`): materialize each CTE (balanced-paren scan — CTE bodies
+      // nest freely), then re-dispatch the tail
+      var rest = q.substring(4)
+      var more = true
+      while (more) {
+        more = false
+        "(?is)^\\s*,?\\s*(\\w+)\\s+as\\s*\\(".r
+          .findFirstMatchIn(rest).foreach { m =>
+            val open = m.end - 1
+            var depth = 0
+            var i = open
+            var close = -1
+            while (i < rest.length && close < 0) {
+              rest(i) match {
+                case '(' => depth += 1
+                case ')' => depth -= 1; if (depth == 0) close = i
+                case _ =>
+              }
+              i += 1
+            }
+            if (close > 0) {
+              bindCte(m.group(1), spark.sql(rest.substring(open + 1, close)))
+              rest = rest.substring(close + 1)
+              more = rest.matches("(?s)^\\s*,.*")
+            }
+          }
+      }
+      dispatchTail(rest.trim)
+      true
+    } else if (ql.startsWith("from")) q match {
+      // Hive FROM-first inserts (possibly MULTI-insert: one scan, many
+      // sinks); each segment replays as FROM <tree> SELECT ...
+      case _ if ql.contains("insert overwrite") &&
+          ql.contains("directory") => false // caller-specific
+      case fromHeadRe(from, rest) =>
+        rest.split("(?is)(?=insert\\s+(?:overwrite|into)\\s+table)")
+          .map(_.trim).filter(_.nonEmpty).foreach {
+            case insertSegRe(mode, table, part, sel) =>
+              insertSegment(from, table,
+                mode.equalsIgnoreCase("overwrite"), sel, part)
+            case seg => throw new IllegalStateException(
+              s"unhandled insert segment: $seg")
+          }
+        true
+      case _ => false
+    } else if (ql.startsWith("insert") &&
+        !ql.matches("(?s)insert\\s+overwrite\\s+(?:local\\s+)?directory.*"))
+      q match {
+        case insertRe(mode, table, partA, cols, partB, sel) =>
+          val colList =
+            if (cols == null) Nil
+            else cols.stripPrefix("(").stripSuffix(")").split(",")
+              .toSeq.map(_.trim.replace("`", "")).filter(_.nonEmpty)
+          insertStatement(table, mode.equalsIgnoreCase("overwrite"),
+            sel, if (partA != null) partA else partB, colList)
+          true
+        case _ => false
+      }
+    else false
+  }
+
+  /** MERGE INTO: parse the ON equality and the ordered WHEN clause
+    * list, then route — catalog tables through [[MergeInto]]'s
+    * copy-on-write, temp views through the same clause semantics with
+    * an in-place rebuild. */
+  private def executeMerge(table: String, tAlias: Option[String],
+      srcText: String, sAlias: Option[String], on: String,
+      clauseText: String): Unit = {
+    val source =
+      if (srcText.startsWith("("))
+        spark.sql(srcText.stripPrefix("(").stripSuffix(")"))
+      else spark.table(srcText.split('.').last)
+    // rewrite user aliases to MergeInto's canonical t/s prefixes
+    val ta = tAlias.getOrElse(table)
+    val sa = sAlias.getOrElse(srcText)
+    def canon(e: String): String = e
+      .replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(ta) + "\\.",
+        "t.")
+      .replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(sa) + "\\.",
+        "s.")
+    val key = "(?is)\\s*\\S+\\.(\\w+)\\s*=\\s*\\S+\\.(\\w+)\\s*".r
+      .findFirstMatchIn(on) match {
+      case Some(m) if m.group(1).equalsIgnoreCase(m.group(2)) =>
+        m.group(1)
+      case _ => throw new IllegalArgumentException(
+        s"MERGE: ON must be a single same-name key equality, got: $on")
+    }
+    val tCols = spark.table(table).columns.toSeq
+    var matched = Seq.empty[MergeInto.MatchedAction]
+    var notMatched = Seq.empty[MergeInto.InsertAction]
+    whenClauseRe.findAllMatchIn(clauseText).foreach { m =>
+      val not = m.group(1) != null
+      val cond = Option(m.group(2)).map(c => expr(canon(c)))
+      val action = m.group(3).trim
+      val al = action.toLowerCase
+      if (al.startsWith("delete"))
+        matched :+= MergeInto.DeleteAction(cond)
+      else if (al.startsWith("update")) {
+        val sets = splitTop(
+          action.replaceFirst("(?is)update\\s+set\\s+", ""), ',')
+        matched :+= MergeInto.UpdateAction(sets.map { a =>
+          val kv = a.split("=", 2)
+          kv(0).trim.replace("`", "").split('.').last ->
+            expr(canon(kv(1).trim))
+        }.toMap, cond)
+      } else if (al.startsWith("insert") && not) {
+        val vals = "(?is)insert\\s+values\\s*\\((.*)\\)".r
+          .findFirstMatchIn(action).map(x => splitTop(x.group(1), ','))
+          .getOrElse(Nil)
+        notMatched :+= MergeInto.InsertAction(
+          tCols.zip(vals).map { case (c, v) =>
+            c -> expr(canon(v)) }.toMap, cond)
+      }
+    }
+    tableLocation(table) match {
+      case Some((loc, parts)) if !isTempView(table) =>
+        MergeInto.mergeInto(spark, loc, source, key, matched,
+          notMatched, parts)
+        spark.catalog.refreshTable(table)
+      case _ =>
+        rebuild(table, MergeInto.mergeResult(spark.table(table), source,
+          key, matched, notMatched))
+    }
+  }
+}
+
+object HiveStatements {
+
+  /** hive.exec.default.partition.name's default. */
+  val DefaultPartitionName = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Split on `sep` at paren/angle-bracket depth 0 (decimal(p,s) and
+    * complex types nest; backticked names pass through). */
+  def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var tick = false
+    s.foreach {
+      case '`' => tick = !tick; cur.append('`')
+      case c if tick => cur.append(c)
+      case c @ ('<' | '(') => depth += 1; cur.append(c)
+      case c @ ('>' | ')') => depth -= 1; cur.append(c)
+      case `sep` if depth == 0 => out += cur.result(); cur.clear()
+      case c => cur.append(c)
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** PARTITION clause entries in order: name -> Some(static value) or
+    * None (dynamic — its value is a trailing select column). */
+  def parsePartSpec(spec: String): Seq[(String, Option[String])] =
+    if (spec == null || spec.trim.isEmpty) Nil
+    else spec.split(",").toSeq.map { e =>
+      e.split("=", 2) match {
+        case Array(n, v) =>
+          n.trim.toLowerCase.replace("`", "") -> Some(v.trim
+            .stripPrefix("'").stripSuffix("'")
+            .stripPrefix("\"").stripSuffix("\""))
+        case Array(n) => n.trim.toLowerCase.replace("`", "") -> None
+      }
+    }
+
+  private[graft] val updateRe =
+    "(?is)^update\\s+`?([\\w.]+)`?\\s+set\\s+(.*?)(?:\\s+where\\s+(.*))?$"
+      .r("t", "sets", "w")
+  private[graft] val deleteRe =
+    "(?is)^delete\\s+from\\s+`?([\\w.]+)`?(?:\\s+where\\s+(.*))?$"
+      .r("t", "w")
+  private[graft] val mergeRe =
+    ("(?is)^merge\\s+into\\s+`?([\\w.]+)`?(?:\\s+as)?(?:\\s+(?!using\\b)" +
+      "(\\w+))?\\s+using\\s+(\\([^)]*\\)|`?[\\w.]+`?)(?:\\s+as)?" +
+      "(?:\\s+(?!on\\b)(\\w+))?\\s+on\\s+(.+?)\\s+(when\\s+.*)$").r
+  private[graft] val whenClauseRe =
+    ("(?is)when\\s+(not\\s+)?matched\\s*(?:and\\s+(.+?))?\\s*then\\s+" +
+      "(update\\s+set\\s+.+?|delete|insert\\s+values\\s*\\(.+?\\))\\s*" +
+      "(?=when\\s+(?:not\\s+)?matched|$)").r
+  private[graft] val loadRe =
+    ("(?is)load\\s+data\\s+(?:local\\s+)?inpath\\s+['\"]([^'\"]*)['\"]\\s+" +
+      "(overwrite\\s+)?into\\s+table\\s+`?([\\w.]+)`?\\s*" +
+      "(?:partition\\s*\\(([^)]*)\\))?.*").r
+  private[graft] val exportRe = ("(?is)export\\s+table\\s+`?([\\w.]+)`?\\s*" +
+    "(?:partition\\s*\\(([^)]*)\\))?\\s+to\\s+['\"]([^'\"]+)['\"].*").r
+  private[graft] val importRe = ("(?is)import\\s+(?:(?:external\\s+)?table\\s+" +
+    "`?([\\w.]+)`?\\s*(?:partition\\s*\\(([^)]*)\\))?\\s+)?" +
+    "from\\s+['\"]([^'\"]+)['\"].*").r
+  private[graft] val renameRe =
+    "(?is)alter\\s+(?:table|view)\\s+`?([\\w.]+)`?\\s+rename\\s+to\\s+`?([\\w.]+)`?\\s*".r
+  private[graft] val renamePartRe =
+    ("(?is)alter\\s+table\\s+`?([\\w.]+)`?\\s+partition\\s*\\(([^)]*)\\)\\s+" +
+      "rename\\s+to\\s+partition\\s*\\(([^)]*)\\)\\s*").r
+  private[graft] val dropPartRe =
+    ("(?is)alter\\s+table\\s+`?([\\w.]+)`?\\s+drop\\s+(?:if\\s+exists\\s+)?" +
+      "((?:partition\\s*\\([^)]*\\)\\s*,?\\s*)+)" +
+      "(?:ignore\\s+protection\\s*)?(?:purge\\s*)?").r
+  private[graft] val partitionCondRe = "(?is)partition\\s*\\(([^)]*)\\)".r
+  private[graft] val partCompRe =
+    "(?s)\\s*`?(\\w+)`?\\s*(=|<>|!=|<=|>=|<|>)\\s*(.+)".r
+  private[graft] val changeColRe =
+    ("(?is)alter\\s+table\\s+`?([\\w.]+)`?\\s+change\\s+(?:column\\s+)?" +
+      "`?(\\w+)`?\\s+`?(\\w+)`?\\s+([\\w()<>,\\s]+?)" +
+      "(?:\\s+comment\\s+(?:'[^']*'|\"[^\"]*\"))?" +
+      "(?:\\s+(first|after\\s+`?\\w+`?))?" +
+      "(?:\\s+(cascade|restrict))?\\s*").r
+  // Hive allows omitting TABLE, an explicit column list, a PARTITION
+  // spec (static and/or dynamic) on either side of the column list,
+  // and inserting literal VALUES rows
+  private[graft] val insertRe =
+    ("(?is)insert\\s+(overwrite|into)\\s+(?:table\\s+)?`?(\\w+)`?\\s*" +
+      "(?:partition\\s*\\(([^)]*)\\))?\\s*" +
+      "(\\(\\s*(?!select)`?\\w+`?(?:\\s*,\\s*`?\\w+`?)*\\s*\\))?\\s*" +
+      "(?:partition\\s*\\(([^)]*)\\))?\\s*" +
+      "((?:select|values|map\\s|reduce\\s).*)").r
+  // FROM-first insert: the from clause may be a whole join tree, and
+  // several INSERT segments may share it (Hive multi-insert)
+  private[graft] val fromHeadRe =
+    "(?is)from\\s+(.+?)\\s+(insert\\s+(?:overwrite|into)\\s+table\\s+.*)".r
+  private[graft] val insertSegRe =
+    ("(?is)insert\\s+(overwrite|into)\\s+table\\s+" +
+      "`?(\\w+)`?\\s*(?:partition\\s*\\(([^)]*)\\))?\\s*" +
+      "((?:select|map\\s|reduce\\s).*)").r
+}

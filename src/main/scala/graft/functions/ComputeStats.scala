@@ -146,12 +146,14 @@ case class ComputeStats(
         addToEstimator(buf.vectors, numVectors,
           java.lang.Double.hashCode(d).toLong)
       case StringType =>
-        // char(n) measures and hashes the blank-PADDED value
-        // (HiveChar.toString returns the padded form)
+        // char(n) measures and hashes the pad-STRIPPED value — the
+        // string evaluator reads HiveChar through getStrippedValue
+        // (char_udf1 golden: max/avg length of a char(20) column count
+        // the content, not the padding)
         val s = child.dataType match {
-          case CharType(n) =>
-            val raw = v.asInstanceOf[UTF8String].toString
-            if (raw.length < n) raw + (" " * (n - raw.length)) else raw
+          case CharType(_) =>
+            v.asInstanceOf[UTF8String].toString
+              .replaceAll("\\s+$", "")
           case _ => v.asInstanceOf[UTF8String].toString
         }
         val len = s.length.toLong

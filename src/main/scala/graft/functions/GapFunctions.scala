@@ -12,6 +12,23 @@ import org.apache.spark.sql.functions._
   * codegen (see [[Fingerprint64]]) so it stays inside whole-stage codegen
   * at 100 TB scan scale.
   */
+/** Hive `length` (ql/udf/UDFLength.java): CHAR values measure their
+  * pad-stripped form; everything else is Spark's Length. Resolves the
+  * char-vs-string distinction AFTER analysis via RuntimeReplaceable,
+  * so it stays codegen'd. */
+case class HiveLength(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  import org.apache.spark.sql.catalyst.expressions.{Length, StringTrimRight}
+  override lazy val replacement: Expression = child.dataType match {
+    case _: org.apache.spark.sql.types.CharType =>
+      Length(StringTrimRight(child))
+    case _ => Length(child)
+  }
+  override protected def withNewChildInternal(c: Expression): HiveLength =
+    copy(child = c)
+}
+
 object GapFunctions {
 
   /** Hive `field(needle, v1, v2, ...)` -> 1-based index of the first match,
@@ -147,6 +164,16 @@ object GapFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("field", fieldBuilder, "built-in")
+    // Hive length() on CHAR(n) counts the STRIPPED value
+    // (UDFLength via HiveChar.getStrippedValue) — Spark's counts the
+    // padding. Other types keep Spark's (= Hive's) semantics,
+    // including trailing spaces in plain strings.
+    reg.createOrReplaceTempFunction("length",
+      exprs => HiveLength(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("character_length",
+      exprs => HiveLength(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("char_length",
+      exprs => HiveLength(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("hive_varchar", hiveVarcharBuilder,
       "built-in")
     // Hive virtual columns (ql/exec/TableScanOperator.java:110;

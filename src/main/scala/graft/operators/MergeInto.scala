@@ -82,19 +82,16 @@ object MergeInto {
     }
   }
 
-  /** Full Hive-style MERGE INTO target USING source ON target.key =
-    * source.key, with ordered matched/not-matched clause lists. */
-  def mergeInto(spark: SparkSession, path: String, source: DataFrame,
-                key: String, matched: Seq[MatchedAction],
-                notMatched: Seq[InsertAction] = Seq(InsertAction()),
-                partitionCols: Seq[String] = Nil): Unit = {
-    matched.foreach {
-      case UpdateAction(set, _) =>
-        require(set.keySet.intersect(partitionCols.toSet).isEmpty,
-          "partition columns cannot be updated")
-      case _ =>
-    }
-    val t = spark.read.parquet(path)
+  /** The computed pieces of a merge: surviving+updated target rows,
+    * the not-matched insert rows, and the matched target-source join
+    * (for partition-affected pruning). */
+  private case class MergePieces(kept: DataFrame, inserts: DataFrame,
+      joined: DataFrame, isMatched: Column)
+
+  private def mergePieces(t: DataFrame, source: DataFrame, key: String,
+      matched: Seq[MatchedAction], notMatched: Seq[InsertAction])
+      : MergePieces = {
+    val spark = t.sparkSession
     // Hive cardinality check (enforce.cardinality.check): error only when
     // multiple SOURCE rows match the same TARGET row. Duplicate keys among
     // not-matched source rows are legal and insert multiple rows.
@@ -140,7 +137,35 @@ object MergeInto {
         .getOrElse(spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], t.schema))
     }
-    val inserts = insertRows(notMatched)
+    MergePieces(kept, insertRows(notMatched), joined, isMatched)
+  }
+
+  /** Merge clause semantics as a pure DataFrame transform (no write):
+    * what `path`-based mergeInto would leave behind, computed against
+    * an arbitrary target. Used by the SQL dialect layer for temp-view
+    * targets. */
+  def mergeResult(target: DataFrame, source: DataFrame, key: String,
+      matched: Seq[MatchedAction],
+      notMatched: Seq[InsertAction] = Seq(InsertAction())): DataFrame = {
+    val p = mergePieces(target, source, key, matched, notMatched)
+    p.kept.unionByName(p.inserts)
+  }
+
+  /** Full Hive-style MERGE INTO target USING source ON target.key =
+    * source.key, with ordered matched/not-matched clause lists. */
+  def mergeInto(spark: SparkSession, path: String, source: DataFrame,
+                key: String, matched: Seq[MatchedAction],
+                notMatched: Seq[InsertAction] = Seq(InsertAction()),
+                partitionCols: Seq[String] = Nil): Unit = {
+    matched.foreach {
+      case UpdateAction(set, _) =>
+        require(set.keySet.intersect(partitionCols.toSet).isEmpty,
+          "partition columns cannot be updated")
+      case _ =>
+    }
+    val t = spark.read.parquet(path)
+    val MergePieces(kept, inserts, joined, isMatched) =
+      mergePieces(t, source, key, matched, notMatched)
     val result = kept.unionByName(inserts)
 
     if (partitionCols.isEmpty) rewrite(spark, result, path)

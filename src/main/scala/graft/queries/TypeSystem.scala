@@ -97,6 +97,8 @@ object TypeSystem {
     spark.sql("""
       SELECT c_custkey,
         CAST(c_mktsegment AS CHAR(12)) AS seg_char,
+        -- Hive length() on CHAR counts the pad-STRIPPED value
+        -- (UDFLength reads HiveChar.getStrippedValue)
         length(CAST(c_mktsegment AS CHAR(12))) AS seg_char_len,
         hive_varchar(c_name, 12) AS name_vc,
         length(hive_varchar(c_name, 12)) AS name_vc_len,
@@ -108,7 +110,7 @@ object TypeSystem {
   val q_char_varchar_sql: String = """
     SELECT c_custkey,
       rpad(c_mktsegment, 12, ' ') AS seg_char,
-      CAST(12 AS INT) AS seg_char_len,
+      CAST(length(rtrim(c_mktsegment)) AS INT) AS seg_char_len,
       substr(c_name, 1, 12) AS name_vc,
       CAST(least(length(c_name), 12) AS INT) AS name_vc_len,
       (rpad(c_mktsegment, 12, ' ') =

@@ -195,6 +195,12 @@ object GoldenFixtures {
         if (org.apache.commons.codec.binary.Base64.isArrayByteBase64(bytes))
           org.apache.commons.codec.binary.Base64.decodeBase64(bytes)
         else bytes
+      // char/varchar enforce maxLength at READ (BaseCharUtils) —
+      // truncate here so partition-schema conversion sees what Hive's
+      // partition reader saw; padding happens at the view cast
+      case CharType(n) => if (raw.length > n) raw.substring(0, n) else raw
+      case VarcharType(n) =>
+        if (raw.length > n) raw.substring(0, n) else raw
       case _ => raw
     }
 
@@ -229,8 +235,10 @@ object GoldenFixtures {
   * views live in the session's temp catalog, so a fresh `newSession()`
   * per replayed file gives full isolation (no cross-file view leaks).
   */
-class GoldenHarness(val spark: SparkSession) {
+class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   import GoldenFixtures._
+  import graft.HiveTypes.{cvCast, stripCharVarchar}
+  import graft.HiveStatements.parsePartSpec
 
   // The reference's qtest driver pins US/Pacific (QTestUtil sets
   // user.timezone); every golden's timestamp rendering and
@@ -239,41 +247,6 @@ class GoldenHarness(val spark: SparkSession) {
 
   private val outDir =
     "/root/reference/ql/src/test/results/clientpositive"
-
-  /** char/varchar → string, recursively (they also hide inside
-    * array/map/struct element types). */
-  private def stripCharVarchar(dt: DataType): DataType = dt match {
-    case _: CharType | _: VarcharType => StringType
-    case ArrayType(et, n) => ArrayType(stripCharVarchar(et), n)
-    case MapType(k, v, n) =>
-      MapType(stripCharVarchar(k), stripCharVarchar(v), n)
-    case st: StructType => StructType(st.fields.map(f =>
-      f.copy(dataType = stripCharVarchar(f.dataType))))
-    case other => other
-  }
-
-  /** Hive char/varchar SILENTLY truncate to their length
-    * (BaseCharUtils.getTruncated); Spark's cast throws
-    * EXCEED_LIMIT_LENGTH instead — pre-truncate, then cast (which
-    * pads char), recursing into arrays and structs. */
-  private def cvCast(c: org.apache.spark.sql.Column, dt: DataType)
-      : org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{substring, struct, transform}
-    dt match {
-      case CharType(n) => substring(c, 1, n).cast(dt)
-      case VarcharType(n) => substring(c, 1, n).cast(dt)
-      // no outer cast: the rebuilt value already carries the char/
-      // varchar element types, and a struct-level cast would re-pad
-      // varchar fields
-      case ArrayType(et, _) if stripCharVarchar(et) != et =>
-        transform(c, x => cvCast(x, et))
-      case st: StructType if stripCharVarchar(st) != st =>
-        struct(st.fields.map(f =>
-          cvCast(c.getField(f.name), f.dataType).as(f.name))
-          .toIndexedSeq: _*)
-      case _ => c.cast(dt)
-    }
-  }
 
   /** createDataFrame rejects char/varchar schemas outright, so build
     * with string columns and CAST to the declared char/varchar types —
@@ -521,16 +494,12 @@ class GoldenHarness(val spark: SparkSession) {
     "serde\\s+'org\\.apache\\.hadoop\\.hive\\.serde2\\.avro\\.AvroSerDe'" +
     // greedy {...}: the avro schema JSON nests braces
     ".*'avro\\.schema\\.literal'\\s*=\\s*'(\\{.*\\})'.*").r
-  private val loadRe =
-    ("(?is)load\\s+data\\s+local\\s+inpath\\s+['\"][^'\"]*/([^'\"/]+)['\"]\\s+" +
-      "(overwrite\\s+)?into\\s+table\\s+`?([\\w.]+)`?\\s*" +
-      "(?:partition\\s*\\(([^)]*)\\))?.*").r
   private val addColsRe =
-    "(?is)alter table `?([\\w.]+)`?\\s+add columns\\s*\\((.*)\\).*".r
+    ("(?is)alter table `?([\\w.]+)`?\\s+add columns\\s*\\((.*)\\)" +
+      "\\s*(cascade|restrict)?.*").r
   private val replaceColsRe =
-    "(?is)alter table `?([\\w.]+)`?\\s+replace columns\\s*\\((.*)\\).*".r
-  private val renameRe =
-    "(?is)alter table `?([\\w.]+)`?\\s+rename to\\s+`?([\\w.]+)`?\\s*".r
+    ("(?is)alter table `?([\\w.]+)`?\\s+replace columns\\s*\\((.*)\\)" +
+      "\\s*(cascade|restrict)?.*").r
 
   /** Databases created by the replayed script: a flat temp-view
     * namespace stands in for them, so `db.table` references strip the
@@ -548,26 +517,183 @@ class GoldenHarness(val spark: SparkSession) {
   private val exports =
     scala.collection.mutable.Map[String, (Vector[Row], StructType)]()
 
-  private val exportRe = ("(?is)export\\s+table\\s+`?([\\w.]+)`?\\s*" +
-    "(?:partition\\s*\\(([^)]*)\\))?\\s+to\\s+['\"]([^'\"]+)['\"].*").r
-  private val importRe = ("(?is)import\\s+(?:(?:external\\s+)?table\\s+" +
-    "`?([\\w.]+)`?\\s*(?:partition\\s*\\(([^)]*)\\))?\\s+)?" +
-    "from\\s+['\"]([^'\"]+)['\"].*").r
+  private val partAddRe =
+    ("(?is)alter table `?([\\w.]+)`?\\s+partition\\s*\\(([^)]*)\\)\\s+" +
+      "add columns\\s*\\((.*)\\)\\s*").r
+  private val partReplaceRe =
+    ("(?is)alter table `?([\\w.]+)`?\\s+partition\\s*\\(([^)]*)\\)\\s+" +
+      "replace columns\\s*\\((.*)\\)\\s*").r
+  private val partChangeRe =
+    ("(?is)alter table `?([\\w.]+)`?\\s+partition\\s*\\(([^)]*)\\)\\s+" +
+      "change\\s+(?:column\\s+)?`?(\\w+)`?\\s+`?(\\w+)`?\\s+" +
+      "([\\w()<>,\\s]+?)" +
+      "(?:\\s+comment\\s+(?:'[^']*'|\"[^\"]*\"))?\\s*").r
   private val createDbRe =
     "(?is)create\\s+(?:database|schema)\\s+(?:if\\s+not\\s+exists\\s+)?`?(\\w+)`?.*".r
 
   private def pathKey(p: String): String =
     p.replaceAll("/+$", "").split('/').last.toLowerCase
 
-  /** Rows of `t` restricted to a static partition spec (all rows when
-    * the spec is null/empty). */
-  private def partFiltered(t: String, part: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val df = spark.table(t)
-    parsePartSpec(part).collect { case (n, Some(v)) => n -> v }
-      .foldLeft(df) { case (d, (n, v)) =>
-        d.filter(col(n) === lit(v).cast(df.schema.fields
-          .find(_.name.equalsIgnoreCase(n)).get.dataType)) }
+  // ------------------------------------------------------------------
+  // Schema-on-read raw store. A Hive text table is BYTES + METADATA,
+  // and ALTER ... CHANGE/REPLACE/ADD COLUMNS change only the metadata:
+  // the stored bytes are reinterpreted positionally at read time
+  // (LazySimpleSerDe). For every table CREATEd by the replayed script
+  // we keep the rendered text cells of its data columns (partition
+  // values ride separately — Hive keeps them in directory names, not
+  // files), so schema ALTERs re-derive the view from "the bytes"
+  // instead of materializing a lossy cast (e.g. char(20)→char(3)→
+  // char(20) must restore the full values, decimal(10,0)→(14,4) must
+  // restore the fraction).
+  // ------------------------------------------------------------------
+  private case class RawRow(cells: Seq[String], parts: Seq[String])
+  private val rawStore =
+    scala.collection.mutable.Map[String, Vector[RawRow]]()
+
+  /** DATA schema each partition was last WRITTEN with. ALTER ...
+    * CASCADE rewrites these; plain ALTER (RESTRICT, the Hive default)
+    * leaves them — existing partitions then read through their own
+    * schema and CONVERT to the table schema (extra table columns go
+    * NULL, retypes re-coerce), like Hive's partition-OI converters. */
+  private val partSchemas = scala.collection.mutable
+    .Map[String, scala.collection.mutable.Map[Seq[String], StructType]]()
+
+  private def nullMark(s: String): String = if (s == null) "\\N" else s
+
+  /** Inverse of parseRaw: one typed value → its LazySimpleSerDe text. */
+  private def renderCell(v: Any, dt: DataType, level: Int,
+      seps: IndexedSeq[String]): String = v match {
+    case null => null
+    case _ => dt match {
+      case ArrayType(et, _) => v.asInstanceOf[scala.collection.Seq[Any]]
+        .map(x => nullMark(renderCell(x, et, level + 1, seps)))
+        .mkString(seps(level + 1))
+      case MapType(kt, vt, _) =>
+        v.asInstanceOf[scala.collection.Map[Any, Any]].map { case (k, mv) =>
+          nullMark(renderCell(k, kt, level + 2, seps)) + seps(level + 2) +
+            nullMark(renderCell(mv, vt, level + 2, seps))
+        }.mkString(seps(level + 1))
+      case st: StructType =>
+        val r = v.asInstanceOf[Row]
+        st.fields.zipWithIndex.map { case (f, i) =>
+          nullMark(renderCell(r.get(i), f.dataType, level + 1, seps))
+        }.mkString(seps(level + 1))
+      case d: DecimalType => v match {
+        case b: java.math.BigDecimal => b.toPlainString
+        case b: BigDecimal => b.bigDecimal.toPlainString
+        case o => o.toString
+      }
+      case BinaryType =>
+        new String(v.asInstanceOf[Array[Byte]],
+          java.nio.charset.StandardCharsets.UTF_8)
+      // timestamps/dates/numbers/booleans/strings round-trip through
+      // toString ↔ parsePrim (the JVM zone is pinned to the golden
+      // zone for the replay, so Timestamp.toString is wall-clock in
+      // the same zone parsePrim assumes)
+      case _ => v.toString
+    }
+  }
+
+  private def renderRawRow(r: Row, schema: StructType, pcs: Seq[String],
+      seps: IndexedSeq[String]): RawRow = {
+    val (partIdx, dataIdx) = schema.fields.indices.partition(i =>
+      pcs.exists(_.equalsIgnoreCase(schema.fields(i).name)))
+    RawRow(
+      dataIdx.map(i =>
+        renderCell(r.get(i), schema.fields(i).dataType, 0, seps)),
+      partIdx.map(i =>
+        renderCell(r.get(i), schema.fields(i).dataType, 0, seps)))
+  }
+
+  /** Keys in `table`'s partition-schema map matching a PARTITION spec
+    * (entries without a value are wildcards: `partition (p1, p2='123')`
+    * addresses every partition with p2='123'). */
+  private def matchingPartKeys(lc: String, spec: String)
+      : Seq[Seq[String]] = {
+    val pcs = tablePartCols.getOrElse(lc, Nil)
+    val statics = parsePartSpec(spec).collect {
+      case (n, Some(v)) => n.toLowerCase -> v }.toMap
+    partSchemas.getOrElseUpdate(lc, scala.collection.mutable.Map.empty)
+      .keys.filter(k => pcs.zipWithIndex.forall { case (pc, i) =>
+        statics.get(pc.toLowerCase)
+          .forall(v => i < k.length && v == k(i))
+      }).toVector
+  }
+
+  /** Rebuild `table`'s temp view by parsing the raw store cells with
+    * `schema` — POSITIONALLY, like LazySimpleSerDe maps file columns
+    * to metadata columns (surplus cells dropped, missing cells NULL).
+    * Partition fields always sit last. Each row parses through its
+    * PARTITION's written schema first, then converts to the table
+    * schema (RESTRICT semantics; under CASCADE the partition schemas
+    * have been rewritten to match, making the convert a no-op). */
+  private def deriveView(table: String, schema: StructType): Unit = {
+    val lc = table.toLowerCase
+    val seps = viewSeps.getOrElse(lc, defaultSeps)
+    val pcs = tablePartCols.getOrElse(lc, Nil)
+    val (partFields, dataFields) = schema.fields.partition(f =>
+      pcs.exists(_.equalsIgnoreCase(f.name)))
+    val perPart = partSchemas.getOrElse(lc,
+      scala.collection.mutable.Map.empty[Seq[String], StructType])
+    if (sys.env.contains("GOLDEN_DERIVE_DEBUG"))
+      println(s"[derive] $lc schema=${schema.simpleString} perPart=" +
+        perPart.map { case (k, v) => k.mkString(",") + "->" +
+          v.simpleString }.mkString(" | ") + " firstParts=" +
+        rawStore(lc).headOption.map(rr => rr.parts.mkString(",") +
+          " hit=" + perPart.contains(rr.parts)).getOrElse("<empty>"))
+    val rows = rawStore(lc).map { rr =>
+      val pSchema = perPart.getOrElse(rr.parts,
+        StructType(dataFields.toIndexedSeq))
+      Row.fromSeq(
+        dataFields.zipWithIndex.map { case (f, i) =>
+          if (i >= pSchema.fields.length) null
+          else {
+            val pf = pSchema.fields(i)
+            val v0 = parseRaw(if (i < rr.cells.length) rr.cells(i)
+              else null, pf.dataType, 0, seps)
+            if (pf.dataType == f.dataType || v0 == null) v0
+            // partition-OI → table-OI conversion via text round-trip
+            else parseRaw(renderCell(v0, pf.dataType, 0, seps),
+              f.dataType, 0, seps)
+          }
+        }.toSeq ++
+        partFields.zipWithIndex.map { case (f, i) =>
+          parseRaw(if (i < rr.parts.length) rr.parts(i) else null,
+            f.dataType, 0, seps)
+        })
+    }
+    register(rows, StructType(dataFields ++ partFields), table)
+  }
+
+  /** LOAD DATA for a raw-tracked text table: the file's cells are the
+    * stored bytes VERBATIM (LOAD is a file move — nothing is parsed or
+    * truncated at load time), so splice them straight into the raw
+    * store and re-derive. */
+  private def mergeRawLoad(table: String, fileCells: Vector[Seq[String]],
+      overwrite: Boolean, partSpec: String): Unit = {
+    val lc = table.toLowerCase
+    val pcs = tablePartCols.getOrElse(lc, Nil)
+    val statics = parsePartSpec(partSpec).collect {
+      case (n, Some(v)) => n.toLowerCase -> v }.toMap
+    val partVals = pcs.map(p => statics.getOrElse(p.toLowerCase, null))
+    val newRows = fileCells.map(c => RawRow(c, partVals))
+    val existing = rawStore.getOrElse(lc, Vector.empty)
+    val kept =
+      if (!overwrite) existing
+      else if (statics.isEmpty) Vector.empty
+      else existing.filterNot(_.parts == partVals)
+    rawStore(lc) = kept ++ newRows
+    val schema = spark.table(table).schema
+    val dataSchema = StructType(schema.fields.filterNot(f =>
+      pcs.exists(_.equalsIgnoreCase(f.name))).toIndexedSeq)
+    // a load into an EXISTING partition leaves its schema alone (the
+    // partition keeps reading through the schema it was created with —
+    // RESTRICT semantics); only a brand-new partition adopts the
+    // current table schema
+    val pm = partSchemas.getOrElseUpdate(lc,
+      scala.collection.mutable.Map.empty)
+    if (!pm.contains(partVals)) pm(partVals) = dataSchema
+    deriveView(table, schema)
   }
 
   /** Per-view separator overrides recorded from `ROW FORMAT DELIMITED
@@ -618,6 +744,14 @@ class GoldenHarness(val spark: SparkSession) {
     }.toMap
     val dataFields = schema.fields.filterNot(f =>
       static.contains(f.name.toLowerCase))
+    // extension is advisory in qtest fixtures (e.g. `alltypesorc` has
+    // none) — sniff the container magic
+    val magic: String = {
+      val in = new java.io.FileInputStream(
+        s"/root/reference/data/files/$fileName")
+      try { val b = new Array[Byte](4); in.read(b); new String(b, "ISO-8859-1") }
+      finally in.close()
+    }
     val sel: DataFrame =
       if (fileName.endsWith(".avro")) {
         var df = graft.sources.AvroIO.read(spark,
@@ -639,13 +773,23 @@ class GoldenHarness(val spark: SparkSession) {
           s"/root/reference/data/files/$fileName",
           StructType(dataFields.map(f =>
             f.copy(dataType = stripCharVarchar(f.dataType))).toIndexedSeq))
-      } else if (fileName.endsWith(".orc")) {
+      } else if (fileName.endsWith(".orc") || magic.startsWith("ORC")) {
         spark.read.orc(s"/root/reference/data/files/$fileName")
-      } else if (fileName.endsWith(".parquet") ||
+      } else if (magic.startsWith("PAR1") ||
+          fileName.endsWith(".parquet") ||
           fileName.endsWith(".parq")) {
         spark.read.parquet(s"/root/reference/data/files/$fileName")
       } else {
         val seps = viewSeps.getOrElse(table.toLowerCase, defaultSeps)
+        if (rawStore.contains(table.toLowerCase)) {
+          // text LOAD into a raw-tracked table is a FILE MOVE: cells
+          // go in verbatim (no parse/truncate at load time) so later
+          // schema ALTERs can still see the full stored bytes
+          mergeRawLoad(table, GoldenFixtures.lines(fileName).map(l =>
+            l.split(java.util.regex.Pattern.quote(seps(0)), -1).toSeq),
+            overwrite, partSpec)
+          return
+        }
         val rows = GoldenFixtures.lines(fileName).map { l =>
           val a = l.split(java.util.regex.Pattern.quote(seps(0)), -1)
           Row.fromSeq(dataFields.zipWithIndex.map { case (f, i) =>
@@ -664,91 +808,135 @@ class GoldenHarness(val spark: SparkSession) {
     insertInto(table, overwrite, sel, partSpec)
   }
 
-  // Hive allows omitting TABLE, an explicit column list, a PARTITION
-  // spec (static and/or dynamic), and inserting literal VALUES rows
-  private val insertRe =
-    ("(?is)insert\\s+(overwrite|into)\\s+(?:table\\s+)?`?(\\w+)`?\\s*" +
-      "(\\(\\s*(?!select)`?\\w+`?(?:\\s*,\\s*`?\\w+`?)*\\s*\\))?\\s*" +
-      "(?:partition\\s*\\(([^)]*)\\))?\\s*" +
-      "((?:select|values|map\\s|reduce\\s).*)").r
-  // FROM-first insert: the from clause may be a whole join tree, and
-  // several INSERT segments may share it (Hive multi-insert)
-  private val fromHeadRe =
-    "(?is)from\\s+(.+?)\\s+(insert\\s+(?:overwrite|into)\\s+table\\s+.*)".r
-  private val insertSegRe =
-    ("(?is)insert\\s+(overwrite|into)\\s+table\\s+" +
-      "`?(\\w+)`?\\s*(?:partition\\s*\\(([^)]*)\\))?\\s*" +
-      "((?:select|map\\s|reduce\\s).*)").r
   // CREATE TABLE [IF NOT EXISTS] x LIKE y — empty view with y's schema
   private val likeRe =
     "(?is)create\\s+(?:temporary\\s+)?table\\s+(?:if\\s+not\\s+exists\\s+)?`?(\\w+)`?\\s+like\\s+`?(\\w+)`?.*".r
 
-  /** PARTITION clause entries in order: name -> Some(static value) or
-    * None (dynamic — its value is a trailing select column). */
-  private def parsePartSpec(spec: String): Seq[(String, Option[String])] =
-    if (spec == null || spec.trim.isEmpty) Nil
-    else spec.split(",").toSeq.map { e =>
-      e.split("=", 2) match {
-        case Array(n, v) =>
-          n.trim.toLowerCase.replace("`", "") -> Some(v.trim
-            .stripPrefix("'").stripSuffix("'")
-            .stripPrefix("\"").stripSuffix("\""))
-        case Array(n) => n.trim.toLowerCase.replace("`", "") -> None
-      }
-    }
+  // ------------------------------------------------------------------
+  // HiveStatements storage hooks: bind the dialect layer's statement
+  // semantics (src/main) to the replay fixtures — collected temp
+  // views, in-memory exports, qtest script sugar.
+  // ------------------------------------------------------------------
 
-  /** INSERT replay: run the select, apply Hive's insert-cast to the
-    * target's declared column types by position, then replace or append
-    * the view. Static PARTITION values are spliced in at their schema
-    * positions; dynamic partition values ride as trailing select
-    * columns (Hive's own contract). An OVERWRITE with a partition spec
-    * replaces only the partitions present in the insert's output. */
-  private def insertInto(table: String, overwrite: Boolean,
-      sel: DataFrame, partSpec: String = null,
-      colList: Seq[String] = Nil): Unit = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val schema = spark.table(table).schema
-    val static = parsePartSpec(partSpec).collect {
-      case (n, Some(v)) => n -> v
-    }.toMap
-    val selCols = sel.toDF(sel.columns.indices.map(i => s"__c$i"): _*)
-    val listed = colList.map(_.toLowerCase)
-    var si = 0
-    val cast = selCols.select(schema.fields.map { f =>
-      static.get(f.name.toLowerCase) match {
-        case Some(v) => cvCast(lit(v), f.dataType).as(f.name)
-        case None if listed.nonEmpty =>
-          // explicit column list: unlisted columns read NULL
-          val idx = listed.indexOf(f.name.toLowerCase)
-          if (idx >= 0) cvCast(col(s"__c$idx"), f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
-        case None =>
-          val c = cvCast(col(s"__c$si"), f.dataType).as(f.name)
-          si += 1; c
-      }
-    }.toIndexedSeq: _*)
-    val spec = parsePartSpec(partSpec)
-    val merged =
-      if (overwrite && spec.nonEmpty) {
-        // partitioned OVERWRITE (static or dynamic) replaces only the
-        // partitions present in the insert's own output — Hive's
-        // dynamic-partition overwrite contract
-        val pFields = spec.map { case (n, _) =>
-          schema.fields.find(_.name.equalsIgnoreCase(n)).get.name }
-        val aff = cast.select(pFields.map(col): _*).distinct()
-        spark.table(table).join(aff, pFields, "left_anti")
-          .select(schema.fieldNames.map(col).toIndexedSeq: _*) // using-join
-          .union(cast)                            // may reorder columns
-      } else if (overwrite) cast
-      else spark.table(table).union(cast)
+  /** Rebuilds materialize via collect + register (fixtures are small
+    * and register() carries the char/varchar handling), with a
+    * runaway cap guarding six concurrent sweep workers. */
+  override protected def rebuild(table: String,
+      df: DataFrame): Unit = {
     // qtest fixtures top out ~2k rows and their join products well
     // under this; a tighter cap keeps a runaway insert (dropped join
     // condition) from OOMing six concurrent sweep workers
-    val snap = merged.take(300001).toSeq
+    val snap = df.take(300001).toSeq
     if (snap.size > 300000) throw new IllegalStateException(
       s"replay insert into $table exceeded 300k rows -- runaway result")
-    register(snap.toVector, schema, table)
+    register(snap.toVector, df.schema, table)
+    // writes re-render the raw store (what Hive's serde would have
+    // written); schema ALTERs deliberately do NOT come through here
+    val lc = table.toLowerCase
+    if (rawStore.contains(lc)) {
+      val seps = viewSeps.getOrElse(lc, defaultSeps)
+      val pcs = tablePartCols.getOrElse(lc, Nil)
+      rawStore(lc) =
+        snap.toVector.map(renderRawRow(_, df.schema, pcs, seps))
+      // new partitions adopt the current data schema; existing ones
+      // keep the schema they were created with (RESTRICT semantics —
+      // Hive writes into an old partition through ITS schema)
+      val dataSchema = StructType(df.schema.fields.filterNot(f =>
+        pcs.exists(_.equalsIgnoreCase(f.name))).toIndexedSeq)
+      val pm = partSchemas.getOrElseUpdate(lc,
+        scala.collection.mutable.Map.empty)
+      rawStore(lc).foreach(rr =>
+        if (!pm.contains(rr.parts)) pm(rr.parts) = dataSchema)
+    }
   }
+
+  override protected def renameView(from: String, to: String): Unit = {
+    super.renameView(from, to)
+    viewSeps.get(from.toLowerCase)
+      .foreach(viewSeps(to.toLowerCase) = _)
+  }
+
+  override protected def insertStatement(table: String,
+      overwrite: Boolean, selSql: String, partSpec: String,
+      colList: Seq[String]): Unit =
+    withCharCastRetry(mapReduceSugar(selSql)) { s =>
+      insertInto(table, overwrite, spark.sql(s), partSpec, colList)
+    }
+
+  override protected def insertSegment(from: String, table: String,
+      overwrite: Boolean, sel: String, partSpec: String): Unit =
+    insertInto(table, overwrite,
+      spark.sql(s"FROM $from ${mapReduceSugar(sel)}"), partSpec)
+
+  override protected def loadStatement(path: String, table: String,
+      overwrite: Boolean, partSpec: String): Unit =
+    loadData(path.replaceAll("/+$", "").split('/').last, table,
+      overwrite, partSpec)
+
+  /** EXPORT/IMPORT replay is in-memory (golden paths are masked):
+    * snapshots key by the export path's basename — IMPORT derives the
+    * table name from the path, like the reference's
+    * ImportSemanticAnalyzer. */
+  override protected def exportSnapshot(table: String, partSpec: String,
+      path: String): Unit =
+    exports(pathKey(path)) =
+      (partFiltered(table, partSpec).collect().toVector,
+        spark.table(table).schema)
+
+  override protected def importSnapshot(table: String, partSpec: String,
+      path: String): Unit =
+    exports.get(pathKey(path)).foreach { case (rows, schema) =>
+      val wanted =
+        if (partSpec == null) rows
+        else {
+          val statics = parsePartSpec(partSpec).collect {
+            case (n, Some(v)) => n.toLowerCase -> v }.toMap
+          val idx = schema.fields.zipWithIndex.collect {
+            case (f, i) if statics.contains(f.name.toLowerCase) =>
+              i -> statics(f.name.toLowerCase) }
+          rows.filter(r => idx.forall { case (i, v) =>
+            !r.isNullAt(i) && r.get(i).toString == v })
+        }
+      // import into an existing table appends (Hive adds the
+      // partitions); into a fresh name it recreates
+      val existing = scala.util.Try(spark.table(table)).toOption
+      val merged = existing match {
+        case Some(df) if df.columns.length == schema.fields.length =>
+          df.collect().toVector ++ wanted
+        case _ => wanted
+      }
+      register(merged, schema, table)
+    }
+
+  /** Schema changes on raw-tracked tables reinterpret the stored
+    * cells (schema-on-read) instead of casting materialized values.
+    * CASCADE rewrites every partition's written schema to the new
+    * one; RESTRICT (the default) leaves them, so old partitions keep
+    * reading through their own schema. */
+  override protected def applyNewSchema(table: String,
+      newSchema: StructType, cascade: Boolean): Boolean = {
+    val lc = table.toLowerCase
+    rawStore.contains(lc) && {
+      if (cascade) {
+        val pcs = tablePartCols.getOrElse(lc, Nil)
+        val dataSchema = StructType(newSchema.fields.filterNot(f =>
+          pcs.exists(_.equalsIgnoreCase(f.name))).toIndexedSeq)
+        partSchemas.get(lc).foreach(m =>
+          m.keys.toVector.foreach(k => m(k) = dataSchema))
+      }
+      deriveView(table, newSchema)
+      true
+    }
+  }
+
+  /** Composite-statement tails re-enter the replay dispatcher (set per
+    * replay() call) so harness-only statement kinds keep working under
+    * a WITH prefix. */
+  override protected def dispatchTail(sql: String): Unit =
+    tailExec(sql)
+  private def baseDispatchTail(sql: String): Unit =
+    super.dispatchTail(sql)
+  private var tailExec: String => Unit = baseDispatchTail _
 
   private val usingRe = "(?is)using\\s+'([^']*)'".r
   /** TRANSFORM scripts: qtest `ADD FILE` statements are masked out of
@@ -811,7 +999,9 @@ class GoldenHarness(val spark: SparkSession) {
     // bare ROW__ID virtual column: NULL on non-transactional tables
     // (every golden fixture here) — TableScanOperator.java:110 context
     q4 = q4.replaceAll(
-      "(?i)(?<![\\w`(.])(?:\\w+\\.)?row__id\\b(?!\\s*\\()", "null")
+      "(?i)(?<![\\w`(.])(?:\\w+\\.)?row__id\\b(?!\\s*\\()",
+      "cast(null as struct<transactionid:bigint,bucketid:int," +
+        "rowid:bigint>)")
     // Hive `LIMIT offset,count` sugar → standard LIMIT/OFFSET
     q4 = q4.replaceAll("(?i)\\blimit\\s+(\\d+)\\s*,\\s*(\\d+)",
       "limit $2 offset $1")
@@ -1233,8 +1423,13 @@ class GoldenHarness(val spark: SparkSession) {
     (singles ++ combined).distinct.filterNot(_ == q)
   }
 
-  private def emptyView(name: String, cols: String): Unit =
+  private def emptyView(name: String, cols: String): Unit = {
     register(Vector.empty, colSchema(cols), name)
+    // CREATEd tables are raw-tracked: schema ALTERs reinterpret their
+    // stored text cells instead of casting materialized values
+    rawStore(name.toLowerCase) = Vector.empty
+    partSchemas.remove(name.toLowerCase)
+  }
 
   /** Hive names unaliased select expressions `_c<pos>` (0-based
     * output position); Spark uses the pretty expression text. Align
@@ -1356,14 +1551,16 @@ class GoldenHarness(val spark: SparkSession) {
     // conf comes from the sibling `.q` source. GROUP BY <n> is the
     // CONSTANT n in Hive unless hive.groupby.position.alias (HiveConf
     // :1154, default false) or the deprecated combined flag is on.
-    {
+    val qSourceText: String = {
       val qSrc = new java.io.File(
         "/root/reference/ql/src/test/queries/clientpositive/" +
           file.stripSuffix(".out"))
-      val src =
-        if (qSrc.exists())
-          scala.io.Source.fromFile(qSrc).mkString.toLowerCase
-        else ""
+      if (qSrc.exists())
+        GoldenFixtures.readLines(qSrc.getPath).mkString("\n")
+      else ""
+    }
+    {
+      val src = qSourceText.toLowerCase
       def setTo(conf: String) = ("(?s).*set\\s+" +
         java.util.regex.Pattern.quote(conf) + "\\s*=\\s*true.*").r
       val gby = setTo("hive.groupby.position.alias").matches(src) ||
@@ -1384,6 +1581,24 @@ class GoldenHarness(val spark: SparkSession) {
         ((ql.startsWith("from") || ql.startsWith("map ") ||
           ql.startsWith("reduce ")) && !ql.contains("insert"))
     }
+    // the qtest masker can EAT the tail of a statement (e.g. a CREATE
+    // whose last column line shares a line with the masked LOCATION
+    // path); recover the full text from the sibling .q source
+    lazy val srcStatements: Seq[String] = qSourceText.split(";")
+      .map(_.trim).filter(_.nonEmpty).toSeq
+    def norm(s: String): String = s.linesIterator.map(_.trim)
+      .filterNot(l => l.isEmpty || l.startsWith("--") ||
+        l.startsWith("####"))
+      .mkString(" ").toLowerCase.replaceAll("\\s+", " ")
+    def repairTruncated(q: String): String =
+      if (q.count(_ == '(') == q.count(_ == ')')) q
+      else {
+        val head = norm(q)
+        srcStatements.find(s => norm(s).startsWith(head))
+          .map(_.linesIterator
+            .filterNot(l => l.trim.startsWith("--")).mkString("\n").trim)
+          .getOrElse(q)
+      }
     blocks(file).filterNot(b =>
         skip(b.query) && isAssertStmt(b.query)).foreach { b =>
       // leading -- comment lines (e.g. -- SORT_QUERY_RESULTS) ride along
@@ -1391,7 +1606,7 @@ class GoldenHarness(val spark: SparkSession) {
       val q0 = b.query.linesIterator
         .dropWhile(l => l.trim.isEmpty || l.trim.startsWith("--"))
         .mkString("\n").trim
-      val q = dialectShims(q0)
+      val q = dialectShims(repairTruncated(q0))
       val ql = q.toLowerCase
       if (sys.env.contains("GOLDEN_TRACE"))
         println(s"[replay] ${q.linesIterator.mkString(" ").take(100)}")
@@ -1476,7 +1691,12 @@ class GoldenHarness(val spark: SparkSession) {
         asserted += 1
       }
       // statement dispatch; re-entrant so composite statements (e.g.
-      // WITH-prefixed inserts) can re-dispatch their tail
+      // WITH-prefixed inserts) can re-dispatch their tail. The Hive
+      // DML/utility statement surface itself (UPDATE/DELETE/MERGE,
+      // LOAD, EXPORT/IMPORT, insert forms, renames) lives in the
+      // MAIN-tree HiveStatements dialect this harness extends; here
+      // only the replay-specific kinds (CREATE-as-temp-view, SELECT
+      // assertion, qtest function shims) are handled.
       def exec(q: String, ql: String): Unit = {
       if (ql.startsWith("create table") ||
           ql.startsWith("create temporary table") ||
@@ -1527,6 +1747,25 @@ class GoldenHarness(val spark: SparkSession) {
               colSchema(parenBody(q.substring(pbIdx))).fieldNames.toSeq
           emptyView(name, full)
           recordDelims(name, q) // declared text delimiters for LOAD DATA
+          // location-backed qtest tables: the .q script copies a
+          // fixture into the table LOCATION via dfs -copyFromLocal
+          // (masked out of the golden) — recover the mapping from the
+          // .q source and load the fixture
+          "(?is)location\\s+'[^']*?([^'/]+)'\\s*".r.findFirstMatchIn(q)
+            .foreach { m =>
+              val dir = java.util.regex.Pattern.quote(m.group(1))
+              ("(?im)^dfs\\s+-copyfromlocal\\s+\\S*data/files/(\\S+?)" +
+                "\\s+\\S*" + dir + "/\\S*;?\\s*$").r
+                .findFirstMatchIn(qSourceText).foreach { c =>
+                  val f = "/root/reference/data/files/" + c.group(1)
+                  val df =
+                    if (c.group(1).contains("orc")) spark.read.orc(f)
+                    else if (c.group(1).contains("parquet"))
+                      spark.read.parquet(f)
+                    else null
+                  if (df != null) insertInto(name, overwrite = true, df)
+                }
+            }
         case _ => unhandled("create", q)
       } else if (ql.startsWith("create view") ||
           ql.startsWith("create materialized view")) q match {
@@ -1574,79 +1813,108 @@ class GoldenHarness(val spark: SparkSession) {
         // surface) but write nowhere
         "(?is)insert\\s+overwrite\\s+(?:local\\s+)?directory\\s+'[^']*'\\s*(?:row\\s+format[^;]*?)?(?:stored\\s+as\\s+\\w+\\s*)?((?:select|with).*)".r
           .findFirstMatchIn(q).foreach(m => spark.sql(m.group(1)).count())
-      } else if (ql.startsWith("load data")) q match {
-        case loadRe(fileName, ow, table, part) =>
-          loadData(fileName, table, ow != null, part)
-        case _ => unhandled("load", q)
+      } else if (execute(q)) {
+        // handled by the HiveStatements dialect layer (src/main):
+        // UPDATE/DELETE/MERGE INTO, LOAD DATA, EXPORT/IMPORT, insert
+        // forms, ALTER ... RENAME (incl. partitions), WITH-inserts
+      } else if (ql.startsWith("load data")) {
+        unhandled("load", q)
       } else if (ql.startsWith("alter table")) q match {
-        case renameRe(from, to) =>
-          // the new view captures the resolved plan, so dropping the
-          // old name afterwards is safe
-          spark.table(from).createOrReplaceTempView(to)
-          spark.catalog.dropTempView(from)
-          viewSeps.get(from.toLowerCase)
-            .foreach(viewSeps(to.toLowerCase) = _)
-        case replaceColsRe(table, cols) =>
+        case partReplaceRe(table, spec, cols) =>
+          // per-PARTITION REPLACE COLUMNS: that partition's written
+          // schema becomes the new column list
+          val lc = table.toLowerCase
+          if (rawStore.contains(lc)) {
+            val pm = partSchemas(lc)
+            matchingPartKeys(lc, spec).foreach(k =>
+              pm(k) = colSchema(cols))
+            deriveView(table, spark.table(table).schema)
+          }
+        case partAddRe(table, spec, cols) =>
+          // per-PARTITION ADD COLUMNS: widen that partition's written
+          // schema — stored surplus cells surface in the new columns
+          val lc = table.toLowerCase
+          if (rawStore.contains(lc)) {
+            val pm = partSchemas(lc)
+            matchingPartKeys(lc, spec).foreach(k =>
+              pm(k) = StructType(pm(k).fields ++ colSchema(cols).fields))
+            deriveView(table, spark.table(table).schema)
+          }
+        case partChangeRe(table, spec, oldName, newName, typ) =>
+          // per-PARTITION CHANGE COLUMN: only that partition's written
+          // schema is retyped; the table schema is untouched
+          val lc = table.toLowerCase
+          if (rawStore.contains(lc)) {
+            val dt = org.apache.spark.sql.catalyst.parser
+              .CatalystSqlParser.parseDataType(typ)
+            val pm = partSchemas(lc)
+            matchingPartKeys(lc, spec).foreach(k =>
+              pm(k) = StructType(pm(k).fields.map(f =>
+                if (f.name.equalsIgnoreCase(oldName))
+                  StructField(newName, dt, nullable = true)
+                else f)))
+            deriveView(table, spark.table(table).schema)
+          }
+        case replaceColsRe(table, cols, cascade) =>
           // Hive REPLACE COLUMNS reinterprets the stored bytes with the
-          // new schema: columns map by POSITION, narrowed/widened with
-          // text-cast semantics, surplus columns dropped
+          // new schema: DATA columns map by POSITION, narrowed/widened
+          // with text-cast semantics, surplus columns dropped.
+          // Partition columns are not data — they survive untouched,
+          // staying last in the logical schema.
           import org.apache.spark.sql.functions.{col, lit}
           val df = spark.table(table)
+          val pcs = tablePartCols.getOrElse(table.toLowerCase, Nil)
+          val dataCols = df.schema.fields.filterNot(f =>
+            pcs.exists(_.equalsIgnoreCase(f.name)))
+          val partFields = df.schema.fields.filter(f =>
+            pcs.exists(_.equalsIgnoreCase(f.name)))
           val newSchema = colSchema(cols)
-          val sel = newSchema.fields.zipWithIndex.map { case (f, i) =>
-            if (i < df.columns.length) {
-              val from = df.schema.fields(i).dataType
-              // incompatible reinterpretations (array<int> -> int) go
-              // through text, like Hive re-reading the stored bytes
-              val c = col(df.columns(i))
-              val via =
-                if (org.apache.spark.sql.catalyst.expressions.Cast
-                    .canCast(from, f.dataType)) c
-                else c.cast(StringType)
-              via.cast(f.dataType).as(f.name)
-            } else lit(null).cast(f.dataType).as(f.name)
+          if (!applyNewSchema(table,
+              StructType(newSchema.fields ++ partFields),
+              cascade != null && cascade.equalsIgnoreCase("cascade"))) {
+            val sel = newSchema.fields.zipWithIndex.map { case (f, i) =>
+              if (i < dataCols.length) {
+                val from = dataCols(i).dataType
+                // incompatible reinterpretations (array<int> -> int) go
+                // through text, like Hive re-reading the stored bytes
+                val c = col(dataCols(i).name)
+                val via =
+                  if (org.apache.spark.sql.catalyst.expressions.Cast
+                      .canCast(from, f.dataType)) c
+                  else c.cast(StringType)
+                via.cast(f.dataType).as(f.name)
+              } else lit(null).cast(f.dataType).as(f.name)
+            } ++ partFields.map(f => col(f.name))
+            register(df.select(sel.toIndexedSeq: _*).collect().toVector,
+              StructType(newSchema.fields ++ partFields), table)
           }
-          register(df.select(sel.toIndexedSeq: _*).collect().toVector,
-            newSchema, table)
-        case addColsRe(table, cols) =>
-          // widen the view: existing rows read NULL in the new columns,
-          // which slot in BEFORE the partition columns (Hive keeps
-          // partition columns last in the logical schema)
+        case addColsRe(table, cols, cascade) =>
+          // widen the view: the new columns slot in BEFORE the
+          // partition columns (Hive keeps partition columns last in
+          // the logical schema). Raw-tracked tables re-read stored
+          // cells — a file written wider than the pre-ADD schema
+          // surfaces its surplus cells in the new columns.
           import org.apache.spark.sql.functions.{col, lit}
           var df = spark.table(table)
-          colSchema(cols).fields.foreach(f =>
-            df = df.withColumn(f.name, lit(null).cast(f.dataType)))
           val pcs = tablePartCols.getOrElse(table.toLowerCase, Nil)
-          if (pcs.nonEmpty) {
-            val (parts, data) = df.columns.partition(c =>
-              pcs.exists(_.equalsIgnoreCase(c)))
-            df = df.select((data ++ parts).map(col).toIndexedSeq: _*)
-          }
-          register(df.collect().toVector, df.schema, table)
-        case _ => // other ALTERs (rename/partition/props) are no-ops
-      } else if (ql.startsWith("insert")) q match {
-        case insertRe(mode, table, cols, part, sel) =>
-          // `VALUES (...)` is itself a valid Spark query
-          val colList =
-            if (cols == null) Nil
-            else cols.stripPrefix("(").stripSuffix(")").split(",")
-              .toSeq.map(_.trim.replace("`", "")).filter(_.nonEmpty)
-          withCharCastRetry(mapReduceSugar(sel)) { s =>
-            insertInto(table, mode.equalsIgnoreCase("overwrite"),
-              spark.sql(s), part, colList)
-          }
-        case _ => unhandled("insert", q)
-      } else if (ql.startsWith("from")) q match {
-        // Hive FROM-first inserts (possibly MULTI-insert: one scan, many
-        // sinks); each segment replays as FROM <tree> SELECT ...
-        case fromHeadRe(from, rest) =>
-          rest.split("(?is)(?=insert\\s+(?:overwrite|into)\\s+table)")
-            .map(_.trim).filter(_.nonEmpty).foreach {
-              case insertSegRe(mode, table, part, sel) =>
-                insertInto(table, mode.equalsIgnoreCase("overwrite"),
-                  spark.sql(s"FROM $from ${mapReduceSugar(sel)}"), part)
-              case seg => unhandled("insert segment", seg)
+          val (pFields, dFields) = df.schema.fields.partition(f =>
+            pcs.exists(_.equalsIgnoreCase(f.name)))
+          if (!applyNewSchema(table, StructType(
+              dFields ++ colSchema(cols).fields ++ pFields),
+              cascade != null && cascade.equalsIgnoreCase("cascade"))) {
+            colSchema(cols).fields.foreach(f =>
+              df = df.withColumn(f.name, lit(null).cast(f.dataType)))
+            if (pcs.nonEmpty) {
+              val (parts, data) = df.columns.partition(c =>
+                pcs.exists(_.equalsIgnoreCase(c)))
+              df = df.select((data ++ parts).map(col).toIndexedSeq: _*)
             }
+            register(df.collect().toVector, df.schema, table)
+          }
+        case _ => // other ALTERs (props/touch) are no-ops
+      } else if (ql.startsWith("insert")) {
+        unhandled("insert", q)
+      } else if (ql.startsWith("from")) q match {
         case _ if ql.contains("insert overwrite") &&
             ql.contains("directory") =>
           // FROM-first INSERT OVERWRITE DIRECTORY: evaluate only (the
@@ -1665,40 +1933,6 @@ class GoldenHarness(val spark: SparkSession) {
           ql.startsWith("create schema")) q match {
         case createDbRe(db) => knownDbs += db.toLowerCase
         case _ =>
-      } else if (ql.startsWith("export table")) q match {
-        case exportRe(t, part, path) =>
-          exports(pathKey(path)) =
-            (partFiltered(t, part).collect().toVector,
-              spark.table(t).schema)
-        case _ => // masked path — downstream select fails the file
-      } else if (ql.startsWith("import")) q match {
-        case importRe(t, part, path) =>
-          exports.get(pathKey(path)).foreach { case (rows, schema) =>
-            val target =
-              if (t == null) pathKey(path)
-              else t.split('.').last
-            val wanted =
-              if (part == null) rows
-              else {
-                val statics = parsePartSpec(part).collect {
-                  case (n, Some(v)) => n.toLowerCase -> v }.toMap
-                val idx = schema.fields.zipWithIndex.collect {
-                  case (f, i) if statics.contains(f.name.toLowerCase) =>
-                    i -> statics(f.name.toLowerCase) }
-                rows.filter(r => idx.forall { case (i, v) =>
-                  !r.isNullAt(i) && r.get(i).toString == v })
-              }
-            // import into an existing table appends (Hive adds the
-            // partitions); into a fresh name it recreates
-            val existing = scala.util.Try(spark.table(target)).toOption
-            val merged = existing match {
-              case Some(df) if df.columns.length == schema.fields.length =>
-                df.collect().toVector ++ wanted
-              case _ => wanted
-            }
-            register(merged, schema, target)
-          }
-        case _ =>
       } else if (ql.startsWith("drop table") ||
           ql.startsWith("drop view") ||
           ql.startsWith("drop materialized view")) {
@@ -1708,80 +1942,19 @@ class GoldenHarness(val spark: SparkSession) {
           "(?is)drop\\s+(?:table|materialized\\s+view|view)\\s+(?:if\\s+exists\\s+)?`?([\\w.]+)`?\\s*(?:purge\\s*)?".r
         q match {
           case dropRe(n) =>
-            spark.catalog.dropTempView(n.split('.').last)
+            val v = n.split('.').last
+            spark.catalog.dropTempView(v)
+            // a later CREATE with the same name is a NEW table: its
+            // raw cells, partition schemas, separators and partition
+            // columns must not leak across the drop
+            val lc = v.toLowerCase
+            rawStore.remove(lc); partSchemas.remove(lc)
+            viewSeps.remove(lc); tablePartCols.remove(lc)
           case _ =>
         }
-      } else if (ql.startsWith("update ")) {
-        // ACID UPDATE replays as a column-conditional rebuild of the
-        // view (the engine's real MERGE/UPDATE lives in MergeInto;
-        // fixtures here are tiny temp views)
-        "(?is)^update\\s+`?([\\w.]+)`?\\s+set\\s+(.*?)(?:\\s+where\\s+(.*))?$"
-          .r("t", "sets", "w").findFirstMatchIn(q).foreach { m =>
-            val table = m.group("t").split('.').last
-            val assigns = splitTop(m.group("sets"), ',').map { a =>
-              val kv = a.split("=", 2)
-              kv(0).trim.replace("`", "") -> kv(1).trim
-            }
-            val w = Option(m.group("w"))
-            val cols = spark.table(table).columns.map { c =>
-              assigns.find(_._1.equalsIgnoreCase(c)) match {
-                case Some((_, e)) => w match {
-                  case Some(p) => s"if(($p), ($e), `$c`) as `$c`"
-                  case None => s"($e) as `$c`"
-                }
-                case None => s"`$c`"
-              }
-            }
-            val df =
-              spark.sql(s"select ${cols.mkString(", ")} from $table")
-            register(df.collect().toVector, df.schema, table)
-          }
-      } else if (ql.startsWith("delete from")) {
-        "(?is)^delete\\s+from\\s+`?([\\w.]+)`?(?:\\s+where\\s+(.*))?$"
-          .r("t", "w").findFirstMatchIn(q).foreach { m =>
-            val table = m.group("t").split('.').last
-            val df = Option(m.group("w")) match {
-              case Some(p) =>
-                spark.table(table).where(s"not coalesce(($p), false)")
-              case None => spark.table(table).limit(0)
-            }
-            register(df.collect().toVector, df.schema, table)
-          }
-      } else if (ql.startsWith("with") &&
-          ql.matches("(?s).*\\binsert\\s+(?:overwrite|into)\\b.*")) {
-        // WITH-prefixed INSERT (Hive allows `WITH ctes FROM x INSERT
-        // ...`): materialize each CTE as a temp view (balanced-paren
-        // scan — CTE bodies nest freely), then re-dispatch the tail
-        var rest = q.trim.substring(4)
-        var more = true
-        while (more) {
-          more = false
-          "(?is)^\\s*,?\\s*(\\w+)\\s+as\\s*\\(".r
-            .findFirstMatchIn(rest).foreach { m =>
-              val open = m.end - 1
-              var depth = 0
-              var i = open
-              var close = -1
-              while (i < rest.length && close < 0) {
-                rest(i) match {
-                  case '(' => depth += 1
-                  case ')' => depth -= 1; if (depth == 0) close = i
-                  case _ =>
-                }
-                i += 1
-              }
-              if (close > 0) {
-                spark.sql(rest.substring(open + 1, close))
-                  .createOrReplaceTempView(m.group(1))
-                rest = rest.substring(close + 1)
-                more = rest.matches("(?s)^\\s*,.*")
-              }
-            }
-        }
-        val tail = rest.trim
-        exec(tail, tail.toLowerCase)
       } // set/explain blocks replay as no-ops
       }
+      tailExec = sql => exec(sql, sql.trim.toLowerCase)
       exec(q, ql)
     }
     asserted
