@@ -574,7 +574,11 @@ object HiveStatements {
     else spec.split(",").toSeq.map { e =>
       e.split("=", 2) match {
         case Array(n, v) =>
-          n.trim.toLowerCase.replace("`", "") -> Some(v.trim
+          // typed partition literals (`dt=date '2000-01-01'`,
+          // `ts=timestamp '...'`) carry the bare text value
+          val v0 = v.trim.replaceFirst("(?is)^(?:date|timestamp)\\s+'",
+            "'")
+          n.trim.toLowerCase.replace("`", "") -> Some(v0
             .stripPrefix("'").stripSuffix("'")
             .stripPrefix("\"").stripSuffix("\""))
         case Array(n) => n.trim.toLowerCase.replace("`", "") -> None

@@ -12,6 +12,16 @@ final class GoldenMismatch(msg: String) extends AssertionError(msg)
 object GoldenFixtures {
   /** UTF-8 first; files that aren't valid UTF-8 (e.g. Latin-1 test
     * data) re-read as ISO-8859-1, which accepts every byte. */
+  /** Hive timestamp text `yyyy-MM-dd HH:mm:ss[.f…]` → LocalDateTime,
+    * proleptic, any year width/fraction length. */
+  private val hiveTsFmt = new java.time.format.DateTimeFormatterBuilder()
+    .appendPattern("uuuu-MM-dd HH:mm:ss")
+    .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND,
+      0, 9, true)
+    .toFormatter
+  def hiveTsParse(raw: String): java.time.LocalDateTime =
+    java.time.LocalDateTime.parse(raw.trim, hiveTsFmt)
+
   def readLines(path: String): Vector[String] = {
     def read(codec: scala.io.Codec): Vector[String] = {
       val s = scala.io.Source.fromFile(path)(codec)
@@ -171,14 +181,20 @@ object GoldenFixtures {
       case BooleanType => raw.toBooleanOption.map(Boolean.box).orNull
       case TimestampType =>
         // text timestamps are wall-clock in the qtest zone
-        // (US/Pacific), not the JVM default
-        try java.sql.Timestamp.from(
-          java.sql.Timestamp.valueOf(raw).toLocalDateTime
-            .atZone(goldenZone).toInstant)
-        catch { case _: IllegalArgumentException => null }
+        // (US/Pacific), not the JVM default. Parse PROLEPTIC
+        // (java.time): a java.sql.Timestamp.valueOf round-trip reads
+        // ancient dates in the hybrid Julian calendar and shifts them
+        // (0004-09-22 → 0004-09-24); the session runs with
+        // datetime.java8API so Instants pass through rebase-free.
+        try hiveTsParse(raw).atZone(goldenZone).toInstant
+        catch { case _: java.time.format.DateTimeParseException => null
+                case _: IllegalArgumentException => null }
       case DateType =>
-        try java.sql.Date.valueOf(raw)
-        catch { case _: IllegalArgumentException => null }
+        try java.time.LocalDate.parse(raw)
+        catch { case _: java.time.format.DateTimeParseException =>
+          // lenient Hive forms like 2014-1-5 (modern dates only)
+          try java.sql.Date.valueOf(raw).toLocalDate
+          catch { case _: IllegalArgumentException => null } }
       case d: DecimalType =>
         // HiveDecimal semantics: round to the declared scale (1E-99 →
         // 0.000...), NULL only when the integer part overflows p-s
@@ -244,6 +260,10 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   // user.timezone); every golden's timestamp rendering and
   // numeric<->timestamp conversion assumes it.
   spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+  // java.time in/out: java.sql.Date/Timestamp round-trips rebase
+  // ancient dates between hybrid-Julian and proleptic calendars and
+  // shift them days off the golden text; Instant/LocalDate pass clean
+  spark.conf.set("spark.sql.datetime.java8API.enabled", "true")
 
   private val outDir =
     "/root/reference/ql/src/test/results/clientpositive"
@@ -586,10 +606,11 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       case BinaryType =>
         new String(v.asInstanceOf[Array[Byte]],
           java.nio.charset.StandardCharsets.UTF_8)
-      // timestamps/dates/numbers/booleans/strings round-trip through
-      // toString ↔ parsePrim (the JVM zone is pinned to the golden
-      // zone for the replay, so Timestamp.toString is wall-clock in
-      // the same zone parsePrim assumes)
+      // java8API values render as Hive wall-clock text in the golden
+      // zone so the renderCell ↔ parsePrim round-trip is stable
+      case TimestampType => tsAny(v).getOrElse(v.toString)
+      // other numbers/booleans/strings/dates round-trip via toString ↔
+      // parsePrim (LocalDate.toString is ISO yyyy-MM-dd)
       case _ => v.toString
     }
   }
@@ -1022,13 +1043,104 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         q4.replaceAll("(?i)\\bsort\\s+by\\b", "order by")
       else q4
     // MAP/REDUCE sugar keeps its own TRANSFORM rewrite path
-    val q6 =
+    val q6a =
       if (q5.toLowerCase.contains("transform")) fixTransformIo(q5) else q5
+    val q6 = hiveGroupingShim(q6a)
     // Hive's noop/noopwithmap test PTFs pass rows through unchanged
     // (ql/udf/ptf/Noop.java); strip to the underlying relation — the
     // goldens' window functions re-declare their own specs. Fixpoint
     // loop unwraps nested calls innermost-first.
     defaultOverOrder(stripNoops(q6))
+  }
+
+  /** Hive 2.x `GROUPING__ID` encodes bit i (LSB-first over the GROUP
+    * BY list) as 1 when column i is PRESENT in the grouping set
+    * (ql/exec/GroupByOperator genGroupingId); Spark's grouping_id() is
+    * the complement with MSB-first bits. Rewrite the virtual column
+    * into `(1-grouping(ci))*2^i` against its own scope's GROUP BY
+    * list. Also collapses literal duplicate GROUPING SETS entries —
+    * Hive dedupes them, Spark emits the group twice. */
+  private def hiveGroupingShim(q0: String): String = {
+    val l0 = q0.toLowerCase
+    if (!l0.contains("grouping")) return q0
+    // mask balanced paren groups innermost-first: scopes become flat
+    val subs = scala.collection.mutable.ArrayBuffer[String]()
+    val innerRe = "\\([^()]*\\)".r
+    var top = q0
+    var found = true
+    while (found) {
+      innerRe.findFirstMatchIn(top) match {
+        case Some(m) =>
+          subs += m.matched.substring(1, m.matched.length - 1)
+          top = top.substring(0, m.start) + "§" + (subs.size - 1) +
+            "§" + top.substring(m.end)
+        case None => found = false
+      }
+    }
+    def unmask(s: String): String =
+      "§(\\d+)§".r.replaceAllIn(s, m =>
+        scala.util.matching.Regex.quoteReplacement(
+          "(" + unmask(subs(m.group(1).toInt)) + ")"))
+    val maskRef = "§(\\d+)§".r
+    val gbRollupRe = ("(?is)group\\s+by\\s+(.*?)\\s*with\\s+" +
+      "(rollup|cube)").r
+    val gbFnRe = ("(?is)group\\s+by\\s+(?:rollup|cube)\\s*" +
+      "§(\\d+)§").r
+    val gbSetsRe = ("(?is)group\\s+by\\s+(.*?)\\s+grouping\\s+sets\\s*" +
+      "§(\\d+)§").r
+    val gidRe = "(?i)(?<![\\w.`])grouping__id\\b".r
+    def rewriteScope(s0: String): String = {
+      var s = s0
+      // grouping-set dedup (content compared unmasked/normalized)
+      gbSetsRe.findFirstMatchIn(s).foreach { m =>
+        val k = m.group(2).toInt
+        val entries = splitTop(subs(k), ',').map(_.trim)
+        val seen = scala.collection.mutable.LinkedHashMap[String, String]()
+        entries.foreach(e => seen.getOrElseUpdate(
+          unmask(e).replaceAll("\\s+", " ").toLowerCase, e))
+        if (seen.size < entries.size)
+          subs(k) = seen.values.mkString(", ")
+      }
+      if (gidRe.findFirstIn(s).isDefined) {
+        val cols: Seq[String] =
+          gbFnRe.findFirstMatchIn(s).map(m =>
+            splitTop(subs(m.group(1).toInt), ',').map(unmask).map(_.trim))
+          .orElse(gbRollupRe.findFirstMatchIn(s).map(m =>
+            splitTop(m.group(1), ',').map(unmask).map(_.trim)))
+          .orElse(gbSetsRe.findFirstMatchIn(s).map(m =>
+            splitTop(m.group(1), ',').map(unmask).map(_.trim)))
+          .getOrElse(Nil)
+        if (cols.nonEmpty) {
+          val expr = "(" + cols.zipWithIndex.map { case (c, i) =>
+            s"(1-grouping($c))*${1L << i}" }.mkString(" + ") + ")"
+          val fromAt = "(?i)\\bfrom\\b".r.findFirstMatchIn(s)
+            .map(_.start).getOrElse(s.length)
+          s = gidRe.replaceAllIn(s, m => {
+            val inSelect = m.start < fromAt
+            val aliased =
+              s.substring(m.end).matches("(?is)\\s+as\\b.*")
+            scala.util.matching.Regex.quoteReplacement(
+              if (inSelect && !aliased) s"$expr as `grouping__id`"
+              else expr)
+          })
+        }
+      }
+      // grouping(c) under a PLAIN group by: Hive constant-folds it to
+      // 0 (SemanticAnalyzer rewrites grouping() only for grouping
+      // sets; plain aggregates emit const 0) — Spark raises
+      val sl = s.toLowerCase
+      if (sl.matches("(?s).*\\bgroup\\s+by\\b.*") &&
+          !sl.matches("(?s).*(with\\s+rollup|with\\s+cube|" +
+            "grouping\\s+sets|group\\s+by\\s+(rollup|cube)).*"))
+        s = s.replaceAll("(?i)\\bgrouping\\s*§(\\d+)§", "0")
+      s
+    }
+    top = rewriteScope(top)
+    subs.indices.foreach(i => subs(i) = rewriteScope(subs(i)))
+    // top itself is not paren-wrapped; expand its mask refs directly
+    maskRef.replaceAllIn(top, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        "(" + unmask(subs(m.group(1).toInt)) + ")"))
   }
 
   private val noopCallRe = "(?i)\\bnoop(?:withmap)?\\s*\\(".r
@@ -1156,15 +1268,59 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
               // bracketed lists as multisets, but ONLY when the query
               // actually built a set (ordered arrays — sort_array,
               // collect_list, literals — must stay exact)
-              unorderedSets &&
+              (unorderedSets &&
                 a.startsWith("[") && a.endsWith("]") &&
                 b.startsWith("[") && b.endsWith("]") &&
                 a.substring(1, a.length - 1).split(",").sorted.toSeq ==
-                  b.substring(1, b.length - 1).split(",").sorted.toSeq
+                  b.substring(1, b.length - 1).split(",").sorted.toSeq) ||
+              // map entries render in engine-defined order (maps are
+              // unordered); canonicalize every {..} group before
+              // comparing — array elements keep their order
+              (a.contains("{") && b.contains("{") &&
+                canonCell(a) == canonCell(b))
           })
         }
       }
     }
+  }
+
+  /** Canonical form of a Hive-JSON cell for order-insensitive MAP
+    * comparison: the entries of every `{..}` group (innermost first)
+    * are sorted; `[..]` arrays keep element order. Struct fields also
+    * render `{..}` — sorting them is harmless for equality since both
+    * sides carry field names. */
+  private def canonCell(cell: String): String = {
+    val subs = scala.collection.mutable.ArrayBuffer[String]()
+    def un(t: String): String =
+      "§B(\\d+)§".r.replaceAllIn(t, mm =>
+        scala.util.matching.Regex.quoteReplacement(
+          un(subs(mm.group(1).toInt))))
+    val braceRe = "\\{[^{}\\[\\]§]*\\}".r
+    val brackRe = "\\[[^{}\\[\\]§]*\\]".r
+    var s = cell
+    var changed = true
+    while (changed) {
+      changed = false
+      braceRe.findFirstMatchIn(s) match {
+        case Some(m) =>
+          val inner = m.matched.substring(1, m.matched.length - 1)
+          val entries = inner.split(",", -1).map(_.trim)
+          subs += "{" + entries.sortBy(un).mkString(",") + "}"
+          s = s.substring(0, m.start) + "§B" + (subs.size - 1) + "§" +
+            s.substring(m.end)
+          changed = true
+        case None =>
+          brackRe.findFirstMatchIn(s) match {
+            case Some(m) =>
+              subs += m.matched
+              s = s.substring(0, m.start) + "§B" + (subs.size - 1) +
+                "§" + s.substring(m.end)
+              changed = true
+            case None =>
+          }
+      }
+    }
+    un(s)
   }
 
   /** SORT_AND_HASH goldens append a base64 digest line per block. */
@@ -1541,6 +1697,41 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     * with a documented engine divergence. Throws [[GoldenMismatch]] on
     * a row mismatch and IllegalStateException on an unhandled
     * statement shape. */
+  /** Set when the .q sets hive.cli.print.header=true: every golden
+    * result block then carries ONE header row (tab-joined output
+    * column names, sorted in among the data rows by the qtest
+    * SORT_QUERY_RESULTS post-processing). */
+  private var printHeader = false
+
+  /** Remove the single header row from a golden block: the row whose
+    * cells are the query's output column names — possibly qualified
+    * (`t1.a` for star-expansions) and with Hive's `_cN` auto-names for
+    * non-identifier columns. */
+  private def dropHeaderRow(want: Seq[String], cols: Seq[String])
+      : Seq[String] = {
+    val expect = cols.zipWithIndex.map { case (c, i) =>
+      if (c.matches("[A-Za-z_][A-Za-z0-9_]*")) c.toLowerCase else s"_c$i"
+    }
+    def isHeader(line: String): Boolean = {
+      val cells = line.split("\t", -1)
+      cells.length == expect.length &&
+        cells.zipWithIndex.zip(expect).forall {
+          case ((cell, i), e) =>
+            val cl = cell.toLowerCase
+            // `_cI`/`cI` match positionally too: Hive auto-names
+            // literal and expression columns (`_cN` classic, `cN`
+            // through CBO/Calcite) the planner may have named
+            // otherwise (e.g. a constant-folded 'key1')
+            cl == e || cl.endsWith("." + e) || cl == s"_c$i" ||
+              cl == s"c$i"
+        }
+    }
+    want.indexWhere(isHeader) match {
+      case -1 => want
+      case i => want.patch(i, Nil, 1)
+    }
+  }
+
   def replay(file: String,
       skip: String => Boolean = _ => false,
       stripDecZeros: Boolean = true): Int = {
@@ -1566,6 +1757,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       val gby = setTo("hive.groupby.position.alias").matches(src) ||
         setTo("hive.groupby.orderby.position.alias").matches(src)
       spark.conf.set("spark.sql.groupByOrdinal", gby.toString)
+      printHeader = setTo("hive.cli.print.header").matches(src)
     }
     // `skip` (nondeterminism) applies only to ASSERT statements: a
     // bare-LIMIT/rand INSERT or CTAS still executes (its rows feed
@@ -1611,18 +1803,21 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       if (sys.env.contains("GOLDEN_TRACE"))
         println(s"[replay] ${q.linesIterator.mkString(" ").take(100)}")
       def assertSelect(query: String): Unit = {
-        val want = b.rows.filterNot(isHashLine).sorted
+        val want0 = b.rows.filterNot(isHashLine).sorted
         // bounded materialization: a replay bug that inflates the
         // result (e.g. a dropped join condition) must fail fast, not
         // OOM the driver -- anything past want+100 rows is a mismatch
-        val cap = want.size + 101
+        val cap = want0.size + 101
         // None = matched; Some(failure) = exception or row mismatch
         def attempt(q1: String): Option[Throwable] = {
-          val taken =
-            try spark.sql(q1).take(cap).toSeq
+          val (cols, taken) =
+            try { val df = spark.sql(q1)
+              (df.columns.toSeq, df.take(cap).toSeq) }
             catch {
               case e if scala.util.control.NonFatal(e) => return Some(e)
             }
+          val want =
+            if (printHeader) dropHeaderRow(want0, cols) else want0
           if (taken.size == cap)
             return Some(new GoldenMismatch(
               s"golden mismatch in $file for: $q1\n" +
