@@ -35,5 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     e.injectOptimizerRule(_ => graft.plans.StatsAnswerRule())
     e.injectResolutionRule(_ => graft.plans.HiveCharCoercion)
+    e.injectResolutionRule(_ => graft.plans.HiveCasts)
+    e.injectPostHocResolutionRule(_ => graft.plans.HiveCharArgStrip)
   }
 }

@@ -104,9 +104,14 @@ class HiveStatements(val spark: SparkSession) {
 
   /** IMPORT: materialize an exported snapshot as `table` (appending
     * when the table already exists with the same width — Hive adds
-    * the partitions). */
+    * the partitions). `external` marks IMPORT EXTERNAL TABLE (the
+    * imported data stays in the export directory — reference
+    * ImportSemanticAnalyzer); `location` is the statement's LOCATION
+    * clause (data lands there instead). The default implementation
+    * copies either way; location-aware stores can override. */
   protected def importSnapshot(table: String, partSpec: String,
-      path: String): Unit = {
+      path: String, external: Boolean = false,
+      location: Option[String] = None): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val schemaFile = new org.apache.hadoop.fs.Path(
@@ -312,11 +317,11 @@ class HiveStatements(val spark: SparkSession) {
         true
       case _ => false
     } else if (ql.startsWith("import")) q match {
-      case importRe(t, part, path) =>
+      case importRe(ext, t, part, path, loc) =>
         val target = if (t == null)
           path.replaceAll("/+$", "").split('/').last.toLowerCase
         else t.split('.').last
-        importSnapshot(target, part, path)
+        importSnapshot(target, part, path, ext != null, Option(loc))
         true
       case _ => false
     } else if (ql.startsWith("alter table") || ql.startsWith("alter view"))
@@ -605,9 +610,10 @@ object HiveStatements {
       "(?:partition\\s*\\(([^)]*)\\))?.*").r
   private[graft] val exportRe = ("(?is)export\\s+table\\s+`?([\\w.]+)`?\\s*" +
     "(?:partition\\s*\\(([^)]*)\\))?\\s+to\\s+['\"]([^'\"]+)['\"].*").r
-  private[graft] val importRe = ("(?is)import\\s+(?:(?:external\\s+)?table\\s+" +
+  private[graft] val importRe = ("(?is)import\\s+(?:(external\\s+)?table\\s+" +
     "`?([\\w.]+)`?\\s*(?:partition\\s*\\(([^)]*)\\))?\\s+)?" +
-    "from\\s+['\"]([^'\"]+)['\"].*").r
+    "from\\s+['\"]([^'\"]+)['\"]" +
+    "(?:\\s+location\\s+['\"]([^'\"]+)['\"])?.*").r
   private[graft] val renameRe =
     "(?is)alter\\s+(?:table|view)\\s+`?([\\w.]+)`?\\s+rename\\s+to\\s+`?([\\w.]+)`?\\s*".r
   private[graft] val renamePartRe =

@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression,
+  StringTranslate,
   StringTrimRight}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -18,6 +19,30 @@ import org.apache.spark.sql.types.{CharType, StringType}
   * analyzer inserts (type coercion for comparisons, unions, function
   * arguments) or the user writes strips the padding first. Pure
   * expression rewrite — stays codegen'd. */
+/** Post-hoc companion to [[HiveCharCoercion]]: string functions whose
+  * Hive twin reads char args through the stripped-value converter even
+  * when the analyzer inserts NO cast (the argument type already
+  * satisfies the function). Runs as a post-resolution rule because the
+  * plan is fully resolved by the time these functions appear —
+  * `resolveExpressionsUp` would skip them — and must run BEFORE the
+  * optimizer's constant folding. */
+object HiveCharArgStrip extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case t: StringTranslate if t.children.exists(c => c.resolved &&
+          c.dataType.isInstanceOf[CharType] &&
+          !c.isInstanceOf[StringTrimRight]) =>
+        t.withNewChildren(t.children.map {
+          case c if c.resolved && c.dataType.isInstanceOf[CharType] &&
+              !c.isInstanceOf[StringTrimRight] =>
+            // cast to STRING as well: otherwise the result type stays
+            // char(n) and read-side padding re-pads the collect
+            Cast(StringTrimRight(c), StringType)
+          case c => c
+        })
+    }
+}
+
 object HiveCharCoercion extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveExpressionsUp {

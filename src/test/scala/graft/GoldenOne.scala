@@ -6,6 +6,18 @@ object GoldenOne {
   def main(args: Array[String]): Unit = {
     val root = Engine.session(appName = "golden-one",
       master = "local[8]", shufflePartitions = 4)
+    if (args.headOption.contains("--replay-sql")) {
+      // debug: replay args(1) (failures tolerated), then run the SQL
+      // in args(2) against the same session
+      val spark = Engine.prepare(root.newSession())
+      val h = new GoldenHarness(spark)
+      h.loadAll()
+      try h.replay(args(1), skip = GoldenSweep.autoSkip)
+      catch { case e: Throwable => println(s"[replay-failed] $e") }
+      val sql = scala.io.Source.fromFile(args(2)).mkString
+      spark.sql(sql).show(30, truncate = false)
+      root.stop(); return
+    }
     if (args.headOption.contains("--sql")) {
       // args(1) is a FILE holding the SQL (shell quoting is hopeless)
       val spark = Engine.prepare(root.newSession())
