@@ -306,6 +306,30 @@ class HiveStatements(val spark: SparkSession) {
           Option(sAlias), on, clauses)
         true
       case _ => false
+    } else if (ql.startsWith("truncate table")) q match {
+      // TRUNCATE TABLE t [PARTITION (spec)] [COLUMNS (c, ...)] —
+      // COLUMNS empties the named columns' stored data (reads as NULL
+      // afterwards; ref ql/parse/DDLSemanticAnalyzer truncate handling)
+      case truncateRe(t, part, colsTxt) =>
+        val table = t.split('.').last
+        val df = spark.table(table)
+        val hit: Column = parsePartSpec(part)
+          .collect { case (n, Some(v)) => col(n).cast(StringType) <=> v }
+          .reduceOption(_ && _).getOrElse(lit(true))
+        val out =
+          if (colsTxt != null) {
+            val names = colsTxt.split(",").map(_.trim.replace("`", ""))
+              .filter(_.nonEmpty).map(_.toLowerCase).toSet
+            df.select(df.columns.map { c =>
+              if (names.contains(c.toLowerCase))
+                when(hit, lit(null).cast(df.schema(c).dataType))
+                  .otherwise(col(c)).as(c)
+              else col(c)
+            }.toIndexedSeq: _*)
+          } else df.filter(!hit)
+        rebuild(table, out)
+        true
+      case _ => false
     } else if (ql.startsWith("load data")) q match {
       case loadRe(path, ow, table, part) =>
         loadStatement(path, table.split('.').last, ow != null, part)
@@ -572,11 +596,28 @@ object HiveStatements {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
+  /** Split on `sep` outside single/double quotes (a static partition
+    * value may contain the separator: `hr='file,'`). */
+  def splitQuoted(s: String, sep: Char): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    s.foreach {
+      case c @ ('\'' | '"') =>
+        if (quote == 0) quote = c else if (quote == c) quote = 0
+        cur.append(c)
+      case `sep` if quote == 0 => out += cur.result(); cur.clear()
+      case c => cur.append(c)
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   /** PARTITION clause entries in order: name -> Some(static value) or
     * None (dynamic — its value is a trailing select column). */
   def parsePartSpec(spec: String): Seq[(String, Option[String])] =
     if (spec == null || spec.trim.isEmpty) Nil
-    else spec.split(",").toSeq.map { e =>
+    else splitQuoted(spec, ',').map { e =>
       e.split("=", 2) match {
         case Array(n, v) =>
           // typed partition literals (`dt=date '2000-01-01'`,
@@ -604,6 +645,10 @@ object HiveStatements {
     ("(?is)when\\s+(not\\s+)?matched\\s*(?:and\\s+(.+?))?\\s*then\\s+" +
       "(update\\s+set\\s+.+?|delete|insert\\s+values\\s*\\(.+?\\))\\s*" +
       "(?=when\\s+(?:not\\s+)?matched|$)").r
+  private[graft] val truncateRe =
+    ("(?is)truncate\\s+table\\s+`?([\\w.]+)`?\\s*" +
+      "(?:partition\\s*\\(([^)]*)\\))?\\s*" +
+      "(?:columns\\s*\\(([^)]*)\\))?\\s*").r
   private[graft] val loadRe =
     ("(?is)load\\s+data\\s+(?:local\\s+)?inpath\\s+['\"]([^'\"]*)['\"]\\s+" +
       "(overwrite\\s+)?into\\s+table\\s+`?([\\w.]+)`?\\s*" +

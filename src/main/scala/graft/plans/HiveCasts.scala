@@ -27,6 +27,16 @@ object HiveCasts extends Rule[LogicalPlan] {
     org.apache.spark.sql.internal.SQLConf.get
       .getConfString("graft.hive.checkedDecimalCast", "true") == "true"
 
+  /** hive.int.timestamp.conversion.in.seconds (HiveConf, default
+    * FALSE): an integral (or boolean) cast to timestamp is epoch
+    * MILLISECONDS in the reference unless the flag is flipped
+    * (TimestampWritable.setFromLong path); double/float/decimal are
+    * always seconds. Spark treats integrals as seconds, so the default
+    * needs a rewrite. */
+  private def intTimestampSeconds: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("graft.hive.intTimestampSeconds", "false") == "true"
+
   private def integralBound(dt: DataType): Option[(Long, Long)] = dt match {
     case ByteType => Some((Byte.MinValue.toLong, Byte.MaxValue.toLong))
     case ShortType => Some((Short.MinValue.toLong, Short.MaxValue.toLong))
@@ -54,6 +64,17 @@ object HiveCasts extends Rule[LogicalPlan] {
         // (CastDecimalToLong) — a session conf picks, default checked.
         // Re-matching is impossible since the mode is no longer LEGACY.
         c.copy(evalMode = EvalMode.TRY)
+      case Cast(child, TimestampType, tz, mode)
+          if child.resolved && (child.dataType == BooleanType ||
+            integralBound(child.dataType).isDefined) =>
+        // integral/boolean → timestamp follows
+        // hive.int.timestamp.conversion.in.seconds (default FALSE =
+        // epoch millis; TimestampWritable.setFromLong path); Spark's
+        // native cast is seconds (micros for boolean), so both modes
+        // need explicit conversion
+        val asLong = Cast(child, LongType, tz, mode)
+        if (intTimestampSeconds) SecondsToTimestamp(asLong)
+        else MillisToTimestamp(asLong)
       // char/varchar casts TRUNCATE on overflow
       // (serde2/typeinfo/BaseCharUtils.enforceMaxLength) — Spark
       // raises EXCEED_LIMIT_LENGTH instead; pre-truncating with

