@@ -75,12 +75,21 @@ object AvroIO {
     case Type.ARRAY => ArrayType(sparkType(s.getElementType))
     case Type.MAP => MapType(StringType, sparkType(s.getValueType))
     case Type.RECORD => StructType(s.getFields.asScala.toSeq.map(f =>
-      StructField(f.name, sparkType(f.schema))))
+      // Hive lower-cases every identifier it reads from an Avro
+      // schema (AvroSerDe column names are case-insensitive)
+      StructField(f.name.toLowerCase(java.util.Locale.ROOT),
+        sparkType(f.schema))))
     case Type.UNION =>
       val branches = s.getTypes.asScala.filterNot(_.getType == Type.NULL)
-      require(branches.size == 1,
-        s"general avro unions unsupported (uniontype): $s")
-      sparkType(branches.head)
+      if (branches.size == 1) sparkType(branches.head)
+      else
+        // general union = the reference's uniontype; modeled as the
+        // engine's tagged struct (GapFunctions.createUnion): tag
+        // indexes the NON-NULL alternatives (AvroDeserializer maps
+        // [null, int, double] to uniontype<int,double>)
+        StructType(StructField("tag", IntegerType) +:
+          branches.zipWithIndex.map { case (b, i) =>
+            StructField(s"field$i", sparkType(b)) }.toSeq)
     case Type.NULL => NullType
   }
 
@@ -258,8 +267,19 @@ object AvroIO {
     if (v == null) return null
     s.getType match {
       case Type.UNION =>
-        val branch = s.getTypes.asScala.find(_.getType != Type.NULL).get
-        fromAvro(v, branch)
+        val branches = s.getTypes.asScala.filterNot(_.getType == Type.NULL)
+        if (branches.size == 1) fromAvro(v, branches.head)
+        else {
+          // tagged-struct uniontype value: resolve the runtime branch
+          val idx = GenericData.get().resolveUnion(s, v)
+          val b = s.getTypes.get(idx)
+          if (b.getType == Type.NULL) null
+          else {
+            val tag = branches.indexOf(b)
+            Row.fromSeq(tag +: branches.indices.map(i =>
+              if (i == tag) fromAvro(v, branches(i)) else null).toSeq)
+          }
+        }
       case Type.STRING => v.toString
       case Type.ENUM => v.toString
       case Type.BYTES | Type.FIXED =>

@@ -67,6 +67,7 @@ object GoldenFixtures {
   private val arrRe = "(?s)array\\s*<(.*)>".r
   private val mapRe = "(?s)map\\s*<(.*)>".r
   private val structRe = "(?s)struct\\s*<(.*)>".r
+  private val unionRe = "(?s)uniontype\\s*<(.*)>".r
 
   /** Split on `sep` at depth 0 only — commas inside `<>` (complex
     * types), `()` (decimal(p,s)), and backticks (quoted column names
@@ -117,8 +118,22 @@ object GoldenFixtures {
         val Array(n, ft) = f.split(":", 2)
         StructField(n.trim.replace("`", ""), hiveType(ft))
       })
+    case unionRe(ts) =>
+      // uniontype<T0,T1,...> → the engine's tagged-struct encoding
+      // (GapFunctions.createUnion): struct<tag:int, field0:T0, ...>
+      unionStruct(splitTop(ts, ',').map(hiveType))
     case _ => StringType // string / char(n) / varchar(n) text replay
   }
+
+  def unionStruct(alts: Seq[DataType]): StructType =
+    StructType(StructField("tag", IntegerType) +:
+      alts.zipWithIndex.map { case (t, i) => StructField(s"field$i", t) })
+
+  /** Is `st` the tagged-struct encoding of a uniontype? */
+  def isUnionStruct(st: StructType): Boolean =
+    st.fields.length >= 2 && st.fields.head.name == "tag" &&
+      st.fields.tail.zipWithIndex.forall {
+        case (f, i) => f.name == s"field$i" }
 
   /** LazySerDe nested-separator bytes in order (ref:
     * serde2/lazy/LazySerDeParameters.collectSeparators): field delim,
@@ -153,13 +168,29 @@ object GoldenFixtures {
         val m = scala.collection.mutable.LinkedHashMap.empty[Any, Any]
         raw.split(java.util.regex.Pattern.quote(seps(level + 1)), -1)
           .foreach { e =>
+            // split at the FIRST key separator only: the VALUE may
+            // contain it legitimately (e.g. `baz:1921-12-16 07:08:09`
+            // with MAP KEYS TERMINATED BY ':') — LazyMap does the same
             val kv =
-              e.split(java.util.regex.Pattern.quote(seps(level + 2)), -1)
+              e.split(java.util.regex.Pattern.quote(seps(level + 2)), 2)
             m(parseRaw(kv(0), kt, level + 2, seps)) =
               parseRaw(if (kv.length > 1) kv(1) else null, vt,
                 level + 2, seps)
           }
         m
+      case st: StructType if isUnionStruct(st) =>
+        // LazyUnion text layout: <tag><sep><value> — the value parses
+        // through the TAGGED alternative's type, other slots null
+        val a =
+          raw.split(java.util.regex.Pattern.quote(seps(level + 1)), 2)
+        val tag = parsePrim(a(0), IntegerType).asInstanceOf[Integer]
+        if (tag == null) null
+        else Row.fromSeq(tag +: st.fields.tail.zipWithIndex.map {
+          case (f, i) =>
+            if (i == tag.intValue && a.length > 1)
+              parseRaw(a(1), f.dataType, level + 1, seps)
+            else null
+        }.toSeq)
       case st: StructType =>
         val a =
           raw.split(java.util.regex.Pattern.quote(seps(level + 1)), -1)
@@ -498,9 +529,12 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   // are no-ops for a temp-view CTAS replay
   private val ctasRe =
     ("(?is)create\\s+(?:temporary\\s+)?table\\s+(?:if\\s+not\\s+exists\\s+)?`?(\\w+)`?" +
-      "(?:\\s+row\\s+format\\s+delimited[^()]*?)?" +
-      "(?:\\s+stored\\s+as\\s+\\w+)?" +
-      "(?:\\s+tblproperties\\s*\\([^)]*\\))?" +
+      "(?:\\s+(?:row\\s+format\\s+delimited[^()]*?|" +
+      "row\\s+format\\s+serde\\s+['\"][^'\"]*['\"]" +
+      "(?:\\s+with\\s+serdeproperties\\s*\\((?:[^()]|\\([^)]*\\))*\\))?|" +
+      "stored\\s+as\\s+[\\w.]+|" +
+      "tblproperties\\s*\\([^)]*\\)|" +
+      "location\\s+'[^']*'))*" +
       "\\s+as\\s+((?:select|with).*)").r
   // a view over temp views replays as a temp view of the same query;
   // an optional explicit column list renames the select's output
@@ -519,10 +553,27 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   // avro.schema.literal TBLPROPERTY (ref: serde2/avro/AvroSerDe —
   // STORED AS AVRO tables); bridged through AvroIO.sparkType
   private val createAvroRe = ("(?is)create\\s+(?:temporary\\s+|external\\s+)?table\\s+" +
-    "(?:if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?\\s+row\\s+format\\s+" +
-    "serde\\s+'org\\.apache\\.hadoop\\.hive\\.serde2\\.avro\\.AvroSerDe'" +
+    "(?:if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?\\s*" +
+    "(?:partitioned\\s+by\\s*\\(([^)]*)\\)\\s*)?" +
+    // either the explicit AvroSerDe ROW FORMAT or STORED AS AVRO, in
+    // any clause order before TBLPROPERTIES
+    "(?=.*(?:avro\\.AvroSerDe|stored\\s+as\\s+avro))" +
     // greedy {...}: the avro schema JSON nests braces
     ".*'avro\\.schema\\.literal'\\s*=\\s*'(\\{.*\\})'.*").r
+  private val createAvroUrlRe = ("(?is)create\\s+(?:temporary\\s+|external\\s+)?table\\s+" +
+    "(?:if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?\\s*" +
+    "(?:partitioned\\s+by\\s*\\(([^)]*)\\)\\s*)?" +
+    "(?=.*(?:avro\\.AvroSerDe|stored\\s+as\\s+avro))" +
+    ".*'avro\\.schema\\.url'\\s*=\\s*'([^']*)'.*").r
+  private val alterAvroSchemaRe =
+    ("(?is)alter\\s+table\\s+`?([\\w.]+)`?\\s+set\\s+" +
+      "(?:serde\\s+'[^']*'\\s+with\\s+)?" +
+      "(?:serdeproperties|tblproperties)\\s*\\(\\s*" +
+      "'avro\\.schema\\.literal'\\s*=\\s*'(\\{.*\\})'\\s*\\).*").r
+  private val addPartLocRe =
+    ("(?is)alter\\s+table\\s+`?([\\w.]+)`?\\s+add\\s+" +
+      "(?:if\\s+not\\s+exists\\s+)?partition\\s*\\(([^)]*)\\)\\s*" +
+      "location\\s+['\"]([^'\"]*)['\"].*").r
   private val addColsRe =
     ("(?is)alter table `?([\\w.]+)`?\\s+add columns\\s*\\((.*)\\)" +
       "\\s*(cascade|restrict)?.*").r
@@ -602,6 +653,15 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           nullMark(renderCell(k, kt, level + 2, seps)) + seps(level + 2) +
             nullMark(renderCell(mv, vt, level + 2, seps))
         }.mkString(seps(level + 1))
+      case st: StructType if isUnionStruct(st) =>
+        val r = v.asInstanceOf[Row]
+        val tag = r.get(0)
+        if (tag == null) null
+        else {
+          val i = 1 + tag.toString.toInt
+          tag.toString + seps(level + 1) + nullMark(renderCell(
+            r.get(i), st.fields(i).dataType, level + 1, seps))
+        }
       case st: StructType =>
         val r = v.asInstanceOf[Row]
         st.fields.zipWithIndex.map { case (f, i) =>
@@ -864,7 +924,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
 
   // CREATE TABLE [IF NOT EXISTS] x LIKE y — empty view with y's schema
   private val likeRe =
-    "(?is)create\\s+(?:temporary\\s+)?table\\s+(?:if\\s+not\\s+exists\\s+)?`?(\\w+)`?\\s+like\\s+`?(\\w+)`?.*".r
+    "(?is)create\\s+(?:temporary\\s+|external\\s+)?table\\s+(?:if\\s+not\\s+exists\\s+)?`?(\\w+)`?\\s+like\\s+`?([\\w.]+)`?.*".r
 
   // ------------------------------------------------------------------
   // HiveStatements storage hooks: bind the dialect layer's statement
@@ -1054,7 +1114,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     * prefix, so the same directory named by EXPORT ('ql/test/...'),
     * IMPORT, and `dfs -rmr target/tmp/ql/test/...` keys identically. */
   private def canonPath(p: String): String =
-    p.trim.replaceAll("\\$\\{system:[^}]*\\}", "")
+    p.trim.replaceAll("\\$\\{(?:system|hiveconf):[^}]*\\}", "")
       .replaceAll("^(file:|pfile:|hdfs:)/*", "")
       .replaceAll("^/+", "").replaceAll("^(\\.\\./)+", "")
       .replaceAll("^target/tmp/+", "")
@@ -1079,6 +1139,98 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     * '${system:test.warehouse.dir}/...'` can read them back. */
   private val dirStore = scala.collection.mutable.Map[String,
     (StructType, Vector[Row])]()
+
+  /** EXTERNAL tables read through their LOCATION: remember it (so
+    * `dfs -rmr` empties them), and when the .q script copied a fixture
+    * file/dir into that location via `dfs -copyFromLocal`/`-cp`
+    * (masked out of the golden), load the fixture rows — the file
+    * format is sniffed by [[loadData]]. */
+  private def bindLocationFixtures(name: String, q: String,
+      qSourceText: String): Unit =
+    "(?is)location\\s+['\"]([^'\"]*)['\"]".r.findFirstMatchIn(q)
+      .foreach { lm =>
+        val loc = canonPath(lm.group(1))
+        tableLoc(name.toLowerCase) = loc
+        val copyRe =
+          "(?im)^dfs\\s+-(?:copyfromlocal|cp)\\s+(\\S+)\\s+(.+?);?\\s*$".r
+        copyRe.findAllMatchIn(qSourceText).foreach { c =>
+          if (c.group(1).contains("data/files/")) {
+            val srcRel = c.group(1).replaceAll("^.*data/files/", "")
+            val dst = canonPath(c.group(2))
+            // the table LOCATION may be the copy target itself, a
+            // subpath of it (`.../ext_test_space/folder+with space`),
+            // or an ancestor (copy lands a file inside the location)
+            val rel =
+              if (loc == dst) Some(srcRel)
+              else if (loc.startsWith(dst + "/"))
+                Some(srcRel + loc.drop(dst.length))
+              else if (dst.startsWith(loc + "/") || loc.isEmpty)
+                Some(srcRel)
+              else None
+            rel.foreach(r => fixtureFilesUnder(r).foreach(f =>
+              scala.util.Try(
+                loadData(f, name, overwrite = false, null))))
+          }
+        }
+        // a directory sink already stored at this location
+        dirStore.get(loc).foreach { case (schema, rows) =>
+          if (rows.nonEmpty) insertInto(name, overwrite = false,
+            spark.createDataFrame(
+              spark.sparkContext.parallelize[Row](rows, 1), schema))
+        }
+      }
+
+  /** Fixture paths under the reference's data/files, one entry per
+    * regular file (a directory fixture lists its files recursively,
+    * sorted — qtest copies whole dirs, e.g. ext_test). */
+  private def fixtureFilesUnder(rel: String): Seq[String] = {
+    val base = new java.io.File("/root/reference/data/files")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val root = new java.io.File(base, rel)
+    if (!root.exists()) Nil
+    else walk(root).map(_.getPath.stripPrefix(base.getPath + "/"))
+  }
+
+  /** Register a STORED-AS-AVRO table's view from its Avro schema;
+    * partition columns (if any) go last. Field defaults are kept for
+    * reader-schema evolution (older files / schema swaps). */
+  private def registerAvroTable(name: String, partCols: Option[String],
+      avro: org.apache.avro.Schema): Unit = {
+    import scala.jdk.CollectionConverters._
+    avroDefaults(name.toLowerCase) = avro.getFields.asScala.map { f =>
+      val d = f.defaultVal()
+      f.name.toLowerCase -> (d match {
+        case null | org.apache.avro.JsonProperties.NULL_VALUE => null
+        case v => v
+      })
+    }.toMap
+    val dataSchema =
+      graft.sources.AvroIO.sparkType(avro).asInstanceOf[StructType]
+    val full = partCols match {
+      case None => dataSchema
+      case Some(pc) =>
+        tablePartCols(name.toLowerCase) = colSchema(pc).fieldNames.toSeq
+        StructType(dataSchema.fields ++ colSchema(pc).fields)
+    }
+    register(Vector.empty, full, name)
+  }
+
+  /** An Avro field default as a Column (nulls when inexpressible). */
+  private def avroDefaultCol(d: Any,
+      dt: DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{array, lit, map}
+    d match {
+      case null => lit(null).cast(dt)
+      case c: java.util.Collection[_] if c.isEmpty => array().cast(dt)
+      case m: java.util.Map[_, _] if m.isEmpty => map().cast(dt)
+      case s: String => lit(s).cast(dt)
+      case n: Number => lit(n.toString).cast(dt)
+      case b: java.lang.Boolean => lit(b.booleanValue()).cast(dt)
+      case _ => lit(null).cast(dt)
+    }
+  }
 
   private def storeDirSink(path: String, df: org.apache.spark.sql
       .DataFrame): Unit = {
@@ -2150,6 +2302,12 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     case d @ (_: java.sql.Date | _: java.time.LocalDate) =>
       "\"" + d.toString + "\""
     case t if tsAny(t).isDefined => "\"" + tsAny(t).get + "\""
+    case r: Row if r.schema != null &&
+        GoldenFixtures.isUnionStruct(r.schema) =>
+      // uniontype renders as {<tag>:<value>} (Hive UnionObject)
+      val tag = r.get(0)
+      if (tag == null) "null"
+      else s"{$tag:${hiveJson(r.get(1 + tag.toString.toInt))}}"
     case r: Row =>
       r.schema.fields.zipWithIndex.map { case (f, i) =>
         "\"" + f.name + "\":" + hiveJson(r.get(i))
@@ -2345,7 +2503,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         // golden block survives for it
         lazy val firstLineMasked = s.linesIterator
           .map(_.trim).filterNot(l => l.isEmpty || l.startsWith("--"))
-          .nextOption().exists(_.contains("${system:"))
+          .nextOption().exists(l => l.contains("${system:") ||
+            l.contains("${hiveconf:") || l.contains("hdfs://"))
         n.startsWith("set ") || n.startsWith("dfs ") ||
           n.startsWith("add file") || n.startsWith("add jar") ||
           n.startsWith("add archive") || n.startsWith("delete file") ||
@@ -2372,6 +2531,24 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       val n = norm(s)
       if (n.startsWith("dfs -rmr ") || n.startsWith("dfs -rm "))
         rmrPath(s.trim.split("\\s+").last.stripSuffix(";"))
+      else if ((n.startsWith("dfs -cp ") || n.startsWith("dfs -mv ")) &&
+          !s.contains("data/files")) {
+        // copy/move BETWEEN scratch dirs: propagate stored
+        // directory-sink rows to the destination (fixture copies are
+        // resolved by bindLocationFixtures instead)
+        val parts = s.trim.stripSuffix(";").split("\\s+")
+        if (parts.length >= 4) {
+          val src = canonPath(parts(2)); val dst = canonPath(parts(3))
+          def parent(p: String) =
+            p.substring(0, math.max(0, p.lastIndexOf('/')))
+          dirStore.get(src).orElse(dirStore.get(parent(src)))
+            .foreach { v =>
+              dirStore(dst) = v
+              if (parent(dst) != dst) dirStore(parent(dst)) = v
+              if (n.startsWith("dfs -mv ")) dirStore.remove(src)
+            }
+        }
+      }
       else if (n.startsWith("set hive.cli.print.header"))
         printHeader = n.replace(" ", "").endsWith("=true")
       else if (n.startsWith("set hive.int.timestamp.conversion.in.seconds"))
@@ -2434,10 +2611,16 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           case ctRe(name) =>
             emptyView(name, parenBody(s))
             recordDelims(name, s)
-            "(?is)location\\s+['\"]([^'\"]*)['\"]".r.findFirstMatchIn(s)
-              .foreach(m =>
-                tableLoc(name.toLowerCase) = canonPath(m.group(1)))
-          case _ =>
+            bindLocationFixtures(name, s, qSourceText)
+          case st => st match {
+            case likeRe(name, other)
+                if scala.util.Try(spark.table(other.split('.').last))
+                  .isSuccess =>
+              spark.table(other.split('.').last).limit(0)
+                .createOrReplaceTempView(name)
+              bindLocationFixtures(name, st, qSourceText)
+            case _ =>
+          }
         }
       }
     }
@@ -2460,9 +2643,31 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       } else if (!(skip(b.query) && isAssertStmt(b.query))) {
       // leading -- comment lines (e.g. -- SORT_QUERY_RESULTS) ride along
       // with the first statement in the golden
-      val q0 = b.query.linesIterator
+      // Hive treats `--` to end-of-line as a comment anywhere in a
+      // statement (`create table numt --comment1`); strip outside
+      // quotes so literal '--' text survives
+      def stripLineComments(s: String): String = {
+        // one scan with quote state carried ACROSS lines — a
+        // multi-line string literal may contain `--` legitimately
+        val out = new StringBuilder(s.length)
+        var i = 0; var quote: Char = 0
+        while (i < s.length) {
+          val c = s.charAt(i)
+          if (quote != 0) {
+            if (c == quote) quote = 0
+            out.append(c); i += 1
+          } else if (c == '\'' || c == '"') {
+            quote = c; out.append(c); i += 1
+          } else if (c == '-' && i + 1 < s.length &&
+              s.charAt(i + 1) == '-') {
+            while (i < s.length && s.charAt(i) != '\n') i += 1
+          } else { out.append(c); i += 1 }
+        }
+        out.result()
+      }
+      val q0 = stripLineComments(b.query.linesIterator
         .dropWhile(l => l.trim.isEmpty || l.trim.startsWith("--"))
-        .mkString("\n").trim
+        .mkString("\n")).trim
       val q = dialectShims(repairMasked(repairTruncated(q0)))
       val ql = q.toLowerCase
       if (sys.env.contains("GOLDEN_TRACE"))
@@ -2498,11 +2703,16 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             return Some(new GoldenMismatch(
               s"golden mismatch in $file for: $q1\n" +
                 s"got >=$cap rows, want ${want.size}"))
-          val got = taken.map(fmt(_, stripDecZeros)).sorted
+          // a cell holding an embedded newline renders as SEPARATE
+          // lines in the golden (the CLI prints raw bytes) — split so
+          // the line multisets align
+          val got = taken.map(fmt(_, stripDecZeros))
+            .flatMap(_.split("\n", -1)).sorted
           // decimal cells: some goldens normalize trailing zeros
           // (HiveDecimal), newer ones keep declared scale — retry with
           // the other convention before failing
-          lazy val gotAlt = taken.map(fmt(_, !stripDecZeros)).sorted
+          lazy val gotAlt = taken.map(fmt(_, !stripDecZeros))
+            .flatMap(_.split("\n", -1)).sorted
           val uSets = ql.contains("collect_set")
           if (got != want && !tolerantEq(got, want, uSets) &&
               gotAlt != want && !tolerantEq(gotAlt, want, uSets)) {
@@ -2581,6 +2791,9 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       if (ql.startsWith("create table") ||
           ql.startsWith("create temporary table") ||
           ql.startsWith("create external table")) q match {
+        case ctasRe(name, _)
+            if ql.contains("if not exists") && isTempView(name) =>
+          // CTAS IF NOT EXISTS over an existing table: no-op
         case ctasRe(name, sel) =>
           withCharCastRetry(sel) { s =>
             hiveAutoNames(spark.sql(s)).createOrReplaceTempView(name)
@@ -2593,25 +2806,26 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           }
           applyTestMask(name)
         case likeRe(name, other) =>
-          spark.table(other).limit(0).createOrReplaceTempView(name)
-        case createAvroRe(name, schemaJson) =>
+          // IF NOT EXISTS: an existing table (and its rows) survives
+          if (!(ql.contains("if not exists") && isTempView(name))) {
+            spark.table(other.split('.').last).limit(0)
+              .createOrReplaceTempView(name)
+            // LIKE ... LOCATION reads through the named directory
+            bindLocationFixtures(name, q, qSourceText)
+          }
+        case createAvroRe(name, partCols, schemaJson) =>
           // STORED-AS-AVRO table whose schema is the avro.schema.literal
           // TBLPROPERTY -- bridge it through the engine's Avro source
-          val avro = new org.apache.avro.Schema.Parser().parse(schemaJson)
-          // field defaults fill evolution gaps when older files load
-          import scala.jdk.CollectionConverters._
-          avroDefaults(name.toLowerCase) = avro.getFields.asScala.map {
-            f =>
-              val d = f.defaultVal()
-              f.name.toLowerCase -> (d match {
-                case null | org.apache.avro.JsonProperties.NULL_VALUE =>
-                  null
-                case v => v
-              })
-          }.toMap
-          register(Vector.empty,
-            graft.sources.AvroIO.sparkType(avro).asInstanceOf[StructType],
-            name)
+          registerAvroTable(name, Option(partCols),
+            new org.apache.avro.Schema.Parser().parse(schemaJson))
+        case createAvroUrlRe(name, partCols, url) =>
+          // avro.schema.url: the .q copied the .avsc fixture into a
+          // scratch dir — resolve by basename against data/files
+          val avsc = new java.io.File("/root/reference/data/files",
+            url.replaceAll("/+$", "").split('/').last)
+          if (!avsc.exists()) unhandled("create (avro url)", q)
+          registerAvroTable(name, Option(partCols),
+            new org.apache.avro.Schema.Parser().parse(avsc))
         case createRe(name) =>
           // balanced-paren column list (decimal(4,2) nests parens);
           // PARTITIONED BY columns are part of the logical schema
@@ -2627,29 +2841,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
               colSchema(parenBody(q.substring(pbIdx))).fieldNames.toSeq
           emptyView(name, full)
           recordDelims(name, q) // declared text delimiters for LOAD DATA
-          // EXTERNAL tables read through their LOCATION: remember it
-          // so loaded rows bind to the directory (`dfs -rmr` empties)
-          "(?is)location\\s+'([^']*)'".r.findFirstMatchIn(q).foreach(m =>
-            tableLoc(name.toLowerCase) = canonPath(m.group(1)))
-          // location-backed qtest tables: the .q script copies a
-          // fixture into the table LOCATION via dfs -copyFromLocal
-          // (masked out of the golden) — recover the mapping from the
-          // .q source and load the fixture
-          "(?is)location\\s+'[^']*?([^'/]+)'\\s*".r.findFirstMatchIn(q)
-            .foreach { m =>
-              val dir = java.util.regex.Pattern.quote(m.group(1))
-              ("(?im)^dfs\\s+-copyfromlocal\\s+\\S*data/files/(\\S+?)" +
-                "\\s+\\S*" + dir + "/\\S*;?\\s*$").r
-                .findFirstMatchIn(qSourceText).foreach { c =>
-                  val f = "/root/reference/data/files/" + c.group(1)
-                  val df =
-                    if (c.group(1).contains("orc")) spark.read.orc(f)
-                    else if (c.group(1).contains("parquet"))
-                      spark.read.parquet(f)
-                    else null
-                  if (df != null) insertInto(name, overwrite = true, df)
-                }
-            }
+          bindLocationFixtures(name, q, qSourceText)
         case _ => unhandled("create", q)
       } else if (ql.startsWith("create view") ||
           ql.startsWith("create materialized view")) q match {
@@ -2707,6 +2899,80 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       } else if (ql.startsWith("load data")) {
         unhandled("load", q)
       } else if (ql.startsWith("alter table")) q match {
+        case alterAvroSchemaRe(t, schemaJson) =>
+          // avro reader-schema swap: existing columns keep their values
+          // (matched by name), fields new to the schema read their
+          // declared DEFAULT (AvroSerDe reader-schema evolution)
+          import org.apache.spark.sql.functions.col
+          import scala.jdk.CollectionConverters._
+          val table = t.split('.').last
+          val avro = new org.apache.avro.Schema.Parser().parse(schemaJson)
+          val newData = graft.sources.AvroIO.sparkType(avro)
+            .asInstanceOf[StructType]
+          avroDefaults(table.toLowerCase) =
+            avro.getFields.asScala.map { f =>
+              val d = f.defaultVal()
+              f.name.toLowerCase -> (d match {
+                case null | org.apache.avro.JsonProperties.NULL_VALUE =>
+                  null
+                case v => v
+              })
+            }.toMap
+          val df = spark.table(table)
+          val pcs = tablePartCols.getOrElse(table.toLowerCase, Nil)
+          val cols = newData.fields.map { f =>
+            df.columns.find(c => c.equalsIgnoreCase(f.name) &&
+                !pcs.exists(_.equalsIgnoreCase(c))) match {
+              case Some(c) => col(c).as(f.name)
+              case None => avroDefaultCol(avroDefaults(
+                  table.toLowerCase).getOrElse(f.name.toLowerCase, null),
+                f.dataType).as(f.name)
+            }
+          } ++ pcs.flatMap(p => df.columns.find(_.equalsIgnoreCase(p)))
+            .map(col)
+          register(df.select(cols.toIndexedSeq: _*).collect().toVector,
+            StructType(newData.fields ++ df.schema.fields.filter(f =>
+              pcs.exists(_.equalsIgnoreCase(f.name)))), table)
+        case addPartLocRe(t, spec, path) =>
+          // ADD PARTITION ... LOCATION: the partition reads through a
+          // foreign directory — a directory sink we stored, or a
+          // subtree of another table's location (`fact_tz/ds=1`,
+          // possibly renamed subdirs below it)
+          val table = t.split('.').last
+          val loc = canonPath(path)
+          val target = spark.table(table).schema
+          val statics = parsePartSpec(spec).collect {
+            case (n, Some(_)) => n }.toSet
+          val dataFields = target.fields.filterNot(f =>
+            statics.contains(f.name.toLowerCase))
+          import org.apache.spark.sql.functions.col
+          dirStore.get(loc) match {
+            case Some((schema, rows)) =>
+              insertInto(table, overwrite = false,
+                spark.createDataFrame(
+                  spark.sparkContext.parallelize[Row](rows, 1), schema),
+                spec)
+            case None =>
+              tableLoc.toSeq.collectFirst {
+                case (tn, l) if l.nonEmpty && (loc == l ||
+                    loc.startsWith(l + "/")) &&
+                    scala.util.Try(spark.table(tn)).isSuccess =>
+                  (tn, loc.drop(l.length).stripPrefix("/"))
+              }.foreach { case (srcT, sub) =>
+                var df = spark.table(srcT)
+                sub.split('/').filter(_.contains("=")).foreach { kv =>
+                  val Array(k, v) = kv.split("=", 2)
+                  if (df.columns.exists(_.equalsIgnoreCase(k)))
+                    df = df.filter(
+                      col(k).cast(StringType) === v)
+                }
+                val cols = dataFields.flatMap(f =>
+                  df.columns.find(_.equalsIgnoreCase(f.name))).toSeq
+                if (cols.nonEmpty)
+                  insertInto(table, overwrite = false,
+                    df.select(cols.map(col).toIndexedSeq: _*), spec)
+              }
+          }
         case partReplaceRe(table, spec, cols) =>
           // per-PARTITION REPLACE COLUMNS: that partition's written
           // schema becomes the new column list
