@@ -42,6 +42,14 @@ case class HiveHash(children: Seq[Expression])
 }
 
 object HiveHash {
+  /** Text.hashCode / WritableComparator.hashBytes: 31-fold, seed 1. */
+  private def textHash(bytes: Array[Byte]): Int = {
+    var r = 1
+    var i = 0
+    while (i < bytes.length) { r = r * 31 + bytes(i); i += 1 }
+    r
+  }
+
   def hashValue(v: Any, dt: DataType): Int = (v, dt) match {
     case (null, _) => 0
     // TIMESTAMP: TimestampWritable.hashCode (serde2/io/TimestampWritable
@@ -76,6 +84,15 @@ object HiveHash {
     case (d: Double, _) =>
       val a = java.lang.Double.doubleToLongBits(d)
       ((a >>> 32) ^ a).toInt
+    // CHAR/VARCHAR: HiveCharWritable/HiveVarcharWritable.hashCode =
+    // Text.hashCode of the STRIPPED value — WritableComparator
+    // .hashBytes, which seeds 1 (unlike STRING's seed-0 fold;
+    // serde2/io/HiveCharWritable.java:108-110,
+    // HiveBaseCharWritable.java:61-63)
+    case (s: UTF8String, _: CharType) =>
+      textHash(s.trimRight().getBytes)
+    case (s: UTF8String, _: VarcharType) =>
+      textHash(s.getBytes)
     case (s: UTF8String, _) =>
       val bytes = s.getBytes
       var r = 0

@@ -37,6 +37,34 @@ object HiveCasts extends Rule[LogicalPlan] {
     org.apache.spark.sql.internal.SQLConf.get
       .getConfString("graft.hive.intTimestampSeconds", "false") == "true"
 
+  /** `yyyy-M-d` text parsed with Hive's lenient calendar (out-of-range
+    * month/day ROLL forward, java.sql.Date.valueOf semantics). None
+    * when the text isn't date-shaped (cast stays as written). */
+  private def lenientDateRoll(s: String)
+      : Option[java.time.LocalDate] = {
+    val m = "\\s*(\\d{1,4})-(\\d{1,2})-(\\d{1,2})\\s*".r
+      .findFirstMatchIn(s)
+    m.flatMap { g =>
+      scala.util.Try(
+        java.time.LocalDate.of(g.group(1).toInt, 1, 1)
+          .plusMonths(g.group(2).toLong - 1)
+          .plusDays(g.group(3).toLong - 1)).toOption
+    }
+  }
+
+  /** Is `e` a double-valued expression whose underlying value is of
+    * type `src` (a bare value or coercion-inserted Cast to double)? */
+  private def isDoubleOf(e: Expression, src: DataType): Boolean = e match {
+    case Cast(c, DoubleType, _, _) => c.resolved && c.dataType == src
+    case _ => e.resolved && e.dataType == src
+  }
+
+  private def decimalUnderDouble(e: Expression): Boolean = e match {
+    case Cast(c, DoubleType, _, _) =>
+      c.resolved && c.dataType.isInstanceOf[DecimalType]
+    case _ => false
+  }
+
   private def integralBound(dt: DataType): Option[(Long, Long)] = dt match {
     case ByteType => Some((Byte.MinValue.toLong, Byte.MaxValue.toLong))
     case ShortType => Some((Short.MinValue.toLong, Short.MaxValue.toLong))
@@ -75,6 +103,40 @@ object HiveCasts extends Rule[LogicalPlan] {
         val asLong = Cast(child, LongType, tz, mode)
         if (intTimestampSeconds) SecondsToTimestamp(asLong)
         else MillisToTimestamp(asLong)
+      case Cast(Literal(s: org.apache.spark.unsafe.types.UTF8String,
+            StringType), DateType, _, _)
+          if s != null && lenientDateRoll(s.toString).isDefined =>
+        // Hive parses date STRINGS leniently (java.sql.Date.valueOf
+        // rolls '1970-02-29' to 1970-03-01); Spark's strict cast nulls
+        // them. Literal-only: folded at analysis, nothing at runtime.
+        Literal(lenientDateRoll(s.toString).get.toEpochDay.toInt,
+          DateType)
+      // decimal <cmp> float compares at FLOAT precision in the
+      // reference (getCommonClassForComparison resolves decimal+float
+      // to float), so `d = cast('0.22' as float)` matches decimal
+      // 0.22; Spark widens both to double, where float 0.22f !=
+      // 0.22d. Round the decimal side through float first.
+      case cmp: BinaryComparison if cmp.resolved &&
+          isDoubleOf(cmp.left, FloatType) !=
+            isDoubleOf(cmp.right, FloatType) &&
+          (decimalUnderDouble(cmp.left) || decimalUnderDouble(cmp.right))
+          =>
+        cmp.withNewChildren(Seq(cmp.left, cmp.right).map {
+          case Cast(d, DoubleType, tz, mode)
+              if d.resolved && d.dataType.isInstanceOf[DecimalType] =>
+            Cast(Cast(d, FloatType, tz, mode), DoubleType, tz, mode)
+          case other => other
+        })
+      // numeric IN (string literals): Spark coerces the whole IN to
+      // STRING ("0.220" != "0.22"); the reference compares numerically
+      // (common class numeric+string = double) — d in ('0.22') matches
+      // decimal 0.220
+      case In(Cast(v, StringType, tz, mode), list)
+          if v.resolved && v.dataType.isInstanceOf[NumericType] &&
+            list.nonEmpty && list.forall(e =>
+              e.foldable && e.dataType == StringType) =>
+        In(Cast(v, DoubleType, tz, mode),
+          list.map(e => Cast(e, DoubleType, tz, mode)))
       // char/varchar casts TRUNCATE on overflow
       // (serde2/typeinfo/BaseCharUtils.enforceMaxLength) — Spark
       // raises EXCEED_LIMIT_LENGTH instead; pre-truncating with

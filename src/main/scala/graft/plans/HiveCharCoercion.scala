@@ -1,7 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression,
-  StringTranslate,
+import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, Cast,
+  Expression, In, StringTranslate,
   StringTrimRight}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -44,11 +44,50 @@ object HiveCharArgStrip extends Rule[LogicalPlan] {
 }
 
 object HiveCharCoercion extends Rule[LogicalPlan] {
+
+  /** Does `e` read a CHAR value (directly or through the strip-cast
+    * this rule inserts)? */
+  private def charSide(e: Expression): Boolean = e match {
+    case _ if !e.resolved => false
+    case _ if e.dataType.isInstanceOf[CharType] => true
+    case Cast(StringTrimRight(inner, _), StringType, _, _) =>
+      inner.resolved && inner.dataType.isInstanceOf[CharType]
+    case _ => false
+  }
+
+  /** A comparison against CHAR goes through Hive's char converter on
+    * BOTH sides (getCommonClassForComparison char+string → char;
+    * HiveChar compares stripped) — so the non-char STRING side strips
+    * its trailing blanks too. */
+  private def stripString(e: Expression): Expression = e match {
+    case _ if !e.resolved || e.dataType != StringType => e
+    case StringTrimRight(_, _) => e
+    case Cast(StringTrimRight(_, _), StringType, _, _) => e
+    case _ => StringTrimRight(e)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveExpressionsUp {
       case c @ Cast(child, StringType, _, _)
           if child.resolved && child.dataType.isInstanceOf[CharType] &&
             !child.isInstanceOf[StringTrimRight] =>
         c.copy(child = StringTrimRight(child))
+      // only CONSTANT string sides: Hive folds a literal to the CHAR
+      // type (stripped compare — `c = "apple "` matches), while a
+      // string COLUMN keeps string semantics (char strips, the string
+      // value's trailing blanks are significant — char_join1 golden)
+      case cmp: BinaryComparison
+          if cmp.resolved && cmp.children.exists(charSide) &&
+            cmp.children.exists(c => !charSide(c) && c.foldable &&
+              c.dataType == StringType &&
+              !c.isInstanceOf[StringTrimRight]) =>
+        cmp.withNewChildren(cmp.children.map(c =>
+          if (charSide(c) || !c.foldable) c else stripString(c)))
+      case in @ In(value, list)
+          if in.resolved && charSide(value) &&
+            list.exists(c => c.foldable && c.dataType == StringType &&
+              !c.isInstanceOf[StringTrimRight]) =>
+        in.copy(list = list.map(c =>
+          if (c.foldable) stripString(c) else c))
     }
 }
