@@ -37,6 +37,18 @@ object GoldenFixtures {
 
   /** ^A-delimited key,value (kv*.txt). -1 limit keeps empty fields:
     * kv3.txt has a bare "^A" line meaning (empty key, empty value). */
+  /** Byte offset of each line start in a fixture file (LazySimple rows
+    * map 1:1 to lines; offset i = sum of UTF-8 lengths + newlines of
+    * lines before i) — the values BLOCK__OFFSET__INSIDE__FILE exposes. */
+  def lineOffsets(file: String): Vector[Long] = {
+    var off = 0L
+    lines(file).map { l =>
+      val o = off
+      off += l.getBytes(java.nio.charset.StandardCharsets.UTF_8).length + 1
+      o
+    }
+  }
+
   def kv(file: String): Vector[(String, String)] =
     lines(file).map { l =>
       val a = l.split("", -1)
@@ -330,6 +342,100 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   private def kvView(data: Vector[(String, String)], view: String): Unit =
     register(data.map(t => Row(t._1, t._2)), kvSchema, view)
 
+  /** Virtual-column provenance for file-backed fixtures: view name →
+    * per-row (file name, byte offset) in view row order. Queries
+    * touching INPUT__FILE__NAME / BLOCK__OFFSET__INSIDE__FILE read
+    * through a `<t>_vc` twin view built from this
+    * (TableScanOperator.java:110 virtual columns; offsets are the REAL
+    * kv1.txt line offsets, so the goldens' numeric offsets match). */
+  private def vcRows(view: String): Option[Vector[(String, Long)]] =
+    view match {
+      case "src" =>
+        Some(GoldenFixtures.lineOffsets("kv1.txt").map(("kv1.txt", _)))
+      case "srcpart" =>
+        val o = GoldenFixtures.lineOffsets("kv1.txt")
+        Some(for (ds <- Vector("2008-04-08", "2008-04-09");
+                  hr <- Vector("11", "12");
+                  off <- o) yield (s"srcpart/ds=$ds/hr=$hr/kv1.txt", off))
+      case _ => None
+    }
+
+  /** Build (once per session) the vc twin for `t`; true when built. */
+  private val vcBuilt = scala.collection.mutable.Set[String]()
+  private def ensureVcView(t: String): Boolean =
+    vcBuilt.contains(t) || (vcRows(t) match {
+      case Some(prov) if scala.util.Try(spark.table(t)).isSuccess =>
+        val base = spark.table(t)
+        val rows = base.collect().toVector.zip(prov).map {
+          case (r, (f, off)) => Row.fromSeq(r.toSeq ++ Seq(f, off)) }
+        register(rows, StructType(base.schema.fields ++ Seq(
+          StructField("INPUT__FILE__NAME", StringType),
+          StructField("BLOCK__OFFSET__INSIDE__FILE", LongType))),
+          t + "_vc")
+        vcBuilt += t
+        true
+      case _ => false
+    })
+
+  /** Rewrite FROM/JOIN references of vc-capable tables to their twin
+    * views, preserving qualified column references by re-aliasing with
+    * the original name when the reference has no alias. */
+  private def rewriteVcTables(q: String): String = {
+    val tblRe = "(?i)\\b(from|join)\\s+(\\w+)\\b".r
+    val kw = Set("where", "group", "order", "sort", "cluster",
+      "distribute", "limit", "join", "left", "right", "full", "inner",
+      "cross", "union", "intersect", "except", "on", "having",
+      "lateral", "tablesample", "as")
+    val rewritten = scala.collection.mutable.LinkedHashSet[String]()
+    var out = tblRe.replaceAllIn(q, m => {
+      val t = m.group(2).toLowerCase
+      if (!ensureVcView(t)) m.group(0)
+      else {
+        rewritten += t
+        val rest = q.substring(m.end)
+        val next = "\\s*(\\w+)".r.findPrefixMatchOf(rest)
+          .map(_.group(1).toLowerCase)
+        val aliased = next.exists(n => !kw.contains(n))
+        scala.util.matching.Regex.quoteReplacement(
+          if (next.contains("tablesample"))
+            // keep TABLE-ness: the tablesample shim wraps this name in
+            // a pass-through subquery whose `*` must carry the vc cols
+            s"${m.group(1)} ${t}_vc"
+          else if (aliased) s"${m.group(1)} ${t}_vc"
+          else s"${m.group(1)} ${t}_vc ${m.group(2)}")
+      }
+    })
+    // `*` over a vc twin would surface the virtual columns — expand it
+    // to the base table's declared columns
+    def colList(t: String, prefix: String): String =
+      spark.table(t).columns.map(c => s"$prefix`$c`").mkString(", ")
+    rewritten.foreach { t =>
+      out = out.replaceAll("(?i)\\b" + t + "\\.\\*",
+        scala.util.matching.Regex.quoteReplacement(colList(t, s"$t.")))
+    }
+    // bare `select *`: expand with the columns of the vc table its own
+    // FROM clause reads (the first `from <t>_vc` after the star)
+    val starRe = "(?i)\\bselect\\s+\\*".r
+    var search = true
+    while (search) {
+      val hit = starRe.findAllMatchIn(out).find { sm =>
+        "(?is)from\\s+(\\w+)_vc\\b".r
+          .findFirstMatchIn(out.substring(sm.end))
+          .exists(fm => rewritten.contains(fm.group(1).toLowerCase))
+      }
+      hit match {
+        case Some(sm) =>
+          val t = "(?is)from\\s+(\\w+)_vc\\b".r
+            .findFirstMatchIn(out.substring(sm.end)).get.group(1)
+            .toLowerCase
+          out = out.substring(0, sm.start) + "select " + colList(t, "") +
+            out.substring(sm.end)
+        case None => search = false
+      }
+    }
+    out
+  }
+
   lazy val src: Unit = kvView(kv1, "src")
   lazy val src1: Unit = kvView(kv3, "src1")
 
@@ -552,8 +658,10 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   // Avro-schema-carrying CREATE with no column list: the schema is the
   // avro.schema.literal TBLPROPERTY (ref: serde2/avro/AvroSerDe —
   // STORED AS AVRO tables); bridged through AvroIO.sparkType
+  // no immediate column list — an explicit-column CREATE replays
+  // through createRe with its declared schema (avro_decimal)
   private val createAvroRe = ("(?is)create\\s+(?:temporary\\s+|external\\s+)?table\\s+" +
-    "(?:if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?\\s*" +
+    "(?:if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?\\s*(?!\\()" +
     "(?:partitioned\\s+by\\s*\\(([^)]*)\\)\\s*)?" +
     // either the explicit AvroSerDe ROW FORMAT or STORED AS AVRO, in
     // any clause order before TBLPROPERTIES
@@ -585,6 +693,10 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     * namespace stands in for them, so `db.table` references strip the
     * prefix (cross-db name collisions fail their own file only). */
   private val knownDbs = scala.collection.mutable.Set[String]()
+
+  /** The session's current database (`USE db`): index-table names
+    * embed it (`<db>__<table>_<index>__`). */
+  private var currentDb = "default"
 
   /** Avro field defaults per STORED-AS-AVRO view (reader-schema
     * evolution fills missing fields with their declared default). */
@@ -1343,7 +1455,12 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     *    deterministic sample predicate `(hash & MAX_INT) % y = x-1`
     *    (ref ql/parse/SemanticAnalyzer genSamplePredicate);
     *  - `default.`-qualified names → bare (fixtures are temp views). */
-  private def dialectShims(q00: String): String = {
+  private def dialectShims(q000: String): String = {
+    val q00 =
+      if (q000.toLowerCase.contains("input__file__name") ||
+          q000.toLowerCase.contains("block__offset__inside__file"))
+        rewriteVcTables(q000)
+      else q000
     val q0 = expandMacros(q00)
     val q0w =
       if (q0.toLowerCase.contains("window")) inlineWindowClauses(q0)
@@ -1396,10 +1513,16 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         q4.replaceAll("(?i)\\bsort\\s+by\\b", "order by")
       else q4
     // MAP/REDUCE sugar is TRANSFORM too (HiveParser.g selectClause) —
-    // its script IO needs the same explicit tab-delimited contract
+    // its script IO needs the same explicit tab-delimited contract.
+    // INSERT statements are excluded: their bodies go through
+    // mapReduceSugar LATER, which wraps TRANSFORM(...) around the
+    // expression list — a ROW FORMAT inserted here would end up
+    // inside the parens
+    val q5l2 = q5.toLowerCase
     val q6a =
-      if (q5.toLowerCase.contains("transform") ||
-          q5.matches("(?is).*\\b(?:map|reduce)\\b.*\\busing\\s+['\"].*"))
+      if (q5l2.contains("transform") ||
+          (!q5l2.contains("insert") &&
+            q5.matches("(?is).*\\b(?:map|reduce)\\b.*\\busing\\s+['\"].*")))
         fixTransformIo(q5)
       else q5
     // GROUPING__ID itself is NOT rewritten here: goldens were
@@ -2638,8 +2761,14 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           .flatMap(_.linesIterator.map(_.trim)
             .filterNot(l => l.isEmpty || l.startsWith("--")).drop(1))
           .toSet
-      if (gluedCat && isAssertStmt(b.query)) {
-        // skip: rows are poisoned by appended dfs output
+      // a bare INPUT__FILE__NAME in the select list puts a file path
+      // in every output row — the masker blanked them all, so the
+      // golden block is empty and unassertable
+      val bareFileCol = "(?is).*(select|,)\\s*(\\w+\\.)?" +
+        "input__file__name\\s*(,|\\bfrom\\b|$).*"
+      if ((gluedCat || b.query.toLowerCase.matches(bareFileCol)) &&
+          isAssertStmt(b.query)) {
+        // skip: rows are poisoned by appended dfs output / masking
       } else if (!(skip(b.query) && isAssertStmt(b.query))) {
       // leading -- comment lines (e.g. -- SORT_QUERY_RESULTS) ride along
       // with the first statement in the golden
@@ -2816,8 +2945,10 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         case createAvroRe(name, partCols, schemaJson) =>
           // STORED-AS-AVRO table whose schema is the avro.schema.literal
           // TBLPROPERTY -- bridge it through the engine's Avro source
+          // (SQL string escapes like \" unescape first)
           registerAvroTable(name, Option(partCols),
-            new org.apache.avro.Schema.Parser().parse(schemaJson))
+            new org.apache.avro.Schema.Parser().parse(
+              schemaJson.replace("\\\"", "\"").replace("\\'", "'")))
         case createAvroUrlRe(name, partCols, url) =>
           // avro.schema.url: the .q copied the .avsc fixture into a
           // scratch dir — resolve by basename against data/files
@@ -2855,6 +2986,53 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         case _ if !ql.matches("(?s).*\\bas\\s+select.*") =>
           // enable/disable rewrite, rebuild — metadata-only, no-op
         case _ => unhandled("view", q)
+      } else if (ql.startsWith("create index")) {
+        // CREATE INDEX name ON TABLE t(cols) AS 'HANDLER': Hive
+        // materializes an index TABLE `<db>__<t>_<name>__` with the
+        // indexed columns plus (_bucketname string, _offsets
+        // array<bigint>[, _bitmaps array<bigint> for BITMAP]). Every
+        // golden's select over it has its rows fully masked (each
+        // carries a file path), so an EMPTY index table replays
+        // faithfully; the real data queries the goldens then assert
+        // run against the base table.
+        val ixRe = ("(?is)create\\s+index\\s+`?(\\w+)`?\\s+on\\s+" +
+          "table\\s+`?([\\w.]+)`?\\s*\\(([^)]*)\\)\\s+as\\s+" +
+          "'([^']*)'.*").r
+        q match {
+          case ixRe(ixName, t0, cols, handler) =>
+            val t = t0.split('.').last
+            val db =
+              if (t0.contains(".")) t0.split('.').head else currentDb
+            val base = spark.table(t)
+            val keyCols = cols.split(",").map(_.trim.replace("`", ""))
+              .filter(_.nonEmpty).toSeq
+            // index table layout: indexed cols, handler payload, then
+            // the base table's PARTITION columns (one index partition
+            // per base partition)
+            val pcs = tablePartCols.getOrElse(t.toLowerCase,
+              if (t.equalsIgnoreCase("srcpart")) Seq("ds", "hr")
+              else Nil)
+            val fields = keyCols.map(c =>
+              base.schema.fields.find(_.name.equalsIgnoreCase(c))
+                .getOrElse(StructField(c, StringType))) ++
+              (Seq(StructField("_bucketname", StringType)) ++
+                (if (handler.toUpperCase.contains("BITMAP"))
+                  Seq(StructField("_offset", LongType),
+                    StructField("_bitmaps", ArrayType(LongType)))
+                else Seq(StructField("_offsets", ArrayType(LongType))))) ++
+              pcs.filterNot(p => keyCols.exists(_.equalsIgnoreCase(p)))
+                .flatMap(p =>
+                  base.schema.fields.find(_.name.equalsIgnoreCase(p)))
+            // flat namespace: the db qualifier was already stripped
+            // from the statement, so cover every db the script knows
+            (Seq(db, "default") ++ knownDbs).distinct.foreach(d =>
+              register(Vector.empty, StructType(fields),
+                s"${d}__${t}_${ixName}__"))
+          case _ => // EXPLAIN'd or unsupported index form: no-op
+        }
+      } else if (ql.startsWith("alter index") ||
+          ql.startsWith("drop index")) {
+        // REBUILD / DROP INDEX: the empty-index contract stands
       } else if (ql.startsWith("create temporary macro")) {
         val mRe = ("(?is)create\\s+temporary\\s+macro\\s+`?(\\w+)`?" +
           "\\s*\\(([^)]*)\\)\\s*(.*)").r
@@ -3175,6 +3353,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           ql.startsWith("create schema")) q match {
         case createDbRe(db) => knownDbs += db.toLowerCase
         case _ =>
+      } else if (ql.startsWith("use ")) {
+        currentDb = ql.stripPrefix("use ").trim.replace("`", "")
       } else if (ql.startsWith("drop table") ||
           ql.startsWith("drop view") ||
           ql.startsWith("drop materialized view")) {
