@@ -498,7 +498,13 @@ class HiveStatements(val spark: SparkSession) {
           val colList =
             if (cols == null) Nil
             else cols.stripPrefix("(").stripSuffix(")").split(",")
-              .toSeq.map(_.trim.replace("`", "")).filter(_.nonEmpty)
+              .toSeq.map { s0 =>
+                // backticked names keep inner spaces (` middle `)
+                val t = s0.trim
+                if (t.startsWith("`") && t.endsWith("`") && t.length > 1)
+                  t.substring(1, t.length - 1)
+                else t
+              }.filter(_.nonEmpty)
           insertStatement(table, mode.equalsIgnoreCase("overwrite"),
             sel, if (partA != null) partA else partB, colList)
           true
@@ -680,11 +686,15 @@ object HiveStatements {
   // Hive allows omitting TABLE, an explicit column list, a PARTITION
   // spec (static and/or dynamic) on either side of the column list,
   // and inserting literal VALUES rows
+  // partition specs capture backtick-quoted column names that may
+  // contain parens (`!@#$%^&*()_q`); column lists accept any
+  // backticked name (` middle `)
   private[graft] val insertRe =
     ("(?is)insert\\s+(overwrite|into)\\s+(?:table\\s+)?`?(\\w+)`?\\s*" +
-      "(?:partition\\s*\\(([^)]*)\\))?\\s*" +
-      "(\\(\\s*(?!select)`?\\w+`?(?:\\s*,\\s*`?\\w+`?)*\\s*\\))?\\s*" +
-      "(?:partition\\s*\\(([^)]*)\\))?\\s*" +
+      "(?:partition\\s*\\(((?:[^()`]|`[^`]*`)*)\\))?\\s*" +
+      "(\\(\\s*(?!select)(?:`[^`]*`|\\w+)(?:\\s*,\\s*(?:`[^`]*`|\\w+))*" +
+      "\\s*\\))?\\s*" +
+      "(?:partition\\s*\\(((?:[^()`]|`[^`]*`)*)\\))?\\s*" +
       "((?:select|values|map\\s|reduce\\s).*)").r
   // FROM-first insert: the from clause may be a whole join tree, and
   // several INSERT segments may share it (Hive multi-insert)

@@ -267,9 +267,19 @@ object GoldenFixtures {
     * complex-type angle brackets survive. A COMMENT tail is dropped. */
   def colSchema(colSpec: String): StructType =
     StructType(splitTop(colSpec, ',').map { c =>
-      val p = c.trim.split("\\s+", 2)
-      val t = splitTop(p(1), ' ').headOption.getOrElse(p(1))
-      StructField(p(0).replace("`", ""), hiveType(t))
+      val t0 = c.trim
+      // backticked names may hold spaces/punctuation (`d?*de e`, or
+      // leading/trailing blanks) — split after the closing backtick
+      val (name, rest) =
+        if (t0.startsWith("`")) {
+          val close = t0.indexOf('`', 1)
+          (t0.substring(1, close), t0.substring(close + 1).trim)
+        } else {
+          val p = t0.split("\\s+", 2)
+          (p(0), if (p.length > 1) p(1) else "string")
+        }
+      val t = splitTop(rest, ' ').headOption.getOrElse(rest)
+      StructField(name, hiveType(t))
     })
 
   /** Typed delimited rows (q_test_init.sql lazy-text semantics). */
@@ -697,6 +707,20 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   /** The session's current database (`USE db`): index-table names
     * embed it (`<db>__<table>_<index>__`). */
   private var currentDb = "default"
+
+  /** Tables shadowed by a TEMPORARY table of the same name: DROP TABLE
+    * restores the permanent one (Hive temp-table precedence;
+    * SessionHiveMetaStoreClient shadowing). Rows are materialized at
+    * shadow time — later redefinitions must not leak through. */
+  private val shadowed = scala.collection.mutable.Set[String]()
+  private def shadowIfTemp(ql: String, name: String): Unit =
+    if (ql.contains("temporary") && isTempView(name) &&
+        !shadowed.contains(name.toLowerCase)) {
+      val cur = spark.table(name)
+      register(cur.collect().toVector, cur.schema,
+        name + "__shadow")
+      shadowed += name.toLowerCase
+    }
 
   /** Avro field defaults per STORED-AS-AVRO view (reader-schema
     * evolution fills missing fields with their declared default). */
@@ -1461,7 +1485,20 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           q000.toLowerCase.contains("block__offset__inside__file"))
         rewriteVcTables(q000)
       else q000
-    val q0 = expandMacros(q00)
+    // table names with '/' (backticked in HiveQL) can't name a temp
+    // view — sanitize consistently across every statement
+    val q0s0 =
+      if (q00.contains("`"))
+        "`([^`]*/[^`]*)`".r.replaceAllIn(q00, m =>
+          scala.util.matching.Regex.quoteReplacement(
+            "`" + m.group(1).replace("/", "_") + "`"))
+      else q00
+    // derived index-table names embed the sanitized base name but the
+    // goldens reference them bare (default__s/c_src_index__)
+    val q0s = "[\\w/]*/[\\w/]*__".r.replaceAllIn(q0s0,
+      m => scala.util.matching.Regex.quoteReplacement(
+        m.matched.replace("/", "_")))
+    val q0 = expandMacros(q0s)
     val q0w =
       if (q0.toLowerCase.contains("window")) inlineWindowClauses(q0)
       else q0
@@ -1936,6 +1973,27 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     // UDFVersion renders "<hive version> r<build hash>"
     spark.udf.register("version",
       () => "2.3.2 r0000000000000000000000000000000000000000")
+    // from/to_utc_timestamp accept SHORT zone ids (PST, IST) through
+    // java.util.TimeZone (GenericUDFFromUtcTimestamp); Spark 4 rejects
+    // them. Timestamps are wall clocks in the golden session zone.
+    def shiftZone(i: java.time.Instant, zone: String,
+        fromUtc: Boolean): java.time.Instant =
+      if (i == null || zone == null) null
+      else {
+        val sess = GoldenFixtures.goldenZone
+        val z = java.util.TimeZone.getTimeZone(zone.trim).toZoneId
+        val wall = java.time.LocalDateTime.ofInstant(i, sess)
+        val out =
+          if (fromUtc) wall.atZone(java.time.ZoneOffset.UTC)
+            .withZoneSameInstant(z).toLocalDateTime
+          else wall.atZone(z)
+            .withZoneSameInstant(java.time.ZoneOffset.UTC).toLocalDateTime
+        out.atZone(sess).toInstant
+      }
+    spark.udf.register("from_utc_timestamp",
+      (i: java.time.Instant, z: String) => shiftZone(i, z, fromUtc = true))
+    spark.udf.register("to_utc_timestamp",
+      (i: java.time.Instant, z: String) => shiftZone(i, z, fromUtc = false))
     spark.udf.register("hour",
       (s: String) => timeField(s, java.util.Calendar.HOUR_OF_DAY))
     spark.udf.register("minute",
@@ -2724,11 +2782,12 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           "['\"]([^'\"]*)['\"]\\s*(?:row\\s+format[^;]*?)?" +
           "(?:stored\\s+as\\s+\\w+\\s*)?((?:select|with|from).*)").r
           .findFirstMatchIn(s.trim.stripSuffix(";")).foreach(m =>
-            storeDirSink(m.group(1), spark.sql(m.group(2))))
+            storeDirSink(m.group(1),
+              spark.sql(dialectShims(m.group(2)))))
       } else if (n.startsWith("create ")) {
         // masked CREATE (its LOCATION was a ${system:*} path): an
         // empty view whose location binds to later directory sinks
-        val ctRe = ("(?is)create\\s+(?:external\\s+)?table\\s+" +
+        val ctRe = ("(?is)create\\s+(?:temporary\\s+|external\\s+)*table\\s+" +
           "(?:if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?\\s*\\(.*").r
         s.trim.stripSuffix(";") match {
           case ctRe(name) =>
@@ -2924,6 +2983,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             if ql.contains("if not exists") && isTempView(name) =>
           // CTAS IF NOT EXISTS over an existing table: no-op
         case ctasRe(name, sel) =>
+          shadowIfTemp(ql, name)
           withCharCastRetry(sel) { s =>
             hiveAutoNames(spark.sql(s)).createOrReplaceTempView(name)
             // CTAS materializes in Hive, so a too-long char/varchar
@@ -2960,6 +3020,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         case createRe(name) =>
           // balanced-paren column list (decimal(4,2) nests parens);
           // PARTITIONED BY columns are part of the logical schema
+          shadowIfTemp(ql, name)
           val cols = parenBody(q)
           // PARTITIONED BY needs balanced-paren extraction too:
           // `partitioned by (dt varchar(10), region int)` nests parens
@@ -3373,6 +3434,10 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             rawStore.remove(lc); partSchemas.remove(lc)
             viewSeps.remove(lc); tablePartCols.remove(lc)
             locLedger.remove(lc); tableLoc.remove(lc)
+            // dropping a shadowing TEMPORARY table resurfaces the
+            // permanent one
+            if (shadowed.remove(lc))
+              spark.table(v + "__shadow").createOrReplaceTempView(v)
           case _ =>
         }
       } // set/explain blocks replay as no-ops
