@@ -33,5 +33,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // zone matches. Engine sessions still pin session TZ to UTC above,
   // so non-golden behavior is unchanged.
   "-Duser.timezone=America/Los_Angeles",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the golden corpus replays ~1400 files through 6 concurrent
+  // sessions in one JVM; 8g thrashes near the end of the sweep
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
 )

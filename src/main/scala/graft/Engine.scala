@@ -114,13 +114,16 @@ object Engine {
     */
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
+      // the flag STAYS set: it only affects parquet NANOS columns
+      // (which only events has), and a set/unset window would race
+      // concurrent sessions sharing this SparkSession (test suites
+      // run suites in parallel — an unset here mid-read elsewhere
+      // flips the inferred type under that reader)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      try {
-        val raw = spark.read.parquet(s"$dir/events.parquet")
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-      } finally spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 }

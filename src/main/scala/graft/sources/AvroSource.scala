@@ -139,17 +139,62 @@ object AvroIO {
     * first sync marker falls in [start, end). */
   private case class Split(path: String, start: Long, end: Long)
 
+  /** Reader schema for a directory: the UNION of every file's header
+    * schema (fields merged by name, order of first appearance), so a
+    * directory whose newest file carries an evolved schema exposes the
+    * added columns — older files read them as null through
+    * [[readPruned]]'s per-file resolution. Same-name fields with
+    * different wire types fail loudly here rather than at scan time.
+    *
+    * Scale: header reads only (one small seek per file). Many-file
+    * directories fan the header reads out on the cluster; small ones
+    * read on the driver. */
   def inferSchema(spark: SparkSession, path: String): StructType = {
     val (files, fs) = listAvro(spark, path)
     require(files.nonEmpty, s"no .avro files under $path")
-    val in = fs.open(files.head.getPath)
-    try {
-      val stream = new DataFileStream[GenericRecord](in,
-        new GenericDatumReader[GenericRecord]())
-      val st = sparkType(stream.getSchema).asInstanceOf[StructType]
-      stream.close()
-      st
-    } finally in.close()
+    def headerSchema(open: () => java.io.InputStream): Schema = {
+      val in = open()
+      try {
+        val stream = new DataFileStream[GenericRecord](in,
+          new GenericDatumReader[GenericRecord]())
+        val s = stream.getSchema
+        stream.close()
+        s
+      } finally in.close()
+    }
+    val schemas: Seq[StructType] =
+      if (files.size <= 16)
+        files.map(f => sparkType(headerSchema(() =>
+          fs.open(f.getPath))).asInstanceOf[StructType])
+      else {
+        val confBc = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sessionState.newHadoopConf()))
+        spark.sparkContext
+          .parallelize(files.map(_.getPath.toString),
+            math.min(files.size, spark.sparkContext.defaultParallelism))
+          .map { p =>
+            val hp = new Path(p)
+            headerSchema(() =>
+              hp.getFileSystem(confBc.value.value).open(hp)).toString
+          }
+          .collect().toSeq.distinct
+          .map(j => sparkType(new Schema.Parser().parse(j))
+            .asInstanceOf[StructType])
+      }
+    schemas.reduce { (a, b) =>
+      val known = a.fieldNames.map(_.toLowerCase).toSet
+      b.fields.foreach { f =>
+        if (known.contains(f.name.toLowerCase)) {
+          val af = a(a.fieldIndex(f.name))
+          require(af.dataType == f.dataType,
+            s"avro schema conflict under $path: field '${f.name}' is " +
+              s"${af.dataType} in one file and ${f.dataType} in another")
+        }
+      }
+      StructType(a.fields ++
+        b.fields.filterNot(f => known.contains(f.name.toLowerCase)))
+    }
   }
 
   private def listAvro(spark: SparkSession, path: String) = {

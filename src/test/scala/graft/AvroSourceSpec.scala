@@ -117,6 +117,36 @@ class AvroSourceSpec extends SparkSpec {
       Option(e2.getCause).exists(_.getMessage.contains("no field 'nope'")))
   }
 
+  test("directory schema inference merges evolved file headers") {
+    // old file (id, name) + new file (id, name, added): the inferred
+    // reader schema carries the evolved column; old rows read null
+    val p = tmp("evolvedir")
+    spark.range(3).select(col("id"),
+      concat(lit("o"), col("id")).as("name")).coalesce(1)
+      .write.format("avro").save(p)
+    spark.range(3, 6).select(col("id"),
+      concat(lit("n"), col("id")).as("name"),
+      (col("id") * 10).cast(IntegerType).as("added")).coalesce(1)
+      .write.format("avro").mode("append").save(p)
+    val df = spark.read.format("avro").load(p)
+    assert(df.columns.toSeq === Seq("id", "name", "added"))
+    assert(df.count() === 6)
+    assert(df.where(col("added").isNull).count() === 3)
+    assert(df.where(col("added") === 40).count() === 1)
+  }
+
+  test("directory inference fails loudly on a same-name type conflict") {
+    val p = tmp("conflictdir")
+    spark.range(2).select(col("id")).coalesce(1)
+      .write.format("avro").save(p)
+    spark.range(2).select(col("id").cast(StringType).as("id")).coalesce(1)
+      .write.format("avro").mode("append").save(p)
+    val e = intercept[Exception] {
+      spark.read.format("avro").load(p).collect()
+    }
+    assert(e.getMessage.contains("avro schema conflict"))
+  }
+
   test("partially-consumed scan (limit) completes without leaking readers") {
     val p = tmp("partial")
     spark.range(5000).select(col("id"),

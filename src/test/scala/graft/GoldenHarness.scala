@@ -952,6 +952,15 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
               case _ => }
     q match { case mapkeyTermRe(d) => s = s.updated(2, unescDelim(d))
               case _ => }
+    // the qtest TestSerDe's default field delimiter is Ctrl-B, and
+    // `testserde.default.serialization.format` overrides it with a
+    // literal codepoint (itests hive-it-test-serde TestSerDe.java)
+    if (q.contains("serde2.TestSerDe")) {
+      val d = ("(?is)'testserde\\.default\\.serialization\\.format'" +
+        "\\s*=\\s*'([^']*)'").r.findFirstMatchIn(q)
+        .map(m => unescDelim(m.group(1))).getOrElse("")
+      s = s.updated(0, d)
+    }
     if (s != defaultSeps) viewSeps(view.toLowerCase) = s
   }
 
@@ -1488,11 +1497,18 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     // table names with '/' (backticked in HiveQL) can't name a temp
     // view — sanitize consistently across every statement
     val q0s0 =
-      if (q00.contains("`"))
-        "`([^`]*/[^`]*)`".r.replaceAllIn(q00, m =>
-          scala.util.matching.Regex.quoteReplacement(
-            "`" + m.group(1).replace("/", "_") + "`"))
-      else q00
+      if (q00.contains("`")) {
+        // pair backticks from the start: odd split-segments are the
+        // quoted names (a regex over `...` spans would also match the
+        // text BETWEEN two adjacent names)
+        val parts = q00.split("`", -1)
+        if (parts.length > 2) {
+          for (i <- 1 until parts.length by 2)
+            if (parts(i).contains("/"))
+              parts(i) = parts(i).replace("/", "_")
+          parts.mkString("`")
+        } else q00
+      } else q00
     // derived index-table names embed the sanitized base name but the
     // goldens reference them bare (default__s/c_src_index__)
     val q0s = "[\\w/]*/[\\w/]*__".r.replaceAllIn(q0s0,
@@ -2859,7 +2875,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       val q = dialectShims(repairMasked(repairTruncated(q0)))
       val ql = q.toLowerCase
       if (sys.env.contains("GOLDEN_TRACE"))
-        println(s"[replay] ${q.linesIterator.mkString(" ").take(100)}")
+        println(s"[replay] ${q.linesIterator.mkString(" ").take(
+          sys.env.getOrElse("GOLDEN_TRACE_LEN", "100").toInt)}")
       def assertSelect(query: String): Unit = {
         // Hive's CLI interleaves runtime warnings with result rows
         // and the qtest recorder keeps them (`WARNING: Comparing a
