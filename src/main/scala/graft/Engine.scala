@@ -107,10 +107,12 @@ object Engine {
       }.toMap
     })
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark cannot represent
-    * (SPARK-40819): read it as raw nanos and truncate to microseconds —
-    * the same truncation DuckDB applies casting timestamp_ns -> TIMESTAMP,
-    * keeping oracle parity.
+  /** `events.ts` has shipped both as parquet TIMESTAMP(NANOS) (which
+    * Spark cannot represent, SPARK-40819 — read as raw nanos and
+    * truncate to micros, the truncation DuckDB applies casting
+    * timestamp_ns -> TIMESTAMP) and, in newer testdata drops, plain
+    * TIMESTAMP(MICROS)/NTZ. Branch on the inferred type so either
+    * generation reads as a session TimestampType column.
     */
   private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
@@ -120,10 +122,17 @@ object Engine {
       // run suites in parallel — an unset here mid-read elsewhere
       // flips the inferred type under that reader)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampType}
       val raw = spark.read.parquet(s"$dir/events.parquet")
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      raw.schema("ts").dataType match {
+        case LongType => // nanos-as-long legacy layout
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampType => raw
+        case _ => // TIMESTAMP_NTZ: same wall clock as a session
+          // (UTC) timestamp
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 }
