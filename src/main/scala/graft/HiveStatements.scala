@@ -89,10 +89,14 @@ class HiveStatements(val spark: SparkSession) {
   }
 
   /** EXPORT TABLE snapshot: write the (optionally partition-filtered)
-    * rows plus the full table schema under `path`. */
+    * rows plus the full table schema under `path`. `metadataOnly` =
+    * `FOR METADATA REPLICATION(...)`: schema only, zero rows
+    * (ReplicationSpec.isMetadataOnly). */
   protected def exportSnapshot(table: String, partSpec: String,
-      path: String): Unit = {
-    val df = partFiltered(table, partSpec)
+      path: String, metadataOnly: Boolean = false): Unit = {
+    val df =
+      if (metadataOnly) spark.table(table).limit(0)
+      else partFiltered(table, partSpec)
     df.write.mode("overwrite").parquet(s"$path/data")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -232,9 +236,19 @@ class HiveStatements(val spark: SparkSession) {
       }
     }.toIndexedSeq: _*)
     val merged =
-      if (overwrite && spec.nonEmpty) {
-        // partitioned OVERWRITE (static or dynamic) replaces only the
-        // partitions present in the insert's own output — Hive's
+      if (overwrite && spec.nonEmpty && dynamic.isEmpty) {
+        // fully-STATIC partition OVERWRITE clears that partition even
+        // when the insert produces ZERO rows (Hive truncates the
+        // partition directory before the move)
+        val hit = spec.collect { case (n, Some(v)) =>
+          val f = schema.fields.find(_.name.equalsIgnoreCase(n)).get
+          col(f.name).cast(StringType) <=> v
+        }.reduce(_ && _)
+        spark.table(table).filter(!coalesce(hit, lit(false)))
+          .union(cast)
+      } else if (overwrite && spec.nonEmpty) {
+        // dynamic (or mixed) OVERWRITE replaces only the partitions
+        // present in the insert's own output — Hive's
         // dynamic-partition overwrite contract
         val pFields = spec.map { case (n, _) =>
           schema.fields.find(_.name.equalsIgnoreCase(n)).get.name }
@@ -337,7 +351,9 @@ class HiveStatements(val spark: SparkSession) {
       case _ => false
     } else if (ql.startsWith("export table")) q match {
       case exportRe(t, part, path) =>
-        exportSnapshot(t.split('.').last, part, path)
+        exportSnapshot(t.split('.').last, part, path,
+          metadataOnly = ql.matches(
+            "(?s).*\\bfor\\s+metadata\\s+replication\\b.*"))
         true
       case _ => false
     } else if (ql.startsWith("import")) q match {
@@ -494,7 +510,7 @@ class HiveStatements(val spark: SparkSession) {
     } else if (ql.startsWith("insert") &&
         !ql.matches("(?s)insert\\s+overwrite\\s+(?:local\\s+)?directory.*"))
       q match {
-        case insertRe(mode, table, partA, cols, partB, sel) =>
+        case insertRe(mode, table, partA, ifNotExists, cols, partB, sel) =>
           val colList =
             if (cols == null) Nil
             else cols.stripPrefix("(").stripSuffix(")").split(",")
@@ -505,8 +521,15 @@ class HiveStatements(val spark: SparkSession) {
                   t.substring(1, t.length - 1)
                 else t
               }.filter(_.nonEmpty)
-          insertStatement(table, mode.equalsIgnoreCase("overwrite"),
-            sel, if (partA != null) partA else partB, colList)
+          val part = if (partA != null) partA else partB
+          // INSERT OVERWRITE ... PARTITION (...) IF NOT EXISTS is a
+          // no-op when the partition already holds rows
+          // (ql/parse/SemanticAnalyzer IF NOT EXISTS on static spec)
+          val partExists = ifNotExists != null && part != null &&
+            !partFiltered(table, part).isEmpty
+          if (!partExists)
+            insertStatement(table, mode.equalsIgnoreCase("overwrite"),
+              sel, part, colList)
           true
         case _ => false
       }
@@ -692,6 +715,7 @@ object HiveStatements {
   private[graft] val insertRe =
     ("(?is)insert\\s+(overwrite|into)\\s+(?:table\\s+)?`?(\\w+)`?\\s*" +
       "(?:partition\\s*\\(((?:[^()`]|`[^`]*`)*)\\))?\\s*" +
+      "(if\\s+not\\s+exists\\s+)?" +
       "(\\(\\s*(?!select)(?:`[^`]*`|\\w+)(?:\\s*,\\s*(?:`[^`]*`|\\w+))*" +
       "\\s*\\))?\\s*" +
       "(?:partition\\s*\\(((?:[^()`]|`[^`]*`)*)\\))?\\s*" +
