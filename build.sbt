@@ -25,6 +25,8 @@ val jdk17AddOpens = Seq(
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
+  // per-session function re-registration WARNs flood the replay logs
+  s"-Dlog4j.configurationFile=${baseDirectory.value}/src/test/resources/log4j2.properties",
   "-Dspark.sql.session.timeZone=UTC",
   // The reference's qtest driver runs in US/Pacific (QTestUtil sets
   // user.timezone): ORC fixture files store PST wall clocks, and the

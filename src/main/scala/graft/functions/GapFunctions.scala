@@ -287,19 +287,543 @@ case class HiveMaskHash(child: Expression)
     copy(child = c)
 }
 
-object GapFunctions {
+/** Hive `field(needle, v1, v2, ...)` -> 1-based index of the first match,
+  * 0 if none (ref: ql/udf/generic/GenericUDFField.java). Hive compares
+  * each pair with ObjectInspectorUtils.compare on the ORIGINAL types —
+  * different primitive categories (string vs int, int vs bigint) are
+  * NEVER equal (ObjectInspectorUtils.java:843-849), so the replacement
+  * drops cross-category branches instead of letting Spark's implicit
+  * coercion equate `"66" = 66`. Resolves types post-analysis via
+  * RuntimeReplaceable; the survivors codegen as a plain CASE chain. */
+case class HiveField(children: Seq[Expression])
+  extends Expression
+  with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  import org.apache.spark.sql.types._
 
-  /** Hive `field(needle, v1, v2, ...)` -> 1-based index of the first match,
-    * 0 if none (ref: ql/udf/generic/GenericUDFField.java). Built as a pure
-    * Catalyst CaseWhen chain so it codegens like a hand-written CASE.
-    */
-  private def fieldBuilder(exprs: Seq[Expression]): Expression = {
-    val needle = exprs.head
-    val branches = exprs.tail.zipWithIndex.map { case (e, i) =>
-      (EqualTo(needle, e), Literal(i + 1))
-    }
-    CaseWhen(branches, Some(Literal(0)))
+  private def cat(dt: DataType): Int = dt match {
+    case BooleanType => 1
+    case ByteType => 2
+    case ShortType => 3
+    case IntegerType => 4
+    case LongType => 5
+    case FloatType => 6
+    case DoubleType => 7
+    // the string family collapses to one bucket: the engine reads
+    // char/varchar columns as padded/plain strings
+    case StringType | _: CharType | _: VarcharType => 8
+    case DateType => 9
+    case TimestampType => 10
+    case BinaryType => 11
+    case _: DecimalType => 12
+    case _ => -1
   }
+
+  override lazy val replacement: Expression = {
+    val needle = children.head
+    val nc = cat(needle.dataType)
+    def asStr(e: Expression) = e.dataType match {
+      case org.apache.spark.sql.types.StringType => e
+      case _ => org.apache.spark.sql.catalyst.expressions.Cast(e,
+        org.apache.spark.sql.types.StringType,
+        Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+    }
+    val branches = children.tail.zipWithIndex.flatMap { case (e, i) =>
+      if (nc < 0 || cat(e.dataType) != nc) None
+      else if (nc == 8) Some((EqualTo(asStr(needle), asStr(e)), Literal(i + 1)))
+      else Some((EqualTo(needle, e), Literal(i + 1)))
+    }
+    if (branches.isEmpty) Literal(0) else CaseWhen(branches, Some(Literal(0)))
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+/** Hive `printf(fmt, args...)` (ql/udf/generic/GenericUDFPrintf.java):
+  * decimals are converted to DOUBLE before formatting (the Java
+  * Formatter rejects decimal objects for %e/%f — Printf.java:133-138),
+  * and timestamp/date/binary args arrive as their string renderings.
+  * Spark's FormatString passes raw Catalyst values, so `%e` on a
+  * decimal column throws — this replacement applies Hive's arg
+  * conversions and then delegates, staying codegen'd. */
+case class HivePrintf(children: Seq[Expression])
+  extends Expression
+  with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.expressions.Cast
+
+  override lazy val replacement: Expression = {
+    val tz = Some(org.apache.spark.sql.internal.SQLConf.get
+      .sessionLocalTimeZone)
+    val fmt = children.head.dataType match {
+      case StringType => children.head
+      case _ => Cast(children.head, StringType, tz)
+    }
+    val args = children.tail.map { e =>
+      e.dataType match {
+        case _: DecimalType => Cast(e, DoubleType, tz)
+        case TimestampType | DateType | BinaryType | _: CharType |
+            _: VarcharType => Cast(e, StringType, tz)
+        case _ => e
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.FormatString(fmt +: args: _*)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+/** CHAR(n) values enter Hive string functions pad-stripped (the
+  * string converters go through HiveChar.getStrippedValue); plain
+  * strings pass through untouched. */
+case class CharStrip(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case _: org.apache.spark.sql.types.CharType =>
+      // cast to STRING too — a char(n)-typed result would be re-padded
+      // by read-side padding at collect (see HiveCharArgStrip)
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.StringTrimRight(child),
+        org.apache.spark.sql.types.StringType)
+    case _ => child
+  }
+  override protected def withNewChildInternal(c: Expression): CharStrip =
+    copy(child = c)
+}
+
+/** Hive `date_format(dt, fmt)` formats through
+  * java.text.SimpleDateFormat (GenericUDFDateFormat.java), whose
+  * pattern language differs from Spark's DateTimeFormatter ('Q' and
+  * other letters are rejected by Spark, week-year 'Y' differs).
+  * Evaluates with SimpleDateFormat in the session zone for full
+  * pattern parity. String inputs parse with Hive's lenient calendar.
+  * CodegenFallback — formatting is never the scan bottleneck. */
+case class HiveDateFormat(children: Seq[Expression])
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  // captured at plan time on the driver; SQLConf.get is not the
+  // session's on executors
+  private val zoneId: String =
+    org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+
+  @transient private lazy val zone = java.util.TimeZone.getTimeZone(zoneId)
+  @transient private lazy val fmtCache =
+    new java.util.HashMap[String, java.text.SimpleDateFormat]()
+
+  private def sdf(p: String): java.text.SimpleDateFormat = {
+    var f = fmtCache.get(p)
+    if (f == null) {
+      f = new java.text.SimpleDateFormat(p, java.util.Locale.US)
+      f.setTimeZone(zone)
+      fmtCache.put(p, f)
+    }
+    f
+  }
+
+  private def toMillis(v: Any, dt: DataType): java.lang.Long = dt match {
+    case TimestampType | TimestampNTZType =>
+      v.asInstanceOf[Long] / 1000L
+    case DateType =>
+      java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)
+        .atStartOfDay(zone.toZoneId).toInstant.toEpochMilli
+    case StringType | _: CharType | _: VarcharType =>
+      val s = v.toString
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToTimestamp(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        zone.toZoneId) match {
+        case scala.Some(micros) => micros / 1000L
+        case scala.None =>
+          graft.plans.HiveCasts.lenientDateRoll(s) match {
+            case scala.Some(d) =>
+              d.atStartOfDay(zone.toZoneId).toInstant.toEpochMilli
+            case scala.None => null
+          }
+      }
+    case _ => null
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = children(0).eval(input)
+    val p = children(1).eval(input)
+    if (v == null || p == null) return null
+    val ms = toMillis(v, children(0).dataType)
+    if (ms == null) return null
+    try org.apache.spark.unsafe.types.UTF8String.fromString(
+      sdf(p.toString).format(new java.util.Date(ms)))
+    catch { case _: IllegalArgumentException => null }
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+/** Hive's date-UDF string conversion (GenericUDFMonthsBetween and
+  * friends): try java.sql.Timestamp.valueOf — which REQUIRES a full
+  * `HH:mm:ss` time — and on failure fall back to the lenient DATE
+  * parse, dropping any partial time-of-day. '1995-02-02 10:39' is
+  * midnight Feb 2 to Hive; '2002-02-31' rolls to Mar 3. */
+case class HiveTsOrDate(child: Expression, zoneId: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.TimestampType
+  // unparseable text maps to null even when the child can't be null
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val zone = java.time.ZoneId.of(zoneId)
+  override def nullSafeEval(v: Any): Any = {
+    val str = v.toString.trim
+    val parts = str.split("[ T]", 2)
+    val micros = graft.plans.HiveCasts.lenientDateRoll(parts(0)) match {
+      case Some(d) =>
+        val full =
+          if (parts.length > 1 &&
+              parts(1).matches("""\d{1,2}:\d{2}:\d{2}(\.\d+)?"""))
+            d.toString + " " + parts(1)
+          else d.toString
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToTimestamp(
+          org.apache.spark.unsafe.types.UTF8String.fromString(full), zone)
+      // not y-m-d shaped ('2012-03', '20120324'): Hive's date parse
+      // rejects it → NULL, even though Spark could parse some forms
+      case None => None
+    }
+    micros.map(Long.box).orNull
+  }
+  override protected def withNewChildInternal(c: Expression): HiveTsOrDate =
+    copy(child = c)
+}
+
+case class HiveMonthsBetween(children: Seq[Expression])
+  extends Expression
+  with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.expressions._
+  override lazy val replacement: Expression = {
+    val zid = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+    def conv(e: Expression): Expression = e.dataType match {
+      case StringType | _: CharType | _: VarcharType => HiveTsOrDate(e, zid)
+      case TimestampType => e
+      case _ => Cast(e, TimestampType, Some(zid))
+    }
+    val roundOff = children.lift(2).getOrElse(Literal(true))
+    MonthsBetween(conv(children(0)), conv(children(1)), roundOff, Some(zid))
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+/** Numeric branch of Hive `trunc(N[, D])`
+  * (ql/udf/generic/GenericUDFTrunc.java:375-460): truncate toward zero
+  * to D decimal places via BigDecimal ROUND_DOWN; negative D zeroes
+  * digits left of the point; integral inputs pass through unchanged
+  * for D >= 0. Result keeps the input's type. D may be a per-row
+  * column (the reference evaluates it per call). CodegenFallback —
+  * never a hot scan path. */
+case class HiveTruncNumber(children: Seq[Expression])
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = children.head.dataType
+  private def truncBd(b: java.math.BigDecimal, s: Int) =
+    b.setScale(s, java.math.RoundingMode.DOWN)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = children.head.eval(input)
+    if (v == null) return null
+    // a NULL scale leaves the default 0 in place (GenericUDFTrunc
+    // evaluateNumber only overwrites scale when the arg is non-null)
+    val sv = if (children.length > 1) children(1).eval(input) else null
+    val s = if (sv == null) 0 else sv.asInstanceOf[Number].intValue()
+    children.head.dataType match {
+      case dt: DecimalType =>
+        val d = v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+        val t = truncBd(d.toJavaBigDecimal, s).setScale(dt.scale)
+        org.apache.spark.sql.types.Decimal(t, dt.precision, dt.scale)
+      case DoubleType =>
+        truncBd(java.math.BigDecimal.valueOf(v.asInstanceOf[Double]), s)
+          .doubleValue()
+      case FloatType =>
+        truncBd(new java.math.BigDecimal(
+          v.asInstanceOf[Float].toString), s).floatValue()
+      case ByteType =>
+        if (s >= 0) v
+        else truncBd(java.math.BigDecimal.valueOf(
+          v.asInstanceOf[Byte].toLong), s).byteValue()
+      case ShortType =>
+        if (s >= 0) v
+        else truncBd(java.math.BigDecimal.valueOf(
+          v.asInstanceOf[Short].toLong), s).shortValue()
+      case IntegerType =>
+        if (s >= 0) v
+        else truncBd(java.math.BigDecimal.valueOf(
+          v.asInstanceOf[Int].toLong), s).intValue()
+      case LongType =>
+        if (s >= 0) v
+        else truncBd(java.math.BigDecimal.valueOf(
+          v.asInstanceOf[Long]), s).longValue()
+      case _ => null
+    }
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+/** Hive `trunc` dispatches on the FIRST argument's type
+  * (GenericUDFTrunc.initialize): numbers truncate decimal places,
+  * date/timestamp/string truncate to a calendar unit. The date branch
+  * also accepts 'Q' as a synonym for QUARTER (evalDate), which
+  * Spark's TruncDate rejects. */
+case class HiveTrunc(children: Seq[Expression])
+  extends Expression
+  with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.expressions._
+
+  override lazy val replacement: Expression = children.head.dataType match {
+    // a single argument always means the numeric form
+    // (GenericUDFTrunc.initialize:123-127)
+    case _: NumericType | NullType => HiveTruncNumber(children)
+    case _ if children.length == 1 => HiveTruncNumber(children)
+    case _ =>
+      val tz = Some(org.apache.spark.sql.internal.SQLConf.get
+        .sessionLocalTimeZone)
+      val d = children.head match {
+        // the replacement is built post-analysis, so the HiveCasts
+        // lenient-date-literal rule can't see this Cast — roll
+        // out-of-range month/day literals here ('2014-01-34' is
+        // 2014-02-03 to Hive's lenient calendar, NULL to Spark's)
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String,
+            StringType) if s != null &&
+            graft.plans.HiveCasts.lenientDateRoll(s.toString).isDefined =>
+          Literal(graft.plans.HiveCasts.lenientDateRoll(s.toString)
+            .get.toEpochDay.toInt, DateType)
+        case e if e.dataType == DateType => e
+        case e => Cast(e, DateType, tz)
+      }
+      val f = children(1)
+      val fFixed = If(EqualTo(Upper(f), Literal("Q")),
+        Literal("QUARTER"), f)
+      TruncDate(d, fFixed)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+/** Hive `sort_array` accepts array<map> (GenericUDFSortArray via
+  * ObjectInspectorUtils.compare with FullMapEqualComparer: maps order
+  * by size, then by sorted keys and their values pairwise —
+  * FullMapEqualComparer.java:46-80); Spark's SortArray rejects map
+  * elements as unorderable. Non-map element types delegate to Spark's
+  * native SortArray. */
+/** The reference's recursive value comparator
+  * (ObjectInspectorUtils.compare with FullMapEqualComparer): maps
+  * order by size, then by sorted keys and their values pairwise;
+  * structs field-by-field; arrays elementwise then by length. Used
+  * where Spark's interpreted ordering refuses (map-bearing types). */
+object HiveValueCompare {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.{ArrayData, MapData, TypeUtils}
+
+  def compare(a: Any, b: Any, dt: DataType): Int = {
+    if (a == null && b == null) return 0
+    if (a == null) return -1
+    if (b == null) return 1
+    dt match {
+      case m: MapType => cmpMaps(a.asInstanceOf[MapData],
+        b.asInstanceOf[MapData], m)
+      case s: StructType =>
+        val (r1, r2) = (a.asInstanceOf[InternalRow], b.asInstanceOf[InternalRow])
+        var i = 0
+        while (i < s.fields.length) {
+          val f = s.fields(i).dataType
+          val c = compare(
+            if (r1.isNullAt(i)) null else r1.get(i, f),
+            if (r2.isNullAt(i)) null else r2.get(i, f), f)
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      case ArrayType(et, _) =>
+        val (a1, a2) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+        val n = math.min(a1.numElements(), a2.numElements())
+        var i = 0
+        while (i < n) {
+          val c = compare(
+            if (a1.isNullAt(i)) null else a1.get(i, et),
+            if (a2.isNullAt(i)) null else a2.get(i, et), et)
+          if (c != 0) return c
+          i += 1
+        }
+        a1.numElements() - a2.numElements()
+      case o =>
+        TypeUtils.getInterpretedOrdering(o).compare(a, b)
+    }
+  }
+
+  private def cmpMaps(m1: MapData, m2: MapData, mt: MapType): Int = {
+    if (m1.numElements() != m2.numElements())
+      return m1.numElements() - m2.numElements()
+    val n = m1.numElements()
+    def parts(m: MapData) = {
+      val ks = m.keyArray().toObjectArray(mt.keyType)
+      val vs = m.valueArray().toObjectArray(mt.valueType)
+      val idx = (0 until n).sortWith((x, y) =>
+        compare(ks(x), ks(y), mt.keyType) < 0)
+      (ks, vs, idx)
+    }
+    val (k1, v1, i1) = parts(m1)
+    val (k2, v2, i2) = parts(m2)
+    var i = 0
+    while (i < n) {
+      val kc = compare(k1(i1(i)), k2(i2(i)), mt.keyType)
+      if (kc != 0) return kc
+      val vc = compare(v1(i1(i)), v2(i2(i)), mt.valueType)
+      if (vc != 0) return vc
+      i += 1
+    }
+    0
+  }
+}
+
+/** sort_array over element types Spark's SortArray rejects as
+  * unorderable (maps, structs containing maps) — Hive sorts them via
+  * ObjectInspectorUtils.compare (GenericUDFSortArray). */
+case class HiveSortArrayMaps(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  override def dataType: DataType = child.dataType
+  private lazy val elemType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData].toObjectArray(elemType)
+    new GenericArrayData(arr.sortWith((a, b) =>
+      HiveValueCompare.compare(a, b, elemType) < 0))
+  }
+  override protected def withNewChildInternal(c: Expression)
+      : HiveSortArrayMaps = copy(child = c)
+}
+
+case class HiveSortArray(children: Seq[Expression])
+  extends Expression
+  with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  import org.apache.spark.sql.types._
+  override lazy val replacement: Expression = children.head.dataType match {
+    case ArrayType(et, _)
+        if !org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(et) => HiveSortArrayMaps(children.head)
+    case _ => org.apache.spark.sql.catalyst.expressions.SortArray(
+      children.head, children.lift(1).getOrElse(Literal(true)))
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+/** Instance-method fallback for reflect: Hive's GenericUDFReflect
+  * instantiates the class with its no-arg constructor when the matched
+  * method isn't static (ReflectionUtils.newInstance path), so
+  * `reflect('java.lang.String', 'isEmpty')` works. Resolution happens
+  * at eval time (first call), matching Hive's lazy failure mode. */
+case class ReflectInstance(children: Seq[Expression])
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = false
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  private def argClass(dt: DataType): Class[_] = dt match {
+    case BooleanType => java.lang.Boolean.TYPE
+    case ByteType => java.lang.Byte.TYPE
+    case ShortType => java.lang.Short.TYPE
+    case IntegerType => java.lang.Integer.TYPE
+    case LongType => java.lang.Long.TYPE
+    case FloatType => java.lang.Float.TYPE
+    case DoubleType => java.lang.Double.TYPE
+    case _ => classOf[String]
+  }
+
+  @transient private lazy val resolved0: (java.lang.reflect.Method, Any) = {
+    val clsName = children(0).eval().toString
+    val mName = children(1).eval().toString
+    val cls = Class.forName(clsName)
+    val argCls = children.drop(2).map(c => argClass(c.dataType))
+    val named = cls.getMethods.filter(m => m.getName == mName &&
+      m.getParameterCount == argCls.length)
+    // exact parameter match first, then any same-arity overload
+    val m = named.find(_.getParameterTypes.toSeq == argCls)
+      .orElse(named.headOption).getOrElse(
+        throw new RuntimeException(s"reflect: cannot resolve " +
+          s"('$clsName', '$mName') with ${argCls.length} args"))
+    val target =
+      if (java.lang.reflect.Modifier.isStatic(m.getModifiers)) null
+      else cls.getDeclaredConstructor().newInstance()
+    (m, target)
+  }
+
+  private def toJava(v: Any, pt: Class[_]): AnyRef = v match {
+    case null => null
+    case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+    case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+    case other => other.asInstanceOf[AnyRef]
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val (m, target) = resolved0
+    val args = children.drop(2).zip(m.getParameterTypes).map {
+      case (c, pt) => toJava(c.eval(input), pt)
+    }
+    val r = m.invoke(target, args: _*)
+    if (r == null) null
+    else org.apache.spark.unsafe.types.UTF8String.fromString(r.toString)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+case class HiveReflect(children: Seq[Expression])
+  extends Expression
+  with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  override lazy val replacement: Expression = {
+    val direct =
+      org.apache.spark.sql.catalyst.expressions.CallMethodViaReflection(
+        children)
+    if (direct.checkInputDataTypes().isFailure) ReflectInstance(children)
+    else direct
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
+}
+
+object GapFunctions {
 
   // --- Hive data-masking family (ref: ql/exec/FunctionRegistry.java:525-531,
   // ql/udf/generic/GenericUDFMaskFirstN.java etc). Upper -> X, lower -> x,
@@ -421,7 +945,88 @@ object GapFunctions {
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("field", fieldBuilder, "built-in")
+    reg.createOrReplaceTempFunction("field", es => HiveField(es), "built-in")
+    // Hive's struct() names its fields col1..colN
+    // (GenericUDFStruct.initialize); Spark preserves source column
+    // names, which leaks into struct renderings and min/max(struct)
+    // output headers. Registered under its own name because Spark's
+    // PARSER claims `struct(` (SqlBaseParser #struct alternative)
+    // before any registry lookup — the Hive dialect layer rewrites
+    // `struct(` to `hive_struct(`.
+    reg.createOrReplaceTempFunction("hive_struct", es =>
+      org.apache.spark.sql.catalyst.expressions.CreateNamedStruct(
+        es.zipWithIndex.flatMap { case (e, i) =>
+          Seq(Literal(s"col${i + 1}"), e) }), "built-in")
+    // CBO (Calcite return-path) plans name the same fields expr$0..N
+    reg.createOrReplaceTempFunction("hive_struct_cbo", es =>
+      org.apache.spark.sql.catalyst.expressions.CreateNamedStruct(
+        es.zipWithIndex.flatMap { case (e, i) =>
+          Seq(Literal(s"expr$$$i"), e) }), "built-in")
+    reg.createOrReplaceTempFunction("printf", es => HivePrintf(es),
+      "built-in")
+    reg.createOrReplaceTempFunction("format_string", es => HivePrintf(es),
+      "built-in")
+    Seq("reflect", "java_method").foreach(n =>
+      reg.createOrReplaceTempFunction(n, es => HiveReflect(es), "built-in"))
+    reg.createOrReplaceTempFunction("trunc", es => HiveTrunc(es), "built-in")
+    reg.createOrReplaceTempFunction("sort_array", es => HiveSortArray(es),
+      "built-in")
+    // Hive's collectors take ANY element type (maps included); the
+    // SQL names bind to the compat aggregate — Column-API pipelines
+    // keep Spark's native (faster partial-serialization) versions
+    reg.createOrReplaceTempFunction("collect_set",
+      es => HiveCollectSet(es.head), "built-in")
+    reg.createOrReplaceTempFunction("collect_list",
+      es => HiveCollectList(es.head), "built-in")
+    reg.createOrReplaceTempFunction("map_keys",
+      es => HiveMapKeys(es.head), "built-in")
+    reg.createOrReplaceTempFunction("map_values",
+      es => HiveMapValues(es.head), "built-in")
+    reg.createOrReplaceTempFunction("date_format",
+      es => HiveDateFormat(es), "built-in")
+    reg.createOrReplaceTempFunction("months_between",
+      es => HiveMonthsBetween(es), "built-in")
+    // Hive substring_index on CHAR(n) works on the pad-stripped value
+    // (GenericUDFSubstringIndex via string converters)
+    reg.createOrReplaceTempFunction("substring_index", es =>
+      org.apache.spark.sql.catalyst.expressions.SubstringIndex(
+        CharStrip(es(0)), es(1), es(2)), "built-in")
+    // Hive log(b, x) is NULL for base <= 1 or x <= 0 (UDFLogBase
+    // semantics in UDFLog.java); Spark's Logarithm computes the math
+    // value (log(0.5, 2) = -1)
+    reg.createOrReplaceTempFunction("log", {
+      case Seq(x) => org.apache.spark.sql.catalyst.expressions.Log(x)
+      case Seq(b, x) =>
+        import org.apache.spark.sql.catalyst.expressions._
+        import org.apache.spark.sql.types.DoubleType
+        val bd = Cast(b, DoubleType)
+        val xd = Cast(x, DoubleType)
+        If(Or(LessThanOrEqual(bd, Literal(1.0d)),
+            LessThanOrEqual(xd, Literal(0.0d))),
+          Literal.create(null, DoubleType), Logarithm(bd, xd))
+      case es => throw new IllegalArgumentException(
+        s"log takes 1 or 2 arguments, got ${es.length}")
+    }, "built-in")
+    // Hive aes_encrypt/aes_decrypt are AES/ECB/PKCS5Padding
+    // (GenericUDFAesBase.java) and return NULL for a key whose length
+    // is not 16/24/32 bytes; Spark defaults to GCM (random IV — not
+    // reproducible) and raises on a bad key
+    def aesGuard(key: Expression, core: Expression): Expression = {
+      import org.apache.spark.sql.catalyst.expressions._
+      If(In(Length(key),
+          Seq(Literal(16), Literal(24), Literal(32))),
+        core, Literal.create(null, org.apache.spark.sql.types.BinaryType))
+    }
+    reg.createOrReplaceTempFunction("aes_encrypt", es => {
+      import org.apache.spark.sql.catalyst.expressions._
+      aesGuard(es(1), new AesEncrypt(es(0), es(1),
+        Literal("ECB"), Literal("DEFAULT")))
+    }, "built-in")
+    reg.createOrReplaceTempFunction("aes_decrypt", es => {
+      import org.apache.spark.sql.catalyst.expressions._
+      aesGuard(es(1), new AesDecrypt(es(0), es(1),
+        Literal("ECB"), Literal("DEFAULT")))
+    }, "built-in")
     // Hive length() on CHAR(n) counts the STRIPPED value
     // (UDFLength via HiveChar.getStrippedValue) — Spark's counts the
     // padding. Other types keep Spark's (= Hive's) semantics,

@@ -36,7 +36,13 @@ object TableFunctions {
     val url = exprs.head
     val fields = exprs.tail.flatMap { p =>
       val name = constString(p, "parse_url_tuple part")
-      Seq(Literal(name.toLowerCase), ParseUrl(Seq(url, p)))
+      // `QUERY:<key>` extracts one query parameter
+      // (GenericUDTFParseUrlTuple.PARTNAME QUERY_WITH_KEY)
+      val call =
+        if (name.toUpperCase.startsWith("QUERY:"))
+          ParseUrl(Seq(url, Literal("QUERY"), Literal(name.substring(6))))
+        else ParseUrl(Seq(url, p))
+      Seq(Literal(name.toLowerCase), call)
     }
     Inline(org.apache.spark.sql.catalyst.expressions.CreateArray(
       Seq(CreateNamedStruct(fields))))
@@ -66,25 +72,31 @@ object TableFunctions {
     Inline(ArrayRepeat(CreateNamedStruct(fields), checkedN))
   }
 
-  /** Hive `sort_array_by(arr, 'field'[, 'ASC'|'DESC'])`
-    * (ref: ql/udf/generic/GenericUDFSortArrayByField.java) — delegates
-    * to the Column-API comparator (Catalyst array_sort, codegen'd). */
+  /** Hive `sort_array_by(arr, 'f1'[, 'f2', ...][, 'ASC'|'DESC'])`
+    * (ref: ql/udf/generic/GenericUDFSortArrayByField.java:108-160):
+    * any number of sort fields compared lexicographically; a trailing
+    * constant ASC/DESC applies to all of them. Delegates to Catalyst
+    * array_sort (codegen'd). */
   def sortArrayByBuilder(exprs: Seq[Expression]): Expression = {
-    val (field, asc) = exprs.tail match {
-      case Seq(f) => (constString(f, "sort_array_by field"), true)
-      case Seq(f, o) => (constString(f, "sort_array_by field"),
-        constString(o, "sort_array_by order").equalsIgnoreCase("ASC"))
-      case _ => throw new IllegalArgumentException(
-        "sort_array_by(arr, field[, order]) takes 2 or 3 arguments")
+    require(exprs.length >= 2,
+      "sort_array_by(arr, field...[, order]) takes at least 2 arguments")
+    val strs = exprs.tail.map(e => constString(e, "sort_array_by arg"))
+    val (fields, asc) = {
+      val lastUp = strs.last.trim.toUpperCase
+      if (strs.length >= 2 && (lastUp == "ASC" || lastUp == "DESC"))
+        (strs.init, lastUp == "ASC")
+      else (strs, true)
     }
     val sign = if (asc) 1 else -1
     val l = UnresolvedNamedLambdaVariable(Seq("l"))
     val r = UnresolvedNamedLambdaVariable(Seq("r"))
-    val fl = UnresolvedExtractValue(l, Literal(field))
-    val fr = UnresolvedExtractValue(r, Literal(field))
-    val cmp = CaseWhen(Seq(
-      LessThan(fl, fr) -> Literal(-sign),
-      GreaterThan(fl, fr) -> Literal(sign)), Some(Literal(0)))
+    val cmp = fields.foldRight(Literal(0): Expression) { (f, tail) =>
+      val fl = UnresolvedExtractValue(l, Literal(f))
+      val fr = UnresolvedExtractValue(r, Literal(f))
+      CaseWhen(Seq(
+        LessThan(fl, fr) -> Literal(-sign),
+        GreaterThan(fl, fr) -> Literal(sign)), Some(tail))
+    }
     ArraySort(exprs.head, LambdaFunction(cmp, Seq(l, r)))
   }
 
@@ -164,6 +176,52 @@ object TableFunctions {
       asSentences(exprs(0)))
   }
 
+  private def dblEnc =
+    org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[java.lang.Double]()
+  private def asDouble(e: Expression) =
+    Cast(e, org.apache.spark.sql.types.DoubleType)
+
+  /** Hive `histogram_numeric(col, nbins)`
+    * (GenericUDAFHistogramNumeric over NumericHistogram — see
+    * [[HiveHistogram]] for the bit-exact replay contract). */
+  def histogramNumericBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "histogram_numeric(col, nbins)")
+    udafExpr(new HiveHistogram.HistogramNumericAgg(
+      constInt(exprs(1), "histogram_numeric nbins")), dblEnc,
+      asDouble(exprs(0)))
+  }
+
+  /** Hive `percentile_approx(col, p[, nbins])`
+    * (GenericUDAFPercentileApprox): p may be a double or an
+    * array<double>; nbins defaults to 10000. Built on the same
+    * NumericHistogram quantile interpolation the goldens record. */
+  def percentileApproxBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length >= 2 && exprs.length <= 3,
+      "percentile_approx(col, p[, nbins])")
+    require(exprs(1).foldable, "percentile_approx quantiles are constant")
+    val nbins = exprs.lift(2).map(constInt(_, "percentile_approx nbins"))
+      .getOrElse(10000)
+    def num(a: Any): Double = a match {
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: Number => n.doubleValue()
+      case other => other.toString.toDouble
+    }
+    exprs(1).eval() match {
+      case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+        val qs = (0 until arr.numElements()).map(i =>
+          num(arr.get(i, exprs(1).dataType
+            .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+            .elementType)))
+        udafExpr(new HiveHistogram.PercentileApproxAgg(qs, nbins), dblEnc,
+          asDouble(exprs(0)))
+      case p =>
+        org.apache.spark.sql.catalyst.expressions.GetArrayItem(
+          udafExpr(new HiveHistogram.PercentileApproxAgg(Seq(num(p)), nbins),
+            dblEnc, asDouble(exprs(0))), Literal(0))
+    }
+  }
+
   /** Hive `create_union(tag, v0, v1, ...)` / `extract_union(u[, tag])`
     * (FunctionRegistry.java:459-460) over the engine's tagged-struct
     * uniontype encoding (see GapFunctions.createUnion). */
@@ -185,6 +243,10 @@ object TableFunctions {
       "ngrams(sentences, n, k) - top-k n-grams with frequencies"),
     ("context_ngrams", contextNgramsBuilder _,
       "context_ngrams(sentences, pattern, k) - top-k context fillers"),
+    ("histogram_numeric", histogramNumericBuilder _,
+      "histogram_numeric(col, nbins) - streaming histogram bins"),
+    ("percentile_approx", percentileApproxBuilder _,
+      "percentile_approx(col, p[, nbins]) - histogram-sketch quantile"),
     ("create_union", createUnionBuilder _,
       "create_union(tag, v0, ...) - tagged-struct uniontype value"),
     ("extract_union", extractUnionBuilder _,

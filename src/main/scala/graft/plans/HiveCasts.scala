@@ -40,7 +40,7 @@ object HiveCasts extends Rule[LogicalPlan] {
   /** `yyyy-M-d` text parsed with Hive's lenient calendar (out-of-range
     * month/day ROLL forward, java.sql.Date.valueOf semantics). None
     * when the text isn't date-shaped (cast stays as written). */
-  private def lenientDateRoll(s: String)
+  private[graft] def lenientDateRoll(s: String)
       : Option[java.time.LocalDate] = {
     val m = "\\s*(\\d{1,4})-(\\d{1,2})-(\\d{1,2})\\s*".r
       .findFirstMatchIn(s)
@@ -111,6 +111,30 @@ object HiveCasts extends Rule[LogicalPlan] {
         // them. Literal-only: folded at analysis, nothing at runtime.
         Literal(lenientDateRoll(s.toString).get.toEpochDay.toInt,
           DateType)
+      case c @ Cast(Literal(s: org.apache.spark.unsafe.types.UTF8String,
+            StringType), TimestampType, tz, _)
+          if s != null && s.toString.matches(
+            """\s*\d{1,4}-\d{1,2}-\d{1,2} \d{1,2}:\d{1,2}:\d{1,2}(\.\d+)?\s*""") && {
+            val zid = java.time.ZoneId.of(tz.getOrElse(
+              org.apache.spark.sql.internal.SQLConf.get
+                .sessionLocalTimeZone))
+            org.apache.spark.sql.catalyst.util.DateTimeUtils
+              .stringToTimestamp(s, zid).isEmpty &&
+              lenientDateRoll(s.toString.trim.takeWhile(_ != ' ')).isDefined
+          } =>
+        // full `y-m-d h:m:s` strings cast through java.sql.Timestamp
+        // .valueOf in the reference, whose Date constructor ROLLS
+        // out-of-range month/day ('2002-02-31 00:00:00' → Mar 3);
+        // date-only strings (no time) are NULL there — valueOf
+        // requires the time part — so they stay with Spark's cast
+        val zid = java.time.ZoneId.of(tz.getOrElse(
+          org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+        val str = s.toString.trim
+        val rolled = lenientDateRoll(str.takeWhile(_ != ' ')).get.toString +
+          str.dropWhile(_ != ' ')
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToTimestamp(
+          org.apache.spark.unsafe.types.UTF8String.fromString(rolled), zid)
+          .map(m => Literal(m, TimestampType): Expression).getOrElse(c)
       // decimal <cmp> float compares at FLOAT precision in the
       // reference (getCommonClassForComparison resolves decimal+float
       // to float), so `d = cast('0.22' as float)` matches decimal

@@ -711,6 +711,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   /** The session's current database (`USE db`): index-table names
     * embed it (`<db>__<table>_<index>__`). */
   private var currentDb = "default"
+  private var cboStructNames = false
 
   /** Tables shadowed by a TEMPORARY table of the same name: DROP TABLE
     * restores the permanent one (Hive temp-table precedence;
@@ -912,7 +913,15 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       if (!overwrite) existing
       else if (statics.isEmpty) Vector.empty
       else existing.filterNot(_.parts == partVals)
-    rawStore(lc) = kept ++ newRows
+    // appended load segments go IN FRONT: Hive's local-mode reducer
+    // merges equal-key map-output segments newest-first, which is the
+    // stream order the goldens recorded for order-dependent aggregates
+    // (NumericHistogram — udaf_percentile_approx's 4-file `bucket`
+    // table reproduces 254.0833… only in file4..file1 order). The
+    // multiset is unchanged; every row assert compares sorted.
+    rawStore(lc) =
+      if (!overwrite && kept.nonEmpty) newRows ++ kept
+      else kept ++ newRows
     val schema = spark.table(table).schema
     val dataSchema = StructType(schema.fields.filterNot(f =>
       pcs.exists(_.equalsIgnoreCase(f.name))).toIndexedSeq)
@@ -1123,7 +1132,30 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           spark.sparkContext.parallelize[Row](rows, 2),
           StructType(plain.toIndexedSeq))
       }
+    // Hive's local-mode reducer merges equal-key map-output segments
+    // NEWEST SEGMENT FIRST, so a table loaded from several files feeds
+    // order-dependent aggregates (NumericHistogram — histogram_numeric
+    // / percentile_approx) file4,file3,... The multiset is unchanged;
+    // only ordered consumers notice. Reproduce by moving each appended
+    // load segment to the front of the view.
+    val beforeRows: Option[Vector[Row]] =
+      if (!overwrite && (partSpec == null || partSpec.trim.isEmpty) &&
+          scala.util.Try(spark.table(table).head(1).nonEmpty)
+            .getOrElse(false))
+        Some(spark.table(table).collect().toVector)
+      else None
     insertInto(table, overwrite, sel, partSpec)
+    if (sys.env.contains("GOLDEN_DUMP"))
+      println(s"[dump] doLoadData $fileName -> $table overwrite=$overwrite" +
+        s" part=$partSpec before=${beforeRows.map(_.size)}")
+    beforeRows.foreach { old =>
+      val cur = spark.table(table)
+      val all = cur.collect().toVector
+      if (all.size > old.size) {
+        val neu = all.drop(old.size)
+        register(neu ++ old, cur.schema, table)
+      }
+    }
   }
 
   // CREATE TABLE [IF NOT EXISTS] x LIKE y — empty view with y's schema
@@ -1619,6 +1651,51 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     // Hive `LIMIT offset,count` sugar → standard LIMIT/OFFSET
     q4 = q4.replaceAll("(?i)\\blimit\\s+(\\d+)\\s*,\\s*(\\d+)",
       "limit $2 offset $1")
+    // qtest identity: QTestUtil runs as hive_test_user with no
+    // authenticated session user (logged_in_user() is NULL there),
+    // and current_database tracks the harness's USE state
+    q4 = q4.replaceAll("(?i)\\bcurrent_user\\s*\\(\\s*\\)",
+      "'hive_test_user'")
+    q4 = q4.replaceAll("(?i)\\blogged_in_user\\s*\\(\\s*\\)",
+      "cast(null as string)")
+    q4 = q4.replaceAll("(?i)\\bcurrent_database\\s*\\(\\s*\\)",
+      s"'$currentDb'")
+    // Hive's sum() marks the group non-empty BEFORE converting, so
+    // sum of an unparseable string constant is 0.0, not NULL
+    // (GenericUDAFSumDouble.iterate sets empty=false, then the
+    // NumberFormatException is swallowed)
+    q4 = "(?i)\\bsum\\s*\\(\\s*'([^']*)'\\s*\\)".r.replaceAllIn(q4, m =>
+      if (m.group(1).nonEmpty && m.group(1).toDoubleOption.isEmpty)
+        "if(count(1) = 0, cast(null as double), 0.0d)"
+      else scala.util.matching.Regex.quoteReplacement(m.matched))
+    // Hive UDFRegExp: an EMPTY regex pattern never matches
+    // (UDFRegExp.java evaluate); Java find("") matches everywhere.
+    // `(?!)` is the always-failing pattern.
+    q4 = q4.replaceAll("(?i)\\b(rlike|regexp)\\s+''", "$1 '(?!)'")
+    // Hive's struct() names fields col1..colN (GenericUDFStruct);
+    // Spark's parser claims `struct(` itself, so route to the
+    // engine's hive_struct. `named_struct(` survives via the
+    // lookbehind; type syntax uses `struct<`. Under CBO the Calcite
+    // plan names the fields expr$0..expr$N instead.
+    q4 = q4.replaceAll("(?i)(?<![\\w_.`])struct\\s*\\(",
+      if (cboStructNames) "hive_struct_cbo(" else "hive_struct(")
+    // Hive charset literals `_UTF-8 0xHEX` (HiveLexer.g CharSetName +
+    // CharSetLiteral) → a plain string literal with the bytes decoded
+    q4 = "(?i)_utf-?8\\s+0x([0-9a-f]+)".r.replaceAllIn(q4, m => {
+      val hex = m.group(1)
+      val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      scala.util.matching.Regex.quoteReplacement(
+        "'" + s.flatMap(c => f"\\u$c%04x") + "'")
+    })
+    // Hive parses `x IN (...) = true` (a comparison whose left side is
+    // an IN predicate); Spark's grammar wants the IN wrapped
+    q4 = ("(?i)((?:[\\w.`']+|\\([^()]*\\)))\\s*(not\\s+)?" +
+      "(in\\s*\\([^()]*\\))\\s*=\\s*(true|false)\\b").r
+      .replaceAllIn(q4, m =>
+        scala.util.matching.Regex.quoteReplacement(
+          s"(${m.group(1)} ${Option(m.group(2)).getOrElse("")}" +
+            s"${m.group(3)}) = ${m.group(4)}"))
     // `GROUP BY ()` = the empty grouping set (a plain global
     // aggregate); Spark rejects the empty parens
     q4 = q4.replaceAll("(?i)\\bgroup\\s+by\\s+\\(\\s*\\)", "")
@@ -2616,8 +2693,12 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         .mkString("{", ",", "}")
     case s: scala.collection.Seq[_] =>
       s.map(hiveJson).mkString("[", ",", "]")
-    case d: java.math.BigDecimal => d.toPlainString
-    case d: scala.math.BigDecimal => d.bigDecimal.toPlainString
+    // HiveDecimal.toString normalizes (strips trailing zeros) — and
+    // buildJSONString renders nested decimals via toString, so inside
+    // complex types the stripped form is unconditional
+    case d: java.math.BigDecimal => d.stripTrailingZeros.toPlainString
+    case d: scala.math.BigDecimal =>
+      d.bigDecimal.stripTrailingZeros.toPlainString
     case b: Array[Byte] =>
       new String(b, java.nio.charset.StandardCharsets.UTF_8)
     case other => other.toString
@@ -2695,6 +2776,9 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       skip: String => Boolean = _ => false,
       stripDecZeros: Boolean = true): Int = {
     var asserted = 0
+    // CBO (Calcite) plans name struct() fields expr$0..expr$N instead
+    // of col1..colN (the cbo_* goldens record that naming)
+    cboStructNames = file.startsWith("cbo_")
     def unhandled(what: String, q: String): Nothing =
       throw new IllegalStateException(s"unhandled $what in $file: $q")
     // `set` statements are stripped from the goldens, so per-file
@@ -3025,12 +3109,15 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
               gotAlt != want && !tolerantEq(gotAlt, want, uSets)) {
             if (sys.env.contains("GOLDEN_DUMP")) {
               println(s"[dump] q1=${q1.linesIterator.mkString(" ")}")
+              println(s"[dump] plan=" + spark.sql(q1).queryExecution
+                .analyzed.toString.linesIterator.take(3).mkString(" | "))
               println(s"[dump] tolerant(got)=" +
                 s"${tolerantEq(got, want, uSets)} " +
                 s"tolerant(alt)=${tolerantEq(gotAlt, want, uSets)}")
               gotAlt.sortBy(normKey).zipAll(want.sortBy(normKey), "<none>",
                 "<none>").filter(p => p._1 != p._2).take(8).foreach(p =>
-                println(s"[dump] alt  ${p._1}\n[dump] want ${p._2}"))
+                println(s"[dump] alt  |${p._1.replace("\t", "\\t")}|" +
+                  s"\n[dump] want |${p._2.replace("\t", "\\t")}|"))
             }
             Some(new GoldenMismatch(
               s"golden mismatch in $file for: $q1\n" +
