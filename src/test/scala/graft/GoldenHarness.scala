@@ -22,6 +22,23 @@ object GoldenFixtures {
   def hiveTsParse(raw: String): java.time.LocalDateTime =
     java.time.LocalDateTime.parse(raw.trim, hiveTsFmt)
 
+  /** Custom `timestamp.formats` patterns for the table currently being
+    * derived (LazySimpleSerDe via common TimestampParser — Joda
+    * semantics: `S` is fraction-of-second and results carry MILLI
+    * precision). Tried in order BEFORE the default parse; a pattern
+    * that leaves unparsed text does not match. */
+  var tsFormats: Seq[String] = Nil
+  def customTsParse(raw: String): Option[java.time.LocalDateTime] =
+    tsFormats.iterator.flatMap { p =>
+      try {
+        val f = java.time.format.DateTimeFormatter.ofPattern(
+          p.replace("yyyy", "uuuu"))
+        val t = java.time.LocalDateTime.parse(raw.trim, f)
+        // Joda DateTime holds millis — truncate finer digits
+        Some(t.withNano(t.getNano / 1000000 * 1000000))
+      } catch { case _: Exception => None }
+    }.take(1).toList.headOption
+
   def readLines(path: String): Vector[String] = {
     def read(codec: scala.io.Codec): Vector[String] = {
       val s = scala.io.Source.fromFile(path)(codec)
@@ -229,9 +246,13 @@ object GoldenFixtures {
         // ancient dates in the hybrid Julian calendar and shifts them
         // (0004-09-22 → 0004-09-24); the session runs with
         // datetime.java8API so Instants pass through rebase-free.
-        try hiveTsParse(raw).atZone(goldenZone).toInstant
-        catch { case _: java.time.format.DateTimeParseException => null
-                case _: IllegalArgumentException => null }
+        customTsParse(raw) match {
+          case Some(t) => t.atZone(goldenZone).toInstant
+          case None =>
+            try hiveTsParse(raw).atZone(goldenZone).toInstant
+            catch { case _: java.time.format.DateTimeParseException => null
+                    case _: IllegalArgumentException => null }
+        }
       case DateType =>
         try java.time.LocalDate.parse(raw)
         catch { case _: java.time.format.DateTimeParseException =>
@@ -384,8 +405,55 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           t + "_vc")
         vcBuilt += t
         true
+      case _ if scala.util.Try(spark.table(t)).isSuccess =>
+        // Simulated file provenance for DERIVED tables (goldens only
+        // assert file COUNTS here — paths are masked): a bucketed
+        // table writes one file per bucket, rows routed by Hive's
+        // bucket hash ((hive_hash & MAX_INT) % n — ObjectInspector
+        // Utils.getBucketNumber); a plain table carries one file per
+        // un-merged write segment (INSERT INTO appends a file,
+        // OVERWRITE/CONCATENATE collapse to one). Rebuilt per query —
+        // never cached — so TRUNCATE/CONCATENATE stay visible.
+        import org.apache.spark.sql.functions._
+        val base = spark.table(t)
+        val withVc = tableBuckets.get(t.toLowerCase) match {
+          case Some((cols, n)) =>
+            base.withColumn("INPUT__FILE__NAME", format_string(
+              "%06d_0", expr(s"(hive_hash(${cols.mkString(",")}) & " +
+                s"2147483647) % $n")))
+          case None =>
+            val segs = math.max(1, tableSegs.getOrElse(t.toLowerCase, 1))
+            base.withColumn("INPUT__FILE__NAME", format_string(
+              "%06d_0", ntile(segs).over(org.apache.spark.sql
+                .expressions.Window
+                .orderBy(monotonically_increasing_id())) - 1))
+        }
+        withVc.withColumn("BLOCK__OFFSET__INSIDE__FILE",
+            monotonically_increasing_id())
+          .createOrReplaceTempView(t + "_vc")
+        true
       case _ => false
     })
+
+  /** CLUSTERED BY (cols) INTO n BUCKETS per created table, and the
+    * number of standalone write segments (files) per plain table —
+    * both feed the simulated INPUT__FILE__NAME twin above. */
+  private val tableBuckets =
+    scala.collection.mutable.Map[String, (Seq[String], Int)]()
+  private val tableSegs = scala.collection.mutable.Map[String, Int]()
+  private val clusteredByRe =
+    ("(?is)clustered\\s+by\\s*\\(([^)]*)\\)" +
+      "(?:\\s*sorted\\s+by\\s*\\([^)]*\\))?" +
+      "\\s*into\\s+(\\d+)\\s+buckets").r
+
+  override def insertInto(table: String, overwrite: Boolean,
+      sel: org.apache.spark.sql.DataFrame, partSpec: String = null,
+      colList: Seq[String] = Nil): Unit = {
+    val lc = table.split('.').last.toLowerCase
+    tableSegs(lc) =
+      if (overwrite) 1 else tableSegs.getOrElse(lc, 1) + 1
+    super.insertInto(table, overwrite, sel, partSpec, colList)
+  }
 
   /** Rewrite FROM/JOIN references of vc-capable tables to their twin
     * views, preserving qualified column references by re-aliasing with
@@ -872,7 +940,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           v.simpleString }.mkString(" | ") + " firstParts=" +
         rawStore(lc).headOption.map(rr => rr.parts.mkString(",") +
           " hit=" + perPart.contains(rr.parts)).getOrElse("<empty>"))
-    val rows = rawStore(lc).map { rr =>
+    GoldenFixtures.tsFormats = viewTsFormats.getOrElse(lc, Nil)
+    val rows = try rawStore(lc).map { rr =>
       val pSchema = perPart.getOrElse(rr.parts,
         StructType(dataFields.toIndexedSeq))
       Row.fromSeq(
@@ -892,7 +961,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           parseRaw(if (i < rr.parts.length) rr.parts(i) else null,
             f.dataType, 0, seps)
         })
-    }
+    } finally GoldenFixtures.tsFormats = Nil
     register(rows, StructType(dataFields ++ partFields), table)
   }
 
@@ -951,6 +1020,15 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     * text LOADs drop that many lines from each file's head/tail. */
   private val viewSkip =
     scala.collection.mutable.Map[String, (Int, Int)]()
+  /** `timestamp.formats` serde property per table (LazySimpleSerDe →
+    * TimestampParser): extra patterns tried before the default text
+    * timestamp parse. Settable at CREATE or by ALTER ... SET
+    * SERDEPROPERTIES (the latter re-derives the view). */
+  private val viewTsFormats =
+    scala.collection.mutable.Map[String, Seq[String]]()
+  private val tsFormatsRe =
+    ("(?is)['\"]timestamp\\.formats['\"]\\s*=\\s*" +
+      "(?:'([^']*)'|\"([^\"]*)\")").r
   /** partition columns per created table (Hive keeps them LAST in the
     * logical schema; ADD COLUMNS slots new columns before them) */
   private val tablePartCols =
@@ -994,6 +1072,14 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       val (h, f) = (n("header"), n("footer"))
       if (h > 0 || f > 0) viewSkip(view.toLowerCase) = (h, f)
     }
+    clusteredByRe.findFirstMatchIn(q).foreach(m =>
+      tableBuckets(view.toLowerCase) =
+        (m.group(1).split(',').map(_.trim.replace("`", ""))
+          .filter(_.nonEmpty).toSeq, m.group(2).toInt))
+    tsFormatsRe.findFirstMatchIn(q).foreach(m =>
+      viewTsFormats(view.toLowerCase) =
+        Option(m.group(1)).getOrElse(m.group(2))
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     if (q.contains("serde2.TestSerDe")) {
       val d = ("(?is)'testserde\\.default\\.serialization\\.format'" +
         "\\s*=\\s*'([^']*)'").r.findFirstMatchIn(q)
@@ -1978,6 +2064,20 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       case _ => c
     }).mkString("\t")
 
+  /** Hive timestamps carry nanoseconds; Spark's TimestampType stops at
+    * microseconds, so golden cells rendered with 7-9 fractional digits
+    * are unrepresentable verbatim. Truncate fractions beyond 6 digits
+    * on BOTH sides before comparing — a genuine microsecond-level
+    * mismatch still fails (reference: serde2/io/TimestampWritable
+    * nanosecond storage). */
+  private val tsNanoRe =
+    "(\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2})\\.(\\d{1,9})".r
+  private def microTs(c: String): String =
+    tsNanoRe.replaceAllIn(c, m => {
+      val frac = m.group(2).take(6).reverse.dropWhile(_ == '0').reverse
+      m.group(1) + (if (frac.isEmpty) "" else "." + frac)
+    })
+
   private def tolerantEq(got0: Seq[String], want0: Seq[String],
       unorderedSets: Boolean = false): Boolean = {
     val got = got0.sortBy(normKey)
@@ -1986,7 +2086,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       g == w || {
         val ga = g.split("\t", -1); val wa = w.split("\t", -1)
         ga.length == wa.length && ga.zip(wa).forall { case (a, b) =>
-          a == b || ((toD(a), toD(b)) match {
+          a == b || microTs(a) == microTs(b) || ((toD(a), toD(b)) match {
             case (Some(x), Some(y)) => math.abs(x - y) <=
               1e-6 * math.max(1.0, math.max(math.abs(x), math.abs(y)))
             case _ =>
@@ -2490,6 +2590,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         }
     else if (msg.contains("EXCEED_LIMIT_LENGTH"))
       Seq(castCharRewrite(q))
+    else if (msg.contains("WINDOW_FUNCTION_WITHOUT_OVER_CLAUSE"))
+      liftNestedLag(q).toSeq
     else if (msg.contains("DATA_DIFF_TYPES") &&
         (msg.contains("`greatest`") || msg.contains("`least`"))) {
       // Hive coerces mixed greatest/least args to the common
@@ -2501,6 +2603,75 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         castArgs(q, "greatest", "double"),
         castArgs(q, "least", "double")).filterNot(_ == q)
     } else Nil
+  }
+
+  /** Hive allows lag/lead INSIDE a windowed aggregate with no OVER of
+    * their own — they inherit the enclosing window's partition/order
+    * (PTFTranslator windowing). Spark rejects both the bare call and
+    * a nested window, so LIFT each bare lag/lead into a subquery that
+    * projects it over the enclosing spec (frame stripped — lag/lead
+    * ignore frames), then reference the projected column. */
+  private def liftNestedLag(q: String): Option[String] = {
+    val callRe = "(?i)\\b(lag|lead)\\s*\\(".r
+    val calls = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    callRe.findAllMatchIn(q).foreach { m =>
+      var depth = 1; var j = m.end
+      while (depth > 0 && j < q.length) {
+        q(j) match { case '(' => depth += 1; case ')' => depth -= 1
+                     case _ => }
+        j += 1
+      }
+      val after = q.substring(math.min(j, q.length)).trim
+      if (!after.toLowerCase.startsWith("over")) calls += ((m.start, j))
+    }
+    if (calls.isEmpty) return None
+    // enclosing spec: first inline over(...) with an ordering, else
+    // the first named-window definition
+    val spec0 = "(?is)over\\s*\\(([^()]*)\\)".r.findAllMatchIn(q)
+      .map(_.group(1)) .find(s =>
+        s.toLowerCase.matches("(?s).*\\b(order|sort)\\s+by.*"))
+      .orElse("(?is)\\bwindow\\s+\\w+\\s+as\\s*\\(([^()]*)\\)".r
+        .findFirstMatchIn(q).map(_.group(1)))
+      .getOrElse(return None)
+    val spec = spec0.replaceAll("(?is)\\b(rows|range)\\s+.*$", "")
+      .replaceAll("(?i)\\bdistribute\\s+by\\b", "partition by")
+      .replaceAll("(?i)\\bsort\\s+by\\b", "order by").trim
+    if (spec.isEmpty) return None
+    // top-level FROM segment (WHERE stays inside: Hive filters before
+    // windowing)
+    var depth = 0; var fromIdx = -1; var i = 0
+    val lq = q.toLowerCase
+    while (i < q.length && fromIdx < 0) {
+      q(i) match { case '(' => depth += 1; case ')' => depth -= 1
+                   case _ => }
+      if (depth == 0 && lq.startsWith("from", i) &&
+          (i == 0 || !q(i - 1).isLetterOrDigit) &&
+          (i + 4 >= q.length || !q(i + 4).isLetterOrDigit))
+        fromIdx = i
+      i += 1
+    }
+    if (fromIdx < 0 || calls.exists(_._1 > fromIdx)) return None
+    val tailKw = Seq("window", "group", "order", "sort", "cluster",
+      "distribute", "limit", "having")
+    depth = 0; var endIdx = q.length; i = fromIdx + 4
+    while (i < q.length && endIdx == q.length) {
+      q(i) match { case '(' => depth += 1; case ')' => depth -= 1
+                   case _ => }
+      if (depth == 0 && tailKw.exists(k => lq.startsWith(k, i) &&
+          !q(i - 1).isLetterOrDigit &&
+          (i + k.length >= q.length || !q(i + k.length).isLetterOrDigit)))
+        endIdx = i
+      i += 1
+    }
+    val fromPart = q.substring(fromIdx + 4, endIdx).trim
+    if (fromPart.isEmpty) return None
+    val liftCols = calls.zipWithIndex.map { case ((s, e), n) =>
+      s"${q.substring(s, e)} over ($spec) as __ll$n" }
+    var head = q.substring(0, fromIdx)
+    calls.zipWithIndex.toSeq.sortBy(-_._1._1).foreach { case ((s, e), n) =>
+      head = head.substring(0, s) + s"__ll$n" + head.substring(e) }
+    Some(head + "from (select *, " + liftCols.mkString(", ") +
+      s" from $fromPart) __llv " + q.substring(endIdx))
   }
 
   /** Wrap every top-level argument of each `fn(...)` call in
@@ -3115,7 +3286,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
                 s"${tolerantEq(got, want, uSets)} " +
                 s"tolerant(alt)=${tolerantEq(gotAlt, want, uSets)}")
               gotAlt.sortBy(normKey).zipAll(want.sortBy(normKey), "<none>",
-                "<none>").filter(p => p._1 != p._2).take(8).foreach(p =>
+                "<none>").filter(p => p._1 != p._2).take(30).foreach(p =>
                 println(s"[dump] alt  |${p._1.replace("\t", "\\t")}|" +
                   s"\n[dump] want |${p._2.replace("\t", "\\t")}|"))
             }
@@ -3528,6 +3699,23 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             }
             register(df.collect().toVector, df.schema, table)
           }
+        case _ if ql.matches(
+            "(?s)alter table\\s+`?[\\w.]+`?\\s*(partition\\s*\\([^)]*\\)\\s*)?concatenate\\s*") =>
+          // CONCATENATE merges a table's files into one — only the
+          // simulated file provenance cares
+          val t = "(?is)alter table\\s+`?([\\w.]+)`?".r
+            .findFirstMatchIn(q).get.group(1).split('.').last
+          tableSegs(t.toLowerCase) = 1
+        case _ if tsFormatsRe.findFirstMatchIn(q).isDefined &&
+            ql.matches("(?s)alter table.*set\\s+serdeproperties.*") =>
+          // timestamp.formats swap re-reads the stored text through
+          // the new patterns (LazySimpleSerDe deserialization happens
+          // at READ time, so existing rows change meaning)
+          val t = "(?is)alter table\\s+`?([\\w.]+)`?".r
+            .findFirstMatchIn(q).get.group(1).split('.').last
+          recordDelims(t, q)
+          if (rawStore.contains(t.toLowerCase))
+            deriveView(t, spark.table(t).schema)
         case _ => // other ALTERs (props/touch) are no-ops
       } else if (ql.startsWith("insert")) {
         unhandled("insert", q)
