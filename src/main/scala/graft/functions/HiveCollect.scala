@@ -157,6 +157,15 @@ abstract class HiveMapExtract
     if (keysNotValues) ArrayType(mt.keyType, containsNull = false)
     else ArrayType(mt.valueType, mt.valueContainsNull)
 
+  // GenericUDFMapKeys/MapValues return an EMPTY list for a null map
+  // (retArray.clear() then no addAll), never null
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input) match {
+      case null => new GenericArrayData(Array.empty[Any])
+      case v => nullSafeEval(v)
+    }
+
   override def nullSafeEval(v: Any): Any = {
     val m = v.asInstanceOf[MapData]
     val arr: ArrayData = if (keysNotValues) m.keyArray() else m.valueArray()

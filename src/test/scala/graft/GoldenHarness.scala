@@ -22,6 +22,12 @@ object GoldenFixtures {
   def hiveTsParse(raw: String): java.time.LocalDateTime =
     java.time.LocalDateTime.parse(raw.trim, hiveTsFmt)
 
+  /** The null MARKER of the table currently being derived/rendered
+    * (LazySimpleSerDe nullString; NULL DEFINED AS / serialization
+    * .null.format, default \\N). Text equal to it reads as null;
+    * nulls write as it. */
+  var nullFormat: String = "\\N"
+
   /** Custom `timestamp.formats` patterns for the table currently being
     * derived (LazySimpleSerDe via common TimestampParser — Joda
     * semantics: `S` is fraction-of-second and results carry MILLI
@@ -185,7 +191,7 @@ object GoldenFixtures {
     * on through the extended table. */
   def parseRaw(raw: String, dt: DataType, level: Int = 0,
       seps: IndexedSeq[String] = defaultSeps): Any =
-    if (raw == null || raw == "\\N") null else dt match {
+    if (raw == null || raw == nullFormat) null else dt match {
       case ArrayType(et, _) =>
         // zero-length field = zero elements (LazyArray), not [""]
         if (raw.isEmpty) Seq.empty
@@ -847,7 +853,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   private val partSchemas = scala.collection.mutable
     .Map[String, scala.collection.mutable.Map[Seq[String], StructType]]()
 
-  private def nullMark(s: String): String = if (s == null) "\\N" else s
+  private def nullMark(s: String): String =
+    if (s == null) GoldenFixtures.nullFormat else s
 
   /** Inverse of parseRaw: one typed value → its LazySimpleSerDe text. */
   private def renderCell(v: Any, dt: DataType, level: Int,
@@ -898,8 +905,11 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     val (partIdx, dataIdx) = schema.fields.indices.partition(i =>
       pcs.exists(_.equalsIgnoreCase(schema.fields(i).name)))
     RawRow(
+      // top-level nulls are WRITTEN as the serde's null marker — a
+      // later null-format swap must see the stored text, not a
+      // format-agnostic null (nullformat.q)
       dataIdx.map(i =>
-        renderCell(r.get(i), schema.fields(i).dataType, 0, seps)),
+        nullMark(renderCell(r.get(i), schema.fields(i).dataType, 0, seps))),
       partIdx.map(i =>
         renderCell(r.get(i), schema.fields(i).dataType, 0, seps)))
   }
@@ -941,6 +951,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         rawStore(lc).headOption.map(rr => rr.parts.mkString(",") +
           " hit=" + perPart.contains(rr.parts)).getOrElse("<empty>"))
     GoldenFixtures.tsFormats = viewTsFormats.getOrElse(lc, Nil)
+    GoldenFixtures.nullFormat = viewNullFmt.getOrElse(lc, "\\N")
     val rows = try rawStore(lc).map { rr =>
       val pSchema = perPart.getOrElse(rr.parts,
         StructType(dataFields.toIndexedSeq))
@@ -961,7 +972,10 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           parseRaw(if (i < rr.parts.length) rr.parts(i) else null,
             f.dataType, 0, seps)
         })
-    } finally GoldenFixtures.tsFormats = Nil
+    } finally {
+      GoldenFixtures.tsFormats = Nil
+      GoldenFixtures.nullFormat = "\\N"
+    }
     register(rows, StructType(dataFields ++ partFields), table)
   }
 
@@ -1029,6 +1043,15 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   private val tsFormatsRe =
     ("(?is)['\"]timestamp\\.formats['\"]\\s*=\\s*" +
       "(?:'([^']*)'|\"([^\"]*)\")").r
+  /** NULL DEFINED AS / serialization.null.format per table: the text
+    * marker nulls are WRITTEN as. When an ALTER changes it, values
+    * stored under the old marker stop reading as null and surface as
+    * literal text (LazySimpleSerDe nullString). */
+  private val viewNullFmt =
+    scala.collection.mutable.Map[String, String]()
+  private val nullFmtRe =
+    ("(?is)(?:null\\s+defined\\s+as\\s+(?:'([^']*)'|\"([^\"]*)\")|" +
+      "['\"]serialization\\.null\\.format['\"]\\s*=\\s*['\"]([^'\"]*)['\"])").r
   /** partition columns per created table (Hive keeps them LAST in the
     * logical schema; ADD COLUMNS slots new columns before them) */
   private val tablePartCols =
@@ -1076,6 +1099,11 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       tableBuckets(view.toLowerCase) =
         (m.group(1).split(',').map(_.trim.replace("`", ""))
           .filter(_.nonEmpty).toSeq, m.group(2).toInt))
+    nullFmtRe.findFirstMatchIn(q).foreach(m =>
+      viewNullFmt(view.toLowerCase) =
+        Option(m.group(1)).orElse(Option(m.group(2)))
+          .getOrElse(m.group(3))
+          .replace("\\\\", "\\")) // DDL-escaped backslash ('\\N' = \N)
     tsFormatsRe.findFirstMatchIn(q).foreach(m =>
       viewTsFormats(view.toLowerCase) =
         Option(m.group(1)).getOrElse(m.group(2))
@@ -1272,8 +1300,10 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     if (rawStore.contains(lc)) {
       val seps = viewSeps.getOrElse(lc, defaultSeps)
       val pcs = tablePartCols.getOrElse(lc, Nil)
-      rawStore(lc) =
+      GoldenFixtures.nullFormat = viewNullFmt.getOrElse(lc, "\\N")
+      try rawStore(lc) =
         snap.toVector.map(renderRawRow(_, df.schema, pcs, seps))
+      finally GoldenFixtures.nullFormat = "\\N"
       // new partitions adopt the current data schema; existing ones
       // keep the schema they were created with (RESTRICT semantics —
       // Hive writes into an old partition through ITS schema)
@@ -1446,8 +1476,13 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     * `${system:*}` test-dir variables, and the runner's `target/tmp/`
     * prefix, so the same directory named by EXPORT ('ql/test/...'),
     * IMPORT, and `dfs -rmr target/tmp/ql/test/...` keys identically. */
-  private def canonPath(p: String): String =
-    p.trim.replaceAll("\\$\\{(?:system|hiveconf):[^}]*\\}", "")
+  private def canonPath(p: String): String = {
+    // a LOCAL (file:/pfile:) path and an hdfs path with the same text
+    // are DIFFERENT directories (schemeAuthority.q writes both); keep
+    // the local marker so their sinks key apart. `insert overwrite
+    // LOCAL directory` call sites prepend file: before keying.
+    val local = p.trim.toLowerCase.matches("^(file|pfile):.*")
+    val c = p.trim.replaceAll("\\$\\{(?:system|hiveconf):[^}]*\\}", "")
       .replaceAll("^(file:|pfile:|hdfs:)/*", "")
       .replaceAll("^/+", "").replaceAll("^(\\.\\./)+", "")
       .replaceAll("^target/tmp/+", "")
@@ -1456,6 +1491,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       // key identically
       .replaceAll("^target/warehouse/+", "")
       .replaceAll("/+$", "").toLowerCase
+    if (local) "local§" + c else c
+  }
 
   /** Rows bound to a filesystem directory: table → (locKey, row).
     * Populated by CREATE ... LOCATION + LOAD, and by IMPORT; consumed
@@ -1484,27 +1521,13 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       .foreach { lm =>
         val loc = canonPath(lm.group(1))
         tableLoc(name.toLowerCase) = loc
-        val copyRe =
-          "(?im)^dfs\\s+-(?:copyfromlocal|cp)\\s+(\\S+)\\s+(.+?);?\\s*$".r
-        copyRe.findAllMatchIn(qSourceText).foreach { c =>
-          if (c.group(1).contains("data/files/")) {
-            val srcRel = c.group(1).replaceAll("^.*data/files/", "")
-            val dst = canonPath(c.group(2))
-            // the table LOCATION may be the copy target itself, a
-            // subpath of it (`.../ext_test_space/folder+with space`),
-            // or an ancestor (copy lands a file inside the location)
-            val rel =
-              if (loc == dst) Some(srcRel)
-              else if (loc.startsWith(dst + "/"))
-                Some(srcRel + loc.drop(dst.length))
-              else if (dst.startsWith(loc + "/") || loc.isEmpty)
-                Some(srcRel)
-              else None
-            rel.foreach(r => fixtureFilesUnder(r).foreach(f =>
-              scala.util.Try(
-                loadData(f, name, overwrite = false, null))))
-          }
-        }
+        copyLineageRels(loc, qSourceText).foreach(r =>
+          fixtureFilesUnder(r).foreach { f =>
+            val res = scala.util.Try(
+              loadData(f, name, overwrite = false, null))
+            if (sys.env.contains("GOLDEN_DUMP"))
+              println(s"[bindloc] $name <- $f: $res")
+          })
         // a directory sink already stored at this location
         dirStore.get(loc).foreach { case (schema, rows) =>
           if (rows.nonEmpty) insertInto(name, overwrite = false,
@@ -1512,6 +1535,72 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
               spark.sparkContext.parallelize[Row](rows, 1), schema))
         }
       }
+
+  /** data/files fixture paths a (masked) location maps to through the
+    * script's own `dfs -copyFromLocal` statements. The location may be
+    * the copy target itself, a subpath of it (`.../ext_test_space/
+    * folder+with space`), or an ancestor (the copy lands a file inside
+    * the location). */
+  private def copyLineageRels(loc: String,
+      qSourceText: String): Seq[String] = {
+    val copyRe =
+      "(?im)^dfs\\s+-(?:copyfromlocal|cp)\\s+(\\S+)\\s+(.+?);?\\s*$".r
+    copyRe.findAllMatchIn(qSourceText).toSeq.flatMap { c =>
+      if (!c.group(1).contains("data/files/")) None
+      else {
+        val srcRel = c.group(1).replaceAll("^.*data/files/", "")
+        val dst = canonPath(c.group(2))
+        if (loc == dst) Some(srcRel)
+        else if (loc.startsWith(dst + "/"))
+          Some(srcRel + loc.drop(dst.length))
+        else if (dst.startsWith(loc + "/") || loc.isEmpty)
+          Some(srcRel)
+        else None
+      }
+    }
+  }
+
+  /** IMPORT FROM a path whose suffix names a data/files fixture dir in
+    * Hive's EXPORT layout (`_metadata` thrift-JSON + data files):
+    * re-create the table from the serialized descriptor (name, column
+    * list, field delimiter) and load the data files
+    * (ql/parse/ImportSemanticAnalyzer reading EximUtil metadata). */
+  private def importExportFixture(stmt: String): Boolean = {
+    val m = ("(?is)import\\s+(?:(?:external\\s+)?table\\s+" +
+      "`?([\\w.]+)`?\\s+)?from\\s+['\"]([^'\"]+)['\"].*").r
+      .findFirstMatchIn(stmt).getOrElse(return false)
+    val base = new java.io.File("/root/reference/data/files")
+    val comps = m.group(2).replaceAll("/+$", "")
+      .split('/').filter(_.nonEmpty)
+    val rel = comps.indices.iterator.map(i => comps.drop(i).mkString("/"))
+      .find(r => new java.io.File(new java.io.File(base, r),
+        "_metadata").exists())
+      .getOrElse(return false)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = om.readTree(new java.io.File(new java.io.File(base, rel),
+      "_metadata"))
+    if (meta.get("partitions") != null &&
+        meta.get("partitions").size() > 0) return false
+    val tbl = om.readTree(meta.get("table").asText)
+    val name = Option(m.group(1)).map(_.split('.').last)
+      .getOrElse(tbl.get("1").get("str").asText)
+    val sd = tbl.get("7").get("rec")
+    import scala.jdk.CollectionConverters._
+    val cols = sd.get("1").get("lst").elements.asScala.drop(2).map(c =>
+      c.get("1").get("str").asText + " " +
+        c.get("2").get("str").asText).mkString(", ")
+    emptyView(name, cols)
+    for {
+      serde <- Option(sd.get("7")).flatMap(r => Option(r.get("rec")))
+      mp <- Option(serde.get("3")).flatMap(x => Option(x.get("map")))
+      entries <- mp.elements.asScala.toSeq.lastOption
+      d <- Option(entries.get("field.delim")).map(_.asText)
+    } viewSeps(name.toLowerCase) =
+      GoldenFixtures.defaultSeps.updated(0, d)
+    fixtureFilesUnder(rel).filterNot(_.endsWith("_metadata"))
+      .foreach(f => loadData(f, name, overwrite = false, null))
+    true
+  }
 
   /** Fixture paths under the reference's data/files, one entry per
     * regular file (a directory fixture lists its files recursively,
@@ -2606,6 +2695,20 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       Seq(castCharRewrite(q))
     else if (msg.contains("WINDOW_FUNCTION_WITHOUT_OVER_CLAUSE"))
       liftNestedLag(q).toSeq
+    else if (msg.contains("UNEXPECTED_INPUT_TYPE") &&
+        msg.contains("INTERVAL"))
+      // Hive's year/month/day/... UDFs accept intervals and extract
+      // the field (UDFYear etc. on HiveIntervalYearMonth/DayTime);
+      // Spark spells that EXTRACT(field FROM interval)
+      ("\"(?:year|month|day|hour|minute|second)\\((\\w+)\\)\"".r
+        .findFirstMatchIn(msg).map { m =>
+          // Spark silently NULLs hour/minute/second over an interval
+          // (cast-to-string path) instead of erroring — rewrite every
+          // field accessor on this column in one go
+          q.replaceAll(
+            s"(?i)\\b(year|month|day|hour|minute|second)\\s*\\(\\s*${m.group(1)}\\s*\\)",
+            s"extract($$1 from ${m.group(1)})")
+        }).toSeq
     else if (msg.contains("golden mismatch") &&
         "(?i)\\b(stddev_samp|var_samp|variance_samp|covar_samp)\\s*\\("
           .r.findFirstIn(q).isDefined)
@@ -3126,12 +3229,15 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         lazy val firstLineMasked = s.linesIterator
           .map(_.trim).filterNot(l => l.isEmpty || l.startsWith("--"))
           .nextOption().exists(l => l.contains("${system:") ||
-            l.contains("${hiveconf:") || l.contains("hdfs://"))
+            l.contains("${hiveconf:") || l.contains("hdfs://") ||
+            l.contains("file://") || l.contains("'/tmp/") ||
+            l.contains("\"/tmp/"))
         n.startsWith("set ") || n.startsWith("dfs ") ||
           n.startsWith("add file") || n.startsWith("add jar") ||
           n.startsWith("add archive") || n.startsWith("delete file") ||
           n.startsWith("delete jar") || n.startsWith("reset") ||
           ((n.startsWith("load data") || n.startsWith("create ") ||
+            n.startsWith("alter ") || n.startsWith("import") ||
             (n.startsWith("insert overwrite") &&
               n.contains("directory"))) && firstLineMasked) ||
           n.matches("create (temporary )?function .* using " +
@@ -3219,12 +3325,20 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       } else if (n.startsWith("insert overwrite")) {
         // masked INSERT OVERWRITE DIRECTORY (path on its first line):
         // evaluate and stash like the visible form
-        ("(?is)insert\\s+overwrite\\s+(?:local\\s+)?directory\\s+" +
+        ("(?is)insert\\s+overwrite\\s+(local\\s+)?directory\\s+" +
           "['\"]([^'\"]*)['\"]\\s*(?:row\\s+format[^;]*?)?" +
           "(?:stored\\s+as\\s+\\w+\\s*)?((?:select|with|from).*)").r
           .findFirstMatchIn(s.trim.stripSuffix(";")).foreach(m =>
-            storeDirSink(m.group(1),
-              spark.sql(dialectShims(m.group(2)))))
+            storeDirSink((if (m.group(1) != null) "file:/" else "") +
+                m.group(2),
+              spark.sql(dialectShims(m.group(3)))))
+      } else if (n.startsWith("alter ")) {
+        // masked ALTER (a LOCATION path on its first line): replay it
+        // through the normal statement path with the source text
+        // (tailExec points at the current block's exec dispatcher)
+        tailExec(dialectShims(s.trim.stripSuffix(";")))
+      } else if (n.startsWith("import")) {
+        importExportFixture(s.trim.stripSuffix(";"))
       } else if (n.startsWith("create ")) {
         // masked CREATE (its LOCATION was a ${system:*} path): an
         // empty view whose location binds to later directory sinks
@@ -3441,6 +3555,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
                 .findFirstIn(s).isDefined)
               spark.table(name).foreach(_ => ())
           }
+          recordDelims(name, q) // NULL DEFINED AS etc. on CTAS
           applyTestMask(name)
         case likeRe(name, other) =>
           // IF NOT EXISTS: an existing table (and its rows) survives
@@ -3577,9 +3692,10 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         // directory sink: rows land in dirStore so a later masked
         // LOAD DATA INPATH over the same path reads them back (the
         // goldens otherwise inspect it via masked dfs -cat output)
-        "(?is)insert\\s+overwrite\\s+(?:local\\s+)?directory\\s+'([^']*)'\\s*(?:row\\s+format[^;]*?)?(?:stored\\s+as\\s+\\w+\\s*)?((?:select|with).*)".r
+        "(?is)insert\\s+overwrite\\s+(local\\s+)?directory\\s+'([^']*)'\\s*(?:row\\s+format[^;]*?)?(?:stored\\s+as\\s+\\w+\\s*)?((?:select|with).*)".r
           .findFirstMatchIn(q).foreach(m =>
-            storeDirSink(m.group(1), spark.sql(m.group(2))))
+            storeDirSink((if (m.group(1) != null) "file:/" else "") +
+              m.group(2), spark.sql(m.group(3))))
       } else if (execute(q)) {
         // handled by the HiveStatements dialect layer (src/main):
         // UPDATE/DELETE/MERGE INTO, LOAD DATA, EXPORT/IMPORT, insert
@@ -3659,7 +3775,16 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
                   spark.sparkContext.parallelize[Row](rows, 1), schema),
                 spec)
             case None =>
-              tableLoc.toSeq.collectFirst {
+              // the location may name a data/files fixture through the
+              // script's dfs copies (and the table that first bound it
+              // may be dropped by now) — load the fixture files into
+              // the new partition directly
+              val viaFixture = copyLineageRels(loc, qSourceText)
+                .flatMap(r => fixtureFilesUnder(r))
+              if (viaFixture.nonEmpty)
+                viaFixture.foreach(f => scala.util.Try(
+                  loadData(f, table, overwrite = false, spec)))
+              else tableLoc.toSeq.collectFirst {
                 case (tn, l) if l.nonEmpty && (loc == l ||
                     loc.startsWith(l + "/")) &&
                     scala.util.Try(spark.table(tn)).isSuccess =>
@@ -3777,16 +3902,37 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           val t = "(?is)alter table\\s+`?([\\w.]+)`?".r
             .findFirstMatchIn(q).get.group(1).split('.').last
           tableSegs(t.toLowerCase) = 1
-        case _ if tsFormatsRe.findFirstMatchIn(q).isDefined &&
+        case _ if (tsFormatsRe.findFirstMatchIn(q).isDefined ||
+              nullFmtRe.findFirstMatchIn(q).isDefined) &&
             ql.matches("(?s)alter table.*set\\s+serdeproperties.*") =>
-          // timestamp.formats swap re-reads the stored text through
-          // the new patterns (LazySimpleSerDe deserialization happens
+          // serde-property swap re-reads the stored text through the
+          // new configuration (LazySimpleSerDe deserialization happens
           // at READ time, so existing rows change meaning)
           val t = "(?is)alter table\\s+`?([\\w.]+)`?".r
             .findFirstMatchIn(q).get.group(1).split('.').last
+          val lc = t.toLowerCase
+          val oldNull = viewNullFmt.get(lc)
+          if (sys.env.contains("GOLDEN_DUMP"))
+            println(s"[serde-swap] $lc oldNull=$oldNull raw=" +
+              rawStore.contains(lc) + " cells=" +
+              rawStore.getOrElse(lc, Vector.empty)
+                .map(_.cells.mkString("|")).mkString(" ; ").take(200))
           recordDelims(t, q)
-          if (rawStore.contains(t.toLowerCase))
+          if (sys.env.contains("GOLDEN_DUMP"))
+            println(s"[serde-swap] $lc newNull=" + viewNullFmt.get(lc))
+          if (rawStore.contains(lc))
             deriveView(t, spark.table(t).schema)
+          else if (oldNull.isDefined && viewNullFmt.get(lc) != oldNull) {
+            // nulls were STORED as the old marker; under the new
+            // format they read back as that literal text
+            import org.apache.spark.sql.functions.{col, lit, coalesce}
+            val df = spark.table(t)
+            register(df.select(df.schema.fields.map(f =>
+              if (f.dataType == StringType)
+                coalesce(col(f.name), lit(oldNull.get)).as(f.name)
+              else col(f.name)).toIndexedSeq: _*)
+              .collect().toVector, df.schema, t)
+          }
         case _ => // other ALTERs (props/touch) are no-ops
       } else if (ql.startsWith("insert")) {
         unhandled("insert", q)
@@ -3800,7 +3946,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           val mh = "(?is)from\\s+(.+?)\\s+(insert\\s+.*)".r
             .findFirstMatchIn(q).getOrElse(unhandled("from-insert", q))
           val from = mh.group(1)
-          val dirRe = ("(?is)insert\\s+overwrite\\s+(?:local\\s+)?" +
+          val dirRe = ("(?is)insert\\s+overwrite\\s+(local\\s+)?" +
             "directory\\s+'([^']*)'\\s*(?:row\\s+format[^;]*?)?" +
             "(?:stored\\s+as\\s+\\w+\\s*)?((?:select|map\\s|reduce\\s).*)").r
           mh.group(2).split("(?is)(?=insert\\s+(?:overwrite|into)\\s+)")
@@ -3809,8 +3955,9 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
               if (sl.matches("(?s)insert\\s+overwrite\\s+(?:local\\s+)?" +
                   "directory.*"))
                 dirRe.findFirstMatchIn(seg).foreach(x =>
-                  storeDirSink(x.group(1),
-                    spark.sql(s"FROM $from ${x.group(2)}")))
+                  storeDirSink((if (x.group(1) != null) "file:/" else "") +
+                    x.group(2),
+                    spark.sql(s"FROM $from ${x.group(3)}")))
               else seg match {
                 case HiveStatements.insertSegRe(mode, table, part, sel) =>
                   insertSegment(from, table,
