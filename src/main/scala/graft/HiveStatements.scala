@@ -63,8 +63,10 @@ class HiveStatements(val spark: SparkSession) {
   /** One segment of a FROM-first (multi-)insert: `FROM <from>
     * INSERT ... <sel>`. */
   protected def insertSegment(from: String, table: String,
-      overwrite: Boolean, sel: String, partSpec: String): Unit =
-    insertStatement(table, overwrite, s"FROM $from $sel", partSpec, Nil)
+      overwrite: Boolean, sel: String, partSpec: String,
+      colList: Seq[String] = Nil): Unit =
+    insertStatement(table, overwrite, s"FROM $from $sel", partSpec,
+      colList)
 
   /** LOAD DATA: append/overwrite `path`'s rows into `table`. The
     * default parses Hive's default lazy-text layout (ctrl-A delimited,
@@ -225,7 +227,13 @@ class HiveStatements(val spark: SparkSession) {
           // (including dynamic partition columns named in the list);
           // unlisted columns read NULL
           val idx = listed.indexOf(f.name.toLowerCase)
-          if (idx < 0) lit(null).cast(f.dataType).as(f.name)
+          if (idx < 0) {
+            // an UNLISTED dynamic partition column is NULL-filled and
+            // lands in the default partition like any null value
+            if (dynamic.contains(f.name.toLowerCase))
+              dynPart(lit(null).cast(f.dataType), f)
+            else lit(null).cast(f.dataType).as(f.name)
+          }
           else if (dynamic.contains(f.name.toLowerCase))
             dynPart(col(s"__c$idx"), f)
           else cvCast(col(s"__c$idx"), f.dataType).as(f.name)
@@ -497,11 +505,14 @@ class HiveStatements(val spark: SparkSession) {
       case _ if ql.contains("insert overwrite") &&
           ql.contains("directory") => false // caller-specific
       case fromHeadRe(from, rest) =>
-        rest.split("(?is)(?=insert\\s+(?:overwrite|into)\\s+table)")
+        rest.split("(?is)(?=insert\\s+(?:overwrite|into)\\s+)")
           .map(_.trim).filter(_.nonEmpty).foreach {
-            case insertSegRe(mode, table, part, sel) =>
+            case insertSegRe(mode, table, part, cols, sel) =>
               insertSegment(from, table,
-                mode.equalsIgnoreCase("overwrite"), sel, part)
+                mode.equalsIgnoreCase("overwrite"), sel, part,
+                if (cols == null) Nil
+                else cols.split(",").map(_.trim.replace("`", ""))
+                  .filter(_.nonEmpty).toSeq)
             case seg => throw new IllegalStateException(
               s"unhandled insert segment: $seg")
           }
@@ -723,9 +734,10 @@ object HiveStatements {
   // FROM-first insert: the from clause may be a whole join tree, and
   // several INSERT segments may share it (Hive multi-insert)
   private[graft] val fromHeadRe =
-    "(?is)from\\s+(.+?)\\s+(insert\\s+(?:overwrite|into)\\s+table\\s+.*)".r
+    "(?is)from\\s+(.+?)\\s+(insert\\s+(?:overwrite|into)\\s+.*)".r
   private[graft] val insertSegRe =
-    ("(?is)insert\\s+(overwrite|into)\\s+table\\s+" +
+    ("(?is)insert\\s+(overwrite|into)\\s+(?:table\\s+)?" +
       "`?(\\w+)`?\\s*(?:partition\\s*\\(([^)]*)\\))?\\s*" +
+      "(?:\\(\\s*([\\w`][\\w\\s,`]*)\\)\\s*)?" +
       "((?:select|map\\s|reduce\\s).*)").r
 }

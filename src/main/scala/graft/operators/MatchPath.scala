@@ -71,4 +71,84 @@ object MatchPath {
         }
       }.toDF(keep :+ "match_id" :+ "match_pos": _*)
   }
+
+  /** The reference's EXACT MatchPath contract (MatchPath.java:94):
+    * for EVERY row of the ordered partition, attempt a GREEDY,
+    * NON-BACKTRACKING match of the symbol chain starting there
+    * (SymbolFunction.match; Plus/Star consume while the predicate
+    * holds — MatchPath.java:492,534); each matching row emits one
+    * output row carrying all input columns plus `tpath`, the
+    * array-of-structs of the matched rows. Matches may overlap.
+    *
+    * @param pattern  names separated by '.', each optionally followed
+    *                 by '+' or '*' (e.g. "LATE.LATE+")
+    * @param symbols  (name, rowPredicate), names case-insensitive
+    */
+  def hiveMatchPath(df: DataFrame, partitionCols: Seq[String],
+                    orderCols: Seq[String],
+                    symbols: Seq[(String, Column)],
+                    pattern: String): DataFrame = {
+    val toks: Seq[(Int, Char)] = pattern.split('.').toSeq.map { t0 =>
+      val t = t0.trim
+      val q = t.lastOption.filter(c => c == '+' || c == '*')
+      val name = q.map(_ => t.dropRight(1)).getOrElse(t)
+      val idx = symbols.indexWhere(_._1.equalsIgnoreCase(name))
+      require(idx >= 0, s"matchpath: unknown symbol '$name'")
+      (idx, q.getOrElse(' '))
+    }
+    val inSchema = df.schema
+    val prepared = df.select(
+      inSchema.fieldNames.map(col).toIndexedSeq ++
+        symbols.zipWithIndex.map { case ((_, c), i) =>
+          coalesce(c.cast(BooleanType), lit(false)).as(s"__sym$i") }: _*)
+    val outSchema = StructType(inSchema.fields :+
+      StructField("tpath", ArrayType(StructType(inSchema.fields))))
+    implicit val rowEnc: Encoder[Row] = RowEncoder.encoderFor(outSchema)
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    def idxOf(name: String): Int = {
+      val i = prepared.schema.fieldNames
+        .indexWhere(_.equalsIgnoreCase(name))
+      require(i >= 0, s"matchpath: no column '$name'")
+      i
+    }
+    val keyIdx = partitionCols.map(idxOf)
+    val symIdx = symbols.indices.map(i => idxOf(s"__sym$i"))
+    val nIn = inSchema.fields.length
+    prepared.groupByKey(r => keyIdx.map(i => String.valueOf(r.get(i)))
+        .mkString("|"))
+      .flatMapSortedGroups(orderCols.map(col): _*) { (_, it) =>
+        val rows = it.toArray
+        val n = rows.length
+        def sym(i: Int, p: Int): Boolean = rows(p).getBoolean(symIdx(i))
+        def matchAt(start: Int): Int = {
+          var pos = start
+          var failed = false
+          val ti = toks.iterator
+          while (ti.hasNext && !failed) {
+            val (s, q) = ti.next()
+            q match {
+              case ' ' =>
+                if (pos < n && sym(s, pos)) pos += 1 else failed = true
+              case '+' =>
+                if (pos < n && sym(s, pos)) {
+                  pos += 1
+                  while (pos < n && sym(s, pos)) pos += 1
+                } else failed = true
+              case '*' =>
+                while (pos < n && sym(s, pos)) pos += 1
+            }
+          }
+          if (failed) -1 else pos
+        }
+        rows.indices.iterator.flatMap { i =>
+          val end = matchAt(i)
+          if (end <= i) None
+          else {
+            val path = (i until end).map(p =>
+              Row.fromSeq(rows(p).toSeq.take(nIn)))
+            Some(Row.fromSeq(rows(i).toSeq.take(nIn) :+ path))
+          }
+        }
+      }.toDF(outSchema.fieldNames.toIndexedSeq: _*)
+  }
 }

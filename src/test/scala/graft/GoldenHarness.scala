@@ -1414,9 +1414,11 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   }
 
   override protected def insertSegment(from: String, table: String,
-      overwrite: Boolean, sel: String, partSpec: String): Unit =
+      overwrite: Boolean, sel: String, partSpec: String,
+      colList: Seq[String] = Nil): Unit =
     insertInto(table, overwrite,
-      spark.sql(s"FROM $from ${mapReduceSugar(sel)}"), partSpec)
+      spark.sql(s"FROM $from ${mapReduceSugar(sel)}"), partSpec,
+      colList)
 
   override protected def loadStatement(path: String, table: String,
       overwrite: Boolean, partSpec: String): Unit =
@@ -1939,7 +1941,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     // (ql/udf/ptf/Noop.java); strip to the underlying relation — the
     // goldens' window functions re-declare their own specs. Fixpoint
     // loop unwraps nested calls innermost-first.
-    defaultOverOrder(stripNoops(q6))
+    defaultOverOrder(rewriteMatchPath(stripNoops(q6)))
   }
 
   /** Hive 2.x `GROUPING__ID` encodes bit i (LSB-first over the GROUP
@@ -2033,7 +2035,113 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         "(" + unmask(subs(m.group(1).toInt)) + ")"))
   }
 
-  private val noopCallRe = "(?i)\\bnoop(?:withmap)?\\s*\\(".r
+  /** PTF names bound to the reference's MatchPathResolver (the
+    * built-in `matchpath` plus CREATE TEMPORARY FUNCTION aliases). */
+  private val matchpathFns =
+    scala.collection.mutable.Set[String]("matchpath")
+
+  /** `from matchpath(on <rel> [distribute/partition by ..]
+    * [sort/order by ..] arg1('<pattern>'), arg2('<sym>'), arg3(<expr>)
+    * [, more sym/expr pairs], argN('<result exprs>'))` → evaluate the
+    * engine's hiveMatchPath and splice in a subquery projecting the
+    * result expressions (tpath included). */
+  private def rewriteMatchPath(q0: String): String = {
+    var q = q0
+    val fnAlt = matchpathFns.map(java.util.regex.Pattern.quote)
+      .mkString("|")
+    val callRe = s"(?i)\\b($fnAlt)\\s*\\(\\s*on\\b".r
+    def closeOf(s: String, open: Int): Int = {
+      var depth = 0; var j = open; var close = -1
+      while (j < s.length && close < 0) {
+        s(j) match { case '(' => depth += 1
+                     case ')' => depth -= 1; if (depth == 0) close = j
+                     case _ => }
+        j += 1
+      }
+      close
+    }
+    var m = callRe.findFirstMatchIn(q)
+    while (m.isDefined) {
+      val open = q.indexOf('(', m.get.start)
+      val close = closeOf(q, open)
+      if (close < 0) return q
+      val body = q.substring(open + 1, close).trim
+        .replaceFirst("(?is)^on\\s+", "")
+      val bl = body.toLowerCase
+      // top-level clause offsets
+      def topIdx(kw: String): Int = {
+        var d = 0; var k = 0; var hit = -1
+        while (k < body.length && hit < 0) {
+          body(k) match { case '(' => d += 1; case ')' => d -= 1
+                          case _ => }
+          if (d == 0 && (k == 0 || body(k - 1).isWhitespace) &&
+              bl.startsWith(kw, k)) hit = k
+          k += 1
+        }
+        hit
+      }
+      val argRe = "(?i)\\barg\\d+\\s*\\(".r
+      val firstArg = argRe.findFirstMatchIn(body).map(_.start)
+        .getOrElse(return q)
+      val partIdx0 = Seq(topIdx("distribute by"), topIdx("partition by"))
+        .filter(_ >= 0).minOption
+      val sortIdx0 = Seq(topIdx("sort by"), topIdx("order by"))
+        .filter(_ >= 0).minOption
+      val relEnd = Seq(partIdx0, sortIdx0, Some(firstArg))
+        .flatten.min
+      val rel = body.substring(0, relEnd).trim
+      def colsAt(start: Option[Int], endCands: Seq[Int]): Seq[String] =
+        start.map { s0 =>
+          val after = body.indexOf("by", s0) + 2
+          val end = endCands.filter(_ > after).minOption
+            .getOrElse(body.length)
+          body.substring(after, end).split(',')
+            .map(_.trim.replaceAll("(?i)\\s+(asc|desc)$", ""))
+            .filter(_.nonEmpty).toSeq
+        }.getOrElse(Nil)
+      val partCols = colsAt(partIdx0,
+        Seq(sortIdx0, Some(firstArg)).flatten)
+      val orderCols = colsAt(sortIdx0, Seq(firstArg))
+      // positional argN(...) values
+      val args = scala.collection.mutable.ArrayBuffer[String]()
+      var from = firstArg
+      var am = argRe.findFirstMatchIn(body.substring(from))
+      while (am.isDefined) {
+        val o = body.indexOf('(', from + am.get.start)
+        val c = closeOf(body, o)
+        if (c < 0) return q
+        args += body.substring(o + 1, c).trim
+        from = c + 1
+        am = argRe.findFirstMatchIn(body.substring(from))
+      }
+      if (args.length < 4 || args.length % 2 != 0) return q
+      def unq(s: String): String =
+        if (s.length >= 2 && s.head == '\'' && s.last == '\'')
+          s.substring(1, s.length - 1)
+        else s
+      val pattern = unq(args.head)
+      val syms = args.slice(1, args.length - 1).grouped(2).map {
+        case scala.collection.Seq(n, e) =>
+          (unq(n), org.apache.spark.sql.functions.expr(e))
+      }.toSeq
+      val resultExprs = unq(args.last)
+      val df = spark.sql(s"select * from $rel")
+      graft.operators.MatchPath
+        .hiveMatchPath(df, partCols, orderCols, syms, pattern)
+        .createOrReplaceTempView("__matchpath")
+      val tail = q.substring(close + 1)
+      val needsAlias =
+        !tail.dropWhile(_.isWhitespace).headOption.exists(_.isLetter)
+      q = q.substring(0, m.get.start) +
+        s"(select $resultExprs from __matchpath)" +
+        (if (needsAlias) " __mp" else "") + tail
+      m = callRe.findFirstMatchIn(q)
+    }
+    q
+  }
+
+  private val noopCallRe =
+    "(?i)\\bnoop(?:withmap)?(?:streaming)?\\s*\\(".r
 
   /** Hive's noop/noopwithmap test PTFs pass rows through unchanged
     * (ql/udf/ptf/Noop.java): replace `noop(on <rel> [partition/
@@ -2252,6 +2360,10 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     def expr(b: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(fname, b, "built-in")
     cls match {
+      // a PTF alias for the reference MatchPath resolver — handled by
+      // the from-clause rewrite, not the function registry
+      case "MatchPath$MatchPathResolver" =>
+        matchpathFns += fname.toLowerCase
       // itests/util .../UDFTestLength[2].java: character length
       case "UDFTestLength" | "UDFTestLength2" =>
         expr(es => Length(es.head))
@@ -2705,8 +2817,13 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           // Spark silently NULLs hour/minute/second over an interval
           // (cast-to-string path) instead of erroring — rewrite every
           // field accessor on this column in one go
+          // UDFSecond returns INT — Spark's EXTRACT(SECOND) yields
+          // DECIMAL seconds, so truncate that one field
           q.replaceAll(
-            s"(?i)\\b(year|month|day|hour|minute|second)\\s*\\(\\s*${m.group(1)}\\s*\\)",
+            s"(?i)\\bsecond\\s*\\(\\s*${m.group(1)}\\s*\\)",
+            s"cast(extract(second from ${m.group(1)}) as int)")
+           .replaceAll(
+            s"(?i)\\b(year|month|day|hour|minute)\\s*\\(\\s*${m.group(1)}\\s*\\)",
             s"extract($$1 from ${m.group(1)})")
         }).toSeq
     else if (msg.contains("golden mismatch") &&
@@ -3959,9 +4076,12 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
                     x.group(2),
                     spark.sql(s"FROM $from ${x.group(3)}")))
               else seg match {
-                case HiveStatements.insertSegRe(mode, table, part, sel) =>
+                case HiveStatements.insertSegRe(mode, table, part, cols, sel) =>
                   insertSegment(from, table,
-                    mode.equalsIgnoreCase("overwrite"), sel, part)
+                    mode.equalsIgnoreCase("overwrite"), sel, part,
+                    if (cols == null) Nil
+                    else cols.split(",").map(_.trim.replace("`", ""))
+                      .filter(_.nonEmpty).toSeq)
                 case _ => unhandled("insert segment", seg)
               }
             }
