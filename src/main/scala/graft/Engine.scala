@@ -81,6 +81,8 @@ object Engine {
     // (SURVEY.md §7.3 dialect list)
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.preserveCharVarcharTypeInfo", "true")
+    // Hive's LazyMap keeps the LAST duplicate key (LinkedHashMap put)
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     spark.conf.set("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")

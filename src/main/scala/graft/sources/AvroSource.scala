@@ -55,6 +55,19 @@ object AvroIO {
     * reference's uniontype, which our engine models as a tagged struct
     * (create_union) and does not accept from Avro files either.
     */
+  /** Pre-spec Avro decimals carry precision/scale as STRING props,
+    * which the Avro library refuses to parse into a LogicalType; the
+    * reference's AvroSerdeUtils reads them leniently
+    * (serde/avro/AvroSerdeUtils.getPrecisionScale). */
+  private def legacyDecimal(s: Schema): Option[(Int, Int)] =
+    if (s.getProp("logicalType") != "decimal") None
+    else {
+      def prop(n: String, dflt: Int) =
+        Option(s.getObjectProp(n)).map(_.toString.replace("\"", "")
+          .trim.toInt).getOrElse(dflt)
+      Some((prop("precision", 38), prop("scale", 0)))
+    }
+
   def sparkType(s: Schema): DataType = s.getType match {
     case Type.BOOLEAN => BooleanType
     case Type.INT =>
@@ -70,7 +83,10 @@ object AvroIO {
     case Type.BYTES | Type.FIXED =>
       s.getLogicalType match {
         case d: LogicalTypes.Decimal => DecimalType(d.getPrecision, d.getScale)
-        case _ => BinaryType
+        case _ => legacyDecimal(s) match {
+          case Some((p, sc)) => DecimalType(p, sc)
+          case None => BinaryType
+        }
       }
     case Type.ARRAY => ArrayType(sparkType(s.getElementType))
     case Type.MAP => MapType(StringType, sparkType(s.getValueType))
@@ -337,7 +353,11 @@ object AvroIO {
         s.getLogicalType match {
           case d: LogicalTypes.Decimal =>
             new JBigDecimal(new BigInteger(bytes), d.getScale)
-          case _ => bytes
+          case _ => legacyDecimal(s) match {
+            case Some((_, sc)) =>
+              new JBigDecimal(new BigInteger(bytes), sc)
+            case None => bytes
+          }
         }
       case Type.INT if isLogical(s, "date") =>
         Date.valueOf(java.time.LocalDate.ofEpochDay(
