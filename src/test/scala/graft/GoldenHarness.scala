@@ -34,6 +34,11 @@ object GoldenFixtures {
     * precision). Tried in order BEFORE the default parse; a pattern
     * that leaves unparsed text does not match. */
   var tsFormats: Seq[String] = Nil
+
+  /** hive.lazysimple.extended_boolean_literal: when set, text booleans
+    * also accept t/f/1/0/yes/no (LazyUtils.writePrimitiveUTF8 /
+    * LazyBoolean extended parsing). Session-wide toggle. */
+  @volatile var extendedBool: Boolean = false
   def customTsParse(raw: String): Option[java.time.LocalDateTime] =
     tsFormats.iterator.flatMap { p =>
       try {
@@ -253,7 +258,15 @@ object GoldenFixtures {
       case LongType => raw.toLongOption.map(Long.box).orNull
       case FloatType => raw.toFloatOption.map(Float.box).orNull
       case DoubleType => raw.toDoubleOption.map(Double.box).orNull
-      case BooleanType => raw.toBooleanOption.map(Boolean.box).orNull
+      case BooleanType =>
+        raw.toBooleanOption.map(Boolean.box).orElse {
+          if (!extendedBool) None
+          else raw.trim.toLowerCase match {
+            case "t" | "1" | "yes" | "on" => Some(Boolean.box(true))
+            case "f" | "0" | "no" | "off" => Some(Boolean.box(false))
+            case _ => None
+          }
+        }.orNull
       case TimestampType =>
         // text timestamps are wall-clock in the qtest zone
         // (US/Pacific), not the JVM default. Parse PROLEPTIC
@@ -464,10 +477,64 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   override def insertInto(table: String, overwrite: Boolean,
       sel: org.apache.spark.sql.DataFrame, partSpec: String = null,
       colList: Seq[String] = Nil): Unit = {
-    val lc = table.split('.').last.toLowerCase
+    // hive.test.mode: writes land in the PREFIXED twin when it exists
+    // (ExecDriver test-mode table rename)
+    val t0 = table.split('.').last
+    val target =
+      if (testMode && scala.util.Try(
+          spark.table(testModePrefix + t0)).isSuccess)
+        testModePrefix + t0
+      else t0
+    val lc = target.toLowerCase
     tableSegs(lc) =
       if (overwrite) 1 else tableSegs.getOrElse(lc, 1) + 1
-    super.insertInto(table, overwrite, sel, partSpec, colList)
+    super.insertInto(target, overwrite, sel, partSpec, colList)
+  }
+
+  /** hive.test.mode replay (SemanticAnalyzer.java:10513-10560): while
+    * ON, every sampled table read takes BUCKET 1 OUT OF n for
+    * physically bucketed fixtures (input pruning — the first bucket
+    * FILE) or the seeded dummy filter
+    * `(hash(rand(460476415)) & MAX_INT) % freq == 0` for plain
+    * tables, evaluated in view row order like the single-mapper
+    * stream. */
+  private var testMode = false
+  private var testModePrefix = "test_"
+  private var testModeFreq = 32
+  private var testModeNoSample: Set[String] = Set.empty
+
+  private def testModeSample(q: String): String = {
+    if (!testMode) return q
+    val tblRe = "(?i)\\b(from|join)\\s+`?(\\w+)`?".r
+    tblRe.replaceAllIn(q, m => {
+      val t = m.group(2).toLowerCase
+      if (t.startsWith(testModePrefix.toLowerCase) ||
+          testModeNoSample.contains(t) ||
+          !scala.util.Try(spark.table(t)).isSuccess) m.group(0)
+      else {
+        val view = t + "__tmsample"
+        val df = spark.table(t)
+        val rows = df.collect().toVector
+        val bucketFile0 = Map(
+          "srcbucket" -> "srcbucket0.txt",
+          "srcbucket2" -> "srcbucket20.txt")
+        val kept = bucketFile0.get(t) match {
+          case Some(f0) =>
+            rows.take(GoldenFixtures.lines(f0).length)
+          case None =>
+            val rnd = new java.util.Random(460476415L)
+            rows.filter { _ =>
+              val bits = java.lang.Double.doubleToLongBits(
+                rnd.nextDouble())
+              ((bits ^ (bits >>> 32)).toInt & 0x7fffffff) %
+                testModeFreq == 0
+            }
+        }
+        register(kept, df.schema, view)
+        scala.util.matching.Regex.quoteReplacement(
+          s"${m.group(1)} $view ${m.group(2)}")
+      }
+    })
   }
 
   /** Rewrite FROM/JOIN references of vc-capable tables to their twin
@@ -1200,6 +1267,17 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           s"/root/reference/data/files/$fileName",
           StructType(dataFields.map(f =>
             f.copy(dataType = stripCharVarchar(f.dataType))).toIndexedSeq))
+      } else if (magic.startsWith("SEQ") &&
+          !fileName.contains("thrift")) {
+        // delimited-Text SequenceFile (kv1.seq) through the engine's
+        // own source; thrift-encoded fixtures keep their special path
+        graft.sources.SequenceFileIO.read(spark,
+          s"/root/reference/data/files/$fileName",
+          StructType(dataFields.map(f =>
+            f.copy(dataType = stripCharVarchar(f.dataType)))
+            .toIndexedSeq),
+          viewSeps.getOrElse(table.toLowerCase,
+            GoldenFixtures.defaultSeps)(0))
       } else if (fileName.endsWith(".orc") || magic.startsWith("ORC")) {
         alignByName(
           spark.read.orc(s"/root/reference/data/files/$fileName"),
@@ -1862,11 +1940,12 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     *    (ref ql/parse/SemanticAnalyzer genSamplePredicate);
     *  - `default.`-qualified names → bare (fixtures are temp views). */
   private def dialectShims(q000: String): String = {
-    val q00 =
+    val q00x =
       if (q000.toLowerCase.contains("input__file__name") ||
           q000.toLowerCase.contains("block__offset__inside__file"))
         rewriteVcTables(q000)
       else q000
+    val q00 = testModeSample(q00x)
     // table names with '/' (backticked in HiveQL) can't name a temp
     // view — sanitize consistently across every statement
     val q0s0 =
@@ -3590,6 +3669,12 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     // statements attach to the index of the NEXT golden-visible one —
     // and only trust the alignment when the visible count matches the
     // block count exactly (else: no positional side effects, as before).
+    val srcSetKeys: Set[String] = srcStatements.map(norm)
+      .filter(_.startsWith("set "))
+      .map(_.stripPrefix("set ").stripSuffix(";").trim
+        .split("=", 2)(0).trim)
+      .flatMap(k => Seq(k, k.split(":", 2).last))
+      .toSet
     val allBlocks = blocks(file)
     val sideEffectsAt: Map[Int, Vector[String]] = {
       def maskedStmt(s: String): Boolean = {
@@ -3647,6 +3732,20 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
               if (n.startsWith("dfs -mv ")) dirStore.remove(src)
             }
         }
+      }
+      else if (n.startsWith("set hive.test.mode.prefix"))
+        testModePrefix = n.split("=", 2).last.trim
+      else if (n.startsWith("set hive.test.mode.samplefreq"))
+        testModeFreq = n.split("=", 2).last.trim.toInt
+      else if (n.startsWith("set hive.test.mode.nosamplelist"))
+        testModeNoSample = n.split("=", 2).last.trim
+          .split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+      else if (n.startsWith("set hive.test.mode="))
+        testMode = n.replace(" ", "").endsWith("=true")
+      else if (n.startsWith("set hive.lazysimple.extended_boolean_literal")) {
+        GoldenFixtures.extendedBool = n.replace(" ", "").endsWith("=true")
+        rawStore.keys.toVector.foreach(t => scala.util.Try(
+          deriveView(t, spark.table(t).schema)))
       }
       else if (n.startsWith("set hive.cli.print.header"))
         printHeader = n.replace(" ", "").endsWith("=true")
@@ -3792,12 +3891,21 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         // and the qtest recorder keeps them (`WARNING: Comparing a
         // bigint and a string...`, `unix_timestamp(void) is
         // deprecated...`) — they are not data
+        // a masked `set x[=v]` near this block echoes `x=value` into
+        // the recorded rows (the CLI prints the effective conf)
+        // `set` statements leave no PREHOOK block — a bare `set x;`
+        // QUERY echoes `x=value` as a floating line glued to the
+        // previous block's rows. Any key the .q source ever sets is a
+        // candidate echo (alignment-independent).
+        val setEchoes: Set[String] = srcSetKeys
         val want0 = b.rows.filterNot(isHashLine)
           .filterNot(l => l.startsWith("WARNING:") ||
             // dfs -ls output whose path lines were masked away leaves
             // its "Found N items" header among the result rows
             l.matches("Found \\d+ items") ||
             leakedLines.contains(l.trim) ||
+            (l.contains("=") && !l.contains("\t") &&
+              setEchoes.contains(l.split("=", 2)(0).trim)) ||
             l.endsWith("is deprecated. Use current_timestamp instead."))
           .sorted
         // bounded materialization: a replay bug that inflates the
