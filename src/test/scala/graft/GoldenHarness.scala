@@ -1924,7 +1924,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       "transform_acid_grep.sh" -> s"bash $repo/transform_acid_grep.sh")
   }
   private val tsOnRe = ("(?is)([\\w.]+)\\s+tablesample\\s*\\(\\s*bucket" +
-    "\\s+(\\d+)\\s+out\\s+of\\s+(\\d+)\\s+on\\s+([^)]+)\\)").r
+    "\\s+(\\d+)\\s+out\\s+of\\s+(\\d+)\\s+on\\s+" +
+    "((?:[^()]|\\([^()]*\\))+)\\)").r
   private val mrRe = "(?is)\\s*(?:map|reduce)\\s+(.+?)\\s+(using\\s+.*)".r
 
   /** Hive dialect shims applied to every replayed statement:
@@ -1945,7 +1946,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           q000.toLowerCase.contains("block__offset__inside__file"))
         rewriteVcTables(q000)
       else q000
-    val q00 = testModeSample(q00x)
+    val q00 = testModeSample(randSeedViews(bucketFileSample(q00x)))
     // table names with '/' (backticked in HiveQL) can't name a temp
     // view — sanitize consistently across every statement
     val q0s0 =
@@ -1994,8 +1995,9 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     val q3 = tsOnRe.replaceAllIn(q2, m =>
       scala.util.matching.Regex.quoteReplacement(
         // BUCKET 1 OUT OF 1 keeps every row — the identity case also
-        // covers sampling ON rand() deterministically
-        if (m.group(3).toInt == 1) m.group(1)
+        // covers sampling ON rand() deterministically (still wrapped,
+        // to keep the original's paren balance)
+        if (m.group(3).toInt == 1) s"(select * from ${m.group(1)})"
         else s"(select * from ${m.group(1)} where (hive_hash(${m.group(4).trim})" +
           s" & 2147483647) % ${m.group(3)} = ${m.group(2).toInt - 1})"))
     var q4 = q3.replaceAll("(?i)(?<![\\w.`])`?default`?\\.(?=`?\\w)", "")
@@ -2008,6 +2010,12 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     // Hive `LIMIT offset,count` sugar → standard LIMIT/OFFSET
     q4 = q4.replaceAll("(?i)\\blimit\\s+(\\d+)\\s*,\\s*(\\d+)",
       "limit $2 offset $1")
+    // Hive FLOOR(ts TO unit) (HiveParser floorExpression) — Spark
+    // spells it date_trunc
+    q4 = q4.replaceAll(
+      "(?i)\\bfloor\\s*\\(\\s*([^()]+?)\\s+to\\s+" +
+        "(year|quarter|month|week|day|hour|minute|second)\\s*\\)",
+      "date_trunc('$2', $1)")
     // Hive charset literals `_UTF-8 0x<hex>` (HiveParser charSetLiteral)
     q4 = q4.replaceAll(
       "(?i)_UTF-8\\s+0x([0-9A-Fa-f]+)",
@@ -2333,6 +2341,106 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     q
   }
 
+  /** Physical file layout of the multi-file fixtures, in VIEW row
+    * order — drives bucket-file input pruning and per-mapper seeded
+    * rand streams. */
+  private def fixtureFiles(t: String): Option[Seq[String]] = t match {
+    case "src" => Some(Seq("kv1.txt"))
+    case "srcbucket" => Some(Seq("srcbucket0.txt", "srcbucket1.txt"))
+    case "srcbucket2" => Some(Seq("srcbucket20.txt", "srcbucket21.txt",
+      "srcbucket22.txt", "srcbucket23.txt"))
+    case "srcpart" => Some(Seq.fill(4)("kv1.txt"))
+    case _ => None
+  }
+
+  /** `t TABLESAMPLE (BUCKET n OUT OF m)` with NO ON clause over a
+    * physically bucketed fixture reads the bucket FILES (input
+    * pruning: file i where i % m == n-1 — ql/parse/SemanticAnalyzer
+    * genSamplePredicate input-pruning path). */
+  private def bucketFileSample(q: String): String = {
+    val re = ("(?i)\\b(srcbucket2?)\\s+tablesample\\s*\\(\\s*bucket" +
+      "\\s+(\\d+)\\s+out\\s+of\\s+(\\d+)\\s*\\)").r
+    re.replaceAllIn(q, m => {
+      val t = m.group(1).toLowerCase
+      val n = m.group(2).toInt; val mm = m.group(3).toInt
+      (fixtureFiles(t), scala.util.Try(spark.table(t)).toOption) match {
+        case (Some(files), Some(df)) =>
+          val counts = files.map(f => GoldenFixtures.lines(f).length)
+          val rows = df.collect().toVector
+          val kept = files.indices.filter(i => i % mm == n - 1)
+            .flatMap { i =>
+              val start = counts.take(i).sum
+              rows.slice(start, start + counts(i))
+            }.toVector
+          val view = s"${t}__bucket${n}_$mm"
+          register(kept, df.schema, view)
+          scala.util.matching.Regex.quoteReplacement(view)
+        case _ => scala.util.matching.Regex.quoteReplacement(m.group(0))
+      }
+    })
+  }
+
+  /** `rand(seed)` with a LITERAL seed replays Hive's per-mapper
+    * stream: each physical FILE of the scanned fixture gets a fresh
+    * java.util.Random(seed), consumed once per row in file order
+    * (UDFRand holds one Random per operator instance; one mapper per
+    * file). The value rides as a precomputed column so partition
+    * pruning can't desync the stream. */
+  private def randSeedViews(q: String): String = {
+    val randRe = "(?i)\\brand\\s*\\(\\s*(\\d+)\\s*\\)".r
+    val rm = randRe.findFirstMatchIn(q).getOrElse(return q)
+    val seed = rm.group(1).toLong
+    val fromRe = "(?i)\\b(from|join)\\s+(src|srcpart|srcbucket2?)\\b".r
+    if (fromRe.findFirstMatchIn(q).isEmpty) return q
+    var out = fromRe.replaceAllIn(q, m => {
+      val t = m.group(2).toLowerCase
+      (fixtureFiles(t), scala.util.Try(spark.table(t)).toOption) match {
+        case (Some(files), Some(df)) =>
+          val rows = df.collect().toVector
+          // ONE Random per table scan, consumed over the rows the
+          // scan actually READS: partition pruning (ds/hr equality
+          // conjuncts in the query) removes whole files BEFORE the
+          // stream starts (CombineHiveInputFormat feeds the pruned
+          // files to a single mapper — rand_partitionpruner2's 116
+          // rows reproduce only with the continuous stream)
+          val partEq = "(?i)\\b(?:\\w+\\.)?(ds|hr)\\s*=\\s*'([^']*)'".r
+            .findAllMatchIn(q).map(mm =>
+              (mm.group(1).toLowerCase, mm.group(2))).toSeq
+          val schema0 = df.schema
+          def prunedIn(r: Row): Boolean = partEq.forall { case (c, v) =>
+            val i = schema0.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+            i < 0 || String.valueOf(r.get(i)) == v
+          }
+          val rnd = new java.util.Random(seed)
+          val out = rows.map { r =>
+            Row.fromSeq(r.toSeq :+
+              (if (prunedIn(r)) Double.box(rnd.nextDouble()) else null))
+          }
+          val view = s"${t}__rand$seed"
+          register(out, StructType(df.schema.fields :+
+            StructField(s"rand__$seed", DoubleType)), view)
+          // an explicit alias may follow — only re-alias with the
+          // original name when none does
+          val kw = Set("where", "group", "order", "sort", "cluster",
+            "distribute", "limit", "join", "left", "right", "full",
+            "inner", "cross", "union", "on", "having", "lateral",
+            "tablesample", "as", "select", "insert")
+          val next = "\\s*(\\w+)".r.findPrefixMatchOf(m.after)
+            .map(_.group(1).toLowerCase)
+          val aliasTail =
+            if (next.exists(n => !kw.contains(n))) ""
+            else s" ${m.group(2)}"
+          scala.util.matching.Regex.quoteReplacement(
+            s"${m.group(1)} $view$aliasTail")
+        case _ =>
+          scala.util.matching.Regex.quoteReplacement(m.group(0))
+      }
+    })
+    if (out != q)
+      out = randRe.replaceAllIn(out, _ => s"rand__$seed")
+    out
+  }
+
   private val noopCallRe =
     "(?i)\\bnoop(?:withmap)?(?:streaming)?\\s*\\(".r
 
@@ -2391,10 +2499,10 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     unorderedOverRe.replaceAllIn(q, m => {
       val cols = m.group(1).trim
       val cl = cols.toLowerCase
-      if (cl.contains("order by") || cl.contains("sort by") ||
-          cl.contains(" rows") || cl.contains(" range")) m.group(0)
-      else scala.util.matching.Regex.quoteReplacement(
-        s"over (partition by $cols order by $cols)")
+      scala.util.matching.Regex.quoteReplacement(
+        if (cl.contains("order by") || cl.contains("sort by") ||
+            cl.contains(" rows") || cl.contains(" range")) m.group(0)
+        else s"over (partition by $cols order by $cols)")
     })
       // empty over(): one partition, engine-defined order — order by a
       // constant for Spark's ranking functions (same multiset)
