@@ -362,7 +362,15 @@ case class HivePrintf(children: Seq[Expression])
     val args = children.tail.map { e =>
       e.dataType match {
         case _: DecimalType => Cast(e, DoubleType, tz)
-        case TimestampType | DateType | BinaryType | _: CharType |
+        case BinaryType =>
+          // the reference passes the raw BytesWritable to the Java
+          // Formatter; %s renders its toString — per-byte lowercase
+          // hex, space-separated (Printf.java default case)
+          import org.apache.spark.sql.catalyst.expressions.{Hex, Lower,
+            Literal, RegExpReplace}
+          RegExpReplace(Lower(Hex(e)),
+            Literal("(..)(?!$)"), Literal("$1 "))
+        case TimestampType | DateType | _: CharType |
             _: VarcharType => Cast(e, StringType, tz)
         case _ => e
       }

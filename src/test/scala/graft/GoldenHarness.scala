@@ -39,6 +39,55 @@ object GoldenFixtures {
     * also accept t/f/1/0/yes/no (LazyUtils.writePrimitiveUTF8 /
     * LazyBoolean extended parsing). Session-wide toggle. */
   @volatile var extendedBool: Boolean = false
+
+  /** Escape character of the table being parsed (None = escaping
+    * off). Split respects it; primitive leaves unescape. */
+  var escapeChar: Option[Char] = None
+  /** serialization.escape.crlf: when true, escaped 'n'/'r' unescape
+    * to REAL newline/CR (HIVE-11785); otherwise the escaped byte is
+    * literal. */
+  var escapeCrlf: Boolean = false
+
+  def escSplit(line: String, delim: String): Seq[String] =
+    escapeChar match {
+      case Some(esc) if delim.length == 1 =>
+        val out = Vector.newBuilder[String]
+        val cur = new StringBuilder
+        var i = 0
+        while (i < line.length) {
+          val c = line.charAt(i)
+          if (c == esc && i + 1 < line.length) {
+            cur.append(c).append(line.charAt(i + 1)); i += 2
+          } else if (c == delim.charAt(0)) {
+            out += cur.result(); cur.clear(); i += 1
+          } else { cur.append(c); i += 1 }
+        }
+        out += cur.result()
+        out.result()
+      case _ =>
+        line.split(java.util.regex.Pattern.quote(delim), -1).toSeq
+    }
+
+  def unescapeLeaf(raw: String): String = escapeChar match {
+    case Some(esc) if raw.indexOf(esc) >= 0 =>
+      val sb = new StringBuilder
+      var i = 0
+      while (i < raw.length) {
+        val c = raw.charAt(i)
+        if (c == esc && i + 1 < raw.length) {
+          // LazyUtils: \n,\r,\t unescape to their control chars,
+          // anything else to the raw next byte
+          raw.charAt(i + 1) match {
+            case 'n' if escapeCrlf => sb.append('\n')
+            case 'r' if escapeCrlf => sb.append('\r')
+            case o => sb.append(o)
+          }
+          i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      sb.result()
+    case _ => raw
+  }
   def customTsParse(raw: String): Option[java.time.LocalDateTime] =
     tsFormats.iterator.flatMap { p =>
       try {
@@ -250,7 +299,8 @@ object GoldenFixtures {
       case _ => parsePrim(raw, dt)
     }
 
-  private def parsePrim(raw: String, dt: DataType): Any =
+  private def parsePrim(raw0: String, dt: DataType): Any = {
+    val raw = unescapeLeaf(raw0)
     dt match {
       case ByteType => raw.toByteOption.map(Byte.box).orNull
       case ShortType => raw.toShortOption.map(Short.box).orNull
@@ -311,6 +361,7 @@ object GoldenFixtures {
         if (raw.length > n) raw.substring(0, n) else raw
       case _ => raw
     }
+  }
 
   /** Column-spec string → schema; commas inside decimal(p,s) and
     * complex-type angle brackets survive. A COMMENT tail is dropped. */
@@ -1028,6 +1079,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           " hit=" + perPart.contains(rr.parts)).getOrElse("<empty>"))
     GoldenFixtures.tsFormats = viewTsFormats.getOrElse(lc, Nil)
     GoldenFixtures.nullFormat = viewNullFmt.getOrElse(lc, "\\N")
+    GoldenFixtures.escapeChar = viewEscape.get(lc)
+    GoldenFixtures.escapeCrlf = viewCrlf.getOrElse(lc, false)
     val rows = try rawStore(lc).map { rr =>
       val pSchema = perPart.getOrElse(rr.parts,
         StructType(dataFields.toIndexedSeq))
@@ -1051,6 +1104,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     } finally {
       GoldenFixtures.tsFormats = Nil
       GoldenFixtures.nullFormat = "\\N"
+      GoldenFixtures.escapeChar = None
+      GoldenFixtures.escapeCrlf = false
     }
     register(rows, StructType(dataFields ++ partFields), table)
   }
@@ -1125,6 +1180,13 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     * literal text (LazySimpleSerDe nullString). */
   private val viewNullFmt =
     scala.collection.mutable.Map[String, String]()
+  /** ESCAPED BY char per table (LazySimpleSerDe escaping: the byte
+    * after the escape char is literal; escaped delimiters don't
+    * split). */
+  private val viewEscape =
+    scala.collection.mutable.Map[String, Char]()
+  private val viewCrlf =
+    scala.collection.mutable.Map[String, Boolean]()
   private val nullFmtRe =
     ("(?is)(?:null\\s+defined\\s+as\\s+(?:'([^']*)'|\"([^\"]*)\")|" +
       "['\"]serialization\\.null\\.format['\"]\\s*=\\s*['\"]([^'\"]*)['\"])").r
@@ -1139,10 +1201,16 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   private val mapkeyTermRe =
     "(?is).*map\\s+keys\\s+terminated\\s+by\\s+'([^']+)'.*".r
 
-  private def unescDelim(d: String): String = d
-    .replace("\\t", "\t").replace("\\001", "")
-    .replace("\\002", "").replace("\\003", "")
-    .replace("\\004", "")
+  private def unescDelim(d: String): String = {
+    val e = d
+      .replace("\\t", "\t").replace("\\001", "")
+      .replace("\\002", "").replace("\\003", "")
+      .replace("\\004", "")
+    // LazyUtils.getByte: a NUMERIC delimiter string is a BYTE CODE
+    // ('9' means tab), anything else uses its first character
+    try String.valueOf((e.toByte & 0xFF).toChar)
+    catch { case _: NumberFormatException => e }
+  }
 
   /** Record TERMINATED BY overrides for `view` from create text `q`. */
   private def recordDelims(view: String, q: String): Unit = {
@@ -1175,6 +1243,13 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       tableBuckets(view.toLowerCase) =
         (m.group(1).split(',').map(_.trim.replace("`", ""))
           .filter(_.nonEmpty).toSeq, m.group(2).toInt))
+    ("(?is)(?:escaped\\s+by|'escape\\.delim'\\s*=)\\s*" +
+      "'((?:\\\\.|[^'])+)'").r
+      .findFirstMatchIn(q).foreach(m =>
+        viewEscape(view.toLowerCase) = unescDelim(m.group(1)).head)
+    "(?is)'serialization\\.escape\\.crlf'\\s*=\\s*'(\\w+)'".r
+      .findFirstMatchIn(q).foreach(m =>
+        viewCrlf(view.toLowerCase) = m.group(1).equalsIgnoreCase("true"))
     nullFmtRe.findFirstMatchIn(q).foreach(m =>
       viewNullFmt(view.toLowerCase) =
         Option(m.group(1)).orElse(Option(m.group(2)))
@@ -1324,9 +1399,10 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           // schema ALTERs can still see the full stored bytes
           // (RegexSerDe tables parse eagerly instead — their "cells"
           // are regex match groups, not delimited bytes)
-          mergeRawLoad(table, textLines().map(l =>
-            l.split(java.util.regex.Pattern.quote(seps(0)), -1).toSeq),
-            overwrite, partSpec)
+          GoldenFixtures.escapeChar = viewEscape.get(table.toLowerCase)
+          try mergeRawLoad(table, textLines().map(l =>
+            GoldenFixtures.escSplit(l, seps(0))), overwrite, partSpec)
+          finally GoldenFixtures.escapeChar = None
           return
         }
         val rows = viewRegex.get(table.toLowerCase) match {
@@ -1346,13 +1422,20 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
                 }.toSeq)
               else Row.fromSeq(dataFields.map(_ => null).toSeq)
             }
-          case None => textLines().map { l =>
-            val a = l.split(java.util.regex.Pattern.quote(seps(0)), -1)
-            Row.fromSeq(dataFields.zipWithIndex.map { case (f, i) =>
-              parseRaw(if (i < a.length) a(i) else null, f.dataType,
-                0, seps)
-            }.toSeq)
-          }
+          case None =>
+            GoldenFixtures.escapeChar = viewEscape.get(table.toLowerCase)
+            GoldenFixtures.escapeCrlf =
+              viewCrlf.getOrElse(table.toLowerCase, false)
+            try textLines().map { l =>
+              val a = GoldenFixtures.escSplit(l, seps(0))
+              Row.fromSeq(dataFields.zipWithIndex.map { case (f, i) =>
+                parseRaw(if (i < a.length) a(i) else null, f.dataType,
+                  0, seps)
+              }.toSeq)
+            } finally {
+              GoldenFixtures.escapeChar = None
+              GoldenFixtures.escapeCrlf = false
+            }
         }
         // char/varchar would be rejected by createDataFrame; build as
         // string — insertInto casts to the declared types anyway
@@ -2508,9 +2591,17 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       // constant for Spark's ranking functions (same multiset)
       .replaceAll("(?i)\\bover\\s*\\(\\s*\\)", "over (order by 1)")
 
+  // `AS name [type], ...` — a bare type word must not swallow the
+  // next clause keyword (`as key from t`)
+  private val transformAsType =
+    "(?:\\s+(?!(?:from|where|group|order|limit|row|union|having|sort" +
+      "|cluster|distribute|insert|join|on|select|lateral|window)\\b)" +
+      "\\w+(?:\\([\\d, ]*\\))?)?"
   private val transformIoRe =
     ("(?is)\\busing\\s+('[^']*'|\"[^\"]*\")" +
-      "(\\s+as\\s+(?:\\([^)]*\\)|`?\\w+`?(?:\\s*,\\s*`?\\w+`?)*))?").r
+      "(\\s+as\\s+(?:\\([^)]*\\)|" +
+      s"`?\\w+`?$transformAsType" +
+      s"(?:\\s*,\\s*`?\\w+`?$transformAsType)*))?").r
 
   /** Hive's TRANSFORM streams TAB-delimited text in both directions by
     * default (ql/exec/ScriptOperator + LazySimpleSerDe with
@@ -3131,6 +3222,13 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       Seq(castCharRewrite(q))
     else if (msg.contains("WINDOW_FUNCTION_WITHOUT_OVER_CLAUSE"))
       liftNestedLag(q).toSeq
+    else if (msg.contains("FILTER_NOT_BOOLEAN"))
+      // Hive coerces a non-boolean WHERE expression through its
+      // boolean converter; Spark rejects it
+      "Filter expression \"(\\w+)\"".r.findFirstMatchIn(msg).toSeq
+        .map(em => q.replaceAll(
+          s"(?i)\\b(where\\s+)${em.group(1)}(?![\\w.(])",
+          s"$$1cast(${em.group(1)} as boolean)"))
     else if (msg.contains("AMBIGUOUS_REFERENCE")) {
       // Hive resolves an ambiguous bare column to the first candidate
       // (the one the GROUP BY qualifies); qualify every unqualified
@@ -4038,12 +4136,12 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           // lines in the golden (the CLI prints raw bytes) — split so
           // the line multisets align
           val got = taken.map(fmt(_, stripDecZeros))
-            .flatMap(_.split("\n", -1)).sorted
+            .flatMap(_.split("\r\n|\r|\n", -1)).sorted
           // decimal cells: some goldens normalize trailing zeros
           // (HiveDecimal), newer ones keep declared scale — retry with
           // the other convention before failing
           lazy val gotAlt = taken.map(fmt(_, !stripDecZeros))
-            .flatMap(_.split("\n", -1)).sorted
+            .flatMap(_.split("\r\n|\r|\n", -1)).sorted
           val uSets = ql.contains("collect_set")
           if (got != want && !tolerantEq(got, want, uSets) &&
               gotAlt != want && !tolerantEq(gotAlt, want, uSets)) {
@@ -4490,7 +4588,9 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             .findFirstMatchIn(q).get.group(1).split('.').last
           tableSegs(t.toLowerCase) = 1
         case _ if (tsFormatsRe.findFirstMatchIn(q).isDefined ||
-              nullFmtRe.findFirstMatchIn(q).isDefined) &&
+              nullFmtRe.findFirstMatchIn(q).isDefined ||
+              ql.contains("escape.delim") ||
+              ql.contains("serialization.escape.crlf")) &&
             ql.matches("(?s)alter table.*set\\s+serdeproperties.*") =>
           // serde-property swap re-reads the stored text through the
           // new configuration (LazySimpleSerDe deserialization happens
