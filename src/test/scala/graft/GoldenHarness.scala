@@ -150,7 +150,8 @@ object GoldenFixtures {
         ++ dt.toSeq)
     }
 
-  private val decRe = "decimal\\((\\d+),(\\d+)\\)".r
+  private val decRe = "decimal\\(\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\)".r
+  private val decRe1 = "decimal\\(\\s*(\\d+)\\s*\\)".r
   private val charRe = "char\\s*\\((\\d+)\\)".r
   private val varcharRe = "varchar\\s*\\((\\d+)\\)".r
   private val arrRe = "(?si)array\\s*<(.*)>".r
@@ -196,6 +197,7 @@ object GoldenFixtures {
     case "date" => DateType
     case "binary" => BinaryType
     case decRe(pr, sc) => DecimalType(pr.toInt, sc.toInt)
+    case decRe1(pr) => DecimalType(pr.toInt, 0) // decimal(p) = (p,0)
     case "decimal" => DecimalType(10, 0) // Hive's default (p,s)
     // real char/varchar types: the engine runs with
     // preserveCharVarcharTypeInfo, so Hive's pad/truncate semantics
@@ -444,6 +446,42 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     val df = if (!hasCv) df0 else df0.select(schema.fields.map(f =>
       cvCast(col(f.name), f.dataType).as(f.name)).toIndexedSeq: _*)
     df.createOrReplaceTempView(view)
+    refreshDependentViews(view)
+  }
+
+  /** Hive-view definitions (name -> select text) re-bound whenever a
+    * referenced table re-registers. */
+  private val viewDefs =
+    scala.collection.mutable.Map[String, (String, Option[String])]()
+  private var refreshing = false
+  private def refreshDependentViews(table: String): Unit = {
+    if (refreshing || viewDefs.isEmpty) return
+    refreshing = true
+    try {
+      var changed = Set(table.toLowerCase)
+      var pass = 0
+      while (changed.nonEmpty && pass < 4) {
+        val next = scala.collection.mutable.Set[String]()
+        viewDefs.foreach { case (v, (sel, cols)) =>
+          val refs = changed.exists(t =>
+            ("(?i)\\b" + java.util.regex.Pattern.quote(t) + "\\b").r
+              .findFirstIn(sel).isDefined)
+          if (refs && !changed.contains(v)) {
+            scala.util.Try {
+              val df = spark.sql(sel)
+              (if (cols.isEmpty || cols.exists(_.trim.isEmpty))
+                 hiveAutoNames(df)
+               else df.toDF(cols.get.split(",")
+                 .map(_.trim.replace("`", "")).toIndexedSeq: _*))
+                .createOrReplaceTempView(v)
+              next += v
+            }
+          }
+        }
+        changed = next.toSet
+        pass += 1
+      }
+    } finally refreshing = false
   }
 
   private val kvSchema = StructType(Seq(
@@ -1173,7 +1211,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     scala.collection.mutable.Map[String, Seq[String]]()
   private val tsFormatsRe =
     ("(?is)['\"]timestamp\\.formats['\"]\\s*=\\s*" +
-      "(?:'([^']*)'|\"([^\"]*)\")").r
+      "(?:'((?:\\\\.|[^'])*)'|\"((?:\\\\.|[^\"])*)\")").r
   /** NULL DEFINED AS / serialization.null.format per table: the text
     * marker nulls are WRITTEN as. When an ALTER changes it, values
     * stored under the old marker stop reading as null and surface as
@@ -1187,6 +1225,9 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     scala.collection.mutable.Map[String, Char]()
   private val viewCrlf =
     scala.collection.mutable.Map[String, Boolean]()
+  /** Tables declared with the hcatalog JsonSerDe: LOADs parse each
+    * line as a JSON object, binding columns by name. */
+  private val viewJson = scala.collection.mutable.Set[String]()
   private val nullFmtRe =
     ("(?is)(?:null\\s+defined\\s+as\\s+(?:'([^']*)'|\"([^\"]*)\")|" +
       "['\"]serialization\\.null\\.format['\"]\\s*=\\s*['\"]([^'\"]*)['\"])").r
@@ -1224,6 +1265,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     // the qtest TestSerDe's default field delimiter is Ctrl-B, and
     // `testserde.default.serialization.format` overrides it with a
     // literal codepoint (itests hive-it-test-serde TestSerDe.java)
+    if (q.contains("JsonSerDe")) viewJson += view.toLowerCase
     if (q.contains("RegexSerDe"))
       ("(?is)['\"]input\\.regex['\"]\\s*=\\s*\"((?:[^\"\\\\]|\\\\.)*)\"" +
         "|(?is)['\"]input\\.regex['\"]\\s*=\\s*'((?:[^'\\\\]|\\\\.)*)'").r
@@ -1258,6 +1300,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     tsFormatsRe.findFirstMatchIn(q).foreach(m =>
       viewTsFormats(view.toLowerCase) =
         Option(m.group(1)).getOrElse(m.group(2))
+          .replace("\\'", "'").replace("\\\"", "\"")
           .split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     if (q.contains("serde2.TestSerDe")) {
       val d = ("(?is)'testserde\\.default\\.serialization\\.format'" +
@@ -1337,6 +1380,34 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             df.schema(c).dataType,
             stripCharVarchar(f.dataType)).as(c)
         }.toIndexedSeq: _*)
+      } else if (viewJson.contains(table.toLowerCase)) {
+        // hcatalog JsonSerDe: one JSON object per line, fields by
+        // NAME (case-insensitive), timestamp.formats honored
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        GoldenFixtures.tsFormats =
+          viewTsFormats.getOrElse(table.toLowerCase, Nil)
+        val rows =
+          try GoldenFixtures.lines(fileName).filter(_.trim.nonEmpty)
+            .map { l =>
+              val node = om.readTree(l)
+              Row.fromSeq(dataFields.map { f =>
+                val it = node.fields()
+                var hit: com.fasterxml.jackson.databind.JsonNode = null
+                while (it.hasNext && hit == null) {
+                  val e = it.next()
+                  if (e.getKey.equalsIgnoreCase(f.name)) hit = e.getValue
+                }
+                if (hit == null || hit.isNull) null
+                else GoldenFixtures.parseRaw(hit.asText, f.dataType, 0,
+                  GoldenFixtures.defaultSeps)
+              }.toSeq)
+            }
+          finally GoldenFixtures.tsFormats = Nil
+        val plain = dataFields.map(f =>
+          f.copy(dataType = stripCharVarchar(f.dataType)))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize[Row](rows, 2),
+          StructType(plain.toIndexedSeq))
       } else if (fileName.endsWith(".rc")) {
         graft.sources.RcFileIO.read(spark,
           s"/root/reference/data/files/$fileName",
@@ -4114,6 +4185,16 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
               setEchoes.contains(l.split("=", 2)(0).trim)) ||
             l.endsWith("is deprecated. Use current_timestamp instead."))
           .sorted
+        // an EXPLAIN whose recorded query text lost the keyword shows
+        // up as a SELECT block full of plan lines — not data
+        if (b.rows.exists(_.startsWith("STAGE DEPENDENCIES"))) return
+        // a global aggregate ALWAYS returns one row — an empty want
+        // block means the recording was truncated (the reference's
+        // spark-mode goldens end mid-file), not a zero-row result
+        if (want0.isEmpty &&
+            query.toLowerCase.matches(
+              "(?s)\\s*select\\s+(count|sum|avg|min|max)\\s*\\(.*") &&
+            !query.toLowerCase.contains("group by")) return
         // bounded materialization: a replay bug that inflates the
         // result (e.g. a dropped join condition) must fail fast, not
         // OOM the driver -- anything past want+100 rows is a mismatch
@@ -4292,6 +4373,10 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
            else df.toDF(colList.split(",").map(_.trim.replace("`", ""))
              .toIndexedSeq: _*))
             .createOrReplaceTempView(name)
+          // a temp view captures its base tables' CURRENT plans; when
+          // a base table is rebuilt later (insert/load), the view must
+          // re-bind (Hive views are definitions, not snapshots)
+          viewDefs(name.toLowerCase) = (sel, Option(colList))
           applyTestMask(name)
         case _ if !ql.matches("(?s).*\\bas\\s+select.*") =>
           // enable/disable rewrite, rebuild — metadata-only, no-op
@@ -4755,6 +4840,9 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             rawStore.remove(lc); partSchemas.remove(lc)
             viewSeps.remove(lc); tablePartCols.remove(lc)
             locLedger.remove(lc); tableLoc.remove(lc)
+            viewDefs.remove(lc); viewEscape.remove(lc)
+            viewCrlf.remove(lc); viewJson.remove(lc)
+            viewNullFmt.remove(lc); viewTsFormats.remove(lc)
             viewRegex.remove(lc)
             // dropping a shadowing TEMPORARY table resurfaces the
             // permanent one
