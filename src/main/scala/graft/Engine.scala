@@ -83,11 +83,9 @@ object Engine {
     spark.conf.set("spark.sql.preserveCharVarcharTypeInfo", "true")
     // Hive's LazyMap keeps the LAST duplicate key (LinkedHashMap put)
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-    // Hive decimal arithmetic KEEPS the full result scale, overflowing
-    // to NULL (HiveDecimalUtils); Spark's default trims scale to save
-    // precision — the SQL Server rule, not Hive's
-    spark.conf.set("spark.sql.decimalOperations.allowPrecisionLoss",
-      "false")
+    // Spark's default decimal scale-trim rule (allowPrecisionLoss=
+    // true) IS Hive 2.x's deriveResultDecimalTypeInfo rule — keep it
+    // (the no-loss mode NULLs large products Hive can represent)
     spark.conf.set("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")

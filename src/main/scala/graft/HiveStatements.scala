@@ -566,10 +566,22 @@ class HiveStatements(val spark: SparkSession) {
         "t.")
       .replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(sa) + "\\.",
         "s.")
+    var source2 = source
     val key = "(?is)\\s*\\S+\\.(\\w+)\\s*=\\s*\\S+\\.(\\w+)\\s*".r
       .findFirstMatchIn(on) match {
       case Some(m) if m.group(1).equalsIgnoreCase(m.group(2)) =>
         m.group(1)
+      case Some(m) =>
+        // differently-named key columns (ON t.a = s.a1): expose the
+        // source key under the target's name; the original column
+        // stays for the WHEN clauses' s.<col> references
+        val (tk, sk) =
+          if (source.columns.exists(_.equalsIgnoreCase(m.group(2))))
+            (m.group(1), m.group(2))
+          else (m.group(2), m.group(1))
+        if (!source2.columns.exists(_.equalsIgnoreCase(tk)))
+          source2 = source2.withColumn(tk, col(sk))
+        tk
       case _ => throw new IllegalArgumentException(
         s"MERGE: ON must be a single same-name key equality, got: $on")
     }
@@ -602,12 +614,12 @@ class HiveStatements(val spark: SparkSession) {
     }
     tableLocation(table) match {
       case Some((loc, parts)) if !isTempView(table) =>
-        MergeInto.mergeInto(spark, loc, source, key, matched,
+        MergeInto.mergeInto(spark, loc, source2, key, matched,
           notMatched, parts)
         spark.catalog.refreshTable(table)
       case _ =>
-        rebuild(table, MergeInto.mergeResult(spark.table(table), source,
-          key, matched, notMatched))
+        rebuild(table, MergeInto.mergeResult(spark.table(table),
+          source2, key, matched, notMatched))
     }
   }
 }
