@@ -848,7 +848,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       () => srcbucket, () => primitives, () => dests, () => srcJson)
       .foreach(f => scala.util.Try(f()))
 
-  case class Block(query: String, rows: Seq[String])
+  case class Block(query: String, rows: Seq[String],
+      maskedRows: Boolean = false)
 
   /** One block per POSTHOOK statement: the (possibly multi-line) query
     * text, then its emitted rows (tab-separated, NULL for null). */
@@ -868,6 +869,12 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         while (i < lines.length && (lines(i).startsWith("POSTHOOK:") ||
             lines(i).startsWith("#### A masked pattern"))) i += 1
         val rows = Vector.newBuilder[String]
+        var maskedRows = false
+        // an orphan `PREHOOK: type:` mid-rows marks a FOLLOWING block
+        // whose query header was fully masked (its text held a masked
+        // token, e.g. `$.owner`); everything after it belongs to that
+        // lost block, not this one
+        var lost = false
         while (i < lines.length &&
             !lines(i).startsWith("PREHOOK: query:") &&
             !lines(i).startsWith("Warning:")) {
@@ -875,14 +882,18 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           // neither are PREHOOK/POSTHOOK lines orphaned mid-rows by a
           // masked `PREHOOK: query:` line (e.g. a LOAD whose inpath
           // was a ${system:*} variable), nor masked paths
-          if (!lines(i).startsWith("RUN: ") &&
-              !lines(i).startsWith("PREHOOK: ") &&
-              !lines(i).startsWith("POSTHOOK: ") &&
-              !lines(i).startsWith("#### A masked pattern"))
-            rows += lines(i)
+          if (lines(i).startsWith("PREHOOK: type:")) lost = true
+          if (!lost) {
+            if (lines(i).startsWith("#### A masked pattern"))
+              maskedRows = true
+            else if (!lines(i).startsWith("RUN: ") &&
+                !lines(i).startsWith("PREHOOK: ") &&
+                !lines(i).startsWith("POSTHOOK: "))
+              rows += lines(i)
+          }
           i += 1
         }
-        out += Block(q.toString, rows.result())
+        out += Block(q.toString, rows.result(), maskedRows)
       } else i += 1
     }
     out.result()
@@ -1654,6 +1665,12 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     super.renameView(from, to)
     viewSeps.get(from.toLowerCase)
       .foreach(viewSeps(to.toLowerCase) = _)
+    // renaming a shadowing TEMPORARY table away resurfaces the
+    // permanent one, like DROP does (temp_table_precedence)
+    val lc = from.toLowerCase
+    if (!from.equalsIgnoreCase(to) && shadowed.remove(lc))
+      scala.util.Try(spark.table(from + "__shadow")
+        .createOrReplaceTempView(from))
   }
 
   override protected def insertStatement(table: String,
@@ -2179,6 +2196,11 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     // Hive `LIMIT offset,count` sugar → standard LIMIT/OFFSET
     q4 = q4.replaceAll("(?i)\\blimit\\s+(\\d+)\\s*,\\s*(\\d+)",
       "limit $2 offset $1")
+    // Hive's JsonPath accepts `$.[0]` as `$[0]` (UDFJson pathExprs);
+    // normalize inside $-prefixed path literals
+    q4 = "'(\\$[^']*)'".r.replaceAllIn(q4, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        "'" + m.group(1).replace(".[", "[") + "'"))
     // Hive FLOOR(ts TO unit) (HiveParser floorExpression) — Spark
     // spells it date_trunc
     q4 = q4.replaceAll(
@@ -2698,7 +2720,10 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     * field.delim='\t'); Spark's default script IO schema uses ^A. Make
     * Hive's contract explicit so scripts like `tr '\t' _` see the same
     * bytes they saw under Hive. */
-  private def fixTransformIo(q: String): String =
+  private def fixTransformIo(q0: String): String = {
+    // Spark's parser rejects optimizer hints ahead of TRANSFORM —
+    // Hive's MAPJOIN hints are advisory anyway
+    val q = q0.replaceAll("/\\*\\+[^*]*\\*/", " ")
     if (q.toLowerCase.contains("row format")) q
     else transformIoRe.replaceAllIn(q, m =>
       scala.util.matching.Regex.quoteReplacement(
@@ -2719,6 +2744,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           "ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\t' USING " +
             m.group(1) + m.group(2) +
             " ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\t' "))
+  }
 
   /** Hive's `MAP exprs USING ...` / `REDUCE exprs USING ...` insert
     * bodies are sugar for `SELECT TRANSFORM(exprs) USING ...`
@@ -3319,6 +3345,17 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       Seq(castCharRewrite(q))
     else if (msg.contains("WINDOW_FUNCTION_WITHOUT_OVER_CLAUSE"))
       liftNestedLag(q).toSeq
+    else if (msg.contains("PARSE_SYNTAX_ERROR"))
+      intervalSugar(q).toSeq
+    else if (msg.contains("INVALID_ORDERING_TYPE"))
+      // Hive sorts map columns by their serialized bytes; the row
+      // MULTISET is what the compare checks, so dropping the unsortable
+      // key from ORDER/SORT BY is semantics-preserving here
+      "\"(\\w+) ASC".r.findFirstMatchIn(msg).toSeq.map { em =>
+        q.replaceAll(
+          s"(?i)((?:order|sort)\\s+by\\s+)${em.group(1)}\\s*,?\\s*",
+          "$1").replaceAll("(?i)(order|sort)\\s+by\\s*(limit|$)", "$2")
+      }
     else if (msg.contains("FILTER_NOT_BOOLEAN"))
       // Hive coerces a non-boolean WHERE expression through its
       // boolean converter; Spark rejects it
@@ -3400,7 +3437,25 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         // present) — tried as a fallback because goldens straddle the
         // encoding change
         Option.when(q.toLowerCase.contains("grouping__id"))(
-          hiveGroupingShim(q, rewriteGid = true))
+          hiveGroupingShim(q, rewriteGid = true)),
+
+        intervalSugar(q),
+        // Hive date ± day-time interval yields TIMESTAMP (rendered
+        // with 00:00:00); Spark keeps DATE
+        Option.when(("(?i)date\\s+'[^']+'\\s*[-+]\\s*(interval\\s+" +
+            "'\\d+'\\s+(day|hour|minute|second)|make_dt_interval)").r
+            .findFirstIn(q).isDefined)(
+          q.replaceAll(
+            "(?i)(date\\s+'[^']+'(?:\\s*[-+]\\s*(?:interval\\s+'\\d+'\\s+" +
+              "(?:day|hour|minute|second)s?|make_dt_interval\\(\\([^()]*\\)\\)))+)",
+            "cast($1 as timestamp)")),
+        // Hive gives `=` LOWER precedence than IN: a = b in (...)
+        // parses as a = (b in (...)) (HiveParser precedenceEqual)
+        Option.when("(?i)=\\s*\\S+\\s+in\\s*\\(".r
+            .findFirstIn(q).isDefined)(
+          "(?i)=\\s*(\\S+)\\s+in\\s*\\(([^()]*)\\)".r.replaceAllIn(q,
+            m => scala.util.matching.Regex.quoteReplacement(
+              s"= (${m.group(1)} in (${m.group(2)}))")))
       ).flatten.filterNot(_ == q)
     else if (msg.contains("DATA_DIFF_TYPES") &&
         (msg.contains("`greatest`") || msg.contains("`least`"))) {
@@ -3463,6 +3518,30 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       }
     }
     q
+  }
+
+  /** Hive interval sugar Spark's parser rejects or types differently:
+    * bare `2 days` / `(1) second` / `'2' days` intervals, expression
+    * intervals `interval (-dt*dt) day` and
+    * `interval (dt || '-1') year to month` (HiveParser
+    * intervalLiteral/intervalExpression). */
+  private def intervalSugar(q: String): Option[String] = {
+    val unit = "(seconds?|minutes?|hours?|days?|months?|years?)"
+    var r = q
+    r = r.replaceAll(
+      "(?i)\\binterval\\s*\\(([^()]+(?:\\([^()]*\\))?[^()]*)\\)" +
+        "\\s+year\\s+to\\s+month",
+      "cast(($1) as interval year to month)")
+    r = r.replaceAll(
+      "(?i)\\binterval\\s*\\(([^()]+(?:\\([^()]*\\))?[^()]*)\\)\\s+days?",
+      "make_dt_interval(($1))")
+    r = r.replaceAll(
+      s"(?i)\\(?\\b(\\d+)\\)?\\s+$unit\\b(?!\\s+to\\b)",
+      "interval '$1' $2")
+    r = r.replaceAll(
+      s"(?i)(?<!interval\\s)'(\\d+)'\\s+$unit\\b(?!\\s+to\\b)",
+      "interval '$1' $2")
+    Option.when(r != q)(r)
   }
 
   /** Hive gives `||` the LOWEST precedence: `9 + 9 || 9 + 9` is
@@ -4226,6 +4305,9 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         // an EXPLAIN whose recorded query text lost the keyword shows
         // up as a SELECT block full of plan lines — not data
         if (b.rows.exists(_.startsWith("STAGE DEPENDENCIES"))) return
+        // every result row was masked (path-bearing cells): nothing
+        // to assert against
+        if (want0.isEmpty && b.maskedRows) return
         // a global aggregate ALWAYS returns one row — an empty want
         // block means the recording was truncated (the reference's
         // spark-mode goldens end mid-file), not a zero-row result
@@ -4254,13 +4336,19 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           // a cell holding an embedded newline renders as SEPARATE
           // lines in the golden (the CLI prints raw bytes) — split so
           // the line multisets align
-          val got = taken.map(fmt(_, stripDecZeros))
-            .flatMap(_.split("\r\n|\r|\n", -1)).sorted
+          // the qtest masker blanks result lines carrying emails
+          // (user@host) -- a golden can never record one, so apply
+          // the same rule to OUR rows (udf_get_json_object's
+          // whole-json row holds amy@...net and was masked away)
+          def maskAt(rs: Seq[String]): Seq[String] =
+            rs.filterNot(_.matches("(?s).*\\w@[\\w.]+\\.[\\w.]+.*"))
+          val got = maskAt(taken.map(fmt(_, stripDecZeros))
+            .flatMap(_.split("\r\n|\r|\n", -1))).sorted
           // decimal cells: some goldens normalize trailing zeros
           // (HiveDecimal), newer ones keep declared scale — retry with
           // the other convention before failing
-          lazy val gotAlt = taken.map(fmt(_, !stripDecZeros))
-            .flatMap(_.split("\r\n|\r|\n", -1)).sorted
+          lazy val gotAlt = maskAt(taken.map(fmt(_, !stripDecZeros))
+            .flatMap(_.split("\r\n|\r|\n", -1))).sorted
           val uSets = ql.contains("collect_set")
           if (got != want && !tolerantEq(got, want, uSets) &&
               gotAlt != want && !tolerantEq(gotAlt, want, uSets)) {
