@@ -678,7 +678,10 @@ object HiveStatements {
             "'")
           n.trim.toLowerCase.replace("`", "") -> Some(v0
             .stripPrefix("'").stripSuffix("'")
-            .stripPrefix("\"").stripSuffix("\""))
+            .stripPrefix("\"").stripSuffix("\"")
+            // numeric literal suffixes (110Y, 22000S, 3L) denote the
+            // partition TYPE, not the value
+            .replaceFirst("^(-?\\d+)[YSLysl]$", "$1"))
         case Array(n) => n.trim.toLowerCase.replace("`", "") -> None
       }
     }

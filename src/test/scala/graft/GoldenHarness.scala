@@ -1247,6 +1247,9 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   /** Tables declared with the hcatalog JsonSerDe: LOADs parse each
     * line as a JSON object, binding columns by name. */
   private val viewJson = scala.collection.mutable.Set[String]()
+  /** Tables stored as SymlinkTextInputFormat: files under the table
+    * location hold PATHS of the real data files. */
+  private val viewSymlink = scala.collection.mutable.Set[String]()
   private val nullFmtRe =
     ("(?is)(?:null\\s+defined\\s+as\\s+(?:'([^']*)'|\"([^\"]*)\")|" +
       "['\"]serialization\\.null\\.format['\"]\\s*=\\s*['\"]([^'\"]*)['\"])").r
@@ -1285,6 +1288,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     // `testserde.default.serialization.format` overrides it with a
     // literal codepoint (itests hive-it-test-serde TestSerDe.java)
     if (q.contains("JsonSerDe")) viewJson += view.toLowerCase
+    if (q.contains("SymlinkTextInputFormat"))
+      viewSymlink += view.toLowerCase
     if (q.contains("RegexSerDe"))
       ("(?is)['\"]input\\.regex['\"]\\s*=\\s*\"((?:[^\"\\\\]|\\\\.)*)\"" +
         "|(?is)['\"]input\\.regex['\"]\\s*=\\s*'((?:[^'\\\\]|\\\\.)*)'").r
@@ -1338,6 +1343,26 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     * fixtures read through the engine's own Avro source. */
   private def loadData(fileName: String, table: String,
       overwrite: Boolean, partSpec: String = null): Unit = {
+    // LOAD paths may be Hadoop globs (kv[123].tx*): expand against
+    // the fixture directory, first match overwrites, rest append
+    if (fileName.exists(c => "*{[?".indexOf(c) >= 0)) {
+      val re = ("^" + fileName
+        .replace(".", "\\.").replace("*", ".*").replace("?", ".")
+        .replaceAll("\\{([^}]*)\\}", "($1)").replace(",", "|")
+        .replace("[", "[").replace("]", "]") + "$").r
+      val files = new java.io.File("/root/reference/data/files")
+        .list().toSeq.filter(f => re.matches(f)).sorted
+      files.zipWithIndex.foreach { case (f, i) =>
+        loadData(f, table, overwrite && i == 0, partSpec) }
+      return
+    }
+    // LOAD of a DIRECTORY loads every file under it
+    if (new java.io.File(s"/root/reference/data/files/$fileName")
+        .isDirectory) {
+      fixtureFilesUnder(fileName).zipWithIndex.foreach { case (f, i) =>
+        loadData(f, table, overwrite && i == 0, partSpec) }
+      return
+    }
     val tracked = tableLoc.get(table.toLowerCase)
     val before: Vector[Row] =
       if (tracked.isDefined) spark.table(table).collect().toVector
@@ -1904,7 +1929,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   private def copyLineageRels(loc: String,
       qSourceText: String): Seq[String] = {
     val copyRe =
-      "(?im)^dfs\\s+-(?:copyfromlocal|cp)\\s+(\\S+)\\s+(.+?);?\\s*$".r
+      "(?im)^dfs\\s+-(?:copyfromlocal|cp|put)\\s+(\\S+)\\s+(.+?);?\\s*$".r
     copyRe.findAllMatchIn(qSourceText).toSeq.flatMap { c =>
       if (!c.group(1).contains("data/files/")) None
       else {
@@ -2201,6 +2226,16 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     q4 = "'(\\$[^']*)'".r.replaceAllIn(q4, m =>
       scala.util.matching.Regex.quoteReplacement(
         "'" + m.group(1).replace(".[", "[") + "'"))
+    // a bare LIMIT directly over GROUP BY takes the FIRST n groups of
+    // the single reducer's SORTED stream — make that order explicit so
+    // materializations (CTAS/INSERT) pick Hive's subset
+    q4 = "(?is)\\bgroup\\s+by\\s+([^()]+?)\\s+limit\\s+(\\d+)".r
+      .replaceAllIn(q4, m =>
+        scala.util.matching.Regex.quoteReplacement(
+          if (m.group(1).toLowerCase.contains("order by") ||
+              m.group(1).toLowerCase.contains("sort by")) m.group(0)
+          else s"group by ${m.group(1)} order by ${m.group(1)} " +
+            s"limit ${m.group(2)}"))
     // Hive FLOOR(ts TO unit) (HiveParser floorExpression) — Spark
     // spells it date_trunc
     q4 = q4.replaceAll(
@@ -4069,7 +4104,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           .nextOption().exists(l => l.contains("${system:") ||
             l.contains("${hiveconf:") || l.contains("hdfs://") ||
             l.contains("file://") || l.contains("'/tmp/") ||
-            l.contains("\"/tmp/"))
+            l.contains("\"/tmp/") || l.contains("data/files/"))
         n.startsWith("set ") || n.startsWith("dfs ") ||
           n.startsWith("add file") || n.startsWith("add jar") ||
           n.startsWith("add archive") || n.startsWith("delete file") ||
@@ -4097,6 +4132,35 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       val n = norm(s)
       if (n.startsWith("dfs -rmr ") || n.startsWith("dfs -rm "))
         rmrPath(s.trim.split("\\s+").last.stripSuffix(";"))
+      else if (n.startsWith("dfs -cp ") &&
+          s.contains("data/files") && viewSymlink.exists(t =>
+            s.contains(s"/$t/"))) {
+        // a symlink FILE copied under a SymlinkTextInputFormat
+        // table's location: its lines NAME the data files to read
+        val parts0 = s.trim.stripSuffix(";").split("\\s+")
+        val t = viewSymlink.find(tn => s.contains(s"/$tn/")).get
+        val rel = parts0(2).replaceAll("^.*data/files/", "")
+        GoldenFixtures.lines(rel).map(_.trim).filter(_.nonEmpty)
+          .foreach { p =>
+            val base = p.split('/').last
+            // symlink targets may be HADOOP GLOBS ({a,b}, *)
+            val files =
+              if (base.exists(c => c == '*' || c == '{')) {
+                val re = ("^" + base
+                  .replace(".", "\\.").replace("*", ".*")
+                  .replaceAll("\\{([^}]*)\\}", "($1)")
+                  .replace(",", "|") + "$").r
+                new java.io.File("/root/reference/data/files")
+                  .list().toSeq.filter(f => re.matches(f)).sorted
+              } else Seq(base)
+            files.foreach { f =>
+              val r = scala.util.Try(
+                loadData(f, t, overwrite = false, null))
+              if (sys.env.contains("GOLDEN_DUMP"))
+                println(s"[symlink] $t <- $f: $r")
+            }
+          }
+      }
       else if ((n.startsWith("dfs -cp ") || n.startsWith("dfs -mv ")) &&
           !s.contains("data/files")) {
         // copy/move BETWEEN scratch dirs: propagate stored
