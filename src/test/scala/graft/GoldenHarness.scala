@@ -26,27 +26,42 @@ object GoldenFixtures {
     * (LazySimpleSerDe nullString; NULL DEFINED AS / serialization
     * .null.format, default \\N). Text equal to it reads as null;
     * nulls write as it. */
-  var nullFormat: String = "\\N"
+  private val nullFormatTL =
+    ThreadLocal.withInitial[String](() => "\\N")
+  def nullFormat: String = nullFormatTL.get
+  def nullFormat_=(v: String): Unit = nullFormatTL.set(v)
 
   /** Custom `timestamp.formats` patterns for the table currently being
     * derived (LazySimpleSerDe via common TimestampParser — Joda
     * semantics: `S` is fraction-of-second and results carry MILLI
     * precision). Tried in order BEFORE the default parse; a pattern
     * that leaves unparsed text does not match. */
-  var tsFormats: Seq[String] = Nil
+  private val tsFormatsTL =
+    ThreadLocal.withInitial[Seq[String]](() => Nil)
+  def tsFormats: Seq[String] = tsFormatsTL.get
+  def tsFormats_=(v: Seq[String]): Unit = tsFormatsTL.set(v)
 
   /** hive.lazysimple.extended_boolean_literal: when set, text booleans
     * also accept t/f/1/0/yes/no (LazyUtils.writePrimitiveUTF8 /
     * LazyBoolean extended parsing). Session-wide toggle. */
-  @volatile var extendedBool: Boolean = false
+  private val extendedBoolTL =
+    ThreadLocal.withInitial[java.lang.Boolean](() => false)
+  def extendedBool: Boolean = extendedBoolTL.get
+  def extendedBool_=(v: Boolean): Unit = extendedBoolTL.set(v)
 
   /** Escape character of the table being parsed (None = escaping
     * off). Split respects it; primitive leaves unescape. */
-  var escapeChar: Option[Char] = None
+  private val escapeCharTL =
+    ThreadLocal.withInitial[Option[Char]](() => None)
+  def escapeChar: Option[Char] = escapeCharTL.get
+  def escapeChar_=(v: Option[Char]): Unit = escapeCharTL.set(v)
   /** serialization.escape.crlf: when true, escaped 'n'/'r' unescape
     * to REAL newline/CR (HIVE-11785); otherwise the escaped byte is
     * literal. */
-  var escapeCrlf: Boolean = false
+  private val escapeCrlfTL =
+    ThreadLocal.withInitial[java.lang.Boolean](() => false)
+  def escapeCrlf: Boolean = escapeCrlfTL.get
+  def escapeCrlf_=(v: Boolean): Unit = escapeCrlfTL.set(v)
 
   def escSplit(line: String, delim: String): Seq[String] =
     escapeChar match {
@@ -4104,7 +4119,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           .nextOption().exists(l => l.contains("${system:") ||
             l.contains("${hiveconf:") || l.contains("hdfs://") ||
             l.contains("file://") || l.contains("'/tmp/") ||
-            l.contains("\"/tmp/") || l.contains("data/files/"))
+            l.contains("\"/tmp/"))
         n.startsWith("set ") || n.startsWith("dfs ") ||
           n.startsWith("add file") || n.startsWith("add jar") ||
           n.startsWith("add archive") || n.startsWith("delete file") ||
