@@ -1657,6 +1657,39 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         stripCharVarchar(f.dataType)).as(f.name)
     }.toIndexedSeq: _*)
 
+  /** Column lists of the reference's thrift test classes
+    * (serde/if/test/complex.thrift, megastruct.thrift) as Hive's
+    * ThriftDeserializer reports them: enums read as STRING, sets as
+    * arrays, ByteBuffer fields as their struct rendering. */
+  private val thriftSchemas: Map[String, String] = Map(
+    "serde2.thrift.test.IntString" ->
+      "myint int, mystring string, underscore_int int",
+    "serde2.thrift.test.Complex" ->
+      ("aint int, astring string, lint array<int>, " +
+        "lstring array<string>, " +
+        "lintstring array<struct<myint:int,mystring:string," +
+        "underscore_int:int>>, mstringstring map<string,string>"),
+    "serde2.thrift.test.MegaStruct" ->
+      ("my_bool boolean, my_byte tinyint, my_16bit_int smallint, " +
+        "my_32bit_int int, my_64bit_int bigint, my_double double, " +
+        "my_string string, " +
+        "my_binary struct<hb:binary,offset:int,isreadonly:boolean," +
+        "bigendian:boolean,nativebyteorder:boolean>, " +
+        "my_string_string_map map<string,string>, " +
+        "my_string_enum_map map<string,string>, " +
+        "my_enum_string_map map<string,string>, " +
+        "my_enum_struct_map map<string,struct<my_string:string," +
+        "my_enum:string>>, " +
+        "my_enum_stringlist_map map<string,array<string>>, " +
+        "my_enum_structlist_map map<string,array<struct<" +
+        "my_string:string,my_enum:string>>>, " +
+        "my_stringlist array<string>, " +
+        "my_structlist array<struct<my_string:string,my_enum:string>>, " +
+        "my_enumlist array<string>, " +
+        "my_stringset array<string>, " +
+        "my_enumset array<string>, " +
+        "my_structset array<struct<my_string:string,my_enum:string>>"))
+
   // CREATE TABLE [IF NOT EXISTS] x LIKE y — empty view with y's schema
   private val likeRe =
     "(?is)create\\s+(?:temporary\\s+|external\\s+)?table\\s+(?:if\\s+not\\s+exists\\s+)?`?(\\w+)`?\\s+like\\s+`?([\\w.]+)`?.*".r
@@ -4562,6 +4595,24 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           if (!avsc.exists()) unhandled("create (avro url)", q)
           registerAvroTable(name, Option(partCols),
             new org.apache.avro.Schema.Parser().parse(avsc))
+        case _ if ql.contains("thriftdeserializer") &&
+            thriftSchemas.keys.exists(q.contains) =>
+          // ThriftDeserializer tables take their schema from the
+          // serialization.class (serde/if/test/complex.thrift /
+          // megastruct.thrift — transcribed; thrift ENUMs surface as
+          // STRING and sets as arrays, the behavior these goldens
+          // assert via DESCRIBE)
+          val cls = thriftSchemas.keys.find(q.contains).get
+          val name = ("(?is)create\\s+(?:external\\s+)?table\\s+" +
+            "`?([\\w.]+)`?").r.findFirstMatchIn(q).get.group(1)
+            .split('.').last
+          val pcs = "(?is)partitioned\\s+by\\s*\\(([^)]*)\\)".r
+            .findFirstMatchIn(q).map(_.group(1))
+          val full = thriftSchemas(cls) +
+            pcs.map("," + _).getOrElse("")
+          pcs.foreach(p => tablePartCols(name.toLowerCase) =
+            colSchema(p).fieldNames.toSeq)
+          emptyView(name, full)
         case createRe(name) =>
           // balanced-paren column list (decimal(4,2) nests parens);
           // PARTITIONED BY columns are part of the logical schema
