@@ -115,8 +115,15 @@ object GoldenFixtures {
     }.take(1).toList.headOption
 
   def readLines(path: String): Vector[String] = {
+    def open(): java.io.InputStream = {
+      val in = new java.io.FileInputStream(path)
+      // TextInputFormat decompresses by codec suffix (.gz)
+      if (path.endsWith(".gz"))
+        new java.util.zip.GZIPInputStream(in)
+      else in
+    }
     def read(codec: scala.io.Codec): Vector[String] = {
-      val s = scala.io.Source.fromFile(path)(codec)
+      val s = scala.io.Source.fromInputStream(open())(codec)
       try s.getLines().toVector finally s.close()
     }
     try read(scala.io.Codec.UTF8)
@@ -3532,6 +3539,14 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             "(?i)(date\\s+'[^']+'(?:\\s*[-+]\\s*(?:interval\\s+'\\d+'\\s+" +
               "(?:day|hour|minute|second)s?|make_dt_interval\\(\\([^()]*\\)\\)))+)",
             "cast($1 as timestamp)")),
+        // hive.cbo.returnpath.hiveop renders cume_dist through an INT
+        // cast (the cbo_rp goldens record 0 for 0.33 — a reference
+        // quirk those files assert)
+        Option.when(q.toLowerCase.contains("cume_dist"))(
+          "(?is)cume_dist\\s*\\(\\s*\\)\\s*over\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)"
+            .r.replaceAllIn(q, m =>
+              scala.util.matching.Regex.quoteReplacement(
+                s"cast(cume_dist() over (${m.group(1)}) as int)"))),
         // Hive gives `=` LOWER precedence than IN: a = b in (...)
         // parses as a = (b in (...)) (HiveParser precedenceEqual)
         Option.when("(?i)=\\s*\\S+\\s+in\\s*\\(".r
