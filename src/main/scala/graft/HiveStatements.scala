@@ -32,6 +32,34 @@ import graft.operators.MergeInto
 class HiveStatements(val spark: SparkSession) {
   import HiveStatements._
 
+  /** The HiveQL dialect pre-processor bound to this dispatcher's
+    * session. [[sql]] routes text through it; statement execution
+    * mutates its session state (USE, CREATE DATABASE/MACRO/FUNCTION);
+    * bindings may attach fixture hooks. */
+  val dialect: HiveDialect = new HiveDialect(spark)
+
+  /** Run one HiveQL statement end-to-end: dialect-rewrite the text
+    * ([[HiveDialect.rewrite]]), dispatch dialect statements
+    * (UPDATE/DELETE/MERGE/LOAD/EXPORT/IMPORT/INSERT variants), and run
+    * anything else as a Spark query. Analyzer rejections retry through
+    * the dialect's error-driven rewrites — Hive coercions Spark
+    * refuses (timestamp-vs-number compares, DISTINCT window
+    * aggregates, interval sugar, char overflow). Returns the query
+    * result, or None for statements. */
+  def sql(text: String): Option[DataFrame] = {
+    val q = dialect.rewrite(text.trim.stripSuffix(";"))
+    if (execute(q)) None
+    else try Some(spark.sql(q)) catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        val cands = (dialect.errorRewrites(q, e.getMessage) ++
+          dialect.windowRewrites(q)).distinct
+        cands.iterator
+          .map(c => scala.util.Try(spark.sql(c)))
+          .collectFirst { case scala.util.Success(df) => Some(df) }
+          .getOrElse(throw e)
+    }
+  }
+
   // ---------------------------------------------------------------
   // hooks
   // ---------------------------------------------------------------
@@ -567,20 +595,30 @@ class HiveStatements(val spark: SparkSession) {
       .replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(sa) + "\\.",
         "s.")
     var source2 = source
-    val key = "(?is)\\s*\\S+\\.(\\w+)\\s*=\\s*\\S+\\.(\\w+)\\s*".r
-      .findFirstMatchIn(on) match {
-      case Some(m) if m.group(1).equalsIgnoreCase(m.group(2)) =>
-        m.group(1)
+    // canonicalize the ON clause's aliases first: the t./s. qualifiers
+    // are AUTHORITATIVE for which side owns each key name — inferring
+    // from the source's column set misfires when the source carries an
+    // unrelated column with the target key's name
+    val onC = canon(on)
+    val key = "(?is)\\s*(\\w+)\\.(\\w+)\\s*=\\s*(\\w+)\\.(\\w+)\\s*".r
+      .findFirstMatchIn(onC) match {
+      case Some(m) if m.group(2).equalsIgnoreCase(m.group(4)) =>
+        m.group(2)
       case Some(m) =>
         // differently-named key columns (ON t.a = s.a1): expose the
         // source key under the target's name; the original column
         // stays for the WHEN clauses' s.<col> references
         val (tk, sk) =
-          if (source.columns.exists(_.equalsIgnoreCase(m.group(2))))
-            (m.group(1), m.group(2))
-          else (m.group(2), m.group(1))
-        if (!source2.columns.exists(_.equalsIgnoreCase(tk)))
-          source2 = source2.withColumn(tk, col(sk))
+          if (m.group(1).equalsIgnoreCase("t")) (m.group(2), m.group(4))
+          else if (m.group(3).equalsIgnoreCase("t"))
+            (m.group(4), m.group(2))
+          else if (source.columns.exists(_.equalsIgnoreCase(m.group(4))))
+            (m.group(2), m.group(4))
+          else (m.group(4), m.group(2))
+        // ALWAYS rebind: a pre-existing source column under the
+        // target key's name is unrelated — the join must see the ON
+        // clause's source key (withColumn overwrites in place)
+        source2 = source2.withColumn(tk, col(sk))
         tk
       case _ => throw new IllegalArgumentException(
         s"MERGE: ON must be a single same-name key equality, got: $on")
@@ -676,12 +714,17 @@ object HiveStatements {
           // `ts=timestamp '...'`) carry the bare text value
           val v0 = v.trim.replaceFirst("(?is)^(?:date|timestamp)\\s+'",
             "'")
-          n.trim.toLowerCase.replace("`", "") -> Some(v0
+          val quoted = v0.startsWith("'") || v0.startsWith("\"")
+          val bare = v0
             .stripPrefix("'").stripSuffix("'")
             .stripPrefix("\"").stripSuffix("\"")
+          n.trim.toLowerCase.replace("`", "") -> Some(
             // numeric literal suffixes (110Y, 22000S, 3L) denote the
-            // partition TYPE, not the value
-            .replaceFirst("^(-?\\d+)[YSLysl]$", "$1"))
+            // partition TYPE, not the value — but only UNQUOTED
+            // literals carry them; a quoted STRING value like '110Y'
+            // is kept verbatim
+            if (quoted) bare
+            else bare.replaceFirst("^(-?\\d+)[YSLysl]$", "$1"))
         case Array(n) => n.trim.toLowerCase.replace("`", "") -> None
       }
     }

@@ -122,4 +122,85 @@ class DialectSpec extends SparkSpec {
     val plan = j.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(500))
   }
+
+  // ---- the PUBLIC HiveQL entry point (HiveStatements.sql →
+  // HiveDialect.rewrite): the dialect layer the golden corpus proves,
+  // shipped in src/main — driven here through the library surface a
+  // user calls, no harness involved.
+
+  private lazy val hive = { views; new HiveStatements(spark) }
+
+  test("public entry: WINDOW clause inheritance, forward refs and " +
+      "aliases (HiveParser.g windowClause)") {
+    val df = hive.sql(
+      """SELECT c_custkey,
+                sum(c_acctbal) OVER w1 AS s,
+                avg(c_acctbal) OVER w2 AS a,
+                min(c_acctbal) OVER w3 AS mn
+         FROM customer
+         WINDOW w1 AS (PARTITION BY c_nationkey ORDER BY c_custkey),
+                w2 AS (w1 ROWS BETWEEN 1 PRECEDING AND CURRENT ROW),
+                w3 AS w1""").get
+    assert(df.columns.toSeq === Seq("c_custkey", "s", "a", "mn"))
+    assert(df.count() === spark.table("customer").count())
+  }
+
+  test("public entry: Hive `LIMIT offset,count` sugar") {
+    val all = hive.sql(
+      "SELECT c_custkey FROM customer ORDER BY c_custkey").get
+      .collect().map(_.getLong(0)).toSeq
+    val page = hive.sql(
+      "SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 5,3").get
+      .collect().map(_.getLong(0)).toSeq
+    assert(page === all.slice(5, 8))
+  }
+
+  test("public entry: Hive interval sugar and FLOOR(ts TO unit)") {
+    // bare `2 days` interval (HiveParser intervalLiteral) — Spark's
+    // parser rejects it; the entry point retries through intervalSugar.
+    // cast-to-string inside SQL so the session (not JVM) timezone
+    // renders the literal it parsed.
+    val d = hive.sql("SELECT cast(timestamp '2001-01-01 00:00:00' " +
+      "+ 2 days AS string) AS d").get.head
+    assert(d.getString(0).startsWith("2001-01-03"))
+    val f = hive.sql("SELECT cast(floor(timestamp '2001-03-15 " +
+      "11:22:33' TO MONTH) AS string) AS m").get.head
+    assert(f.getString(0).startsWith("2001-03-01"))
+  }
+
+  test("public entry: MAP/REDUCE sugar and TABLESAMPLE(BUCKET..ON)") {
+    // TABLESAMPLE BUCKET x OUT OF y ON col → Hive's deterministic
+    // hash predicate (SemanticAnalyzer genSamplePredicate)
+    val s = hive.sql(
+      "SELECT count(*) AS n FROM customer " +
+        "TABLESAMPLE (BUCKET 1 OUT OF 2 ON c_custkey) c").get
+      .head.getLong(0)
+    val total = spark.table("customer").count()
+    assert(s > 0 && s < total)
+    // stddev/variance resolve to Hive's POPULATION variants
+    val v = hive.sql("SELECT stddev(c_acctbal) AS sd FROM customer").get
+      .head.getDouble(0)
+    val vp = spark.sql(
+      "SELECT stddev_pop(c_acctbal) FROM customer").head.getDouble(0)
+    assert(math.abs(v - vp) < 1e-9)
+  }
+
+  test("public entry: DISTINCT window aggregate retry " +
+      "(Spark rejects COUNT(DISTINCT) OVER)") {
+    val df = hive.sql(
+      """SELECT o_custkey,
+                count(DISTINCT o_orderpriority)
+                  OVER (PARTITION BY o_custkey) AS np
+         FROM orders""").get
+    assert(df.select(max(col("np"))).head.getInt(0) >= 1)
+  }
+
+  test("public entry: statements dispatch after dialect rewrite " +
+      "(UPDATE with Hive LIMIT-free predicates)") {
+    spark.range(5).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+      .createOrReplaceTempView("upd_t")
+    assert(hive.sql("UPDATE upd_t SET v = 'x' WHERE k >= 3").isEmpty)
+    assert(spark.table("upd_t").filter(col("v") === "x").count() === 2)
+    spark.catalog.dropTempView("upd_t")
+  }
 }

@@ -446,6 +446,19 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   // (e.g. 'yyyy MMM dd h:mm:ss a') — the legacy parser matches
   spark.conf.set("spark.sql.legacy.timeParserPolicy", "LEGACY")
 
+  // Bind the main-tree HiveQL dialect pre-processor (HiveDialect) to
+  // this harness's fixture machinery: virtual-column table rewrites,
+  // deterministic qtest sampling, and vendored script-path shims.
+  dialect.preRewrite = { q =>
+    val q1 =
+      if (q.toLowerCase.contains("input__file__name") ||
+          q.toLowerCase.contains("block__offset__inside__file"))
+        rewriteVcTables(q)
+      else q
+    testModeSample(randSeedViews(bucketFileSample(q1)))
+  }
+  dialect.scriptResolver = (s: String) => scriptShims.get(s)
+
   private val outDir =
     "/root/reference/ql/src/test/results/clientpositive"
 
@@ -983,15 +996,6 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     ("(?is)alter table `?([\\w.]+)`?\\s+replace columns\\s*\\((.*)\\)" +
       "\\s*(cascade|restrict)?.*").r
 
-  /** Databases created by the replayed script: a flat temp-view
-    * namespace stands in for them, so `db.table` references strip the
-    * prefix (cross-db name collisions fail their own file only). */
-  private val knownDbs = scala.collection.mutable.Set[String]()
-
-  /** The session's current database (`USE db`): index-table names
-    * embed it (`<db>__<table>_<index>__`). */
-  private var currentDb = "default"
-  private var cboStructNames = false
 
   /** Tables shadowed by a TEMPORARY table of the same name: DROP TABLE
     * restores the permanent one (Hive temp-table precedence;
@@ -1756,7 +1760,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   override protected def insertStatement(table: String,
       overwrite: Boolean, selSql: String, partSpec: String,
       colList: Seq[String]): Unit =
-    withCharCastRetry(unionLimitSplit(mapReduceSugar(selSql))) { s =>
+    dialect.withCharCastRetry(dialect.unionLimitSplit(
+      dialect.mapReduceSugar(selSql))) { s =>
       var df = spark.sql(s)
       // skip.header/footer tables: rows written land in a file whose
       // head/tail lines vanish on read-back — the reference counts
@@ -1770,85 +1775,11 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       insertInto(table, overwrite, df, partSpec, colList)
     }
 
-  /** Hive executes `(A union all B limit N)` by limiting the MERGED
-    * stream of the branches' outputs, which its interleaved task
-    * scheduling fills round-robin — the recorded goldens carry N/k
-    * rows from each of the k branches (the newtypestbl ppd fixtures:
-    * 5 apple + 5 hello for limit 10). Spark's limit would take the
-    * first N from branch 1; rewrite each branch to its even share. */
-  private def unionLimitSplit(sql: String): String = {
-    val low = sql.toLowerCase
-    if (!low.contains("union all") || !low.contains("limit")) return sql
-    var i = sql.indexOf('(')
-    while (i >= 0) {
-      // balanced-paren scan, quote-aware
-      var d = 0; var j = i; var quote = ' '; var close = -1
-      while (j < sql.length && close < 0) {
-        val c = sql.charAt(j)
-        if (quote != ' ') { if (c == quote) quote = ' ' }
-        else c match {
-          case '\'' | '"' => quote = c
-          case '(' => d += 1
-          case ')' => d -= 1; if (d == 0) close = j
-          case _ =>
-        }
-        j += 1
-      }
-      if (close > i) {
-        val body = sql.substring(i + 1, close)
-        "(?is)^(.*\\S)\\s+limit\\s+(\\d+)\\s*$".r.findFirstMatchIn(body)
-          .foreach { m =>
-            val branches = splitTopUnionAll(m.group(1))
-            if (branches.size > 1) {
-              val tot = m.group(2).toInt
-              val k = branches.size
-              val parts = branches.zipWithIndex.map { case (b, bi) =>
-                // remainder rows go to the LAST branches: the merged
-                // stream fills from whichever stage finishes first —
-                // in the recorded goldens that is the later, cheaper
-                // branch (merge4: `union all select consts limit 1`
-                // keeps the constant row)
-                val share = tot / k + (if (bi >= k - tot % k) 1 else 0)
-                s"select * from ($b limit $share) __ulim$bi"
-              }
-              return sql.substring(0, i + 1) +
-                parts.mkString(" union all ") + sql.substring(close)
-            }
-          }
-      }
-      i = sql.indexOf('(', i + 1)
-    }
-    sql
-  }
-
-  private def splitTopUnionAll(s: String): Seq[String] = {
-    val parts = Vector.newBuilder[String]
-    var d = 0; var quote = ' '; var start = 0; var i = 0
-    val l = s.toLowerCase
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (quote != ' ') { if (c == quote) quote = ' '; i += 1 }
-      else c match {
-        case '\'' | '"' => quote = c; i += 1
-        case '(' => d += 1; i += 1
-        case ')' => d -= 1; i += 1
-        case _ if d == 0 && l.startsWith("union all", i) &&
-            (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
-            (i + 9 >= s.length ||
-              !Character.isLetterOrDigit(s.charAt(i + 9))) =>
-          parts += s.substring(start, i); start = i + 9; i += 9
-        case _ => i += 1
-      }
-    }
-    parts += s.substring(start)
-    parts.result().map(_.trim).filter(_.nonEmpty)
-  }
-
   override protected def insertSegment(from: String, table: String,
       overwrite: Boolean, sel: String, partSpec: String,
       colList: Seq[String] = Nil): Unit =
     insertInto(table, overwrite,
-      spark.sql(s"FROM $from ${mapReduceSugar(sel)}"), partSpec,
+      spark.sql(s"FROM $from ${dialect.mapReduceSugar(sel)}"), partSpec,
       colList)
 
   override protected def loadStatement(path: String, table: String,
@@ -2170,7 +2101,6 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     super.dispatchTail(sql)
   private var tailExec: String => Unit = baseDispatchTail _
 
-  private val usingRe = "(?is)using\\s+'([^']*)'".r
   /** TRANSFORM scripts: qtest `ADD FILE` statements are masked out of
     * the goldens, so bare script names in USING would never resolve.
     * Rewrite the known script invocations to absolute paths into the
@@ -2188,438 +2118,6 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         "org.apache.hadoop.hive.scripts.extracturl" ->
         s"python3 $repo/extracturl.py",
       "transform_acid_grep.sh" -> s"bash $repo/transform_acid_grep.sh")
-  }
-  private val tsOnRe = ("(?is)([\\w.]+)\\s+tablesample\\s*\\(\\s*bucket" +
-    "\\s+(\\d+)\\s+out\\s+of\\s+(\\d+)\\s+on\\s+" +
-    "((?:[^()]|\\([^()]*\\))+)\\)").r
-  private val mrRe = "(?is)\\s*(?:map|reduce)\\s+(.+?)\\s+(using\\s+.*)".r
-
-  /** Hive dialect shims applied to every replayed statement:
-    *  - `hash(` → `hive_hash(` (goldens sum Hive's
-    *    ObjectInspectorUtils hash contract, not Murmur3);
-    *  - backslash escapes inside `USING '<script>'`: Hive splits the
-    *    script on spaces only, so a parser-unescaped tab survives as
-    *    one argv element — Spark hands the script to `bash -c`, which
-    *    would re-split on it. Re-quote the escape (`tr \t _` →
-    *    `"tr '\t' _"`) so the subprocess sees Hive's argv;
-    *  - `t TABLESAMPLE (BUCKET x OUT OF y ON cols)` → Hive's own
-    *    deterministic sample predicate `(hash & MAX_INT) % y = x-1`
-    *    (ref ql/parse/SemanticAnalyzer genSamplePredicate);
-    *  - `default.`-qualified names → bare (fixtures are temp views). */
-  private def dialectShims(q000: String): String = {
-    val q00x =
-      if (q000.toLowerCase.contains("input__file__name") ||
-          q000.toLowerCase.contains("block__offset__inside__file"))
-        rewriteVcTables(q000)
-      else q000
-    val q00 = testModeSample(randSeedViews(bucketFileSample(q00x)))
-    // table names with '/' (backticked in HiveQL) can't name a temp
-    // view — sanitize consistently across every statement
-    val q0s0 =
-      if (q00.contains("`")) {
-        // pair backticks from the start: odd split-segments are the
-        // quoted names (a regex over `...` spans would also match the
-        // text BETWEEN two adjacent names)
-        val parts = q00.split("`", -1)
-        if (parts.length > 2) {
-          for (i <- 1 until parts.length by 2)
-            if (parts(i).contains("/"))
-              parts(i) = parts(i).replace("/", "_")
-          parts.mkString("`")
-        } else q00
-      } else q00
-    // derived index-table names embed the sanitized base name but the
-    // goldens reference them bare (default__s/c_src_index__)
-    val q0s = "[\\w/]*/[\\w/]*__".r.replaceAllIn(q0s0,
-      m => scala.util.matching.Regex.quoteReplacement(
-        m.matched.replace("/", "_")))
-    val q0 = expandMacros(q0s)
-    val q0w =
-      if (q0.toLowerCase.contains("window")) inlineWindowClauses(q0)
-      else q0
-    val q1 = q0w.replaceAll("(?i)(?<![\\w_])hash\\(", "hive_hash(")
-      // Hive's stddev/std/variance/var are the POPULATION variants
-      // (FunctionRegistry: GenericUDAFStd/GenericUDAFVariance);
-      // Spark's same-named functions are the SAMPLE variants
-      .replaceAll("(?i)(?<![\\w_])(?:stddev|std)\\s*\\(", "stddev_pop(")
-      .replaceAll("(?i)(?<![\\w_])variance\\s*\\(", "var_pop(")
-    val q1s = usingRe.replaceAllIn(q1, m =>
-      scala.util.matching.Regex.quoteReplacement(scriptShims.get(
-        m.group(1).trim) match {
-        case Some(abs) => s"USING '$abs'"
-        case None => m.group(0)
-      }))
-    val q2 = usingRe.replaceAllIn(q1s, m =>
-      scala.util.matching.Regex.quoteReplacement(
-        // an escape already inside embedded quotes (`tr "\t" "_"`)
-        // reaches bash intact — requoting would nest quote marks and
-        // shatter the SQL literal; leave those scripts alone
-        if (!m.group(1).contains("\\") ||
-            m.group(1).contains("\"")) m.group(0)
-        else "USING \"" +
-          m.group(1).replaceAll("\\\\(.)", "'\\\\\\\\$1'") + "\""))
-    val q3 = tsOnRe.replaceAllIn(q2, m =>
-      scala.util.matching.Regex.quoteReplacement(
-        // BUCKET 1 OUT OF 1 keeps every row — the identity case also
-        // covers sampling ON rand() deterministically (still wrapped,
-        // to keep the original's paren balance)
-        if (m.group(3).toInt == 1) s"(select * from ${m.group(1)})"
-        else s"(select * from ${m.group(1)} where (hive_hash(${m.group(4).trim})" +
-          s" & 2147483647) % ${m.group(3)} = ${m.group(2).toInt - 1})"))
-    var q4 = q3.replaceAll("(?i)(?<![\\w.`])`?default`?\\.(?=`?\\w)", "")
-    // bare ROW__ID virtual column: NULL on non-transactional tables
-    // (every golden fixture here) — TableScanOperator.java:110 context
-    q4 = q4.replaceAll(
-      "(?i)(?<![\\w`(.])(?:\\w+\\.)?row__id\\b(?!\\s*\\()",
-      "cast(null as struct<transactionid:bigint,bucketid:int," +
-        "rowid:bigint>)")
-    // Hive `LIMIT offset,count` sugar → standard LIMIT/OFFSET
-    q4 = q4.replaceAll("(?i)\\blimit\\s+(\\d+)\\s*,\\s*(\\d+)",
-      "limit $2 offset $1")
-    // Hive's JsonPath accepts `$.[0]` as `$[0]` (UDFJson pathExprs);
-    // normalize inside $-prefixed path literals
-    q4 = "'(\\$[^']*)'".r.replaceAllIn(q4, m =>
-      scala.util.matching.Regex.quoteReplacement(
-        "'" + m.group(1).replace(".[", "[") + "'"))
-    // a bare LIMIT directly over GROUP BY takes the FIRST n groups of
-    // the single reducer's SORTED stream — make that order explicit so
-    // materializations (CTAS/INSERT) pick Hive's subset
-    q4 = "(?is)\\bgroup\\s+by\\s+([^()]+?)\\s+limit\\s+(\\d+)".r
-      .replaceAllIn(q4, m =>
-        scala.util.matching.Regex.quoteReplacement(
-          if (m.group(1).toLowerCase.contains("order by") ||
-              m.group(1).toLowerCase.contains("sort by")) m.group(0)
-          else s"group by ${m.group(1)} order by ${m.group(1)} " +
-            s"limit ${m.group(2)}"))
-    // Hive FLOOR(ts TO unit) (HiveParser floorExpression) — Spark
-    // spells it date_trunc
-    q4 = q4.replaceAll(
-      "(?i)\\bfloor\\s*\\(\\s*([^()]+?)\\s+to\\s+" +
-        "(year|quarter|month|week|day|hour|minute|second)\\s*\\)",
-      "date_trunc('$2', $1)")
-    // Hive charset literals `_UTF-8 0x<hex>` (HiveParser charSetLiteral)
-    q4 = q4.replaceAll(
-      "(?i)_UTF-8\\s+0x([0-9A-Fa-f]+)",
-      "decode(unhex('$1'), 'UTF-8')")
-    // qtest identity: QTestUtil runs as hive_test_user with no
-    // authenticated session user (logged_in_user() is NULL there),
-    // and current_database tracks the harness's USE state
-    q4 = q4.replaceAll("(?i)\\bcurrent_user\\s*\\(\\s*\\)",
-      "'hive_test_user'")
-    q4 = q4.replaceAll("(?i)\\blogged_in_user\\s*\\(\\s*\\)",
-      "cast(null as string)")
-    q4 = q4.replaceAll("(?i)\\bcurrent_database\\s*\\(\\s*\\)",
-      s"'$currentDb'")
-    // Hive's sum() marks the group non-empty BEFORE converting, so
-    // sum of an unparseable string constant is 0.0, not NULL
-    // (GenericUDAFSumDouble.iterate sets empty=false, then the
-    // NumberFormatException is swallowed)
-    q4 = "(?i)\\bsum\\s*\\(\\s*'([^']*)'\\s*\\)".r.replaceAllIn(q4, m =>
-      if (m.group(1).nonEmpty && m.group(1).toDoubleOption.isEmpty)
-        "if(count(1) = 0, cast(null as double), 0.0d)"
-      else scala.util.matching.Regex.quoteReplacement(m.matched))
-    // Hive UDFRegExp: an EMPTY regex pattern never matches
-    // (UDFRegExp.java evaluate); Java find("") matches everywhere.
-    // `(?!)` is the always-failing pattern.
-    q4 = q4.replaceAll("(?i)\\b(rlike|regexp)\\s+''", "$1 '(?!)'")
-    // Hive's struct() names fields col1..colN (GenericUDFStruct);
-    // Spark's parser claims `struct(` itself, so route to the
-    // engine's hive_struct. `named_struct(` survives via the
-    // lookbehind; type syntax uses `struct<`. Under CBO the Calcite
-    // plan names the fields expr$0..expr$N instead.
-    q4 = q4.replaceAll("(?i)(?<![\\w_.`])struct\\s*\\(",
-      if (cboStructNames) "hive_struct_cbo(" else "hive_struct(")
-    // Hive charset literals `_UTF-8 0xHEX` (HiveLexer.g CharSetName +
-    // CharSetLiteral) → a plain string literal with the bytes decoded
-    q4 = "(?i)_utf-?8\\s+0x([0-9a-f]+)".r.replaceAllIn(q4, m => {
-      val hex = m.group(1)
-      val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
-      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-      scala.util.matching.Regex.quoteReplacement(
-        "'" + s.flatMap(c => f"\\u$c%04x") + "'")
-    })
-    // Hive parses `x IN (...) = true` (a comparison whose left side is
-    // an IN predicate); Spark's grammar wants the IN wrapped
-    q4 = ("(?i)((?:[\\w.`']+|\\([^()]*\\)))\\s*(not\\s+)?" +
-      "(in\\s*\\([^()]*\\))\\s*=\\s*(true|false)\\b").r
-      .replaceAllIn(q4, m =>
-        scala.util.matching.Regex.quoteReplacement(
-          s"(${m.group(1)} ${Option(m.group(2)).getOrElse("")}" +
-            s"${m.group(3)}) = ${m.group(4)}"))
-    // `GROUP BY ()` = the empty grouping set (a plain global
-    // aggregate); Spark rejects the empty parens
-    q4 = q4.replaceAll("(?i)\\bgroup\\s+by\\s+\\(\\s*\\)", "")
-    // Hive's extract(second) is an INT (UDFSecond); Spark 4 returns
-    // DECIMAL(8,6) carrying the fraction
-    q4 = q4.replaceAll(
-      "(?i)\\bextract\\s*\\(\\s*second\\s+from\\s+([\\w.`]+)\\s*\\)",
-      "cast(extract(second from $1) as int)")
-    // histogram_numeric bins over DOUBLE in the reference
-    // (GenericUDAFHistogramNumeric converts); Spark preserves a
-    // decimal input's type in the x field — force the double view
-    q4 = q4.replaceAll(
-      "(?i)\\bhistogram_numeric\\s*\\(\\s*([\\w.`]+)\\s*,",
-      "histogram_numeric(cast($1 as double),")
-    // sample stddev/variance of a SINGLE row is 0.0 in the reference
-    // (GenericUDAFVariance terminate: count==1 → 0), NULL in Spark —
-    // gate on count. Window uses keep the plain function (the rewrite
-    // would detach the OVER clause).
-    q4 = {
-      val m = "(?i)\\b(stddev_samp|var_samp)\\s*\\(([^()]*)\\)".r
-      m.replaceAllIn(q4, mm => {
-        val tail = q4.substring(mm.end)
-        if (tail.matches("(?is)\\s*over\\b.*")) mm.group(0)
-        else scala.util.matching.Regex.quoteReplacement(
-          s"if(count(${mm.group(2)}) = 1, 0.0d, " +
-            s"${mm.group(1)}(${mm.group(2)}))")
-      })
-    }
-    // flatten script-created databases into the temp-view namespace
-    knownDbs.foreach { db =>
-      q4 = q4.replaceAll(
-        s"(?i)(?<![\\w.`])`?$db`?\\.(?=`?\\w)", "")
-    }
-    // SORT BY + LIMIT: Hive's qtest runs one reducer, so its partial
-    // sort IS total and LIMIT takes the global extremes; Spark's
-    // partition-local sort would feed LIMIT arbitrary rows. ORDER BY
-    // reproduces the single-reducer golden. (Multiset comparison makes
-    // the rewrite a no-op for queries without LIMIT.)
-    val q4l = q4.toLowerCase
-    val q5 =
-      if (q4l.contains("sort by") && q4l.matches("(?s).*\\blimit\\s+\\d.*") &&
-          !q4l.contains("distribute by") && !q4l.contains("cluster by"))
-        q4.replaceAll("(?i)\\bsort\\s+by\\b", "order by")
-      else q4
-    // MAP/REDUCE sugar is TRANSFORM too (HiveParser.g selectClause) —
-    // its script IO needs the same explicit tab-delimited contract.
-    // INSERT statements are excluded: their bodies go through
-    // mapReduceSugar LATER, which wraps TRANSFORM(...) around the
-    // expression list — a ROW FORMAT inserted here would end up
-    // inside the parens
-    val q5l2 = q5.toLowerCase
-    val q6a =
-      if (q5l2.contains("transform") ||
-          (!q5l2.contains("insert") &&
-            q5.matches("(?is).*\\b(?:map|reduce)\\b.*\\busing\\s+['\"].*")))
-        fixTransformIo(q5)
-      else q5
-    // GROUPING__ID itself is NOT rewritten here: goldens were
-    // recorded across Hive versions straddling the encoding change,
-    // so the legacy-encoding variant runs as an assert-time fallback
-    val q6 = hiveGroupingShim(q6a, rewriteGid = false)
-    // Hive's noop/noopwithmap test PTFs pass rows through unchanged
-    // (ql/udf/ptf/Noop.java); strip to the underlying relation — the
-    // goldens' window functions re-declare their own specs. Fixpoint
-    // loop unwraps nested calls innermost-first.
-    defaultOverOrder(rewriteMatchPath(stripNoops(q6)))
-  }
-
-  /** Hive 2.x `GROUPING__ID` encodes bit i (LSB-first over the GROUP
-    * BY list) as 1 when column i is PRESENT in the grouping set
-    * (ql/exec/GroupByOperator genGroupingId); Spark's grouping_id() is
-    * the complement with MSB-first bits. Rewrite the virtual column
-    * into `(1-grouping(ci))*2^i` against its own scope's GROUP BY
-    * list. Also collapses literal duplicate GROUPING SETS entries —
-    * Hive dedupes them, Spark emits the group twice. */
-  private def hiveGroupingShim(q0: String,
-      rewriteGid: Boolean = true): String = {
-    val l0 = q0.toLowerCase
-    if (!l0.contains("grouping")) return q0
-    // mask balanced paren groups innermost-first: scopes become flat
-    val subs = scala.collection.mutable.ArrayBuffer[String]()
-    val innerRe = "\\([^()]*\\)".r
-    var top = q0
-    var found = true
-    while (found) {
-      innerRe.findFirstMatchIn(top) match {
-        case Some(m) =>
-          subs += m.matched.substring(1, m.matched.length - 1)
-          top = top.substring(0, m.start) + "§" + (subs.size - 1) +
-            "§" + top.substring(m.end)
-        case None => found = false
-      }
-    }
-    def unmask(s: String): String =
-      "§(\\d+)§".r.replaceAllIn(s, m =>
-        scala.util.matching.Regex.quoteReplacement(
-          "(" + unmask(subs(m.group(1).toInt)) + ")"))
-    val maskRef = "§(\\d+)§".r
-    val gbRollupRe = ("(?is)group\\s+by\\s+(.*?)\\s*with\\s+" +
-      "(rollup|cube)").r
-    val gbFnRe = ("(?is)group\\s+by\\s+(?:rollup|cube)\\s*" +
-      "§(\\d+)§").r
-    val gbSetsRe = ("(?is)group\\s+by\\s+(.*?)\\s+grouping\\s+sets\\s*" +
-      "§(\\d+)§").r
-    val gidRe = "(?i)(?<![\\w.`])grouping__id\\b".r
-    def rewriteScope(s0: String): String = {
-      var s = s0
-      // grouping-set dedup (content compared unmasked/normalized)
-      gbSetsRe.findFirstMatchIn(s).foreach { m =>
-        val k = m.group(2).toInt
-        val entries = splitTop(subs(k), ',').map(_.trim)
-        val seen = scala.collection.mutable.LinkedHashMap[String, String]()
-        entries.foreach(e => seen.getOrElseUpdate(
-          unmask(e).replaceAll("\\s+", " ").toLowerCase, e))
-        if (seen.size < entries.size)
-          subs(k) = seen.values.mkString(", ")
-      }
-      if (rewriteGid && gidRe.findFirstIn(s).isDefined) {
-        val cols: Seq[String] =
-          gbFnRe.findFirstMatchIn(s).map(m =>
-            splitTop(subs(m.group(1).toInt), ',').map(unmask).map(_.trim))
-          .orElse(gbRollupRe.findFirstMatchIn(s).map(m =>
-            splitTop(m.group(1), ',').map(unmask).map(_.trim)))
-          .orElse(gbSetsRe.findFirstMatchIn(s).map(m =>
-            splitTop(m.group(1), ',').map(unmask).map(_.trim)))
-          .getOrElse(Nil)
-        if (cols.nonEmpty) {
-          val expr = "(" + cols.zipWithIndex.map { case (c, i) =>
-            s"(1-grouping($c))*${1L << i}" }.mkString(" + ") + ")"
-          val fromAt = "(?i)\\bfrom\\b".r.findFirstMatchIn(s)
-            .map(_.start).getOrElse(s.length)
-          s = gidRe.replaceAllIn(s, m => {
-            val inSelect = m.start < fromAt
-            val aliased =
-              s.substring(m.end).matches("(?is)\\s+as\\b.*")
-            scala.util.matching.Regex.quoteReplacement(
-              if (inSelect && !aliased) s"$expr as `grouping__id`"
-              else expr)
-          })
-        }
-      }
-      // grouping(c) under a PLAIN group by: Hive constant-folds it to
-      // 0 (SemanticAnalyzer rewrites grouping() only for grouping
-      // sets; plain aggregates emit const 0) — Spark raises. A scope
-      // with no GROUP BY of its own (e.g. an OVER(...) spec, which
-      // masks as its own sub-scope) folds when the outermost query is
-      // plain-grouped.
-      val sl = s.toLowerCase
-      val plainGrouped =
-        sl.matches("(?s).*\\bgroup\\s+by\\b.*") &&
-          !sl.matches("(?s).*(with\\s+rollup|with\\s+cube|" +
-            "grouping\\s+sets|group\\s+by\\s+(rollup|cube)).*")
-      val noOwnGroupBy = !sl.matches("(?s).*\\bgroup\\s+by\\b.*")
-      if (plainGrouped || (noOwnGroupBy && topPlainGrouped))
-        s = s.replaceAll("(?i)\\bgrouping\\s*§(\\d+)§", "0")
-      s
-    }
-    lazy val topPlainGrouped = {
-      val tl = top.toLowerCase
-      tl.matches("(?s).*\\bgroup\\s+by\\b.*") &&
-        !tl.matches("(?s).*(with\\s+rollup|with\\s+cube|" +
-          "grouping\\s+sets|group\\s+by\\s+(rollup|cube)).*")
-    }
-    top = rewriteScope(top)
-    subs.indices.foreach(i => subs(i) = rewriteScope(subs(i)))
-    // top itself is not paren-wrapped; expand its mask refs directly
-    maskRef.replaceAllIn(top, m =>
-      scala.util.matching.Regex.quoteReplacement(
-        "(" + unmask(subs(m.group(1).toInt)) + ")"))
-  }
-
-  /** PTF names bound to the reference's MatchPathResolver (the
-    * built-in `matchpath` plus CREATE TEMPORARY FUNCTION aliases). */
-  private val matchpathFns =
-    scala.collection.mutable.Set[String]("matchpath")
-
-  /** `from matchpath(on <rel> [distribute/partition by ..]
-    * [sort/order by ..] arg1('<pattern>'), arg2('<sym>'), arg3(<expr>)
-    * [, more sym/expr pairs], argN('<result exprs>'))` → evaluate the
-    * engine's hiveMatchPath and splice in a subquery projecting the
-    * result expressions (tpath included). */
-  private def rewriteMatchPath(q0: String): String = {
-    var q = q0
-    val fnAlt = matchpathFns.map(java.util.regex.Pattern.quote)
-      .mkString("|")
-    val callRe = s"(?i)\\b($fnAlt)\\s*\\(\\s*on\\b".r
-    def closeOf(s: String, open: Int): Int = {
-      var depth = 0; var j = open; var close = -1
-      while (j < s.length && close < 0) {
-        s(j) match { case '(' => depth += 1
-                     case ')' => depth -= 1; if (depth == 0) close = j
-                     case _ => }
-        j += 1
-      }
-      close
-    }
-    var m = callRe.findFirstMatchIn(q)
-    while (m.isDefined) {
-      val open = q.indexOf('(', m.get.start)
-      val close = closeOf(q, open)
-      if (close < 0) return q
-      val body = q.substring(open + 1, close).trim
-        .replaceFirst("(?is)^on\\s+", "")
-      val bl = body.toLowerCase
-      // top-level clause offsets
-      def topIdx(kw: String): Int = {
-        var d = 0; var k = 0; var hit = -1
-        while (k < body.length && hit < 0) {
-          body(k) match { case '(' => d += 1; case ')' => d -= 1
-                          case _ => }
-          if (d == 0 && (k == 0 || body(k - 1).isWhitespace) &&
-              bl.startsWith(kw, k)) hit = k
-          k += 1
-        }
-        hit
-      }
-      val argRe = "(?i)\\barg\\d+\\s*\\(".r
-      val firstArg = argRe.findFirstMatchIn(body).map(_.start)
-        .getOrElse(return q)
-      val partIdx0 = Seq(topIdx("distribute by"), topIdx("partition by"))
-        .filter(_ >= 0).minOption
-      val sortIdx0 = Seq(topIdx("sort by"), topIdx("order by"))
-        .filter(_ >= 0).minOption
-      val relEnd = Seq(partIdx0, sortIdx0, Some(firstArg))
-        .flatten.min
-      val rel = body.substring(0, relEnd).trim
-      def colsAt(start: Option[Int], endCands: Seq[Int]): Seq[String] =
-        start.map { s0 =>
-          val after = body.indexOf("by", s0) + 2
-          val end = endCands.filter(_ > after).minOption
-            .getOrElse(body.length)
-          body.substring(after, end).split(',')
-            .map(_.trim.replaceAll("(?i)\\s+(asc|desc)$", ""))
-            .filter(_.nonEmpty).toSeq
-        }.getOrElse(Nil)
-      val partCols = colsAt(partIdx0,
-        Seq(sortIdx0, Some(firstArg)).flatten)
-      val orderCols = colsAt(sortIdx0, Seq(firstArg))
-      // positional argN(...) values
-      val args = scala.collection.mutable.ArrayBuffer[String]()
-      var from = firstArg
-      var am = argRe.findFirstMatchIn(body.substring(from))
-      while (am.isDefined) {
-        val o = body.indexOf('(', from + am.get.start)
-        val c = closeOf(body, o)
-        if (c < 0) return q
-        args += body.substring(o + 1, c).trim
-        from = c + 1
-        am = argRe.findFirstMatchIn(body.substring(from))
-      }
-      if (args.length < 4 || args.length % 2 != 0) return q
-      def unq(s: String): String =
-        if (s.length >= 2 && s.head == '\'' && s.last == '\'')
-          s.substring(1, s.length - 1)
-        else s
-      val pattern = unq(args.head)
-      val syms = args.slice(1, args.length - 1).grouped(2).map {
-        case scala.collection.Seq(n, e) =>
-          (unq(n), org.apache.spark.sql.functions.expr(e))
-      }.toSeq
-      val resultExprs = unq(args.last)
-      val df = spark.sql(s"select * from $rel")
-      graft.operators.MatchPath
-        .hiveMatchPath(df, partCols, orderCols, syms, pattern)
-        .createOrReplaceTempView("__matchpath")
-      val tail = q.substring(close + 1)
-      val needsAlias =
-        !tail.dropWhile(_.isWhitespace).headOption.exists(_.isLetter)
-      q = q.substring(0, m.get.start) +
-        s"(select $resultExprs from __matchpath)" +
-        (if (needsAlias) " __mp" else "") + tail
-      m = callRe.findFirstMatchIn(q)
-    }
-    q
   }
 
   /** Physical file layout of the multi-file fixtures, in VIEW row
@@ -2724,126 +2222,6 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     if (out != q)
       out = randRe.replaceAllIn(out, _ => s"rand__$seed")
     out
-  }
-
-  private val noopCallRe =
-    "(?i)\\bnoop(?:withmap)?(?:streaming)?\\s*\\(".r
-
-  /** Hive's noop/noopwithmap test PTFs pass rows through unchanged
-    * (ql/udf/ptf/Noop.java): replace `noop(on <rel> [partition/
-    * distribute by ..][sort/order by ..])` with `<rel>`, balanced-paren
-    * aware so subquery inputs survive. Innermost-first via fixpoint. */
-  private def stripNoops(q0: String): String = {
-    var q = q0
-    var m = noopCallRe.findFirstMatchIn(q)
-    while (m.isDefined) {
-      val open = q.indexOf('(', m.get.start)
-      var depth = 0; var j = open; var close = -1
-      while (j < q.length && close < 0) {
-        q(j) match {
-          case '(' => depth += 1
-          case ')' => depth -= 1; if (depth == 0) close = j
-          case _ =>
-        }
-        j += 1
-      }
-      if (close < 0) return q
-      var body = q.substring(open + 1, close).trim
-        .replaceFirst("(?is)^on\\s+", "")
-      // cut at the first top-level partitioning/ordering clause
-      val bl = body.toLowerCase
-      var d = 0; var cut = -1; var k = 0
-      while (k < body.length && cut < 0) {
-        body(k) match {
-          case '(' => d += 1
-          case ')' => d -= 1
-          case _ =>
-        }
-        if (d == 0 && (k == 0 || body(k - 1).isWhitespace) &&
-            (bl.startsWith("partition by", k) ||
-              bl.startsWith("distribute by", k) ||
-              bl.startsWith("sort by", k) ||
-              bl.startsWith("order by", k))) cut = k
-        k += 1
-      }
-      if (cut >= 0) body = body.substring(0, cut).trim
-      q = q.substring(0, m.get.start) + body + q.substring(close + 1)
-      m = noopCallRe.findFirstMatchIn(q)
-    }
-    q
-  }
-
-  /** Hive defaults a window spec with PARTITION BY but no ORDER BY to
-    * ordering on the partition key (ql/parse/PTFTranslator
-    * applyConstantPartition); Spark's ranking functions reject the
-    * unordered spec instead. */
-  private val unorderedOverRe = ("(?is)\\bover\\s*\\(\\s*" +
-    "(?:partition|distribute)\\s+by\\s+" +
-    "((?:[^()]|\\([^()]*\\))+?)\\s*\\)").r
-  private def defaultOverOrder(q: String): String =
-    unorderedOverRe.replaceAllIn(q, m => {
-      val cols = m.group(1).trim
-      val cl = cols.toLowerCase
-      scala.util.matching.Regex.quoteReplacement(
-        if (cl.contains("order by") || cl.contains("sort by") ||
-            cl.contains(" rows") || cl.contains(" range")) m.group(0)
-        else s"over (partition by $cols order by $cols)")
-    })
-      // empty over(): one partition, engine-defined order — order by a
-      // constant for Spark's ranking functions (same multiset)
-      .replaceAll("(?i)\\bover\\s*\\(\\s*\\)", "over (order by 1)")
-
-  // `AS name [type], ...` — a bare type word must not swallow the
-  // next clause keyword (`as key from t`)
-  private val transformAsType =
-    "(?:\\s+(?!(?:from|where|group|order|limit|row|union|having|sort" +
-      "|cluster|distribute|insert|join|on|select|lateral|window)\\b)" +
-      "\\w+(?:\\([\\d, ]*\\))?)?"
-  private val transformIoRe =
-    ("(?is)\\busing\\s+('[^']*'|\"[^\"]*\")" +
-      "(\\s+as\\s+(?:\\([^)]*\\)|" +
-      s"`?\\w+`?$transformAsType" +
-      s"(?:\\s*,\\s*`?\\w+`?$transformAsType)*))?").r
-
-  /** Hive's TRANSFORM streams TAB-delimited text in both directions by
-    * default (ql/exec/ScriptOperator + LazySimpleSerDe with
-    * field.delim='\t'); Spark's default script IO schema uses ^A. Make
-    * Hive's contract explicit so scripts like `tr '\t' _` see the same
-    * bytes they saw under Hive. */
-  private def fixTransformIo(q0: String): String = {
-    // Spark's parser rejects optimizer hints ahead of TRANSFORM —
-    // Hive's MAPJOIN hints are advisory anyway
-    val q = q0.replaceAll("/\\*\\+[^*]*\\*/", " ")
-    if (q.toLowerCase.contains("row format")) q
-    else transformIoRe.replaceAllIn(q, m =>
-      scala.util.matching.Regex.quoteReplacement(
-        // no AS clause: Hive's contract is (key, value) split at the
-        // FIRST tab with value = REST OF LINE, tabs preserved
-        // (ScriptOperator + TextRecordReader); a delimited serde can't
-        // express that, so pipe through a filter that rewrites just
-        // the first tab to \x01 and split on that
-        if (m.group(2) == null) {
-          val quote = m.group(1).head
-          val inner = m.group(1).substring(1, m.group(1).length - 1)
-          val repo = new java.io.File("src/test/resources/scripts")
-            .getAbsolutePath
-          "ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\t' USING " +
-            s"$quote$inner | python3 $repo/first_tab_to_soh.py$quote" +
-            " ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\u0001' "
-        } else
-          "ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\t' USING " +
-            m.group(1) + m.group(2) +
-            " ROW FORMAT DELIMITED FIELDS TERMINATED BY '\\t' "))
-  }
-
-  /** Hive's `MAP exprs USING ...` / `REDUCE exprs USING ...` insert
-    * bodies are sugar for `SELECT TRANSFORM(exprs) USING ...`
-    * (ref ql/parse/HiveParser.g selectClause). */
-  private def mapReduceSugar(sel: String): String = sel match {
-    case _ if sel.toLowerCase.matches("(?s)\\s*(?:select|values).*") => sel
-    case mrRe(exprs, rest) =>
-      fixTransformIo(s"SELECT TRANSFORM($exprs) $rest")
-    case _ => sel
   }
 
   /** Fallback for floating-point accumulation-order tails: rows match
@@ -2977,7 +2355,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       // a PTF alias for the reference MatchPath resolver — handled by
       // the from-clause rewrite, not the function registry
       case "MatchPath$MatchPathResolver" =>
-        matchpathFns += fname.toLowerCase
+        dialect.matchpathFns += fname.toLowerCase
       // itests/util .../UDFTestLength[2].java: character length
       case "UDFTestLength" | "UDFTestLength2" =>
         expr(es => Length(es.head))
@@ -3030,7 +2408,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           }))
       // contrib .../GenericUDTFCount2.java: emits the row count TWICE
       // at close — handled as a textual rewrite (udtfCount2Names)
-      case "GenericUDTFCount2" => udtfCount2Names += fname.toLowerCase
+      case "GenericUDTFCount2" => dialect.udtfCount2Names += fname.toLowerCase
       // itests .../UDFFileLookup.java: sales.txt name → int lookup
       case "UDFFileLookup" =>
         val m = GoldenFixtures.lines("sales.txt").map { l =>
@@ -3044,9 +2422,6 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       case _ =>
     }
   }
-
-  private val udtfCount2Names =
-    scala.collection.mutable.Set[String]()
 
   /** Hive-2.3 function semantics Spark's same-named built-ins diverge
     * from, re-implemented from the reference UDF sources and bound
@@ -3174,64 +2549,6 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   }
   registerHiveCompat()
 
-  /** CREATE TEMPORARY MACRO bodies, expanded textually at dialect-shim
-    * time (Hive macros are expression substitution —
-    * ql/parse/MacroSemanticAnalyzer.java). */
-  private val macros = scala.collection.mutable
-    .Map[String, (Seq[String], String)]()
-
-  private def expandMacros(q0: String): String = {
-    if (macros.isEmpty && udtfCount2Names.isEmpty) return q0
-    // a macro NAME inside CREATE/DROP TEMPORARY MACRO is a
-    // declaration, not a call (re-creating SIMPLE_ADD(x INT, y INT)
-    // must not expand the existing macro over its own arg list)
-    if (q0.trim.toLowerCase.matches(
-        "(?s)(create|drop)\\s+temporary\\s+macro\\b.*")) return q0
-    var q = q0
-    // udtfCount2() FROM t → the total count, twice
-    udtfCount2Names.foreach { n =>
-      q = ("(?is)select\\s+" + java.util.regex.Pattern.quote(n) +
-        "\\s*\\(\\s*\\)\\s+from\\s+([\\w.]+)").r.replaceAllIn(q, m =>
-        scala.util.matching.Regex.quoteReplacement(
-          s"select c0 from (select count(*) as c0 from ${m.group(1)} " +
-            s"union all select count(*) as c0 from ${m.group(1)}) tc2"))
-    }
-    var guard = 0
-    var changed = true
-    while (changed && guard < 8) {
-      changed = false; guard += 1
-      macros.foreach { case (name, (params, body)) =>
-        val callRe = ("(?i)\\b" + java.util.regex.Pattern.quote(name) +
-          "\\s*\\(").r
-        callRe.findFirstMatchIn(q).foreach { m =>
-          val open = q.indexOf('(', m.start)
-          var depth = 0; var j = open; var close = -1
-          while (j < q.length && close < 0) {
-            q(j) match {
-              case '(' => depth += 1
-              case ')' => depth -= 1; if (depth == 0) close = j
-              case _ =>
-            }
-            j += 1
-          }
-          if (close > 0) {
-            val args = splitTop(q.substring(open + 1, close), ',')
-            var expanded = body
-            params.zip(args).foreach { case (p, a) =>
-              expanded = expanded.replaceAll(
-                "(?i)\\b" + java.util.regex.Pattern.quote(p) + "\\b",
-                scala.util.matching.Regex.quoteReplacement(s"($a)"))
-            }
-            q = q.substring(0, m.start) + "(" + expanded + ")" +
-              q.substring(close + 1)
-            changed = true
-          }
-        }
-      }
-    }
-    q
-  }
-
   /** SORT_AND_HASH goldens append a base64 digest line per block. */
   private def isHashLine(l: String): Boolean =
     l.matches("[A-Za-z0-9+/]{22}==")
@@ -3263,618 +2580,6 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         s"select * from $raw where key in (select key from src)"
     }
     spark.sql(sql).createOrReplaceTempView(name)
-  }
-
-  // ---- Hive window-dialect retry rewrites -------------------------
-  private val specBody = "(?:[^()]|\\([^()]*\\))*"
-  private val windowClauseRe =
-    (s"(?is)\\bwindow\\s+(\\w+\\s+as\\s*(?:\\($specBody\\)|\\w+)\\s*" +
-      s"(?:,\\s*\\w+\\s+as\\s*(?:\\($specBody\\)|\\w+)\\s*)*)").r
-  private val oneWindowDefRe =
-    s"(?is)(\\w+)\\s+as\\s*(?:\\(($specBody)\\)|(\\w+))".r
-  private val specFrameRe =
-    "(?is)\\b(rows|range)\\s+(between\\s.*|unbounded\\s.*|current\\s.*|\\d+\\s.*)$".r
-
-  /** Inline Hive WINDOW clauses (`window w1 as (...), w2 as (w1 rows
-    * ...), w3 as w1`) into the OVER sites. Spark's parser has no
-    * window-spec inheritance or cross/forward references; a def whose
-    * body starts with another window name inherits that spec's
-    * partitioning/ordering with its own frame, and a bare-name def is
-    * a full alias (ref ql/parse/WindowingSpec fill-in-defaults
-    * semantics, forward references included). */
-  private def inlineWindowClauses(q0: String): String =
-    windowClauseRe.findFirstMatchIn(q0) match {
-      case None => q0
-      case Some(m) =>
-        val raw =
-          scala.collection.mutable.LinkedHashMap.empty[String, String]
-        oneWindowDefRe.findAllMatchIn(m.group(1)).foreach { d =>
-          raw(d.group(1).toLowerCase) =
-            (if (d.group(2) != null) d.group(2) else d.group(3)).trim
-        }
-        def resolve(n: String, seen: Set[String]): String = {
-          val body = raw.getOrElse(n, n)
-          val head = body.split("\\s+", 2)
-          val ref = head(0).toLowerCase
-          if (!raw.contains(ref) || seen.contains(ref)) body
-          else {
-            val base = resolve(ref, seen + ref)
-            if (head.length == 1) base // pure alias
-            else (specFrameRe.replaceAllIn(base, "").trim +
-              " " + head(1)).trim // inherit spec, own frame
-          }
-        }
-        var q = (q0.substring(0, m.start) + q0.substring(m.end)).trim
-        raw.keys.foreach { n =>
-          val full = resolve(n, Set(n))
-          val repl = java.util.regex.Matcher
-            .quoteReplacement(s"over ($full)")
-          q = q.replaceAll(s"(?is)\\bover\\s*\\(\\s*$n\\s*\\)", repl)
-          q = q.replaceAll(s"(?is)\\bover\\s+$n\\b", repl)
-          // inline inherited spec: over (wN <own frame>)
-          val noFrame = specFrameRe.replaceAllIn(full, "").trim
-          q = s"(?is)\\bover\\s*\\(\\s*$n\\s+([^()]+)\\)".r
-            .replaceAllIn(q, w => java.util.regex.Matcher
-              .quoteReplacement(s"over ($noFrame ${w.group(1).trim})"))
-        }
-        inlineWindowClauses(q)
-    }
-  private val boundPat =
-    "(?:unbounded\\s+(?:preceding|following)|current\\s+row|" +
-      "\\d+\\s+(?:preceding|following))"
-  private val rangeFrameRe =
-    s"(?is)range\\s+(?:between\\s+($boundPat)\\s+and\\s+($boundPat)|($boundPat))".r
-  private val numBoundRe = "(?is)(\\d+)\\s+(preceding|following)".r
-  // one paren-nesting level for the aggregated expression / over spec
-  private val exprPat = "((?:[^()]|\\([^()]*\\))+?)"
-  private def distinctOverRe(fn: String) =
-    s"(?is)$fn\\s*\\(\\s*distinct\\s+$exprPat\\)\\s*over\\s*\\($exprPat\\)".r
-
-  /** Replace numeric-offset RANGE frames with the Hive
-    * string-order-key semantics: StringValueBoundaryScanner ignores
-    * the offset (ValueBoundaryScanner.java:578-584 — any unequal key
-    * is "too far"), so the frame is exactly the peer group. */
-  private def rangePeers(q: String): String =
-    rangeFrameRe.replaceAllIn(q, m =>
-      if (numBoundRe.findFirstIn(m.matched).isDefined)
-        "range between current row and current row"
-      else scala.util.matching.Regex.quoteReplacement(m.matched))
-
-  /** Date order keys: Hive's day-granularity distance
-    * (DateValueBoundaryScanner.java:551-557) == Spark's
-    * INTERVAL n DAYS range offset. */
-  private def rangeDays(q: String): String =
-    rangeFrameRe.replaceAllIn(q, m =>
-      scala.util.matching.Regex.quoteReplacement(
-        numBoundRe.replaceAllIn(m.matched, b =>
-          s"interval ${b.group(1)} days ${b.group(2)}")))
-
-  /** RANGE with no ordering: every row is a peer of every other, so
-    * any range frame spans the whole partition. */
-  private def rangeNoOrder(q: String): String =
-    "(?is)\\(([^()]*)\\)".r.replaceAllIn(q, m => {
-      val body = m.group(1)
-      val bl = body.toLowerCase
-      val isWindowSpec = (bl.contains("partition by") ||
-        bl.contains("distribute by") || bl.contains("cluster by")) &&
-        bl.contains("range") &&
-        !bl.matches("(?s).*\\b(order|sort)\\s+by\\b.*")
-      if (!isWindowSpec)
-        scala.util.matching.Regex.quoteReplacement(m.matched)
-      else scala.util.matching.Regex.quoteReplacement("(" +
-        rangeFrameRe.replaceAllIn(body,
-          "rows between unbounded preceding and unbounded following") +
-        ")")
-    })
-
-  /** DISTINCT window aggregates (Spark: unsupported) over the whole
-    * partition rewrite through collect_set, which Spark does support
-    * as a window function. count → set size; sum/avg → fold the set
-    * in double arithmetic (tolerantEq absorbs the 273 vs 273.0
-    * rendering difference). */
-  private def distinctWindows(q: String): String = {
-    var r = distinctOverRe("count").replaceAllIn(q, m =>
-      scala.util.matching.Regex.quoteReplacement(
-        s"size(collect_set(${m.group(1)}) over (${m.group(2)}))"))
-    // GenericUDAFSum marks the group non-empty BEFORE the numeric
-    // parse, so unparseable strings contribute 0 (not null); an
-    // all-null group stays NULL
-    def fold(expr: String, spec: String) =
-      s"aggregate(collect_set($expr) over ($spec), cast(0 as double), " +
-        "(_acc, _x) -> _acc + coalesce(cast(_x as double), 0))"
-    r = distinctOverRe("sum").replaceAllIn(r, m =>
-      scala.util.matching.Regex.quoteReplacement(
-        s"if(size(collect_set(${m.group(1)}) over (${m.group(2)})) = 0, " +
-          s"cast(null as double), ${fold(m.group(1), m.group(2))})"))
-    // GenericUDAFAverage counts only values whose numeric parse
-    // succeeds, so an all-unparseable group divides 0/0 → NULL
-    r = distinctOverRe("avg").replaceAllIn(r, m => {
-      val f = s"filter(collect_set(${m.group(1)}) over (${m.group(2)})," +
-        " _v -> cast(_v as double) is not null)"
-      scala.util.matching.Regex.quoteReplacement(
-        s"(aggregate($f, cast(0 as double), " +
-          s"(_acc, _x) -> _acc + cast(_x as double)) / size($f))")
-    })
-    r
-  }
-
-  /** Hive compares timestamp with numbers as epoch seconds
-    * (TimestampWritable.getDouble); Spark rejects the mixed-type
-    * comparison. Extract the offending column from the analyzer
-    * message and cast its numeric comparisons. */
-  private def errorRewrites(q: String, msg: String): Seq[String] = {
-    if (msg == null) Nil
-    else if (msg.contains("BINARY_OP_DIFF_TYPES")) {
-      // Hive compares a timestamp against a number as epoch SECONDS
-      // (TimestampWritable.getDouble) — cast the column side, either
-      // operand order
-      val colFirst = "\"\\((\\w+) *(?:<=|>=|<>|!=|=|<|>)".r
-        .findFirstMatchIn(msg).map(_.group(1))
-      val litFirst = ("\"\\(-?\\d+(?:\\.\\d+)? *" +
-        "(?:<=|>=|<>|!=|=|<|>) *(\\w+)\\)").r
-        .findFirstMatchIn(msg).map(_.group(1))
-      val compares =
-        (colFirst.toSeq ++ litFirst.toSeq).distinct.map { c =>
-          val r1 = q.replaceAll(
-            s"(?i)\\b($c)\\s*(<=|>=|<>|!=|=|<|>)\\s*(-?\\d+(?:\\.\\d+)?)(?![\\w.])",
-            "cast($1 as double) $2 $3")
-          r1.replaceAll(
-            s"(?i)(?<![\\w.])(-?\\d+(?:\\.\\d+)?)\\s*(<=|>=|<>|!=|=|<|>)\\s*($c)\\b",
-            "$1 $2 cast($3 as double)")
-        }
-      // Hive coerces a concat result back to a number under bitwise
-      // ops (`0 ^ '1'||'2'' -> 0 ^ 12); Spark rejects string ^ int
-      val bitConcat =
-        if (!msg.contains("concat")) Nil
-        else Seq(q.replaceAll(
-          "\\^\\s*((?:[^\\s^]+\\s*\\|\\|\\s*)+[^\\s^]+)",
-          "^ cast($1 as bigint)"))
-      (compares ++ bitConcat).distinct
-    }
-    else if (msg.contains("EXCEED_LIMIT_LENGTH"))
-      Seq(castCharRewrite(q))
-    else if (msg.contains("WINDOW_FUNCTION_WITHOUT_OVER_CLAUSE"))
-      liftNestedLag(q).toSeq
-    else if (msg.contains("PARSE_SYNTAX_ERROR"))
-      intervalSugar(q).toSeq
-    else if (msg.contains("INVALID_ORDERING_TYPE"))
-      // Hive sorts map columns by their serialized bytes; the row
-      // MULTISET is what the compare checks, so dropping the unsortable
-      // key from ORDER/SORT BY is semantics-preserving here
-      "\"(\\w+) ASC".r.findFirstMatchIn(msg).toSeq.map { em =>
-        q.replaceAll(
-          s"(?i)((?:order|sort)\\s+by\\s+)${em.group(1)}\\s*,?\\s*",
-          "$1").replaceAll("(?i)(order|sort)\\s+by\\s*(limit|$)", "$2")
-      }
-    else if (msg.contains("FILTER_NOT_BOOLEAN"))
-      // Hive coerces a non-boolean WHERE expression through its
-      // boolean converter; Spark rejects it
-      "Filter expression \"(\\w+)\"".r.findFirstMatchIn(msg).toSeq
-        .map(em => q.replaceAll(
-          s"(?i)\\b(where\\s+)${em.group(1)}(?![\\w.(])",
-          s"$$1cast(${em.group(1)} as boolean)"))
-    else if (msg.contains("AMBIGUOUS_REFERENCE")) {
-      // Hive resolves an ambiguous bare column to the first candidate
-      // (the one the GROUP BY qualifies); qualify every unqualified
-      // occurrence with it
-      ("Reference `(\\w+)` is ambiguous, could be: " +
-        "\\[`(\\w+)`\\.`(\\w+)`").r.findFirstMatchIn(msg).toSeq
-        .flatMap { em =>
-          // qualify exactly the occurrence the analyzer points at
-          // (line/pos are against the submitted SQL text)
-          "line (\\d+) pos (\\d+)".r.findFirstMatchIn(msg).flatMap { pm =>
-            val lines = q.split("\n", -1)
-            val ln = pm.group(1).toInt - 1
-            if (ln >= lines.length) None
-            else {
-              val off = lines.take(ln).map(_.length + 1).sum +
-                pm.group(2).toInt
-              val name = em.group(1)
-              if (off + name.length <= q.length &&
-                  q.regionMatches(true, off, name, 0, name.length))
-                Some(q.substring(0, off) +
-                  s"${em.group(2)}.${em.group(3)}" +
-                  q.substring(off + name.length))
-              else None
-            }
-          }
-        }
-    }
-    else if (msg.contains("MISSING_AGGREGATION")) {
-      // Hive window specs resolve SELECT aliases (`max(comments)
-      // comments ... OVER (ORDER BY comments)`); Spark binds the raw
-      // column and trips the aggregation check — substitute the
-      // aliased aggregate into every OVER clause
-      "non-aggregating expression \"(\\w+)\"".r
-        .findFirstMatchIn(msg).toSeq.flatMap { em =>
-          val alias = em.group(1)
-          ("(?is)(\\w+\\s*\\((?:[^()]|\\([^()]*\\))*\\))\\s+" +
-            s"(?:as\\s+)?$alias\\b").r.findFirstMatchIn(q).map { am =>
-            val agg = am.group(1)
-            "(?is)over\\s*\\(([^()]*)\\)".r.replaceAllIn(q, om =>
-              scala.util.matching.Regex.quoteReplacement("over (" +
-                om.group(1).replaceAll(s"(?i)\\b$alias\\b",
-                  scala.util.matching.Regex.quoteReplacement(agg)) + ")"))
-          }
-        }
-    }
-    else if (msg.contains("UNEXPECTED_INPUT_TYPE") &&
-        msg.contains("INTERVAL"))
-      // Hive's year/month/day/... UDFs accept intervals and extract
-      // the field (UDFYear etc. on HiveIntervalYearMonth/DayTime);
-      // Spark spells that EXTRACT(field FROM interval)
-      ("\"(?:year|month|day|hour|minute|second)\\((\\w+)\\)\"".r
-        .findFirstMatchIn(msg).map { m =>
-          // Spark silently NULLs hour/minute/second over an interval
-          // (cast-to-string path) instead of erroring — rewrite every
-          // field accessor on this column in one go
-          // UDFSecond returns INT — Spark's EXTRACT(SECOND) yields
-          // DECIMAL seconds, so truncate that one field
-          q.replaceAll(
-            s"(?i)\\bsecond\\s*\\(\\s*${m.group(1)}\\s*\\)",
-            s"cast(extract(second from ${m.group(1)}) as int)")
-           .replaceAll(
-            s"(?i)\\b(year|month|day|hour|minute)\\s*\\(\\s*${m.group(1)}\\s*\\)",
-            s"extract($$1 from ${m.group(1)})")
-        }).toSeq
-    else if (msg.contains("golden mismatch"))
-      Seq(
-        Option.when(
-          "(?i)\\b(stddev_samp|var_samp|variance_samp|covar_samp)\\s*\\("
-            .r.findFirstIn(q).isDefined)(sampleAggZero(q)),
-        Option.when(q.contains("||"))(pipeConcat(q)),
-        // legacy Hive GROUPING__ID encoding (bit=1 when the column IS
-        // present) — tried as a fallback because goldens straddle the
-        // encoding change
-        Option.when(q.toLowerCase.contains("grouping__id"))(
-          hiveGroupingShim(q, rewriteGid = true)),
-
-        intervalSugar(q),
-        // Hive date ± day-time interval yields TIMESTAMP (rendered
-        // with 00:00:00); Spark keeps DATE
-        Option.when(("(?i)date\\s+'[^']+'\\s*[-+]\\s*(interval\\s+" +
-            "'\\d+'\\s+(day|hour|minute|second)|make_dt_interval)").r
-            .findFirstIn(q).isDefined)(
-          q.replaceAll(
-            "(?i)(date\\s+'[^']+'(?:\\s*[-+]\\s*(?:interval\\s+'\\d+'\\s+" +
-              "(?:day|hour|minute|second)s?|make_dt_interval\\(\\([^()]*\\)\\)))+)",
-            "cast($1 as timestamp)")),
-        // hive.cbo.returnpath.hiveop renders cume_dist through an INT
-        // cast (the cbo_rp goldens record 0 for 0.33 — a reference
-        // quirk those files assert)
-        Option.when(q.toLowerCase.contains("cume_dist"))(
-          "(?is)cume_dist\\s*\\(\\s*\\)\\s*over\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)"
-            .r.replaceAllIn(q, m =>
-              scala.util.matching.Regex.quoteReplacement(
-                s"cast(cume_dist() over (${m.group(1)}) as int)"))),
-        // Hive gives `=` LOWER precedence than IN: a = b in (...)
-        // parses as a = (b in (...)) (HiveParser precedenceEqual)
-        Option.when("(?i)=\\s*\\S+\\s+in\\s*\\(".r
-            .findFirstIn(q).isDefined)(
-          "(?i)=\\s*(\\S+)\\s+in\\s*\\(([^()]*)\\)".r.replaceAllIn(q,
-            m => scala.util.matching.Regex.quoteReplacement(
-              s"= (${m.group(1)} in (${m.group(2)}))")))
-      ).flatten.filterNot(_ == q)
-    else if (msg.contains("DATA_DIFF_TYPES") &&
-        (msg.contains("`greatest`") || msg.contains("`least`"))) {
-      // Hive coerces mixed greatest/least args to the common
-      // COMPARISON type (getCommonClassForComparison) — two-type
-      // numeric+string mixes land on double, wider mixes fall back to
-      // string; try both bindings, whichever matches the golden wins
-      Seq(castArgs(q, "greatest", "string"),
-        castArgs(q, "least", "string"),
-        castArgs(q, "greatest", "double"),
-        castArgs(q, "least", "double")).filterNot(_ == q)
-    } else Nil
-  }
-
-  /** Hive's SAMPLE variance family returns 0.0 for a single-element
-    * group where Spark returns NULL (GenericUDAFStdSample.java:81-86:
-    * count==0 -> null, count==1 -> 0.0, else variance/(n-1)). Wrap
-    * each call in the three-way CASE; windowed calls carry their OVER
-    * spec onto the guard count. */
-  private def sampleAggZero(q0: String): String = {
-    val fnRe =
-      "(?i)\\b(stddev_samp|var_samp|variance_samp|covar_samp)\\s*\\(".r
-    def closeParen(s: String, openEnd: Int): Int = {
-      var depth = 1; var j = openEnd
-      while (depth > 0 && j < s.length) {
-        s(j) match { case '(' => depth += 1; case ')' => depth -= 1
-                     case _ => }
-        j += 1
-      }
-      j
-    }
-    var q = q0
-    var from = 0
-    var continue = true
-    while (continue) {
-      fnRe.findFirstMatchIn(q.substring(from)) match {
-        case None => continue = false
-        case Some(m0) =>
-          val start = from + m0.start
-          val argStart = from + m0.end
-          val j = closeParen(q, argStart)
-          val args = q.substring(argStart, j - 1)
-          val ovM = "(?is)^\\s*over\\s*\\(".r
-            .findFirstMatchIn(q.substring(j))
-          val endAll = ovM.map(om => closeParen(q, j + om.end))
-            .getOrElse(j)
-          val ovTxt = q.substring(j, endAll)
-          val cnt =
-            if (m0.group(1).equalsIgnoreCase("covar_samp")) {
-              val parts = GoldenFixtures.splitTop(args, ',')
-              s"count(if((${parts.head}) is not null and " +
-                s"(${parts.last}) is not null, 1, null))"
-            } else s"count($args)"
-          val orig = q.substring(start, endAll)
-          val repl = s"(case when $cnt$ovTxt > 1 then $orig " +
-            s"when $cnt$ovTxt = 1 then cast(0 as double) " +
-            "else cast(null as double) end)"
-          q = q.substring(0, start) + repl + q.substring(endAll)
-          from = start + repl.length
-      }
-    }
-    q
-  }
-
-  /** Hive interval sugar Spark's parser rejects or types differently:
-    * bare `2 days` / `(1) second` / `'2' days` intervals, expression
-    * intervals `interval (-dt*dt) day` and
-    * `interval (dt || '-1') year to month` (HiveParser
-    * intervalLiteral/intervalExpression). */
-  private def intervalSugar(q: String): Option[String] = {
-    val unit = "(seconds?|minutes?|hours?|days?|months?|years?)"
-    var r = q
-    r = r.replaceAll(
-      "(?i)\\binterval\\s*\\(([^()]+(?:\\([^()]*\\))?[^()]*)\\)" +
-        "\\s+year\\s+to\\s+month",
-      "cast(($1) as interval year to month)")
-    r = r.replaceAll(
-      "(?i)\\binterval\\s*\\(([^()]+(?:\\([^()]*\\))?[^()]*)\\)\\s+days?",
-      "make_dt_interval(($1))")
-    r = r.replaceAll(
-      s"(?i)\\(?\\b(\\d+)\\)?\\s+$unit\\b(?!\\s+to\\b)",
-      "interval '$1' $2")
-    r = r.replaceAll(
-      s"(?i)(?<!interval\\s)'(\\d+)'\\s+$unit\\b(?!\\s+to\\b)",
-      "interval '$1' $2")
-    Option.when(r != q)(r)
-  }
-
-  /** Hive gives `||` the LOWEST precedence: `9 + 9 || 9 + 9` is
-    * concat(18, 18) = '1818'; Spark groups it `((9+9)||9)+9` = 198.
-    * Split each top-level comma/keyword-delimited expression slot at
-    * its top-level `||`s and emit concat(cast(part as string), ...)
-    * (Hive renders int operands without a decimal tail). */
-  private def pipeConcat(q: String): String = {
-    if (!q.contains("||")) return q
-    val kw = Set("from", "where", "group", "order", "sort", "having",
-      "limit", "union", "select", "on", "when", "then", "else", "end",
-      "and", "or", "by", "distribute", "cluster", "as")
-    // boundaries: top-level commas and keywords
-    val bounds = scala.collection.mutable.ArrayBuffer[Int](0)
-    var depth = 0; var i = 0; var quote: Char = 0
-    while (i < q.length) {
-      val c = q(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
-      else c match {
-        case '\'' | '"' => quote = c
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case ',' if depth == 0 => bounds += i; bounds += (i + 1)
-        case _ if c.isLetter && depth == 0 &&
-            (i == 0 || !(q(i - 1).isLetterOrDigit || q(i - 1) == '_')) =>
-          val w = q.substring(i).takeWhile(ch =>
-            ch.isLetterOrDigit || ch == '_').toLowerCase
-          if (kw.contains(w)) { bounds += i; bounds += (i + w.length) }
-        case _ =>
-      }
-      i += 1
-    }
-    bounds += q.length
-    val segs = bounds.toSeq.sorted.sliding(2).collect {
-      case scala.collection.Seq(a, b) if b > a => (a, b) }.toSeq
-    var out = q
-    segs.sortBy(-_._1).foreach { case (a, b) =>
-      val seg = out.substring(a, b)
-      // split THIS segment at its top-level ||
-      val parts = scala.collection.mutable.ArrayBuffer[String]()
-      var d = 0; var qt: Char = 0; var last = 0; var j = 0
-      while (j < seg.length) {
-        val c = seg(j)
-        if (qt != 0) { if (c == qt) qt = 0 }
-        else c match {
-          case '\'' | '"' => qt = c
-          case '(' => d += 1
-          case ')' => d -= 1
-          case '|' if d == 0 && j + 1 < seg.length && seg(j + 1) == '|' =>
-            parts += seg.substring(last, j); last = j + 2; j += 1
-          case _ =>
-        }
-        j += 1
-      }
-      if (parts.nonEmpty) {
-        parts += seg.substring(last)
-        val trimmed = parts.map(_.trim).filter(_.nonEmpty)
-        if (trimmed.length == parts.length)
-          out = out.substring(0, a) + " concat(" +
-            trimmed.map(p => s"cast($p as string)").mkString(", ") +
-            ") " + out.substring(b)
-      }
-    }
-    out
-  }
-
-  /** Hive allows lag/lead INSIDE a windowed aggregate with no OVER of
-    * their own — they inherit the enclosing window's partition/order
-    * (PTFTranslator windowing). Spark rejects both the bare call and
-    * a nested window, so LIFT each bare lag/lead into a subquery that
-    * projects it over the enclosing spec (frame stripped — lag/lead
-    * ignore frames), then reference the projected column. */
-  private def liftNestedLag(q: String): Option[String] = {
-    val callRe = "(?i)\\b(lag|lead)\\s*\\(".r
-    val calls = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
-    callRe.findAllMatchIn(q).foreach { m =>
-      var depth = 1; var j = m.end
-      while (depth > 0 && j < q.length) {
-        q(j) match { case '(' => depth += 1; case ')' => depth -= 1
-                     case _ => }
-        j += 1
-      }
-      val after = q.substring(math.min(j, q.length)).trim
-      if (!after.toLowerCase.startsWith("over")) calls += ((m.start, j))
-    }
-    if (calls.isEmpty) return None
-    // enclosing spec: first inline over(...) with an ordering, else
-    // the first named-window definition
-    val spec0 = "(?is)over\\s*\\(([^()]*)\\)".r.findAllMatchIn(q)
-      .map(_.group(1)) .find(s =>
-        s.toLowerCase.matches("(?s).*\\b(order|sort)\\s+by.*"))
-      .orElse("(?is)\\bwindow\\s+\\w+\\s+as\\s*\\(([^()]*)\\)".r
-        .findFirstMatchIn(q).map(_.group(1)))
-      .getOrElse(return None)
-    val spec = spec0.replaceAll("(?is)\\b(rows|range)\\s+.*$", "")
-      .replaceAll("(?i)\\bdistribute\\s+by\\b", "partition by")
-      .replaceAll("(?i)\\bsort\\s+by\\b", "order by").trim
-    if (spec.isEmpty) return None
-    // top-level FROM segment (WHERE stays inside: Hive filters before
-    // windowing)
-    var depth = 0; var fromIdx = -1; var i = 0
-    val lq = q.toLowerCase
-    while (i < q.length && fromIdx < 0) {
-      q(i) match { case '(' => depth += 1; case ')' => depth -= 1
-                   case _ => }
-      if (depth == 0 && lq.startsWith("from", i) &&
-          (i == 0 || !q(i - 1).isLetterOrDigit) &&
-          (i + 4 >= q.length || !q(i + 4).isLetterOrDigit))
-        fromIdx = i
-      i += 1
-    }
-    if (fromIdx < 0 || calls.exists(_._1 > fromIdx)) return None
-    val tailKw = Seq("window", "group", "order", "sort", "cluster",
-      "distribute", "limit", "having")
-    depth = 0; var endIdx = q.length; i = fromIdx + 4
-    while (i < q.length && endIdx == q.length) {
-      q(i) match { case '(' => depth += 1; case ')' => depth -= 1
-                   case _ => }
-      if (depth == 0 && tailKw.exists(k => lq.startsWith(k, i) &&
-          !q(i - 1).isLetterOrDigit &&
-          (i + k.length >= q.length || !q(i + k.length).isLetterOrDigit)))
-        endIdx = i
-      i += 1
-    }
-    val fromPart = q.substring(fromIdx + 4, endIdx).trim
-    if (fromPart.isEmpty) return None
-    val liftCols = calls.zipWithIndex.map { case ((s, e), n) =>
-      s"${q.substring(s, e)} over ($spec) as __ll$n" }
-    var head = q.substring(0, fromIdx)
-    calls.zipWithIndex.toSeq.sortBy(-_._1._1).foreach { case ((s, e), n) =>
-      head = head.substring(0, s) + s"__ll$n" + head.substring(e) }
-    Some(head + "from (select *, " + liftCols.mkString(", ") +
-      s" from $fromPart) __llv " + q.substring(endIdx))
-  }
-
-  /** Wrap every top-level argument of each `fn(...)` call in
-    * `cast(... as <typ>)` (balanced-paren scan). */
-  private def castArgs(q0: String, fn: String, typ: String): String = {
-    var q = q0
-    val callRe = ("(?i)\\b" + fn + "\\s*\\(").r
-    var from = 0
-    var m = callRe.findFirstMatchIn(q.substring(from))
-    while (m.isDefined) {
-      val open = q.indexOf('(', from + m.get.start)
-      var depth = 0; var j = open; var close = -1
-      while (j < q.length && close < 0) {
-        q(j) match {
-          case '(' => depth += 1
-          case ')' => depth -= 1; if (depth == 0) close = j
-          case _ =>
-        }
-        j += 1
-      }
-      if (close < 0) return q
-      val args = splitTop(q.substring(open + 1, close), ',')
-        .map(a => s"cast($a as $typ)")
-      val repl = fn + "(" + args.mkString(", ") + ")"
-      q = q.substring(0, from + m.get.start) + repl +
-        q.substring(close + 1)
-      from = from + m.get.start + repl.length
-      m = callRe.findFirstMatchIn(q.substring(from))
-    }
-    q
-  }
-
-  /** Run an INSERT/CTAS body; on Spark's char/varchar overflow error
-    * retry once with the Hive truncating-cast rewrite applied to the
-    * select text. */
-  private def withCharCastRetry(sel: String)(body: String => Unit): Unit =
-    try body(sel) catch {
-      case e if {
-        def m(t: Throwable) = Option(t).flatMap(x =>
-          Option(x.getMessage)).exists(_.contains("EXCEED_LIMIT_LENGTH"))
-        m(e) || m(e.getCause)
-      } =>
-        val r = castCharRewrite(sel)
-        if (r == sel) throw e else body(r)
-    }
-
-  /** Hive CASTs to char/varchar silently truncate
-    * (BaseCharUtils.getTruncated); Spark raises EXCEED_LIMIT_LENGTH.
-    * Rewrite `cast(X as varchar(n))` to a truncating substr and
-    * `cast(X as char(n))` to truncate-and-pad (HiveChar renders
-    * padded). Balanced-paren scan; repeats until no cast remains. */
-  private def castCharRewrite(q0: String): String = {
-    var q = q0
-    var changed = true
-    while (changed) {
-      changed = false
-      val sites = "(?is)\\bcast\\s*\\(".r.findAllMatchIn(q).toSeq
-      // one replace per pass, scanning right to left so the balanced
-      // spans computed against the current text stay valid
-      sites.reverseIterator.takeWhile(_ => !changed).foreach { mm =>
-        val open = q.indexOf('(', mm.start)
-        var depth = 0
-        var i = open
-        var close = -1
-        while (i < q.length && close < 0) {
-          q(i) match {
-            case '(' => depth += 1
-            case ')' => depth -= 1; if (depth == 0) close = i
-            case _ =>
-          }
-          i += 1
-        }
-        if (close > 0) {
-          val body = q.substring(open + 1, close)
-          "(?is)^(.*)\\s+as\\s+(char|varchar)\\s*\\(\\s*(\\d+)\\s*\\)\\s*$".r
-            .findFirstMatchIn(body).foreach { b =>
-              val expr = b.group(1)
-              val n = b.group(3)
-              val repl =
-                if (b.group(2).equalsIgnoreCase("varchar"))
-                  s"substr(cast($expr as string), 1, $n)"
-                else s"rpad(cast($expr as string), $n, ' ')"
-              q = q.substring(0, mm.start) + repl + q.substring(close + 1)
-              changed = true
-            }
-        }
-      }
-    }
-    q
-  }
-
-  /** Candidate translations for Hive window forms Spark rejects,
-    * tried in order until one runs and matches the golden. */
-  private def windowRewrites(q: String): Seq[String] = {
-    val ql = q.toLowerCase
-    if (!ql.contains("over") && !ql.contains("window")) return Nil
-    val singles = Seq(rangePeers(q), rangeDays(q), rangeNoOrder(q),
-      distinctWindows(q))
-    val combined = Seq(
-      distinctWindows(rangeNoOrder(rangePeers(q))),
-      distinctWindows(rangeNoOrder(rangeDays(q))))
-    (singles ++ combined).distinct.filterNot(_ == q)
   }
 
   private def emptyView(name: String, cols: String): Unit = {
@@ -4050,7 +2755,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     var asserted = 0
     // CBO (Calcite) plans name struct() fields expr$0..expr$N instead
     // of col1..colN (the cbo_* goldens record that naming)
-    cboStructNames = file.startsWith("cbo_")
+    dialect.cboStructNames = file.startsWith("cbo_")
     def unhandled(what: String, q: String): Nothing =
       throw new IllegalStateException(s"unhandled $what in $file: $q")
     // `set` statements are stripped from the goldens, so per-file
@@ -4313,12 +3018,12 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           .findFirstMatchIn(s.trim.stripSuffix(";")).foreach(m =>
             storeDirSink((if (m.group(1) != null) "file:/" else "") +
                 m.group(2),
-              spark.sql(dialectShims(m.group(3)))))
+              spark.sql(dialect.rewrite(m.group(3)))))
       } else if (n.startsWith("alter ")) {
         // masked ALTER (a LOCATION path on its first line): replay it
         // through the normal statement path with the source text
         // (tailExec points at the current block's exec dispatcher)
-        tailExec(dialectShims(s.trim.stripSuffix(";")))
+        tailExec(dialect.rewrite(s.trim.stripSuffix(";")))
       } else if (n.startsWith("import")) {
         importExportFixture(s.trim.stripSuffix(";"))
       } else if (n.startsWith("create ")) {
@@ -4402,7 +3107,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       val q0 = stripLineComments(b.query.linesIterator
         .dropWhile(l => l.trim.isEmpty || l.trim.startsWith("--"))
         .mkString("\n")).trim
-      val q = dialectShims(repairMasked(repairTruncated(q0)))
+      val q = dialect.rewrite(repairMasked(repairTruncated(q0)))
       val ql = q.toLowerCase
       if (sys.env.contains("GOLDEN_TRACE"))
         println(s"[replay] ${q.linesIterator.mkString(" ").take(
@@ -4503,7 +3208,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           // RANGE frames, DISTINCT window aggregates, RANGE with no
           // ordering) get semantics-preserving rewrites; first one
           // that runs AND matches the golden wins
-          var ok = windowRewrites(query)
+          var ok = dialect.windowRewrites(query)
             .exists(q2 => q2 != query && attempt(q2).isEmpty)
           if (!ok) {
             // chase analyzer errors (one rewrite may surface the
@@ -4512,7 +3217,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             var res: Option[Throwable] = Some(first)
             var guard = 0
             while (res.isDefined && guard < 4) {
-              val cands = errorRewrites(cur, res.get.getMessage)
+              val cands = dialect.errorRewrites(cur, res.get.getMessage)
                 .filter(_ != cur)
               if (sys.env.contains("GOLDEN_DUMP"))
                 println(s"[chase] guard=$guard cands=${cands.size} " +
@@ -4576,7 +3281,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           // CTAS IF NOT EXISTS over an existing table: no-op
         case ctasRe(name, sel) =>
           shadowIfTemp(ql, name)
-          withCharCastRetry(sel) { s =>
+          dialect.withCharCastRetry(sel) { s =>
             hiveAutoNames(spark.sql(s)).createOrReplaceTempView(name)
             // CTAS materializes in Hive, so a too-long char/varchar
             // cast must surface HERE for the retry to rewrite it —
@@ -4681,7 +3386,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           case ixRe(ixName, t0, cols, handler) =>
             val t = t0.split('.').last
             val db =
-              if (t0.contains(".")) t0.split('.').head else currentDb
+              if (t0.contains(".")) t0.split('.').head else dialect.currentDb
             val base = spark.table(t)
             val keyCols = cols.split(",").map(_.trim.replace("`", ""))
               .filter(_.nonEmpty).toSeq
@@ -4704,7 +3409,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
                   base.schema.fields.find(_.name.equalsIgnoreCase(p)))
             // flat namespace: the db qualifier was already stripped
             // from the statement, so cover every db the script knows
-            (Seq(db, "default") ++ knownDbs).distinct.foreach(d =>
+            (Seq(db, "default") ++ dialect.knownDbs).distinct.foreach(d =>
               register(Vector.empty, StructType(fields),
                 s"${d}__${t}_${ixName}__"))
             // `IN TABLE name` gives the index table an explicit name
@@ -4724,13 +3429,13 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           case mRe(name, params, body) =>
             val ps = splitTop(params, ',')
               .map(_.trim.split("\\s+")(0).replace("`", ""))
-            macros(name.toLowerCase) = (ps, body.trim.stripSuffix(";"))
+            dialect.macros(name.toLowerCase) = (ps, body.trim.stripSuffix(";"))
           case _ => unhandled("macro", q)
         }
       } else if (ql.startsWith("drop temporary macro")) {
         "(?is)drop\\s+temporary\\s+macro\\s+(?:if\\s+exists\\s+)?`?(\\w+)`?.*".r
           .findFirstMatchIn(q).foreach(m =>
-            macros.remove(m.group(1).toLowerCase))
+            dialect.macros.remove(m.group(1).toLowerCase))
       } else if (ql.startsWith("create temporary function") ||
           ql.startsWith("create function")) {
         // qtest helper UDFs ship in test jars; their semantics are in
@@ -5107,10 +3812,10 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         assertSelect(q)
       } else if (ql.startsWith("create database") ||
           ql.startsWith("create schema")) q match {
-        case createDbRe(db) => knownDbs += db.toLowerCase
+        case createDbRe(db) => dialect.knownDbs += db.toLowerCase
         case _ =>
       } else if (ql.startsWith("use ")) {
-        currentDb = ql.stripPrefix("use ").trim.replace("`", "")
+        dialect.currentDb = ql.stripPrefix("use ").trim.replace("`", "")
       } else if (ql.startsWith("drop table") ||
           ql.startsWith("drop view") ||
           ql.startsWith("drop materialized view")) {
