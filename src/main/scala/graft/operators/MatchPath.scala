@@ -120,30 +120,54 @@ object MatchPath {
         val rows = it.toArray
         val n = rows.length
         def sym(i: Int, p: Int): Boolean = rows(p).getBoolean(symIdx(i))
+        /** Replays the reference's Chain/Symbol/Plus/Star `nextRow`
+          * contracts exactly (MatchPath.java:445-607), iterator
+          * convention getIndex() == current row + 1:
+          *  - Symbol: nextRow = row+1 (MatchPath.java:465);
+          *  - Plus: nextRow = getIndex()-1 — the first FAILING index
+          *    mid-partition, but at partition end this EXCLUDES the
+          *    last matched row, and a '+' starting ON the last row
+          *    matches with zero consumed rows (MatchPath.java:540);
+          *  - Star: always matches; nextRow = getIndex(), decremented
+          *    only when rows remain (MatchPath.java:498-501) — a scan
+          *    ending ON the last row consumes it even when its
+          *    predicate failed there;
+          *  - Chain: each component resumes AT the previous one's
+          *    nextRow (resetToIndex, MatchPath.java:587); past the
+          *    end, only optional (Star) components may remain.
+          * Returns the match's nextRow, or -1 on no match. */
         def matchAt(start: Int): Int = {
-          var pos = start
-          var failed = false
+          var row = start
+          var next = start
           val ti = toks.iterator
-          while (ti.hasNext && !failed) {
+          while (ti.hasNext) {
             val (s, q) = ti.next()
-            q match {
-              case ' ' =>
-                if (pos < n && sym(s, pos)) pos += 1 else failed = true
-              case '+' =>
-                if (pos < n && sym(s, pos)) {
-                  pos += 1
-                  while (pos < n && sym(s, pos)) pos += 1
-                } else failed = true
-              case '*' =>
-                while (pos < n && sym(s, pos)) pos += 1
-            }
+            if (row < n) {
+              q match {
+                case ' ' =>
+                  if (!sym(s, row)) return -1
+                  next = row + 1
+                case '+' =>
+                  if (!sym(s, row)) return -1
+                  var j = row
+                  while (sym(s, j) && j + 1 < n) j += 1
+                  next = j
+                case '*' =>
+                  var j = row
+                  while (sym(s, j) && j + 1 < n) j += 1
+                  next = if (j + 1 < n) j else n
+              }
+              row = next
+            } else if (q != '*') return -1
           }
-          if (failed) -1 else pos
+          next
         }
         rows.indices.iterator.flatMap { i =>
           val end = matchAt(i)
-          if (end <= i) None
+          if (end < i) None
           else {
+            // sz = nextRow - start (MatchPath.java:103); sz == 0 emits
+            // with an EMPTY tpath, as the reference does
             val path = (i until end).map(p =>
               Row.fromSeq(rows(p).toSeq.take(nIn)))
             Some(Row.fromSeq(rows(i).toSeq.take(nIn) :+ path))

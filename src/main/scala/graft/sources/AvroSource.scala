@@ -60,7 +60,11 @@ object AvroIO {
     * reference's AvroSerdeUtils reads them leniently
     * (serde/avro/AvroSerdeUtils.getPrecisionScale). */
   private def legacyDecimal(s: Schema): Option[(Int, Int)] =
-    if (s.getProp("logicalType") != "decimal") None
+    // string-prop decimals apply to BYTES only, and the reference
+    // compares the logicalType prop case-insensitively
+    // (SchemaToTypeInfo.java:134 — FIXED legacy decimals stay binary)
+    if (s.getType != Type.BYTES ||
+        !"decimal".equalsIgnoreCase(s.getProp("logicalType"))) None
     else {
       def prop(n: String, dflt: Int) =
         Option(s.getObjectProp(n)).map(_.toString.replace("\"", "")
