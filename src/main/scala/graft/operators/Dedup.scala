@@ -1,7 +1,5 @@
 package graft.operators
 
-import graft.Present._
-
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -32,7 +30,9 @@ object Dedup {
 
   /** Exact duplicate groups by content hash: one shuffle on md5(text),
     * map-side partial agg. Output: smallest doc id kept per group +
-    * multiplicity. */
+    * multiplicity. Unsorted — output is corpus-cardinality (one row per
+    * distinct content), so any presentation ordering belongs in the
+    * query layer, never inside the reusable operator. */
   def exactGroups(docs: DataFrame, textCol: String = "text",
                   idCol: String = "doc_id",
                   normalized: Boolean = false): DataFrame = {
@@ -40,7 +40,6 @@ object Dedup {
               else md5(col(textCol))
     docs.groupBy(key.as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
-      .presentSorted("keep_id")
   }
 
   /** Distinct word n-gram shingles per document: (id, shingle). */
@@ -91,18 +90,6 @@ object Dedup {
                    textCol: String = "text",
                    idCol: String = "doc_id",
                    maxExactPostings: Int = DefaultMaxExactPostings)
-      : DataFrame =
-    jaccardPairsRaw(docs, threshold, n, maxShingleFreq, textCol, idCol,
-        maxExactPostings)
-      .presentSorted("doc_a", "doc_b")
-
-  /** Unsorted pair stream — the composable core (downstream operators
-    * keep full parallelism; only terminal results get presentSorted). */
-  def jaccardPairsRaw(docs: DataFrame, threshold: Double, n: Int = 3,
-                      maxShingleFreq: Option[Int] = None,
-                      textCol: String = "text",
-                      idCol: String = "doc_id",
-                      maxExactPostings: Int = DefaultMaxExactPostings)
       : DataFrame = maxShingleFreq match {
     // Both paths build the inverted index as ONE groupBy(shingle)
     // instead of a self-join: the tokenize+shingle pipeline runs once
@@ -243,7 +230,8 @@ object Dedup {
 
   /** Full MinHash dedup: LSH candidates verified with exact Jaccard
     * (verification joins only candidate docs' shingles — the exact pass
-    * never touches non-candidate pairs). */
+    * never touches non-candidate pairs). Unsorted pair stream: the
+    * presentation sort, if any, belongs in the query layer. */
   def minhashDedup(docs: DataFrame, threshold: Double, n: Int = 3,
                    textCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
@@ -256,9 +244,8 @@ object Dedup {
       .union(cands.select(col("doc_b").as("id"))).distinct()
     val subset = docs.join(candDocs, docs(idCol) === candDocs("id"))
       .drop(candDocs("id"))
-    jaccardPairsRaw(subset, threshold, n, None, textCol, idCol)
+    jaccardPairs(subset, threshold, n, None, textCol, idCol)
       .join(cands, Seq("doc_a", "doc_b"), "left_semi")
-      .presentSorted("doc_a", "doc_b")
   }
 
   /** Connected components over a near-dup pair graph: docs linked
@@ -326,7 +313,7 @@ object Dedup {
                   textCol: String = "text",
                   idCol: String = "doc_id"): DataFrame = {
     val pairs =
-      jaccardPairsRaw(docs, threshold, n, maxShingleFreq, textCol, idCol)
+      jaccardPairs(docs, threshold, n, maxShingleFreq, textCol, idCol)
     val groups = connectedComponents(pairs)
     val losers = groups.filter(col("doc_id") =!= col("group_id"))
       .select(col("doc_id"))
@@ -405,6 +392,5 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), ham.as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .presentSorted("doc_a", "doc_b")
   }
 }

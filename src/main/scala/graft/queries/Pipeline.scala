@@ -21,7 +21,7 @@ object Pipeline {
     Engine.tables(spark, dir)
 
   def q_dedup_exact(spark: SparkSession, dir: String): DataFrame =
-    Dedup.exactGroups(t(spark, dir)("documents"))
+    Dedup.exactGroups(t(spark, dir)("documents")).presentSorted("keep_id")
 
   val q_dedup_exact_sql: String = """
     SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
@@ -30,6 +30,7 @@ object Pipeline {
 
   def q_dedup_norm(spark: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(t(spark, dir)("documents"), normalized = true)
+      .presentSorted("keep_id")
 
   val q_dedup_norm_sql: String = """
     SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
@@ -39,6 +40,7 @@ object Pipeline {
 
   def q_dedup_jaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(t(spark, dir)("documents"), threshold = 0.05)
+      .presentSorted("doc_a", "doc_b")
 
   val q_dedup_jaccard_sql: String = """
     WITH toks AS (SELECT doc_id,
@@ -68,6 +70,7 @@ object Pipeline {
     * pipeline checked end to end, not just its invariants. */
   def q_dedup_minhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashDedup(t(spark, dir)("documents"), threshold = 0.05)
+      .presentSorted("doc_a", "doc_b")
 
   val q_dedup_minhash_sql: String = {
     val fnv = """list_reduce(

@@ -212,13 +212,43 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("jaccard inverted index reads the corpus exactly once") {
-    val df = graft.operators.Dedup.jaccardPairsRaw(
+    val df = graft.operators.Dedup.jaccardPairs(
       Engine.tables(spark, sfDir)("documents"), threshold = 0.05)
     val p = df.queryExecution.executedPlan.toString
     // the postings groupBy replaces the shingle self-join: a second
     // "Scan parquet" would mean the tokenize+shingle pipeline (and the
     // 100 TB scan under it) runs twice
     assert("Scan parquet".r.findAllIn(p).length === 1, p.take(1500))
+  }
+
+  test("no reusable operator plans a single-partition exchange " +
+      "(presentation sorts live in the query layer only)") {
+    // these outputs are corpus-cardinality: a repartition(1)/global
+    // sort inside the operator would funnel billions of rows through
+    // one task at 100 TB. The query layer (Pipeline) adds
+    // presentSorted for oracle hashing; the operators must not.
+    val docs = Engine.tables(spark, sfDir)("documents")
+    val ops: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "exactGroups" -> graft.operators.Dedup.exactGroups(docs),
+      "jaccardPairs" -> graft.operators.Dedup
+        .jaccardPairs(docs, threshold = 0.05),
+      "minhashDedup" -> graft.operators.Dedup
+        .minhashDedup(docs, threshold = 0.05),
+      "simhashPairs" -> graft.operators.Dedup
+        .simhashPairs(docs, maxHamming = 3),
+      "dedupCorpus" -> graft.operators.Dedup
+        .dedupCorpus(docs, threshold = 0.05))
+    ops.foreach { case (name, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      // the presentation funnel is repartition(1) —
+      // RoundRobinPartitioning(1). (A bare `Exchange SinglePartition`
+      // under an empty-key aggregate is fine: scalar aggregates and
+      // Spark's injected runtime bloom filters merge one ROW, not the
+      // row stream.)
+      assert(!p.contains("RoundRobinPartitioning(1)"),
+        s"$name plans a single-partition round-robin exchange:\n" +
+          p.take(1500))
+    }
   }
 
   test("semi/anti joins plan as joins, not subquery re-execution") {

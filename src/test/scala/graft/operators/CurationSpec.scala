@@ -73,8 +73,8 @@ class CurationSpec extends SparkSpec {
     assert(Curation.stratifiedSample(empty, "lang", Map("en" -> 10), 50,
       idCol = "doc_id").count() === 0)
     assert(Curation.packSequences(empty, 512).count() === 0)
-    assert(Dedup.jaccardPairsRaw(empty, 0.5).count() === 0)
-    assert(Dedup.jaccardPairsRaw(empty, 0.5,
+    assert(Dedup.jaccardPairs(empty, 0.5).count() === 0)
+    assert(Dedup.jaccardPairs(empty, 0.5,
       maxShingleFreq = Some(10)).count() === 0)
     assert(Dedup.dedupCorpus(empty, 0.5).count() === 0)
     assert(Dedup.contamination(empty, empty).count() === 0)
