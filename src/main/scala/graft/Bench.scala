@@ -73,6 +73,32 @@ object Bench {
     val wall = math.min(wall1, concurrentDrain())
 
     def r3(v: Double): String = f"$v%.3f"
+    // regression gate: per-query budgets (committed bench_budget.json,
+    // 1.5× the best committed min-of-2 at sf0.1) — a real slowdown
+    // fails loudly instead of hiding in box variance. Violations are
+    // always reported in the JSON; SPARK_GRAFT_BUDGET_STRICT=1 also
+    // exits nonzero (CI mode). Budgets only apply at the sf they were
+    // recorded for.
+    val violations: Seq[String] = {
+      val f = new java.io.File("bench_budget.json")
+      if (!f.exists()) Nil
+      else {
+        val txt = scala.io.Source.fromFile(f, "UTF-8").mkString
+        val budgetSf = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        if (!budgetSf.contains(sfDir)) Nil
+        else {
+          val entry = "\"(q[\\w]+)\"\\s*:\\s*([0-9.]+)".r
+          entry.findAllMatchIn(txt).flatMap { m =>
+            results.toMap.get(m.group(1)).collect {
+              case got if got > m.group(2).toDouble =>
+                f"${m.group(1)}:${got}%.2f>${m.group(2).toDouble}%.2f"
+            }
+          }.toSeq
+        }
+      }
+    }
+    violations.foreach(v => System.err.println(s"[bench] BUDGET EXCEEDED $v"))
     // full per-query detail goes to a file (the harness captures only a
     // ~2k-char stdout tail, which a 97-entry JSON object overflows);
     // stdout carries one compact line that fits that window whole
@@ -98,7 +124,11 @@ object Bench {
     val resultMap = results.toMap
     val headQs = headline.flatMap(n => resultMap.get(n).map(v => "\"" + n + "\":" + r3(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$headQs,"concurrent_wall":${r3(wall)},"concurrent_threads":4,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
+    val vJson = violations.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$headQs,"concurrent_wall":${r3(wall)},"concurrent_threads":4,"sf":"$sfDir","budget_violations":$vJson,"detail":"BENCH_DETAIL.json"}""")
     spark.stop()
+    if (violations.nonEmpty &&
+        sys.env.get("SPARK_GRAFT_BUDGET_STRICT").contains("1"))
+      sys.exit(1)
   }
 }
