@@ -222,6 +222,46 @@ object TableFunctions {
     }
   }
 
+  /** `hive_percentile_approx_h023(part, col, p[, nbins])`: the
+    * Hadoop-0.23 reducer-fetch-order replay of percentile_approx
+    * (see [[HiveHistogram.PercentileApproxPartsAgg]]) — `part` is the
+    * value's source-file ordinal (1-based). Golden-replay surface. */
+  def percentileApproxH023Builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length >= 3 && exprs.length <= 4,
+      "hive_percentile_approx_h023(part, col, p[, nbins])")
+    require(exprs(2).foldable, "percentile_approx quantiles are constant")
+    val nbins = exprs.lift(3).map(constInt(_, "percentile_approx nbins"))
+      .getOrElse(10000)
+    def num(a: Any): Double = a match {
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case n: Number => n.doubleValue()
+      case other => other.toString.toDouble
+    }
+    val partsEnc = org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[(Int, java.lang.Double)]()
+    def agg(qs: Seq[Double]): Expression = {
+      import org.apache.spark.sql.GraftSqlShim
+      GraftSqlShim.eagerExpression(
+        org.apache.spark.sql.functions.udaf(
+          new HiveHistogram.PercentileApproxPartsAgg(qs, nbins),
+          partsEnc)(
+          GraftSqlShim.column(Cast(exprs(0),
+            org.apache.spark.sql.types.IntegerType)),
+          GraftSqlShim.column(asDouble(exprs(1)))))
+    }
+    exprs(2).eval() match {
+      case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+        val qs = (0 until arr.numElements()).map(i =>
+          num(arr.get(i, exprs(2).dataType
+            .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+            .elementType)))
+        agg(qs)
+      case p =>
+        org.apache.spark.sql.catalyst.expressions.GetArrayItem(
+          agg(Seq(num(p))), Literal(0))
+    }
+  }
+
   /** Hive `create_union(tag, v0, v1, ...)` / `extract_union(u[, tag])`
     * (FunctionRegistry.java:459-460) over the engine's tagged-struct
     * uniontype encoding (see GapFunctions.createUnion). */
@@ -247,6 +287,9 @@ object TableFunctions {
       "histogram_numeric(col, nbins) - streaming histogram bins"),
     ("percentile_approx", percentileApproxBuilder _,
       "percentile_approx(col, p[, nbins]) - histogram-sketch quantile"),
+    ("hive_percentile_approx_h023", percentileApproxH023Builder _,
+      "hive_percentile_approx_h023(part, col, p[, nbins]) - " +
+        "hadoop-0.23 reducer-order percentile_approx replay"),
     ("create_union", createUnionBuilder _,
       "create_union(tag, v0, ...) - tagged-struct uniontype value"),
     ("extract_union", extractUnionBuilder _,
