@@ -54,6 +54,13 @@ class HiveDialect(val spark: SparkSession) {
     * (test harness hook; None keeps the original text). */
   var scriptResolver: String => Option[String] = _ => None
 
+  /** Resolve a db-qualified table reference `db.t` within `stmt` to a
+    * flat view name. Default: the bare name (flat namespace). A
+    * binding with a real two-layer store can mangle names that exist
+    * in several databases at once. */
+  var dbResolver: (String, String, String) => String =
+    (_, _, t) => t
+
   private val usingRe = "(?is)using\\s+'([^']*)'".r
 
   private val tsOnRe = ("(?is)([\\w.]+)\\s+tablesample\\s*\\(\\s*bucket" +
@@ -120,7 +127,16 @@ class HiveDialect(val spark: SparkSession) {
             m.group(1).contains("\"")) m.group(0)
         else "USING \"" +
           m.group(1).replaceAll("\\\\(.)", "'\\\\\\\\$1'") + "\""))
-    val q3 = tsOnRe.replaceAllIn(q2, m =>
+    // DOUBLE-quoted scripts carry the same escape hazard
+    // (`using "tr _ \n"` — Hive's argv holds a literal newline; bash
+    // would treat it as a command terminator). Requote each escape.
+    val q2b = "(?is)using\\s+\"([^\"]*)\"".r.replaceAllIn(q2, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        if (!m.group(1).contains("\\") || m.group(1).contains("'"))
+          m.group(0)
+        else "USING \"" +
+          m.group(1).replaceAll("\\\\(.)", "'\\\\\\\\$1'") + "\""))
+    val q3 = tsOnRe.replaceAllIn(q2b, m =>
       scala.util.matching.Regex.quoteReplacement(
         // BUCKET 1 OUT OF 1 keeps every row — the identity case also
         // covers sampling ON rand() deterministically (still wrapped,
@@ -236,10 +252,14 @@ class HiveDialect(val spark: SparkSession) {
             s"${mm.group(1)}(${mm.group(2)}))")
       })
     }
-    // flatten script-created databases into the temp-view namespace
+    // flatten script-created databases into the temp-view namespace:
+    // each db-qualified reference resolves through dbResolver (bare
+    // name by default; bindings may mangle on cross-db name conflicts)
     knownDbs.foreach { db =>
-      q4 = q4.replaceAll(
-        s"(?i)(?<![\\w.`])`?$db`?\\.(?=`?\\w)", "")
+      q4 = (s"(?i)(?<![\\w.`])`?$db`?\\.`?(\\w+)`?").r
+        .replaceAllIn(q4, m =>
+          scala.util.matching.Regex.quoteReplacement(
+            dbResolver(q000, db, m.group(1))))
     }
     // SORT BY + LIMIT: Hive's qtest runs one reducer, so its partial
     // sort IS total and LIMIT takes the global extremes; Spark's
@@ -572,8 +592,15 @@ class HiveDialect(val spark: SparkSession) {
     // Spark's parser rejects optimizer hints ahead of TRANSFORM —
     // Hive's MAPJOIN hints are advisory anyway
     val q = q0.replaceAll("/\\*\\+[^*]*\\*/", " ")
-    if (q.toLowerCase.contains("row format")) q
-    else transformIoRe.replaceAllIn(q, m =>
+    // `ROW FORMAT SERDE LazySimpleSerDe` with no properties IS Hive's
+    // default script serde — strip it so the explicit tab-delimited
+    // contract below applies (Spark's TRANSFORM grammar rejects the
+    // SERDE spelling)
+    val q1 = q.replaceAll(
+      "(?is)row\\s+format\\s+serde\\s+'[^']*LazySimpleSerDe'" +
+        "(?!\\s*with\\s+serdeproperties)", " ")
+    if (q1.toLowerCase.contains("row format")) q1
+    else transformIoRe.replaceAllIn(q1, m =>
       scala.util.matching.Regex.quoteReplacement(
         // no AS clause: Hive's contract is (key, value) split at the
         // FIRST tab with value = REST OF LINE, tabs preserved
@@ -837,13 +864,21 @@ class HiveDialect(val spark: SparkSession) {
     else if (msg.contains("PARSE_SYNTAX_ERROR"))
       intervalSugar(q).toSeq
     else if (msg.contains("INVALID_ORDERING_TYPE"))
-      // Hive sorts map columns by their serialized bytes; the row
-      // MULTISET is what the compare checks, so dropping the unsortable
-      // key from ORDER/SORT BY is semantics-preserving here
-      "\"(\\w+) ASC".r.findFirstMatchIn(msg).toSeq.map { em =>
-        q.replaceAll(
-          s"(?i)((?:order|sort)\\s+by\\s+)${em.group(1)}\\s*,?\\s*",
-          "$1").replaceAll("(?i)(order|sort)\\s+by\\s*(limit|$)", "$2")
+      // Hive sorts map columns by their serialized bytes. First try
+      // ordering on the rendered text (single-entry maps serialize
+      // key-first, so the cast reproduces Hive's prefix order — this
+      // matters under LIMIT, which takes the sorted stream's head);
+      // the fallback drops the unsortable key entirely (the row
+      // MULTISET is what the compare checks when there is no LIMIT)
+      "\"(\\w+) ASC".r.findFirstMatchIn(msg).toSeq.flatMap { em =>
+        Seq(
+          q.replaceAll(
+            s"(?i)((?:order|sort)\\s+by\\s+)${em.group(1)}\\b",
+            s"$$1cast(${em.group(1)} as string)"),
+          q.replaceAll(
+            s"(?i)((?:order|sort)\\s+by\\s+)${em.group(1)}\\s*,?\\s*",
+            "$1").replaceAll("(?i)(order|sort)\\s+by\\s*(limit|$)",
+            "$2"))
       }
     else if (msg.contains("FILTER_NOT_BOOLEAN"))
       // Hive coerces a non-boolean WHERE expression through its
@@ -1263,16 +1298,273 @@ class HiveDialect(val spark: SparkSession) {
     q
   }
 
+  // one paren-nesting level, NON-greedy, for aggregate args / specs
+  // two paren-nesting levels (cast((k) as bigint) appears after the
+  // seconds rewrite), NON-greedy
+  private val deepExpr = "(?:[^()]|\\((?:[^()]|\\([^()]*\\))*\\))+?"
+  private val aggOverRe =
+    (s"(?is)\\b(sum|avg|min|max|count)\\s*\\(($deepExpr)\\)" +
+      s"\\s*over\\s*\\(($deepExpr)\\)").r
+  private val specPartsRe =
+    (s"(?is)^\\s*(?:(?:partition|distribute)\\s+by\\s+" +
+      s"($deepExpr)\\s+)?(?:order|sort)\\s+by\\s+" +
+      s"($deepExpr)(\\s+asc|\\s+desc)?" +
+      s"(\\s+range\\s+$deepExpr)?\\s*$$").r
+
+  /** Hive scans RANGE frames over TIMESTAMP order keys with
+    * LongValueBoundaryScanner — epoch SECONDS (getScanner maps
+    * TIMESTAMP to the long scanner, ValueBoundaryScanner.java:431;
+    * getLong(timestamp) truncates to seconds). Sub-second key
+    * differences are PEERS there but not in Spark. Retry candidate:
+    * cast each aggregate window's range order key to bigint (numeric
+    * keys are unaffected — Hive uses the same long scanner for them).
+    */
+  private def tsSecondsWindows(q: String): String =
+    aggOverRe.replaceAllIn(q, m =>
+      specPartsRe.findFirstMatchIn(m.group(3)) match {
+        case Some(sp) =>
+          val part = Option(sp.group(1))
+            .map(p => s"partition by $p ").getOrElse("")
+          val dir = Option(sp.group(3)).map(_.trim).getOrElse("")
+          val frame = Option(sp.group(4)).getOrElse("")
+          scala.util.matching.Regex.quoteReplacement(
+            s"${m.group(1)}(${m.group(2)}) over (${part}order by " +
+              s"cast((${sp.group(2).trim}) as bigint) $dir$frame)")
+        case None => scala.util.matching.Regex.quoteReplacement(m.matched)
+      })
+
+  /** Hive's ValueBoundaryScanner NULL-order-key RANGE semantics
+    * (ValueBoundaryScanner.java:118-240,282-396, use cases 2/3/6/9/10):
+    * with ASC order (nulls first), a null-key row's frame start of
+    * `X PRECEDING` is the partition start, `X FOLLOWING` is the first
+    * non-null row; a frame END of `X PRECEDING` is the partition start
+    * (empty frame) and `CURRENT ROW`/`X FOLLOWING` the end of the null
+    * group. DESC mirrors (nulls last). Spark instead treats every
+    * value frame on a null key as the null peer group. Rewrite each
+    * aggregate-over-range call into a CASE on the key's nullness with
+    * the Hive frame spelled as partition-window conditionals. */
+  private def nullRangeWindows(q: String): String =
+    aggOverRe.replaceAllIn(q, m => {
+      val spec = m.group(3)
+      specPartsRe.findFirstMatchIn(spec) match {
+        case Some(sp) if sp.group(4) != null =>
+          val fn = m.group(1); val arg = m.group(2).trim
+          val k = sp.group(2).trim
+          val desc = Option(sp.group(3)).exists(_.trim
+            .equalsIgnoreCase("desc"))
+          val part = Option(sp.group(1))
+            .map(p => s"partition by $p").getOrElse("")
+          val fr = sp.group(4).trim.toLowerCase
+            .replaceFirst("^range\\s+", "")
+          def cls(b: String): String =
+            if (b.contains("unbounded") && b.contains("preceding")) "UP"
+            else if (b.contains("unbounded")) "UF"
+            else if (b.contains("current")) "CUR"
+            else if (b.endsWith("preceding")) "P"
+            else "F"
+          val (a, b) =
+            "(?s)^between\\s+(.*?)\\s+and\\s+(.*)$".r
+              .findFirstMatchIn(fr) match {
+              case Some(ab) => (cls(ab.group(1)), cls(ab.group(2)))
+              case None => (cls(fr), "CUR")
+            }
+          def over(cond: String): String =
+            s"$fn(case when $cond then $arg end) over ($part)"
+          val nullExpr: Option[String] =
+            if (!desc) (a, b) match {
+              case (_, "P") => Some("null")
+              case ("F", "F") => Some("null")
+              case ("F", "UF") => Some(over(s"($k) is not null"))
+              case (("P" | "UP" | "CUR"), ("CUR" | "F")) =>
+                Some(over(s"($k) is null"))
+              case (("P" | "UP" | "CUR"), "UF") =>
+                Some(s"$fn($arg) over ($part)")
+              case _ => None
+            } else (a, b) match {
+              case ("F", _) => Some("null")
+              case (("P" | "CUR"), _) => Some(over(s"($k) is null"))
+              case ("UP", _) => Some(s"$fn($arg) over ($part)")
+              case _ => None
+            }
+          nullExpr match {
+            case Some(ne) => scala.util.matching.Regex.quoteReplacement(
+              s"(case when ($k) is null then $ne " +
+                s"else ${m.group(1)}(${m.group(2)}) over ($spec) end)")
+            case None =>
+              scala.util.matching.Regex.quoteReplacement(m.matched)
+          }
+        case _ => scala.util.matching.Regex.quoteReplacement(m.matched)
+      }
+    })
+
+  /** Hive's value-range boundary scan is STRICT on the far side of an
+    * `X FOLLOWING` frame START and an `X PRECEDING` frame END:
+    * computeStartFollowing/computeEndPreceding advance until the
+    * distance EXCEEDS amt (ValueBoundaryScanner.java:193,282 use cases
+    * 4/5/11/12), so a row at exactly the boundary distance falls
+    * OUTSIDE the frame where Spark's inclusive range keeps it.
+    * Rewrite sum/avg/count over such frames into inclusive-frame
+    * arithmetic minus the boundary-peer window (`range between X
+    * following and X following` is exactly the boundary peer group in
+    * both engines). */
+  private def strictRangeWindows(q: String): String =
+    aggOverRe.replaceAllIn(q, m => {
+      val fn = m.group(1).toLowerCase; val arg = m.group(2).trim
+      val spec = m.group(3)
+      specPartsRe.findFirstMatchIn(spec) match {
+        case Some(sp) if sp.group(4) != null &&
+            Seq("sum", "avg", "count").contains(fn) =>
+          val part = Option(sp.group(1))
+            .map(p => s"partition by $p ").getOrElse("")
+          val dir = Option(sp.group(3)).map(_.trim + " ").getOrElse("")
+          val k = sp.group(2).trim
+          val sPrefix = s"${part}order by $k $dir".trim
+          val fr = sp.group(4).trim.replaceFirst("(?i)^range\\s+", "")
+          val (aTxt, bTxt) =
+            "(?is)^between\\s+(.*?)\\s+and\\s+(.*)$".r
+              .findFirstMatchIn(fr) match {
+              case Some(ab) => (ab.group(1).trim, ab.group(2).trim)
+              case None => (fr.trim, "current row")
+            }
+          val al = aTxt.toLowerCase; val bl = bTxt.toLowerCase
+          val bounds = Seq(
+            Option.when(al.endsWith("following") &&
+              !al.contains("unbounded"))(aTxt),
+            Option.when(bl.endsWith("preceding") &&
+              !bl.contains("unbounded"))(bTxt)).flatten
+          if (bounds.isEmpty)
+            scala.util.matching.Regex.quoteReplacement(m.matched)
+          else {
+            val fi = s"range between $aTxt and $bTxt"
+            def w(f: String, frm: String) =
+              s"$f($arg) over ($sPrefix $frm)"
+            def peers(b: String) = s"range between $b and $b"
+            val cnt = "(" + w("count", fi) +
+              bounds.map(b => s" - ${w("count", peers(b))}").mkString + ")"
+            val sm = "(" + w("sum", fi) + bounds.map(b =>
+              s" - coalesce(${w("sum", peers(b))}, 0)").mkString + ")"
+            val repl = fn match {
+              case "count" => cnt
+              case "sum" => s"(case when $cnt > 0 then $sm end)"
+              case "avg" => s"(case when $cnt > 0 then $sm / $cnt end)"
+            }
+            scala.util.matching.Regex.quoteReplacement(repl)
+          }
+        case _ => scala.util.matching.Regex.quoteReplacement(m.matched)
+      }
+    })
+
+  /** HiveDecimalValueBoundaryScanner truncates the key distance to an
+    * INT before comparing (`d1.subtract(d2).intValue() > amt`,
+    * ValueBoundaryScanner.java:526 — the "TODO: lossy conversion"):
+    * over a DECIMAL order key every bound stretches by the fraction,
+    * so e.g. `200 preceding` admits any v with trunc(cur-v) <= 200,
+    * i.e. v > cur-201. Combined with the strict far-side scan this
+    * maps every numeric bound onto (amt+1) with boundary-peer
+    * subtraction on the inclusive sides. Hive's index-based frames
+    * also INCLUDE the partition's leading NULL rows when the start is
+    * UNBOUNDED and the end is a bounded FOLLOWING scan (the end scan
+    * walks from the current row and never revisits the front).
+    * Apply AFTER [[nullRangeWindows]] — this rewrites the non-null
+    * else-branch; null-key rows are that shim's business. */
+  private def hiveDecimalRange(q: String): String =
+    aggOverRe.replaceAllIn(q, m => {
+      val fn = m.group(1).toLowerCase; val arg = m.group(2).trim
+      val spec = m.group(3)
+      specPartsRe.findFirstMatchIn(spec) match {
+        case Some(sp) if sp.group(4) != null &&
+            Seq("sum", "avg", "count").contains(fn) &&
+            !Option(sp.group(3)).exists(_.trim
+              .equalsIgnoreCase("desc")) =>
+          val part = Option(sp.group(1))
+            .map(p => s"partition by $p").getOrElse("")
+          val k = sp.group(2).trim
+          val sPrefix = (s"$part order by $k").trim
+          val fr = sp.group(4).trim.replaceFirst("(?i)^range\\s+", "")
+          val (aTxt, bTxt) =
+            "(?is)^between\\s+(.*?)\\s+and\\s+(.*)$".r
+              .findFirstMatchIn(fr) match {
+              case Some(ab) => (ab.group(1).trim, ab.group(2).trim)
+              case None => (fr.trim, "current row")
+            }
+          val numRe = "(?i)^(\\d+)\\s+(preceding|following)$".r
+          def widen(t: String): Option[(String, Boolean)] = t match {
+            case numRe(n, d) =>
+              Some((s"${n.toLong + 1} ${d.toLowerCase}", true))
+            case _ => None
+          }
+          val wa = widen(aTxt); val wb = widen(bTxt)
+          if (wa.isEmpty && wb.isEmpty)
+            scala.util.matching.Regex.quoteReplacement(m.matched)
+          else {
+            val a2 = wa.map(_._1).getOrElse(aTxt)
+            val b2 = wb.map(_._1).getOrElse(bTxt)
+            // inclusive sides need the exact-boundary peers removed:
+            // a widened PRECEDING start and a widened FOLLOWING end
+            val peers = Seq(
+              wa.collect { case (t, _) if t.endsWith("preceding") => t },
+              wb.collect { case (t, _) if t.endsWith("following") => t })
+              .flatten
+            val fi = s"range between $a2 and $b2"
+            def w(f: String, frm: String) =
+              s"$f($arg) over ($sPrefix $frm)"
+            // (an UNBOUNDED PRECEDING start already carries the
+            // partition's leading null rows in BOTH engines — Hive's
+            // index frame by construction, Spark's range frame
+            // natively — so no null term is needed)
+            val cParts = Seq(w("count", fi)) ++
+              peers.map(b2 =>
+                s"- ${w("count", s"range between $b2 and $b2")}")
+            val cnt = "(" + cParts.mkString(" ") + ")"
+            val sParts = Seq(s"coalesce(${w("sum", fi)}, 0)") ++
+              peers.map(b2 =>
+                s"- coalesce(${w("sum", s"range between $b2 and $b2")}, 0)")
+            val sm = "(" + sParts.mkString(" ") + ")"
+            val repl = fn match {
+              case "count" => cnt
+              case "sum" => s"(case when $cnt > 0 then $sm end)"
+              case "avg" => s"(case when $cnt > 0 then $sm / $cnt end)"
+            }
+            scala.util.matching.Regex.quoteReplacement(repl)
+          }
+        case _ => scala.util.matching.Regex.quoteReplacement(m.matched)
+      }
+    })
+
+  /** GenericUDAFSumDouble marks the group non-empty BEFORE the numeric
+    * parse, so a window sum over an unparseable STRING column is 0.0
+    * in Hive (the NumberFormatException is swallowed) where Spark's
+    * sum(cast) yields NULL. Mismatch-retry candidate: spell Hive's
+    * contract explicitly for every windowed sum. */
+  private def sumStringWindows(q: String): String =
+    "(?is)\\bsum\\s*\\(((?:[^()]|\\((?:[^()]|\\([^()]*\\))*\\))+?)\\)\\s*over\\s*\\(((?:[^()]|\\((?:[^()]|\\([^()]*\\))*\\))+?)\\)".r
+      .replaceAllIn(q, m => {
+        val x = m.group(1).trim; val spec = m.group(2)
+        scala.util.matching.Regex.quoteReplacement(
+          s"(case when count($x) over ($spec) = 0 " +
+            s"then cast(null as double) " +
+            s"else sum(coalesce(cast(($x) as double), 0.0d)) " +
+            s"over ($spec) end)")
+      })
+
   /** Candidate translations for Hive window forms Spark rejects,
     * tried in order until one runs and matches the golden. */
   def windowRewrites(q: String): Seq[String] = {
     val ql = q.toLowerCase
     if (!ql.contains("over") && !ql.contains("window")) return Nil
     val singles = Seq(rangePeers(q), rangeDays(q), rangeNoOrder(q),
-      distinctWindows(q))
+      distinctWindows(q), tsSecondsWindows(q), nullRangeWindows(q),
+      strictRangeWindows(q), sumStringWindows(q),
+      nullRangeWindows(strictRangeWindows(q)),
+      hiveDecimalRange(nullRangeWindows(q)))
     val combined = Seq(
       distinctWindows(rangeNoOrder(rangePeers(q))),
-      distinctWindows(rangeNoOrder(rangeDays(q))))
+      distinctWindows(rangeNoOrder(rangeDays(q))),
+      nullRangeWindows(rangeDays(q)),
+      nullRangeWindows(tsSecondsWindows(q)),
+      tsSecondsWindows(nullRangeWindows(q)),
+      nullRangeWindows(rangeNoOrder(rangeDays(q))),
+      nullRangeWindows(rangeNoOrder(tsSecondsWindows(q))))
     (singles ++ combined).distinct.filterNot(_ == q)
   }
 
