@@ -433,7 +433,10 @@ class HiveStatements(val spark: SparkSession) {
               partCompRe.findFirstMatchIn(e) match {
                 case Some(c) =>
                   val l = col(c.group(1))
+                  // typed partition literals (dt=timestamp '...')
+                  // carry the bare text value, like parsePartSpec
                   val v = lit(c.group(3).trim
+                    .replaceFirst("(?is)^(?:date|timestamp)\\s+'", "'")
                     .stripPrefix("'").stripSuffix("'")
                     .stripPrefix("\"").stripSuffix("\""))
                     .cast(df.schema(c.group(1)).dataType)

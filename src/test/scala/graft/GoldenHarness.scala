@@ -1043,7 +1043,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   // column list, then any physical clauses (CLUSTERED BY / STORED AS /
   // ROW FORMAT) — physical layout is a no-op for temp-view replay
   private val createRe =
-    "(?is)create\\s+(?:temporary\\s+|external\\s+)?table\\s+(?:if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?\\s*\\(.*".r
+    "(?is)create\\s+(?:temporary\\s+|external\\s+)*table\\s+(?:if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?\\s*\\(.*".r
   // Avro-schema-carrying CREATE with no column list: the schema is the
   // avro.schema.literal TBLPROPERTY (ref: serde2/avro/AvroSerDe —
   // STORED AS AVRO tables); bridged through AvroIO.sparkType
@@ -3441,7 +3441,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       def exec(q: String, ql: String): Unit = {
       if (ql.startsWith("create table") ||
           ql.startsWith("create temporary table") ||
-          ql.startsWith("create external table")) q match {
+          ql.startsWith("create external table") ||
+          ql.startsWith("create temporary external table")) q match {
         case ctasRe(name, _)
             if ql.contains("if not exists") && isTempView(name) =>
           // CTAS IF NOT EXISTS over an existing table: no-op
