@@ -914,6 +914,44 @@ class HiveDialect(val spark: SparkSession) {
           }
         }
     }
+    else if (msg.contains("UNRESOLVED_COLUMN") &&
+        "name (?:`([^`]*)`\\.)?`([^`]*)` cannot be resolved".r
+          .findFirstMatchIn(msg).exists(m =>
+            m.group(2).exists("^$*+?.()[]{}|".contains(_)))) {
+      // hive.support.quoted.identifiers=none: a backticked identifier
+      // is a REGEX over column names (HiveParser QuotedIdentifier +
+      // SemanticAnalyzer genColListRegex). Expand it against the
+      // analyzer's own candidate list from the error message.
+      val nm = "name (?:`([^`]*)`\\.)?`([^`]*)` cannot be resolved".r
+        .findFirstMatchIn(msg).get
+      val alias = Option(nm.group(1))
+      val pat = nm.group(2)
+      val entryRe = "(?:`([^`]*)`\\.)?`([^`]*)`".r
+      val sugg = "following\\?\\s*\\[([^\\]]*)\\]".r
+        .findFirstMatchIn(msg).map(_.group(1)).toSeq
+        .flatMap(t => entryRe.findAllMatchIn(t).map(e =>
+          (Option(e.group(1)), e.group(2))).toSeq)
+      scala.util.Try(java.util.regex.Pattern.compile(pat)).toOption
+        .toSeq.flatMap { rx =>
+          val picked = sugg
+            .filter { case (al, c) =>
+              alias.forall(a => al.forall(_.equalsIgnoreCase(a))) &&
+                rx.matcher(c).matches }
+            .map { case (al, c) => (alias.orElse(al), c) }.distinct
+          if (picked.isEmpty) Nil
+          else {
+            val repl = picked.map { case (al, c) =>
+              al.map(_ + ".").getOrElse("") + c }.mkString(", ")
+            val aliasTxt = alias.map(a =>
+              "(?:" + java.util.regex.Pattern.quote(a) + "\\.)?")
+              .getOrElse("")
+            Seq(q.replaceAll(
+              "(?i)" + aliasTxt + "`" +
+                java.util.regex.Pattern.quote(pat) + "`",
+              scala.util.matching.Regex.quoteReplacement(repl)))
+          }
+        }
+    }
     else if (msg.contains("MISSING_AGGREGATION")) {
       // Hive window specs resolve SELECT aliases (`max(comments)
       // comments ... OVER (ORDER BY comments)`); Spark binds the raw
@@ -981,6 +1019,13 @@ class HiveDialect(val spark: SparkSession) {
             .r.replaceAllIn(q, m =>
               scala.util.matching.Regex.quoteReplacement(
                 s"cast(cume_dist() over (${m.group(1)}) as int)"))),
+        // a TRANSFORM script that exits early (head -n 1 under
+        // hive.exec.script.allow.partial.consumption) emits one row
+        // per PARTITION here but one per single-reducer stream in the
+        // recorded run — retry with the input coalesced to one
+        Option.when(q.toLowerCase.contains("transform"))(
+          q.replaceAll("(?is)\\bfrom\\s+(\\w+)\\s*$",
+            "from (select /*+ COALESCE(1) */ * from $1) __tr1")),
         // Hive gives `=` LOWER precedence than IN: a = b in (...)
         // parses as a = (b in (...)) (HiveParser precedenceEqual)
         Option.when("(?i)=\\s*\\S+\\s+in\\s*\\(".r

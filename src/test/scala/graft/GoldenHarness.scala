@@ -264,7 +264,12 @@ object GoldenFixtures {
     * overridden per table by FIELDS/COLLECTION ITEMS/MAP KEYS
     * TERMINATED BY. */
   val defaultSeps: IndexedSeq[String] =
-    (Seq(1, 2, 3) ++ (4 to 8) ++ Seq(11) ++ (14 to 26) ++ (28 to 31))
+    // LazySerDeParameters separator candidates: control chars minus
+    // tab/newline-family, then (with extend.additional.nesting.levels)
+    // bytes 0x80..0xFF — the fixture reads through the ISO-8859-1
+    // fallback, so those bytes decode to chars 128..255 one-to-one
+    (Seq(1, 2, 3) ++ (4 to 8) ++ Seq(11) ++ (14 to 26) ++ (28 to 31) ++
+      (128 to 255))
       .map(_.toChar.toString).toIndexedSeq
 
   /** The reference's qtest timezone (QTestUtil: "US/Pacific"). */
@@ -457,7 +462,23 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       else q
     percentileH023(testModeSample(randSeedViews(bucketFileSample(q1))))
   }
-  dialect.scriptResolver = (s: String) => scriptShims.get(s)
+  dialect.scriptResolver = (s: String) => s.trim match {
+    // ScriptOperator exports a unique per-operator-instance id env var
+    // (ScriptOperator.java:321 addJobConfToEnvironment +
+    // hive.script.operator.id.env.var) — script_env_var1/2 assert the
+    // two TRANSFORM instances see DIFFERENT values
+    case "sh" =>
+      scriptOpId += 1
+      Some(s"env $scriptOpIdVar=$scriptOpId sh")
+    // hive.exec.script.allow.partial.consumption: Hive tolerates a
+    // script exiting before reading all input (script_pipe); Spark
+    // surfaces the broken pipe — drain stdin explicitly instead
+    case "true" => Some("cat > /dev/null")
+    case "head -n 1" => Some("head -n 1; cat > /dev/null")
+    case _ => scriptShims.get(s)
+  }
+  private var scriptOpId = 0
+  private var scriptOpIdVar = "HIVE_SCRIPT_OPERATOR_ID"
 
   /** Which database created the BARE temp view of this name, and the
     * (db, table) pairs that had to be mangled to `db__table` because
@@ -1030,7 +1051,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       "stored\\s+as\\s+[\\w.]+|" +
       "tblproperties\\s*\\([^)]*\\)|" +
       "location\\s+'[^']*'))*" +
-      "\\s+as\\s+((?:select|with).*)").r
+      "\\s+as\\s+((?:select\\b|from\\b|with\\s+(?!serdeproperties)).*)").r
   // a view over temp views replays as a temp view of the same query;
   // an optional explicit column list renames the select's output
   // (PARTITIONED ON is a physical hint — no-op for the logical replay)
@@ -1039,7 +1060,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     "(?:comment\\s+'[^']*'\\s*)?" +
     "(?:(?:enable|disable)\\s+rewrite\\s*)?" +
     "(?:tblproperties\\s*\\([^)]*\\)\\s*)?" +
-    "(?:partitioned\\s+on\\s*\\([^)]*\\)\\s*)?as\\s+((?:select|with).*)").r
+    "(?:partitioned\\s+on\\s*\\([^)]*\\)\\s*)?as\\s+((?:select\\b|from\\b|with\\s+(?!serdeproperties)).*)").r
   // column list, then any physical clauses (CLUSTERED BY / STORED AS /
   // ROW FORMAT) — physical layout is a no-op for temp-view replay
   private val createRe =
@@ -3108,6 +3129,10 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             }
         }
       }
+      else if (n.startsWith("set hive.script.operator.id.env.var"))
+        // value from the RAW text (norm() case-folds; env vars are
+        // case-sensitive)
+        scriptOpIdVar = s.split("=", 2).last.trim.stripSuffix(";").trim
       else if (n.startsWith("set hive.test.mode.prefix"))
         testModePrefix = n.split("=", 2).last.trim
       else if (n.startsWith("set hive.test.mode.samplefreq"))
@@ -3175,7 +3200,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         // evaluate and stash like the visible form
         ("(?is)insert\\s+overwrite\\s+(local\\s+)?directory\\s+" +
           "['\"]([^'\"]*)['\"]\\s*(?:row\\s+format[^;]*?)?" +
-          "(?:stored\\s+as\\s+\\w+\\s*)?((?:select|with|from).*)").r
+          "(?:stored\\s+as\\s+\\w+\\s*)?((?:select\\b|from\\b|with\\s+(?!serdeproperties)).*)").r
           .findFirstMatchIn(s.trim.stripSuffix(";")).foreach(m =>
             storeDirSink((if (m.group(1) != null) "file:/" else "") +
                 m.group(2),
@@ -3629,7 +3654,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         // directory sink: rows land in dirStore so a later masked
         // LOAD DATA INPATH over the same path reads them back (the
         // goldens otherwise inspect it via masked dfs -cat output)
-        "(?is)insert\\s+overwrite\\s+(local\\s+)?directory\\s+'([^']*)'\\s*(?:row\\s+format[^;]*?)?(?:stored\\s+as\\s+\\w+\\s*)?((?:select|with).*)".r
+        "(?is)insert\\s+overwrite\\s+(local\\s+)?directory\\s+'([^']*)'\\s*(?:row\\s+format[^;]*?)?(?:stored\\s+as\\s+\\w+\\s*)?((?:select\\b|from\\b|with\\s+(?!serdeproperties)).*)".r
           .findFirstMatchIn(q).foreach(m =>
             storeDirSink((if (m.group(1) != null) "file:/" else "") +
               m.group(2), spark.sql(m.group(3))))
