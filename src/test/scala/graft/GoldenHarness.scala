@@ -949,8 +949,13 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     * [10i,100i,1000i as strings], lintstring = [(i², i³, i)],
     * mstringstring = {key_i: value_i}; plus one all-null record whose
     * aint stays 0 (thrift primitive field). The uniontype columns
-    * (attributes, unionfield1-3) are omitted — files touching them
-    * fail their own replay only. */
+    * follow CreateSequenceFile.java:130-139: attributes =
+    * {key_i: {erVal_i: {value_i: union double 1.0}}}, unionfield1 =
+    * union string "test_i", unionfield2 = union map {key_i: value_i},
+    * unionfield3 = union list [10i,100i,1000i] — tags index the
+    * PropValueUnion alternatives as Hive's DDL declares them
+    * (uniontype<int,bigint,string,double,boolean,array<string>,
+    * map<string,string>>). */
   lazy val srcThrift: Unit = {
     val aints = Vector(1712634731, 465985200, -751827638, 477111222,
       -734328909, -1952710710, 1244525190, -1461153973, 1638581578,
@@ -959,19 +964,35 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       StructField("myint", IntegerType),
       StructField("mystring", StringType),
       StructField("underscore_int", IntegerType)))
+    val unionSchema = unionStruct(Seq(IntegerType, LongType,
+      StringType, DoubleType, BooleanType, ArrayType(StringType),
+      MapType(StringType, StringType)))
+    def unionVal(tag: Int, v: Any): Row =
+      Row.fromSeq(tag +: (0 until 7).map(i => if (i == tag) v else null))
     val schema = StructType(Seq(
       StructField("aint", IntegerType),
       StructField("astring", StringType),
       StructField("lint", ArrayType(IntegerType)),
       StructField("lstring", ArrayType(StringType)),
       StructField("lintstring", ArrayType(isSchema)),
-      StructField("mstringstring", MapType(StringType, StringType))))
+      StructField("mstringstring", MapType(StringType, StringType)),
+      StructField("attributes", MapType(StringType,
+        MapType(StringType, MapType(StringType, unionSchema)))),
+      StructField("unionfield1", unionSchema),
+      StructField("unionfield2", unionSchema),
+      StructField("unionfield3", unionSchema)))
     val rows = (0 until 10).map { i =>
-      Row(aints(i), s"record_$i", Seq(i, i * 2, i * 3),
-        Seq("" + i * 10, "" + i * 100, "" + i * 1000),
+      val slist = Seq("" + i * 10, "" + i * 100, "" + i * 1000)
+      Row(aints(i), s"record_$i", Seq(i, i * 2, i * 3), slist,
         Seq(Row(i * i, "" + (i * i * i), i)),
-        Map(s"key_$i" -> s"value_$i"))
-    }.toVector :+ Row(0, null, null, null, null, null)
+        Map(s"key_$i" -> s"value_$i"),
+        Map(s"key_$i" -> Map(s"erVal$i" ->
+          Map(s"value_$i" -> unionVal(3, 1.0d)))),
+        unionVal(2, s"test$i"),
+        unionVal(6, Map(s"key_$i" -> s"value_$i")),
+        unionVal(5, slist))
+    }.toVector :+
+      Row(0, null, null, null, null, null, null, null, null, null)
     register(rows, schema, "src_thrift")
   }
 
@@ -1348,6 +1369,33 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   /** RegexSerDe input.regex per table: LOADed lines parse by match
     * groups (one group per column; a non-matching line reads as an
     * all-NULL row — serde2/RegexSerDe.java deserialize). */
+  /** DynamicSerDe + TCTLSeparatedProtocol tables (input19): custom
+    * field delimiter with QUOTE-aware tokenization — text between
+    * quote.delim markers (" or [..]) is one field even when it holds
+    * the delimiter, and the markers strip (ref
+    * serde2/dynamic_type/DynamicSerDe.java +
+    * serde2/thrift/TCTLSeparatedProtocol.java quote handling). */
+  private val viewCtl = scala.collection.mutable.Map[String, Char]()
+  private def ctlSplit(l: String, delim: Char): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    l.foreach { c =>
+      if (quote != 0) {
+        if ((quote == '"' && c == '"') || (quote == '[' && c == ']'))
+          quote = 0
+        else cur.append(c)
+      } else c match {
+        case '"' => quote = '"'
+        case '[' => quote = '['
+        case `delim` => out += cur.result(); cur.clear()
+        case other => cur.append(other)
+      }
+    }
+    out += cur.result()
+    out.result()
+  }
+
   private val viewRegex =
     scala.collection.mutable.Map[String, scala.util.matching.Regex]()
 
@@ -1410,6 +1458,12 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
 
   /** Record TERMINATED BY overrides for `view` from create text `q`. */
   private def recordDelims(view: String, q: String): Unit = {
+    if (q.toLowerCase.contains("dynamicserde") &&
+        q.toLowerCase.contains("tctlseparatedprotocol"))
+      viewCtl(view.toLowerCase) =
+        "(?is)['\"]field\\.delim['\"]\\s*=\\s*['\"]([^'\"]*)['\"]".r
+          .findFirstMatchIn(q).map(mm => unescDelim(mm.group(1)).head)
+          .getOrElse('\u0001')
     var s = defaultSeps
     q match { case termRe(d) => s = s.updated(0, unescDelim(d))
               case _ => }
@@ -1665,7 +1719,10 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           // are regex match groups, not delimited bytes)
           GoldenFixtures.escapeChar = viewEscape.get(table.toLowerCase)
           try mergeRawLoad(table, textLines().map(l =>
-            GoldenFixtures.escSplit(l, seps(0))), overwrite, partSpec)
+            viewCtl.get(table.toLowerCase) match {
+              case Some(d) => ctlSplit(l, d)
+              case None => GoldenFixtures.escSplit(l, seps(0))
+            }), overwrite, partSpec)
           finally GoldenFixtures.escapeChar = None
           return
         }
@@ -1691,7 +1748,10 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             GoldenFixtures.escapeCrlf =
               viewCrlf.getOrElse(table.toLowerCase, false)
             try textLines().map { l =>
-              val a = GoldenFixtures.escSplit(l, seps(0))
+              val a = viewCtl.get(table.toLowerCase) match {
+                case Some(d) => ctlSplit(l, d)
+                case None => GoldenFixtures.escSplit(l, seps(0))
+              }
               Row.fromSeq(dataFields.zipWithIndex.map { case (f, i) =>
                 parseRaw(if (i < a.length) a(i) else null, f.dataType,
                   0, seps)
