@@ -285,11 +285,17 @@ class HiveStatements(val spark: SparkSession) {
       } else if (overwrite && spec.nonEmpty) {
         // dynamic (or mixed) OVERWRITE replaces only the partitions
         // present in the insert's own output — Hive's
-        // dynamic-partition overwrite contract
+        // dynamic-partition overwrite contract. NULL-SAFE match: the
+        // default partition (a null dynamic value on a typed column)
+        // must replace too, and a plain join would never pair nulls
         val pFields = spec.map { case (n, _) =>
           schema.fields.find(_.name.equalsIgnoreCase(n)).get.name }
+        val cur = spark.table(table).alias("__cur")
         val aff = cast.select(pFields.map(col): _*).distinct()
-        spark.table(table).join(aff, pFields, "left_anti")
+          .alias("__aff")
+        val cond = pFields.map(n =>
+          col(s"__cur.$n") <=> col(s"__aff.$n")).reduce(_ && _)
+        cur.join(aff, cond, "left_anti")
           .select(schema.fieldNames.map(col).toIndexedSeq: _*)
           .union(cast)
       } else if (overwrite) cast

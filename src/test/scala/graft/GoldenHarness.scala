@@ -455,12 +455,14 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   // this harness's fixture machinery: virtual-column table rewrites,
   // deterministic qtest sampling, and vendored script-path shims.
   dialect.preRewrite = { q =>
+    recordAddedPartitions(q)
     val q1 =
       if (q.toLowerCase.contains("input__file__name") ||
           q.toLowerCase.contains("block__offset__inside__file"))
         rewriteVcTables(q)
       else q
-    percentileH023(testModeSample(randSeedViews(bucketFileSample(q1))))
+    maskSampleRewrite(
+      percentileH023(testModeSample(randSeedViews(bucketFileSample(q1)))))
   }
   dialect.scriptResolver = (s: String) => s.trim match {
     // ScriptOperator exports a unique per-operator-instance id env var
@@ -2797,6 +2799,75 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     * transformers. Re-register the just-created view wrapped the same
     * way (filter evaluates on raw values, transformers on the
     * output). */
+  /** Partition specs registered by plain ALTER TABLE ADD PARTITION
+    * (metadata only — zero data rows). Feeds the
+    * hive.optimize.metadataonly retry: a partition-column-only
+    * aggregate reads ONE ROW PER PARTITION, empty partitions included
+    * (MetadataOnlyOptimizer + OneNullRowInputFormat). */
+  private val addedParts = scala.collection.mutable.Map[String,
+    scala.collection.mutable.LinkedHashSet[Seq[(String, String)]]]()
+  private val plainAddPartRe =
+    ("(?is)^\\s*alter\\s+table\\s+`?([\\w.]+)`?\\s+add\\s+" +
+      "(?:if\\s+not\\s+exists\\s+)?" +
+      "((?:partition\\s*\\([^)]*\\)\\s*)+);?\\s*$").r
+  private def recordAddedPartitions(q: String): Unit =
+    if (!q.toLowerCase.contains("location")) q.trim match {
+      case plainAddPartRe(t, specs) =>
+        val set = addedParts.getOrElseUpdate(
+          t.split('.').last.toLowerCase,
+          scala.collection.mutable.LinkedHashSet.empty)
+        HiveStatements.partitionCondRe.findAllMatchIn(specs)
+          .foreach { m =>
+            set += parsePartSpec(m.group(1)).collect {
+              case (n, Some(v)) => n -> v }
+          }
+      case _ =>
+    }
+
+  /** Retry candidate: route scans of partition-registered tables
+    * through a one-row-per-partition view (added specs plus the data
+    * rows' distinct partition values; data columns NULL). */
+  private def metadataOnlyRewrites(q: String): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val ql = q.toLowerCase
+    if (!ql.contains("from")) return Nil
+    val hit = addedParts.keys.filter(t =>
+      ("(?i)\\bfrom\\s+" + t + "\\b").r.findFirstIn(ql).isDefined)
+      .toSeq.sorted
+    if (hit.isEmpty) return Nil
+    var r = q
+    hit.foreach { t =>
+      val df = spark.table(t)
+      val pcs = tablePartCols.getOrElse(t, Nil)
+      if (pcs.nonEmpty) {
+        val pvals = df.select(pcs.map(c =>
+          col(c).cast(StringType).as(c.toLowerCase)): _*).distinct()
+        val addRows = addedParts(t).toVector.map(spec =>
+          Row.fromSeq(pcs.map(p => spec.collectFirst {
+            case (n, v) if n.equalsIgnoreCase(p) => v }.orNull)))
+        val addDf = spark.createDataFrame(
+          spark.sparkContext.parallelize[Row](addRows, 1),
+          StructType(pcs.map(p =>
+            StructField(p.toLowerCase, StringType)).toIndexedSeq))
+        val all = pvals.union(addDf).distinct()
+        val full = all.select(df.schema.fields.map { f =>
+          if (pcs.exists(_.equalsIgnoreCase(f.name)))
+            col(f.name.toLowerCase).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
+        full.createOrReplaceTempView(t + "__metaparts")
+        r = r.replaceAll(s"(?i)\\bfrom\\s+$t\\b",
+          s"from ${t}__metaparts")
+      }
+    }
+    Seq(r).filterNot(_ == q)
+  }
+
+  /** Mask SQL per masked table with `%SRC%` standing for the scanned
+    * relation — reused by [[maskSampleRewrite]] to mask AFTER a
+    * row-sample, the reference's operator order (the masking rewrite
+    * wraps the sampled scan). */
+  private val maskSql = scala.collection.mutable.Map[String, String]()
   private def applyTestMask(name: String): Unit = {
     val n = name.toLowerCase
     if (n != "masking_test" && n != "masking_test_view" &&
@@ -2807,18 +2878,39 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     def proj(maskCol: String, exprTo: String) = cols.map(c =>
       if (c.equalsIgnoreCase(maskCol)) s"$exprTo as `$c`"
       else s"`$c`").mkString(", ")
-    val sql = n match {
+    val tpl = n match {
       case "masking_test" =>
-        s"select ${proj("value", "reverse(value)")} from $raw" +
+        s"select ${proj("value", "reverse(value)")} from %SRC%" +
           (if (cols.exists(_.equalsIgnoreCase("key")))
             " where key % 2 = 0 and key < 10" else "")
       case "masking_test_view" =>
-        s"select ${proj("key", "key / 2")} from $raw where key > 6"
+        s"select ${proj("key", "key / 2")} from %SRC% where key > 6"
       case "masking_test_subq" =>
-        s"select * from $raw where key in (select key from src)"
+        s"select * from %SRC% where key in (select key from src)"
     }
-    spark.sql(sql).createOrReplaceTempView(name)
+    maskSql(n) = tpl
+    spark.sql(tpl.replace("%SRC%", raw)).createOrReplaceTempView(name)
   }
+
+  /** `masked_table TABLESAMPLE (N ROWS)`: the sample takes the first
+    * N rows of the RAW scan and the mask applies on top
+    * (TableSampleOperator under the masking rewrite); our masked view
+    * would sample post-mask instead. */
+  private def maskSampleRewrite(q: String): String =
+    if (!q.toLowerCase.contains("tablesample")) q
+    else "(?i)\\b(masking_test\\w*)\\s+tablesample\\s*\\((\\d+)\\s+rows\\s*\\)".r
+      .replaceAllIn(q, m => {
+        val n = m.group(1).toLowerCase
+        maskSql.get(n) match {
+          case Some(tpl) =>
+            scala.util.matching.Regex.quoteReplacement(
+              "(" + tpl.replace("%SRC%",
+                s"(select * from ${n}__premask limit ${m.group(2)}) __mts")
+                + s") ${m.group(1)}")
+          case None =>
+            scala.util.matching.Regex.quoteReplacement(m.matched)
+        }
+      })
 
   private def emptyView(name: String, cols: String): Unit = {
     register(Vector.empty, colSchema(cols), name)
@@ -3459,7 +3551,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           // RANGE frames, DISTINCT window aggregates, RANGE with no
           // ordering) get semantics-preserving rewrites; first one
           // that runs AND matches the golden wins
-          var ok = dialect.windowRewrites(query)
+          var ok = (metadataOnlyRewrites(query) ++
+            dialect.windowRewrites(query))
             .exists(q2 => q2 != query && attempt(q2).isEmpty)
           if (!ok) {
             // chase analyzer errors (one rewrite may surface the
