@@ -914,6 +914,24 @@ class HiveDialect(val spark: SparkSession) {
           }
         }
     }
+    else if (msg.contains("NUM_COLUMNS_MISMATCH") &&
+        q.toLowerCase.contains("values")) {
+      // Hive's VALUES writes through a temp text table with exactly
+      // the target's column count — surplus expressions in a tuple
+      // are silently DROPPED (materialized_view_create's
+      // `(4,'bob',6133,14)` row inserts as (4,'bob',6133))
+      "expected (\\d+) columns".r.findFirstMatchIn(msg).toSeq
+        .map { em =>
+          val n = em.group(1).toInt
+          "\\(([^()]*)\\)".r.replaceAllIn(q, tm => {
+            val items = splitTop(tm.group(1), ',')
+            scala.util.matching.Regex.quoteReplacement(
+              if (items.length > n)
+                "(" + items.take(n).mkString(", ") + ")"
+              else tm.matched)
+          })
+        }.filterNot(_ == q)
+    }
     else if (msg.contains("UNRESOLVED_COLUMN") &&
         "name (?:`([^`]*)`\\.)?`([^`]*)` cannot be resolved".r
           .findFirstMatchIn(msg).exists(m =>
@@ -951,6 +969,19 @@ class HiveDialect(val spark: SparkSession) {
               scala.util.matching.Regex.quoteReplacement(repl)))
           }
         }
+    }
+    else if (msg.contains("UNRESOLVED_COLUMN") &&
+        msg.contains("`default`")) {
+      // the `default.`-database strip is context-blind: a COLUMN
+      // named `default` (struct_in_view's struct<src:...> column)
+      // loses its qualifier — restore it when the analyzer suggests
+      // a `default` column
+      "name `([\\w]+)`".r.findFirstMatchIn(msg).toSeq.map { nm =>
+        q.replaceAll(
+          "(?i)(?<![\\w.`])" +
+            java.util.regex.Pattern.quote(nm.group(1)) + "\\.",
+          "default." + nm.group(1) + ".")
+      }.filterNot(_ == q)
     }
     else if (msg.contains("MISSING_AGGREGATION")) {
       // Hive window specs resolve SELECT aliases (`max(comments)
@@ -1019,6 +1050,19 @@ class HiveDialect(val spark: SparkSession) {
             .r.replaceAllIn(q, m =>
               scala.util.matching.Regex.quoteReplacement(
                 s"cast(cume_dist() over (${m.group(1)}) as int)"))),
+        // a TRANSFORM declaring an array<..> output column: Hive's
+        // LazySimpleSerDe splits the field on ^B; Spark's no-serde
+        // script transform can't parse complex types — read the field
+        // as STRING and split/cast outside (transform1.q)
+        "(?i)\\bas\\s*\\(\\s*(\\w+)\\s+array<(\\w+)>\\s*\\)".r
+          .findFirstMatchIn(q)
+          .filter(_ => q.toLowerCase.contains("transform")).map { am =>
+            val (n, et) = (am.group(1), am.group(2))
+            val inner = q.substring(0, am.start) +
+              s"AS ($n string)" + q.substring(am.end)
+            s"select cast(split($n, '\\u0002') as array<$et>) " +
+              s"as $n from ($inner) __ta"
+          },
         // a TRANSFORM script that exits early (head -n 1 under
         // hive.exec.script.allow.partial.consumption) emits one row
         // per PARTITION here but one per single-reducer stream in the

@@ -461,8 +461,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           q.toLowerCase.contains("block__offset__inside__file"))
         rewriteVcTables(q)
       else q
-    maskSampleRewrite(
-      percentileH023(testModeSample(randSeedViews(bucketFileSample(q1)))))
+    rowIdRewrite(maskSampleRewrite(
+      percentileH023(testModeSample(randSeedViews(bucketFileSample(q1))))))
   }
   dialect.scriptResolver = (s: String) => s.trim match {
     // ScriptOperator exports a unique per-operator-instance id env var
@@ -729,7 +729,29 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     val lc = target.toLowerCase
     tableSegs(lc) =
       if (overwrite) 1 else tableSegs.getOrElse(lc, 1) + 1
+    val before: Vector[Row] =
+      if (acidTables.contains(lc))
+        scala.util.Try(spark.table(target).collect().toVector)
+          .getOrElse(Vector.empty)
+      else Vector.empty
     super.insertInto(target, overwrite, sel, partSpec, colList)
+    if (acidTables.contains(lc)) {
+      // one transaction per INSERT: the delta rows carry its id
+      val txn = acidTxn.getOrElse(lc, 0L) + 1
+      acidTxn(lc) = txn
+      val ledger = acidRows.getOrElseUpdate(lc,
+        scala.collection.mutable.Buffer.empty)
+      if (overwrite) ledger.clear()
+      val counts = scala.collection.mutable.Map.empty[Row, Int]
+      before.foreach(r => counts(r) = counts.getOrElse(r, 0) + 1)
+      scala.util.Try(spark.table(target).collect()).getOrElse(
+        Array.empty[Row]).foreach { r =>
+        counts.get(r) match {
+          case Some(n) if n > 0 => counts(r) = n - 1
+          case _ => ledger += (txn -> r)
+        }
+      }
+    }
   }
 
   /** hive.test.mode replay (SemanticAnalyzer.java:10513-10560): while
@@ -1082,6 +1104,11 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     "`?([\\w.]+)`?\\s*(?:\\(([^)]*)\\)\\s*)?" +
     "(?:comment\\s+'[^']*'\\s*)?" +
     "(?:(?:enable|disable)\\s+rewrite\\s*)?" +
+    "(?:row\\s+format\\s+(?:serde\\s+'[^']*'|delimited" +
+    "(?:\\s+(?:fields|collection\\s+items|map\\s+keys|lines)\\s+" +
+    "terminated\\s+by\\s+'[^']*')*)\\s*)?" +
+    "(?:stored\\s+as\\s+\\w+\\s*)?" +
+    "(?:location\\s+['\"][^'\"]*['\"]\\s*)?" +
     "(?:tblproperties\\s*\\([^)]*\\)\\s*)?" +
     "(?:partitioned\\s+on\\s*\\([^)]*\\)\\s*)?as\\s+((?:select\\b|from\\b|with\\s+(?!serdeproperties)).*)").r
   // column list, then any physical clauses (CLUSTERED BY / STORED AS /
@@ -1460,6 +1487,9 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
 
   /** Record TERMINATED BY overrides for `view` from create text `q`. */
   private def recordDelims(view: String, q: String): Unit = {
+    if (q.toLowerCase.replace(" ", "")
+        .contains("'transactional'='true'"))
+      acidTables += view.toLowerCase
     if (q.toLowerCase.contains("dynamicserde") &&
         q.toLowerCase.contains("tctlseparatedprotocol"))
       viewCtl(view.toLowerCase) =
@@ -2089,6 +2119,13 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
 
   /** Declared LOCATION of tables created by the script (canonical). */
   private val tableLoc = scala.collection.mutable.Map[String, String]()
+
+  /** Directory → (table, partition spec) claimed by an earlier ALTER
+    * TABLE ADD PARTITION ... LOCATION — a later EXTERNAL table adding
+    * a partition over the same directory reads those rows
+    * (stats_noscan_2's texternal / anaylyze_external pair). */
+  private val partLocOwn =
+    scala.collection.mutable.Map[String, (String, String)]()
 
   /** INSERT OVERWRITE DIRECTORY sinks, keyed by canonical path: the
     * written rows live here so a later (masked) `LOAD DATA INPATH
@@ -2863,6 +2900,33 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     Seq(r).filterNot(_ == q)
   }
 
+  /** Transactional tables and their per-INSERT row ledger: each
+    * INSERT is one transaction with a sequential id, and
+    * ROW__ID.transactionid reads it back (AcidUtils write-id
+    * assignment; row__id.q pins ids 1,2,3 for three inserts). */
+  private val acidTables = scala.collection.mutable.Set[String]()
+  private val acidRows = scala.collection.mutable.Map[String,
+    scala.collection.mutable.Buffer[(Long, Row)]]()
+  private val acidTxn = scala.collection.mutable.Map[String, Long]()
+
+  private def rowIdRewrite(q: String): String = {
+    val ql = q.toLowerCase
+    if (!ql.contains("row__id")) return q
+    val t = acidTables.find(t =>
+      ("(?i)\\bfrom\\s+" + t + "\\b").r.findFirstIn(ql).isDefined)
+      .getOrElse(return q)
+    val rows = acidRows.getOrElse(t, return q)
+    val schema = StructType(spark.table(t).schema.fields :+
+      StructField("__txnid", LongType))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize[Row](
+        rows.toVector.map { case (txn, r) =>
+          Row.fromSeq(r.toSeq :+ txn) }, 1), schema)
+      .createOrReplaceTempView(t + "__acid")
+    q.replaceAll("(?i)\\brow__id\\.transactionid\\b", "__txnid")
+      .replaceAll(s"(?i)\\bfrom\\s+$t\\b", s"from ${t}__acid")
+  }
+
   /** Mask SQL per masked table with `%SRC%` standing for the scanned
     * relation — reused by [[maskSampleRewrite]] to mask AFTER a
     * row-sample, the reference's operator order (the masking rewrite
@@ -3378,7 +3442,9 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             val name = name0.split('.').last // flat temp-view namespace
             emptyView(name, parenBody(sBody))
             // partition columns keep partFiltered/insertInto honest
-            val pbIdx = sBody.toLowerCase.indexOf("partitioned by")
+            val pbIdx = "partitioned\\s+by".r
+              .findFirstMatchIn(sBody.toLowerCase).map(_.start)
+              .getOrElse(-1)
             if (pbIdx >= 0) {
               tablePartCols(name.toLowerCase) =
                 colSchema(parenBody(sBody.substring(pbIdx)))
@@ -3691,7 +3757,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           val cols = parenBody(q)
           // PARTITIONED BY needs balanced-paren extraction too:
           // `partitioned by (dt varchar(10), region int)` nests parens
-          val pbIdx = ql.indexOf("partitioned by")
+          val pbIdx = "partitioned\\s+by".r
+            .findFirstMatchIn(ql).map(_.start).getOrElse(-1)
           val full =
             if (pbIdx >= 0) cols + "," + parenBody(q.substring(pbIdx))
             else cols
@@ -3706,7 +3773,17 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           ql.startsWith("create or replace view") ||
           ql.startsWith("create materialized view")) q match {
         case viewRe(name, colList, sel) =>
-          val df = spark.sql(sel)
+          // analyzer rejections of Hive coercions in view bodies go
+          // through the same error-driven retries as bare SELECTs
+          val df =
+            try spark.sql(sel)
+            catch {
+              case e: org.apache.spark.sql.AnalysisException =>
+                dialect.errorRewrites(sel, e.getMessage).iterator
+                  .map(c => scala.util.Try(spark.sql(c)))
+                  .collectFirst { case scala.util.Success(d) => d }
+                  .getOrElse(throw e)
+            }
           (if (colList == null || colList.trim.isEmpty) hiveAutoNames(df)
            else df.toDF(colList.split(",").map(_.trim.replace("`", ""))
              .toIndexedSeq: _*))
@@ -3899,7 +3976,17 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
               if (viaFixture.nonEmpty)
                 viaFixture.foreach(f => scala.util.Try(
                   loadData(f, table, overwrite = false, spec)))
-              else tableLoc.toSeq.collectFirst {
+              else if (partLocOwn.get(loc).exists(p =>
+                  !p._1.equalsIgnoreCase(table) &&
+                    scala.util.Try(spark.table(p._1)).isSuccess)) {
+                val (srcT, srcSpec) = partLocOwn(loc)
+                val df = partFiltered(srcT, srcSpec)
+                val cols = dataFields.flatMap(f =>
+                  df.columns.find(_.equalsIgnoreCase(f.name))).toSeq
+                if (cols.nonEmpty)
+                  insertInto(table, overwrite = false,
+                    df.select(cols.map(col).toIndexedSeq: _*), spec)
+              } else tableLoc.toSeq.collectFirst {
                 case (tn, l) if l.nonEmpty && (loc == l ||
                     loc.startsWith(l + "/")) &&
                     scala.util.Try(spark.table(tn)).isSuccess =>
@@ -3919,6 +4006,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
                     df.select(cols.map(col).toIndexedSeq: _*), spec)
               }
           }
+          partLocOwn(loc) = (table, spec)
         case partReplaceRe(table, spec, cols) =>
           // per-PARTITION REPLACE COLUMNS: that partition's written
           // schema becomes the new column list
