@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit pins for the src/main HiveQL dialect pre-processor — the
+  * rewrite layer the golden corpus exercises end-to-end, checked here
+  * as pure text transforms through the PUBLIC class. */
+class HiveDialectSpec extends AnyFunSuite {
+
+  private lazy val spark =
+    Engine.session("dialect-unit", "local[2]", 2)
+  private def d = new HiveDialect(spark)
+
+  test("LIMIT offset,count sugar and FLOOR(ts TO unit)") {
+    val r = d.rewrite("select k from t order by k limit 5,3")
+    assert(r.toLowerCase.contains("limit 3 offset 5"))
+    val f = d.rewrite("select floor(ts to month) from t")
+    assert(f.toLowerCase.contains("date_trunc('month'"))
+  }
+
+  test("WINDOW clause inheritance: spec reuse, own frame, alias") {
+    val r = d.rewrite(
+      """select sum(x) over w1, avg(x) over w2, min(x) over w3 from t
+         window w1 as (partition by p order by k),
+                w2 as (w1 rows between 1 preceding and current row),
+                w3 as w1""")
+    val rl = r.toLowerCase
+    assert(!rl.contains("window w1"))
+    assert(rl.contains(
+      "avg(x) over (partition by p order by k rows between 1 " +
+        "preceding and current row)"))
+    assert(rl.contains("min(x) over (partition by p order by k)"))
+  }
+
+  test("population stddev/variance names and hive_hash routing") {
+    val r = d.rewrite("select stddev(x), variance(x), hash(x) from t")
+    val rl = r.toLowerCase
+    assert(rl.contains("stddev_pop(") && rl.contains("var_pop(") &&
+      rl.contains("hive_hash("))
+  }
+
+  test("TABLESAMPLE BUCKET x OUT OF y ON cols becomes Hive's " +
+      "deterministic hash predicate") {
+    val r = d.rewrite(
+      "select * from t tablesample (bucket 1 out of 4 on k) s")
+    assert(r.toLowerCase.contains("hive_hash(k") &&
+      r.contains("% 4 = 0"))
+  }
+
+  test("union-limit split spreads the limit round-robin") {
+    val r = d.unionLimitSplit(
+      "select * from (select a from x union all select a from y " +
+        "limit 10) q")
+    assert(r.toLowerCase.contains("limit 5"))
+  }
+
+  test("windowRewrites offers Hive value-frame semantics candidates") {
+    val q = "select sum(s) over (partition by d order by k " +
+      "range between 200 preceding and 100 preceding) from t"
+    val cands = d.windowRewrites(q)
+    // strict far-side: boundary-peer subtraction variant present
+    assert(cands.exists(c =>
+      c.contains("range between 100 preceding and 100 preceding")))
+    // decimal trunc-to-int widening variant present
+    assert(cands.exists(c => c.contains("201 preceding")))
+    // null-order-key CASE variant present
+    assert(cands.exists(_.toLowerCase.contains("(k) is null")))
+  }
+
+  test("errorRewrites: regex column specs expand from the analyzer's " +
+      "suggestion list") {
+    val msg = "[UNRESOLVED_COLUMN.WITH_SUGGESTION] A column, " +
+      "variable, or function parameter with name `b`.`..` cannot be " +
+      "resolved. Did you mean one of the following? " +
+      "[`b`.`ds`, `b`.`hr`, `a`.`ds`, `a`.`hr`, `b`.`key`]"
+    val out = d.errorRewrites("SELECT b.`..` FROM x a JOIN x b", msg)
+    assert(out.exists(_.contains("b.ds, b.hr")))
+  }
+
+  test("errorRewrites: surplus VALUES expressions drop to the " +
+      "declared width") {
+    val msg = "[INVALID_INLINE_TABLE.NUM_COLUMNS_MISMATCH] Invalid " +
+      "inline table. Inline table expected 3 columns but found 4 " +
+      "columns in row 1."
+    val out = d.errorRewrites(
+      "insert into t values (4, 'bob', 6133,14),(5, 'x', 1.0)", msg)
+    assert(out.exists(c => c.contains("(4, 'bob', 6133)") &&
+      c.contains("(5, 'x', 1.0)")))
+  }
+
+  test("interval sugar: bare `2 days` forms") {
+    val r = d.intervalSugar("select ts + 2 days from t")
+    assert(r.exists(_.toLowerCase.contains("interval '2' days")))
+  }
+
+  test("db-qualified names resolve through dbResolver") {
+    val dd = d
+    dd.knownDbs += "db1"
+    dd.dbResolver = (_, db, t) => s"${db}__$t"
+    val r = dd.rewrite("select * from db1.conflict")
+    assert(r.contains("db1__conflict"))
+  }
+}
