@@ -401,8 +401,14 @@ object GoldenFixtures {
       // leading/trailing blanks) — split after the closing backtick
       val (name, rest) =
         if (t0.startsWith("`")) {
-          val close = t0.indexOf('`', 1)
-          (t0.substring(1, close), t0.substring(close + 1).trim)
+          // a doubled backtick inside the name is an ESCAPED backtick
+          // (`x+1``` names the column x+1`) — scan past pairs
+          var close = 1
+          while (close < t0.length && !(t0.charAt(close) == '`' &&
+              (close + 1 >= t0.length || t0.charAt(close + 1) != '`')))
+            close += (if (t0.charAt(close) == '`') 2 else 1)
+          (t0.substring(1, close).replace("``", "`"),
+            t0.substring(math.min(close + 1, t0.length)).trim)
         } else {
           val p = t0.split("\\s+", 2)
           (p(0), if (p.length > 1) p(1) else "string")
@@ -2989,8 +2995,22 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     * view/CTAS output names so later references like `v._c1`
     * resolve. */
   private def hiveAutoNames(df: DataFrame): DataFrame = {
+    // a DIRECT column reference keeps its name however odd (`x+1``,
+    // `!@#$%^&*()_q`); only unaliased EXPRESSIONS get _c<pos>
+    import org.apache.spark.sql.catalyst.expressions.{Alias,
+      AttributeReference}
+    val direct: Set[String] = df.queryExecution.analyzed match {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.collect {
+          case a: AttributeReference => a.name
+          case al: Alias if al.child.isInstanceOf[AttributeReference] =>
+            al.name
+        }.toSet
+      case other => other.output.map(_.name).toSet
+    }
     val names = df.columns.zipWithIndex.map { case (c, i) =>
-      if (c.matches("[A-Za-z_][A-Za-z0-9_]*")) c else s"_c$i"
+      if (c.matches("[A-Za-z_][A-Za-z0-9_]*") || direct.contains(c)) c
+      else s"_c$i"
     }
     if (names.sameElements(df.columns)) df
     else df.toDF(names.toIndexedSeq: _*)
