@@ -1638,6 +1638,15 @@ class HiveDialect(val spark: SparkSession) {
 
   /** Candidate translations for Hive window forms Spark rejects,
     * tried in order until one runs and matches the golden. */
+  /** Hive MIN/MAX order nested NULL fields opposite to Spark when the
+    * argument is a complex value (GenericUDAFMin.java:121 compares
+    * with NullValueOption.MAXVALUE, GenericUDAFMax with MINVALUE);
+    * swap in the engine's hive_min/hive_max compat aggregates. */
+  def hiveMinMax(q: String): String =
+    "(?i)\\b(min|max)(\\s*\\()".r.replaceAllIn(q,
+      m => "hive_" + m.group(1).toLowerCase +
+        java.util.regex.Matcher.quoteReplacement(m.group(2)))
+
   def windowRewrites(q: String): Seq[String] = {
     val ql = q.toLowerCase
     if (!ql.contains("over") && !ql.contains("window")) return Nil

