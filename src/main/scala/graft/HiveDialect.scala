@@ -278,13 +278,14 @@ class HiveDialect(val spark: SparkSession) {
     // mapReduceSugar LATER, which wraps TRANSFORM(...) around the
     // expression list — a ROW FORMAT inserted here would end up
     // inside the parens
-    val q5l2 = q5.toLowerCase
+    val q5e = escapeTransformRewrite(q5)
+    val q5l2 = q5e.toLowerCase
     val q6a =
       if (q5l2.contains("transform") ||
           (!q5l2.contains("insert") &&
-            q5.matches("(?is).*\\b(?:map|reduce)\\b.*\\busing\\s+['\"].*")))
-        fixTransformIo(q5)
-      else q5
+            q5e.matches("(?is).*\\b(?:map|reduce)\\b.*\\busing\\s+['\"].*")))
+        fixTransformIo(q5e)
+      else q5e
     // GROUPING__ID itself is NOT rewritten here: goldens were
     // recorded across Hive versions straddling the encoding change,
     // so the legacy-encoding variant runs as an assert-time fallback
@@ -588,6 +589,79 @@ class HiveDialect(val spark: SparkSession) {
     * field.delim='\t'); Spark's default script IO schema uses ^A. Make
     * Hive's contract explicit so scripts like `tr '\t' _` see the same
     * bytes they saw under Hive. */
+  /** hive.transform.escape.input=true switches TRANSFORM to Hive's
+    * escaped transport (ScriptOperator + TextRecordWriter/Reader +
+    * HiveUtils.escapeText/unescapeText, HiveUtils.java:115-245):
+    * input fields are ^A-joined then line-escaped (`\`→`\\`, NL→`\n`,
+    * CR→`\r`, TAB→`\t`, ^A→TAB), script output lines are unescaped
+    * (inverse; raw TABs become ^A) and split on ^A. Rewrite: escape
+    * each input expression, capture the whole output line as ONE
+    * -delimited column, decode columns with
+    * hive_transform_field. */
+  var escapeTransform = false
+  private def escapeTransformRewrite(q: String): String = {
+    if (!escapeTransform) return q
+    if (q.toLowerCase.contains("hive_transform_field")) return q
+    val m = "(?is)\\bselect\\s+transform\\s*\\(".r
+      .findFirstMatchIn(q).getOrElse(return q)
+    var j = m.end; var depth = 1
+    while (j < q.length && depth > 0) {
+      q(j) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+      }
+      j += 1
+    }
+    if (depth != 0) return q
+    val args = q.substring(m.end, j - 1)
+    val afterArgs = q.substring(j)
+    val um = "(?is)^\\s*using\\s+('[^']*'|\"[^\"]*\")\\s+as\\s+".r
+      .findFirstMatchIn(afterArgs).getOrElse(return q)
+    val cmd = um.group(1)
+    val afterAs = afterArgs.substring(um.end)
+    // the AS column list runs to the first depth-0 FROM
+    var d2 = 0; var k = 0; var fromIdx = -1
+    while (k < afterAs.length && fromIdx < 0) {
+      afterAs(k) match {
+        case '(' => d2 += 1
+        case ')' => d2 -= 1
+        case 'f' | 'F' if d2 == 0 &&
+            (k == 0 || !afterAs(k - 1).isLetterOrDigit) &&
+            afterAs.regionMatches(true, k, "from", 0, 4) &&
+            (k + 4 >= afterAs.length ||
+              !afterAs(k + 4).isLetterOrDigit) => fromIdx = k
+        case _ =>
+      }
+      k += 1
+    }
+    if (fromIdx < 0) return q
+    val colsRaw = afterAs.substring(0, fromIdx).trim
+    val tail = afterAs.substring(fromIdx)
+    val cols0 =
+      if (colsRaw.startsWith("(") && colsRaw.endsWith(")"))
+        colsRaw.substring(1, colsRaw.length - 1)
+      else colsRaw
+    val cols = splitTop(cols0, ',').map(_.trim).filter(_.nonEmpty)
+    if (cols.isEmpty) return q
+    val outs = cols.zipWithIndex.map { case (c, i) =>
+      val parts = c.split("\\s+", 2)
+      val name = parts(0).replace("`", "")
+      val fld = s"hive_transform_field(__gline, ${i + 1})"
+      if (parts.length > 1) s"cast($fld as ${parts(1)}) as `$name`"
+      else s"$fld as `$name`"
+    }.mkString(", ")
+    val escArgs = splitTop(args, ',').map(a =>
+      s"coalesce(hive_escape_text(cast(($a) as string)), '\\\\N')")
+      .mkString(", ")
+    q.substring(0, m.start) +
+      s" select $outs from (select transform($escArgs) " +
+      "row format delimited fields terminated by '\\t' " +
+      s"using $cmd as (__gline string) " +
+      "row format delimited fields terminated by '' " +
+      s"$tail) __gesc"
+  }
+
   private def fixTransformIo(q0: String): String = {
     // Spark's parser rejects optimizer hints ahead of TRANSFORM —
     // Hive's MAPJOIN hints are advisory anyway
@@ -599,7 +673,36 @@ class HiveDialect(val spark: SparkSession) {
     val q1 = q.replaceAll(
       "(?is)row\\s+format\\s+serde\\s+'[^']*LazySimpleSerDe'" +
         "(?!\\s*with\\s+serdeproperties)", " ")
-    if (q1.toLowerCase.contains("row format")) q1
+    // `AS col ROW FORMAT SERDE LazySimpleSerDe WITH SERDEPROPERTIES
+    // ('serialization.last.column.takes.rest'='true') RECORDREADER
+    // BinaryRecordReader`: the single output column takes the WHOLE
+    // raw line, separators included (ql/exec/BinaryRecordReader +
+    // LazySimpleSerDe last-column-takes-rest) — capture the line
+    // through a -delimited single column
+    val lastRest = ("(?is)\\bselect\\s+transform\\s*\\(" +
+      "(\\*|[^()]*)\\)\\s*using\\s+('[^']*')\\s+as\\s+" +
+      "`?(\\w+)`?(?:\\s+(\\w+))?\\s*" +
+      "row\\s+format\\s+serde\\s+'[^']*LazySimpleSerDe'\\s*" +
+      "with\\s+serdeproperties\\s*\\(\\s*" +
+      "'serialization\\.last\\.column\\.takes\\.rest'\\s*=\\s*" +
+      "'true'\\s*\\)\\s*" +
+      "recordreader\\s+'[^']*BinaryRecordReader'\\s*(from\\b.*)").r
+    val lastRestHit = lastRest.findFirstMatchIn(q1)
+    if (lastRestHit.isDefined) {
+      val m = lastRestHit.get
+      val colExpr =
+        if (m.group(4) == null ||
+            m.group(4).equalsIgnoreCase("string")) "__gline"
+        else s"cast(__gline as ${m.group(4)})"
+      q1.substring(0, m.start) +
+        s" select $colExpr as `${m.group(3)}` from " +
+        s"(select transform(${m.group(1)}) " +
+        "row format delimited fields terminated by '\\t' " +
+        s"using ${m.group(2)} as (__gline string) " +
+        "row format delimited fields terminated by '' " +
+        s"${m.group(5)}) __gbin"
+    }
+    else if (q1.toLowerCase.contains("row format")) q1
     else transformIoRe.replaceAllIn(q1, m =>
       scala.util.matching.Regex.quoteReplacement(
         // no AS clause: Hive's contract is (key, value) split at the

@@ -951,8 +951,71 @@ object GapFunctions {
     org.apache.spark.sql.catalyst.expressions.Substring(exprs(0),
       Literal(1), exprs(1))
 
+  /** Hive's escaped TRANSFORM transport (hive.transform.escape.input):
+    * HiveUtils.escapeText writes `\`→`\\`, NL→`\n`, CR→`\r`, TAB→`\t`
+    * and the internal ^A field separator as a REAL tab; unescapeText
+    * inverts it, turning raw TABs back into ^A
+    * (ql/metadata/HiveUtils.java:115-245). */
+  def transformEscape(s: String): String = {
+    if (s == null) return null
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case '' => sb.append('\t')
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  def transformUnescape(s: String): String = {
+    if (s == null) return null
+    val sb = new java.lang.StringBuilder(s.length)
+    var hadSlash = false
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' =>
+          if (hadSlash) { sb.append('\\'); hadSlash = false }
+          else hadSlash = true
+        case 'n' if hadSlash => sb.append('\n'); hadSlash = false
+        case 'r' if hadSlash => sb.append('\r'); hadSlash = false
+        case 't' if hadSlash => sb.append('\t'); hadSlash = false
+        case '\t' =>
+          if (hadSlash) { sb.append('\\'); hadSlash = false }
+          sb.append('')
+        case c =>
+          if (hadSlash) { sb.append('\\'); hadSlash = false }
+          sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Decode field `idx` (1-based) of a raw escaped script-output
+    * line: unescape (raw TABs become ^A separators), split on ^A,
+    * `\N` is SQL NULL, missing trailing fields are NULL. */
+  def transformField(line: String, idx: Int): String = {
+    if (line == null) return null
+    val fields = transformUnescape(line).split('')
+    if (idx < 1 || idx > fields.length) null
+    else if (fields(idx - 1) == "\\N") null
+    else fields(idx - 1)
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    spark.udf.register("hive_escape_text",
+      (s: String) => transformEscape(s))
+    spark.udf.register("hive_transform_field",
+      (line: String, idx: Int) => transformField(line, idx))
     reg.createOrReplaceTempFunction("field", es => HiveField(es), "built-in")
     // Hive's struct() names its fields col1..colN
     // (GenericUDFStruct.initialize); Spark preserves source column

@@ -2528,7 +2528,16 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       "java -cp ../util/target/classes/ " +
         "org.apache.hadoop.hive.scripts.extracturl" ->
         s"python3 $repo/extracturl.py",
-      "transform_acid_grep.sh" -> s"bash $repo/transform_acid_grep.sh")
+      "transform_acid_grep.sh" -> s"bash $repo/transform_acid_grep.sh",
+      // newline.q escape-transport scripts (py2 in the reference;
+      // vendored py3 with IDENTICAL output literals)
+      "python newline.py" -> s"python3 $repo/newline.py",
+      "python escapednewline.py" -> s"python3 $repo/escapednewline.py",
+      "python escapedtab.py" -> s"python3 $repo/escapedtab.py",
+      "python doubleescapedtab.py" ->
+        s"python3 $repo/doubleescapedtab.py",
+      "python escapedcarriagereturn.py" ->
+        s"python3 $repo/escapedcarriagereturn.py")
   }
 
   /** Physical file layout of the multi-file fixtures, in VIEW row
@@ -3528,6 +3537,9 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         // value from the RAW text (norm() case-folds; env vars are
         // case-sensitive)
         scriptOpIdVar = s.split("=", 2).last.trim.stripSuffix(";").trim
+      else if (n.startsWith("set hive.transform.escape.input"))
+        dialect.escapeTransform = n.replace(" ", "").stripSuffix(";")
+          .endsWith("=true")
       else if (n.startsWith("set hive.vectorized.execution.enabled")) {
         vectorizedOn = n.replace(" ", "").stripSuffix(";").endsWith("=true")
         bindRot13()

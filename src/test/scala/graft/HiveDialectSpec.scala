@@ -93,6 +93,40 @@ class HiveDialectSpec extends AnyFunSuite {
     assert(r.exists(_.toLowerCase.contains("interval '2' days")))
   }
 
+  test("escaped TRANSFORM transport wraps inputs and decodes the line") {
+    val dd = d
+    dd.escapeTransform = true
+    val r = dd.rewrite("SELECT TRANSFORM(key, value) USING 'cat' " +
+      "AS key, value FROM src limit 6")
+    assert(r.contains("hive_escape_text"))
+    assert(r.contains("hive_transform_field(__gline, 1)"))
+    assert(r.contains("hive_transform_field(__gline, 2)"))
+    assert(r.contains("as (__gline string)"))
+    // off: the plain tab-delimited contract stands
+    dd.escapeTransform = false
+    val r2 = dd.rewrite("SELECT TRANSFORM(key, value) USING 'cat' " +
+      "AS key, value FROM src limit 6")
+    assert(!r2.contains("hive_transform_field"))
+  }
+
+  test("transform escape/unescape round-trips Hive's byte contract") {
+    import graft.functions.GapFunctions._
+    assert(transformEscape("a\tb") === "a\\tb")
+    assert(transformEscape("a\nb") === "a\\nb")
+    assert(transformEscape("a\\b") === "a\\\\b")
+    assert(transformEscape("ab") === "a\tb")
+    // '1\t2' (escaped tab) is ONE field holding a real tab
+    assert(transformField("1\\t2", 1) === "1\t2")
+    assert(transformField("1\\t2", 2) === null)
+    // a raw TAB is the ^A field separator after unescape
+    assert(transformField("a\\tb\tc", 1) === "a\tb")
+    assert(transformField("a\\tb\tc", 2) === "c")
+    // '1\\\t2' -> backslash + real tab preserved in one field
+    assert(transformField("1\\\\\\t2", 1) === "1\\\t2")
+    // '\N' is NULL
+    assert(transformField("x\t\\N", 2) === null)
+  }
+
   test("db-qualified names resolve through dbResolver") {
     val dd = d
     dd.knownDbs += "db1"
