@@ -596,7 +596,7 @@ class HiveDialect(val spark: SparkSession) {
     * CR→`\r`, TAB→`\t`, ^A→TAB), script output lines are unescaped
     * (inverse; raw TABs become ^A) and split on ^A. Rewrite: escape
     * each input expression, capture the whole output line as ONE
-    * -delimited column, decode columns with
+    * \u0002-delimited column, decode columns with
     * hive_transform_field. */
   var escapeTransform = false
   private def escapeTransformRewrite(q: String): String = {
@@ -658,7 +658,7 @@ class HiveDialect(val spark: SparkSession) {
       s" select $outs from (select transform($escArgs) " +
       "row format delimited fields terminated by '\\t' " +
       s"using $cmd as (__gline string) " +
-      "row format delimited fields terminated by '' " +
+      "row format delimited fields terminated by '\u0002' " +
       s"$tail) __gesc"
   }
 
@@ -678,7 +678,7 @@ class HiveDialect(val spark: SparkSession) {
     // BinaryRecordReader`: the single output column takes the WHOLE
     // raw line, separators included (ql/exec/BinaryRecordReader +
     // LazySimpleSerDe last-column-takes-rest) — capture the line
-    // through a -delimited single column
+    // through a \u0002-delimited single column
     val lastRest = ("(?is)\\bselect\\s+transform\\s*\\(" +
       "(\\*|[^()]*)\\)\\s*using\\s+('[^']*')\\s+as\\s+" +
       "`?(\\w+)`?(?:\\s+(\\w+))?\\s*" +
@@ -1781,10 +1781,10 @@ class HiveDialect(val spark: SparkSession) {
     var i = sql.indexOf('(')
     while (i >= 0) {
       // balanced-paren scan, quote-aware
-      var d = 0; var j = i; var quote = ' '; var close = -1
+      var d = 0; var j = i; var quote = '\u0000'; var close = -1
       while (j < sql.length && close < 0) {
         val c = sql.charAt(j)
-        if (quote != ' ') { if (c == quote) quote = ' ' }
+        if (quote != '\u0000') { if (c == quote) quote = '\u0000' }
         else c match {
           case '\'' | '"' => quote = c
           case '(' => d += 1
@@ -1822,11 +1822,11 @@ class HiveDialect(val spark: SparkSession) {
 
   private def splitTopUnionAll(s: String): Seq[String] = {
     val parts = Vector.newBuilder[String]
-    var d = 0; var quote = ' '; var start = 0; var i = 0
+    var d = 0; var quote = '\u0000'; var start = 0; var i = 0
     val l = s.toLowerCase
     while (i < s.length) {
       val c = s.charAt(i)
-      if (quote != ' ') { if (c == quote) quote = ' '; i += 1 }
+      if (quote != '\u0000') { if (c == quote) quote = '\u0000'; i += 1 }
       else c match {
         case '\'' | '"' => quote = c; i += 1
         case '(' => d += 1; i += 1

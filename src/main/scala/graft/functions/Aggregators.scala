@@ -64,7 +64,7 @@ object Aggregators {
     * inspector). */
   case class NgramFreq(ngram: Seq[String], estfrequency: Double)
 
-  private val Sep = ""
+  private val Sep = "\u0001"
 
   private def topK(m: Map[String, Long], k: Int): Seq[NgramFreq] =
     m.toSeq.sortBy { case (g, c) => (-c, g) }.take(k)

@@ -966,7 +966,7 @@ object GapFunctions {
         case '\n' => sb.append("\\n")
         case '\r' => sb.append("\\r")
         case '\t' => sb.append("\\t")
-        case '' => sb.append('\t')
+        case '\u0001' => sb.append('\t')
         case c => sb.append(c)
       }
       i += 1
@@ -989,7 +989,7 @@ object GapFunctions {
         case 't' if hadSlash => sb.append('\t'); hadSlash = false
         case '\t' =>
           if (hadSlash) { sb.append('\\'); hadSlash = false }
-          sb.append('')
+          sb.append('\u0001')
         case c =>
           if (hadSlash) { sb.append('\\'); hadSlash = false }
           sb.append(c)
@@ -1004,7 +1004,7 @@ object GapFunctions {
     * `\N` is SQL NULL, missing trailing fields are NULL. */
   def transformField(line: String, idx: Int): String = {
     if (line == null) return null
-    val fields = transformUnescape(line).split('')
+    val fields = transformUnescape(line).split("\u0001", -1)
     if (idx < 1 || idx > fields.length) null
     else if (fields(idx - 1) == "\\N") null
     else fields(idx - 1)

@@ -59,13 +59,29 @@ object HiveExtreme {
         java.lang.Integer.compare(a.asInstanceOf[Map[_, _]].size,
           b.asInstanceOf[Map[_, _]].size)
       case _ => (a, b) match {
+        case (x: String, y: String) =>
+          // Hive orders Text by unsigned UTF-8 bytes = code-point
+          // order (ObjectInspectorUtils.compare → Text.compareTo);
+          // String.compareTo is UTF-16 code-unit order, which
+          // disagrees for supplementary-plane vs U+E000..U+FFFF.
+          val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val n = math.min(xb.length, yb.length)
+          var i = 0
+          while (i < n) {
+            val c = java.lang.Integer.compare(xb(i) & 0xff, yb(i) & 0xff)
+            if (c != 0) return c
+            i += 1
+          }
+          java.lang.Integer.compare(xb.length, yb.length)
         case (x: java.lang.Comparable[_], y) =>
           x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y)
         case (x: Array[Byte], y: Array[Byte]) =>
+          // unsigned, as WritableComparator.compareBytes does
           val n = math.min(x.length, y.length)
           var i = 0
           while (i < n) {
-            val c = java.lang.Byte.compare(x(i), y(i))
+            val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
             if (c != 0) return c
             i += 1
           }

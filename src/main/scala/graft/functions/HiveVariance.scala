@@ -77,8 +77,11 @@ abstract class HiveVarianceBase
     b
   }
 
+  // Null only for count==0; count==1 yields 0.0 even for the sample
+  // variants (GenericUDAFVarianceSample.java:78-88: "for one element
+  // the variance is always 0").
   override def eval(b: Buf): Any =
-    if (b.count == 0 || (sample && b.count == 1)) null
+    if (b.count == 0) null
     else {
       val r =
         if (b.count == 1) 0.0

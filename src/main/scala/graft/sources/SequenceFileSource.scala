@@ -32,7 +32,7 @@ import org.apache.spark.sql.types._
   */
 object SequenceFileIO {
 
-  val DefaultDelim = "" // Hive's ^A field delimiter
+  val DefaultDelim = "\u0001" // Hive's ^A field delimiter
   val NullString = "\\N"      // serdeConstants default null sequence
 
   private def parsePrim(raw: String, dt: DataType): Any = dt match {

@@ -82,7 +82,9 @@ class HiveExtremeSpec extends SparkSpec {
     val one = spark.sql("select hive_var_pop(v), hive_var_samp(v) from " +
       "(select 5.0 v) t").collect().head
     assert(one.getDouble(0) === 0.0)
-    assert(one.isNullAt(1))
+    // count==1 yields 0.0 for the sample variants too; only count==0
+    // is null (GenericUDAFVarianceSample.java:78-88).
+    assert(one.getDouble(1) === 0.0)
     // strings parse as doubles; unparseable rows are skipped
     val s = spark.sql("select hive_var_pop(v) from (select '2' v " +
       "union all select '4' union all select 'oops') t").collect().head
