@@ -1257,10 +1257,10 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       "partition\\s*\\(([^)]*)\\)\\s+with\\s+table\\s+" +
       "`?([\\w.]+)`?\\s*").r
   private val addColsRe =
-    ("(?is)alter table `?([\\w.]+)`?\\s+add columns\\s*\\((.*)\\)" +
+    ("(?is)alter\\s+table\\s+`?([\\w.]+)`?\\s+add columns\\s*\\((.*)\\)" +
       "\\s*(cascade|restrict)?.*").r
   private val replaceColsRe =
-    ("(?is)alter table `?([\\w.]+)`?\\s+replace columns\\s*\\((.*)\\)" +
+    ("(?is)alter\\s+table\\s+`?([\\w.]+)`?\\s+replace columns\\s*\\((.*)\\)" +
       "\\s*(cascade|restrict)?.*").r
 
 
@@ -1290,13 +1290,13 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     scala.collection.mutable.Map[String, (Vector[Row], StructType)]()
 
   private val partAddRe =
-    ("(?is)alter table `?([\\w.]+)`?\\s+partition\\s*\\(([^)]*)\\)\\s+" +
+    ("(?is)alter\\s+table\\s+`?([\\w.]+)`?\\s+partition\\s*\\(([^)]*)\\)\\s+" +
       "add columns\\s*\\((.*)\\)\\s*").r
   private val partReplaceRe =
-    ("(?is)alter table `?([\\w.]+)`?\\s+partition\\s*\\(([^)]*)\\)\\s+" +
+    ("(?is)alter\\s+table\\s+`?([\\w.]+)`?\\s+partition\\s*\\(([^)]*)\\)\\s+" +
       "replace columns\\s*\\((.*)\\)\\s*").r
   private val partChangeRe =
-    ("(?is)alter table `?([\\w.]+)`?\\s+partition\\s*\\(([^)]*)\\)\\s+" +
+    ("(?is)alter\\s+table\\s+`?([\\w.]+)`?\\s+partition\\s*\\(([^)]*)\\)\\s+" +
       "change\\s+(?:column\\s+)?`?(\\w+)`?\\s+`?(\\w+)`?\\s+" +
       "([\\w()<>,\\s]+?)" +
       "(?:\\s+comment\\s+(?:'[^']*'|\"[^\"]*\"))?\\s*").r
@@ -2487,10 +2487,116 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     * CASCADE rewrites every partition's written schema to the new
     * one; RESTRICT (the default) leaves them, so old partitions keep
     * reading through their own schema. */
+  /** Tables created on a binary columnar format (parquet/orc): their
+    * stored values are TYPED, so schema ALTERs convert value-wise
+    * instead of reinterpreting text cells. */
+  protected val binaryStored = scala.collection.mutable.Set[String]()
+
+  /** Structural conversion of a stored column to an ALTERed type the
+    * way Hive's columnar readers evolve schemas: struct fields match
+    * by NAME (missing -> null, surplus dropped), arrays/maps convert
+    * element-wise, leaves cast value-wise (float widens in binary);
+    * a leaf reinterpretation Cast can't do (array<int> -> int) goes
+    * through text like a re-read of the stored bytes. */
+  private def convertStored(c: org.apache.spark.sql.Column,
+      from: DataType, to: DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, struct, transform,
+      transform_values, when}
+    (from, to) match {
+      case (f, t) if f == t => c
+      case (f: StructType, t: StructType) =>
+        val fields = t.fields.map { tf =>
+          f.fields.find(_.name.equalsIgnoreCase(tf.name)) match {
+            case Some(sf) =>
+              convertStored(c.getField(sf.name), sf.dataType, tf.dataType)
+                .as(tf.name)
+            case None => lit(null).cast(tf.dataType).as(tf.name)
+          }
+        }
+        when(c.isNotNull, struct(fields.toIndexedSeq: _*))
+      case (ArrayType(fe, _), ArrayType(te, _)) =>
+        transform(c, x => convertStored(x, fe, te))
+      case (MapType(fk, fv, _), MapType(tk, tv, _)) if fk == tk =>
+        transform_values(c, (_, v) => convertStored(v, fv, tv))
+      case (MapType(fk, fv, _), MapType(tk, tv, _)) =>
+        org.apache.spark.sql.functions.map_from_arrays(
+          transform(org.apache.spark.sql.functions.map_keys(c),
+            k => convertStored(k, fk, tk)),
+          transform(org.apache.spark.sql.functions.map_values(c),
+            v => convertStored(v, fv, tv)))
+      case (ArrayType(fs: StructType, _), MapType(tk, tv, _))
+          if fs.fields.length >= 2 =>
+        // parquet's repeated-group encoding lets array<struct<k,v,..>>
+        // re-read as map over the first two fields (HIVE-* array-of-
+        // struct-to-map evolution; surplus struct fields drop)
+        org.apache.spark.sql.functions.map_from_entries(
+          transform(c, s => struct(
+            convertStored(s.getField(fs.fields(0).name),
+              fs.fields(0).dataType, tk).as("key"),
+            convertStored(s.getField(fs.fields(1).name),
+              fs.fields(1).dataType, tv).as("value"))))
+      case (f, t) =>
+        if (org.apache.spark.sql.catalyst.expressions.Cast.canCast(f, t))
+          c.cast(t)
+        else c.cast(StringType).cast(t)
+    }
+  }
+
+  /** Stored segments of a binary-format table: rows as WRITTEN plus
+    * the data schema they were written with. ALTERs on binary tables
+    * are metadata-only — dropping a struct field then re-adding it
+    * restores the stored value, so the view re-derives from these
+    * segments instead of a lossy materialized projection. */
+  private val binSegs = scala.collection.mutable
+    .Map[String, Vector[(Vector[Row], StructType)]]()
+
+  /** Re-derive a binaryStored table's view for a new DATA schema:
+    * each stored segment converts written-schema -> new schema, top
+    * level and struct fields matching by NAME (positional fallback),
+    * like Hive's parquet/orc readers. Seeds (or re-seeds, if inserts
+    * drifted the view) the segment store from the current view. */
+  private def rederiveBinary(table: String, newData: StructType,
+      partFields: Array[StructField]): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val lc = table.toLowerCase
+    val df = spark.table(table)
+    val pcs = partFields.map(_.name)
+    val curData = StructType(df.schema.fields.filterNot(f =>
+      pcs.exists(_.equalsIgnoreCase(f.name))).toIndexedSeq)
+    val viewRows = df.collect().toVector
+    val segs = binSegs.get(lc) match {
+      case Some(ss) if ss.iterator.map(_._1.size).sum == viewRows.size => ss
+      case _ => Vector((viewRows, StructType(
+        curData.fields ++ partFields)))
+    }
+    binSegs(lc) = segs
+    val converted = segs.flatMap { case (rows, written) =>
+      val wData = written.fields.filterNot(f =>
+        pcs.exists(_.equalsIgnoreCase(f.name)))
+      val seg = spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        written)
+      val sel = newData.fields.zipWithIndex.map { case (f, i) =>
+        val src = wData.find(_.name.equalsIgnoreCase(f.name))
+          .orElse(if (i < wData.length) Some(wData(i)) else None)
+        src match {
+          case Some(sf) =>
+            convertStored(col(sf.name), sf.dataType, f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
+      } ++ partFields.map(f =>
+        if (written.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+          col(f.name) else lit(null).cast(f.dataType).as(f.name))
+      seg.select(sel.toIndexedSeq: _*).collect().toVector
+    }
+    register(converted, StructType(newData.fields ++ partFields), table)
+  }
+
   override protected def applyNewSchema(table: String,
       newSchema: StructType, cascade: Boolean): Boolean = {
     val lc = table.toLowerCase
-    rawStore.contains(lc) && {
+    rawStore.contains(lc) && !binaryStored.contains(lc) && {
       if (cascade) {
         val pcs = tablePartCols.getOrElse(lc, Nil)
         val dataSchema = StructType(newSchema.fields.filterNot(f =>
@@ -3962,6 +4068,15 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             tablePartCols(name.toLowerCase) =
               colSchema(parenBody(q.substring(pbIdx))).fieldNames.toSeq
           emptyView(name, full)
+          // PARQUET stores TYPED values and evolves them value-wise
+          // (float widens in binary: 0.3f -> 0.30000001192092896).
+          // ORC is NOT here: its ConvertTreeReader goes float->double
+          // through the string form (orc_schema_evolution_float
+          // asserts 74.72 stays exactly 74.72), which matches the
+          // text rawStore reinterpretation path.
+          if (ql.matches("(?s).*stored\\s+as\\s+parquet\\b.*") ||
+              ql.contains("parquethiveserde"))
+            binaryStored += name.toLowerCase
           recordDelims(name, q) // declared text delimiters for LOAD DATA
           bindLocationFixtures(name, q, qSourceText)
         case _ => unhandled("create", q)
@@ -4252,20 +4367,19 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           val partFields = df.schema.fields.filter(f =>
             pcs.exists(_.equalsIgnoreCase(f.name)))
           val newSchema = colSchema(cols)
-          if (!applyNewSchema(table,
+          if (binaryStored.contains(table.toLowerCase))
+            rederiveBinary(table, newSchema, partFields)
+          else if (!applyNewSchema(table,
               StructType(newSchema.fields ++ partFields),
               cascade != null && cascade.equalsIgnoreCase("cascade"))) {
             val sel = newSchema.fields.zipWithIndex.map { case (f, i) =>
               if (i < dataCols.length) {
                 val from = dataCols(i).dataType
-                // incompatible reinterpretations (array<int> -> int) go
-                // through text, like Hive re-reading the stored bytes
-                val c = col(dataCols(i).name)
-                val via =
-                  if (org.apache.spark.sql.catalyst.expressions.Cast
-                      .canCast(from, f.dataType)) c
-                  else c.cast(StringType)
-                via.cast(f.dataType).as(f.name)
+                // top-level columns map by POSITION; nested struct
+                // fields match by NAME (parquet/orc evolution:
+                // dropped fields vanish, added fields read null)
+                convertStored(col(dataCols(i).name), from, f.dataType)
+                  .as(f.name)
               } else lit(null).cast(f.dataType).as(f.name)
             } ++ partFields.map(f => col(f.name))
             register(df.select(sel.toIndexedSeq: _*).collect().toVector,
@@ -4467,6 +4581,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             // columns must not leak across the drop
             val lc = v.toLowerCase
             rawStore.remove(lc); partSchemas.remove(lc)
+            binaryStored -= lc
             viewSeps.remove(lc); tablePartCols.remove(lc)
             locLedger.remove(lc); tableLoc.remove(lc)
             viewDefs.remove(lc); viewEscape.remove(lc)
