@@ -184,6 +184,50 @@ class HiveStatements(val spark: SparkSession) {
   protected def applyNewSchema(table: String, newSchema: StructType,
       cascade: Boolean): Boolean = false
 
+  /** Partition columns of `table` (they are metadata, not data: ADD /
+    * REPLACE COLUMNS leaves them untouched and last in the logical
+    * schema). Bindings with a partition registry override this. */
+  protected def partitionColsOf(table: String): Seq[String] = Nil
+
+  /** Parse an ALTER column list (`a int, m map<string,int> comment
+    * 'x'`). Bindings with richer name rules may override. */
+  protected def parseColumnList(cols: String): StructType =
+    StructType.fromDDL(cols)
+
+  /** ALTER TABLE ... ADD COLUMNS: the new columns read null and slot
+    * in before the partition columns; stored data is untouched. */
+  protected def addColumns(table: String, cols: StructType,
+      cascade: Boolean): Unit = {
+    val df = spark.table(table)
+    val pcs = partitionColsOf(table)
+    val (pFields, dFields) = df.schema.fields.partition(f =>
+      pcs.exists(_.equalsIgnoreCase(f.name)))
+    if (!applyNewSchema(table,
+        StructType(dFields ++ cols.fields ++ pFields), cascade)) {
+      val sel = (dFields.map(f => col(f.name)) ++
+        cols.fields.map(f => lit(null).cast(f.dataType).as(f.name)) ++
+        pFields.map(f => col(f.name))).toIndexedSeq
+      rebuild(table, df.select(sel: _*))
+    }
+  }
+
+  /** ALTER TABLE ... REPLACE COLUMNS: project onto the new DATA
+    * schema — top-level columns map by POSITION, nested struct fields
+    * by NAME, value-wise conversion ([[graft.sources.SchemaEvolution]]);
+    * surplus stored columns drop, extra new columns read null. */
+  protected def replaceColumns(table: String, newData: StructType,
+      cascade: Boolean): Unit = {
+    val df = spark.table(table)
+    val pcs = partitionColsOf(table).filter(p =>
+      df.columns.exists(_.equalsIgnoreCase(p)))
+    val partFields = df.schema.fields.filter(f =>
+      pcs.exists(_.equalsIgnoreCase(f.name)))
+    if (!applyNewSchema(table, StructType(newData.fields ++ partFields),
+        cascade))
+      rebuild(table,
+        graft.sources.SchemaEvolution.evolveByPosition(df, newData, pcs))
+  }
+
   // ---------------------------------------------------------------
   // shared semantics
   // ---------------------------------------------------------------
@@ -502,6 +546,14 @@ class HiveStatements(val spark: SparkSession) {
             rebuild(table, df.select(cols: _*))
           }
           true
+        case addColsRe(t, cols, cascade) =>
+          addColumns(t.split('.').last, parseColumnList(cols),
+            cascade != null && cascade.equalsIgnoreCase("cascade"))
+          true
+        case replaceColsRe(t, cols, cascade) =>
+          replaceColumns(t.split('.').last, parseColumnList(cols),
+            cascade != null && cascade.equalsIgnoreCase("cascade"))
+          true
         case _ => false
       }
     else if (ql.startsWith("with") &&
@@ -784,6 +836,12 @@ object HiveStatements {
       "(?:\\s+comment\\s+(?:'[^']*'|\"[^\"]*\"))?" +
       "(?:\\s+(first|after\\s+`?\\w+`?))?" +
       "(?:\\s+(cascade|restrict))?\\s*").r
+  private[graft] val addColsRe =
+    ("(?is)alter\\s+table\\s+`?([\\w.]+)`?\\s+add\\s+columns\\s*\\((.*)\\)" +
+      "\\s*(cascade|restrict)?\\s*").r
+  private[graft] val replaceColsRe =
+    ("(?is)alter\\s+table\\s+`?([\\w.]+)`?\\s+replace\\s+columns\\s*" +
+      "\\((.*)\\)\\s*(cascade|restrict)?\\s*").r
   // Hive allows omitting TABLE, an explicit column list, a PARTITION
   // spec (static and/or dynamic) on either side of the column list,
   // and inserting literal VALUES rows

@@ -1256,12 +1256,6 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     ("(?is)alter\\s+table\\s+`?([\\w.]+)`?\\s+exchange\\s+" +
       "partition\\s*\\(([^)]*)\\)\\s+with\\s+table\\s+" +
       "`?([\\w.]+)`?\\s*").r
-  private val addColsRe =
-    ("(?is)alter\\s+table\\s+`?([\\w.]+)`?\\s+add columns\\s*\\((.*)\\)" +
-      "\\s*(cascade|restrict)?.*").r
-  private val replaceColsRe =
-    ("(?is)alter\\s+table\\s+`?([\\w.]+)`?\\s+replace columns\\s*\\((.*)\\)" +
-      "\\s*(cascade|restrict)?.*").r
 
 
   /** Tables shadowed by a TEMPORARY table of the same name: DROP TABLE
@@ -2492,55 +2486,9 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     * instead of reinterpreting text cells. */
   protected val binaryStored = scala.collection.mutable.Set[String]()
 
-  /** Structural conversion of a stored column to an ALTERed type the
-    * way Hive's columnar readers evolve schemas: struct fields match
-    * by NAME (missing -> null, surplus dropped), arrays/maps convert
-    * element-wise, leaves cast value-wise (float widens in binary);
-    * a leaf reinterpretation Cast can't do (array<int> -> int) goes
-    * through text like a re-read of the stored bytes. */
   private def convertStored(c: org.apache.spark.sql.Column,
-      from: DataType, to: DataType): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{lit, struct, transform,
-      transform_values, when}
-    (from, to) match {
-      case (f, t) if f == t => c
-      case (f: StructType, t: StructType) =>
-        val fields = t.fields.map { tf =>
-          f.fields.find(_.name.equalsIgnoreCase(tf.name)) match {
-            case Some(sf) =>
-              convertStored(c.getField(sf.name), sf.dataType, tf.dataType)
-                .as(tf.name)
-            case None => lit(null).cast(tf.dataType).as(tf.name)
-          }
-        }
-        when(c.isNotNull, struct(fields.toIndexedSeq: _*))
-      case (ArrayType(fe, _), ArrayType(te, _)) =>
-        transform(c, x => convertStored(x, fe, te))
-      case (MapType(fk, fv, _), MapType(tk, tv, _)) if fk == tk =>
-        transform_values(c, (_, v) => convertStored(v, fv, tv))
-      case (MapType(fk, fv, _), MapType(tk, tv, _)) =>
-        org.apache.spark.sql.functions.map_from_arrays(
-          transform(org.apache.spark.sql.functions.map_keys(c),
-            k => convertStored(k, fk, tk)),
-          transform(org.apache.spark.sql.functions.map_values(c),
-            v => convertStored(v, fv, tv)))
-      case (ArrayType(fs: StructType, _), MapType(tk, tv, _))
-          if fs.fields.length >= 2 =>
-        // parquet's repeated-group encoding lets array<struct<k,v,..>>
-        // re-read as map over the first two fields (HIVE-* array-of-
-        // struct-to-map evolution; surplus struct fields drop)
-        org.apache.spark.sql.functions.map_from_entries(
-          transform(c, s => struct(
-            convertStored(s.getField(fs.fields(0).name),
-              fs.fields(0).dataType, tk).as("key"),
-            convertStored(s.getField(fs.fields(1).name),
-              fs.fields(1).dataType, tv).as("value"))))
-      case (f, t) =>
-        if (org.apache.spark.sql.catalyst.expressions.Cast.canCast(f, t))
-          c.cast(t)
-        else c.cast(StringType).cast(t)
-    }
-  }
+      from: DataType, to: DataType): org.apache.spark.sql.Column =
+    graft.sources.SchemaEvolution.convertStored(c, from, to)
 
   /** Stored segments of a binary-format table: rows as WRITTEN plus
     * the data schema they were written with. ALTERs on binary tables
@@ -2606,6 +2554,67 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       }
       deriveView(table, newSchema)
       true
+    }
+  }
+
+  override protected def partitionColsOf(table: String): Seq[String] =
+    tablePartCols.getOrElse(table.toLowerCase, Nil)
+
+  override protected def parseColumnList(cols: String): StructType =
+    colSchema(cols)
+
+  /** REPLACE COLUMNS, replay binding: binary (parquet) tables
+    * re-derive from stored segments (metadata-only ALTER — dropped
+    * struct fields restore); text tables reinterpret raw cells via
+    * applyNewSchema; the fallback materializes through register, NOT
+    * rebuild (rebuild would re-render the raw store — schema ALTERs
+    * must not). */
+  override protected def replaceColumns(table: String,
+      newData: StructType, cascade: Boolean): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val lc = table.toLowerCase
+    val df = spark.table(table)
+    val pcs = tablePartCols.getOrElse(lc, Nil)
+    val partFields = df.schema.fields.filter(f =>
+      pcs.exists(_.equalsIgnoreCase(f.name)))
+    if (binaryStored.contains(lc))
+      rederiveBinary(table, newData, partFields)
+    else if (!applyNewSchema(table,
+        StructType(newData.fields ++ partFields), cascade)) {
+      val dataCols = df.schema.fields.filterNot(f =>
+        pcs.exists(_.equalsIgnoreCase(f.name)))
+      val sel = newData.fields.zipWithIndex.map { case (f, i) =>
+        if (i < dataCols.length)
+          convertStored(col(dataCols(i).name), dataCols(i).dataType,
+            f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      } ++ partFields.map(f => col(f.name))
+      register(df.select(sel.toIndexedSeq: _*).collect().toVector,
+        StructType(newData.fields ++ partFields), table)
+    }
+  }
+
+  /** ADD COLUMNS, replay binding: new columns slot in BEFORE the
+    * partition columns; raw-tracked tables re-read stored cells (a
+    * file written wider than the pre-ADD schema surfaces its surplus
+    * cells); fallback materializes through register. */
+  override protected def addColumns(table: String, cols: StructType,
+      cascade: Boolean): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    var df = spark.table(table)
+    val pcs = tablePartCols.getOrElse(table.toLowerCase, Nil)
+    val (pFields, dFields) = df.schema.fields.partition(f =>
+      pcs.exists(_.equalsIgnoreCase(f.name)))
+    if (!applyNewSchema(table,
+        StructType(dFields ++ cols.fields ++ pFields), cascade)) {
+      cols.fields.foreach(f =>
+        df = df.withColumn(f.name, lit(null).cast(f.dataType)))
+      if (pcs.nonEmpty) {
+        val (parts, data) = df.columns.partition(c =>
+          pcs.exists(_.equalsIgnoreCase(c)))
+        df = df.select((data ++ parts).map(col).toIndexedSeq: _*)
+      }
+      register(df.collect().toVector, df.schema, table)
     }
   }
 
@@ -4352,61 +4361,6 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
                   StructField(newName, dt, nullable = true)
                 else f)))
             deriveView(table, spark.table(table).schema)
-          }
-        case replaceColsRe(table, cols, cascade) =>
-          // Hive REPLACE COLUMNS reinterprets the stored bytes with the
-          // new schema: DATA columns map by POSITION, narrowed/widened
-          // with text-cast semantics, surplus columns dropped.
-          // Partition columns are not data — they survive untouched,
-          // staying last in the logical schema.
-          import org.apache.spark.sql.functions.{col, lit}
-          val df = spark.table(table)
-          val pcs = tablePartCols.getOrElse(table.toLowerCase, Nil)
-          val dataCols = df.schema.fields.filterNot(f =>
-            pcs.exists(_.equalsIgnoreCase(f.name)))
-          val partFields = df.schema.fields.filter(f =>
-            pcs.exists(_.equalsIgnoreCase(f.name)))
-          val newSchema = colSchema(cols)
-          if (binaryStored.contains(table.toLowerCase))
-            rederiveBinary(table, newSchema, partFields)
-          else if (!applyNewSchema(table,
-              StructType(newSchema.fields ++ partFields),
-              cascade != null && cascade.equalsIgnoreCase("cascade"))) {
-            val sel = newSchema.fields.zipWithIndex.map { case (f, i) =>
-              if (i < dataCols.length) {
-                val from = dataCols(i).dataType
-                // top-level columns map by POSITION; nested struct
-                // fields match by NAME (parquet/orc evolution:
-                // dropped fields vanish, added fields read null)
-                convertStored(col(dataCols(i).name), from, f.dataType)
-                  .as(f.name)
-              } else lit(null).cast(f.dataType).as(f.name)
-            } ++ partFields.map(f => col(f.name))
-            register(df.select(sel.toIndexedSeq: _*).collect().toVector,
-              StructType(newSchema.fields ++ partFields), table)
-          }
-        case addColsRe(table, cols, cascade) =>
-          // widen the view: the new columns slot in BEFORE the
-          // partition columns (Hive keeps partition columns last in
-          // the logical schema). Raw-tracked tables re-read stored
-          // cells — a file written wider than the pre-ADD schema
-          // surfaces its surplus cells in the new columns.
-          import org.apache.spark.sql.functions.{col, lit}
-          var df = spark.table(table)
-          val pcs = tablePartCols.getOrElse(table.toLowerCase, Nil)
-          val (pFields, dFields) = df.schema.fields.partition(f =>
-            pcs.exists(_.equalsIgnoreCase(f.name)))
-          if (!applyNewSchema(table, StructType(
-              dFields ++ colSchema(cols).fields ++ pFields),
-              cascade != null && cascade.equalsIgnoreCase("cascade"))) {
-            colSchema(cols).fields.foreach(f =>
-              df = df.withColumn(f.name, lit(null).cast(f.dataType)))
-            if (pcs.nonEmpty) {
-              val (parts, data) = df.columns.partition(c =>
-                pcs.exists(_.equalsIgnoreCase(c)))
-              df = df.select((data ++ parts).map(col).toIndexedSeq: _*)
-            }
-            register(df.collect().toVector, df.schema, table)
           }
         case _ if ql.matches(
             "(?s)alter table\\s+`?[\\w.]+`?\\s*(partition\\s*\\([^)]*\\)\\s*)?concatenate\\s*") =>
