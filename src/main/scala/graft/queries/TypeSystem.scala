@@ -148,15 +148,44 @@ object TypeSystem {
         CAST(o_orderdate + INTERVAL 14 MONTH AS DATE)) AS INT) AS shift_days
     FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey"""
 
+  /** Schema evolution through the PUBLIC HiveStatements entry point:
+    * narrow part to (int, float, string), REPLACE COLUMNS onto
+    * (bigint, double, string, extra int). Leaves convert value-wise —
+    * the float widens in BINARY (0.3f -> 0.30000001192092896), NOT by
+    * text re-parse — surplus-free, added column reads null (ref
+    * ql/io/parquet/read/DataWritableReadSupport.java; SURVEY §2.13).
+    * The oracle replays the same widening with explicit casts. */
+  def q_ddl_evolve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    t(spark, dir)
+    spark.table("part")
+      .select(col("p_partkey").cast("int").as("k"),
+        col("p_retailprice").cast("float").as("price"),
+        col("p_name").as("name"))
+      .createOrReplaceTempView("evolve_part")
+    new graft.HiveStatements(spark).sql(
+      "ALTER TABLE evolve_part REPLACE COLUMNS (" +
+        "k bigint, price double, name string, extra int)")
+    spark.table("evolve_part").orderBy("k").limit(200)
+  }
+
+  val q_ddl_evolve_sql: String = """
+    SELECT CAST(p_partkey AS BIGINT) AS k,
+      CAST(CAST(p_retailprice AS FLOAT) AS DOUBLE) AS price,
+      p_name AS name, CAST(NULL AS INT) AS extra
+    FROM part ORDER BY k LIMIT 200"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dec_agg" -> (q_dec_agg _),
     "q_dec_round" -> (q_dec_round _),
     "q_char_varchar" -> (q_char_varchar _),
-    "q_interval" -> (q_interval _))
+    "q_interval" -> (q_interval _),
+    "q_ddl_evolve" -> (q_ddl_evolve _))
 
   def oracleSql: Map[String, String] = Map(
     "q_dec_agg" -> q_dec_agg_sql,
     "q_dec_round" -> q_dec_round_sql,
     "q_char_varchar" -> q_char_varchar_sql,
-    "q_interval" -> q_interval_sql)
+    "q_interval" -> q_interval_sql,
+    "q_ddl_evolve" -> q_ddl_evolve_sql)
 }
