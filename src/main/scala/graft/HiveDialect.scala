@@ -902,9 +902,14 @@ class HiveDialect(val spark: SparkSession) {
     * in double arithmetic (tolerantEq absorbs the 273 vs 273.0
     * rendering difference). */
   private def distinctWindows(q: String): String = {
+    // array_distinct, not collect_set: collect_set hashes byte[] by
+    // REFERENCE, so BINARY values never dedup (count(distinct bin)
+    // over a partition of equal blobs would return the row count);
+    // array_distinct applies Catalyst value equality to any type
     var r = distinctOverRe("count").replaceAllIn(q, m =>
       scala.util.matching.Regex.quoteReplacement(
-        s"size(collect_set(${m.group(1)}) over (${m.group(2)}))"))
+        s"size(array_distinct(collect_list(${m.group(1)}) " +
+          s"over (${m.group(2)})))"))
     // GenericUDAFSum marks the group non-empty BEFORE the numeric
     // parse, so unparseable strings contribute 0 (not null); an
     // all-null group stays NULL
