@@ -210,7 +210,7 @@ object GoldenFixtures {
   private def hiveTypeCased(o: String): DataType = o.toLowerCase match {
     case "tinyint" => ByteType
     case "smallint" => ShortType
-    case "int" => IntegerType
+    case "int" | "integer" => IntegerType
     case "bigint" => LongType
     case "float" => FloatType
     case "double" => DoubleType
@@ -394,8 +394,16 @@ object GoldenFixtures {
 
   /** Column-spec string → schema; commas inside decimal(p,s) and
     * complex-type angle brackets survive. A COMMENT tail is dropped. */
+  /** Entries that are CONSTRAINT clauses, not columns
+    * (create_with_constraints.q: `primary key (a) disable novalidate`,
+    * `constraint pk1 primary key (...)`, foreign keys). */
+  def isConstraintEntry(c: String): Boolean =
+    c.trim.toLowerCase.matches(
+      "(?s)(primary\\s+key|foreign\\s+key|constraint\\b|unique\\s*\\().*")
+
   def colSchema(colSpec: String): StructType =
-    StructType(splitTop(colSpec, ',').map { c =>
+    StructType(splitTop(colSpec, ',')
+      .filterNot(isConstraintEntry).map { c =>
       val t0 = c.trim
       // backticked names may hold spaces/punctuation (`d?*de e`, or
       // leading/trailing blanks) — split after the closing backtick
@@ -416,6 +424,45 @@ object GoldenFixtures {
       val t = splitTop(rest, ' ').headOption.getOrElse(rest)
       StructField(name, hiveType(t))
     })
+
+  /** Hive unescapeSQLString for the escapes comments carry
+    * (escape_comments.q: 'a\\nb\\'\\;' → a<NL>b';). */
+  def unescapeSql(v: String): String = {
+    val sb = new StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '\\' && i + 1 < v.length) {
+        v.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+          case 'r' => sb.append('\r'); case 'b' => sb.append('\b')
+          case o => sb.append(o)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Column-spec string → per-column COMMENT text (lc name → comment,
+    * absent when none declared). Same splitting rules as colSchema. */
+  def colCommentsOf(colSpec: String): Map[String, String] =
+    splitTop(colSpec, ',').filterNot(isConstraintEntry).flatMap { c =>
+      val t0 = c.trim
+      val name =
+        if (t0.startsWith("`")) {
+          var close = 1
+          while (close < t0.length && !(t0.charAt(close) == '`' &&
+              (close + 1 >= t0.length || t0.charAt(close + 1) != '`')))
+            close += (if (t0.charAt(close) == '`') 2 else 1)
+          t0.substring(1, close).replace("``", "`")
+        } else t0.split("\\s+", 2)(0)
+      ("(?is)\\bcomment\\s+(?:'((?:[^'\\\\]|\\\\.)*)'|" +
+        "\"((?:[^\"\\\\]|\\\\.)*)\")").r
+        .findFirstMatchIn(t0)
+        .map(m => name.toLowerCase ->
+          unescapeSql(Option(m.group(1)).getOrElse(m.group(2))))
+    }.toMap
 
   /** Typed delimited rows (q_test_init.sql lazy-text semantics). */
   def delimRows(file: String, delim: Char, schema: StructType)
@@ -2040,7 +2087,16 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       ("aint int, astring string, lint array<int>, " +
         "lstring array<string>, " +
         "lintstring array<struct<myint:int,mystring:string," +
-        "underscore_int:int>>, mstringstring map<string,string>"),
+        "underscore_int:int>>, mstringstring map<string,string>, " +
+        "attributes map<string,map<string,map<string," +
+        "uniontype<int,bigint,string,double,boolean,array<string>," +
+        "map<string,string>>>>>, " +
+        "unionfield1 uniontype<int,bigint,string,double,boolean," +
+        "array<string>,map<string,string>>, " +
+        "unionfield2 uniontype<int,bigint,string,double,boolean," +
+        "array<string>,map<string,string>>, " +
+        "unionfield3 uniontype<int,bigint,string,double,boolean," +
+        "array<string>,map<string,string>>"),
     "serde2.thrift.test.MegaStruct" ->
       ("my_bool boolean, my_byte tinyint, my_16bit_int smallint, " +
         "my_32bit_int int, my_64bit_int bigint, my_double double, " +
@@ -2122,6 +2178,14 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     super.renameView(from, to)
     viewSeps.get(from.toLowerCase)
       .foreach(viewSeps(to.toLowerCase) = _)
+    // table metadata follows the rename (alter3: a renamed partitioned
+    // table still DESCRIBEs its partition block and comments)
+    val toLc = to.toLowerCase
+    tablePartCols.remove(lc).foreach(tablePartCols(toLc) = _)
+    colComments.remove(lc).foreach(colComments(toLc) = _)
+    partSchemas.remove(lc).foreach(partSchemas(toLc) = _)
+    if (binaryStored.remove(lc)) binaryStored += toLc
+    if (deserTables.remove(lc)) deserTables += toLc
     // renaming a shadowing TEMPORARY table away resurfaces the
     // permanent one, like DROP does (temp_table_precedence)
     if (!from.equalsIgnoreCase(to) && shadowed.remove(lc))
@@ -2192,12 +2256,23 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     * physically holds them (the export dir for IMPORT EXTERNAL TABLE,
     * the LOCATION clause when given — ImportSemanticAnalyzer), so a
     * later `dfs -rmr` of that directory empties them. */
+  /** EXPORTed table metadata (comments, partition cols) rides along
+    * with the snapshot so IMPORT-recreate DESCRIBEs faithfully. */
+  private val exportMeta = scala.collection.mutable
+    .Map[String, (Map[String, String], Seq[String])]()
+
   override protected def exportSnapshot(table: String, partSpec: String,
-      path: String, metadataOnly: Boolean = false): Unit =
+      path: String, metadataOnly: Boolean = false): Unit = {
     exports(canonPath(path)) =
       (if (metadataOnly) Vector.empty
        else partFiltered(table, partSpec).collect().toVector,
         spark.table(table).schema)
+    val lc = table.toLowerCase
+    exportMeta(canonPath(path)) = (
+      colComments.getOrElse(lc,
+        fixtureComments.getOrElse(lc, Map.empty)),
+      tablePartCols.getOrElse(lc, fixturePartCols.getOrElse(lc, Nil)))
+  }
 
   override protected def importSnapshot(table: String, partSpec: String,
       path: String, external: Boolean,
@@ -2232,6 +2307,12 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           scala.collection.mutable.Buffer.empty) ++=
           wanted.map(key -> _)
       register(merged, schema, table)
+      exportMeta.get(canonPath(path)).foreach { case (cmts, pcs) =>
+        val lc = table.toLowerCase
+        if (!colComments.contains(lc)) colComments(lc) = cmts
+        if (!tablePartCols.contains(lc) && pcs.nonEmpty)
+          tablePartCols(lc) = pcs
+      }
     }
 
   /** Canonical form of a qtest filesystem path: strips the scheme,
@@ -2404,6 +2485,10 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         case v => v
       })
     }.toMap
+    // Avro field `doc` strings surface as column comments in DESCRIBE
+    // (AvroObjectInspectorGenerator carries them through)
+    colComments(name.toLowerCase) = avro.getFields.asScala.flatMap(f =>
+      Option(f.doc()).map(d => f.name.toLowerCase -> d)).toMap
     val dataSchema =
       graft.sources.AvroIO.sparkType(avro).asInstanceOf[StructType]
     val full = partCols match {
@@ -2489,6 +2574,240 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   private def convertStored(c: org.apache.spark.sql.Column,
       from: DataType, to: DataType): org.apache.spark.sql.Column =
     graft.sources.SchemaEvolution.convertStored(c, from, to)
+
+  // ------------------------------------------------------------------
+  // DESCRIBE replay (ql/exec/DDLTask.java describeTable /
+  // describeFunction; MetaDataFormatUtils column-block rendering)
+  // ------------------------------------------------------------------
+
+  /** lc table → lc column → COMMENT text, tracked from CREATE/ALTER. */
+  private val colComments =
+    scala.collection.mutable.Map[String, Map[String, String]]()
+
+  /** Tables whose schema comes from a deserializer (thrift): every
+    * describe comment renders "from deserializer". */
+  private val deserTables =
+    scala.collection.mutable.Set[String]("src_thrift")
+
+  /** qtest fixture column comments (data/scripts/q_test_init.sql:
+    * key/value carry COMMENT 'default'; partition columns do not). */
+  private val fixtureComments: Map[String, Map[String, String]] = {
+    val kv = Map("key" -> "default", "value" -> "default")
+    Map("src" -> kv, "src1" -> kv, "srcpart" -> kv,
+      "src_sequencefile" -> kv, "dest1" -> kv, "dest2" -> kv,
+      "dest3" -> kv, "dest4" -> kv, "dest4_sequencefile" -> kv,
+      "src_json" -> Map("json" -> "default"),
+      "primitives" -> Seq("id", "bool_col", "tinyint_col",
+        "smallint_col", "int_col", "bigint_col", "float_col",
+        "double_col", "date_string_col", "string_col", "timestamp_col",
+        "year", "month").map(_ -> "default").toMap)
+  }
+
+  /** Partition columns of fixture tables (their register() path does
+    * not go through CREATE, so tablePartCols has no entry). */
+  private val fixturePartCols: Map[String, Seq[String]] = Map(
+    "srcpart" -> Seq("ds", "hr"), "primitives" -> Seq("year", "month"))
+
+  /** Set per replay(): hive.ddl.output.format=json files render
+    * describes as JSON — not this column-block shape. */
+  private var jsonDdlOut = false
+
+  /** hive.display.partition.cols.separately=false drops the
+    * "# Partition Information" block (desc_tbl_part_cols.q). */
+  private var displayPartColsSep = true
+
+  /** hive.autogen.columnalias.prefix.label / .includefuncname
+    * (SemanticAnalyzer.getColAlias:4248-4266): unaliased expressions
+    * name `<prefix><pos>`, or a flattened 20-char function text. */
+  private var autogenPrefix = "_c"
+  private var autogenFuncName = false
+
+  /** Tables created WITH CONSTRAINTS: their extended describes carry
+    * a Constraints section this replay does not model — no-assert. */
+  private val constraintTables = scala.collection.mutable.Set[String]()
+
+  private def commentOf(tableLc: String, col: String,
+      isPartCol: Boolean = false): String = {
+    // partition columns are metastore metadata even on deserializer-
+    // schema tables (inputddl8: thrift data cols say "from
+    // deserializer", ds/country say nothing)
+    if (deserTables.contains(tableLc) && !isPartCol) "from deserializer"
+    else colComments.get(tableLc) match {
+      // a tracked CREATE owns the comment map outright — a fixture
+      // table re-created by the script must NOT inherit 'default'
+      case Some(m) => m.getOrElse(col.toLowerCase, "")
+      case None => fixtureComments.get(tableLc)
+        .flatMap(_.get(col.toLowerCase)).getOrElse("")
+    }
+  }
+
+  /** Comment bookkeeping for statements the engine dispatch handles
+    * (CHANGE/ADD/REPLACE COLUMNS) — called before execute(q). CHANGE
+    * inherits the old comment unless one is given (rename_column.q). */
+  private def trackAlterComments(q: String): Unit = {
+    val changeRe = ("(?is)alter\\s+table\\s+`?([\\w.]+)`?\\s+change\\s+" +
+      "(?:column\\s+)?`?(\\w+)`?\\s+`?(\\w+)`?\\s+[\\w()<>,\\s]+?" +
+      "(?:\\s+comment\\s+(?:'((?:[^'\\\\]|\\\\.)*)'|" +
+      "\"((?:[^\"\\\\]|\\\\.)*)\"))?" +
+      "(?:\\s+(?:first|after\\s+`?\\w+`?))?" +
+      "(?:\\s+(?:cascade|restrict))?\\s*").r
+    q match {
+      case changeRe(t, oldN, newN, cmtSq, cmtDq) =>
+        val cmt = Option(cmtSq).getOrElse(cmtDq)
+        val lc = t.split('.').last.toLowerCase
+        val cur = colComments.getOrElse(lc, Map.empty)
+        val inherited = Option(cmt)
+          .map(_.replace("\\'", "'").replace("\\\\", "\\"))
+          .orElse(cur.get(oldN.toLowerCase))
+        val without = cur - oldN.toLowerCase
+        colComments(lc) = inherited match {
+          case Some(c) => without + (newN.toLowerCase -> c)
+          case None => without
+        }
+      case _ =>
+        q match {
+          case HiveStatements.replaceColsRe(t, cols, _) =>
+            val lc = t.split('.').last.toLowerCase
+            val pcs = tablePartCols.getOrElse(lc, Nil).map(_.toLowerCase)
+            val keepParts = colComments.getOrElse(lc, Map.empty)
+              .filter { case (k, _) => pcs.contains(k) }
+            colComments(lc) =
+              keepParts ++ GoldenFixtures.colCommentsOf(cols)
+          case HiveStatements.addColsRe(t, cols, _) =>
+            val lc = t.split('.').last.toLowerCase
+            colComments(lc) = colComments.getOrElse(lc, Map.empty) ++
+              GoldenFixtures.colCommentsOf(cols)
+          case _ =>
+        }
+    }
+  }
+
+  /** Render a DESCRIBE statement's output lines, or None when the
+    * form is out of replay scope (FORMATTED/PRETTY/DATABASE, unknown
+    * function, unresolvable table). */
+  private def describeLines(q0: String): Option[Seq[Seq[String]]] = {
+    import GoldenDescribe._
+    var rest = "(?is)^desc(?:ribe)?\\s+".r
+      .findFirstMatchIn(q0.trim.stripSuffix(";").trim)
+      .map(m => q0.trim.stripSuffix(";").trim.substring(m.end).trim)
+      .getOrElse(return None)
+    var extended = false
+    val l0 = rest.toLowerCase
+    if (l0.startsWith("formatted") || l0.startsWith("pretty")) return None
+    if (l0.startsWith("extended")) {
+      extended = true; rest = rest.substring(8).trim
+    }
+    val rl = rest.toLowerCase
+    if (rl.startsWith("function")) {
+      val ext2 = extended ||
+        rl.matches("(?s)function\\s+extended\\s+.*")
+      val fname = rest.split("\\s+").last
+      return describeFunction(fname, ext2).map(Seq(_))
+    }
+    if (rl.startsWith("database") || rl.startsWith("schema")) return None
+    if (jsonDdlOut) return None
+    // a PARTITION clause: the describe renders THAT partition's
+    // written schema (an ADD COLUMNS after the partition was written
+    // shows on the table, not on the old partition)
+    val partSpec = "(?is)\\bpartition\\s*\\(([^)]*)\\)".r
+      .findFirstMatchIn(rest).map(_.group(1))
+    rest = "(?is)\\bpartition\\s*\\([^)]*\\)".r
+      .replaceAllIn(rest, " ").trim
+    val toks = rest.split("\\s+").toVector
+      .map(_.replace("`", "")).filter(_.nonEmpty)
+    def view(n: String): Boolean = isTempView(n)
+    // an unqualified name under USE <db> may live as the conflict-
+    // mangled `<db>__<name>` view (database.q: DESC src1 under db2)
+    def resolve(t: String): Option[String] = {
+      val mangled = s"${dialect.currentDb.toLowerCase}__$t"
+      if (!dialect.currentDb.equalsIgnoreCase("default") &&
+          view(mangled)) Some(mangled)
+      else if (view(t)) Some(t)
+      else None
+    }
+    val (table, colPath): (String, Option[String]) = toks match {
+      case Vector(t) if resolve(t).isDefined => (resolve(t).get, None)
+      case Vector(t) if t.contains(".") =>
+        val head = t.substring(0, t.indexOf('.'))
+        val tail = t.substring(t.indexOf('.') + 1)
+        val qual = s"${head.toLowerCase}__${tail.split('.').last}"
+        if (view(head)) (head, Some(tail))
+        else if (view(qual)) (qual, None)
+        else if (view(tail.split('.').last) && (
+            dialect.knownDbs.contains(head.toLowerCase) ||
+              head.equalsIgnoreCase("default")))
+          (tail.split('.').last, None)
+        else return None
+      case Vector(t, c) if resolve(t.split('.').last).isDefined =>
+        (resolve(t.split('.').last).get, Some(c))
+      case _ => return None
+    }
+    val lc = table.toLowerCase
+    if (extended && viewDefs.contains(lc)) return None
+    if (constraintTables.contains(lc)) return None
+    val schema = scala.util.Try(spark.table(table).schema)
+      .getOrElse(return None)
+    colPath match {
+      case None =>
+        val pcs = tablePartCols.getOrElse(lc,
+          fixturePartCols.getOrElse(lc, Nil)).map(_.toLowerCase)
+        val partFieldsAll = schema.fields
+          .filter(f => pcs.contains(f.name.toLowerCase))
+        val dataFields: Array[StructField] = partSpec match {
+          case Some(spec) =>
+            matchingPartKeys(lc, spec).headOption
+              .flatMap(k => partSchemas.get(lc).flatMap(_.get(k)))
+              .map(_.fields)
+              .getOrElse(schema.fields
+                .filterNot(f => pcs.contains(f.name.toLowerCase)))
+          case None => schema.fields
+            .filterNot(f => pcs.contains(f.name.toLowerCase))
+        }
+        val cols = (dataFields.toSeq.map(f =>
+            colLines(f.name.toLowerCase, hiveTypeName(f.dataType),
+              commentOf(lc, f.name))) ++
+          partFieldsAll.toSeq.map(f =>
+            colLines(f.name.toLowerCase, hiveTypeName(f.dataType),
+              commentOf(lc, f.name, isPartCol = true)))).flatten.toVector
+        val partBlock =
+          if (partFieldsAll.isEmpty || !displayPartColsSep) Vector.empty
+          else Vector(sepLine) ++ partInfoHeader ++
+            partFieldsAll.toSeq.flatMap(f =>
+              colLines(f.name.toLowerCase, hiveTypeName(f.dataType),
+                commentOf(lc, f.name, isPartCol = true)))
+        val tail = if (extended) Vector(sepLine) else Vector.empty
+        // pre-partition-info-era goldens (loadpart_err) record the
+        // column rows alone — offered as a fallback candidate
+        if (partBlock.nonEmpty) Some(Seq(cols ++ partBlock ++ tail, cols))
+        else Some(Seq(cols ++ partBlock ++ tail))
+      case Some(path) =>
+        val segs = path.split("\\.").toVector.filter(_.nonEmpty)
+        var dt: DataType = schema.fields
+          .find(_.name.equalsIgnoreCase(segs.head))
+          .getOrElse(return None).dataType
+        segs.tail.foreach { s =>
+          dt = (s.toLowerCase, dt) match {
+            case ("$elem$", ArrayType(e, _)) => e
+            case ("$key$", MapType(k, _, _)) => k
+            case ("$value$", MapType(_, v, _)) => v
+            case (f, st: StructType) =>
+              st.fields.find(_.name.equalsIgnoreCase(f))
+                .getOrElse(return None).dataType
+            case _ => return None
+          }
+        }
+        dt match {
+          case st: StructType =>
+            Some(Seq(st.fields.map(f => colLine(f.name.toLowerCase,
+              hiveTypeName(f.dataType), "from deserializer")).toVector))
+          case other =>
+            // column-level describes echo the name AS TYPED
+            // (display_colstats_tbllvl: `sourceIP` keeps its case)
+            Some(Seq(Vector(colLine(segs.last,
+              hiveTypeName(other), "from deserializer"))))
+        }
+    }
+  }
 
   /** Stored segments of a binary-format table: rows as WRITTEN plus
     * the data schema they were written with. ALTERs on binary tables
@@ -3277,7 +3596,51 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     * output position); Spark uses the pretty expression text. Align
     * view/CTAS output names so later references like `v._c1`
     * resolve. */
-  private def hiveAutoNames(df: DataFrame): DataFrame = {
+  private def hiveAutoNames(df: DataFrame,
+      selText: Option[String] = None): DataFrame = {
+    // select-list SOURCE items, aligned with df.columns — the
+    // funcname autogen mode flattens the WRITTEN expression (the AST
+    // text), not the analyzed column name
+    lazy val srcItems: Seq[String] = selText.toSeq.flatMap { t0 =>
+      val t = "(?is)^\\s*select\\s+(?:all\\s+|distinct\\s+)?".r
+        .replaceFirstIn(t0.trim, "")
+      // cut at the first top-level FROM (paren- and quote-aware)
+      var d = 0; var i = 0; var cut = t.length; var quote = '\u0000'
+      while (i < t.length && cut == t.length) {
+        val c = t.charAt(i)
+        if (quote != '\u0000') { if (c == quote) quote = '\u0000' }
+        else c match {
+          case '\'' | '"' => quote = c
+          case '(' => d += 1
+          case ')' => d -= 1
+          case 'f' | 'F' if d == 0 && i + 4 <= t.length &&
+              t.substring(i, i + 4).equalsIgnoreCase("from") &&
+              (i == 0 || !t.charAt(i - 1).isLetterOrDigit) &&
+              (i + 4 == t.length || !t.charAt(i + 4).isLetterOrDigit) =>
+            cut = i
+          case _ =>
+        }
+        i += 1
+      }
+      // paren-only split (splitTop treats > as a type-bracket close,
+      // which a comparison in an expression would unbalance)
+      val body = t.substring(0, cut)
+      val out = Vector.newBuilder[String]
+      val cur2 = new StringBuilder
+      var d2 = 0; var q2 = '\u0000'
+      body.foreach { c =>
+        if (q2 != '\u0000') { if (c == q2) q2 = '\u0000'; cur2.append(c) }
+        else c match {
+          case '\'' | '"' => q2 = c; cur2.append(c)
+          case '(' => d2 += 1; cur2.append(c)
+          case ')' => d2 -= 1; cur2.append(c)
+          case ',' if d2 == 0 => out += cur2.result(); cur2.clear()
+          case o => cur2.append(o)
+        }
+      }
+      out += cur2.result()
+      out.result().map(_.trim).filter(_.nonEmpty)
+    }
     // a DIRECT column reference keeps its name however odd (`x+1``,
     // `!@#$%^&*()_q`); only unaliased EXPRESSIONS get _c<pos>
     import org.apache.spark.sql.catalyst.expressions.{Alias,
@@ -3289,11 +3652,32 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           case al: Alias if al.child.isInstanceOf[AttributeReference] =>
             al.name
         }.toSet
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        // unaliased aggregate EXPRESSIONS get _c<pos> too
+        // (autogen_colalias: `max(length(value))` → _c3)
+        a.aggregateExpressions.collect {
+          case ar: AttributeReference => ar.name
+          case al: Alias if al.child.isInstanceOf[AttributeReference] =>
+            al.name
+        }.toSet
       case other => other.output.map(_.name).toSet
     }
     val names = df.columns.zipWithIndex.map { case (c, i) =>
       if (c.matches("[A-Za-z_][A-Za-z0-9_]*") || direct.contains(c)) c
-      else s"_c$i"
+      else if (autogenFuncName && {
+          val t = srcItems.lift(i).getOrElse(c)
+          t.matches("(?is)[a-z_][\\w.]*\\s*\\(.*") }) {
+        // flatten the WRITTEN function text the way getColAlias
+        // flattens the AST: a CAST wrapper's type token vanishes,
+        // non-alphanumerics to spaces, spans to _, cap at 20 chars
+        val t = srcItems.lift(i).getOrElse(c)
+        val inner = ("(?is)^cast\\s*\\((.*)\\s+as\\s+\\w+" +
+          "(?:\\(\\d+(?:,\\s*\\d+)?\\))?\\s*\\)$").r
+          .findFirstMatchIn(t).map(_.group(1)).getOrElse(t)
+        val flat = inner.toLowerCase.replaceAll("\\W", " ").trim
+          .replaceAll("\\s+", "_")
+        (if (flat.length > 20) flat.substring(0, 20) else flat) + s"_$i"
+      } else s"$autogenPrefix$i"
     }
     if (names.sameElements(df.columns)) df
     else df.toDF(names.toIndexedSeq: _*)
@@ -3485,6 +3869,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       // (drives the percentile_approx partial-merge replay)
       h023Legacy =
         qSourceText.contains("INCLUDE_HADOOP_MAJOR_VERSIONS( 0.20S)")
+      jsonDdlOut = setTo("hive.ddl.output.format").matches(src) ||
+        src.contains("hive.ddl.output.format=json")
     }
     // function creates whose text mentions a file path get fully
     // MASKED out of the golden (CREATE FUNCTION ... USING FILE) —
@@ -3673,6 +4059,15 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         rawStore.keys.toVector.foreach(t => scala.util.Try(
           deriveView(t, spark.table(t).schema)))
       }
+      else if (n.startsWith("set hive.autogen.columnalias.prefix.label"))
+        autogenPrefix = n.split("=", 2).last.trim.stripSuffix(";")
+      else if (n.startsWith(
+          "set hive.autogen.columnalias.prefix.includefuncname"))
+        autogenFuncName =
+          n.replace(" ", "").stripSuffix(";").endsWith("=true")
+      else if (n.startsWith("set hive.display.partition.cols.separately"))
+        displayPartColsSep =
+          !n.replace(" ", "").stripSuffix(";").endsWith("=false")
       else if (n.startsWith("set hive.cli.print.header"))
         printHeader = n.replace(" ", "").endsWith("=true")
       else if (n.startsWith("set hive.int.timestamp.conversion.in.seconds"))
@@ -3768,8 +4163,18 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             case likeRe(name, other)
                 if scala.util.Try(spark.table(other.split('.').last))
                   .isSuccess =>
-              spark.table(other.split('.').last).limit(0)
+              val src = other.split('.').last
+              spark.table(src).limit(0)
                 .createOrReplaceTempView(name)
+              // LIKE copies metadata (same as the unmasked path)
+              val srcLc = src.toLowerCase; val lc = name.toLowerCase
+              tablePartCols.get(srcLc)
+                .orElse(fixturePartCols.get(srcLc))
+                .foreach(tablePartCols(lc) = _)
+              colComments.get(srcLc).filter(_.nonEmpty)
+                .orElse(fixtureComments.get(srcLc))
+                .foreach(colComments(lc) = _)
+              if (deserTables.contains(srcLc)) deserTables += lc
               bindLocationFixtures(name, st, qSourceText)
             case _ =>
           }
@@ -3986,6 +4391,49 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         }
         asserted += 1
       }
+      def assertDescribe(cands: Seq[Seq[String]]): Unit = {
+        val lines = cands.head
+        // statistics table-properties the recorder appends to column
+        // describes (COLUMN_STATS_ACCURATE etc.) are engine-managed
+        // metadata, not schema — out of the assert
+        val want = b.rows.filterNot(isHashLine)
+          .filterNot(l => leakedLines.contains(l.trim))
+          .filterNot(l => l.startsWith("COLUMN_STATS_ACCURATE") ||
+            l.startsWith("numFiles") || l.startsWith("numRows") ||
+            l.startsWith("rawDataSize") || l.startsWith("totalSize") ||
+            l.startsWith("numPartitions") ||
+            l.startsWith("transient_lastDdlTime") ||
+            l.startsWith("last_modified_"))
+        if (want.isEmpty && b.maskedRows) return
+        // some goldens predate the class/type tail of DESCRIBE
+        // FUNCTION EXTENDED (udaf_collect_set_2 records only the
+        // value line) — tolerate ONLY that exact truncation
+        val staleOk = lines.size == want.size + 2 &&
+          lines.take(want.size) == want &&
+          lines(want.size).startsWith("Function class:") &&
+          lines(want.size + 1).startsWith("Function type:")
+        if (staleOk) { asserted += 1; return }
+        // tolerated variants: U+FFFD in a want line (the reference
+        // RECORDING mangled a non-ASCII doc string — unreconstructible)
+        // and pre-padding-era goldens recorded without the %-20s pads
+        // (loadpart_err) — compare with per-field right-trim
+        def unpad(l: String): String = l.split("\t", -1)
+          .map(_.replaceAll("\\s+$", "")).mkString("\t")
+        def tol(ls: Seq[String]): Boolean = ls.size == want.size &&
+          ls.zip(want).forall { case (g, w) =>
+            g == w || w.contains('\uFFFD') || unpad(g) == unpad(w) }
+        if (cands.exists(ls => ls == want || tol(ls))) {
+          asserted += 1; return
+        }
+        if (lines != want) throw new GoldenMismatch(
+          s"describe mismatch in $file for: " +
+            b.query.linesIterator.mkString(" ").take(120) + "\n" +
+            lines.zipAll(want, "<none>", "<none>")
+              .filter(p => p._1 != p._2).take(5)
+              .map(p => s"got  |${p._1.replace("\t", "\\t")}|\n" +
+                s"want |${p._2.replace("\t", "\\t")}|").mkString("\n"))
+        asserted += 1
+      }
       // statement dispatch; re-entrant so composite statements (e.g.
       // WITH-prefixed inserts) can re-dispatch their tail. The Hive
       // DML/utility statement surface itself (UPDATE/DELETE/MERGE,
@@ -3994,6 +4442,10 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       // only the replay-specific kinds (CREATE-as-temp-view, SELECT
       // assertion, qtest function shims) are handled.
       def exec(q: String, ql: String): Unit = {
+      if (ql.startsWith("alter table")) trackAlterComments(q)
+      if (ql.startsWith("describe") || ql.startsWith("desc ")) {
+        describeLines(q).foreach(assertDescribe)
+      } else
       if (ql.startsWith("create table") ||
           ql.startsWith("create temporary table") ||
           ql.startsWith("create external table") ||
@@ -4007,7 +4459,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             dbOwner.getOrElseUpdate(name.toLowerCase,
               dialect.currentDb.toLowerCase)
           dialect.withCharCastRetry(sel) { s =>
-            hiveAutoNames(spark.sql(s)).createOrReplaceTempView(name)
+            hiveAutoNames(spark.sql(s), Some(s))
+              .createOrReplaceTempView(name)
             // CTAS materializes in Hive, so a too-long char/varchar
             // cast must surface HERE for the retry to rewrite it —
             // probe only when such a cast is present (views are lazy)
@@ -4020,8 +4473,20 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         case likeRe(name, other) =>
           // IF NOT EXISTS: an existing table (and its rows) survives
           if (!(ql.contains("if not exists") && isTempView(name))) {
-            spark.table(other.split('.').last).limit(0)
+            val src = other.split('.').last
+            spark.table(src).limit(0)
               .createOrReplaceTempView(name)
+            // LIKE copies the source's metadata: partition columns,
+            // column comments (load_dyn_part*: `like srcpart` keeps
+            // the fixture's COMMENT 'default'), deserializer flag
+            val srcLc = src.toLowerCase; val lc = name.toLowerCase
+            tablePartCols.get(srcLc)
+              .orElse(fixturePartCols.get(srcLc))
+              .foreach(tablePartCols(lc) = _)
+            colComments.get(srcLc).filter(_.nonEmpty)
+              .orElse(fixtureComments.get(srcLc))
+              .foreach(colComments(lc) = _)
+            if (deserTables.contains(srcLc)) deserTables += lc
             // LIKE ... LOCATION reads through the named directory
             bindLocationFixtures(name, q, qSourceText)
           }
@@ -4058,6 +4523,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           pcs.foreach(p => tablePartCols(name.toLowerCase) =
             colSchema(p).fieldNames.toSeq)
           emptyView(name, full)
+          deserTables += name.toLowerCase
         case createRe(name) =>
           // balanced-paren column list (decimal(4,2) nests parens);
           // PARTITIONED BY columns are part of the logical schema
@@ -4086,6 +4552,26 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           if (ql.matches("(?s).*stored\\s+as\\s+parquet\\b.*") ||
               ql.contains("parquethiveserde"))
             binaryStored += name.toLowerCase
+          colComments(name.toLowerCase) =
+            GoldenFixtures.colCommentsOf(full)
+          if (GoldenFixtures.splitTop(cols, ',')
+              .exists(GoldenFixtures.isConstraintEntry))
+            constraintTables += name.toLowerCase
+          // a serde OUTSIDE hive.serdes.using.metastore.for.schema
+          // (HiveConf.java:1209) re-derives columns at describe time:
+          // comments render "from deserializer" (json_serde_qualified_
+          // types). Avro is excepted — it carries doc comments.
+          "(?is)row\\s+format\\s+serde\\s+'([^']+)'".r
+            .findFirstMatchIn(q).foreach { m =>
+              val base = m.group(1).split('.').last.toLowerCase
+              val metastoreSchema = Set("orcserde", "lazysimpleserde",
+                "columnarserde", "dynamicserde",
+                "metadatatypedcolumnsetserde", "lazybinarycolumnarserde",
+                "parquethiveserde", "lazybinaryserde")
+              if (!metastoreSchema.contains(base) &&
+                  !base.contains("avro"))
+                deserTables += name.toLowerCase
+            }
           recordDelims(name, q) // declared text delimiters for LOAD DATA
           bindLocationFixtures(name, q, qSourceText)
         case _ => unhandled("create", q)
@@ -4104,9 +4590,21 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
                   .collectFirst { case scala.util.Success(d) => d }
                   .getOrElse(throw e)
             }
+          // a view column list may carry per-column COMMENTs
+          // (create_view.q view6: `(valoo COMMENT 'I cannot spell')`)
+          // — they are metadata, not part of the name
+          if (colList != null && colList.trim.nonEmpty)
+            colComments(name.toLowerCase) =
+              GoldenFixtures.colCommentsOf(colList)
+          val names = if (colList == null) null
+            else GoldenFixtures.splitTop(colList, ',').map { c0 =>
+              val c = c0.trim
+              if (c.startsWith("`"))
+                c.substring(1, math.max(1, c.indexOf('`', 1)))
+              else c.split("(?i)\\s+comment\\s+")(0).trim
+            }
           (if (colList == null || colList.trim.isEmpty) hiveAutoNames(df)
-           else df.toDF(colList.split(",").map(_.trim.replace("`", ""))
-             .toIndexedSeq: _*))
+           else df.toDF(names.toIndexedSeq: _*))
             .createOrReplaceTempView(name)
           // a temp view captures its base tables' CURRENT plans; when
           // a base table is rebuilt later (insert/load), the view must
@@ -4157,14 +4655,28 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
                   base.schema.fields.find(_.name.equalsIgnoreCase(p)))
             // flat namespace: the db qualifier was already stripped
             // from the statement, so cover every db the script knows
-            (Seq(db, "default") ++ dialect.knownDbs).distinct.foreach(d =>
+            // indexed columns inherit the base table's comments
+            // (index_serde DESCRIBEs them on the avro-backed index)
+            val baseCmts = keyCols.flatMap(c =>
+              commentOf(t.toLowerCase, c) match {
+                case "" => None
+                case cm => Some(c.toLowerCase -> cm)
+              }).toMap
+            (Seq(db, "default") ++ dialect.knownDbs).distinct.foreach { d =>
               register(Vector.empty, StructType(fields),
-                s"${d}__${t}_${ixName}__"))
+                s"${d}__${t}_${ixName}__")
+              if (baseCmts.nonEmpty)
+                colComments(s"${d}__${t}_${ixName}__".toLowerCase) =
+                  baseCmts
+            }
             // `IN TABLE name` gives the index table an explicit name
             "(?is)\\bin\\s+table\\s+`?([\\w.]+)`?".r
-              .findFirstMatchIn(q).foreach(m =>
-                register(Vector.empty, StructType(fields),
-                  m.group(1).split('.').last))
+              .findFirstMatchIn(q).foreach { m =>
+                val it = m.group(1).split('.').last
+                register(Vector.empty, StructType(fields), it)
+                if (baseCmts.nonEmpty)
+                  colComments(it.toLowerCase) = baseCmts
+              }
           case _ => // EXPLAIN'd or unsupported index form: no-op
         }
       } else if (ql.startsWith("alter index") ||
@@ -4369,6 +4881,61 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           val t = "(?is)alter table\\s+`?([\\w.]+)`?".r
             .findFirstMatchIn(q).get.group(1).split('.').last
           tableSegs(t.toLowerCase) = 1
+        case _ if ql.matches("(?s)alter table\\s+`?[\\w.]+`?\\s+" +
+            "partition\\s+column\\s*\\(.*\\)\\s*") =>
+          // ALTER TABLE ... PARTITION COLUMN (p type [COMMENT ...]):
+          // retypes one partition column (alter_partition_coltype)
+          // and/or swaps its comment (alter_partition_change_col)
+          val pcRe = ("(?is)alter\\s+table\\s+`?([\\w.]+)`?\\s+" +
+            "partition\\s+column\\s*\\(\\s*`?(\\w+)`?\\s+" +
+            "([\\w()<>,]+)" +
+            "(?:\\s+comment\\s+(?:'((?:[^'\\\\]|\\\\.)*)'|" +
+            "\"((?:[^\"\\\\]|\\\\.)*)\"))?\\s*\\)\\s*").r
+          q match {
+            case pcRe(t0, pcol, typ, cSq, cDq) =>
+              val t = t0.split('.').last
+              val lc = t.toLowerCase
+              Option(cSq).orElse(Option(cDq)).foreach(cm =>
+                colComments(lc) = colComments.getOrElse(lc,
+                  fixtureComments.getOrElse(lc, Map.empty)) +
+                  (pcol.toLowerCase -> cm))
+              val dt = org.apache.spark.sql.catalyst.parser
+                .CatalystSqlParser.parseDataType(typ)
+              val df = spark.table(t)
+              if (df.schema.fields.exists(f =>
+                  f.name.equalsIgnoreCase(pcol) && f.dataType != dt)) {
+                import org.apache.spark.sql.functions.col
+                val ns = StructType(df.schema.fields.map(f =>
+                  if (f.name.equalsIgnoreCase(pcol))
+                    StructField(f.name, dt, nullable = true)
+                  else f))
+                if (!applyNewSchema(t, ns, cascade = false))
+                  register(df.select(ns.fields.map(f =>
+                    col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+                    .collect().toVector, ns, t)
+              }
+            case _ =>
+          }
+        case _ if ql.matches("(?s)alter table\\s+`?[\\w.]+`?\\s+set\\s+" +
+            "serde\\s+'(?:org\\.apache\\.hadoop\\.hive\\.serde2\\.)?" +
+            "(?:metadatatypedcolumnsetserde|testserde)'.*") =>
+          // columnset serdes surface every data column as STRING
+          // (serde2/MetadataTypedColumnsetSerDe reads the whole row
+          // as delimited strings); alter1.q asserts the retype via
+          // DESCRIBE, a later REPLACE COLUMNS restores declared types
+          val t = "(?is)alter table\\s+`?([\\w.]+)`?".r
+            .findFirstMatchIn(q).get.group(1).split('.').last
+          val df = spark.table(t)
+          val pcs = tablePartCols.getOrElse(t.toLowerCase, Nil)
+          val ns = StructType(df.schema.fields.map(f =>
+            if (pcs.exists(_.equalsIgnoreCase(f.name))) f
+            else StructField(f.name, StringType)))
+          if (!applyNewSchema(t, ns, cascade = false)) {
+            import org.apache.spark.sql.functions.col
+            register(df.select(ns.fields.map(f =>
+              col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+              .collect().toVector, ns, t)
+          }
         case _ if (tsFormatsRe.findFirstMatchIn(q).isDefined ||
               nullFmtRe.findFirstMatchIn(q).isDefined ||
               ql.contains("escape.delim") ||
@@ -4536,6 +5103,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             val lc = v.toLowerCase
             rawStore.remove(lc); partSchemas.remove(lc)
             binaryStored -= lc
+            colComments.remove(lc)
+            if (lc != "src_thrift") deserTables -= lc
             viewSeps.remove(lc); tablePartCols.remove(lc)
             locLedger.remove(lc); tableLoc.remove(lc)
             viewDefs.remove(lc); viewEscape.remove(lc)
