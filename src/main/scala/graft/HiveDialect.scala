@@ -699,7 +699,10 @@ class HiveDialect(val spark: SparkSession) {
         s"(select transform(${m.group(1)}) " +
         "row format delimited fields terminated by '\\t' " +
         s"using ${m.group(2)} as (__gline string) " +
-        "row format delimited fields terminated by '' " +
+        // an EMPTY terminator falls back to Spark's default tab —
+        // use \u0002 (never in the data) so the raw line, tabs
+        // included, lands whole in __gline
+        "row format delimited fields terminated by '\u0002' " +
         s"${m.group(5)}) __gbin"
     }
     else if (q1.toLowerCase.contains("row format")) q1
@@ -727,7 +730,12 @@ class HiveDialect(val spark: SparkSession) {
     * bodies are sugar for `SELECT TRANSFORM(exprs) USING ...`
     * (ref ql/parse/HiveParser.g selectClause). */
   def mapReduceSugar(sel: String): String = sel match {
-    case _ if sel.toLowerCase.matches("(?s)\\s*(?:select|values).*") => sel
+    case _ if sel.toLowerCase.matches("(?s)\\s*(?:select|values).*") =>
+      // an INSERT body reaches here WITHOUT the top-level rewrite
+      // chain — a SELECT TRANSFORM inside it still needs the script-IO
+      // contract (binary_output_format: last-column-takes-rest)
+      if (sel.toLowerCase.contains("transform")) fixTransformIo(sel)
+      else sel
     case mrRe(exprs, rest) =>
       fixTransformIo(s"SELECT TRANSFORM($exprs) $rest")
     case _ => sel

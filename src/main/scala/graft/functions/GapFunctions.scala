@@ -534,6 +534,24 @@ case class HiveMonthsBetween(children: Seq[Expression])
     copy(children = newChildren)
 }
 
+/** Hive `sign`: the DECIMAL overload returns signum() as an INT,
+  * other numerics return a DOUBLE (UDFSign.java:47-88). */
+case class HiveSign(child: Expression)
+  extends Expression
+  with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.sql.catalyst.expressions._
+  override def children: Seq[Expression] = Seq(child)
+  override lazy val replacement: Expression = child.dataType match {
+    case _: DecimalType =>
+      Cast(Signum(Cast(child, DoubleType)), IntegerType)
+    case _ => Signum(Cast(child, DoubleType))
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 /** Numeric branch of Hive `trunc(N[, D])`
   * (ql/udf/generic/GenericUDFTrunc.java:375-460): truncate toward zero
   * to D decimal places via BigDecimal ROUND_DOWN; negative D zeroes
@@ -1170,6 +1188,20 @@ object GapFunctions {
     reg.createOrReplaceTempFunction("index",
       exprs => org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
         exprs(0), exprs(1)), "built-in")
+    // UDFSqrt returns NULL for a negative input (UDFSqrt.java:44-51);
+    // Spark's sqrt returns NaN
+    reg.createOrReplaceTempFunction("sqrt", { es =>
+      val d = org.apache.spark.sql.catalyst.expressions.Cast(es.head,
+        org.apache.spark.sql.types.DoubleType)
+      org.apache.spark.sql.catalyst.expressions.If(
+        org.apache.spark.sql.catalyst.expressions.LessThan(d, Literal(0.0)),
+        Literal.create(null, org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.catalyst.expressions.Sqrt(d))
+    }, "built-in")
+    // UDFSign's DECIMAL overload returns the signum as an INT
+    // (UDFSign.java:74-88); double/long inputs keep Spark's double
+    reg.createOrReplaceTempFunction("sign",
+      es => HiveSign(es.head), "built-in")
     reg.createOrReplaceTempFunction("fingerprint64",
       exprs => Fingerprint64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("hive_hash",

@@ -65,7 +65,12 @@ object HiveHash {
     // zeros stripped) BigDecimal.hashCode
     // (storage-api/.../common/type/HiveDecimal.java normalization)
     case (d: org.apache.spark.sql.types.Decimal, _) =>
-      d.toJavaBigDecimal.stripTrailingZeros().hashCode()
+      // BigDecimal.stripTrailingZeros can go to NEGATIVE scale
+      // ("90.00" -> 9E+1, unscaled 9 scale -1) — HiveDecimal's
+      // normalized form never does (FastHiveDecimal scale >= 0:
+      // unscaled 90, scale 0), and the two hash differently
+      val s = d.toJavaBigDecimal.stripTrailingZeros()
+      (if (s.scale < 0) s.setScale(0) else s).hashCode()
     // BINARY: BytesWritable.hashCode = WritableComparator.hashBytes
     // (seed 1, 31-fold)
     case (b: Array[Byte], _) =>

@@ -37,6 +37,22 @@ object HiveCasts extends Rule[LogicalPlan] {
     org.apache.spark.sql.internal.SQLConf.get
       .getConfString("graft.hive.intTimestampSeconds", "false") == "true"
 
+  /** Hive hybrid-calendar datetime arithmetic (see
+    * [[graft.functions.HiveDateTimeMath]]); on by default, a session
+    * conf opts back into Spark's proleptic arithmetic. */
+  private def hiveDatetimeArith: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("graft.hive.datetimeArith", "true") == "true"
+
+  /** Hive's VECTORIZED string→date/timestamp parse is STRICT
+    * (CastStringToDate/CastStringToTimestamp reject what the row
+    * path's java.sql valueOf would roll) — sessions following a
+    * vectorized recording set this to suppress the lenient-roll
+    * literal rules below. */
+  private def strictStringDates: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("graft.hive.strictStringDates", "false") == "true"
+
   /** `yyyy-M-d` text parsed with Hive's lenient calendar (out-of-range
     * month/day ROLL forward, java.sql.Date.valueOf semantics). None
     * when the text isn't date-shaped (cast stays as written). */
@@ -105,7 +121,8 @@ object HiveCasts extends Rule[LogicalPlan] {
         else MillisToTimestamp(asLong)
       case Cast(Literal(s: org.apache.spark.unsafe.types.UTF8String,
             StringType), DateType, _, _)
-          if s != null && lenientDateRoll(s.toString).isDefined =>
+          if s != null && !strictStringDates &&
+            lenientDateRoll(s.toString).isDefined =>
         // Hive parses date STRINGS leniently (java.sql.Date.valueOf
         // rolls '1970-02-29' to 1970-03-01); Spark's strict cast nulls
         // them. Literal-only: folded at analysis, nothing at runtime.
@@ -113,7 +130,7 @@ object HiveCasts extends Rule[LogicalPlan] {
           DateType)
       case c @ Cast(Literal(s: org.apache.spark.unsafe.types.UTF8String,
             StringType), TimestampType, tz, _)
-          if s != null && s.toString.matches(
+          if s != null && !strictStringDates && s.toString.matches(
             """\s*\d{1,4}-\d{1,2}-\d{1,2} \d{1,2}:\d{1,2}:\d{1,2}(\.\d+)?\s*""") && {
             val zid = java.time.ZoneId.of(tz.getOrElse(
               org.apache.spark.sql.internal.SQLConf.get
@@ -135,6 +152,44 @@ object HiveCasts extends Rule[LogicalPlan] {
         org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToTimestamp(
           org.apache.spark.unsafe.types.UTF8String.fromString(rolled), zid)
           .map(m => Literal(m, TimestampType): Expression).getOrElse(c)
+      // datetime arithmetic runs on Hive's epoch-millis (hybrid
+      // Julian/Gregorian java.sql types — DateTimeMath.java:357-380):
+      // date-date keeps DST hours, pre-Gregorian dates keep Julian
+      // field arithmetic. Spark's proleptic micros diverge there.
+      case SubtractDates(l, r, _)
+          if l.resolved && r.resolved && hiveDatetimeArith =>
+        graft.functions.HiveDatetimeDiff(l, r)
+      case SubtractTimestamps(l, r, _, tz)
+          if l.resolved && r.resolved &&
+            l.dataType != TimestampNTZType &&
+            r.dataType != TimestampNTZType && hiveDatetimeArith =>
+        graft.functions.HiveDatetimeDiff(l, r, tz)
+      case TimestampAddYMInterval(ts, iv, tz)
+          if ts.resolved && iv.resolved && ts.dataType == TimestampType &&
+            hiveDatetimeArith =>
+        graft.functions.HiveTimestampAddMonths(ts, iv, tz)
+      case ta @ TimestampAddInterval(l, r, tz)
+          if l.resolved && r.resolved && ta.dataType == TimestampType &&
+            r.dataType.isInstanceOf[DayTimeIntervalType] &&
+            hiveDatetimeArith =>
+        graft.functions.HiveTimestampAddInterval(l, r, 1, tz)
+      // boolean <cmp> numeric: Spark rejects the comparison, but the
+      // reference falls back to DOUBLE when no common comparison class
+      // exists (GenericUDFBaseCompare.java:137-144 — null common class
+      // → doubleTypeInfo; PrimitiveObjectInspectorUtils.getDouble maps
+      // boolean → 1/0). `cboolean1 >= 1` is therefore a double compare.
+      case cmp: BinaryComparison if !cmp.resolved &&
+          cmp.left.resolved && cmp.right.resolved &&
+          Seq(cmp.left, cmp.right).map(_.dataType).toSet.sizeIs == 2 &&
+          Seq(cmp.left, cmp.right).exists(_.dataType == BooleanType) &&
+          Seq(cmp.left, cmp.right).exists(
+            _.dataType.isInstanceOf[NumericType]) =>
+        cmp.withNewChildren(Seq(cmp.left, cmp.right).map {
+          case b if b.dataType == BooleanType =>
+            If(IsNull(b), Literal.create(null, DoubleType),
+              If(b, Literal(1.0d), Literal(0.0d)))
+          case n => Cast(n, DoubleType)
+        })
       // decimal <cmp> float compares at FLOAT precision in the
       // reference (getCommonClassForComparison resolves decimal+float
       // to float), so `d = cast('0.22' as float)` matches decimal
@@ -161,6 +216,18 @@ object HiveCasts extends Rule[LogicalPlan] {
               e.foldable && e.dataType == StringType) =>
         In(Cast(v, DoubleType, tz, mode),
           list.map(e => Cast(e, DoubleType, tz, mode)))
+      // decimal → string renders the NORMALIZED value (HiveDecimal
+      // .toString: trailing zeros trimmed, "100.00" -> "100");
+      // Spark's cast keeps the declared scale
+      case Cast(child, StringType, _, _)
+          if child.resolved &&
+            child.dataType.isInstanceOf[DecimalType] &&
+            child.dataType.asInstanceOf[DecimalType].scale > 0 =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          graft.functions.HiveDecimalText.getClass,
+          StringType, "decimalString", Seq(child),
+          inputTypes = Seq(child.dataType),
+          returnNullable = true)
       // char/varchar casts TRUNCATE on overflow
       // (serde2/typeinfo/BaseCharUtils.enforceMaxLength) — Spark
       // raises EXCEED_LIMIT_LENGTH instead; pre-truncating with

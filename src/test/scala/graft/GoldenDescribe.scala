@@ -71,8 +71,11 @@ object GoldenDescribe {
       "uniontype<" + s.fields.drop(1).map(f =>
         hiveTypeName(f.dataType)).mkString(",") + ">"
     case s: StructType =>
+      // field names keep their AS-WRITTEN case (orc_create records
+      // struct<A:string,B:string> verbatim; FieldSchema stores the
+      // declared type text)
       "struct<" + s.fields.map(f =>
-        s"${f.name.toLowerCase}:${hiveTypeName(f.dataType)}").mkString(",") +
+        s"${f.name}:${hiveTypeName(f.dataType)}").mkString(",") +
         ">"
     case NullType => "void"
     case DayTimeIntervalType(_, _) => "interval_day_time"
