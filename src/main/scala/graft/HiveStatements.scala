@@ -485,14 +485,40 @@ class HiveStatements(val spark: SparkSession) {
                   val l = col(c.group(1))
                   // typed partition literals (dt=timestamp '...')
                   // carry the bare text value, like parsePartSpec
-                  val v = lit(c.group(3).trim
+                  val bare0 = c.group(3).trim
                     .replaceFirst("(?is)^(?:date|timestamp)\\s+'", "'")
+                  val wasQuoted = bare0.startsWith("'") ||
+                    bare0.startsWith("\"")
+                  val raw0 = bare0
                     .stripPrefix("'").stripSuffix("'")
-                    .stripPrefix("\"").stripSuffix("\""))
-                    .cast(df.schema(c.group(1)).dataType)
-                  c.group(2) match {
+                    .stripPrefix("\"").stripSuffix("\"")
+                  // unquoted typed literals carry a TYPE suffix
+                  // (110Y, 22000S, 330000000000L, 110BD, 3.4D)
+                  val raw =
+                    if (wasQuoted) raw0
+                    else raw0
+                      .replaceFirst("^(-?\\d+)(?:[YSLysl]|[Bb][Dd])$",
+                        "$1")
+                      .replaceFirst("^(-?\\d+\\.\\d+)[BbDdFf]*$", "$1")
+                  val v = lit(raw).cast(df.schema(c.group(1)).dataType)
+                  // the default-partition NAME addresses the NULL
+                  // partition (drop_partitions_filter4); STRING
+                  // partition columns store the name itself, typed
+                  // ones store NULL
+                  if (raw == DefaultPartitionName) {
+                    val hit = l.isNull ||
+                      (l.cast(StringType) <=> DefaultPartitionName)
+                    c.group(2) match {
+                      case "=" => hit
+                      case "<>" | "!=" => !hit
+                      case _ => lit(false)
+                    }
+                  } else c.group(2) match {
                     case "=" => l <=> v
-                    case "<>" | "!=" => !(l <=> v)
+                    // a NULL partition never matches a comparator
+                    // (metastore filters skip the default partition:
+                    // filter4 keeps Uganda/NULL through `d != 3`)
+                    case "<>" | "!=" => l =!= v
                     case "<" => l < v
                     case "<=" => l <= v
                     case ">" => l > v
@@ -785,7 +811,9 @@ object HiveStatements {
             // literals carry them; a quoted STRING value like '110Y'
             // is kept verbatim
             if (quoted) bare
-            else bare.replaceFirst("^(-?\\d+)[YSLysl]$", "$1"))
+            else bare
+              .replaceFirst("^(-?\\d+)(?:[YSLysl]|[Bb][Dd])$", "$1")
+              .replaceFirst("^(-?\\d+\\.\\d+)[BbDdFf]*$", "$1"))
         case Array(n) => n.trim.toLowerCase.replace("`", "") -> None
       }
     }

@@ -892,11 +892,13 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           .getOrElse(Vector.empty)
       else Vector.empty
     super.insertInto(target, overwrite, sel, partSpec, colList)
-    // an INSERT OVERWRITE rewrites the partition with the table's
-    // CURRENT storage descriptor — the partition's desc formatted
-    // picks up interim table-level bucket/format ALTERs
-    // (alter_numbuckets_partitioned_table_h23)
-    if (overwrite && partSpec != null)
+    // ANY insert rewrites the partition with the table's CURRENT
+    // storage descriptor — the partition's desc formatted picks up
+    // interim table-level bucket/format ALTERs
+    // (alter_numbuckets_partitioned_table_h23;
+    // partition_coltype_literals: INSERT INTO reverts a per-partition
+    // SET FILEFORMAT to the table default)
+    if (partSpec != null)
       matchingPartKeys(lc, partSpec).foreach { k =>
         partStorage((lc, k)) =
           tableStorage.getOrElse(lc, fmtTriple(defaultFileFormat))
@@ -2672,6 +2674,10 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     * formatted describes skip. */
   private var inferBucketSort = false
 
+  /** hive.decode.partition.name: SHOW PARTITIONS prints decoded
+    * (unescaped) names when true. */
+  private var decodePartName = false
+
   /** hive.display.partition.cols.separately=false drops the
     * "# Partition Information" block (desc_tbl_part_cols.q). */
   private var displayPartColsSep = true
@@ -2833,7 +2839,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       partBucketMeta((lc, key)) = bucketMeta.getOrElse(lc, (Nil, Nil, -1))
   }
 
-  /** Balanced-paren body following a keyword match end. */
+  /** Balanced-paren body following a keyword match end. Parens inside
+    * backticks or single quotes don't count (`!@#$%^&*()_q`). */
   private def balancedAfter(q: String, from: Int): Option[String] = {
     var i = from
     while (i < q.length && q(i) != '(') {
@@ -2842,10 +2849,13 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     }
     if (i >= q.length) return None
     var depth = 0; val start = i + 1
+    var tick = false; var quote = false
     while (i < q.length) {
       q(i) match {
-        case '(' => depth += 1
-        case ')' =>
+        case '`' if !quote => tick = !tick
+        case '\'' if !tick => quote = !quote
+        case '(' if !tick && !quote => depth += 1
+        case ')' if !tick && !quote =>
           depth -= 1
           if (depth == 0) return Some(q.substring(start, i))
         case _ =>
@@ -2926,6 +2936,10 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     bucketMeta.remove(lc); tableSkew.remove(lc)
     partStorage.filterInPlace((k, _) => k._1 != lc)
     partBucketMeta.filterInPlace((k, _) => k._1 != lc)
+    // a fresh CREATE starts with no partitions (drop_table2: recreate
+    // then SHOW PARTITIONS must be empty)
+    addedParts.remove(lc)
+    partSchemas.remove(lc)
     if (view && q.toLowerCase.contains("materialized")) {
       // a MATERIALIZED view stores real data — its storage clauses
       // parse like a table's; the default format is ORC
@@ -3106,6 +3120,113 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     } else if (ql.contains("skewed by")) {
       parseSkewClause(lc, q)
     }
+  }
+
+  /** FileUtils.escapePathName (FileUtils.java:225-295): partition
+    * VALUES render with control bytes and reserved chars %XX-escaped
+    * in partition NAMES (SHOW PARTITIONS, path rendering). */
+  private def escapePathName(v: String): String = {
+    val sb = new StringBuilder
+    v.foreach { c =>
+      if (c < ' ' || c == '\u007f' ||
+          "\"#%'*/:=?\\{[]^".indexOf(c.toInt) >= 0)
+        sb.append(f"%%${c.toInt}%02X")
+      else sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Expected lines of `SHOW PARTITIONS <table> [partition(spec)]`:
+    * one `p1=v1/p2=v2` name per live partition (current rows' distinct
+    * partition tuples plus metadata-only ADD PARTITION specs), sorted
+    * like the metastore's listPartitionNames. None = out of scope. */
+  private def showPartitionsLines(q0: String,
+      origQ: String = null): Option[Seq[String]] = {
+    val m = ("(?is)^show\\s+partitions\\s+`?([\\w.]+)`?" +
+      "(?:\\s+partition\\s*\\(([^)]*)\\))?\\s*$").r
+      .findFirstMatchIn(q0.trim.stripSuffix(";").trim)
+      .getOrElse(return None)
+    if (jsonDdlOut) return None
+    val cur = dialect.currentDb.toLowerCase
+    // the dialect strips db qualifiers — recover the asked-for db
+    // from the ORIGINAL text and refuse when the flat namespace's
+    // single binding belongs to ANOTHER db (show_partitions.q:
+    // db1's srcpart shadows the default fixture)
+    val origDb = Option(origQ).flatMap(o =>
+      "(?is)show\\s+partitions\\s+`?(\\w+)`?\\s*\\.".r
+        .findFirstMatchIn(o).map(_.group(1).toLowerCase))
+    val full = m.group(1)
+    if (!full.contains(".") && origDb.isDefined) {
+      val t0 = full.split('.').last
+      if (dbOwner.getOrElse(t0.toLowerCase,
+          origDb.get) != origDb.get) return None
+    }
+    val table =
+      if (full.contains(".")) {
+        val head = full.substring(0, full.indexOf('.')).toLowerCase
+        val tail = full.substring(full.indexOf('.') + 1).split('.').last
+        if (isTempView(s"${head}__$tail")) s"${head}__$tail"
+        else if (isTempView(tail) &&
+            dbOwner.getOrElse(tail.toLowerCase, head) == head) tail
+        else return None // flat namespace can't resolve a cross-db twin
+      } else {
+        val t0 = full
+        if (cur != "default" && isTempView(s"${cur}__$t0"))
+          s"${cur}__$t0"
+        else if (isTempView(t0)) t0
+        else return None
+      }
+    val lc = table.toLowerCase
+    if (sys.env.contains("GOLDEN_DUMP"))
+      println(s"[showpart] lc=$lc adds=${addedParts.get(lc)}")
+    val pcs = tablePartCols.getOrElse(lc,
+      fixturePartCols.getOrElse(lc, Nil))
+    if (pcs.isEmpty) return None
+    val df = scala.util.Try(spark.table(table)).getOrElse(return None)
+    val pFields = pcs.flatMap(p =>
+      df.columns.find(_.equalsIgnoreCase(p)))
+    if (pFields.size != pcs.size) return None
+    // decimal/date partition NAMES store the literal text AS WRITTEN
+    // (partition_coltype_literals records decpart=1000.01BD,
+    // datepart=2015-4-13) — not renderable from typed values
+    if (pFields.exists(p => df.schema(p).dataType
+        .isInstanceOf[org.apache.spark.sql.types.DecimalType] ||
+        df.schema(p).dataType == org.apache.spark.sql.types.DateType))
+      return None
+    // a VIEW's partitions are ONLY the explicitly ADDed ones —
+    // its rows don't imply any (DDLSemanticAnalyzer ALTER VIEW ADD)
+    val isView = tableKind.get(lc).exists(_.endsWith("_VIEW")) ||
+      viewDefs.contains(lc)
+    val fromRows: Seq[Seq[String]] =
+      if (isView) Nil
+      else df
+        .select(pFields.map(org.apache.spark.sql.functions.col): _*)
+        .distinct().collect().toSeq.map(r =>
+          (0 until r.length).map(i =>
+            if (r.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
+            else r.get(i).toString))
+    val fromAdds: Seq[Seq[String]] =
+      addedParts.getOrElse(lc, Nil).toSeq.map(kv =>
+        pcs.map(pc => kv.collectFirst {
+          case (n, v) if n.equalsIgnoreCase(pc) => v
+        }.getOrElse(return None)))
+    val filter: Seq[(Int, String)] = Option(m.group(2)).toSeq
+      .flatMap(s => parsePartSpec(s)).collect { case (n, Some(v)) =>
+        pcs.indexWhere(_.equalsIgnoreCase(n)) -> v }
+    if (sys.env.contains("GOLDEN_DUMP"))
+      println(s"[showpart] lc=$lc pcs=$pcs filter=$filter " +
+        s"rows=${fromRows.size} adds=${fromAdds.size}")
+    // hive.decode.partition.name=true renders names UNESCAPED
+    // (partition_decode_name); column NAMES escape like values
+    // (quotedid_partition: `!@#$%^&*()_q=a` -> !@%23$%25%5E&%2A()_q)
+    def esc(x: String): String =
+      if (decodePartName) x else escapePathName(x)
+    Some((fromRows ++ fromAdds).distinct
+      .filter(k => filter.forall { case (i, v) =>
+        i >= 0 && i < k.size && k(i) == v })
+      .map(k => pcs.map(_.toLowerCase).zip(k).map { case (n, v) =>
+        s"${esc(n)}=${esc(v)}" }.mkString("/"))
+      .sorted)
   }
 
   /** Expected output of `desc formatted <table> [partition (...)]`:
@@ -4047,25 +4168,62 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   private val addedParts = scala.collection.mutable.Map[String,
     scala.collection.mutable.LinkedHashSet[Seq[(String, String)]]]()
   private val plainAddPartRe =
-    ("(?is)^\\s*alter\\s+table\\s+`?([\\w.]+)`?\\s+add\\s+" +
+    ("(?is)^\\s*alter\\s+(?:table|view)\\s+`?([\\w.]+)`?\\s+add\\s+" +
       "(?:if\\s+not\\s+exists\\s+)?" +
-      "((?:partition\\s*\\([^)]*\\)\\s*)+);?\\s*$").r
-  private def recordAddedPartitions(q: String): Unit =
-    if (!q.toLowerCase.contains("location")) q.trim match {
-      case plainAddPartRe(t, specs) =>
-        val set = addedParts.getOrElseUpdate(
-          t.split('.').last.toLowerCase,
-          scala.collection.mutable.LinkedHashSet.empty)
-        HiveStatements.partitionCondRe.findAllMatchIn(specs)
-          .foreach { m =>
-            val kv = parsePartSpec(m.group(1)).collect {
+      "((?:partition\\s*\\([^)]*\\)\\s*" +
+      "(?:location\\s+'[^']*'\\s*)?)+);?\\s*$").r
+  /** Flat-namespace name resolution for metadata maps: a table
+    * created under USE <db> may live as the mangled `<db>__<name>`
+    * view. */
+  private def resolveLc(t: String): String = {
+    val base = t.split('.').last.toLowerCase
+    val qual =
+      if (t.contains(".")) t.split('.').head.toLowerCase
+      else dialect.currentDb.toLowerCase
+    val mangled = s"${qual}__$base"
+    if (qual != "default" && isTempView(mangled)) mangled else base
+  }
+
+  private def recordAddedPartitions(q0: String): Unit = {
+    val q = q0.trim.stripSuffix(";")
+    val head = ("(?is)^\\s*alter\\s+(?:table|view)\\s+`?([\\w.]+)`?" +
+      "\\s+add\\s+(?:if\\s+not\\s+exists\\s+)?(?=partition\\s*\\()").r
+      .findFirstMatchIn(q).getOrElse(return)
+    val t = head.group(1)
+    // balanced spec parse — a backticked partition-column NAME may
+    // contain parens (quotedid_alter: `!@#$%^&*()_q`)
+    var i = head.end
+    val specsB = Vector.newBuilder[String]
+    var wellFormed = true
+    while (i < q.length && wellFormed) {
+      val rest = q.substring(i)
+      val pm = ("(?is)^\\s*partition\\s*").r.findFirstMatchIn(rest)
+      val lm = ("(?is)^\\s*location\\s+'[^']*'\\s*").r
+        .findFirstMatchIn(rest)
+      if (pm.isDefined) {
+        balancedAfter(rest, pm.get.end) match {
+          case Some(body) =>
+            specsB += body
+            i += pm.get.end + rest.substring(pm.get.end)
+              .indexOf('(') + body.length + 2
+          case None => wellFormed = false
+        }
+      } else if (lm.isDefined) i += lm.get.end
+      else if (rest.trim.isEmpty) i = q.length
+      else wellFormed = false
+    }
+    if (!wellFormed) return
+    val set = addedParts.getOrElseUpdate(resolveLc(t),
+      scala.collection.mutable.LinkedHashSet.empty)
+    specsB.result().foreach { spec =>
+            val kv = parsePartSpec(spec).collect {
               case (n, Some(v)) => n -> v }
             set += kv
             // a metadata-only partition fixes its storage descriptor
             // now, and its written schema is the CURRENT table schema
             // (RESTRICT semantics) — makes `desc formatted t
             // partition(...)` resolvable before any data lands
-            val lc = t.split('.').last.toLowerCase
+            val lc = resolveLc(t)
             val pcs = tablePartCols.getOrElse(lc, Nil)
             if (pcs.nonEmpty && kv.size == pcs.size) {
               val key: Seq[String] = pcs.map(pc =>
@@ -4076,7 +4234,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
                 val pm = partSchemas.getOrElseUpdate(lc,
                   scala.collection.mutable.Map.empty)
                 if (!pm.contains(key)) {
-                  scala.util.Try(spark.table(t.split('.').last).schema)
+                  scala.util.Try(spark.table(lc).schema)
                     .foreach { sch =>
                       pm(key) = StructType(sch.fields.filterNot(f =>
                         pcs.exists(_.equalsIgnoreCase(f.name)))
@@ -4087,8 +4245,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
               }
             }
           }
-      case _ =>
-    }
+  }
 
   /** Retry candidate: route scans of partition-registered tables
     * through a one-row-per-partition view (added specs plus the data
@@ -4597,6 +4754,11 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       (srcCursor until idx).foreach { i =>
         val flat = srcStatements(i).replace(" ", "").stripSuffix(";")
         val fl = flat.toLowerCase
+        // an ALTER ADD PARTITION whose golden block the masker ATE
+        // wholesale (db-dir location paths take the PREHOOK line too —
+        // alter2's USE-db section) still registers its metadata
+        if (fl.startsWith("altertable") || fl.startsWith("alterview"))
+          recordAddedPartitions(srcStatements(i))
         if (fl.startsWith("sethive.default.rcfile.serde="))
           rcfileSerde = flat.substring(flat.indexOf('=') + 1)
         if (fl.startsWith("sethive.default.fileformat=") &&
@@ -4606,6 +4768,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         if (fl.startsWith("sethive.default.fileformat.managed="))
           defaultManagedFormat =
             flat.substring(flat.indexOf('=') + 1).toLowerCase
+        if (fl.startsWith("sethive.decode.partition.name="))
+          decodePartName = fl.endsWith("=true")
       }
       srcCursor = idx + 1
     }
@@ -4942,6 +5106,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         .dropWhile(l => l.trim.isEmpty || l.trim.startsWith("--"))
         .mkString("\n")).trim
       val q = dialect.rewrite(repairMasked(repairTruncated(q0)))
+      if (sys.env.contains("GOLDEN_DUMP"))
+        println(s"[exec] ${q.linesIterator.mkString(" ").take(90)}")
       val ql = q.toLowerCase
       if (sys.env.contains("GOLDEN_TRACE"))
         println(s"[replay] ${q.linesIterator.mkString(" ").take(
@@ -5101,6 +5267,30 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         }
         asserted += 1
       }
+      /** SHOW PARTITIONS: exact sorted name-list compare. */
+      def assertShowPartitions(lines: Seq[String]): Unit = {
+        val want = b.rows.filterNot(isHashLine)
+          .filterNot(l => leakedLines.contains(l.trim))
+          .filterNot(_.startsWith("#### A masked"))
+        if (want.isEmpty && b.maskedRows) return
+        // an adjacent FAILED statement's error line glued into this
+        // block (loadpart_err) poisons the multiset
+        if (want.exists(_.startsWith("FAILED"))) return
+        // `drop table ... for replication(id)` carries metastore
+        // repl-id semantics this replay does not model
+        if (qSourceText.toLowerCase.contains("for replication")) return
+        if (lines.sorted != want.sorted) {
+          val d = lines.sorted.zipAll(want.sorted, "<none>", "<none>")
+            .find(p => p._1 != p._2)
+          throw new GoldenMismatch(
+            s"show partitions mismatch in $file for: " +
+              b.query.linesIterator.mkString(" ").take(120) + "\n" +
+              s"got  |${d.map(_._1).getOrElse("")}|\n" +
+              s"want |${d.map(_._2).getOrElse("")}|")
+        }
+        asserted += 1
+      }
+
       /** `desc formatted`: exact column block + whitelisted detail
         * labels; stats params / masked lines / unmodeled labels skip. */
       def assertFormatted(cols: Seq[String],
@@ -5200,12 +5390,141 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       if (ql.startsWith("alter table")) {
         trackAlterComments(q); trackAlterStorage(q)
       }
+      if (ql.startsWith("alter table") || ql.startsWith("alter view")) {
+        // PARTITION ... RENAME TO PARTITION: metadata-only entries
+        // rename too (quotedid_alter)
+        ("(?is)alter\\s+(?:table|view)\\s+`?([\\w.]+)`?\\s+" +
+          "partition\\s*\\((.*?)\\)\\s+rename\\s+to\\s+" +
+          "partition\\s*\\((.*?)\\)\\s*;?\\s*$").r
+          .findFirstMatchIn(q).foreach { rm =>
+            val lc = resolveLc(rm.group(1))
+            val from = parsePartSpec(rm.group(2)).collect {
+              case (n, Some(v)) => n -> v }
+            val to = parsePartSpec(rm.group(3)).collect {
+              case (n, Some(v)) => n -> v }
+            addedParts.get(lc).foreach { set =>
+              val hit = set.filter(kv => from.forall { case (n, v) =>
+                kv.exists(p => p._1.equalsIgnoreCase(n) && p._2 == v) })
+              if (hit.nonEmpty && to.nonEmpty) {
+                set --= hit
+                hit.foreach { kv =>
+                  set += kv.map { case (n, v) =>
+                    to.collectFirst {
+                      case (n2, v2) if n2.equalsIgnoreCase(n) => (n, v2)
+                    }.getOrElse((n, v)) }
+                }
+              }
+            }
+            // the written-schema / storage snapshots re-key with the
+            // renamed values (partition_coltype_literals)
+            val pcs0 = tablePartCols.getOrElse(lc, Nil)
+            if (pcs0.nonEmpty) {
+              def rekey(k: Seq[String]): Seq[String] =
+                pcs0.zip(k).map { case (pc, v) =>
+                  to.collectFirst {
+                    case (n2, v2) if n2.equalsIgnoreCase(pc) => v2
+                  }.getOrElse(v) }
+              def hits(k: Seq[String]): Boolean =
+                from.forall { case (n, v) =>
+                  val i2 = pcs0.indexWhere(_.equalsIgnoreCase(n))
+                  i2 >= 0 && i2 < k.length && k(i2) == v }
+              partSchemas.get(lc).foreach { pm =>
+                pm.keys.filter(hits).toSeq.foreach { k =>
+                  val sch = pm.remove(k).get
+                  pm(rekey(k)) = sch
+                }
+              }
+              partStorage.keys.filter(kk => kk._1 == lc && hits(kk._2))
+                .toSeq.foreach { kk =>
+                  val v2 = partStorage.remove(kk).get
+                  partStorage((lc, rekey(kk._2))) = v2
+                }
+              partBucketMeta.keys.filter(kk => kk._1 == lc && hits(kk._2))
+                .toSeq.foreach { kk =>
+                  val v2 = partBucketMeta.remove(kk).get
+                  partBucketMeta((lc, rekey(kk._2))) = v2
+                }
+            }
+          }
+        // DROP PARTITION removes metadata-only entries too (the row
+        // filter below can't see them) — equality specs only
+        if (ql.matches("(?s).*\\bdrop\\b.*\\bpartition\\s*\\(.*")) {
+          val lcOpt = "(?is)alter\\s+(?:table|view)\\s+`?([\\w.]+)`?".r
+            .findFirstMatchIn(q).map(m2 => resolveLc(m2.group(1)))
+          lcOpt.foreach { lc =>
+            // numeric-typed partition columns compare numerically in
+            // a comparator spec (drop_partitions_filter2: d < '4')
+            lazy val numCols: Set[String] = scala.util.Try(
+              spark.table(lc).schema.fields.filter(_.dataType
+                .isInstanceOf[org.apache.spark.sql.types.NumericType])
+                .map(_.name.toLowerCase).toSet).getOrElse(Set.empty)
+            def cmp(n: String, a: String, b: String): Int =
+              if (numCols.contains(n.toLowerCase))
+                scala.util.Try(
+                  BigDecimal(a).compare(BigDecimal(b))).getOrElse(
+                  a.compareTo(b))
+              else a.compareTo(b)
+            "(?is)partition\\s*\\(([^)]*)\\)".r.findAllMatchIn(q)
+              .foreach { pm =>
+                // quote-aware comma split (splitTop treats the
+                // comparators' < > as type brackets)
+                val groups = {
+                  val out = Vector.newBuilder[String]
+                  val cur = new StringBuilder
+                  var inQ = false
+                  pm.group(1).foreach {
+                    case '\'' => inQ = !inQ; cur.append('\'')
+                    case ',' if !inQ =>
+                      out += cur.result(); cur.clear()
+                    case ch => cur.append(ch)
+                  }
+                  out += cur.result()
+                  out.result()
+                }
+                val conds = groups
+                  .flatMap(e =>
+                    HiveStatements.partCompRe.findFirstMatchIn(e).map {
+                      c =>
+                        val bare = c.group(3).trim
+                          .replaceFirst(
+                            "(?is)^(?:date|timestamp)\\s+'", "'")
+                        val quoted = bare.startsWith("'") ||
+                          bare.startsWith("\"")
+                        val v0 = bare
+                          .stripPrefix("'").stripSuffix("'")
+                          .stripPrefix("\"").stripSuffix("\"")
+                        (c.group(1), c.group(2),
+                          if (quoted) v0
+                          else v0.replaceFirst(
+                            "^(-?\\d+)(?:[YSLysl]|[Bb][Dd])$", "$1")
+                            .replaceFirst(
+                              "^(-?\\d+\\.\\d+)[BbDdFf]*$", "$1")) })
+                if (sys.env.contains("GOLDEN_DUMP"))
+                  println(s"[droppart] lc=$lc conds=$conds")
+                if (conds.nonEmpty) addedParts.get(lc).foreach(set =>
+                  set.filterInPlace(kv => !conds.forall {
+                    case (n, op, v) => kv.exists { case (n2, v2) =>
+                      n2.equalsIgnoreCase(n) && (op match {
+                        case "=" => cmp(n, v2, v) == 0
+                        case "<>" | "!=" => cmp(n, v2, v) != 0
+                        case "<" => cmp(n, v2, v) < 0
+                        case "<=" => cmp(n, v2, v) <= 0
+                        case ">" => cmp(n, v2, v) > 0
+                        case ">=" => cmp(n, v2, v) >= 0
+                        case _ => false
+                      }) } }))
+              }
+          }
+        }
+      }
       if (ql.startsWith("describe") || ql.startsWith("desc ")) {
         describeLines(q) match {
           case Some(ls) => assertDescribe(ls)
           case None => describeFormattedExpect(q, b.query).foreach {
             case (cols, labels) => assertFormatted(cols, labels) }
         }
+      } else if (ql.startsWith("show partitions")) {
+        showPartitionsLines(q, b.query).foreach(assertShowPartitions)
       } else
       if (ql.startsWith("create table") ||
           ql.startsWith("create temporary table") ||
@@ -5549,6 +5868,29 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             col(n).cast(StringType) <=> v }.reduce(_ && _)
           rebuild(src, srcDf.filter(!org.apache.spark.sql.functions
             .coalesce(hit, org.apache.spark.sql.functions.lit(false))))
+          // metadata-only partitions move too
+          val eqs = parsePartSpec(spec).collect {
+            case (n, Some(v)) => n -> v }
+          addedParts.get(src.toLowerCase).foreach { set =>
+            val moving2 = set.filter(kv => eqs.forall { case (n, v) =>
+              kv.exists(p => p._1.equalsIgnoreCase(n) && p._2 == v) })
+            set --= moving2
+            if (moving2.nonEmpty)
+              addedParts.getOrElseUpdate(dst.toLowerCase,
+                scala.collection.mutable.LinkedHashSet.empty) ++= moving2
+          }
+          partSchemas.get(src.toLowerCase).foreach { pm =>
+            val pcs2 = tablePartCols.getOrElse(src.toLowerCase, Nil)
+            val idx = eqs.map { case (n, v) =>
+              pcs2.indexWhere(_.equalsIgnoreCase(n)) -> v }
+            val movingK = pm.keys.filter(k => idx.forall {
+              case (i, v) => i >= 0 && i < k.length && k(i) == v }).toSeq
+            movingK.foreach { k =>
+              partSchemas.getOrElseUpdate(dst.toLowerCase,
+                scala.collection.mutable.Map.empty)(k) = pm(k)
+              pm.remove(k)
+            }
+          }
         case alterAvroSchemaRe(t, schemaJson) =>
           // avro reader-schema swap: existing columns keep their values
           // (matched by name), fields new to the schema read their
@@ -5914,6 +6256,13 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             rawStore.remove(lc); partSchemas.remove(lc)
             binaryStored -= lc
             colComments.remove(lc)
+            // storage metadata dies with the table (a re-CREATE IF
+            // NOT EXISTS after a drop is a REAL create — drop_table2)
+            tableStorage.remove(lc); bucketMeta.remove(lc)
+            tableSkew.remove(lc); tableKind.remove(lc)
+            addedParts.remove(lc)
+            partStorage.filterInPlace((k, _) => k._1 != lc)
+            partBucketMeta.filterInPlace((k, _) => k._1 != lc)
             if (lc != "src_thrift") deserTables -= lc
             viewSeps.remove(lc); tablePartCols.remove(lc)
             locLedger.remove(lc); tableLoc.remove(lc)
@@ -5949,6 +6298,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             .startsWith("sethive.default.fileformat.managed="))
           defaultManagedFormat =
             flat.substring(flat.indexOf('=') + 1).toLowerCase
+        if (flat.toLowerCase.startsWith("sethive.decode.partition.name="))
+          decodePartName = flat.toLowerCase.endsWith("=true")
       } // explain blocks replay as no-ops
       }
       tailExec = sql => exec(sql, sql.trim.toLowerCase)
