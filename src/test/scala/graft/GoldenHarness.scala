@@ -131,8 +131,22 @@ object GoldenFixtures {
       read(scala.io.Codec.ISO8859) }
   }
 
-  def lines(file: String): Vector[String] =
-    readLines(s"/root/reference/data/files/$file")
+  def lines(file: String): Vector[String] = {
+    val ls = readLines(s"/root/reference/data/files/$file")
+    // escapetest.txt originally held one line per byte 0x00-0x7F (128
+    // — the escape1/escape2 goldens count and list them all); the
+    // vendored copy dropped a-z, whose dynamic-partition
+    // directories collide case-insensitively on some filesystems.
+    // Restore the 26 deterministic lines in ASCII position.
+    if (file == "escapetest.txt" && ls.size < 128 &&
+        !ls.exists(_ == "a")) {
+      val at = ls.indexWhere(_ == "`")
+      val lower = ('a' to 'z').map(_.toString)
+      if (at >= 0)
+        ls.take(at + 1) ++ lower ++ ls.drop(at + 1)
+      else ls ++ lower
+    } else ls
+  }
 
   /** ^A-delimited key,value (kv*.txt). -1 limit keeps empty fields:
     * kv3.txt has a bare "^A" line meaning (empty key, empty value). */

@@ -82,6 +82,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("graft.functions.DotProduct.dot"), p.take(2000))
   }
 
+  test("hive datetime arithmetic compiles into the stage (no fallback)") {
+    // the HiveCasts rewrites swap Spark's datetime ops for the
+    // hybrid-calendar expressions — they must stay codegen'd: the
+    // generated java calls the static helpers directly
+    Engine.tables(spark, sfDir)("orders")
+      .createOrReplaceTempView("pa_orders")
+    val q = spark.sql(
+      "select cast(o_orderdate as date) - date '1995-06-07' as dd, " +
+        "cast(o_orderdate as timestamp) + interval '2-2' year to month " +
+        "as ym from pa_orders limit 5")
+    val p = codegen(q)
+    assert(p.contains("graft.functions.HiveDateTimeMath.hiveDiffMicros"),
+      p.take(2000))
+    assert(p.contains("graft.functions.HiveDateTimeMath.tsAddMonths"),
+      p.take(2000))
+  }
+
   test("parquet reads are vectorized (Batched columnar scan)") {
     // Hive's opt-in VectorizedRowBatch path (SURVEY.md §2.1) is Spark's
     // default columnar reader — assert it stays on for the workhorse scan
