@@ -96,9 +96,31 @@ object GoldenDescribe {
         "([A-Za-z0-9_]+)").r
         .findAllMatchIn(src.mkString)
         .map(m => (m.group(1).toLowerCase, m.group(2)))
-        .toVector
+        .toVector ++ constNamed
     } finally src.close()
   }
+
+  /** Registrations whose NAME is a constant reference the literal
+    * parse can't see (FunctionRegistry.java:165-177,286-287,503-535):
+    * unary ops, lead/lag, the PTF resolvers, the mask family
+    * (GenericUDFMask.UDF_NAME etc.). */
+  private val constNamed: Vector[(String, String)] = Vector(
+    "positive" -> "GenericUDFOPPositive",
+    "negative" -> "GenericUDFOPNegative",
+    "lead" -> "GenericUDFLead",
+    "lag" -> "GenericUDFLag",
+    "noop" -> "NoopResolver",
+    "noopwithmap" -> "NoopWithMapResolver",
+    "noopstreaming" -> "NoopStreamingResolver",
+    "noopwithmapstreaming" -> "NoopWithMapStreamingResolver",
+    "windowingtablefunction" -> "WindowingTableFunctionResolver",
+    "matchpath" -> "MatchPathResolver",
+    "mask" -> "GenericUDFMask",
+    "mask_first_n" -> "GenericUDFMaskFirstN",
+    "mask_last_n" -> "GenericUDFMaskLastN",
+    "mask_show_first_n" -> "GenericUDFMaskShowFirstN",
+    "mask_show_last_n" -> "GenericUDFMaskShowLastN",
+    "mask_hash" -> "GenericUDFMaskHash")
 
   private lazy val byName: Map[String, String] = {
     // first registration wins (LinkedHashMap putIfAbsent-like: later
@@ -198,6 +220,31 @@ object GoldenDescribe {
 
   /** Replay DDLTask.describeFunction: None = don't assert (name not a
     * parsed builtin — temp functions, macros). */
+  /** Type-cast function names registered through serdeConstants
+    * constants (FunctionRegistry.java:388-404) — the registration
+    * regex below only sees string literals. All lack @Description:
+    * DESCRIBE prints the no-documentation line. */
+  private val typeCastFns: Map[String, String] = {
+    val udf = "org.apache.hadoop.hive.ql.udf."
+    Map(
+      "boolean" -> s"${udf}UDFToBoolean",
+      "tinyint" -> s"${udf}UDFToByte",
+      "smallint" -> s"${udf}UDFToShort",
+      "int" -> s"${udf}UDFToInteger",
+      "bigint" -> s"${udf}UDFToLong",
+      "float" -> s"${udf}UDFToFloat",
+      "double" -> s"${udf}UDFToDouble",
+      "string" -> s"${udf}UDFToString",
+      "date" -> s"${udf}generic.GenericUDFToDate",
+      "timestamp" -> s"${udf}generic.GenericUDFTimestamp",
+      "interval_year_month" -> s"${udf}generic.GenericUDFToIntervalYearMonth",
+      "interval_day_time" -> s"${udf}generic.GenericUDFToIntervalDayTime",
+      "binary" -> s"${udf}generic.GenericUDFToBinary",
+      "decimal" -> s"${udf}generic.GenericUDFToDecimal",
+      "varchar" -> s"${udf}generic.GenericUDFToVarchar",
+      "char" -> s"${udf}generic.GenericUDFToChar")
+  }
+
   def describeFunction(nameTyped: String, extended: Boolean)
       : Option[Seq[String]] = {
     // registry lookup is case-insensitive, but _FUNC_ substitution
@@ -210,9 +257,24 @@ object GoldenDescribe {
     val n = raw
       .stripPrefix("'").stripSuffix("'")
       .stripPrefix("\"").stripSuffix("\"")
+    typeCastFns.get(n.toLowerCase).foreach { fq =>
+      val out = Vector.newBuilder[String]
+      out += s"There is no documentation for function '$n'"
+      if (extended) {
+        out += s"Function class:$fq"
+        out += "Function type:BUILTIN"
+      }
+      return Some(out.result())
+    }
     byName.get(n.toLowerCase) match {
-      case None => None
-      case Some(cls) => classDocs.get(cls).map { case (fq, v, e) =>
+      case None =>
+        // registered names all come from the parsed registry (plus
+        // the constant-named entries above): anything else is Hive's
+        // does-not-exist line (udf_stddev_pop describes a typo name)
+        Some(Vector(s"Function '$n' does not exist."))
+      case Some(cls) => classDocs.get(cls).orElse(
+          // registered but undocumented (the Noop PTF resolvers)
+          Some((null, null, null))).map { case (fq, v, e) =>
         val out = Vector.newBuilder[String]
         if (v == null) {
           out += s"There is no documentation for function '$n'"
@@ -235,7 +297,7 @@ object GoldenDescribe {
               out ++= e.replace("_FUNC_", n).split("\n", -1)
           }
         }
-        if (extended) {
+        if (extended && fq != null) {
           out += s"Function class:$fq"
           out += "Function type:BUILTIN"
         }

@@ -3150,6 +3150,121 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     sb.toString
   }
 
+  /** User-set table properties (CREATE ... TBLPROPERTIES / ALTER SET
+    * TBLPROPERTIES / UNSET), keyed lc table -> (key -> value). */
+  private val tableProps = scala.collection.mutable
+    .Map[String, scala.collection.mutable.LinkedHashMap[String, String]]()
+  /** db that created the current flat binding (cross-db twins
+    * clobber; shows naming the OTHER db go no-assert). */
+  private val tablePropsOwner =
+    scala.collection.mutable.Map[String, String]()
+
+  private def trackTblProps(q: String, create: Boolean,
+      origQ: String = null): Unit = {
+    val nm =
+      if (create) ("(?is)create\\s+(?:or\\s+replace\\s+)?" +
+        "(?:temporary\\s+)?(?:external\\s+)?" +
+        "(?:table|(?:materialized\\s+)?view)\\s+" +
+        "(?:if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?").r
+        .findFirstMatchIn(q).map(_.group(1))
+      else ("(?is)alter\\s+(?:table|view)\\s+`?([\\w.]+)`?").r
+        .findFirstMatchIn(q).map(_.group(1))
+    val lc = nm.map(resolveLc).getOrElse(return)
+    if (create) {
+      tableProps.remove(lc)
+      // the rewrite strips KNOWN-db qualifiers — recover the creating
+      // db from the ORIGINAL text (CREATE TABLE vt.t from default)
+      val base = nm.get.split('.').last.toLowerCase
+      val origQual = Option(origQ).flatMap(o =>
+        ("(?is)create\\s+(?:or\\s+replace\\s+)?(?:temporary\\s+)?" +
+          "(?:external\\s+)?(?:table|(?:materialized\\s+)?view)\\s+" +
+          "(?:if\\s+not\\s+exists\\s+)?`?(\\w+)`?\\s*\\.\\s*`?" +
+          base + "`?").r.findFirstMatchIn(o).map(_.group(1).toLowerCase))
+      tablePropsOwner(lc) = nm.get.split('.') match {
+        case a if a.length > 1 => a.head.toLowerCase
+        case _ => origQual.getOrElse(dialect.currentDb.toLowerCase)
+      }
+    }
+    val unset = !create &&
+      q.toLowerCase.contains("unset tblproperties")
+    val bodyOpt = "(?is)tblproperties\\s*(?:if\\s+exists\\s*)?".r
+      .findFirstMatchIn(q)
+      .flatMap(m2 => balancedAfter(q, m2.end))
+    if (bodyOpt.isEmpty) return
+    val body = bodyOpt.get
+    val props = tableProps.getOrElseUpdate(lc,
+      scala.collection.mutable.LinkedHashMap.empty)
+    if (unset)
+      "['\"]([^'\"]+)['\"]".r.findAllMatchIn(body)
+        .foreach(m2 => props.remove(m2.group(1)))
+    else
+      ("['\"]([^'\"]+)['\"]\\s*=\\s*['\"]([^'\"]*)['\"]").r
+        .findAllMatchIn(body)
+        .foreach(m2 => props(m2.group(1)) = m2.group(2))
+  }
+
+  /** `SHOW TBLPROPERTIES t [("key")]` lines. None = out of scope. */
+  private def showTblPropsLines(q0: String,
+      origQ: String = null): Option[Seq[String]] = {
+    val m = ("(?is)^show\\s+tblproperties\\s+`?([\\w.]+)`?" +
+      "(?:\\s*\\(\\s*['\"]([^'\"]+)['\"]\\s*\\))?\\s*$").r
+      .findFirstMatchIn(q0.trim.stripSuffix(";").trim)
+      .getOrElse(return None)
+    if (jsonDdlOut) return None
+    val t = m.group(1)
+    val lc = resolveLc(t)
+    if (!isTempView(lc)) return None
+    val askedDb = (if (t.contains(".")) Some(t.split('.').head)
+      else Option(origQ).flatMap(o =>
+        "(?is)show\\s+tblproperties\\s+`?(\\w+)`?\\s*\\.".r
+          .findFirstMatchIn(o).map(_.group(1))))
+      .map(_.toLowerCase)
+      .getOrElse(dialect.currentDb.toLowerCase)
+    if (tablePropsOwner.get(lc).exists(_ != askedDb)) return None
+    val db = askedDb
+    val props = tableProps.getOrElse(lc,
+      scala.collection.mutable.LinkedHashMap.empty[String, String])
+    Option(m.group(2)) match {
+      case Some(k) =>
+        Some(Seq(props.get(k) match {
+          case Some(v) => v
+          case None =>
+            s"Table $db.${t.split('.').last} does not have property: $k"
+        }))
+      case None =>
+        // the full listing carries engine-managed entries
+        // (transient_lastDdlTime, numFiles...) the assert-side also
+        // skips — emit only the USER properties, compare filtered
+        Some(props.map { case (k, v) => s"$k\t$v" }.toSeq)
+    }
+  }
+
+  /** `SHOW COLUMNS from|in t [db]` lines (%-20s padded names). */
+  private def showColumnsLines(q0: String): Option[Seq[String]] = {
+    val m = ("(?is)^show\\s+columns\\s+(?:from|in)\\s+" +
+      "`?([\\w.]+)`?(?:\\s+(?:from|in)\\s+`?(\\w+)`?)?\\s*$").r
+      .findFirstMatchIn(q0.trim.stripSuffix(";").trim)
+      .getOrElse(return None)
+    if (jsonDdlOut) return None
+    val base = m.group(1).split('.').last
+    val db = Option(m.group(2)).map(_.toLowerCase)
+      .orElse(if (m.group(1).contains("."))
+        Some(m.group(1).split('.').head.toLowerCase) else None)
+    val table = db match {
+      case Some(d) if isTempView(s"${d}__$base") => s"${d}__$base"
+      case _ =>
+        val cur = dialect.currentDb.toLowerCase
+        if (cur != "default" && isTempView(s"${cur}__$base"))
+          s"${cur}__$base"
+        else if (isTempView(base)) base
+        else return None
+    }
+    val schema = scala.util.Try(spark.table(table).schema)
+      .getOrElse(return None)
+    Some(schema.fields.toSeq.map(f =>
+      GoldenDescribe.pad(f.name.toLowerCase)))
+  }
+
   /** Expected lines of `SHOW PARTITIONS <table> [partition(spec)]`:
     * one `p1=v1/p2=v2` name per live partition (current rows' distinct
     * partition tuples plus metadata-only ADD PARTITION specs), sorted
@@ -3384,6 +3499,9 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       val ext2 = extended ||
         rl.matches("(?s)function\\s+extended\\s+.*")
       val fname = rest.split("\\s+").last
+      if (userFns.contains(fname.toLowerCase) ||
+          userFns.contains(fname.split('.').last.toLowerCase) ||
+          fname.contains(".")) return None
       return describeFunction(fname, ext2).map(Seq(_))
     }
     if (rl.startsWith("database") || rl.startsWith("schema")) return None
@@ -3949,7 +4067,14 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     else spark.udf.register(fname, (_: String) => "Unvectorized")
   }
 
+  /** Session-created function names (CREATE [TEMPORARY] FUNCTION):
+    * their DESCRIBE FUNCTION output carries db-qualified synonyms and
+    * TEMPORARY/PERSISTENT type tails this replay doesn't model —
+    * those describes stay no-asserts. */
+  private val userFns = scala.collection.mutable.Set[String]()
+
   private def registerQtestUdf(fname: String, cls: String): Unit = {
+    userFns += fname.toLowerCase
     import org.apache.spark.sql.catalyst.expressions._
     val reg = spark.sessionState.functionRegistry
     def expr(b: Seq[Expression] => Expression): Unit =
@@ -5281,6 +5406,41 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         }
         asserted += 1
       }
+      /** Generic SHOW <lines> compare (sorted multiset);
+        * filterManaged drops the engine-managed property lines both
+        * sides (transient_lastDdlTime etc.). */
+      def assertShowLines(lines: Seq[String],
+          filterManaged: Boolean = false): Unit = {
+        def managed(l: String): Boolean =
+          l.startsWith("transient_lastDdlTime") ||
+            l.startsWith("last_modified_") ||
+            l.startsWith("numFiles") || l.startsWith("numRows") ||
+            l.startsWith("rawDataSize") || l.startsWith("totalSize") ||
+            l.startsWith("numPartitions") ||
+            l.startsWith("COLUMN_STATS_ACCURATE") ||
+            l.startsWith("comment\t")
+        val want0 = b.rows.filterNot(isHashLine)
+          .filterNot(l => leakedLines.contains(l.trim))
+          .filterNot(_.startsWith("#### A masked"))
+        if (want0.isEmpty && b.maskedRows) return
+        val want = if (filterManaged) want0.filterNot(managed) else want0
+        def unpad(l: String): String = {
+          val fs = l.split("\t", -1).map(_.replaceAll("\\s+$", ""))
+          fs.reverse.dropWhile(_.isEmpty).reverse.mkString("\t")
+        }
+        if (lines.map(unpad).sorted != want.map(unpad).sorted) {
+          val d = lines.map(unpad).sorted
+            .zipAll(want.map(unpad).sorted, "<none>", "<none>")
+            .find(p => p._1 != p._2)
+          throw new GoldenMismatch(
+            s"show mismatch in $file for: " +
+              b.query.linesIterator.mkString(" ").take(120) + "\n" +
+              s"got  |${d.map(_._1).getOrElse("")}|\n" +
+              s"want |${d.map(_._2).getOrElse("")}|")
+        }
+        asserted += 1
+      }
+
       /** SHOW PARTITIONS: exact sorted name-list compare. */
       def assertShowPartitions(lines: Seq[String]): Unit = {
         val want = b.rows.filterNot(isHashLine)
@@ -5404,6 +5564,16 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       if (ql.startsWith("alter table")) {
         trackAlterComments(q); trackAlterStorage(q)
       }
+      if ((ql.startsWith("alter table") || ql.startsWith("alter view"))
+          && ql.contains("tblproperties"))
+        trackTblProps(q, create = false)
+      if (ql.startsWith("create table") || ql.startsWith("create view") ||
+          ql.startsWith("create or replace view") ||
+          ql.startsWith("create external table") ||
+          ql.startsWith("create temporary table") ||
+          ql.startsWith("create temporary external table") ||
+          ql.startsWith("create materialized view"))
+        trackTblProps(q, create = true, origQ = b.query)
       if (ql.startsWith("alter table") || ql.startsWith("alter view")) {
         // PARTITION ... RENAME TO PARTITION: metadata-only entries
         // rename too (quotedid_alter)
@@ -5539,6 +5709,11 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         }
       } else if (ql.startsWith("show partitions")) {
         showPartitionsLines(q, b.query).foreach(assertShowPartitions)
+      } else if (ql.startsWith("show columns")) {
+        showColumnsLines(q).foreach(ls => assertShowLines(ls))
+      } else if (ql.startsWith("show tblproperties")) {
+        showTblPropsLines(q, b.query).foreach(ls =>
+          assertShowLines(ls, filterManaged = true))
       } else
       if (ql.startsWith("create table") ||
           ql.startsWith("create temporary table") ||
