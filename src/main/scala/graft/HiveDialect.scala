@@ -733,8 +733,12 @@ class HiveDialect(val spark: SparkSession) {
     case _ if sel.toLowerCase.matches("(?s)\\s*(?:select|values).*") =>
       // an INSERT body reaches here WITHOUT the top-level rewrite
       // chain — a SELECT TRANSFORM inside it still needs the script-IO
-      // contract (binary_output_format: last-column-takes-rest)
-      if (sel.toLowerCase.contains("transform")) fixTransformIo(sel)
+      // contract (binary_output_format: last-column-takes-rest).
+      // Word-boundary TRANSFORM( only: an alias like transform_ratio
+      // or a string literal must not trip the IO rewrite (which also
+      // strips hints and row-format clauses)
+      if ("(?is)\\btransform\\s*\\(".r.findFirstIn(sel).isDefined)
+        fixTransformIo(sel)
       else sel
     case mrRe(exprs, rest) =>
       fixTransformIo(s"SELECT TRANSFORM($exprs) $rest")

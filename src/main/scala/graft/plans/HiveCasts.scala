@@ -53,18 +53,57 @@ object HiveCasts extends Rule[LogicalPlan] {
     org.apache.spark.sql.internal.SQLConf.get
       .getConfString("graft.hive.strictStringDates", "false") == "true"
 
+  /** decimal→string normalization (HiveDecimal.toString trims trailing
+    * zeros); a session conf opts back into Spark's scale-preserving
+    * rendering, consistent with the other divergence rules here. */
+  private def hiveDecimalText: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("graft.hive.decimalText", "true") == "true"
+
   /** `yyyy-M-d` text parsed with Hive's lenient calendar (out-of-range
     * month/day ROLL forward, java.sql.Date.valueOf semantics). None
-    * when the text isn't date-shaped (cast stays as written). */
+    * when the text isn't date-shaped (cast stays as written) —
+    * ANCHORED: trailing/leading garbage ('x2001-01-01',
+    * '2001-01-01 junk') throws in java.sql.Date.valueOf → stays with
+    * Spark's strict cast (NULL), it must not substring-match here. */
   private[graft] def lenientDateRoll(s: String)
       : Option[java.time.LocalDate] = {
-    val m = "\\s*(\\d{1,4})-(\\d{1,2})-(\\d{1,2})\\s*".r
+    val m = "^\\s*(\\d{1,4})-(\\d{1,2})-(\\d{1,2})\\s*$".r
       .findFirstMatchIn(s)
     m.flatMap { g =>
       scala.util.Try(
         java.time.LocalDate.of(g.group(1).toInt, 1, 1)
           .plusMonths(g.group(2).toLong - 1)
           .plusDays(g.group(3).toLong - 1)).toOption
+    }
+  }
+
+  /** The reference's string→date conversion, whole
+    * (PrimitiveObjectInspectorUtils.getDate:1059-1081): try
+    * java.sql.Date.valueOf (anchored `y-m-d`, out-of-range fields
+    * ROLL), else getTimestampFromString (no space → append
+    * " 00:00:00"; Timestamp.valueOf shape, whose deprecated
+    * constructor also rolls), else NULL. Notably NULLs
+    * '2001-01-01 junk' where Spark's cast accepts a trailing
+    * segment after the space. */
+  private[graft] def refDateParse(s0: String)
+      : Option[java.time.LocalDate] = {
+    val s = s0.trim
+    lenientDateRoll(s).orElse {
+      val t = if (!s.contains(' ')) s + " 00:00:00" else s
+      ("^(\\d{1,4})-(\\d{1,2})-(\\d{1,2}) " +
+        "(\\d{1,2}):(\\d{1,2}):(\\d{1,2})(\\.\\d{1,9})?$").r
+        .findFirstMatchIn(t).flatMap { g =>
+          scala.util.Try(
+            java.time.LocalDateTime
+              .of(g.group(1).toInt, 1, 1, 0, 0, 0)
+              .plusMonths(g.group(2).toLong - 1)
+              .plusDays(g.group(3).toLong - 1)
+              .plusHours(g.group(4).toLong)
+              .plusMinutes(g.group(5).toLong)
+              .plusSeconds(g.group(6).toLong)
+              .toLocalDate).toOption
+        }
     }
   }
 
@@ -122,12 +161,19 @@ object HiveCasts extends Rule[LogicalPlan] {
       case Cast(Literal(s: org.apache.spark.unsafe.types.UTF8String,
             StringType), DateType, _, _)
           if s != null && !strictStringDates &&
-            lenientDateRoll(s.toString).isDefined =>
-        // Hive parses date STRINGS leniently (java.sql.Date.valueOf
-        // rolls '1970-02-29' to 1970-03-01); Spark's strict cast nulls
-        // them. Literal-only: folded at analysis, nothing at runtime.
-        Literal(lenientDateRoll(s.toString).get.toEpochDay.toInt,
-          DateType)
+            refDateParse(s.toString).map(_.toEpochDay.toInt) !=
+              org.apache.spark.sql.catalyst.util.DateTimeUtils
+                .stringToDate(s) =>
+        // Hive parses date STRINGS through getDate (lenient roll:
+        // '1970-02-29' → 1970-03-01, which Spark NULLs) but REJECTS a
+        // trailing non-time segment ('2001-01-01 junk' → NULL, which
+        // Spark accepts). Fold the reference value wherever the two
+        // disagree. Literal-only: folded at analysis, nothing at
+        // runtime.
+        refDateParse(s.toString) match {
+          case Some(d) => Literal(d.toEpochDay.toInt, DateType)
+          case None => Literal.create(null, DateType)
+        }
       case c @ Cast(Literal(s: org.apache.spark.unsafe.types.UTF8String,
             StringType), TimestampType, tz, _)
           if s != null && !strictStringDates && s.toString.matches(
@@ -222,7 +268,8 @@ object HiveCasts extends Rule[LogicalPlan] {
       case Cast(child, StringType, _, _)
           if child.resolved &&
             child.dataType.isInstanceOf[DecimalType] &&
-            child.dataType.asInstanceOf[DecimalType].scale > 0 =>
+            child.dataType.asInstanceOf[DecimalType].scale > 0 &&
+            hiveDecimalText =>
         org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
           graft.functions.HiveDecimalText.getClass,
           StringType, "decimalString", Seq(child),

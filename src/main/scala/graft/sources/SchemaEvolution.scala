@@ -44,21 +44,37 @@ object SchemaEvolution {
       case (MapType(fk, fv, _), MapType(tk, tv, _)) if fk == tk =>
         transform_values(c, (_, v) => convertStored(v, fv, tv))
       case (MapType(fk, fv, _), MapType(tk, tv, _)) =>
-        map_from_arrays(
-          transform(map_keys(c), k => convertStored(k, fk, tk)),
-          transform(map_values(c), v => convertStored(v, fv, tv)))
+        // key-type conversion can null a key or collide two ('1' and
+        // '01' → int 1); Hive's lazy read path drops null keys and
+        // keeps the LAST occurrence — Spark's map builders throw, so
+        // pre-clean the entry array
+        map_from_entries(dedupEntries(
+          transform(map_entries(c), e => struct(
+            convertStored(e.getField("key"), fk, tk).as("key"),
+            convertStored(e.getField("value"), fv, tv).as("value")))))
       case (ArrayType(fs: StructType, _), MapType(tk, tv, _))
           if fs.fields.length >= 2 =>
-        map_from_entries(transform(c, s => struct(
+        map_from_entries(dedupEntries(transform(c, s => struct(
           convertStored(s.getField(fs.fields(0).name),
             fs.fields(0).dataType, tk).as("key"),
           convertStored(s.getField(fs.fields(1).name),
-            fs.fields(1).dataType, tv).as("value"))))
+            fs.fields(1).dataType, tv).as("value")))))
       case (f, t) =>
         if (org.apache.spark.sql.catalyst.expressions.Cast.canCast(f, t))
           c.cast(t)
         else c.cast(StringType).cast(t)
     }
+
+  /** Drop null-keyed entries and keep the LAST occurrence of each key
+    * from an array<struct<key,value>> — the map contract Hive's lazy
+    * readers apply where Spark's map builders throw. O(n²) per map,
+    * fine for row-sized maps. */
+  private def dedupEntries(ents: Column): Column = {
+    val nn = filter(ents, e => e.getField("key").isNotNull)
+    filter(nn, (e, i) =>
+      !exists(slice(nn, i + lit(2), size(nn) - i - lit(1)),
+        x => x.getField("key") <=> e.getField("key")))
+  }
 
   /** Project `df` onto a new DATA schema with top-level columns
     * mapping by POSITION (Hive's REPLACE COLUMNS contract: data
@@ -85,9 +101,17 @@ object SchemaEvolution {
       partCols: Seq[String]): DataFrame = {
     val dataCols = df.schema.fields.filterNot(f =>
       partCols.exists(_.equalsIgnoreCase(f.name)))
+    // a stored column name-matched by ANY target field is spoken for —
+    // the positional fallback must not hand it to a second target
+    // (that would duplicate data where Hive reads null)
+    val nameMatched = newData.fields.flatMap(f =>
+      dataCols.find(_.name.equalsIgnoreCase(f.name)))
+      .map(_.name.toLowerCase).toSet
     val sel = newData.fields.zipWithIndex.map { case (f, i) =>
       val src = dataCols.find(_.name.equalsIgnoreCase(f.name))
-        .orElse(if (i < dataCols.length) Some(dataCols(i)) else None)
+        .orElse(if (i < dataCols.length &&
+            !nameMatched.contains(dataCols(i).name.toLowerCase))
+          Some(dataCols(i)) else None)
       src match {
         case Some(sf) =>
           convertStored(col(sf.name), sf.dataType, f.dataType).as(f.name)

@@ -48,6 +48,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning"), p.take(900))
   }
 
+  test("q_ddl_evolve: ALTER schema evolution is lazy — no checkpoint " +
+      "materialization, the parquet scan survives the rebind") {
+    // Hive performs ADD/REPLACE/CHANGE COLUMNS as a metastore-only
+    // edit with scan-time conversion; materializing the table (a
+    // LogicalRDD from localCheckpoint) would copy 100 TB to add a
+    // column. The evolved plan must still be a projection over the
+    // original file scan.
+    val p = plan("q_ddl_evolve")
+    assert(!p.contains("ExistingRDD") && !p.contains("LogicalRDD"),
+      p.take(900))
+    assert(p.contains("Scan parquet") || p.contains("FileScan"),
+      p.take(900))
+  }
+
   test("scans prune columns: q1 reads only the 6 needed lineitem columns") {
     val p = plan("q1_agg")
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

@@ -81,4 +81,15 @@ class HiveDateTimeMathSpec extends SparkSpec {
       "(cast(null as boolean) >= 1) as c")
     assert(r.getBoolean(0) && !r.getBoolean(1) && r.isNullAt(2))
   }
+
+  test("lenient date roll is ANCHORED: trailing/leading garbage is NULL") {
+    // java.sql.Date.valueOf ROLLS '1970-02-29' → 1970-03-01, but
+    // THROWS on 'x2001-01-01' / '2001-01-01 junk' — those must not
+    // substring-match the roll rule (they'd fold to a valid date)
+    val r = one("select cast('1970-02-29' as date) as roll, " +
+      "cast('x2001-01-01' as date) as pre, " +
+      "cast('2001-01-01 junk' as date) as post")
+    assert(r.getDate(0).toString == "1970-03-01")
+    assert(r.isNullAt(1) && r.isNullAt(2))
+  }
 }

@@ -72,6 +72,55 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(spark.table("se_asm").head().getMap[Long, Int](0)(77L) === 88)
   }
 
+  test("map KEY-type conversion drops null keys and keeps the last " +
+      "occurrence of colliding keys (Hive lazy-reader contract)") {
+    val schema = StructType(Seq(
+      StructField("m", MapType(StringType, IntegerType))))
+    spark.createDataFrame(
+      java.util.List.of(
+        Row(Map("1" -> 10, "01" -> 20, "x" -> 30, "2" -> 40))),
+      schema).createOrReplaceTempView("se_mapkeys")
+    stmts.sql("ALTER TABLE se_mapkeys REPLACE COLUMNS (m map<int,int>)")
+    val m = spark.table("se_mapkeys").head().getMap[Int, Int](0)
+    // '1' and '01' both cast to 1 — last occurrence wins; 'x' casts to
+    // a null key and drops (Spark's map builders would throw on both)
+    assert(m === Map(1 -> 20, 2 -> 40))
+  }
+
+  test("evolveByName: a name-matched stored column is excluded from " +
+      "the positional fallback (no duplicated data)") {
+    import spark.implicits._
+    // target (b, a): 'a' name-matches stored a; target 'b' has no name
+    // match and would positionally land on stored position 0 = a —
+    // but a is spoken for, so b reads null
+    val df = Seq((7, "s")).toDF("a", "extra")
+    val out = SchemaEvolution.evolveByName(df,
+      StructType(Seq(StructField("b", IntegerType),
+        StructField("a", IntegerType))), Nil)
+    val r = out.head()
+    assert(r.isNullAt(0) && r.getInt(1) === 7)
+  }
+
+  test("ADD COLUMNS parses a column COMMENT containing parens/cascade text") {
+    import spark.implicits._
+    Seq((1, "x")).toDF("k", "v").createOrReplaceTempView("se_cmt")
+    stmts.sql("ALTER TABLE se_cmt ADD COLUMNS (" +
+      "w double COMMENT 'ratio (a) over (b)', z int) CASCADE")
+    assert(spark.table("se_cmt").columns.toSeq ===
+      Seq("k", "v", "w", "z"))
+  }
+
+  test("schema evolution re-binds lazily: no checkpoint materialization") {
+    import spark.implicits._
+    Seq((1, 2.0)).toDF("k", "v").createOrReplaceTempView("se_lazy")
+    stmts.sql("ALTER TABLE se_lazy ADD COLUMNS (w int)")
+    stmts.sql("ALTER TABLE se_lazy REPLACE COLUMNS (k bigint, v double, w int)")
+    val p = spark.table("se_lazy").queryExecution.analyzed.toString
+    // a localCheckpoint would appear as LogicalRDD; the lazy rebind
+    // keeps the original LocalRelation under projections
+    assert(!p.contains("LogicalRDD"), p)
+  }
+
   test("ADD COLUMNS appends null columns without touching stored data") {
     import spark.implicits._
     Seq((1, "x")).toDF("k", "v").createOrReplaceTempView("se_add")
