@@ -38,16 +38,41 @@ class HiveStatements(val spark: SparkSession) {
     * bindings may attach fixture hooks. */
   val dialect: HiveDialect = new HiveDialect(spark)
 
-  /** Run one HiveQL statement end-to-end: dialect-rewrite the text
-    * ([[HiveDialect.rewrite]]), dispatch dialect statements
-    * (UPDATE/DELETE/MERGE/LOAD/EXPORT/IMPORT/INSERT variants), and run
-    * anything else as a Spark query. Analyzer rejections retry through
-    * the dialect's error-driven rewrites — Hive coercions Spark
-    * refuses (timestamp-vs-number compares, DISTINCT window
-    * aggregates, interval sugar, char overflow). Returns the query
-    * result, or None for statements. */
+  /** The session's Hive metadata layer (storage descriptors, table
+    * properties, column comments, partition lifecycle) feeding the
+    * DESCRIBE/SHOW read surface. Bindings with fixture knowledge
+    * override the factory. */
+  protected def newMetaStore: graft.meta.HiveMetaStore =
+    new graft.meta.HiveMetaStore(spark, () => dialect.currentDb)
+  lazy val meta: graft.meta.HiveMetaStore = newMetaStore
+
+  /** Whether [[sql]] itself observes DDL statements into [[meta]].
+    * The golden-replay harness drives the store from its own replay
+    * loop (with fixture-aware sequencing) and turns this off. */
+  protected def autoObserveMeta: Boolean = true
+
+  /** Whether [[sql]] serves DESCRIBE/SHOW from [[meta]] — the
+    * harness asserts those statements itself and turns this off. */
+  protected def serveMetaReads: Boolean = true
+
+  /** Run one HiveQL statement end-to-end: serve metadata reads
+    * (DESCRIBE/SHOW) from [[meta]] in Hive's exact layout,
+    * dialect-rewrite the text ([[HiveDialect.rewrite]]), dispatch
+    * dialect statements (UPDATE/DELETE/MERGE/LOAD/EXPORT/IMPORT/
+    * INSERT variants), and run anything else as a Spark query.
+    * Analyzer rejections retry through the dialect's error-driven
+    * rewrites — Hive coercions Spark refuses (timestamp-vs-number
+    * compares, DISTINCT window aggregates, interval sugar, char
+    * overflow). Returns the query result, or None for statements. */
   def sql(text: String): Option[DataFrame] = {
-    val q = dialect.rewrite(text.trim.stripSuffix(";"))
+    val raw = text.trim.stripSuffix(";")
+    if (serveMetaReads) metaQuery(raw) match {
+      case Some(df) => return Some(df)
+      case None =>
+    }
+    if (autoObserveMeta) observeMeta(raw)
+    val q = dialect.rewrite(
+      if (autoObserveMeta) hiveCreateRewrite(raw) else raw)
     if (execute(q)) None
     else try Some(spark.sql(q)) catch {
       case e: org.apache.spark.sql.AnalysisException =>
@@ -61,6 +86,291 @@ class HiveStatements(val spark: SparkSession) {
   }
 
   // ---------------------------------------------------------------
+  // metadata read surface (DESCRIBE / SHOW — Hive-exact layout from
+  // the session's HiveMetaStore; ref ql/exec/DDLTask.java +
+  // MetaDataFormatUtils)
+  // ---------------------------------------------------------------
+
+  private def metaRow3(line: String): Row = {
+    val cells = line.split("\t", -1).padTo(3, "")
+    Row(cells(0), cells(1), cells(2))
+  }
+
+  private def linesDf(lines: Seq[String]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("col_name", StringType),
+      StructField("data_type", StringType),
+      StructField("comment", StringType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(lines.map(metaRow3): _*), schema)
+  }
+
+  private def oneColDf(name: String, lines: Seq[String]): DataFrame = {
+    val schema = StructType(Seq(StructField(name, StringType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(lines.map(Row(_)): _*), schema)
+  }
+
+  /** Resolve a possibly db-qualified table name to the session
+    * binding + the database label DESCRIBE renders. */
+  protected def resolveMetaTable(t0: String): Option[(String, String)] = {
+    val base = t0.split('.').last
+    val db =
+      if (t0.contains(".")) t0.split('.').head.toLowerCase
+      else meta.dbOwner.getOrElse(base.toLowerCase,
+        dialect.currentDb.toLowerCase)
+    val bound = meta.resolveLc(t0)
+    if (scala.util.Try(spark.table(bound)).isSuccess) Some((bound, db))
+    else if (scala.util.Try(spark.table(base)).isSuccess)
+      Some((base, db))
+    else None
+  }
+
+  /** Serve DESCRIBE [EXTENDED|FORMATTED] table/function and SHOW
+    * PARTITIONS/COLUMNS/TBLPROPERTIES from the metadata layer in
+    * Hive's exact output layout. None → not a metadata read (or an
+    * unmodeled form) — the statement falls through to Spark. */
+  def metaQuery(q0: String): Option[DataFrame] = {
+    val q = q0.trim.stripSuffix(";").trim
+    val ql = q.toLowerCase
+
+    // DESCRIBE FUNCTION [EXTENDED] name
+    val fnRe = "(?is)^desc(?:ribe)?\\s+function\\s+(extended\\s+)?(.+)$".r
+    fnRe.findFirstMatchIn(q).foreach { m =>
+      val lines = graft.meta.FunctionDocs.render(
+        m.group(2).trim, m.group(1) != null,
+        graft.meta.FunctionDocs.sparkLookup(spark))
+      return Some(oneColDf("tab_name", lines))
+    }
+
+    // SHOW PARTITIONS t [partition(spec)]
+    val spRe = ("(?is)^show\\s+partitions\\s+`?([\\w.]+)`?" +
+      "(?:\\s+partition\\s*\\(([^)]*)\\))?$").r
+    spRe.findFirstMatchIn(q).foreach { m =>
+      val (table, _) = resolveMetaTable(m.group(1)).getOrElse(return None)
+      val lc = table.toLowerCase
+      val pcs = meta.tablePartCols.getOrElse(lc, Nil)
+      if (pcs.isEmpty) return None
+      val filter: Seq[(Int, String)] = Option(m.group(2)).toSeq
+        .flatMap(s => parsePartSpec(s)).collect { case (n, Some(v)) =>
+          pcs.indexWhere(_.equalsIgnoreCase(n)) -> v }
+      val isView = meta.tableKind.get(lc).exists(_.endsWith("_VIEW"))
+      return meta.showPartitionNames(table, lc, pcs, filter, isView)
+        .map(oneColDf("partition", _))
+    }
+
+    // SHOW COLUMNS from|in t [from|in db]
+    val scRe = ("(?is)^show\\s+columns\\s+(?:from|in)\\s+" +
+      "`?([\\w.]+)`?(?:\\s+(?:from|in)\\s+`?(\\w+)`?)?$").r
+    scRe.findFirstMatchIn(q).foreach { m =>
+      val (table, _) = resolveMetaTable(m.group(1)).getOrElse(return None)
+      return Some(oneColDf("field",
+        meta.showColumnsLines(spark.table(table).schema)))
+    }
+
+    // SHOW TBLPROPERTIES t [("key")]
+    val stRe = ("(?is)^show\\s+tblproperties\\s+`?([\\w.]+)`?" +
+      "(?:\\s*\\(\\s*['\"]([^'\"]+)['\"]\\s*\\))?$").r
+    stRe.findFirstMatchIn(q).foreach { m =>
+      val (table, db) = resolveMetaTable(m.group(1)).getOrElse(return None)
+      val lines = meta.showTblPropsLines(table.toLowerCase, db,
+        m.group(1).split('.').last, Option(m.group(2)))
+      return Some(Option(m.group(2)) match {
+        case Some(_) => oneColDf("prpt_value", lines)
+        case None =>
+          val schema = StructType(Seq(StructField("prpt_name", StringType),
+            StructField("prpt_value", StringType)))
+          spark.createDataFrame(java.util.Arrays.asList(lines.map { l =>
+            val kv = l.split("\t", 2).padTo(2, "")
+            Row(kv(0), kv(1))
+          }: _*), schema)
+      })
+    }
+
+    // DESCRIBE [EXTENDED|FORMATTED] table [PARTITION(...)]
+    val dRe = "(?is)^desc(?:ribe)?\\s+(extended\\s+|formatted\\s+)?(.+)$".r
+    dRe.findFirstMatchIn(q).foreach { m =>
+      val mode = Option(m.group(1)).map(_.trim.toLowerCase).getOrElse("")
+      var rest = m.group(2).trim
+      val rl = rest.toLowerCase
+      if (rl.startsWith("database") || rl.startsWith("schema") ||
+          rl.startsWith("pretty")) return None
+      val partSpec = "(?is)\\bpartition\\s*\\(([^)]*)\\)".r
+        .findFirstMatchIn(rest).map(_.group(1))
+      rest = "(?is)\\bpartition\\s*\\([^)]*\\)".r
+        .replaceAllIn(rest, " ").trim
+      val toks = rest.split("\\s+").toVector
+        .map(_.replace("`", "")).filter(_.nonEmpty)
+      if (toks.size != 1) return None // column-level: Spark handles
+      val (table, db) = resolveMetaTable(toks.head).getOrElse(return None)
+      val lc = table.toLowerCase
+      val schema = scala.util.Try(spark.table(table).schema)
+        .getOrElse(return None)
+      val pcs = meta.tablePartCols.getOrElse(lc, Nil).map(_.toLowerCase)
+      val partKey: Option[Seq[String]] = partSpec.flatMap(s =>
+        meta.matchingPartKeys(lc, s).headOption)
+      if (partSpec.isDefined && partKey.isEmpty) return None
+      val partFieldsAll = schema.fields.toSeq
+        .filter(f => pcs.contains(f.name.toLowerCase))
+      val dataFields = partKey
+        .flatMap(k => meta.partSchemas.get(lc).flatMap(_.get(k)))
+        .map(_.fields.toSeq)
+        .getOrElse(schema.fields.toSeq
+          .filterNot(f => pcs.contains(f.name.toLowerCase)))
+      if (mode == "formatted") {
+        val partVals = partSpec.toSeq.flatMap(s =>
+          parsePartSpec(s).collect { case (_, Some(v)) => v })
+        val (cols, labels) = meta.describeFormattedCore(lc, db,
+          dataFields, partFieldsAll, partKey, partVals)
+        // Hive's label order (MetaDataFormatUtils.getTableInformation)
+        val order = Seq("Database:", "Table:", "Partition Value:",
+          "Table Type:", "Retention:")
+        val storage = Seq("SerDe Library:", "InputFormat:",
+          "OutputFormat:", "Compressed:", "Num Buckets:",
+          "Bucket Columns:", "Sort Columns:", "Skewed Columns:",
+          "Skewed Values:", "Stored As SubDirectories:")
+        val detail =
+          Seq("", "# Detailed Table Information\t\t") ++
+            order.collect { case k if labels.contains(k) =>
+              s"$k\t${labels(k)}\t" } ++
+          Seq("", "# Storage Information\t\t") ++
+            storage.collect { case k if labels.contains(k) =>
+              s"$k\t${labels(k)}\t" }
+        return Some(linesDf(cols ++ detail))
+      }
+      // plain / EXTENDED describe: column block (+ partition block)
+      import graft.meta.MetaRender._
+      val cols = dataFields.flatMap(f =>
+        colLines(f.name.toLowerCase, hiveTypeName(f.dataType),
+          meta.commentOf(lc, f.name))) ++
+        partFieldsAll.flatMap(f =>
+          colLines(f.name.toLowerCase, hiveTypeName(f.dataType),
+            meta.commentOf(lc, f.name, isPartCol = true)))
+      val partBlock =
+        if (partFieldsAll.isEmpty || !meta.displayPartColsSep) Vector.empty
+        else Vector(sepLine) ++ partInfoHeader ++
+          partFieldsAll.flatMap(f =>
+            colLines(f.name.toLowerCase, hiveTypeName(f.dataType),
+              meta.commentOf(lc, f.name, isPartCol = true)))
+      return Some(linesDf(cols ++ partBlock))
+    }
+    None
+  }
+
+  /** Observe one statement's metadata effects into [[meta]] — the
+    * engine-side equivalent of Hive's metastore writes riding every
+    * DDL (the golden harness drives these from its replay loop
+    * instead; see [[autoObserveMeta]]). */
+  protected def observeMeta(q: String): Unit = {
+    val ql = q.trim.toLowerCase
+    if (ql.startsWith("create")) {
+      val isView = ql.matches(
+        "(?s)create\\s+(?:or\\s+replace\\s+)?(?:materialized\\s+)?view\\b.*")
+      val isTable = ql.matches(
+        "(?s)create\\s+(?:or\\s+replace\\s+)?(?:temporary\\s+)?" +
+          "(?:external\\s+)?table\\b.*")
+      if (isView || isTable) {
+        meta.recordStorageMeta(q, view = isView)
+        meta.trackTblProps(q, create = true, q)
+        if (isTable) observeCreateCols(q)
+      }
+    } else if (ql.startsWith("alter")) {
+      meta.trackAlterComments(q)
+      meta.trackAlterStorage(q)
+      meta.trackTblProps(q, create = false)
+      meta.recordAddedPartitions(q)
+      q match {
+        case renameRe(from, to) =>
+          meta.renameTable(from.split('.').last.toLowerCase,
+            to.split('.').last.toLowerCase)
+        case _ =>
+      }
+    } else if (ql.startsWith("drop table") || ql.startsWith("drop view"))
+      "(?is)^drop\\s+(?:table|view)\\s+(?:if\\s+exists\\s+)?`?([\\w.]+)`?"
+        .r.findFirstMatchIn(q)
+        .foreach(m => meta.dropTable(m.group(1).split('.').last.toLowerCase))
+  }
+
+  /** CREATE TABLE (cols...) → column comments + PARTITIONED BY →
+    * declared partition columns. */
+  private def observeCreateCols(q: String): Unit = {
+    val m = ("(?is)create\\s+(?:or\\s+replace\\s+)?(?:temporary\\s+)?" +
+      "(?:external\\s+)?table\\s+(?:if\\s+not\\s+exists\\s+)?" +
+      "`?([\\w.]+)`?\\s*").r.findFirstMatchIn(q).getOrElse(return)
+    val lc = m.group(1).split('.').last.toLowerCase
+    meta.balancedAfter(q, m.end).foreach { cols =>
+      meta.colComments(lc) = meta.colCommentsOf(cols)
+    }
+    "(?is)partitioned\\s+by\\s*".r.findFirstMatchIn(q)
+      .flatMap(x => meta.balancedAfter(q, x.end)).foreach { body =>
+        val pcols = splitTop(body, ',').map(c =>
+          c.trim.split("\\s+")(0).replace("`", "")).filter(_.nonEmpty)
+        meta.tablePartCols(lc) = pcols
+        meta.colComments(lc) = meta.colComments.getOrElse(lc, Map.empty) ++
+          meta.colCommentsOf(body)
+      }
+  }
+
+  /** Hive-format CREATE TABLE → Spark datasource CREATE. Spark's
+    * in-memory catalog rejects Hive-serde tables (`STORED AS` / `ROW
+    * FORMAT` need enableHiveSupport); the engine keeps the DECLARED
+    * Hive storage descriptor in [[meta]] (DESCRIBE renders it
+    * faithfully) while the physical table maps to a Spark-native
+    * source: orc/parquet stay themselves, the text-family containers
+    * store as parquet (at 100 TB columnar storage dominates anyway;
+    * the reference's own migration guidance is the same). */
+  protected def hiveCreateRewrite(q: String): String = {
+    val ql = q.toLowerCase
+    if (!ql.trim.startsWith("create")) return q
+    if (!ql.matches("(?s)\\s*create\\s+(?:temporary\\s+)?" +
+        "(?:external\\s+)?table\\b.*")) return q
+    if (ql.matches("(?s).*\\busing\\s+\\w+.*")) return q
+    if (!ql.contains("stored as") && !ql.contains("row format") &&
+        !ql.contains("skewed by")) return q
+    val src = "(?is)stored\\s+as\\s+(\\w+)".r.findAllMatchIn(q)
+      .map(_.group(1).toLowerCase)
+      .find(k => k != "inputformat" && k != "directories") match {
+      case Some("orc") | Some("orcfile") => "orc"
+      case _ => "parquet"
+    }
+    val sq = "'(?:[^'\\\\]|\\\\.)*'"
+    var r = q
+    r = ("(?is)row\\s+format\\s+serde\\s+" + sq +
+      "(\\s+with\\s+serdeproperties\\s*\\([^)]*\\))?").r
+      .replaceAllIn(r, " ")
+    r = ("(?is)row\\s+format\\s+delimited" +
+      s"(\\s+fields\\s+terminated\\s+by\\s+$sq" +
+      s"(\\s+escaped\\s+by\\s+$sq)?)?" +
+      s"(\\s+collection\\s+items\\s+terminated\\s+by\\s+$sq)?" +
+      s"(\\s+map\\s+keys\\s+terminated\\s+by\\s+$sq)?" +
+      s"(\\s+lines\\s+terminated\\s+by\\s+$sq)?" +
+      s"(\\s+null\\s+defined\\s+as\\s+$sq)?").r
+      .replaceAllIn(r, " ")
+    r = ("(?is)stored\\s+as\\s+inputformat\\s+" + sq +
+      "\\s+outputformat\\s+" + sq).r.replaceAllIn(r, " ")
+    r = "(?is)stored\\s+as\\s+directories".r.replaceAllIn(r, " ")
+    r = "(?is)stored\\s+as\\s+\\w+".r.replaceAllIn(r, " ")
+    r = ("(?is)skewed\\s+by\\s*\\([^)]*\\)\\s*on\\s*" +
+      "\\((?:[^()]|\\([^)]*\\))*\\)").r.replaceAllIn(r, " ")
+    // USING must follow the column list (or the name / LIKE target
+    // when there is none) — Spark's clause grammar
+    val nameRe = ("(?is)(create\\s+(?:temporary\\s+)?(?:external\\s+)?" +
+      "table\\s+(?:if\\s+not\\s+exists\\s+)?`?[\\w.]+`?" +
+      "(\\s+like\\s+`?[\\w.]+`?)?)\\s*").r
+    nameRe.findFirstMatchIn(r) match {
+      case Some(m) =>
+        val afterName = m.end
+        val insertAt =
+          if (afterName < r.length && r.charAt(afterName) == '(')
+            HiveStatements.balancedBody(r, afterName)
+              .map(_._2).getOrElse(afterName)
+          else m.group(1).length + m.start
+        r.substring(0, insertAt) + s" USING $src " + r.substring(insertAt)
+      case None => r
+    }
+  }
+
+  // ---------------------------------------------------------------
   // hooks
   // ---------------------------------------------------------------
 
@@ -69,6 +379,17 @@ class HiveStatements(val spark: SparkSession) {
     * name, or the new definition would lazily read itself). */
   protected def rebuild(table: String, df: DataFrame): Unit =
     df.localCheckpoint().createOrReplaceTempView(table)
+
+  /** Re-bind `table` to a LAZY projection over its captured analyzed
+    * plan — for pure schema changes (ALTER ADD/REPLACE/CHANGE
+    * COLUMNS). Hive performs these as metastore-only edits with
+    * scan-time conversion (DataWritableReadSupport matches by name at
+    * read); materializing the table to apply one would be O(data)
+    * where the reference is O(metadata) — a scale-killer at 100 TB.
+    * Safe without a checkpoint: the Dataset was analyzed against the
+    * OLD view plan, so re-binding the name cannot recurse. */
+  protected def rebind(table: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(table)
 
   /** Bind a WITH-clause CTE for a statement being unrolled. */
   protected def bindCte(name: String, df: DataFrame): Unit =
@@ -207,7 +528,7 @@ class HiveStatements(val spark: SparkSession) {
       val sel = (dFields.map(f => col(f.name)) ++
         cols.fields.map(f => lit(null).cast(f.dataType).as(f.name)) ++
         pFields.map(f => col(f.name))).toIndexedSeq
-      rebuild(table, df.select(sel: _*))
+      rebind(table, df.select(sel: _*))
     }
   }
 
@@ -224,7 +545,7 @@ class HiveStatements(val spark: SparkSession) {
       pcs.exists(_.equalsIgnoreCase(f.name)))
     if (!applyNewSchema(table, StructType(newData.fields ++ partFields),
         cascade))
-      rebuild(table,
+      rebind(table,
         graft.sources.SchemaEvolution.evolveByPosition(df, newData, pcs))
   }
 
@@ -452,6 +773,16 @@ class HiveStatements(val spark: SparkSession) {
       case _ => false
     } else if (ql.startsWith("alter table") || ql.startsWith("alter view"))
       q match {
+        // ADD PARTITION on a session (temp-view) table is metadata-
+        // only — the metadata layer recorded the spec in observeMeta;
+        // there is no directory to create (Hive: metastore add_partition)
+        case _ if autoObserveMeta &&
+            ql.matches("(?s)alter\\s+(?:table|view)\\s+\\S+\\s+add\\s+" +
+              "(?:if\\s+not\\s+exists\\s+)?partition\\b.*") &&
+            "(?is)alter\\s+(?:table|view)\\s+`?([\\w.]+)`?".r
+              .findFirstMatchIn(q)
+              .exists(m => isTempView(m.group(1).split('.').last)) =>
+          true
         case renamePartRe(t, fromSpec, toSpec) =>
           val table = t.split('.').last
           val from = parsePartSpec(fromSpec).collect {
@@ -569,16 +900,17 @@ class HiveStatements(val spark: SparkSession) {
                   else x.name))
               cvCast(col(df.columns(oldIdx)), f.dataType).as(f.name)
             }
-            rebuild(table, df.select(cols: _*))
+            rebind(table, df.select(cols: _*))
           }
           true
-        case addColsRe(t, cols, cascade) =>
-          addColumns(t.split('.').last, parseColumnList(cols),
-            cascade != null && cascade.equalsIgnoreCase("cascade"))
-          true
-        case replaceColsRe(t, cols, cascade) =>
-          replaceColumns(t.split('.').last, parseColumnList(cols),
-            cascade != null && cascade.equalsIgnoreCase("cascade"))
+        case _ if parseAddReplaceColumns(q).isDefined =>
+          val (table, kind, cols, cascade) = parseAddReplaceColumns(q).get
+          if (kind.equalsIgnoreCase("add"))
+            addColumns(table.split('.').last, parseColumnList(cols),
+              cascade)
+          else
+            replaceColumns(table.split('.').last, parseColumnList(cols),
+              cascade)
           true
         case _ => false
       }
@@ -789,6 +1121,49 @@ object HiveStatements {
     out += cur.result()
     out.result().map(_.trim).filter(_.nonEmpty)
   }
+
+  /** Balanced-paren body starting at the '(' at `open` — quote-aware
+    * (parens inside '...'/"..." literals, e.g. column COMMENT text,
+    * don't count). Returns (body, indexAfterClose). */
+  def balancedBody(s: String, open: Int): Option[(String, Int)] = {
+    var depth = 0
+    var i = open
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return Some((s.substring(open + 1, i), i + 1))
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** ALTER TABLE t ADD|REPLACE COLUMNS (list) [CASCADE|RESTRICT] →
+    * (table, kind, column-list body, cascade). The list body comes
+    * from a balanced scan, not a greedy regex — a COMMENT containing
+    * ')' must not truncate it. */
+  def parseAddReplaceColumns(q: String)
+      : Option[(String, String, String, Boolean)] =
+    addReplColsHeadRe.findFirstMatchIn(q).flatMap { m =>
+      balancedBody(q, m.end).flatMap { case (cols, after) =>
+        val tail = q.substring(after).trim
+        if (tail.isEmpty || tail.matches("(?is)(cascade|restrict)\\s*"))
+          Some((m.group(1), m.group(2), cols,
+            tail.equalsIgnoreCase("cascade")))
+        else None
+      }
+    }
+
+  private[graft] val addReplColsHeadRe =
+    ("(?is)^\\s*alter\\s+table\\s+`?([\\w.]+)`?\\s+" +
+      "(add|replace)\\s+columns\\s*(?=\\()").r
 
   /** PARTITION clause entries in order: name -> Some(static value) or
     * None (dynamic — its value is a trailing select column). */

@@ -1,0 +1,792 @@
+package graft.meta
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+
+import graft.HiveStatements.{parsePartSpec, splitTop}
+import MetaRender._
+
+/** Hive's table/partition metadata layer, re-expressed as a
+  * per-session state machine over the DDL statement stream: storage
+  * descriptors (serde/input/output triple, bucketing, skew, table
+  * kind — metastore `StorageDescriptor`), user table properties,
+  * column comments, partition columns, and the full partition
+  * lifecycle (ADD PARTITION registry, creation-time descriptor
+  * snapshots, per-partition written schemas).
+  *
+  * Feeds the Hive-exact DESCRIBE/SHOW rendering
+  * (ref ql/exec/DDLTask.java DESCRIBE/SHOW handling;
+  * ql/metadata/formatting/MetaDataFormatUtils.getTableInformation /
+  * getStorageDescriptorInfo; metastore semantics: a partition fixes
+  * its descriptor at creation, later table-level ALTERs don't touch
+  * it).
+  *
+  * Owned by [[graft.HiveStatements]] (which observes every statement
+  * it executes) and by the golden-replay harness (which drives the
+  * same machine from its replay loop and layers qtest-fixture
+  * knowledge on the overridable hooks).
+  */
+class HiveMetaStore(val spark: SparkSession,
+    val currentDb: () => String) {
+
+  // -----------------------------------------------------------------
+  // knobs (HiveConf-equivalent session settings)
+  // -----------------------------------------------------------------
+
+  /** hive.default.rcfile.serde (HiveConf default
+    * LazyBinaryColumnarSerDe; the qtest harness overrides to
+    * ColumnarSerDe per data/conf/hive-site.xml:207). */
+  var rcfileSerde =
+    "org.apache.hadoop.hive.serde2.columnar.LazyBinaryColumnarSerDe"
+  /** hive.default.fileformat (CREATE without STORED AS). */
+  var defaultFileFormat = "textfile"
+  /** hive.default.fileformat.managed — MANAGED tables use it when not
+    * "none" (HiveConf HIVE_DEFAULT_MANAGED_FILEFORMAT). */
+  var defaultManagedFormat = "none"
+  /** hive.decode.partition.name: SHOW PARTITIONS prints decoded
+    * (unescaped) names when true. */
+  var decodePartName = false
+  /** hive.display.partition.cols.separately=false drops the
+    * "# Partition Information" block (desc_tbl_part_cols.q). */
+  var displayPartColsSep = true
+
+  // -----------------------------------------------------------------
+  // state
+  // -----------------------------------------------------------------
+
+  /** lc → (serde, inputFormat, outputFormat). */
+  val tableStorage =
+    scala.collection.mutable.Map[String, (String, String, String)]()
+  /** lc → (bucketCols, sortCols(name, order 1=asc/0=desc), n). */
+  val bucketMeta = scala.collection.mutable
+    .Map[String, (Seq[String], Seq[(String, Int)], Int)]()
+  /** lc → (skewCols, skewValues, storedAsDirectories). */
+  val tableSkew = scala.collection.mutable
+    .Map[String, (Seq[String], Seq[Seq[String]], Boolean)]()
+  /** lc → MANAGED_TABLE / EXTERNAL_TABLE / VIRTUAL_VIEW /
+    * MATERIALIZED_VIEW / INDEX_TABLE. */
+  val tableKind = scala.collection.mutable.Map[String, String]()
+  /** (lc, partition key values) → descriptor snapshot at creation. */
+  val partStorage = scala.collection.mutable
+    .Map[(String, Seq[String]), (String, String, String)]()
+  val partBucketMeta = scala.collection.mutable
+    .Map[(String, Seq[String]), (Seq[String], Seq[(String, Int)], Int)]()
+  /** Declared partition columns (metadata, not data — ADD/REPLACE
+    * COLUMNS leave them untouched and last). */
+  val tablePartCols =
+    scala.collection.mutable.Map[String, Seq[String]]()
+  /** lc → (lc column name → COMMENT text). */
+  val colComments =
+    scala.collection.mutable.Map[String, Map[String, String]]()
+  /** User-set table properties (CREATE ... TBLPROPERTIES / ALTER SET
+    * TBLPROPERTIES / UNSET), insertion-ordered. */
+  val tableProps = scala.collection.mutable
+    .Map[String, scala.collection.mutable.LinkedHashMap[String, String]]()
+  /** db that created the current binding of each property map. */
+  val tablePropsOwner =
+    scala.collection.mutable.Map[String, String]()
+  /** db that created each table name (namespace ownership). */
+  val dbOwner = scala.collection.mutable.Map[String, String]()
+  /** Partition specs registered by plain ALTER TABLE ADD PARTITION
+    * (metadata only — zero data rows). */
+  val addedParts = scala.collection.mutable.Map[String,
+    scala.collection.mutable.LinkedHashSet[Seq[(String, String)]]]()
+  /** DATA schema each partition was last WRITTEN with (ALTER ...
+    * CASCADE rewrites these; plain RESTRICT leaves them — partitions
+    * then read through their own schema and CONVERT, like Hive's
+    * partition-OI converters). Doubles as the partition registry. */
+  val partSchemas = scala.collection.mutable
+    .Map[String, scala.collection.mutable.Map[Seq[String], StructType]]()
+
+  /** Name resolution hook for metadata maps — bindings with a
+    * namespace-mangling scheme override. */
+  def resolveLc(t: String): String = t.split('.').last.toLowerCase
+
+  // -----------------------------------------------------------------
+  // storage-descriptor construction
+  // -----------------------------------------------------------------
+
+  def fmtTriple(kind: String): (String, String, String) = {
+    val lazySerde = "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe"
+    kind.toLowerCase match {
+      case "sequencefile" => (lazySerde,
+        "org.apache.hadoop.mapred.SequenceFileInputFormat",
+        "org.apache.hadoop.hive.ql.io.HiveSequenceFileOutputFormat")
+      case "rcfile" => (rcfileSerde,
+        "org.apache.hadoop.hive.ql.io.RCFileInputFormat",
+        "org.apache.hadoop.hive.ql.io.RCFileOutputFormat")
+      case "orc" | "orcfile" =>
+        ("org.apache.hadoop.hive.ql.io.orc.OrcSerde",
+          "org.apache.hadoop.hive.ql.io.orc.OrcInputFormat",
+          "org.apache.hadoop.hive.ql.io.orc.OrcOutputFormat")
+      case "parquet" | "parquetfile" =>
+        ("org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe",
+          "org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat",
+          "org.apache.hadoop.hive.ql.io.parquet.MapredParquetOutputFormat")
+      case "avro" | "avrofile" =>
+        ("org.apache.hadoop.hive.serde2.avro.AvroSerDe",
+          "org.apache.hadoop.hive.ql.io.avro.AvroContainerInputFormat",
+          "org.apache.hadoop.hive.ql.io.avro.AvroContainerOutputFormat")
+      case _ => (lazySerde,
+        "org.apache.hadoop.mapred.TextInputFormat",
+        "org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat")
+    }
+  }
+
+  /** The ALTER/INDEX DDL path maps named formats through IOConstants
+    * (IOConstants.java:56): plain Hadoop output classes for
+    * text/sequence. */
+  def ioFmtTriple(kind: String): (String, String, String) = {
+    val t = fmtTriple(kind)
+    kind.toLowerCase match {
+      case "textfile" => (t._1, t._2,
+        "org.apache.hadoop.hive.ql.io.IgnoreKeyTextOutputFormat")
+      case "sequencefile" => (t._1, t._2,
+        "org.apache.hadoop.mapred.SequenceFileOutputFormat")
+      case _ => t
+    }
+  }
+
+  /** A partition fixes its storage metadata at CREATION (it inherits
+    * the table's then-current descriptor; later table-level ALTERs
+    * do not touch existing partitions — Hive metastore semantics). */
+  def snapshotPartMeta(lc: String, key: Seq[String]): Unit = {
+    if (!partStorage.contains((lc, key)))
+      partStorage((lc, key)) =
+        tableStorage.getOrElse(lc, fmtTriple(defaultFileFormat))
+    if (!partBucketMeta.contains((lc, key)))
+      partBucketMeta((lc, key)) = bucketMeta.getOrElse(lc, (Nil, Nil, -1))
+  }
+
+  /** Balanced-paren body following a keyword match end. Parens inside
+    * backticks or single quotes don't count (`!@#$%^&*()_q`). */
+  def balancedAfter(q: String, from: Int): Option[String] = {
+    var i = from
+    while (i < q.length && q(i) != '(') {
+      if (!q(i).isWhitespace) return None
+      i += 1
+    }
+    if (i >= q.length) return None
+    var depth = 0; val start = i + 1
+    var tick = false; var quote = false
+    while (i < q.length) {
+      q(i) match {
+        case '`' if !quote => tick = !tick
+        case '\'' if !tick => quote = !quote
+        case '(' if !tick && !quote => depth += 1
+        case ')' if !tick && !quote =>
+          depth -= 1
+          if (depth == 0) return Some(q.substring(start, i))
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
+  def parseBucketClause(lc: String, q: String): Boolean = {
+    val cb = "(?is)clustered\\s+by\\s*".r.findFirstMatchIn(q)
+      .getOrElse(return false)
+    val bcols = balancedAfter(q, cb.end).getOrElse(return false)
+      .split(",").map(_.trim.replace("`", "").toLowerCase)
+      .filter(_.nonEmpty).toSeq
+    val sb = "(?is)sorted\\s+by\\s*".r.findFirstMatchIn(q)
+    val scols = sb.flatMap(m => balancedAfter(q, m.end)).map(
+      _.split(",").toSeq.map { s0 =>
+        val t = s0.trim.replace("`", "").split("\\s+")
+        (t(0).toLowerCase,
+          if (t.length > 1 && t(1).equalsIgnoreCase("desc")) 0 else 1)
+      }.filter(_._1.nonEmpty)).getOrElse(Nil)
+    val n = "(?is)into\\s+(\\d+)\\s+buckets".r.findFirstMatchIn(q)
+      .map(_.group(1).toInt).getOrElse(-1)
+    bucketMeta(lc) = (bcols, scols, n)
+    true
+  }
+
+  def parseSkewClause(lc: String, q: String): Boolean = {
+    val sk = "(?is)skewed\\s+by\\s*".r.findFirstMatchIn(q)
+      .getOrElse(return false)
+    val cols = balancedAfter(q, sk.end).getOrElse(return false)
+      .split(",").map(_.trim.replace("`", "").toLowerCase)
+      .filter(_.nonEmpty).toSeq
+    val tail0 = q.substring(sk.end)
+    val on = "(?is)\\bon\\s*".r.findFirstMatchIn(tail0)
+      .getOrElse(return false)
+    val body = balancedAfter(tail0, on.end).getOrElse(return false)
+    val values: Seq[Seq[String]] =
+      if (body.trim.startsWith("("))
+        splitTop(body, ',').map(g =>
+          g.trim.stripPrefix("(").stripSuffix(")")
+            .split(",").map(v => unq(v)).toSeq)
+      else body.split(",").map(v => Seq(unq(v))).toSeq
+    val dirs = "(?is)stored\\s+as\\s+directories".r
+      .findFirstIn(tail0.substring(on.end)).isDefined
+    // the formatter renders NAME-sorted columns and element-wise
+    // sorted value lists (MetaDataFormatUtils.sortedList)
+    import scala.math.Ordering.Implicits._
+    tableSkew(lc) = (cols.sorted, values.sorted, dirs)
+    true
+  }
+
+  private def unq(v: String): String =
+    v.trim.stripPrefix("'").stripSuffix("'")
+      .stripPrefix("\"").stripSuffix("\"")
+
+  // -----------------------------------------------------------------
+  // DDL observation: CREATE
+  // -----------------------------------------------------------------
+
+  /** CREATE-time storage metadata (all CREATE TABLE shapes route
+    * here; `view` marks CREATE VIEW). */
+  def recordStorageMeta(q: String, view: Boolean = false): Unit = {
+    val m = ("(?is)create\\s+(?:or\\s+replace\\s+)?(temporary\\s+)?" +
+      "(external\\s+)?(?:table|(?:materialized\\s+)?view)\\s+" +
+      "(?:if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?").r
+      .findFirstMatchIn(q).getOrElse(return)
+    val lc = m.group(3).split('.').last.toLowerCase
+    // IF NOT EXISTS over an existing table is a NO-OP — keep the
+    // original descriptor (ctas: re-create of nzhang_ctas3)
+    if (q.toLowerCase.contains("if not exists") &&
+        tableStorage.contains(lc)) return
+    if (m.group(3).contains("."))
+      dbOwner(lc) = m.group(3).split('.').head.toLowerCase
+    tableKind(lc) =
+      if (view && q.toLowerCase.contains("materialized"))
+        "MATERIALIZED_VIEW"
+      else if (view) "VIRTUAL_VIEW"
+      else if (m.group(2) != null) "EXTERNAL_TABLE"
+      else "MANAGED_TABLE"
+    bucketMeta.remove(lc); tableSkew.remove(lc)
+    partStorage.filterInPlace((k, _) => k._1 != lc)
+    partBucketMeta.filterInPlace((k, _) => k._1 != lc)
+    // a fresh CREATE starts with no partitions (drop_table2: recreate
+    // then SHOW PARTITIONS must be empty)
+    addedParts.remove(lc)
+    partSchemas.remove(lc)
+    if (view && q.toLowerCase.contains("materialized")) {
+      // a MATERIALIZED view stores real data — its storage clauses
+      // parse like a table's; the default format is ORC
+      // (hive.materializedview.fileformat)
+      var triple = fmtTriple("orc")
+      // named formats resolve through the IOConstants path here
+      // (textfile -> IgnoreKeyTextOutputFormat)
+      "(?is)stored\\s+as\\s+(\\w+)".r.findAllMatchIn(q)
+        .map(_.group(1).toLowerCase)
+        .find(k => k != "inputformat" && k != "directories")
+        .foreach(k => triple = ioFmtTriple(k))
+      "(?is)row\\s+format\\s+serde\\s+['\"]([^'\"]+)['\"]".r
+        .findFirstMatchIn(q)
+        .foreach(x => triple = (x.group(1), triple._2, triple._3))
+      tableStorage(lc) = triple
+      if (!lc.contains("__"))
+        dbOwner.getOrElseUpdate(lc, currentDb().toLowerCase)
+      return
+    }
+    if (view) {
+      // views carry a NULL serde over the current default fileformat's
+      // io classes (create_view_defaultformats: a view created under
+      // hive.default.fileformat=SequenceFile records those formats)
+      val t = fmtTriple(defaultFileFormat)
+      tableStorage(lc) = ("null", t._2, t._3)
+      if (!lc.contains("__"))
+        dbOwner.getOrElseUpdate(lc, currentDb().toLowerCase)
+      // PARTITIONED ON (cols): a partitioned VIEW's named columns
+      // render in the partition-information block
+      "(?is)partitioned\\s+on\\s*\\(([^)]*)\\)".r.findFirstMatchIn(q)
+        .foreach(x => tablePartCols(lc) = x.group(1).split(",")
+          .map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq)
+      return
+    }
+    // explicit storage clauses (also present as OVERRIDES on LIKE)
+    def storageOverrides(base: (String, String, String))
+        : (String, String, String) = {
+      var triple = base
+      val io = ("(?is)stored\\s+as\\s+inputformat\\s+'([^']+)'\\s+" +
+        "outputformat\\s+'([^']+)'").r.findFirstMatchIn(q)
+      io match {
+        case Some(x) => triple = (triple._1, x.group(1), x.group(2))
+        case None =>
+          // scan ALL stored-as keywords: `STORED AS DIRECTORIES`
+          // (skew) may precede the real `STORED AS RCFILE`
+          "(?is)stored\\s+as\\s+(\\w+)".r.findAllMatchIn(q)
+            .map(_.group(1).toLowerCase)
+            .find(k => k != "inputformat" && k != "directories")
+            .foreach(k => triple = fmtTriple(k))
+      }
+      "(?is)row\\s+format\\s+serde\\s+['\"]([^'\"]+)['\"]".r
+        .findFirstMatchIn(q)
+        .foreach(x => triple = (x.group(1), triple._2, triple._3))
+      triple
+    }
+    // CREATE LIKE copies the source's storage descriptor, then any
+    // explicit clauses override (create_like: `like t5 stored as
+    // RCFILE`)
+    "(?is)\\blike\\s+`?([\\w.]+)`?".r.findFirstMatchIn(q) match {
+      case Some(lm) =>
+        val src = lm.group(1).split('.').last.toLowerCase
+        // LIKE a VIEW materializes a default-text MANAGED table
+        // (create_like_view) — nothing storage-wise copies over
+        val base =
+          if (tableKind.get(src).contains("VIRTUAL_VIEW"))
+            fmtTriple("textfile")
+          else tableStorage.getOrElse(src, fmtTriple(defaultFileFormat))
+        tableStorage(lc) = storageOverrides(base)
+        if (!tableKind.get(src).contains("VIRTUAL_VIEW")) {
+          bucketMeta.get(src).foreach(bucketMeta(lc) = _)
+          tableSkew.get(src).foreach(tableSkew(lc) = _)
+        }
+      case None =>
+        val dflt =
+          if (tableKind(lc) == "MANAGED_TABLE" &&
+              defaultManagedFormat != "none") defaultManagedFormat
+          else defaultFileFormat
+        tableStorage(lc) = storageOverrides(fmtTriple(dflt))
+        parseBucketClause(lc, q)
+        parseSkewClause(lc, q)
+    }
+  }
+
+  // -----------------------------------------------------------------
+  // DDL observation: ALTER
+  // -----------------------------------------------------------------
+
+  /** ALTER-time storage metadata. */
+  def trackAlterStorage(q: String): Unit = {
+    val ql = q.toLowerCase
+    val lc = "(?is)alter\\s+table\\s+`?([\\w.]+)`?".r.findFirstMatchIn(q)
+      .map(_.group(1).split('.').last.toLowerCase).getOrElse(return)
+    val partSpec = "(?is)\\bpartition\\s*\\(([^)]*)\\)".r
+      .findFirstMatchIn(q).map(_.group(1))
+    def partKeys: Seq[Seq[String]] =
+      partSpec.toSeq.flatMap(s => matchingPartKeys(lc, s))
+    if (ql.matches("(?s).*\\bset\\s+fileformat\\b.*")) {
+      val io = ("(?is)set\\s+fileformat\\s+inputformat\\s+'([^']+)'\\s+" +
+        "outputformat\\s+'([^']+)'(?:\\s+serde\\s+'([^']+)')?").r
+        .findFirstMatchIn(q)
+      val triple = io match {
+        case Some(x) =>
+          val cur = tableStorage.getOrElse(lc, fmtTriple("textfile"))
+          (if (x.group(3) != null) x.group(3) else cur._1,
+            x.group(1), x.group(2))
+        case None =>
+          "(?is)set\\s+fileformat\\s+(\\w+)".r.findFirstMatchIn(q)
+            .map(x => ioFmtTriple(x.group(1))).getOrElse(return)
+      }
+      if (partSpec.isDefined) partKeys.foreach(k =>
+        partStorage((lc, k)) = triple)
+      else tableStorage(lc) = triple
+    } else if (ql.matches("(?s).*\\bset\\s+serde\\s+'.*")) {
+      val s = "(?is)set\\s+serde\\s+'([^']+)'".r.findFirstMatchIn(q).get
+        .group(1)
+      if (partSpec.isDefined) partKeys.foreach { k =>
+        val cur = partStorage.getOrElse((lc, k),
+          tableStorage.getOrElse(lc, fmtTriple("textfile")))
+        partStorage((lc, k)) = (s, cur._2, cur._3)
+      } else {
+        val cur = tableStorage.getOrElse(lc, fmtTriple("textfile"))
+        tableStorage(lc) = (s, cur._2, cur._3)
+      }
+    } else if (ql.matches("(?s).*\\bnot\\s+clustered\\b.*")) {
+      if (partSpec.isDefined) partKeys.foreach(k =>
+        partBucketMeta((lc, k)) = (Nil, Nil, -1))
+      else bucketMeta(lc) = (Nil, Nil, -1)
+    } else if (ql.matches("(?s).*\\bnot\\s+sorted\\b.*")) {
+      if (partSpec.isDefined) partKeys.foreach { k =>
+        val (b, _, n) = partBucketMeta.getOrElse((lc, k),
+          bucketMeta.getOrElse(lc, (Nil, Nil, -1)))
+        partBucketMeta((lc, k)) = (b, Nil, n)
+      } else {
+        val (b, _, n) = bucketMeta.getOrElse(lc, (Nil, Nil, -1))
+        bucketMeta(lc) = (b, Nil, n)
+      }
+    } else if (ql.contains("clustered by")) {
+      if (partSpec.isDefined) {
+        val saved = bucketMeta.get(lc)
+        if (parseBucketClause(lc, q)) {
+          val parsed = bucketMeta(lc)
+          saved match {
+            case Some(v) => bucketMeta(lc) = v
+            case None => bucketMeta.remove(lc)
+          }
+          partKeys.foreach(k => partBucketMeta((lc, k)) = parsed)
+        }
+      } else parseBucketClause(lc, q)
+    } else if (ql.matches("(?s).*\\binto\\s+\\d+\\s+buckets.*")) {
+      val n = "(?is)into\\s+(\\d+)\\s+buckets".r.findFirstMatchIn(q).get
+        .group(1).toInt
+      if (partSpec.isDefined) partKeys.foreach { k =>
+        val (b, sc, _) = partBucketMeta.getOrElse((lc, k),
+          bucketMeta.getOrElse(lc, (Nil, Nil, -1)))
+        partBucketMeta((lc, k)) = (b, sc, n)
+      } else {
+        val (b, s, _) = bucketMeta.getOrElse(lc, (Nil, Nil, -1))
+        bucketMeta(lc) = (b, s, n)
+      }
+    } else if (ql.matches("(?s).*\\bnot\\s+skewed\\b.*")) {
+      tableSkew.remove(lc)
+    } else if (ql.matches("(?s).*\\bnot\\s+stored\\s+as\\s+directories.*")) {
+      tableSkew.get(lc).foreach { case (c, v, _) =>
+        tableSkew(lc) = (c, v, false) }
+    } else if (ql.contains("skewed by")) {
+      parseSkewClause(lc, q)
+    }
+  }
+
+  /** Keys in `table`'s partition registry matching a PARTITION spec
+    * (entries without a value are wildcards: `partition (p1, p2='123')`
+    * addresses every partition with p2='123'). */
+  def matchingPartKeys(lc: String, spec: String): Seq[Seq[String]] = {
+    val pcs = tablePartCols.getOrElse(lc, Nil)
+    val statics = parsePartSpec(spec).collect {
+      case (n, Some(v)) => n.toLowerCase -> v }.toMap
+    partSchemas.getOrElseUpdate(lc, scala.collection.mutable.Map.empty)
+      .keys.filter(k => pcs.zipWithIndex.forall { case (pc, i) =>
+        statics.get(pc.toLowerCase)
+          .forall(v => i < k.length && v == k(i))
+      }).toVector
+  }
+
+  /** ALTER TABLE ADD PARTITION specs → the metadata-only partition
+    * registry; each new partition snapshots its descriptor and its
+    * written schema = the CURRENT table schema (RESTRICT semantics) so
+    * `desc formatted t partition(...)` resolves before any data
+    * lands. */
+  def recordAddedPartitions(q0: String): Unit = {
+    val q = q0.trim.stripSuffix(";")
+    val head = ("(?is)^\\s*alter\\s+(?:table|view)\\s+`?([\\w.]+)`?" +
+      "\\s+add\\s+(?:if\\s+not\\s+exists\\s+)?(?=partition\\s*\\()").r
+      .findFirstMatchIn(q).getOrElse(return)
+    val t = head.group(1)
+    // balanced spec parse — a backticked partition-column NAME may
+    // contain parens (quotedid_alter: `!@#$%^&*()_q`)
+    var i = head.end
+    val specsB = Vector.newBuilder[String]
+    var wellFormed = true
+    while (i < q.length && wellFormed) {
+      val rest = q.substring(i)
+      val pm = ("(?is)^\\s*partition\\s*").r.findFirstMatchIn(rest)
+      val lm = ("(?is)^\\s*location\\s+'[^']*'\\s*").r
+        .findFirstMatchIn(rest)
+      if (pm.isDefined) {
+        balancedAfter(rest, pm.get.end) match {
+          case Some(body) =>
+            specsB += body
+            i += pm.get.end + rest.substring(pm.get.end)
+              .indexOf('(') + body.length + 2
+          case None => wellFormed = false
+        }
+      } else if (lm.isDefined) i += lm.get.end
+      else if (rest.trim.isEmpty) i = q.length
+      else wellFormed = false
+    }
+    if (!wellFormed) return
+    val set = addedParts.getOrElseUpdate(resolveLc(t),
+      scala.collection.mutable.LinkedHashSet.empty)
+    specsB.result().foreach { spec =>
+      val kv = parsePartSpec(spec).collect {
+        case (n, Some(v)) => n -> v }
+      set += kv
+      val lc = resolveLc(t)
+      val pcs = tablePartCols.getOrElse(lc, Nil)
+      if (pcs.nonEmpty && kv.size == pcs.size) {
+        val key: Seq[String] = pcs.map(pc =>
+          kv.collectFirst {
+            case (n, v) if n.equalsIgnoreCase(pc) => v
+          }.getOrElse(""))
+        if (!key.contains("")) {
+          val pm = partSchemas.getOrElseUpdate(lc,
+            scala.collection.mutable.Map.empty)
+          if (!pm.contains(key)) {
+            scala.util.Try(spark.table(lc).schema)
+              .foreach { sch =>
+                pm(key) = StructType(sch.fields.filterNot(f =>
+                  pcs.exists(_.equalsIgnoreCase(f.name)))
+                  .toIndexedSeq)
+                snapshotPartMeta(lc, key)
+              }
+          }
+        }
+      }
+    }
+  }
+
+  // -----------------------------------------------------------------
+  // table properties + column comments
+  // -----------------------------------------------------------------
+
+  def trackTblProps(q: String, create: Boolean,
+      origQ: String = null): Unit = {
+    val nm =
+      if (create) ("(?is)create\\s+(?:or\\s+replace\\s+)?" +
+        "(?:temporary\\s+)?(?:external\\s+)?" +
+        "(?:table|(?:materialized\\s+)?view)\\s+" +
+        "(?:if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?").r
+        .findFirstMatchIn(q).map(_.group(1))
+      else ("(?is)alter\\s+(?:table|view)\\s+`?([\\w.]+)`?").r
+        .findFirstMatchIn(q).map(_.group(1))
+    val lc = nm.map(resolveLc).getOrElse(return)
+    if (create) {
+      tableProps.remove(lc)
+      // a name-stripping rewrite may have removed the db qualifier —
+      // recover the creating db from the ORIGINAL text
+      val base = nm.get.split('.').last.toLowerCase
+      val origQual = Option(origQ).flatMap(o =>
+        ("(?is)create\\s+(?:or\\s+replace\\s+)?(?:temporary\\s+)?" +
+          "(?:external\\s+)?(?:table|(?:materialized\\s+)?view)\\s+" +
+          "(?:if\\s+not\\s+exists\\s+)?`?(\\w+)`?\\s*\\.\\s*`?" +
+          base + "`?").r.findFirstMatchIn(o).map(_.group(1).toLowerCase))
+      tablePropsOwner(lc) = nm.get.split('.') match {
+        case a if a.length > 1 => a.head.toLowerCase
+        case _ => origQual.getOrElse(currentDb().toLowerCase)
+      }
+    }
+    val unset = !create &&
+      q.toLowerCase.contains("unset tblproperties")
+    val bodyOpt = "(?is)tblproperties\\s*(?:if\\s+exists\\s*)?".r
+      .findFirstMatchIn(q)
+      .flatMap(m2 => balancedAfter(q, m2.end))
+    if (bodyOpt.isEmpty) return
+    val body = bodyOpt.get
+    val props = tableProps.getOrElseUpdate(lc,
+      scala.collection.mutable.LinkedHashMap.empty)
+    if (unset)
+      "['\"]([^'\"]+)['\"]".r.findAllMatchIn(body)
+        .foreach(m2 => props.remove(m2.group(1)))
+    else
+      ("['\"]([^'\"]+)['\"]\\s*=\\s*['\"]([^'\"]*)['\"]").r
+        .findAllMatchIn(body)
+        .foreach(m2 => props(m2.group(1)) = m2.group(2))
+  }
+
+  /** Column-spec string → per-column COMMENT text (lc name → comment,
+    * absent when none declared). */
+  def colCommentsOf(colSpec: String): Map[String, String] =
+    splitTop(colSpec, ',').filterNot(isConstraintEntry).flatMap { c =>
+      val t0 = c.trim
+      val name =
+        if (t0.startsWith("`")) {
+          var close = 1
+          while (close < t0.length && !(t0.charAt(close) == '`' &&
+              (close + 1 >= t0.length || t0.charAt(close + 1) != '`')))
+            close += (if (t0.charAt(close) == '`') 2 else 1)
+          t0.substring(1, close).replace("``", "`")
+        } else t0.split("\\s+", 2)(0)
+      ("(?is)\\bcomment\\s+(?:'((?:[^'\\\\]|\\\\.)*)'|" +
+        "\"((?:[^\"\\\\]|\\\\.)*)\")").r
+        .findFirstMatchIn(t0)
+        .map(m => name.toLowerCase ->
+          unescapeSql(Option(m.group(1)).getOrElse(m.group(2))))
+    }.toMap
+
+  def isConstraintEntry(c: String): Boolean =
+    c.trim.toLowerCase.matches(
+      "(?s)(primary\\s+key|foreign\\s+key|constraint\\b|unique\\s*\\().*")
+
+  private def unescapeSql(v: String): String = {
+    val sb = new StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '\\' && i + 1 < v.length) {
+        v.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+          case 'r' => sb.append('\r'); case 'b' => sb.append('\b')
+          case o => sb.append(o)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Comment bookkeeping for ALTER CHANGE/ADD/REPLACE COLUMNS. CHANGE
+    * inherits the old comment unless one is given (rename_column.q). */
+  def trackAlterComments(q: String): Unit = {
+    val changeRe = ("(?is)alter\\s+table\\s+`?([\\w.]+)`?\\s+change\\s+" +
+      "(?:column\\s+)?`?(\\w+)`?\\s+`?(\\w+)`?\\s+[\\w()<>,\\s]+?" +
+      "(?:\\s+comment\\s+(?:'((?:[^'\\\\]|\\\\.)*)'|" +
+      "\"((?:[^\"\\\\]|\\\\.)*)\"))?" +
+      "(?:\\s+(?:first|after\\s+`?\\w+`?))?" +
+      "(?:\\s+(?:cascade|restrict))?\\s*").r
+    q match {
+      case changeRe(t, oldN, newN, cmtSq, cmtDq) =>
+        val cmt = Option(cmtSq).getOrElse(cmtDq)
+        val lc = t.split('.').last.toLowerCase
+        val cur = colComments.getOrElse(lc, Map.empty)
+        val inherited = Option(cmt)
+          .map(_.replace("\\'", "'").replace("\\\\", "\\"))
+          .orElse(cur.get(oldN.toLowerCase))
+        val without = cur - oldN.toLowerCase
+        colComments(lc) = inherited match {
+          case Some(c) => without + (newN.toLowerCase -> c)
+          case None => without
+        }
+      case _ =>
+        graft.HiveStatements.parseAddReplaceColumns(q) match {
+          case Some((t, kind, cols, _))
+              if kind.equalsIgnoreCase("replace") =>
+            val lc = t.split('.').last.toLowerCase
+            val pcs = tablePartCols.getOrElse(lc, Nil).map(_.toLowerCase)
+            val keepParts = colComments.getOrElse(lc, Map.empty)
+              .filter { case (k, _) => pcs.contains(k) }
+            colComments(lc) = keepParts ++ colCommentsOf(cols)
+          case Some((t, _, cols, _)) =>
+            val lc = t.split('.').last.toLowerCase
+            colComments(lc) = colComments.getOrElse(lc, Map.empty) ++
+              colCommentsOf(cols)
+          case None =>
+        }
+    }
+  }
+
+  /** The comment DESCRIBE renders for one column — bindings with
+    * fixture knowledge (qtest COMMENT 'default' seeds, deserializer
+    * tables) override. */
+  def commentOf(tableLc: String, col: String,
+      isPartCol: Boolean = false): String =
+    colComments.get(tableLc)
+      .map(_.getOrElse(col.toLowerCase, "")).getOrElse("")
+
+  // -----------------------------------------------------------------
+  // rename / drop lifecycle
+  // -----------------------------------------------------------------
+
+  /** ALTER TABLE RENAME: re-key every metadata map. */
+  def renameTable(fromLc: String, toLc: String): Unit = {
+    if (fromLc == toLc) return
+    tableStorage.remove(fromLc).foreach(tableStorage(toLc) = _)
+    bucketMeta.remove(fromLc).foreach(bucketMeta(toLc) = _)
+    tableSkew.remove(fromLc).foreach(tableSkew(toLc) = _)
+    tableKind.remove(fromLc).foreach(tableKind(toLc) = _)
+    tablePartCols.remove(fromLc).foreach(tablePartCols(toLc) = _)
+    colComments.remove(fromLc).foreach(colComments(toLc) = _)
+    tableProps.remove(fromLc).foreach(tableProps(toLc) = _)
+    tablePropsOwner.remove(fromLc).foreach(tablePropsOwner(toLc) = _)
+    addedParts.remove(fromLc).foreach(addedParts(toLc) = _)
+    partSchemas.remove(fromLc).foreach(partSchemas(toLc) = _)
+    val ps = partStorage.filter(_._1._1 == fromLc)
+    ps.foreach { case ((_, k), v) =>
+      partStorage.remove((fromLc, k)); partStorage((toLc, k)) = v }
+    val pb = partBucketMeta.filter(_._1._1 == fromLc)
+    pb.foreach { case ((_, k), v) =>
+      partBucketMeta.remove((fromLc, k)); partBucketMeta((toLc, k)) = v }
+  }
+
+  /** DROP TABLE/VIEW: clear every metadata map. */
+  def dropTable(lc: String): Unit = {
+    tableStorage.remove(lc); bucketMeta.remove(lc)
+    tableSkew.remove(lc); tableKind.remove(lc)
+    tablePartCols.remove(lc); colComments.remove(lc)
+    tableProps.remove(lc); tablePropsOwner.remove(lc)
+    addedParts.remove(lc); partSchemas.remove(lc)
+    dbOwner.remove(lc)
+    partStorage.filterInPlace((k, _) => k._1 != lc)
+    partBucketMeta.filterInPlace((k, _) => k._1 != lc)
+  }
+
+  // -----------------------------------------------------------------
+  // renderers (line-level; DataFrame assembly lives in HiveStatements)
+  // -----------------------------------------------------------------
+
+  /** DESCRIBE FORMATTED column block + whitelisted detail labels for
+    * a RESOLVED table (MetaDataFormatUtils.getTableInformation /
+    * getPartitionInformation). */
+  def describeFormattedCore(lc: String, db: String,
+      dataFields: Seq[StructField], partFieldsAll: Seq[StructField],
+      partKey: Option[Seq[String]], partVals: Seq[String])
+      : (Seq[String], Map[String, String]) = {
+    val cols =
+      Vector(colHeader, sepLine) ++
+        dataFields.flatMap(f =>
+          colLines(f.name.toLowerCase, hiveTypeName(f.dataType),
+            commentOf(lc, f.name))) ++
+        (if (partFieldsAll.isEmpty || !displayPartColsSep) Vector.empty
+         else Vector(sepLine) ++ partInfoHeader ++
+           partFieldsAll.flatMap(f =>
+             colLines(f.name.toLowerCase, hiveTypeName(f.dataType),
+               commentOf(lc, f.name, isPartCol = true)))) ++
+        Vector(sepLine)
+    val triple = partKey.flatMap(k => partStorage.get((lc, k)))
+      .getOrElse(tableStorage.getOrElse(lc, fmtTriple("textfile")))
+    val (bcols, scols, nb) =
+      partKey.flatMap(k => partBucketMeta.get((lc, k)))
+        .orElse(if (partKey.isDefined) bucketMeta.get(lc) else None)
+        .getOrElse(
+          if (partKey.isDefined) (Nil, Nil, -1)
+          else bucketMeta.getOrElse(lc, (Nil, Nil, -1)))
+    val kind = tableKind.getOrElse(lc, "MANAGED_TABLE")
+    var labels = Map(
+      "Database:" -> db,
+      "Retention:" -> "0",
+      "Compressed:" -> "No",
+      "SerDe Library:" -> triple._1,
+      "InputFormat:" -> triple._2,
+      "OutputFormat:" -> triple._3,
+      "Num Buckets:" -> nb.toString,
+      "Bucket Columns:" -> jlist(bcols),
+      "Sort Columns:" -> jlist(scols.map { case (c, o) =>
+        s"Order(col:$c, order:$o)" }))
+    if (partKey.isEmpty) labels += ("Table Type:" -> kind)
+    else {
+      // partition detail block (getPartitionMetaDataInformation)
+      labels += ("Table:" -> lc)
+      labels += ("Partition Value:" -> jlist(partVals))
+    }
+    tableSkew.get(lc).foreach { case (c, v, dirs) =>
+      labels += ("Skewed Columns:" -> jlist(c))
+      labels += ("Skewed Values:" -> v.map(jlist).mkString("[", ", ", "]"))
+      if (dirs) labels += ("Stored As SubDirectories:" -> "Yes")
+    }
+    (cols, labels)
+  }
+
+  /** SHOW PARTITIONS names for a RESOLVED table: current rows'
+    * distinct partition tuples ∪ metadata-only ADD PARTITION specs,
+    * escapePathName-rendered, metastore-sorted. `isView`: a view's
+    * partitions are ONLY the explicitly ADDed ones. */
+  def showPartitionNames(table: String, lc: String, pcs: Seq[String],
+      filter: Seq[(Int, String)], isView: Boolean): Option[Seq[String]] = {
+    val df = scala.util.Try(spark.table(table)).getOrElse(return None)
+    val pFields = pcs.flatMap(p => df.columns.find(_.equalsIgnoreCase(p)))
+    if (pFields.size != pcs.size) return None
+    val fromRows: Seq[Seq[String]] =
+      if (isView) Nil
+      else df
+        .select(pFields.map(org.apache.spark.sql.functions.col): _*)
+        .distinct().collect().toSeq.map(r =>
+          (0 until r.length).map(i =>
+            if (r.isNullAt(i)) graft.HiveStatements.DefaultPartitionName
+            else r.get(i).toString))
+    val fromAdds: Seq[Seq[String]] =
+      addedParts.getOrElse(lc, Nil).toSeq.map(kv =>
+        pcs.map(pc => kv.collectFirst {
+          case (n, v) if n.equalsIgnoreCase(pc) => v
+        }.getOrElse(return None)))
+    def esc(x: String): String =
+      if (decodePartName) x else escapePathName(x)
+    Some((fromRows ++ fromAdds).distinct
+      .filter(k => filter.forall { case (i, v) =>
+        i >= 0 && i < k.size && k(i) == v })
+      .map(k => pcs.map(_.toLowerCase).zip(k).map { case (n, v) =>
+        s"${esc(n)}=${esc(v)}" }.mkString("/"))
+      .sorted)
+  }
+
+  /** SHOW COLUMNS lines (%-20s padded lowercase names). */
+  def showColumnsLines(schema: StructType): Seq[String] =
+    schema.fields.toSeq.map(f => pad(f.name.toLowerCase))
+
+  /** SHOW TBLPROPERTIES lines: one `key\tvalue` per USER property, or
+    * the single value / does-not-have line for a keyed lookup. */
+  def showTblPropsLines(lc: String, db: String, tableBase: String,
+      key: Option[String]): Seq[String] = {
+    val props = tableProps.getOrElse(lc,
+      scala.collection.mutable.LinkedHashMap.empty[String, String])
+    key match {
+      case Some(k) =>
+        Seq(props.getOrElse(k,
+          s"Table $db.$tableBase does not have property: $k"))
+      case None => props.map { case (k, v) => s"$k\t$v" }.toSeq
+    }
+  }
+}

@@ -23,6 +23,80 @@ class DialectSpec extends SparkSpec {
     spark.sql("DROP TABLE ddl_t")
   }
 
+  test("public entry: DESCRIBE FORMATTED renders the Hive layout " +
+      "(column block + storage descriptor) from the metadata layer") {
+    val h = new HiveStatements(spark)
+    h.sql("DROP TABLE IF EXISTS meta_fmt")
+    h.sql("CREATE TABLE meta_fmt (k INT COMMENT 'the key', v STRING) " +
+      "PARTITIONED BY (ds STRING) " +
+      "CLUSTERED BY (k) SORTED BY (k ASC) INTO 4 BUCKETS " +
+      "STORED AS ORC TBLPROPERTIES ('who'='me')")
+    val rows = h.sql("DESCRIBE FORMATTED meta_fmt").get.collect()
+      .map(r => (r.getString(0).trim, r.getString(1).trim,
+        Option(r.getString(2)).map(_.trim).getOrElse("")))
+    // Hive column block: %-20s padded cells, partition info section
+    assert(rows.exists(r => r._1 == "k" && r._2 == "int" &&
+      r._3 == "the key"), rows.mkString("\n"))
+    assert(rows.exists(_._1 == "# Partition Information"))
+    assert(rows.exists(r => r._1 == "ds" && r._2 == "string"))
+    // storage descriptor from the metadata state machine
+    assert(rows.exists(r => r._1 == "SerDe Library:" &&
+      r._2 == "org.apache.hadoop.hive.ql.io.orc.OrcSerde"))
+    assert(rows.exists(r => r._1 == "InputFormat:" &&
+      r._2 == "org.apache.hadoop.hive.ql.io.orc.OrcInputFormat"))
+    assert(rows.exists(r => r._1 == "Num Buckets:" && r._2 == "4"))
+    assert(rows.exists(r => r._1 == "Bucket Columns:" && r._2 == "[k]"))
+    assert(rows.exists(r => r._1 == "Sort Columns:" &&
+      r._2 == "[Order(col:k, order:1)]"))
+    assert(rows.exists(r => r._1 == "Table Type:" &&
+      r._2 == "MANAGED_TABLE"))
+    // SHOW TBLPROPERTIES serves the user property
+    val p = h.sql("SHOW TBLPROPERTIES meta_fmt ('who')").get.collect()
+    assert(p.head.getString(0) === "me")
+    // SHOW COLUMNS lists padded lowercase names
+    val cols = h.sql("SHOW COLUMNS FROM meta_fmt").get.collect()
+      .map(_.getString(0).trim)
+    assert(cols.toSeq === Seq("k", "v", "ds"))
+    spark.sql("DROP TABLE IF EXISTS meta_fmt")
+  }
+
+  test("public entry: DESCRIBE FUNCTION [EXTENDED] renders Hive's " +
+      "layout (usage, no-doc line, does-not-exist line, class line)") {
+    val h = new HiveStatements(spark)
+    val up = h.sql("DESCRIBE FUNCTION upper").get.collect()
+      .map(_.getString(0))
+    assert(up.exists(_.contains("upper")), up.mkString("\n"))
+    val ext = h.sql("DESCRIBE FUNCTION EXTENDED upper").get.collect()
+      .map(_.getString(0))
+    assert(ext.exists(_.startsWith("Function class:")), ext.mkString("\n"))
+    assert(ext.exists(_.startsWith("Function type:")), ext.mkString("\n"))
+    val nope = h.sql("DESCRIBE FUNCTION no_such_fn_xyz").get.collect()
+      .map(_.getString(0))
+    assert(nope.toSeq === Seq("Function 'no_such_fn_xyz' does not exist."))
+  }
+
+  test("public entry: SHOW PARTITIONS lists rows ∪ metadata-only " +
+      "ADD PARTITION specs with escapePathName naming") {
+    val h = new HiveStatements(spark)
+    h.sql("DROP TABLE IF EXISTS meta_parts")
+    h.sql("CREATE TABLE meta_parts (k INT) PARTITIONED BY (ds STRING)")
+    // real rows in two partitions through the dialect INSERT path
+    import spark.implicits._
+    Seq((1, "2008-04-08"), (2, "2008-04-09")).toDF("k", "ds")
+      .createOrReplaceTempView("meta_parts")
+    // a metadata-only partition (no rows)
+    h.sql("ALTER TABLE meta_parts ADD PARTITION (ds='2008-04-10')")
+    val parts = h.sql("SHOW PARTITIONS meta_parts").get.collect()
+      .map(_.getString(0)).toSeq
+    assert(parts === Seq("ds=2008-04-08", "ds=2008-04-09",
+      "ds=2008-04-10"), parts.mkString("\n"))
+    val one = h.sql(
+      "SHOW PARTITIONS meta_parts PARTITION (ds='2008-04-09')").get
+      .collect().map(_.getString(0)).toSeq
+    assert(one === Seq("ds=2008-04-09"))
+    spark.catalog.dropTempView("meta_parts")
+  }
+
   test("CREATE TEMPORARY MACRO equivalent: SQL scalar function") {
     // Hive macros (CREATE TEMPORARY MACRO sigmoid(x DOUBLE) 1.0/(1.0+
     // exp(-x)), ql/ddl CreateMacroDesc) map to Spark SQL UDFs — a named

@@ -19,69 +19,24 @@ object GoldenDescribe {
     "/root/reference/ql/src/java/org/apache/hadoop/hive/ql"
 
   // ---------------------------------------------------------------
-  // column-block rendering
+  // column-block rendering — the layout lives in the SHIPPED engine
+  // (graft.meta.MetaRender); these forwarders keep the harness's
+  // call sites stable.
   // ---------------------------------------------------------------
 
-  /** %-20s — pad to 20, never truncate (MetaDataFormatUtils.ALIGNMENT). */
-  def pad(s: String): String = if (s.length >= 20) s else s + (" " * (20 - s.length))
+  def pad(s: String): String = graft.meta.MetaRender.pad(s)
 
   def colLine(name: String, typ: String, comment: String): String =
-    s"${pad(name)}\t${pad(typ)}\t${pad(comment)}"
+    graft.meta.MetaRender.colLine(name, typ, comment)
 
-  /** A column row, with embedded-newline comments continuing on
-    * blank-name/blank-type rows (describe_comment_indent.q). */
-  def colLines(name: String, typ: String, comment: String): Seq[String] = {
-    val segs = comment.split("\n", -1)
-    colLine(name, typ, segs.head) +:
-      segs.tail.toSeq.map(sg => colLine("", "", sg))
-  }
+  def colLines(name: String, typ: String, comment: String): Seq[String] =
+    graft.meta.MetaRender.colLines(name, typ, comment)
 
-  val sepLine = "\t \t "
-  val partInfoHeader: Seq[String] = Seq(
-    "# Partition Information\t \t ",
-    s"# ${pad("col_name")}\t${pad("data_type")}\t${pad("comment")}",
-    sepLine)
+  val sepLine = graft.meta.MetaRender.sepLine
+  val partInfoHeader: Seq[String] = graft.meta.MetaRender.partInfoHeader
 
-  /** Spark type → Hive type text (TypeInfo.getTypeName forms; struct
-    * field names are lowercased like TypeInfoFactory parsing does). */
-  def hiveTypeName(dt: DataType): String = dt match {
-    case ByteType => "tinyint"
-    case ShortType => "smallint"
-    case IntegerType => "int"
-    case LongType => "bigint"
-    case FloatType => "float"
-    case DoubleType => "double"
-    case BooleanType => "boolean"
-    case StringType => "string"
-    case BinaryType => "binary"
-    case DateType => "date"
-    case TimestampType | TimestampNTZType => "timestamp"
-    case d: DecimalType => s"decimal(${d.precision},${d.scale})"
-    case c: CharType => s"char(${c.length})"
-    case v: VarcharType => s"varchar(${v.length})"
-    case ArrayType(e, _) => s"array<${hiveTypeName(e)}>"
-    case MapType(k, v, _) => s"map<${hiveTypeName(k)},${hiveTypeName(v)}>"
-    case s: StructType if s.fields.length >= 2 &&
-        s.fields(0).name.equalsIgnoreCase("tag") &&
-        s.fields(0).dataType == IntegerType &&
-        s.fields.drop(1).zipWithIndex.forall { case (f, i) =>
-          f.name.equalsIgnoreCase(s"field$i") } =>
-      // the engine models Hive uniontype as struct<tag:int,field0..N>
-      // (SURVEY §1.2); DESCRIBE renders the Hive type text
-      "uniontype<" + s.fields.drop(1).map(f =>
-        hiveTypeName(f.dataType)).mkString(",") + ">"
-    case s: StructType =>
-      // field names keep their AS-WRITTEN case (orc_create records
-      // struct<A:string,B:string> verbatim; FieldSchema stores the
-      // declared type text)
-      "struct<" + s.fields.map(f =>
-        s"${f.name}:${hiveTypeName(f.dataType)}").mkString(",") +
-        ">"
-    case NullType => "void"
-    case DayTimeIntervalType(_, _) => "interval_day_time"
-    case YearMonthIntervalType(_, _) => "interval_year_month"
-    case other => other.simpleString
-  }
+  def hiveTypeName(dt: DataType): String =
+    graft.meta.MetaRender.hiveTypeName(dt)
 
   // ---------------------------------------------------------------
   // function docs
@@ -245,64 +200,30 @@ object GoldenDescribe {
       "char" -> s"${udf}generic.GenericUDFToChar")
   }
 
-  def describeFunction(nameTyped: String, extended: Boolean)
-      : Option[Seq[String]] = {
-    // registry lookup is case-insensitive, but _FUNC_ substitution
-    // uses the name AS TYPED (DESCRIBE FUNCTION E → "E() - returns E")
-    val raw = nameTyped.trim
-    // a BACKTICKED name reaches the registry with its backticks and
-    // never resolves (udf_index: DESCRIBE FUNCTION `index`)
-    if (raw.startsWith("`"))
-      return Some(Vector(s"Function '$raw' does not exist."))
-    val n = raw
-      .stripPrefix("'").stripSuffix("'")
-      .stripPrefix("\"").stripSuffix("\"")
-    typeCastFns.get(n.toLowerCase).foreach { fq =>
-      val out = Vector.newBuilder[String]
-      out += s"There is no documentation for function '$n'"
-      if (extended) {
-        out += s"Function class:$fq"
-        out += "Function type:BUILTIN"
-      }
-      return Some(out.result())
+  /** Reference-parsed doc source feeding the SHIPPED renderer
+    * (graft.meta.FunctionDocs.render owns the DDLTask.describeFunction
+    * layout — ql/exec/DDLTask.java:3040-3092; this lookup supplies the
+    * reference's own annotation text and registration-order
+    * synonyms). */
+  private def refLookup(nLc: String): Option[graft.meta.FnDoc] = {
+    typeCastFns.get(nLc).foreach { fq =>
+      return Some(graft.meta.FnDoc(fq, null, null, Nil))
     }
-    byName.get(n.toLowerCase) match {
-      case None =>
-        // registered names all come from the parsed registry (plus
-        // the constant-named entries above): anything else is Hive's
-        // does-not-exist line (udf_stddev_pop describes a typo name)
-        Some(Vector(s"Function '$n' does not exist."))
-      case Some(cls) => classDocs.get(cls).orElse(
-          // registered but undocumented (the Noop PTF resolvers)
-          Some((null, null, null))).map { case (fq, v, e) =>
-        val out = Vector.newBuilder[String]
-        if (v == null) {
-          out += s"There is no documentation for function '$n'"
-        } else {
-          out ++= v.replace("_FUNC_", n).split("\n", -1)
-          if (extended) {
-            val syn = {
-              val seen = scala.collection.mutable.LinkedHashSet[String]()
-              registrations.foreach { case (rn, rc) =>
-                // EXACT-name exclusion (DDLTask passes the typed
-                // name): DESCRIBE FUNCTION E lists lowercase "e" as
-                // a synonym of itself
-                if (rc == cls && rn != n && !rn.contains("@_"))
-                  seen += rn
-              }
-              seen.toVector
-            }
-            if (syn.nonEmpty) out += "Synonyms: " + syn.mkString(", ")
-            if (e != null && e.nonEmpty)
-              out ++= e.replace("_FUNC_", n).split("\n", -1)
-          }
-        }
-        if (extended && fq != null) {
-          out += s"Function class:$fq"
-          out += "Function type:BUILTIN"
-        }
-        out.result()
+    byName.get(nLc).map { cls =>
+      val (fq, v, e) = classDocs.getOrElse(cls,
+        // registered but undocumented (the Noop PTF resolvers)
+        (null: String, null: String, null: String))
+      val syn = {
+        val seen = scala.collection.mutable.LinkedHashSet[String]()
+        registrations.foreach { case (rn, rc) =>
+          if (rc == cls) seen += rn }
+        seen.toVector
       }
+      graft.meta.FnDoc(fq, v, e, syn)
     }
   }
+
+  def describeFunction(nameTyped: String, extended: Boolean)
+      : Option[Seq[String]] =
+    Some(graft.meta.FunctionDocs.render(nameTyped, extended, refLookup))
 }

@@ -554,7 +554,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     * the bare name was already owned by another database — the flat
     * namespace's two-layer escape hatch (database.q: conflict_name in
     * db1 AND db2). */
-  private val dbOwner = scala.collection.mutable.Map[String, String]()
+  private def dbOwner = meta.dbOwner
   private val dbQualified = scala.collection.mutable.Set[String]()
   dialect.dbResolver = (stmt, db, t) => {
     val key = s"${db.toLowerCase}__${t.toLowerCase}"
@@ -1089,9 +1089,14 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       "t tinyint, si smallint, i int, b bigint, f float, d double, " +
         "bo boolean, s string, ts timestamp, dec decimal(4,2), bin string")
 
-  /** `alltypesorc` — the qtest ORC fixture, read natively. */
+  /** `alltypesorc` — the qtest ORC fixture, read natively; the
+    * legacy-writer timestamp decode skew corrects at load
+    * ([[graft.sources.OrcLegacy]] — modern readers decode the
+    * fraction-bearing post-epoch cells one second early vs the
+    * reference's orc-core 1.3.3). */
   lazy val alltypesorc: Unit =
-    spark.read.orc("/root/reference/data/files/alltypesorc")
+    graft.sources.OrcLegacy.fixLegacyTimestamps(
+      spark.read.orc("/root/reference/data/files/alltypesorc"))
       .createOrReplaceTempView("alltypesorc")
 
   /** TPC-H-shaped qtest fixtures (q_test_init.sql:277-311). */
@@ -1395,8 +1400,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     * leaves them — existing partitions then read through their own
     * schema and CONVERT to the table schema (extra table columns go
     * NULL, retypes re-coerce), like Hive's partition-OI converters. */
-  private val partSchemas = scala.collection.mutable
-    .Map[String, scala.collection.mutable.Map[Seq[String], StructType]]()
+  private def partSchemas = meta.partSchemas
 
   private def nullMark(s: String): String =
     if (s == null) GoldenFixtures.nullFormat else s
@@ -1463,16 +1467,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     * (entries without a value are wildcards: `partition (p1, p2='123')`
     * addresses every partition with p2='123'). */
   private def matchingPartKeys(lc: String, spec: String)
-      : Seq[Seq[String]] = {
-    val pcs = tablePartCols.getOrElse(lc, Nil)
-    val statics = parsePartSpec(spec).collect {
-      case (n, Some(v)) => n.toLowerCase -> v }.toMap
-    partSchemas.getOrElseUpdate(lc, scala.collection.mutable.Map.empty)
-      .keys.filter(k => pcs.zipWithIndex.forall { case (pc, i) =>
-        statics.get(pc.toLowerCase)
-          .forall(v => i < k.length && v == k(i))
-      }).toVector
-  }
+      : Seq[Seq[String]] = meta.matchingPartKeys(lc, spec)
 
   /** Rebuild `table`'s temp view by parsing the raw store cells with
     * `schema` — POSITIONALLY, like LazySimpleSerDe maps file columns
@@ -1647,8 +1642,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       "['\"]serialization\\.null\\.format['\"]\\s*=\\s*['\"]([^'\"]*)['\"])").r
   /** partition columns per created table (Hive keeps them LAST in the
     * logical schema; ADD COLUMNS slots new columns before them) */
-  private val tablePartCols =
-    scala.collection.mutable.Map[String, Seq[String]]()
+  private def tablePartCols = meta.tablePartCols
   private val termRe =
     "(?is).*fields\\s+terminated\\s+by\\s+'([^']+)'.*".r
   private val collTermRe =
@@ -2158,6 +2152,28 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   // views, in-memory exports, qtest script sugar.
   // ------------------------------------------------------------------
 
+  // the replay loop drives the shared HiveMetaStore itself (fixture-
+  // aware sequencing: drainSetsBefore interleaves, masked ALTERs) and
+  // asserts DESCRIBE/SHOW statements against the goldens — the
+  // engine's automatic paths stay off
+  override protected def autoObserveMeta: Boolean = false
+  override protected def serveMetaReads: Boolean = false
+
+  /** The shared (src/main) metadata state machine, bound to the
+    * replay fixtures: qtest conf defaults (hive-site ColumnarSerDe),
+    * flat-namespace name mangling, and fixture column comments. */
+  override protected def newMetaStore: graft.meta.HiveMetaStore =
+    new graft.meta.HiveMetaStore(spark0, () => dialect.currentDb) {
+      // qtest runs with hive.default.rcfile.serde=ColumnarSerDe
+      // (data/conf/hive-site.xml:207)
+      rcfileSerde = "org.apache.hadoop.hive.serde2.columnar.ColumnarSerDe"
+      override def resolveLc(t: String): String =
+        GoldenHarness.this.resolveLc(t)
+      override def commentOf(tableLc: String, col: String,
+          isPartCol: Boolean): String =
+        GoldenHarness.this.commentOf(tableLc, col, isPartCol)
+    }
+
   /** Rebuilds materialize via collect + register (fixtures are small
     * and register() carries the char/varchar handling), with a
     * runaway cap guarding six concurrent sweep workers. */
@@ -2653,8 +2669,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   // ------------------------------------------------------------------
 
   /** lc table → lc column → COMMENT text, tracked from CREATE/ALTER. */
-  private val colComments =
-    scala.collection.mutable.Map[String, Map[String, String]]()
+  private def colComments = meta.colComments
 
   /** Tables whose schema comes from a deserializer (thrift): every
     * describe comment renders "from deserializer". */
@@ -2690,11 +2705,15 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
 
   /** hive.decode.partition.name: SHOW PARTITIONS prints decoded
     * (unescaped) names when true. */
-  private var decodePartName = false
+  private def decodePartName = meta.decodePartName
+  private def decodePartName_=(v: Boolean): Unit =
+    meta.decodePartName = v
 
   /** hive.display.partition.cols.separately=false drops the
     * "# Partition Information" block (desc_tbl_part_cols.q). */
-  private var displayPartColsSep = true
+  private def displayPartColsSep = meta.displayPartColsSep
+  private def displayPartColsSep_=(v: Boolean): Unit =
+    meta.displayPartColsSep = v
 
   /** hive.autogen.columnalias.prefix.label / .includefuncname
     * (SemanticAnalyzer.getColAlias:4248-4266): unaliased expressions
@@ -2721,48 +2740,11 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     }
   }
 
-  /** Comment bookkeeping for statements the engine dispatch handles
-    * (CHANGE/ADD/REPLACE COLUMNS) — called before execute(q). CHANGE
-    * inherits the old comment unless one is given (rename_column.q). */
-  private def trackAlterComments(q: String): Unit = {
-    val changeRe = ("(?is)alter\\s+table\\s+`?([\\w.]+)`?\\s+change\\s+" +
-      "(?:column\\s+)?`?(\\w+)`?\\s+`?(\\w+)`?\\s+[\\w()<>,\\s]+?" +
-      "(?:\\s+comment\\s+(?:'((?:[^'\\\\]|\\\\.)*)'|" +
-      "\"((?:[^\"\\\\]|\\\\.)*)\"))?" +
-      "(?:\\s+(?:first|after\\s+`?\\w+`?))?" +
-      "(?:\\s+(?:cascade|restrict))?\\s*").r
-    q match {
-      case changeRe(t, oldN, newN, cmtSq, cmtDq) =>
-        val cmt = Option(cmtSq).getOrElse(cmtDq)
-        val lc = t.split('.').last.toLowerCase
-        val cur = colComments.getOrElse(lc, Map.empty)
-        val inherited = Option(cmt)
-          .map(_.replace("\\'", "'").replace("\\\\", "\\"))
-          .orElse(cur.get(oldN.toLowerCase))
-        val without = cur - oldN.toLowerCase
-        colComments(lc) = inherited match {
-          case Some(c) => without + (newN.toLowerCase -> c)
-          case None => without
-        }
-      case _ =>
-        q match {
-          case HiveStatements.replaceColsRe(t, cols, _) =>
-            val lc = t.split('.').last.toLowerCase
-            val pcs = tablePartCols.getOrElse(lc, Nil).map(_.toLowerCase)
-            val keepParts = colComments.getOrElse(lc, Map.empty)
-              .filter { case (k, _) => pcs.contains(k) }
-            colComments(lc) =
-              keepParts ++ GoldenFixtures.colCommentsOf(cols)
-          case HiveStatements.addColsRe(t, cols, _) =>
-            val lc = t.split('.').last.toLowerCase
-            colComments(lc) = colComments.getOrElse(lc, Map.empty) ++
-              GoldenFixtures.colCommentsOf(cols)
-          case _ =>
-        }
-    }
-  }
+  private def trackAlterComments(q: String): Unit =
+    meta.trackAlterComments(q)
 
   // ------------------------------------------------------------------
+  // `desc formatted` storage metadata  // ------------------------------------------------------------------
   // `desc formatted` storage metadata (MetaDataFormatUtils
   // .getTableInformation / getStorageDescriptorInfo): the column block
   // asserts EXACTLY; detail lines assert on a whitelist of labels this
@@ -2772,436 +2754,60 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
 
   /** hive.default.rcfile.serde: the qtest harness runs with
     * ColumnarSerDe (data/conf/hive-site.xml:207), overridable per .q */
-  private var rcfileSerde =
-    "org.apache.hadoop.hive.serde2.columnar.ColumnarSerDe"
-  /** hive.default.fileformat (CREATE without STORED AS). */
-  private var defaultFileFormat = "textfile"
-  /** hive.default.fileformat.managed — MANAGED tables use it when not
-    * "none" (HiveConf HIVE_DEFAULT_MANAGED_FILEFORMAT). */
-  private var defaultManagedFormat = "none"
+  private def rcfileSerde = meta.rcfileSerde
+  private def rcfileSerde_=(v: String): Unit = meta.rcfileSerde = v
+  private def defaultFileFormat = meta.defaultFileFormat
+  private def defaultFileFormat_=(v: String): Unit =
+    meta.defaultFileFormat = v
+  private def defaultManagedFormat = meta.defaultManagedFormat
+  private def defaultManagedFormat_=(v: String): Unit =
+    meta.defaultManagedFormat = v
 
-  private def fmtTriple(kind: String): (String, String, String) = {
-    val lazySerde = "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe"
-    kind.toLowerCase match {
-      case "sequencefile" => (lazySerde,
-        "org.apache.hadoop.mapred.SequenceFileInputFormat",
-        "org.apache.hadoop.hive.ql.io.HiveSequenceFileOutputFormat")
-      case "rcfile" => (rcfileSerde,
-        "org.apache.hadoop.hive.ql.io.RCFileInputFormat",
-        "org.apache.hadoop.hive.ql.io.RCFileOutputFormat")
-      case "orc" | "orcfile" =>
-        ("org.apache.hadoop.hive.ql.io.orc.OrcSerde",
-          "org.apache.hadoop.hive.ql.io.orc.OrcInputFormat",
-          "org.apache.hadoop.hive.ql.io.orc.OrcOutputFormat")
-      case "parquet" | "parquetfile" =>
-        ("org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe",
-          "org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat",
-          "org.apache.hadoop.hive.ql.io.parquet.MapredParquetOutputFormat")
-      case "avro" | "avrofile" =>
-        ("org.apache.hadoop.hive.serde2.avro.AvroSerDe",
-          "org.apache.hadoop.hive.ql.io.avro.AvroContainerInputFormat",
-          "org.apache.hadoop.hive.ql.io.avro.AvroContainerOutputFormat")
-      case _ => (lazySerde,
-        "org.apache.hadoop.mapred.TextInputFormat",
-        "org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat")
-    }
-  }
+  private def fmtTriple(kind: String): (String, String, String) =
+    meta.fmtTriple(kind)
+  private def ioFmtTriple(kind: String): (String, String, String) =
+    meta.ioFmtTriple(kind)
 
-  /** The ALTER/INDEX DDL path maps named formats through IOConstants
-    * (IOConstants.java:56): plain Hadoop output classes for
-    * text/sequence. */
-  private def ioFmtTriple(kind: String): (String, String, String) = {
-    val t = fmtTriple(kind)
-    kind.toLowerCase match {
-      case "textfile" => (t._1, t._2,
-        "org.apache.hadoop.hive.ql.io.IgnoreKeyTextOutputFormat")
-      case "sequencefile" => (t._1, t._2,
-        "org.apache.hadoop.mapred.SequenceFileOutputFormat")
-      case _ => t
-    }
-  }
-
-  private val tableStorage =
-    scala.collection.mutable.Map[String, (String, String, String)]()
+  private def tableStorage = meta.tableStorage
+  private def bucketMeta = meta.bucketMeta
+  private def tableSkew = meta.tableSkew
+  private def tableKind = meta.tableKind
+  private def partStorage = meta.partStorage
+  private def partBucketMeta = meta.partBucketMeta
 
   /** Bucketed qtest fixtures (data/scripts/q_test_init.sql:77-90). */
   private def seedFixtureBuckets(): Unit = {
     bucketMeta.getOrElseUpdate("srcbucket", (Seq("key"), Nil, 2))
     bucketMeta.getOrElseUpdate("srcbucket2", (Seq("key"), Nil, 4))
   }
-  /** lc → (bucketCols, sortCols(name, order 1=asc/0=desc), n). */
-  private val bucketMeta = scala.collection.mutable
-    .Map[String, (Seq[String], Seq[(String, Int)], Int)]()
-  /** lc → (skewCols, skewValues, storedAsDirectories). */
-  private val tableSkew = scala.collection.mutable
-    .Map[String, (Seq[String], Seq[Seq[String]], Boolean)]()
-  /** lc → MANAGED_TABLE / EXTERNAL_TABLE / VIRTUAL_VIEW / INDEX_TABLE */
-  private val tableKind = scala.collection.mutable.Map[String, String]()
-  private val partStorage = scala.collection.mutable
-    .Map[(String, Seq[String]), (String, String, String)]()
-  private val partBucketMeta = scala.collection.mutable
-    .Map[(String, Seq[String]), (Seq[String], Seq[(String, Int)], Int)]()
 
-  /** A partition fixes its storage metadata at CREATION (it inherits
-    * the table's then-current descriptor; later table-level ALTERs
-    * do not touch existing partitions — Hive metastore semantics). */
-  private def snapshotPartMeta(lc: String, key: Seq[String]): Unit = {
-    if (!partStorage.contains((lc, key)))
-      partStorage((lc, key)) =
-        tableStorage.getOrElse(lc, fmtTriple(defaultFileFormat))
-    if (!partBucketMeta.contains((lc, key)))
-      partBucketMeta((lc, key)) = bucketMeta.getOrElse(lc, (Nil, Nil, -1))
-  }
+  private def snapshotPartMeta(lc: String, key: Seq[String]): Unit =
+    meta.snapshotPartMeta(lc, key)
+  private def balancedAfter(q: String, from: Int): Option[String] =
+    meta.balancedAfter(q, from)
+  private def parseBucketClause(lc: String, q: String): Boolean =
+    meta.parseBucketClause(lc, q)
+  private def parseSkewClause(lc: String, q: String): Boolean =
+    meta.parseSkewClause(lc, q)
 
-  /** Balanced-paren body following a keyword match end. Parens inside
-    * backticks or single quotes don't count (`!@#$%^&*()_q`). */
-  private def balancedAfter(q: String, from: Int): Option[String] = {
-    var i = from
-    while (i < q.length && q(i) != '(') {
-      if (!q(i).isWhitespace) return None
-      i += 1
-    }
-    if (i >= q.length) return None
-    var depth = 0; val start = i + 1
-    var tick = false; var quote = false
-    while (i < q.length) {
-      q(i) match {
-        case '`' if !quote => tick = !tick
-        case '\'' if !tick => quote = !quote
-        case '(' if !tick && !quote => depth += 1
-        case ')' if !tick && !quote =>
-          depth -= 1
-          if (depth == 0) return Some(q.substring(start, i))
-        case _ =>
-      }
-      i += 1
-    }
-    None
-  }
-
-  private def parseBucketClause(lc: String, q: String): Boolean = {
-    val cb = "(?is)clustered\\s+by\\s*".r.findFirstMatchIn(q)
-      .getOrElse(return false)
-    val bcols = balancedAfter(q, cb.end).getOrElse(return false)
-      .split(",").map(_.trim.replace("`", "").toLowerCase)
-      .filter(_.nonEmpty).toSeq
-    val sb = "(?is)sorted\\s+by\\s*".r.findFirstMatchIn(q)
-    val scols = sb.flatMap(m => balancedAfter(q, m.end)).map(
-      _.split(",").toSeq.map { s0 =>
-        val t = s0.trim.replace("`", "").split("\\s+")
-        (t(0).toLowerCase,
-          if (t.length > 1 && t(1).equalsIgnoreCase("desc")) 0 else 1)
-      }.filter(_._1.nonEmpty)).getOrElse(Nil)
-    val n = "(?is)into\\s+(\\d+)\\s+buckets".r.findFirstMatchIn(q)
-      .map(_.group(1).toInt).getOrElse(-1)
-    bucketMeta(lc) = (bcols, scols, n)
-    true
-  }
-
-  private def parseSkewClause(lc: String, q: String): Boolean = {
-    val sk = "(?is)skewed\\s+by\\s*".r.findFirstMatchIn(q)
-      .getOrElse(return false)
-    val cols = balancedAfter(q, sk.end).getOrElse(return false)
-      .split(",").map(_.trim.replace("`", "").toLowerCase)
-      .filter(_.nonEmpty).toSeq
-    val tail0 = q.substring(sk.end)
-    val on = "(?is)\\bon\\s*".r.findFirstMatchIn(tail0)
-      .getOrElse(return false)
-    val body = balancedAfter(tail0, on.end).getOrElse(return false)
-    val values: Seq[Seq[String]] =
-      if (body.trim.startsWith("("))
-        GoldenFixtures.splitTop(body, ',').map(g =>
-          g.trim.stripPrefix("(").stripSuffix(")")
-            .split(",").map(v => unq(v)).toSeq)
-      else body.split(",").map(v => Seq(unq(v))).toSeq
-    val dirs = "(?is)stored\\s+as\\s+directories".r
-      .findFirstIn(tail0.substring(on.end)).isDefined
-    // the formatter renders NAME-sorted columns and element-wise
-    // sorted value lists (MetaDataFormatUtils.sortedList)
-    import scala.math.Ordering.Implicits._
-    tableSkew(lc) = (cols.sorted, values.sorted, dirs)
-    true
-  }
-
-  private def unq(v: String): String =
-    v.trim.stripPrefix("'").stripSuffix("'")
-      .stripPrefix("\"").stripSuffix("\"")
-
-  /** CREATE-time storage metadata (all CREATE TABLE shapes route
-    * here; `view` marks CREATE VIEW). */
-  private def recordStorageMeta(q: String, view: Boolean = false): Unit = {
-    val m = ("(?is)create\\s+(?:or\\s+replace\\s+)?(temporary\\s+)?" +
-      "(external\\s+)?(?:table|(?:materialized\\s+)?view)\\s+" +
-      "(?:if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?").r
-      .findFirstMatchIn(q).getOrElse(return)
-    val lc = m.group(3).split('.').last.toLowerCase
-    // IF NOT EXISTS over an existing table is a NO-OP — keep the
-    // original descriptor (ctas: re-create of nzhang_ctas3)
-    if (q.toLowerCase.contains("if not exists") &&
-        tableStorage.contains(lc)) return
-    if (m.group(3).contains("."))
-      dbOwner(lc) = m.group(3).split('.').head.toLowerCase
-    tableKind(lc) =
-      if (view && q.toLowerCase.contains("materialized"))
-        "MATERIALIZED_VIEW"
-      else if (view) "VIRTUAL_VIEW"
-      else if (m.group(2) != null) "EXTERNAL_TABLE"
-      else "MANAGED_TABLE"
-    bucketMeta.remove(lc); tableSkew.remove(lc)
-    partStorage.filterInPlace((k, _) => k._1 != lc)
-    partBucketMeta.filterInPlace((k, _) => k._1 != lc)
-    // a fresh CREATE starts with no partitions (drop_table2: recreate
-    // then SHOW PARTITIONS must be empty)
-    addedParts.remove(lc)
-    partSchemas.remove(lc)
-    if (view && q.toLowerCase.contains("materialized")) {
-      // a MATERIALIZED view stores real data — its storage clauses
-      // parse like a table's; the default format is ORC
-      // (hive.materializedview.fileformat)
-      var triple = fmtTriple("orc")
-      // named formats resolve through the IOConstants path here
-      // (textfile -> IgnoreKeyTextOutputFormat)
-      "(?is)stored\\s+as\\s+(\\w+)".r.findAllMatchIn(q)
-        .map(_.group(1).toLowerCase)
-        .find(k => k != "inputformat" && k != "directories")
-        .foreach(k => triple = ioFmtTriple(k))
-      "(?is)row\\s+format\\s+serde\\s+['\"]([^'\"]+)['\"]".r
-        .findFirstMatchIn(q)
-        .foreach(x => triple = (x.group(1), triple._2, triple._3))
-      tableStorage(lc) = triple
-      if (!lc.contains("__"))
-        dbOwner.getOrElseUpdate(lc, dialect.currentDb.toLowerCase)
-      return
-    }
-    if (view) {
-      // views carry a NULL serde over the current default fileformat's
-      // io classes (create_view_defaultformats: a view created under
-      // hive.default.fileformat=SequenceFile records those formats)
-      val t = fmtTriple(defaultFileFormat)
-      tableStorage(lc) = ("null", t._2, t._3)
-      if (!lc.contains("__"))
-        dbOwner.getOrElseUpdate(lc, dialect.currentDb.toLowerCase)
-      // PARTITIONED ON (cols): a partitioned VIEW's named columns
-      // render in the partition-information block
-      "(?is)partitioned\\s+on\\s*\\(([^)]*)\\)".r.findFirstMatchIn(q)
-        .foreach(x => tablePartCols(lc) = x.group(1).split(",")
-          .map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq)
-      return
-    }
-    // explicit storage clauses (also present as OVERRIDES on LIKE)
-    def storageOverrides(base: (String, String, String))
-        : (String, String, String) = {
-      var triple = base
-      val io = ("(?is)stored\\s+as\\s+inputformat\\s+'([^']+)'\\s+" +
-        "outputformat\\s+'([^']+)'").r.findFirstMatchIn(q)
-      io match {
-        case Some(x) => triple = (triple._1, x.group(1), x.group(2))
-        case None =>
-          // scan ALL stored-as keywords: `STORED AS DIRECTORIES`
-          // (skew) may precede the real `STORED AS RCFILE`
-          "(?is)stored\\s+as\\s+(\\w+)".r.findAllMatchIn(q)
-            .map(_.group(1).toLowerCase)
-            .find(k => k != "inputformat" && k != "directories")
-            .foreach(k => triple = fmtTriple(k))
-      }
-      "(?is)row\\s+format\\s+serde\\s+['\"]([^'\"]+)['\"]".r
-        .findFirstMatchIn(q)
-        .foreach(x => triple = (x.group(1), triple._2, triple._3))
-      triple
-    }
-    // CREATE LIKE copies the source's storage descriptor, then any
-    // explicit clauses override (create_like: `like t5 stored as
-    // RCFILE`)
-    "(?is)\\blike\\s+`?([\\w.]+)`?".r.findFirstMatchIn(q) match {
-      case Some(lm) =>
-        val src = lm.group(1).split('.').last.toLowerCase
-        // LIKE a VIEW materializes a default-text MANAGED table
-        // (create_like_view) — nothing storage-wise copies over
-        val base =
-          if (tableKind.get(src).contains("VIRTUAL_VIEW"))
-            fmtTriple("textfile")
-          else tableStorage.getOrElse(src, fmtTriple(defaultFileFormat))
-        // an explicit STORED AS on LIKE resolves like CREATE's
-        // (create_like: `like table5 stored as RCFILE` records the
-        // qtest-conf ColumnarSerDe)
-        var triple = base
-        val io = ("(?is)stored\\s+as\\s+inputformat\\s+'([^']+)'\\s+" +
-          "outputformat\\s+'([^']+)'").r.findFirstMatchIn(q)
-        io match {
-          case Some(x) => triple = (triple._1, x.group(1), x.group(2))
-          case None =>
-            "(?is)stored\\s+as\\s+(\\w+)".r.findAllMatchIn(q)
-              .map(_.group(1).toLowerCase)
-              .find(k => k != "inputformat" && k != "directories")
-              .foreach(k => triple = fmtTriple(k))
-        }
-        "(?is)row\\s+format\\s+serde\\s+['\"]([^'\"]+)['\"]".r
-          .findFirstMatchIn(q)
-          .foreach(x => triple = (x.group(1), triple._2, triple._3))
-        tableStorage(lc) = triple
-        if (!tableKind.get(src).contains("VIRTUAL_VIEW")) {
-          bucketMeta.get(src).foreach(bucketMeta(lc) = _)
-          tableSkew.get(src).foreach(tableSkew(lc) = _)
-        }
-      case None =>
-        val dflt =
-          if (tableKind(lc) == "MANAGED_TABLE" &&
-              defaultManagedFormat != "none") defaultManagedFormat
-          else defaultFileFormat
-        tableStorage(lc) = storageOverrides(fmtTriple(dflt))
-        parseBucketClause(lc, q)
-        parseSkewClause(lc, q)
-    }
-  }
-
-  /** ALTER-time storage metadata. */
-  private def trackAlterStorage(q: String): Unit = {
-    val ql = q.toLowerCase
-    val lc = "(?is)alter\\s+table\\s+`?([\\w.]+)`?".r.findFirstMatchIn(q)
-      .map(_.group(1).split('.').last.toLowerCase).getOrElse(return)
-    val partSpec = "(?is)\\bpartition\\s*\\(([^)]*)\\)".r
-      .findFirstMatchIn(q).map(_.group(1))
-    def partKeys: Seq[Seq[String]] =
-      partSpec.toSeq.flatMap(s => matchingPartKeys(lc, s))
-    if (ql.matches("(?s).*\\bset\\s+fileformat\\b.*")) {
-      val io = ("(?is)set\\s+fileformat\\s+inputformat\\s+'([^']+)'\\s+" +
-        "outputformat\\s+'([^']+)'(?:\\s+serde\\s+'([^']+)')?").r
-        .findFirstMatchIn(q)
-      val triple = io match {
-        case Some(x) =>
-          val cur = tableStorage.getOrElse(lc, fmtTriple("textfile"))
-          (if (x.group(3) != null) x.group(3) else cur._1,
-            x.group(1), x.group(2))
-        case None =>
-          "(?is)set\\s+fileformat\\s+(\\w+)".r.findFirstMatchIn(q)
-            .map(x => ioFmtTriple(x.group(1))).getOrElse(return)
-      }
-      if (partSpec.isDefined) partKeys.foreach(k =>
-        partStorage((lc, k)) = triple)
-      else tableStorage(lc) = triple
-    } else if (ql.matches("(?s).*\\bset\\s+serde\\s+'.*")) {
-      val s = "(?is)set\\s+serde\\s+'([^']+)'".r.findFirstMatchIn(q).get
-        .group(1)
-      if (partSpec.isDefined) partKeys.foreach { k =>
-        val cur = partStorage.getOrElse((lc, k),
-          tableStorage.getOrElse(lc, fmtTriple("textfile")))
-        partStorage((lc, k)) = (s, cur._2, cur._3)
-      } else {
-        val cur = tableStorage.getOrElse(lc, fmtTriple("textfile"))
-        tableStorage(lc) = (s, cur._2, cur._3)
-      }
-    } else if (ql.matches("(?s).*\\bnot\\s+clustered\\b.*")) {
-      if (partSpec.isDefined) partKeys.foreach(k =>
-        partBucketMeta((lc, k)) = (Nil, Nil, -1))
-      else bucketMeta(lc) = (Nil, Nil, -1)
-    } else if (ql.matches("(?s).*\\bnot\\s+sorted\\b.*")) {
-      if (partSpec.isDefined) partKeys.foreach { k =>
-        val (b, _, n) = partBucketMeta.getOrElse((lc, k),
-          bucketMeta.getOrElse(lc, (Nil, Nil, -1)))
-        partBucketMeta((lc, k)) = (b, Nil, n)
-      } else {
-        val (b, _, n) = bucketMeta.getOrElse(lc, (Nil, Nil, -1))
-        bucketMeta(lc) = (b, Nil, n)
-      }
-    } else if (ql.contains("clustered by")) {
-      if (partSpec.isDefined) {
-        val saved = bucketMeta.get(lc)
-        if (parseBucketClause(lc, q)) {
-          val parsed = bucketMeta(lc)
-          saved match {
-            case Some(v) => bucketMeta(lc) = v
-            case None => bucketMeta.remove(lc)
-          }
-          partKeys.foreach(k => partBucketMeta((lc, k)) = parsed)
-        }
-      } else parseBucketClause(lc, q)
-    } else if (ql.matches("(?s).*\\binto\\s+\\d+\\s+buckets.*")) {
-      val n = "(?is)into\\s+(\\d+)\\s+buckets".r.findFirstMatchIn(q).get
-        .group(1).toInt
-      if (partSpec.isDefined) partKeys.foreach { k =>
-        val (b, sc, _) = partBucketMeta.getOrElse((lc, k),
-          bucketMeta.getOrElse(lc, (Nil, Nil, -1)))
-        partBucketMeta((lc, k)) = (b, sc, n)
-      } else {
-        val (b, s, _) = bucketMeta.getOrElse(lc, (Nil, Nil, -1))
-        bucketMeta(lc) = (b, s, n)
-      }
-    } else if (ql.matches("(?s).*\\bnot\\s+skewed\\b.*")) {
-      tableSkew.remove(lc)
-    } else if (ql.matches("(?s).*\\bnot\\s+stored\\s+as\\s+directories.*")) {
-      tableSkew.get(lc).foreach { case (c, v, _) =>
-        tableSkew(lc) = (c, v, false) }
-    } else if (ql.contains("skewed by")) {
-      parseSkewClause(lc, q)
-    }
-  }
+  private def recordStorageMeta(q: String, view: Boolean = false): Unit =
+    meta.recordStorageMeta(q, view)
+  private def trackAlterStorage(q: String): Unit =
+    meta.trackAlterStorage(q)
 
   /** FileUtils.escapePathName (FileUtils.java:225-295): partition
     * VALUES render with control bytes and reserved chars %XX-escaped
     * in partition NAMES (SHOW PARTITIONS, path rendering). */
-  private def escapePathName(v: String): String = {
-    val sb = new StringBuilder
-    v.foreach { c =>
-      if (c < ' ' || c == '\u007f' ||
-          "\"#%'*/:=?\\{[]^".indexOf(c.toInt) >= 0)
-        sb.append(f"%%${c.toInt}%02X")
-      else sb.append(c)
-    }
-    sb.toString
-  }
+  private def escapePathName(v: String): String =
+    graft.meta.MetaRender.escapePathName(v)
 
   /** User-set table properties (CREATE ... TBLPROPERTIES / ALTER SET
     * TBLPROPERTIES / UNSET), keyed lc table -> (key -> value). */
-  private val tableProps = scala.collection.mutable
-    .Map[String, scala.collection.mutable.LinkedHashMap[String, String]]()
-  /** db that created the current flat binding (cross-db twins
-    * clobber; shows naming the OTHER db go no-assert). */
-  private val tablePropsOwner =
-    scala.collection.mutable.Map[String, String]()
+  private def tableProps = meta.tableProps
+  private def tablePropsOwner = meta.tablePropsOwner
 
   private def trackTblProps(q: String, create: Boolean,
-      origQ: String = null): Unit = {
-    val nm =
-      if (create) ("(?is)create\\s+(?:or\\s+replace\\s+)?" +
-        "(?:temporary\\s+)?(?:external\\s+)?" +
-        "(?:table|(?:materialized\\s+)?view)\\s+" +
-        "(?:if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?").r
-        .findFirstMatchIn(q).map(_.group(1))
-      else ("(?is)alter\\s+(?:table|view)\\s+`?([\\w.]+)`?").r
-        .findFirstMatchIn(q).map(_.group(1))
-    val lc = nm.map(resolveLc).getOrElse(return)
-    if (create) {
-      tableProps.remove(lc)
-      // the rewrite strips KNOWN-db qualifiers — recover the creating
-      // db from the ORIGINAL text (CREATE TABLE vt.t from default)
-      val base = nm.get.split('.').last.toLowerCase
-      val origQual = Option(origQ).flatMap(o =>
-        ("(?is)create\\s+(?:or\\s+replace\\s+)?(?:temporary\\s+)?" +
-          "(?:external\\s+)?(?:table|(?:materialized\\s+)?view)\\s+" +
-          "(?:if\\s+not\\s+exists\\s+)?`?(\\w+)`?\\s*\\.\\s*`?" +
-          base + "`?").r.findFirstMatchIn(o).map(_.group(1).toLowerCase))
-      tablePropsOwner(lc) = nm.get.split('.') match {
-        case a if a.length > 1 => a.head.toLowerCase
-        case _ => origQual.getOrElse(dialect.currentDb.toLowerCase)
-      }
-    }
-    val unset = !create &&
-      q.toLowerCase.contains("unset tblproperties")
-    val bodyOpt = "(?is)tblproperties\\s*(?:if\\s+exists\\s*)?".r
-      .findFirstMatchIn(q)
-      .flatMap(m2 => balancedAfter(q, m2.end))
-    if (bodyOpt.isEmpty) return
-    val body = bodyOpt.get
-    val props = tableProps.getOrElseUpdate(lc,
-      scala.collection.mutable.LinkedHashMap.empty)
-    if (unset)
-      "['\"]([^'\"]+)['\"]".r.findAllMatchIn(body)
-        .foreach(m2 => props.remove(m2.group(1)))
-    else
-      ("['\"]([^'\"]+)['\"]\\s*=\\s*['\"]([^'\"]*)['\"]").r
-        .findAllMatchIn(body)
-        .foreach(m2 => props(m2.group(1)) = m2.group(2))
-  }
+      origQ: String = null): Unit = meta.trackTblProps(q, create, origQ)
 
   /** `SHOW TBLPROPERTIES t [("key")]` lines. None = out of scope. */
   private def showTblPropsLines(q0: String,
@@ -3222,21 +2828,11 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       .getOrElse(dialect.currentDb.toLowerCase)
     if (tablePropsOwner.get(lc).exists(_ != askedDb)) return None
     val db = askedDb
-    val props = tableProps.getOrElse(lc,
-      scala.collection.mutable.LinkedHashMap.empty[String, String])
-    Option(m.group(2)) match {
-      case Some(k) =>
-        Some(Seq(props.get(k) match {
-          case Some(v) => v
-          case None =>
-            s"Table $db.${t.split('.').last} does not have property: $k"
-        }))
-      case None =>
-        // the full listing carries engine-managed entries
-        // (transient_lastDdlTime, numFiles...) the assert-side also
-        // skips — emit only the USER properties, compare filtered
-        Some(props.map { case (k, v) => s"$k\t$v" }.toSeq)
-    }
+    // the full listing carries engine-managed entries
+    // (transient_lastDdlTime, numFiles...) the assert-side also
+    // skips — emit only the USER properties, compare filtered
+    Some(meta.showTblPropsLines(lc, db, t.split('.').last,
+      Option(m.group(2))))
   }
 
   /** `SHOW COLUMNS from|in t [db]` lines (%-20s padded names). */
@@ -3261,8 +2857,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     }
     val schema = scala.util.Try(spark.table(table).schema)
       .getOrElse(return None)
-    Some(schema.fields.toSeq.map(f =>
-      GoldenDescribe.pad(f.name.toLowerCase)))
+    Some(meta.showColumnsLines(schema))
   }
 
   /** Expected lines of `SHOW PARTITIONS <table> [partition(spec)]`:
@@ -3326,36 +2921,12 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     // its rows don't imply any (DDLSemanticAnalyzer ALTER VIEW ADD)
     val isView = tableKind.get(lc).exists(_.endsWith("_VIEW")) ||
       viewDefs.contains(lc)
-    val fromRows: Seq[Seq[String]] =
-      if (isView) Nil
-      else df
-        .select(pFields.map(org.apache.spark.sql.functions.col): _*)
-        .distinct().collect().toSeq.map(r =>
-          (0 until r.length).map(i =>
-            if (r.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
-            else r.get(i).toString))
-    val fromAdds: Seq[Seq[String]] =
-      addedParts.getOrElse(lc, Nil).toSeq.map(kv =>
-        pcs.map(pc => kv.collectFirst {
-          case (n, v) if n.equalsIgnoreCase(pc) => v
-        }.getOrElse(return None)))
     val filter: Seq[(Int, String)] = Option(m.group(2)).toSeq
       .flatMap(s => parsePartSpec(s)).collect { case (n, Some(v)) =>
         pcs.indexWhere(_.equalsIgnoreCase(n)) -> v }
-    if (sys.env.contains("GOLDEN_DUMP"))
-      println(s"[showpart] lc=$lc pcs=$pcs filter=$filter " +
-        s"rows=${fromRows.size} adds=${fromAdds.size}")
-    // hive.decode.partition.name=true renders names UNESCAPED
-    // (partition_decode_name); column NAMES escape like values
-    // (quotedid_partition: `!@#$%^&*()_q=a` -> !@%23$%25%5E&%2A()_q)
-    def esc(x: String): String =
-      if (decodePartName) x else escapePathName(x)
-    Some((fromRows ++ fromAdds).distinct
-      .filter(k => filter.forall { case (i, v) =>
-        i >= 0 && i < k.size && k(i) == v })
-      .map(k => pcs.map(_.toLowerCase).zip(k).map { case (n, v) =>
-        s"${esc(n)}=${esc(v)}" }.mkString("/"))
-      .sorted)
+    // rows ∪ adds, escapePathName naming, metastore sort — the
+    // SHIPPED renderer (graft.meta.HiveMetaStore.showPartitionNames)
+    meta.showPartitionNames(table, lc, pcs, filter, isView)
   }
 
   /** Expected output of `desc formatted <table> [partition (...)]`:
@@ -3429,54 +3000,12 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       case None => schema.fields
         .filterNot(f => pcs.contains(f.name.toLowerCase))
     }
-    val header =
-      s"# ${pad("col_name")}\t${pad("data_type")}\t${pad("comment")}"
-    val cols =
-      Vector(header, sepLine) ++
-        dataFields.toSeq.flatMap(f =>
-          colLines(f.name.toLowerCase, hiveTypeName(f.dataType),
-            commentOf(lc, f.name))) ++
-        (if (partFieldsAll.isEmpty || !displayPartColsSep) Vector.empty
-         else Vector(sepLine) ++ partInfoHeader ++
-           partFieldsAll.toSeq.flatMap(f =>
-             colLines(f.name.toLowerCase, hiveTypeName(f.dataType),
-               commentOf(lc, f.name, isPartCol = true)))) ++
-        Vector(sepLine)
-    def jlist(xs: Seq[String]): String = xs.mkString("[", ", ", "]")
-    val triple = partKey.flatMap(k => partStorage.get((lc, k)))
-      .getOrElse(tableStorage.getOrElse(lc, fmtTriple("textfile")))
-    val (bcols, scols, nb) =
-      partKey.flatMap(k => partBucketMeta.get((lc, k)))
-        .orElse(if (partKey.isDefined) bucketMeta.get(lc) else None)
-        .getOrElse(
-          if (partKey.isDefined) (Nil, Nil, -1)
-          else bucketMeta.getOrElse(lc, (Nil, Nil, -1)))
-    val kind = tableKind.getOrElse(lc, "MANAGED_TABLE")
-    var labels = Map(
-      "Database:" -> db,
-      "Retention:" -> "0",
-      "Compressed:" -> "No",
-      "SerDe Library:" -> triple._1,
-      "InputFormat:" -> triple._2,
-      "OutputFormat:" -> triple._3,
-      "Num Buckets:" -> nb.toString,
-      "Bucket Columns:" -> jlist(bcols),
-      "Sort Columns:" -> jlist(scols.map { case (c, o) =>
-        s"Order(col:$c, order:$o)" }))
-    if (partKey.isEmpty) labels += ("Table Type:" -> kind)
-    else {
-      // partition detail block (getPartitionMetaDataInformation)
-      labels += ("Table:" -> lc)
-      val vals = parsePartSpec(partSpec.get).collect {
-        case (_, Some(v)) => v }
-      labels += ("Partition Value:" -> jlist(vals))
-    }
-    tableSkew.get(lc).foreach { case (c, v, dirs) =>
-      labels += ("Skewed Columns:" -> jlist(c))
-      labels += ("Skewed Values:" -> v.map(jlist).mkString("[", ", ", "]"))
-      if (dirs) labels += ("Stored As SubDirectories:" -> "Yes")
-    }
-    Some((cols, labels))
+    // column block + whitelisted labels come from the SHIPPED
+    // renderer (graft.meta.HiveMetaStore.describeFormattedCore)
+    val partVals = partSpec.toSeq.flatMap(sp =>
+      parsePartSpec(sp).collect { case (_, Some(v)) => v })
+    Some(meta.describeFormattedCore(lc, db, dataFields.toSeq,
+      partFieldsAll.toSeq, partKey, partVals))
   }
 
   /** Render a DESCRIBE statement's output lines, or None when the
@@ -4304,8 +3833,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     * hive.optimize.metadataonly retry: a partition-column-only
     * aggregate reads ONE ROW PER PARTITION, empty partitions included
     * (MetadataOnlyOptimizer + OneNullRowInputFormat). */
-  private val addedParts = scala.collection.mutable.Map[String,
-    scala.collection.mutable.LinkedHashSet[Seq[(String, String)]]]()
+  private def addedParts = meta.addedParts
   private val plainAddPartRe =
     ("(?is)^\\s*alter\\s+(?:table|view)\\s+`?([\\w.]+)`?\\s+add\\s+" +
       "(?:if\\s+not\\s+exists\\s+)?" +
@@ -4323,68 +3851,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     if (qual != "default" && isTempView(mangled)) mangled else base
   }
 
-  private def recordAddedPartitions(q0: String): Unit = {
-    val q = q0.trim.stripSuffix(";")
-    val head = ("(?is)^\\s*alter\\s+(?:table|view)\\s+`?([\\w.]+)`?" +
-      "\\s+add\\s+(?:if\\s+not\\s+exists\\s+)?(?=partition\\s*\\()").r
-      .findFirstMatchIn(q).getOrElse(return)
-    val t = head.group(1)
-    // balanced spec parse — a backticked partition-column NAME may
-    // contain parens (quotedid_alter: `!@#$%^&*()_q`)
-    var i = head.end
-    val specsB = Vector.newBuilder[String]
-    var wellFormed = true
-    while (i < q.length && wellFormed) {
-      val rest = q.substring(i)
-      val pm = ("(?is)^\\s*partition\\s*").r.findFirstMatchIn(rest)
-      val lm = ("(?is)^\\s*location\\s+'[^']*'\\s*").r
-        .findFirstMatchIn(rest)
-      if (pm.isDefined) {
-        balancedAfter(rest, pm.get.end) match {
-          case Some(body) =>
-            specsB += body
-            i += pm.get.end + rest.substring(pm.get.end)
-              .indexOf('(') + body.length + 2
-          case None => wellFormed = false
-        }
-      } else if (lm.isDefined) i += lm.get.end
-      else if (rest.trim.isEmpty) i = q.length
-      else wellFormed = false
-    }
-    if (!wellFormed) return
-    val set = addedParts.getOrElseUpdate(resolveLc(t),
-      scala.collection.mutable.LinkedHashSet.empty)
-    specsB.result().foreach { spec =>
-            val kv = parsePartSpec(spec).collect {
-              case (n, Some(v)) => n -> v }
-            set += kv
-            // a metadata-only partition fixes its storage descriptor
-            // now, and its written schema is the CURRENT table schema
-            // (RESTRICT semantics) — makes `desc formatted t
-            // partition(...)` resolvable before any data lands
-            val lc = resolveLc(t)
-            val pcs = tablePartCols.getOrElse(lc, Nil)
-            if (pcs.nonEmpty && kv.size == pcs.size) {
-              val key: Seq[String] = pcs.map(pc =>
-                kv.collectFirst {
-                  case (n, v) if n.equalsIgnoreCase(pc) => v
-                }.getOrElse(""))
-              if (!key.contains("")) {
-                val pm = partSchemas.getOrElseUpdate(lc,
-                  scala.collection.mutable.Map.empty)
-                if (!pm.contains(key)) {
-                  scala.util.Try(spark.table(lc).schema)
-                    .foreach { sch =>
-                      pm(key) = StructType(sch.fields.filterNot(f =>
-                        pcs.exists(_.equalsIgnoreCase(f.name)))
-                        .toIndexedSeq)
-                      snapshotPartMeta(lc, key)
-                    }
-                }
-              }
-            }
-          }
-  }
+  private def recordAddedPartitions(q0: String): Unit =
+    meta.recordAddedPartitions(q0)
 
   /** Retry candidate: route scans of partition-registered tables
     * through a one-row-per-partition view (added specs plus the data
