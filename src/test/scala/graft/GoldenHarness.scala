@@ -1089,14 +1089,15 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       "t tinyint, si smallint, i int, b bigint, f float, d double, " +
         "bo boolean, s string, ts timestamp, dec decimal(4,2), bin string")
 
-  /** `alltypesorc` — the qtest ORC fixture, read natively; the
-    * legacy-writer timestamp decode skew corrects at load
-    * ([[graft.sources.OrcLegacy]] — modern readers decode the
-    * fraction-bearing post-epoch cells one second early vs the
-    * reference's orc-core 1.3.3). */
+  /** `alltypesorc` — the qtest ORC fixture, read natively. (The
+    * sbt JVM's decode of its legacy-writer timestamps matches the
+    * reference's orc-core 1.3.3 cell-for-cell — verified against
+    * vector_decimal_cast.q.out's recorded rows — so no decode shim
+    * applies; pyarrow/pyspark external conversions of the same file
+    * skew +1 s on fraction-bearing cells, an artifact of THEIR
+    * conversion paths, not of Spark's internal micros.) */
   lazy val alltypesorc: Unit =
-    graft.sources.OrcLegacy.fixLegacyTimestamps(
-      spark.read.orc("/root/reference/data/files/alltypesorc"))
+    spark.read.orc("/root/reference/data/files/alltypesorc")
       .createOrReplaceTempView("alltypesorc")
 
   /** TPC-H-shaped qtest fixtures (q_test_init.sql:277-311). */
