@@ -2175,17 +2175,24 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         GoldenHarness.this.commentOf(tableLc, col, isPartCol)
     }
 
+  /** Runaway-insert cap. qtest fixtures top out ~2k rows and their
+    * join products well under 300k; the cap keeps a runaway insert
+    * (dropped join condition) from OOMing six concurrent sweep
+    * workers. Two goldens legitimately build 5M-row tables
+    * (bucketizedhiveinputformat's LIMIT 5000000 cross-join,
+    * rcfile_bigdata's dumpdata script) — replay() lifts the cap for
+    * just those files; the 128 GiB local[32] sandbox holds them. */
+  private var insertRowCap = 300000
+
   /** Rebuilds materialize via collect + register (fixtures are small
     * and register() carries the char/varchar handling), with a
     * runaway cap guarding six concurrent sweep workers. */
   override protected def rebuild(table: String,
       df: DataFrame): Unit = {
-    // qtest fixtures top out ~2k rows and their join products well
-    // under this; a tighter cap keeps a runaway insert (dropped join
-    // condition) from OOMing six concurrent sweep workers
-    val snap = df.take(300001).toSeq
-    if (snap.size > 300000) throw new IllegalStateException(
-      s"replay insert into $table exceeded 300k rows -- runaway result")
+    val snap = df.take(insertRowCap + 1).toSeq
+    if (snap.size > insertRowCap) throw new IllegalStateException(
+      s"replay insert into $table exceeded $insertRowCap rows -- " +
+        "runaway result")
     register(snap.toVector, df.schema, table)
     // writes re-render the raw store (what Hive's serde would have
     // written); schema ALTERs deliberately do NOT come through here
@@ -2243,9 +2250,29 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         .createOrReplaceTempView(from))
   }
 
+  /** Hive's rand(seed) is ONE java.util.Random(seed) per map task
+    * drawing in row order (udf/UDFRand.java — the qtest runs draw a
+    * single task's sequence); Spark seeds per-partition with
+    * seed+partitionId, so the drawn MULTISET differs
+    * (orc_vectorization_ppd records int(sum(rand(1)+...))=1489).
+    * Bare seeded-rand select items rewrite to a sentinel literal and
+    * the sequence splices in driver-side after the select runs. */
+  private val bareRandRe =
+    "(?i)\\brand\\(\\s*(\\d+)\\s*\\)(?=\\s*(?:,|as\\b|from\\b))".r
+  private def randSentinel(i: Int): String = s"-9.8765432${i}e99"
+
   override protected def insertStatement(table: String,
-      overwrite: Boolean, selSql: String, partSpec: String,
-      colList: Seq[String]): Unit =
+      overwrite: Boolean, selSql0: String, partSpec: String,
+      colList: Seq[String]): Unit = {
+    val randSeeds = bareRandRe.findAllMatchIn(selSql0)
+      .map(_.group(1).toLong).toVector
+    val selSql =
+      if (randSeeds.isEmpty) selSql0
+      else {
+        var i = -1
+        bareRandRe.replaceAllIn(selSql0, _ => {
+          i += 1; s"cast(${randSentinel(i)} as double)" })
+      }
     dialect.withCharCastRetry(dialect.unionLimitSplit(
       dialect.mapReduceSugar(selSql))) { s =>
       // analyzer rejections of Hive coercions inside INSERT bodies
@@ -2269,8 +2296,34 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           spark.sparkContext.parallelize[Row](rows,
             math.max(1, math.min(2, rows.size))), df.schema)
       }
+      if (randSeeds.nonEmpty) {
+        val rows = df.collect().toVector
+        val sentVals = randSeeds.indices.map(i => randSentinel(i).toDouble)
+        val colOf = sentVals.map(sv => df.schema.fields.indices.find(ci =>
+          df.schema.fields(ci).dataType ==
+            org.apache.spark.sql.types.DoubleType &&
+            rows.forall(r => !r.isNullAt(ci) && r.getDouble(ci) == sv)))
+        if (colOf.forall(_.isDefined)) {
+          val rnds = randSeeds.map(new java.util.Random(_))
+          val newRows = rows.map { r =>
+            val arr = r.toSeq.toArray
+            randSeeds.indices.foreach(i =>
+              arr(colOf(i).get) = rnds(i).nextDouble())
+            Row.fromSeq(arr.toIndexedSeq)
+          }
+          df = spark.createDataFrame(
+            new java.util.ArrayList[Row](
+              scala.jdk.CollectionConverters.SeqHasAsJava(newRows).asJava),
+            df.schema)
+        } else {
+          // a sentinel got folded into an expression — never ship it;
+          // fall back to Spark's own rand over the original text
+          df = spark.sql(dialect.mapReduceSugar(selSql0))
+        }
+      }
       insertInto(table, overwrite, df, partSpec, colList)
     }
+  }
 
   override protected def insertSegment(from: String, table: String,
       overwrite: Boolean, sel: String, partSpec: String,
@@ -4262,6 +4315,10 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     // CBO (Calcite) plans name struct() fields expr$0..expr$N instead
     // of col1..colN (the cbo_* goldens record that naming)
     dialect.cboStructNames = file.startsWith("cbo_")
+    insertRowCap =
+      if (file.startsWith("bucketizedhiveinputformat") ||
+          file.startsWith("rcfile_bigdata")) 6000000
+      else 300000
     def unhandled(what: String, q: String): Nothing =
       throw new IllegalStateException(s"unhandled $what in $file: $q")
     // `set` statements are stripped from the goldens, so per-file
@@ -4737,6 +4794,9 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             // dfs -ls output whose path lines were masked away leaves
             // its "Found N items" header among the result rows
             l.matches("Found \\d+ items") ||
+            // ShowMapredStatsHook post-hook lines record MR stage
+            // shapes (bucketizedhiveinputformat) — engine-specific
+            l.matches("Stage-\\d+=Map: \\d+.*") ||
             leakedLines.contains(l.trim) ||
             (l.contains("=") && !l.contains("\t") &&
               setEchoes.contains(l.split("=", 2)(0).trim)) ||
