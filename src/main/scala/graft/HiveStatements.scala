@@ -187,6 +187,48 @@ class HiveStatements(val spark: SparkSession) {
       })
     }
 
+    // SHOW DATABASES|SCHEMAS [LIKE 'pattern']
+    val sdRe = ("(?is)^show\\s+(?:databases|schemas)" +
+      "(?:\\s+like\\s+['\"]([^'\"]*)['\"])?$").r
+    sdRe.findFirstMatchIn(q).foreach { m =>
+      val all = (dialect.knownDbs.toSet ++
+        scala.util.Try(spark.sessionState.catalog.listDatabases()
+          .map(_.toLowerCase)).getOrElse(Nil) + "default").toSeq.sorted
+      val filtered = Option(m.group(1)) match {
+        case Some(p) =>
+          // Hive LIKE patterns here are '*' globs (DDLTask
+          // showDatabases -> UDFLike-style simple pattern)
+          val re = ("(?i)^" + java.util.regex.Pattern.quote(p)
+            .replace("*", "\\E.*\\Q").replace("|", "\\E|\\Q") + "$").r
+          all.filter(d => re.findFirstIn(d).isDefined)
+        case None => all
+      }
+      return Some(oneColDf("database_name", filtered))
+    }
+
+    // SHOW TABLES [IN db] [LIKE 'pattern' | 'pattern']
+    val shtRe = ("(?is)^show\\s+tables(?:\\s+(?:in|from)\\s+" +
+      "`?(\\w+)`?)?(?:\\s+(?:like\\s+)?['\"]([^'\"]*)['\"])?$").r
+    shtRe.findFirstMatchIn(q).foreach { m =>
+      val db = Option(m.group(1)).map(_.toLowerCase)
+        .getOrElse(dialect.currentDb.toLowerCase)
+      // session tables are temp views; a table belongs to the db that
+      // created it (meta.dbOwner; unowned names belong to default)
+      val names = spark.sessionState.catalog.listTables("default")
+        .map(_.table.toLowerCase).filter { t =>
+          meta.dbOwner.getOrElse(t, "default") == db &&
+            !t.contains("__") // internal helper views
+        }.sorted
+      val filtered = Option(m.group(2)) match {
+        case Some(p) =>
+          val re = ("(?i)^" + java.util.regex.Pattern.quote(p)
+            .replace("*", "\\E.*\\Q").replace("|", "\\E|\\Q") + "$").r
+          names.filter(t => re.findFirstIn(t).isDefined)
+        case None => names
+      }
+      return Some(oneColDf("tab_name", filtered))
+    }
+
     // DESCRIBE [EXTENDED|FORMATTED] table [PARTITION(...)]
     val dRe = "(?is)^desc(?:ribe)?\\s+(extended\\s+|formatted\\s+)?(.+)$".r
     dRe.findFirstMatchIn(q).foreach { m =>
@@ -263,7 +305,11 @@ class HiveStatements(val spark: SparkSession) {
     * instead; see [[autoObserveMeta]]). */
   protected def observeMeta(q: String): Unit = {
     val ql = q.trim.toLowerCase
-    if (ql.startsWith("create")) {
+    if (ql.matches("(?s)^create\\s+(?:database|schema)\\b.*")) {
+      ("(?is)^create\\s+(?:database|schema)\\s+" +
+        "(?:if\\s+not\\s+exists\\s+)?`?(\\w+)`?").r.findFirstMatchIn(q)
+        .foreach(m => dialect.knownDbs += m.group(1).toLowerCase)
+    } else if (ql.startsWith("create")) {
       val isView = ql.matches(
         "(?s)create\\s+(?:or\\s+replace\\s+)?(?:materialized\\s+)?view\\b.*")
       val isTable = ql.matches(
@@ -273,6 +319,17 @@ class HiveStatements(val spark: SparkSession) {
         meta.recordStorageMeta(q, view = isView)
         meta.trackTblProps(q, create = true, q)
         if (isTable) observeCreateCols(q)
+        // namespace ownership: an unqualified CREATE belongs to the
+        // session's current database (SHOW TABLES filters on it)
+        ("(?is)create\\s+(?:or\\s+replace\\s+)?(?:temporary\\s+)?" +
+          "(?:external\\s+)?(?:table|(?:materialized\\s+)?view)\\s+" +
+          "(?:if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?").r
+          .findFirstMatchIn(q).foreach { m =>
+            val parts = m.group(1).split('.')
+            meta.dbOwner(parts.last.toLowerCase) =
+              (if (parts.length > 1) parts.head
+               else dialect.currentDb).toLowerCase
+          }
       }
     } else if (ql.startsWith("alter")) {
       meta.trackAlterComments(q)
@@ -289,6 +346,10 @@ class HiveStatements(val spark: SparkSession) {
       "(?is)^drop\\s+(?:table|view)\\s+(?:if\\s+exists\\s+)?`?([\\w.]+)`?"
         .r.findFirstMatchIn(q)
         .foreach(m => meta.dropTable(m.group(1).split('.').last.toLowerCase))
+    else if (ql.startsWith("drop database") || ql.startsWith("drop schema"))
+      ("(?is)^drop\\s+(?:database|schema)\\s+" +
+        "(?:if\\s+exists\\s+)?`?(\\w+)`?").r.findFirstMatchIn(q)
+        .foreach(m => dialect.knownDbs -= m.group(1).toLowerCase)
   }
 
   /** CREATE TABLE (cols...) → column comments + PARTITIONED BY →
@@ -666,6 +727,26 @@ class HiveStatements(val spark: SparkSession) {
       } else if (overwrite) cast
       else spark.table(table).union(cast)
     rebuild(table, merged)
+    // partition registry: a fully-static insert creates (or refreshes)
+    // its partition's written-schema entry + descriptor snapshot, so
+    // `DESCRIBE FORMATTED t PARTITION(...)` resolves through the
+    // public entry (metastore add_partition-on-write semantics)
+    if (autoObserveMeta && static.nonEmpty) {
+      val lc = table.toLowerCase
+      val pcs = meta.tablePartCols.getOrElse(lc, Nil)
+      if (pcs.nonEmpty && static.size == pcs.size) {
+        val key = pcs.map(pc => static.getOrElse(pc.toLowerCase, ""))
+        if (!key.contains("")) {
+          val pm = meta.partSchemas.getOrElseUpdate(lc,
+            scala.collection.mutable.Map.empty)
+          if (!pm.contains(key)) {
+            pm(key) = StructType(schema.fields.filterNot(f =>
+              pcs.exists(_.equalsIgnoreCase(f.name))).toIndexedSeq)
+            meta.snapshotPartMeta(lc, key)
+          }
+        }
+      }
+    }
   }
 
   // ---------------------------------------------------------------

@@ -60,6 +60,54 @@ class DialectSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS meta_fmt")
   }
 
+  test("public entry: SHOW DATABASES / SHOW TABLES list the session " +
+      "namespace with creator-db ownership") {
+    val h = new HiveStatements(spark)
+    h.sql("CREATE DATABASE IF NOT EXISTS nsdb1")
+    h.sql("DROP TABLE IF EXISTS ns_t1")
+    h.sql("CREATE TABLE ns_t1 (k INT) USING parquet")
+    h.sql("CREATE TABLE nsdb1.ns_t2 (k INT) USING parquet")
+    val dbs = h.sql("SHOW DATABASES").get.collect().map(_.getString(0))
+    assert(dbs.contains("default") && dbs.contains("nsdb1"),
+      dbs.mkString(","))
+    val dft = h.sql("SHOW TABLES").get.collect().map(_.getString(0))
+    assert(dft.contains("ns_t1") && !dft.contains("ns_t2"),
+      dft.mkString(","))
+    val in1 = h.sql("SHOW TABLES IN nsdb1").get.collect()
+      .map(_.getString(0))
+    assert(in1.toSeq === Seq("ns_t2"), in1.mkString(","))
+    val like = h.sql("SHOW TABLES 'ns_*'").get.collect()
+      .map(_.getString(0))
+    assert(like.contains("ns_t1"))
+    spark.sql("DROP TABLE IF EXISTS ns_t1")
+    spark.sql("DROP TABLE IF EXISTS ns_t2")
+  }
+
+  test("public entry: DESCRIBE FORMATTED PARTITION resolves the " +
+      "partition registered by a static INSERT") {
+    val h = new HiveStatements(spark)
+    import spark.implicits._
+    Seq((0, "seed")).toDF("k", "ds").limit(0)
+      .createOrReplaceTempView("ns_part")
+    h.sql("ALTER TABLE ns_part ADD COLUMNS (extra INT)") // warm the path
+    spark.catalog.dropTempView("ns_part")
+    h.sql("CREATE TABLE ns_part2 (k INT) PARTITIONED BY (ds STRING) " +
+      "STORED AS ORC")
+    h.meta.tablePartCols("ns_part2") = Seq("ds")
+    Seq((1, "2008")).toDF("k", "ds").createOrReplaceTempView("ns_part2")
+    h.insertInto("ns_part2", overwrite = false,
+      Seq((2, "2009")).toDF("k", "ds"), partSpec = "ds='2009'",
+      colList = Seq("k"))
+    val rows = h.sql("DESCRIBE FORMATTED ns_part2 PARTITION (ds='2009')")
+      .get.collect().map(r => (r.getString(0).trim, r.getString(1).trim))
+    assert(rows.exists(r => r._1 == "Partition Value:" &&
+      r._2 == "[2009]"), rows.mkString("\n"))
+    assert(rows.exists(r => r._1 == "SerDe Library:" &&
+      r._2.contains("OrcSerde")), rows.mkString("\n"))
+    spark.catalog.dropTempView("ns_part2")
+    spark.sql("DROP TABLE IF EXISTS ns_part2")
+  }
+
   test("public entry: DESCRIBE FUNCTION [EXTENDED] renders Hive's " +
       "layout (usage, no-doc line, does-not-exist line, class line)") {
     val h = new HiveStatements(spark)
