@@ -271,10 +271,16 @@ class HiveStatements(val spark: SparkSession) {
           "OutputFormat:", "Compressed:", "Num Buckets:",
           "Bucket Columns:", "Sort Columns:", "Skewed Columns:",
           "Skewed Values:", "Stored As SubDirectories:")
+        // user table properties render under Table Parameters:
+        // (MetaDataFormatUtils.displayAllParameters), tab-indented
+        val props = meta.tableProps.get(lc).filter(_.nonEmpty)
+          .map(p => Seq("Table Parameters:\t\t") ++
+            p.toSeq.sortBy(_._1).map { case (k, v) => s"\t$k\t$v" })
+          .getOrElse(Nil)
         val detail =
           Seq("", "# Detailed Table Information\t\t") ++
             order.collect { case k if labels.contains(k) =>
-              s"$k\t${labels(k)}\t" } ++
+              s"$k\t${labels(k)}\t" } ++ props ++
           Seq("", "# Storage Information\t\t") ++
             storage.collect { case k if labels.contains(k) =>
               s"$k\t${labels(k)}\t" }

@@ -50,6 +50,10 @@ class DialectSpec extends SparkSpec {
       r._2 == "[Order(col:k, order:1)]"))
     assert(rows.exists(r => r._1 == "Table Type:" &&
       r._2 == "MANAGED_TABLE"))
+    // user properties render under Table Parameters:
+    assert(rows.exists(_._1 == "Table Parameters:"), rows.mkString("\n"))
+    assert(rows.exists(r => r._1 == "" && r._2 == "who" &&
+      r._3 == "me"), rows.mkString("\n"))
     // SHOW TBLPROPERTIES serves the user property
     val p = h.sql("SHOW TBLPROPERTIES meta_fmt ('who')").get.collect()
     assert(p.head.getString(0) === "me")
