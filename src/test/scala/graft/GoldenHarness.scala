@@ -2250,6 +2250,207 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         .createOrReplaceTempView(from))
   }
 
+  /** Hive's ReduceSink top-N selection (ql/exec/TopNHash.java:145-245
+    * with HashForRow): n+1 slots, a guava MinMaxPriorityQueue over the
+    * sort key (ties compare 0 — serialized HiveKey bytes are equal),
+    * each new key lands in the last-evicted slot and `removeBiggest`
+    * runs per round. Among TIED keys the kept subset is the heap's
+    * structural eviction pattern, not a value property — llap_acid's
+    * `order by cdouble asc limit 10` keeps 8 of the first 10 tied
+    * rows plus the last two of 3114. The REAL guava heap (on Spark's
+    * classpath) replays it; row order = the table's stored order
+    * (single map task). Enabled per golden file ([[topNHashEmu]]). */
+  private def topNHashSelect(rows: IndexedSeq[Row], n: Int,
+      cmp: (Row, Row) => Int): IndexedSeq[Row] = {
+    if (rows.size <= n) return rows
+    val slots = new Array[Row](n + 1)
+    val C = new java.util.Comparator[Integer] {
+      def compare(a: Integer, b: Integer): Int = cmp(slots(a), slots(b))
+    }
+    val q = com.google.common.collect.MinMaxPriorityQueue
+      .orderedBy(C).create[Integer]()
+    var evicted = n
+    rows.foreach { r =>
+      val size = q.size()
+      val index = if (size < n) size else evicted
+      slots(index) = r
+      q.add(index)
+      if (size == n) evicted = q.removeLast()
+    }
+    import scala.jdk.CollectionConverters._
+    q.iterator().asScala.map(i => slots(i)).toIndexedSeq
+  }
+
+  private var topNHashEmu = false
+  private val topNRe =
+    ("(?is)^\\s*select\\s+(.+?)\\s+from\\s+`?(\\w+)`?\\s+" +
+      "order\\s+by\\s+`?(\\w+)`?\\s*(asc|desc)?\\s*limit\\s+(\\d+)\\s*$").r
+
+  private def cmpAny(x: Any, y: Any): Int = (x, y) match {
+    case (a: java.math.BigDecimal, b: java.math.BigDecimal) =>
+      a.compareTo(b)
+    case (a: Number, b: Number) =>
+      java.lang.Double.compare(a.doubleValue(), b.doubleValue())
+    case (a: String, b: String) => a.compareTo(b)
+    case (a: Comparable[_], b) =>
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    case _ => 0
+  }
+
+  /** Rewrite a single-table `SELECT ... FROM t ORDER BY k LIMIT n`
+    * to read a temp view holding TopNHash's kept subset. */
+  private def topNHashRewrite(q: String): String = {
+    if (!topNHashEmu) return q
+    topNRe.findFirstMatchIn(q) match {
+      case Some(m) =>
+        val tbl = m.group(2)
+        val col = m.group(3)
+        val desc = m.group(4) != null &&
+          m.group(4).equalsIgnoreCase("desc")
+        val n = m.group(5).toInt
+        val df = scala.util.Try(spark.table(tbl)).getOrElse(return q)
+        var ci = df.columns.indexWhere(_.equalsIgnoreCase(col))
+        var colName = col
+        if (ci < 0 && col.matches("(?i)_c\\d+") &&
+            col.substring(2).toInt < df.columns.length) {
+          // a `_c<k>` that misses the view SCHEMA resolves by EXPANDED
+          // position in the reference (view_alias: the stored schema
+          // names the literal _c1 — star counts as one item — but the
+          // expanded view text numbers it _c2, and Hive resolves the
+          // outer reference against the expansion)
+          ci = col.substring(2).toInt
+          colName = df.columns(ci)
+        }
+        if (ci < 0) return q
+        // the reference's top-N sees rows in the UPSTREAM reduce
+        // order: an aggregate streams its groups key-sorted, a
+        // reduce-side join streams join-key-sorted (MR shuffle sort);
+        // Spark's collect order after a shuffle is neither
+        val sortIdx: Seq[Int] = {
+          import org.apache.spark.sql.catalyst.expressions.{Alias,
+            AttributeReference}
+          df.queryExecution.analyzed.collectFirst {
+            case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+              a.groupingExpressions.collect {
+                case ar: AttributeReference => ar.name
+                case al: Alias => al.name
+              }
+            case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+              j.condition.toSeq.flatMap(_.collect {
+                case org.apache.spark.sql.catalyst.expressions
+                    .EqualTo(l: AttributeReference, _) => l.name
+              })
+          }.getOrElse(Nil)
+            .map(n => df.columns.indexWhere(_.equalsIgnoreCase(n)))
+            .filter(_ >= 0)
+        }
+        val rows0 = df.collect().toIndexedSeq
+        val rows =
+          if (sortIdx.isEmpty) rows0
+          else rows0.sortWith { (a, b) =>
+            sortIdx.iterator.map { i =>
+              val (x, y) = (a.get(i), b.get(i))
+              if (x == null && y == null) 0
+              else if (x == null) -1
+              else if (y == null) 1
+              else cmpAny(x, y)
+            }.find(_ != 0).getOrElse(0) < 0
+          }
+        def cmp(a: Row, b: Row): Int = {
+          val (x, y) = (a.get(ci), b.get(ci))
+          // Hive ReduceSink null order: FIRST ascending, LAST desc
+          val c =
+            if (x == null && y == null) 0
+            else if (x == null) -1
+            else if (y == null) 1
+            else cmpAny(x, y)
+          if (desc) -c else c
+        }
+        val kept = topNHashSelect(rows, n, cmp)
+        val tmp = s"__topn_$tbl"
+        spark.createDataFrame(
+          new java.util.ArrayList[Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(kept).asJava),
+          df.schema).createOrReplaceTempView(tmp)
+        val q2 = q.replaceFirst("(?i)\\bfrom\\s+`?" +
+          java.util.regex.Pattern.quote(tbl) + "`?\\b", "from " + tmp)
+        if (colName == col) q2
+        else q2.replaceFirst("(?i)`?" +
+          java.util.regex.Pattern.quote(col) + "`?",
+          "`" + colName + "`")
+      case None => q
+    }
+  }
+
+  /** Hive's reduce-side JOIN streams output in join-KEY-sorted order
+    * (MR shuffle sort), per key the left rows in file order × the
+    * right rows in file order (CommonJoinOperator nested iteration) —
+    * so `(select a.x, b.y from t1 a join t2 b on a.k=b.k [order by
+    * ..] limit n)` takes a DETERMINISTIC prefix of that stream where
+    * Spark's limit takes arbitrary rows. Emulated driver-side for
+    * allowlisted goldens (union_top_level). */
+  private val joinLimitRe =
+    ("(?is)\\(\\s*select\\s+(\\w+)\\.(\\w+)\\s+as\\s+(\\w+)\\s*,\\s*" +
+      "(\\w+)\\.(\\w+)\\s+as\\s+(\\w+)\\s+from\\s+(\\w+)\\s+(\\w+)\\s+" +
+      "join\\s+(\\w+)\\s+(\\w+)\\s+on\\s+\\(\\s*(\\w+)\\.(\\w+)\\s*=\\s*" +
+      "(\\w+)\\.(\\w+)\\s*\\)\\s*(?:order\\s+by\\s+\\w+\\s+)?" +
+      "limit\\s+(\\d+)\\s*\\)").r
+
+  private var hjoinN = 0
+  private def hiveJoinLimitRewrite(q: String): String = {
+    if (!topNHashEmu) return q
+    joinLimitRe.replaceAllIn(q, m => {
+      val (a1, c1, n1, a2, c2, n2) = (m.group(1), m.group(2), m.group(3),
+        m.group(4), m.group(5), m.group(6))
+      val (t1, t1a, t2, t2a) =
+        (m.group(7), m.group(8), m.group(9), m.group(10))
+      val (ja, jc, jb, jc2) =
+        (m.group(11), m.group(12), m.group(13), m.group(14))
+      val n = m.group(15).toInt
+      val res = scala.util.Try {
+        val left = spark.table(t1)
+        val right = spark.table(t2)
+        val lk = left.columns.indexWhere(_.equalsIgnoreCase(
+          if (ja.equalsIgnoreCase(t1a)) jc else jc2))
+        val rk = right.columns.indexWhere(_.equalsIgnoreCase(
+          if (jb.equalsIgnoreCase(t2a)) jc2 else jc))
+        val li = left.columns.indexWhere(_.equalsIgnoreCase(
+          if (a1.equalsIgnoreCase(t1a)) c1 else c2))
+        val ri = right.columns.indexWhere(_.equalsIgnoreCase(
+          if (a2.equalsIgnoreCase(t2a)) c2 else c1))
+        require(lk >= 0 && rk >= 0 && li >= 0 && ri >= 0)
+        val lrows = left.collect().toIndexedSeq
+        val rrows = right.collect().toIndexedSeq
+        val byKeyR = rrows.groupBy(r => r.get(rk))
+        val keys = lrows.map(_.get(lk)).distinct
+          .filter(byKeyR.contains).sortWith(cmpAny(_, _) < 0)
+        val out = Vector.newBuilder[Row]
+        var c = 0
+        keys.iterator.takeWhile(_ => c < n).foreach { k =>
+          lrows.filter(r => r.get(lk) == k).foreach { lr =>
+            byKeyR(k).foreach { rr =>
+              if (c < n) { out += Row(lr.get(li), rr.get(ri)); c += 1 }
+            }
+          }
+        }
+        hjoinN += 1
+        val tmp = s"__hjoin_$hjoinN"
+        spark.createDataFrame(
+          new java.util.ArrayList[Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(
+              out.result()).asJava),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(n1,
+              left.schema(li).dataType),
+            org.apache.spark.sql.types.StructField(n2,
+              right.schema(ri).dataType))))
+          .createOrReplaceTempView(tmp)
+        s"(select * from $tmp)"
+      }.getOrElse(m.matched)
+      scala.util.matching.Regex.quoteReplacement(res)
+    })
+  }
+
   /** Hive's rand(seed) is ONE java.util.Random(seed) per map task
     * drawing in row order (udf/UDFRand.java — the qtest runs draw a
     * single task's sequence); Spark seeds per-partition with
@@ -2264,13 +2465,14 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   override protected def insertStatement(table: String,
       overwrite: Boolean, selSql0: String, partSpec: String,
       colList: Seq[String]): Unit = {
-    val randSeeds = bareRandRe.findAllMatchIn(selSql0)
+    val selSql1 = topNHashRewrite(selSql0)
+    val randSeeds = bareRandRe.findAllMatchIn(selSql1)
       .map(_.group(1).toLong).toVector
     val selSql =
-      if (randSeeds.isEmpty) selSql0
+      if (randSeeds.isEmpty) selSql1
       else {
         var i = -1
-        bareRandRe.replaceAllIn(selSql0, _ => {
+        bareRandRe.replaceAllIn(selSql1, _ => {
           i += 1; s"cast(${randSentinel(i)} as double)" })
       }
     dialect.withCharCastRetry(dialect.unionLimitSplit(
@@ -4114,25 +4316,59 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         }.toSet
       case other => other.output.map(_.name).toSet
     }
+    // SemanticAnalyzer.recommendName: an EXPLICIT alias that starts
+    // with the autogen prefix is replaced by the underlying input
+    // column's name when one exists and doesn't itself look autogen
+    // (view_alias: `key as _c1` becomes view column `key`)
+    val recommend: Map[String, String] =
+      peel(df.queryExecution.analyzed) match {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.projectList.collect {
+            case al: Alias if al.child.isInstanceOf[AttributeReference] =>
+              al.name -> al.child.asInstanceOf[AttributeReference].name
+          }.toMap
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+          a.aggregateExpressions.collect {
+            case al: Alias if al.child.isInstanceOf[AttributeReference] =>
+              al.name -> al.child.asInstanceOf[AttributeReference].name
+          }.toMap
+        case _ => Map.empty
+      }
     // `_c<n>` numbers by SELECT-ITEM position: a `*` counts as ONE
     // item however many columns it expands to (summary._c1 for
     // `select *, key + 1, ...` — SemanticAnalyzer.getColAlias)
     lazy val itemIdx: Int => Int = {
       val items = srcItems
-      val starAt = items.indexWhere(it =>
-        it == "*" || it.matches("(?is)[\\w`]+\\s*\\.\\s*\\*"))
-      if (starAt < 0 || items.isEmpty) identity
+      // each star counts as ONE item however many columns it expands
+      // to; `t.*` widths resolve through the table, bare `*` soaks up
+      // the remainder (view_alias: `'010', a.*, 121, b.*, 234` numbers
+      // the literals _c0/_c2/_c4)
+      def widthOf(it: String): Option[Int] =
+        if (it == "*") None
+        else if (it.matches("(?is)[\\w`]+\\s*\\.\\s*\\*"))
+          scala.util.Try(spark.table(
+            it.split("\\.")(0).replace("`", "").trim)
+            .columns.length).toOption
+        else Some(1)
+      if (items.isEmpty ||
+          !items.exists(it => it == "*" ||
+            it.matches("(?is)[\\w`]+\\s*\\.\\s*\\*"))) identity
       else {
-        val starCols = df.columns.length - (items.length - 1)
-        (i: Int) =>
-          if (i < starAt) i
-          else if (i < starAt + starCols) starAt
-          else i - starCols + 1
+        val widths = items.map(widthOf)
+        val unknown = widths.count(_.isEmpty)
+        val remainder = df.columns.length - widths.flatten.sum
+        val perUnknown = if (unknown > 0) math.max(1, remainder / unknown)
+          else 0
+        val map = widths.map(_.getOrElse(perUnknown)).zipWithIndex
+          .flatMap { case (w, idx) => Seq.fill(w)(idx) }
+        (i: Int) => if (i < map.length) map(i) else i
       }
     }
     val names = df.columns.zipWithIndex.map { case (c, i0) =>
       val i = if (selText.isDefined) itemIdx(i0) else i0
-      if (c.matches("[A-Za-z_][A-Za-z0-9_]*") || direct.contains(c)) c
+      if (c.startsWith(autogenPrefix) && recommend.get(c).exists(u =>
+          !u.startsWith(autogenPrefix))) recommend(c)
+      else if (c.matches("[A-Za-z_][A-Za-z0-9_]*") || direct.contains(c)) c
       else if (autogenFuncName && {
           val t = srcItems.lift(i).getOrElse(c)
           t.matches("(?is)[a-z_][\\w.]*\\s*\\(.*") }) {
@@ -4319,6 +4555,11 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       if (file.startsWith("bucketizedhiveinputformat") ||
           file.startsWith("rcfile_bigdata")) 6000000
       else 300000
+    // goldens whose ORDER BY ... LIMIT ties are selected by the
+    // reference's TopNHash eviction pattern (see topNHashSelect)
+    topNHashEmu = file.startsWith("llap_acid") ||
+      file.startsWith("view_alias") ||
+      file.startsWith("union_top_level")
     def unhandled(what: String, q: String): Nothing =
       throw new IllegalStateException(s"unhandled $what in $file: $q")
     // `set` statements are stripped from the goldens, so per-file
@@ -4770,7 +5011,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       val q0 = stripLineComments(b.query.linesIterator
         .dropWhile(l => l.trim.isEmpty || l.trim.startsWith("--"))
         .mkString("\n")).trim
-      val q = dialect.rewrite(repairMasked(repairTruncated(q0)))
+      val q = hiveJoinLimitRewrite(topNHashRewrite(
+        dialect.rewrite(repairMasked(repairTruncated(q0)))))
       if (sys.env.contains("GOLDEN_DUMP"))
         println(s"[exec] ${q.linesIterator.mkString(" ").take(90)}")
       val ql = q.toLowerCase
@@ -5410,7 +5652,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
                 c.substring(1, math.max(1, c.indexOf('`', 1)))
               else c.split("(?i)\\s+comment\\s+")(0).trim
             }
-          (if (colList == null || colList.trim.isEmpty) hiveAutoNames(df)
+          (if (colList == null || colList.trim.isEmpty)
+             hiveAutoNames(df, Some(sel))
            else df.toDF(names.toIndexedSeq: _*))
             .createOrReplaceTempView(name)
           // a temp view captures its base tables' CURRENT plans; when
