@@ -229,6 +229,72 @@ class HiveStatements(val spark: SparkSession) {
       return Some(oneColDf("tab_name", filtered))
     }
 
+    // SHOW CREATE TABLE t — reconstructed from the metadata layer in
+    // Hive's layout (ql/exec/DDLTask.showCreateTable)
+    val sctRe = "(?is)^show\\s+create\\s+table\\s+`?([\\w.]+)`?$".r
+    sctRe.findFirstMatchIn(q).foreach { m =>
+      val (table, _) = resolveMetaTable(m.group(1)).getOrElse(return None)
+      val lc = table.toLowerCase
+      val schema = scala.util.Try(spark.table(table).schema)
+        .getOrElse(return None)
+      val pcs = meta.tablePartCols.getOrElse(lc, Nil).map(_.toLowerCase)
+      val (pFields, dFields) = schema.fields.partition(f =>
+        pcs.contains(f.name.toLowerCase))
+      import graft.meta.MetaRender.hiveTypeName
+      def colDef(f: org.apache.spark.sql.types.StructField): String = {
+        val cmt = meta.commentOf(lc, f.name)
+        s"  `${f.name.toLowerCase}` ${hiveTypeName(f.dataType)}" +
+          (if (cmt.nonEmpty) s" COMMENT '${cmt.replace("'", "\\'")}'"
+           else "")
+      }
+      val kind = meta.tableKind.getOrElse(lc, "MANAGED_TABLE")
+      val triple = meta.tableStorage.getOrElse(lc,
+        meta.fmtTriple(meta.defaultFileFormat))
+      val lines = Vector.newBuilder[String]
+      lines += s"CREATE ${if (kind == "EXTERNAL_TABLE") "EXTERNAL "
+        else ""}TABLE `$lc`("
+      val defs = dFields.map(colDef)
+      defs.zipWithIndex.foreach { case (d, i) =>
+        lines += (if (i < defs.length - 1) d + "," else d) }
+      lines += ")"
+      if (pFields.nonEmpty) {
+        lines += "PARTITIONED BY ("
+        val pd = pFields.map(colDef)
+        pd.zipWithIndex.foreach { case (d, i) =>
+          lines += (if (i < pd.length - 1) d + "," else d) }
+        lines += ")"
+      }
+      meta.bucketMeta.get(lc).foreach { case (bcols, scols, n) =>
+        if (bcols.nonEmpty && n > 0) {
+          lines += "CLUSTERED BY ("
+          lines += bcols.map(c => s"  $c").mkString(",\n")
+          lines += ")"
+          if (scols.nonEmpty) {
+            lines += "SORTED BY ("
+            lines += scols.map { case (c, o) =>
+              s"  $c ${if (o == 1) "ASC" else "DESC"}" }.mkString(",\n")
+            lines += ")"
+          }
+          lines += s"INTO $n BUCKETS"
+        }
+      }
+      lines += "ROW FORMAT SERDE"
+      lines += s"  '${triple._1}'"
+      lines += "STORED AS INPUTFORMAT"
+      lines += s"  '${triple._2}'"
+      lines += "OUTPUTFORMAT"
+      lines += s"  '${triple._3}'"
+      meta.tableProps.get(lc).filter(_.nonEmpty).foreach { p =>
+        lines += "TBLPROPERTIES ("
+        val entries = p.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"  '$k'='$v'" }
+        entries.zipWithIndex.foreach { case (e, i) =>
+          lines += (if (i < entries.length - 1) e + "," else e) }
+        lines += ")"
+      }
+      return Some(oneColDf("createtab_stmt", lines.result()))
+    }
+
     // DESCRIBE [EXTENDED|FORMATTED] table [PARTITION(...)]
     val dRe = "(?is)^desc(?:ribe)?\\s+(extended\\s+|formatted\\s+)?(.+)$".r
     dRe.findFirstMatchIn(q).foreach { m =>

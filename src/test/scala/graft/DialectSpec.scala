@@ -112,6 +112,25 @@ class DialectSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ns_part2")
   }
 
+  test("public entry: SHOW CREATE TABLE reconstructs the Hive DDL " +
+      "from the metadata layer") {
+    val h = new HiveStatements(spark)
+    h.sql("DROP TABLE IF EXISTS sct_t")
+    h.sql("CREATE TABLE sct_t (k INT COMMENT 'pk', v STRING) " +
+      "PARTITIONED BY (ds STRING) STORED AS ORC " +
+      "TBLPROPERTIES ('who'='me')")
+    val txt = h.sql("SHOW CREATE TABLE sct_t").get.collect()
+      .map(_.getString(0)).mkString("\n")
+    assert(txt.contains("CREATE TABLE `sct_t`("), txt)
+    assert(txt.contains("`k` int COMMENT 'pk',"), txt)
+    assert(txt.contains("PARTITIONED BY ("), txt)
+    assert(txt.contains("`ds` string"), txt)
+    assert(txt.contains(
+      "'org.apache.hadoop.hive.ql.io.orc.OrcSerde'"), txt)
+    assert(txt.contains("'who'='me'"), txt)
+    spark.sql("DROP TABLE IF EXISTS sct_t")
+  }
+
   test("public entry: DESCRIBE FUNCTION [EXTENDED] renders Hive's " +
       "layout (usage, no-doc line, does-not-exist line, class line)") {
     val h = new HiveStatements(spark)
