@@ -229,6 +229,25 @@ class HiveStatements(val spark: SparkSession) {
       return Some(oneColDf("tab_name", filtered))
     }
 
+    // SHOW FUNCTIONS [LIKE 'pattern'] — every resolvable function
+    // name, sorted (DDLTask.showFunctions; Hive patterns are
+    // '*'/'|' globs)
+    val sfRe = ("(?is)^show\\s+functions" +
+      "(?:\\s+(?:like\\s+)?['\"]([^'\"]*)['\"])?$").r
+    sfRe.findFirstMatchIn(q).foreach { m =>
+      val names = spark.sessionState.catalog
+        .listFunctions("default").map(_._1.funcName.toLowerCase)
+        .distinct.sorted
+      val filtered = Option(m.group(1)) match {
+        case Some(p) =>
+          val re = ("(?i)^" + java.util.regex.Pattern.quote(p)
+            .replace("*", "\\E.*\\Q").replace("|", "\\E|\\Q") + "$").r
+          names.filter(f => re.findFirstIn(f).isDefined)
+        case None => names
+      }
+      return Some(oneColDf("tab_name", filtered))
+    }
+
     // SHOW CREATE TABLE t — reconstructed from the metadata layer in
     // Hive's layout (ql/exec/DDLTask.showCreateTable)
     val sctRe = "(?is)^show\\s+create\\s+table\\s+`?([\\w.]+)`?$".r

@@ -112,6 +112,20 @@ class DialectSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ns_part2")
   }
 
+  test("public entry: SHOW FUNCTIONS lists sorted resolvable names " +
+      "with Hive glob patterns") {
+    val h = new HiveStatements(spark)
+    functions.Registry.registerAll(spark)
+    val all = h.sql("SHOW FUNCTIONS").get.collect().map(_.getString(0))
+    assert(all.contains("upper") && all.contains("hive_hash"),
+      all.take(20).mkString(","))
+    assert(all.toSeq === all.toSeq.sorted)
+    val like = h.sql("SHOW FUNCTIONS LIKE 'perc*'").get.collect()
+      .map(_.getString(0))
+    assert(like.nonEmpty && like.forall(_.startsWith("perc")),
+      like.mkString(","))
+  }
+
   test("public entry: SHOW CREATE TABLE reconstructs the Hive DDL " +
       "from the metadata layer") {
     val h = new HiveStatements(spark)
