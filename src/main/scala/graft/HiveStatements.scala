@@ -229,6 +229,53 @@ class HiveStatements(val spark: SparkSession) {
       return Some(oneColDf("tab_name", filtered))
     }
 
+    // DESCRIBE DATABASE|SCHEMA [EXTENDED] db — name, comment,
+    // location, owner (DDLTask.descDatabase layout)
+    val ddbRe = ("(?is)^desc(?:ribe)?\\s+(?:database|schema)\\s+" +
+      "(?:extended\\s+)?`?(\\w+)`?$").r
+    ddbRe.findFirstMatchIn(q).foreach { m =>
+      val db = m.group(1).toLowerCase
+      val known = dialect.knownDbs.contains(db) || db == "default" ||
+        scala.util.Try(spark.sessionState.catalog
+          .databaseExists(db)).getOrElse(false)
+      if (!known) return None
+      val loc = scala.util.Try(spark.sessionState.catalog
+        .getDatabaseMetadata(db).locationUri.toString).getOrElse("")
+      val schema = StructType(Seq(
+        StructField("db_name", StringType),
+        StructField("comment", StringType),
+        StructField("location", StringType),
+        StructField("owner_name", StringType),
+        StructField("owner_type", StringType),
+        StructField("parameters", StringType)))
+      return Some(spark.createDataFrame(java.util.Arrays.asList(
+        Row(db, "", loc, sys.props.getOrElse("user.name", ""),
+          "USER", "")), schema))
+    }
+
+    // SHOW VIEWS [IN db] ['pattern'] (HIVE-14558) — session views
+    // filtered by kind + creator db
+    val svRe = ("(?is)^show\\s+views(?:\\s+(?:in|from)\\s+" +
+      "`?(\\w+)`?)?(?:\\s+(?:like\\s+)?['\"]([^'\"]*)['\"])?$").r
+    svRe.findFirstMatchIn(q).foreach { m =>
+      val db = Option(m.group(1)).map(_.toLowerCase)
+        .getOrElse(dialect.currentDb.toLowerCase)
+      val names = spark.sessionState.catalog.listTables("default")
+        .map(_.table.toLowerCase).filter { t =>
+          meta.tableKind.get(t).exists(_.endsWith("_VIEW")) &&
+            meta.dbOwner.getOrElse(t, "default") == db &&
+            !t.contains("__")
+        }.sorted
+      val filtered = Option(m.group(2)) match {
+        case Some(p) =>
+          val re = ("(?i)^" + java.util.regex.Pattern.quote(p)
+            .replace("*", "\\E.*\\Q").replace("|", "\\E|\\Q") + "$").r
+          names.filter(t => re.findFirstIn(t).isDefined)
+        case None => names
+      }
+      return Some(oneColDf("tab_name", filtered))
+    }
+
     // SHOW FUNCTIONS [LIKE 'pattern'] — every resolvable function
     // name, sorted (DDLTask.showFunctions; Hive patterns are
     // '*'/'|' globs)

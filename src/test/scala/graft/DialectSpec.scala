@@ -112,6 +112,18 @@ class DialectSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ns_part2")
   }
 
+  test("public entry: DESCRIBE DATABASE and SHOW VIEWS") {
+    val h = new HiveStatements(spark)
+    val d = h.sql("DESCRIBE DATABASE default").get.collect().head
+    assert(d.getString(0) === "default")
+    h.sql("CREATE OR REPLACE VIEW sv_view AS SELECT 1 AS one")
+    val vs = h.sql("SHOW VIEWS").get.collect().map(_.getString(0))
+    assert(vs.contains("sv_view"), vs.mkString(","))
+    val none = h.sql("SHOW VIEWS 'zzz*'").get.collect()
+    assert(none.isEmpty)
+    spark.sql("DROP VIEW IF EXISTS sv_view")
+  }
+
   test("public entry: SHOW FUNCTIONS lists sorted resolvable names " +
       "with Hive glob patterns") {
     val h = new HiveStatements(spark)
