@@ -375,7 +375,47 @@ class HiveStatements(val spark: SparkSession) {
         .replaceAllIn(rest, " ").trim
       val toks = rest.split("\\s+").toVector
         .map(_.replace("`", "")).filter(_.nonEmpty)
-      if (toks.size != 1) return None // column-level: Spark handles
+      // column-level describe: `DESCRIBE t col[.field|.$elem$|...]`
+      // drills into nested types (DDLTask describe with column path)
+      if (toks.size == 2) {
+        val (table, _) = resolveMetaTable(toks.head).getOrElse(return None)
+        val lc = table.toLowerCase
+        val schema = scala.util.Try(spark.table(table).schema)
+          .getOrElse(return None)
+        import graft.meta.MetaRender._
+        val segs = toks(1).split("\\.").toVector.filter(_.nonEmpty)
+        var dt: org.apache.spark.sql.types.DataType = schema.fields
+          .find(_.name.equalsIgnoreCase(segs.headOption.getOrElse(
+            return None))).getOrElse(return None).dataType
+        segs.tail.foreach { s =>
+          dt = (s.toLowerCase, dt) match {
+            case ("$elem$", org.apache.spark.sql.types
+                .ArrayType(e, _)) => e
+            case ("$key$", org.apache.spark.sql.types
+                .MapType(k, _, _)) => k
+            case ("$value$", org.apache.spark.sql.types
+                .MapType(_, v, _)) => v
+            case (f, st: StructType) =>
+              st.fields.find(_.name.equalsIgnoreCase(f))
+                .getOrElse(return None).dataType
+            case _ => return None
+          }
+        }
+        val lines = dt match {
+          case st: StructType =>
+            st.fields.toSeq.map(f => colLine(f.name.toLowerCase,
+              hiveTypeName(f.dataType), "from deserializer"))
+          case other =>
+            // column-level describes echo the name AS TYPED
+            Seq(colLine(segs.last, hiveTypeName(other),
+              meta.commentOf(lc, segs.last) match {
+                case "" => "from deserializer"
+                case c => c
+              }))
+        }
+        return Some(linesDf(lines))
+      }
+      if (toks.size != 1) return None
       val (table, db) = resolveMetaTable(toks.head).getOrElse(return None)
       val lc = table.toLowerCase
       val schema = scala.util.Try(spark.table(table).schema)

@@ -112,6 +112,25 @@ class DialectSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ns_part2")
   }
 
+  test("public entry: column-level DESCRIBE drills into nested types") {
+    val h = new HiveStatements(spark)
+    h.sql("DROP TABLE IF EXISTS dcol_t")
+    h.sql("CREATE TABLE dcol_t (k INT COMMENT 'pk', " +
+      "st STRUCT<a:INT, b:ARRAY<STRING>>, " +
+      "m MAP<STRING, DOUBLE>) STORED AS ORC")
+    def one(sql: String) = h.sql(sql).get.collect()
+      .map(r => (r.getString(0).trim, r.getString(1).trim))
+    assert(one("DESCRIBE dcol_t k").head === ("k", "int"))
+    // a struct column lists its fields
+    val st = one("DESCRIBE dcol_t st")
+    assert(st.toSeq === Seq(("a", "int"), ("b", "array<string>")), st)
+    assert(one("DESCRIBE dcol_t st.b.$elem$").head ===
+      ("$elem$", "string"))
+    assert(one("DESCRIBE dcol_t m.$value$").head ===
+      ("$value$", "double"))
+    spark.sql("DROP TABLE IF EXISTS dcol_t")
+  }
+
   test("public entry: DESCRIBE DATABASE and SHOW VIEWS") {
     val h = new HiveStatements(spark)
     val d = h.sql("DESCRIBE DATABASE default").get.collect().head
