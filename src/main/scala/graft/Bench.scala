@@ -99,14 +99,20 @@ object Bench {
     // a real regression survives three measurements; one-off box noise
     // (GC pause, scheduler hiccup landing on both timed reps) doesn't —
     // re-run JUST the violating queries once more and keep the min
-    // before reporting
+    // before reporting. Retried entries are flagged in the JSON with
+    // BOTH timings (the min-of-2 and the retry) so the report never
+    // silently mixes best-of-3 numbers in with everything else's
+    // min-of-2.
     var finalResults = results.toMap
+    var retried = Map.empty[String, (Double, Double)] // name -> (min2, retry)
     if (violating(finalResults).nonEmpty) {
       drainDeadBlocks()
       violating(finalResults).map(_.takeWhile(_ != ':')).foreach { n =>
         val t3 = materialize(n, sfDir)
-        if (t3 >= 0)
+        if (t3 >= 0) {
+          retried += n -> (finalResults(n), t3)
           finalResults += n -> math.min(finalResults(n), t3)
+        }
       }
     }
     val violations = violating(finalResults)
@@ -118,10 +124,14 @@ object Bench {
     // stdout carries one compact line that fits that window whole
     val allQs = results2
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val retriedJson = retried.toSeq.sortBy(_._1)
+      .map { case (n, (m2, t3)) =>
+        "\"" + n + "\":{\"min2\":" + r3(m2) + ",\"retry\":" + r3(t3) + "}" }
+      .mkString("{", ",", "}")
     val detailPath = new java.io.File("BENCH_DETAIL.json").getAbsolutePath
     val pw = new java.io.PrintWriter(detailPath, "UTF-8")
     try pw.println(
-      s"""{"metric":"total","value":${r3(total2)},"unit":"sec","n_queries":${results2.size},"queries":$allQs,"concurrent_wall":${r3(wall)},"concurrent_threads":4,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${r3(total2)},"unit":"sec","n_queries":${results2.size},"queries":$allQs,"concurrent_wall":${r3(wall)},"concurrent_threads":4,"sf":"$sfDir","retried":$retriedJson}""")
     finally pw.close()
 
     val headline = Seq(
@@ -138,7 +148,9 @@ object Bench {
     val headQs = headline.flatMap(n => finalResults.get(n).map(v => "\"" + n + "\":" + r3(v)))
       .mkString("{", ",", "}")
     val vJson = violations.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r3(total2)},"unit":"sec","n_queries":${results2.size},"queries":$headQs,"concurrent_wall":${r3(wall)},"concurrent_threads":4,"sf":"$sfDir","budget_violations":$vJson,"detail":"BENCH_DETAIL.json"}""")
+    val rJson = retried.keys.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r3(total2)},"unit":"sec","n_queries":${results2.size},"queries":$headQs,"concurrent_wall":${r3(wall)},"concurrent_threads":4,"sf":"$sfDir","budget_violations":$vJson,"retried":$rJson,"detail":"BENCH_DETAIL.json"}""")
     spark.stop()
     if (violations.nonEmpty &&
         sys.env.get("SPARK_GRAFT_BUDGET_STRICT").contains("1"))

@@ -296,69 +296,43 @@ class HiveStatements(val spark: SparkSession) {
     }
 
     // SHOW CREATE TABLE t — reconstructed from the metadata layer in
-    // Hive's layout (ql/exec/DDLTask.showCreateTable)
+    // Hive's exact template (ql/exec/DDLTask.showCreateTable; views
+    // render the one-line CREATE VIEW shape — DDLTask.java:2223-2228)
     val sctRe = "(?is)^show\\s+create\\s+table\\s+`?([\\w.]+)`?$".r
     sctRe.findFirstMatchIn(q).foreach { m =>
-      val (table, _) = resolveMetaTable(m.group(1)).getOrElse(return None)
+      val (table, db) = resolveMetaTable(m.group(1)).getOrElse(return None)
       val lc = table.toLowerCase
       val schema = scala.util.Try(spark.table(table).schema)
         .getOrElse(return None)
-      val pcs = meta.tablePartCols.getOrElse(lc, Nil).map(_.toLowerCase)
-      val (pFields, dFields) = schema.fields.partition(f =>
-        pcs.contains(f.name.toLowerCase))
-      import graft.meta.MetaRender.hiveTypeName
-      def colDef(f: org.apache.spark.sql.types.StructField): String = {
-        val cmt = meta.commentOf(lc, f.name)
-        s"  `${f.name.toLowerCase}` ${hiveTypeName(f.dataType)}" +
-          (if (cmt.nonEmpty) s" COMMENT '${cmt.replace("'", "\\'")}'"
-           else "")
-      }
-      val kind = meta.tableKind.getOrElse(lc, "MANAGED_TABLE")
-      val triple = meta.tableStorage.getOrElse(lc,
-        meta.fmtTriple(meta.defaultFileFormat))
-      val lines = Vector.newBuilder[String]
-      lines += s"CREATE ${if (kind == "EXTERNAL_TABLE") "EXTERNAL "
-        else ""}TABLE `$lc`("
-      val defs = dFields.map(colDef)
-      defs.zipWithIndex.foreach { case (d, i) =>
-        lines += (if (i < defs.length - 1) d + "," else d) }
-      lines += ")"
-      if (pFields.nonEmpty) {
-        lines += "PARTITIONED BY ("
-        val pd = pFields.map(colDef)
-        pd.zipWithIndex.foreach { case (d, i) =>
-          lines += (if (i < pd.length - 1) d + "," else d) }
-        lines += ")"
-      }
-      meta.bucketMeta.get(lc).foreach { case (bcols, scols, n) =>
-        if (bcols.nonEmpty && n > 0) {
-          lines += "CLUSTERED BY ("
-          lines += bcols.map(c => s"  $c").mkString(",\n")
-          lines += ")"
-          if (scols.nonEmpty) {
-            lines += "SORTED BY ("
-            lines += scols.map { case (c, o) =>
-              s"  $c ${if (o == 1) "ASC" else "DESC"}" }.mkString(",\n")
-            lines += ")"
-          }
-          lines += s"INTO $n BUCKETS"
-        }
-      }
-      lines += "ROW FORMAT SERDE"
-      lines += s"  '${triple._1}'"
-      lines += "STORED AS INPUTFORMAT"
-      lines += s"  '${triple._2}'"
-      lines += "OUTPUTFORMAT"
-      lines += s"  '${triple._3}'"
-      meta.tableProps.get(lc).filter(_.nonEmpty).foreach { p =>
-        lines += "TBLPROPERTIES ("
-        val entries = p.toSeq.sortBy(_._1).map { case (k, v) =>
-          s"  '$k'='$v'" }
-        entries.zipWithIndex.foreach { case (e, i) =>
-          lines += (if (i < entries.length - 1) e + "," else e) }
-        lines += ")"
-      }
-      return Some(oneColDf("createtab_stmt", lines.result()))
+      // the display name echoes the statement's own qualification
+      val display = m.group(1).toLowerCase
+      val isView = meta.tableKind.get(lc).contains("VIRTUAL_VIEW")
+      val location =
+        if (isView) None
+        else Some(scala.util.Try(spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst
+            .TableIdentifier(lc)).location.toString)
+          .getOrElse(s"file:${spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse")}/$lc"))
+      return Some(oneColDf("createtab_stmt",
+        meta.showCreateTableLines(lc, display, schema, location)))
+    }
+
+    // SHOW CREATE DATABASE|SCHEMA db (DDLTask.showCreateDatabase)
+    val scdRe =
+      "(?is)^show\\s+create\\s+(?:database|schema)\\s+`?(\\w+)`?$".r
+    scdRe.findFirstMatchIn(q).foreach { m =>
+      val db = m.group(1).toLowerCase
+      val known = dialect.knownDbs.contains(db) || db == "default" ||
+        scala.util.Try(spark.sessionState.catalog
+          .databaseExists(db)).getOrElse(false)
+      if (!known) return None
+      val loc = scala.util.Try(spark.sessionState.catalog
+        .getDatabaseMetadata(db).locationUri.toString)
+        .getOrElse(s"file:${spark.conf.get(
+          "spark.sql.warehouse.dir", "spark-warehouse")}/$db.db")
+      return Some(oneColDf("createdb_stmt",
+        meta.showCreateDatabaseLines(db, loc)))
     }
 
     // DESCRIBE [EXTENDED|FORMATTED] table [PARTITION(...)]
@@ -486,7 +460,21 @@ class HiveStatements(val spark: SparkSession) {
     if (ql.matches("(?s)^create\\s+(?:database|schema)\\b.*")) {
       ("(?is)^create\\s+(?:database|schema)\\s+" +
         "(?:if\\s+not\\s+exists\\s+)?`?(\\w+)`?").r.findFirstMatchIn(q)
-        .foreach(m => dialect.knownDbs += m.group(1).toLowerCase)
+        .foreach { m =>
+          val db = m.group(1).toLowerCase
+          dialect.knownDbs += db
+          val cmt = ("(?is)\\bcomment\\s+'((?:[^'\\\\]|\\\\.)*)'").r
+            .findFirstMatchIn(q).map(_.group(1)).getOrElse("")
+          val props = "(?is)with\\s+dbproperties\\s*".r
+            .findFirstMatchIn(q)
+            .flatMap(x => meta.balancedAfter(q, x.end)).toSeq
+            .flatMap(body =>
+              "['\"]([^'\"]+)['\"]\\s*=\\s*['\"]([^'\"]*)['\"]".r
+                .findAllMatchIn(body)
+                .map(kv => kv.group(1) -> kv.group(2)))
+          if (cmt.nonEmpty || props.nonEmpty)
+            meta.dbMeta(db) = (cmt, props)
+        }
     } else if (ql.startsWith("create")) {
       val isView = ql.matches(
         "(?s)create\\s+(?:or\\s+replace\\s+)?(?:materialized\\s+)?view\\b.*")
@@ -557,7 +545,18 @@ class HiveStatements(val spark: SparkSession) {
     * faithfully) while the physical table maps to a Spark-native
     * source: orc/parquet stay themselves, the text-family containers
     * store as parquet (at 100 TB columnar storage dominates anyway;
-    * the reference's own migration guidance is the same). */
+    * the reference's own migration guidance is the same).
+    *
+    * A LOCATION clause changes the contract: the table points at
+    * PRE-EXISTING data in the declared format, so silently mapping
+    * delimited text to parquet would read garbage. Self-describing
+    * formats (orc/parquet) keep their own source; `ROW FORMAT
+    * DELIMITED`/TEXTFILE over a LOCATION maps to Spark's csv source
+    * with the declared field delimiter (`` default) and `\N`
+    * nulls — Hive's lazy-text layout for flat schemas; container
+    * formats Spark can't read natively (RCFile/SequenceFile/Avro
+    * serde with a LOCATION) raise a clear error instead of
+    * misreading. */
   protected def hiveCreateRewrite(q: String): String = {
     val ql = q.toLowerCase
     if (!ql.trim.startsWith("create")) return q
@@ -566,12 +565,35 @@ class HiveStatements(val spark: SparkSession) {
     if (ql.matches("(?s).*\\busing\\s+\\w+.*")) return q
     if (!ql.contains("stored as") && !ql.contains("row format") &&
         !ql.contains("skewed by")) return q
-    val src = "(?is)stored\\s+as\\s+(\\w+)".r.findAllMatchIn(q)
+    val hasLocation =
+      "(?is)\\blocation\\s+['\"]".r.findFirstIn(q).isDefined
+    val declared = "(?is)stored\\s+as\\s+(\\w+)".r.findAllMatchIn(q)
       .map(_.group(1).toLowerCase)
-      .find(k => k != "inputformat" && k != "directories") match {
+      .find(k => k != "inputformat" && k != "directories")
+    val src = declared match {
       case Some("orc") | Some("orcfile") => "orc"
+      case Some("textfile") | None if hasLocation => "csv"
+      case Some(other) if hasLocation =>
+        throw new IllegalArgumentException(
+          s"CREATE TABLE ... STORED AS $other with a LOCATION points " +
+            "at pre-existing data this engine cannot read through a " +
+            "Spark-native source; re-declare the table as orc/parquet/" +
+            "text or load through the engine's format readers")
       case _ => "parquet"
     }
+    // the declared lazy-text delimiter rides into the csv source's
+    // options so pre-existing data parses with Hive's layout
+    val csvOpts =
+      if (src != "csv") ""
+      else {
+        val delim = ("(?is)fields\\s+terminated\\s+by\\s+" +
+          "'((?:[^'\\\\]|\\\\.)*)'").r.findFirstMatchIn(q)
+          .map(_.group(1).replace("\\t", "\t").replace("\\u0001", ""))
+          .getOrElse("")
+        val d = delim.replace("\\", "\\\\").replace("'", "\\'")
+        s" OPTIONS (sep '$d', nullValue '\\\\N', quote ' '," +
+          " header 'false')"
+      }
     val sq = "'(?:[^'\\\\]|\\\\.)*'"
     var r = q
     r = ("(?is)row\\s+format\\s+serde\\s+" + sq +
@@ -604,7 +626,8 @@ class HiveStatements(val spark: SparkSession) {
             HiveStatements.balancedBody(r, afterName)
               .map(_._2).getOrElse(afterName)
           else m.group(1).length + m.start
-        r.substring(0, insertAt) + s" USING $src " + r.substring(insertAt)
+        r.substring(0, insertAt) + s" USING $src$csvOpts " +
+          r.substring(insertAt)
       case None => r
     }
   }
@@ -1498,12 +1521,6 @@ object HiveStatements {
       "(?:\\s+comment\\s+(?:'[^']*'|\"[^\"]*\"))?" +
       "(?:\\s+(first|after\\s+`?\\w+`?))?" +
       "(?:\\s+(cascade|restrict))?\\s*").r
-  private[graft] val addColsRe =
-    ("(?is)alter\\s+table\\s+`?([\\w.]+)`?\\s+add\\s+columns\\s*\\((.*)\\)" +
-      "\\s*(cascade|restrict)?\\s*").r
-  private[graft] val replaceColsRe =
-    ("(?is)alter\\s+table\\s+`?([\\w.]+)`?\\s+replace\\s+columns\\s*" +
-      "\\((.*)\\)\\s*(cascade|restrict)?\\s*").r
   // Hive allows omitting TABLE, an explicit column list, a PARTITION
   // spec (static and/or dynamic) on either side of the column list,
   // and inserting literal VALUES rows

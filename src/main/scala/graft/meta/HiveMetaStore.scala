@@ -97,6 +97,26 @@ class HiveMetaStore(val spark: SparkSession,
     * partition-OI converters). Doubles as the partition registry. */
   val partSchemas = scala.collection.mutable
     .Map[String, scala.collection.mutable.Map[Seq[String], StructType]]()
+  /** lc → serde properties (ROW FORMAT DELIMITED delimiters + WITH/SET
+    * SERDEPROPERTIES), stored unescaped; rendered key-sorted
+    * (metastore SerDeInfo parameters). */
+  val serdeProps = scala.collection.mutable
+    .Map[String, scala.collection.mutable.LinkedHashMap[String, String]]()
+  /** lc → table-level COMMENT clause text. */
+  val tableComment = scala.collection.mutable.Map[String, String]()
+  /** lc → STORED BY storage-handler class (metastore
+    * META_TABLE_STORAGE parameter's clause form). */
+  val storedBy = scala.collection.mutable.Map[String, String]()
+  /** CREATE TEMPORARY TABLE names (no transient_lastDdlTime, not in
+    * the metastore). */
+  val tempTables = scala.collection.mutable.Set[String]()
+  /** lc → CREATE VIEW select text (original, pre-expansion). */
+  val viewText = scala.collection.mutable.Map[String, String]()
+  /** db → (comment, dbproperties) from CREATE DATABASE. */
+  val dbMeta = scala.collection.mutable
+    .Map[String, (String, Seq[(String, String)])]()
+  /** lc → creation epoch seconds (transient_lastDdlTime). */
+  val createTime = scala.collection.mutable.Map[String, Long]()
 
   /** Name resolution hook for metadata maps — bindings with a
     * namespace-mangling scheme override. */
@@ -232,6 +252,65 @@ class HiveMetaStore(val spark: SparkSession,
     v.trim.stripPrefix("'").stripSuffix("'")
       .stripPrefix("\"").stripSuffix("\"")
 
+  /** Hive's unescapeSQLString for delimiter literals: standard
+    * escapes plus octal `\045` (BaseSemanticAnalyzer
+    * .unescapeSQLString). */
+  def unescapeDelim(v: String): String = {
+    val sb = new StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '\\' && i + 4 <= v.length &&
+          v.substring(i + 1, i + 4).matches("[0-7]{3}")) {
+        sb.append(Integer.parseInt(v.substring(i + 1, i + 4), 8).toChar)
+        i += 4
+      } else if (c == '\\' && i + 1 < v.length) {
+        v.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+          case 'r' => sb.append('\r'); case 'b' => sb.append('\b')
+          case 'f' => sb.append('\f')
+          case o => sb.append(o)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** ROW FORMAT DELIMITED sub-clauses and WITH/SET SERDEPROPERTIES →
+    * the metastore SerDeInfo parameter map (field.delim,
+    * `colelction.delim` — Hive's own typo — mapkey.delim, line.delim,
+    * escape.delim, serialization.format/null.format; ref
+    * serde/serdeConstants + DDLSemanticAnalyzer analyzeCreateTable
+    * rowFormat handling). */
+  def recordSerdeClauses(lc: String, q: String): Unit = {
+    val sp = serdeProps.getOrElseUpdate(lc,
+      scala.collection.mutable.LinkedHashMap.empty)
+    def grab(clause: String): Option[String] =
+      ("(?is)" + clause + "\\s+'((?:[^'\\\\]|\\\\.)*)'").r
+        .findFirstMatchIn(q).map(m => unescapeDelim(m.group(1)))
+    grab("fields\\s+terminated\\s+by").foreach { d =>
+      sp("field.delim") = d; sp("serialization.format") = d
+    }
+    grab("escaped\\s+by").foreach(d => sp("escape.delim") = d)
+    grab("collection\\s+items\\s+terminated\\s+by")
+      .foreach(d => sp("colelction.delim") = d)
+    grab("map\\s+keys\\s+terminated\\s+by")
+      .foreach(d => sp("mapkey.delim") = d)
+    grab("lines\\s+terminated\\s+by").foreach(d => sp("line.delim") = d)
+    grab("null\\s+defined\\s+as")
+      .foreach(d => sp("serialization.null.format") = d)
+    "(?is)(?:with|set)\\s+serdeproperties\\s*".r.findAllMatchIn(q)
+      .foreach { m =>
+        balancedAfter(q, m.end).foreach { body =>
+          ("['\"]([^'\"]+)['\"]\\s*=\\s*'((?:[^'\\\\]|\\\\.)*)'").r
+            .findAllMatchIn(body)
+            .foreach(kv => sp(kv.group(1)) = unescapeDelim(kv.group(2)))
+        }
+      }
+    if (sp.isEmpty) serdeProps.remove(lc)
+  }
+
   // -----------------------------------------------------------------
   // DDL observation: CREATE
   // -----------------------------------------------------------------
@@ -263,6 +342,35 @@ class HiveMetaStore(val spark: SparkSession,
     // then SHOW PARTITIONS must be empty)
     addedParts.remove(lc)
     partSchemas.remove(lc)
+    serdeProps.remove(lc); tableComment.remove(lc); storedBy.remove(lc)
+    viewText.remove(lc)
+    createTime(lc) = System.currentTimeMillis() / 1000
+    if (m.group(1) != null) tempTables += lc else tempTables -= lc
+    if (view)
+      "(?is)\\bas\\s+(select.*)$".r.findFirstMatchIn(q)
+        .foreach(x => viewText(lc) = x.group(1).trim.stripSuffix(";"))
+    else {
+      recordSerdeClauses(lc, q)
+      "(?is)stored\\s+by\\s+['\"]([^'\"]+)['\"]".r.findFirstMatchIn(q)
+        .foreach(x => storedBy(lc) = x.group(1))
+      // table-level COMMENT sits after the column list's close paren
+      // (a head-anchored regex would hit COLUMN comments); CTAS
+      // carries it right after the name
+      val afterName = m.end
+      val afterCols =
+        if (afterName < q.length &&
+            q.substring(afterName).dropWhile(_.isWhitespace)
+              .startsWith("("))
+          graft.HiveStatements.balancedBody(q,
+            afterName + q.substring(afterName).takeWhile(_.isWhitespace)
+              .length).map(_._2).getOrElse(afterName)
+        else afterName
+      ("(?is)^\\s*comment\\s+(?:'((?:[^'\\\\]|\\\\.)*)'|" +
+        "\"((?:[^\"\\\\]|\\\\.)*)\")").r
+        .findFirstMatchIn(q.substring(afterCols))
+        .foreach(x => tableComment(lc) = unescapeSql(
+          Option(x.group(1)).getOrElse(x.group(2))))
+    }
     if (view && q.toLowerCase.contains("materialized")) {
       // a MATERIALIZED view stores real data — its storage clauses
       // parse like a table's; the default format is ORC
@@ -359,6 +467,10 @@ class HiveMetaStore(val spark: SparkSession,
       .findFirstMatchIn(q).map(_.group(1))
     def partKeys: Seq[Seq[String]] =
       partSpec.toSeq.flatMap(s => matchingPartKeys(lc, s))
+    // ALTER ... SET SERDEPROPERTIES / SET SERDE ... WITH
+    // SERDEPROPERTIES merge into the serde parameter map
+    if (ql.contains("serdeproperties") && partSpec.isEmpty)
+      recordSerdeClauses(lc, q)
     if (ql.matches("(?s).*\\bset\\s+fileformat\\b.*")) {
       val io = ("(?is)set\\s+fileformat\\s+inputformat\\s+'([^']+)'\\s+" +
         "outputformat\\s+'([^']+)'(?:\\s+serde\\s+'([^']+)')?").r
@@ -664,6 +776,12 @@ class HiveMetaStore(val spark: SparkSession,
     tablePropsOwner.remove(fromLc).foreach(tablePropsOwner(toLc) = _)
     addedParts.remove(fromLc).foreach(addedParts(toLc) = _)
     partSchemas.remove(fromLc).foreach(partSchemas(toLc) = _)
+    serdeProps.remove(fromLc).foreach(serdeProps(toLc) = _)
+    tableComment.remove(fromLc).foreach(tableComment(toLc) = _)
+    storedBy.remove(fromLc).foreach(storedBy(toLc) = _)
+    viewText.remove(fromLc).foreach(viewText(toLc) = _)
+    createTime.remove(fromLc).foreach(createTime(toLc) = _)
+    if (tempTables.remove(fromLc)) tempTables += toLc
     val ps = partStorage.filter(_._1._1 == fromLc)
     ps.foreach { case ((_, k), v) =>
       partStorage.remove((fromLc, k)); partStorage((toLc, k)) = v }
@@ -680,6 +798,8 @@ class HiveMetaStore(val spark: SparkSession,
     tableProps.remove(lc); tablePropsOwner.remove(lc)
     addedParts.remove(lc); partSchemas.remove(lc)
     dbOwner.remove(lc)
+    serdeProps.remove(lc); tableComment.remove(lc); storedBy.remove(lc)
+    viewText.remove(lc); createTime.remove(lc); tempTables -= lc
     partStorage.filterInPlace((k, _) => k._1 != lc)
     partBucketMeta.filterInPlace((k, _) => k._1 != lc)
   }
@@ -788,5 +908,177 @@ class HiveMetaStore(val spark: SparkSession,
           s"Table $db.$tableBase does not have property: $k"))
       case None => props.map { case (k, v) => s"$k\t$v" }.toSeq
     }
+  }
+
+  // -----------------------------------------------------------------
+  // SHOW CREATE TABLE / DATABASE (DDLTask.showCreateTable:2204-2412,
+  // showCreateDatabase:2156-2177 — the ST template's exact layout:
+  // ", \n" column joins, trailing-space clause headers, key-sorted
+  // serde/table properties, the STORED BY handler branch, and the
+  // one-line CREATE VIEW shape)
+  // -----------------------------------------------------------------
+
+  /** HiveStringUtils.escapeHiveCommand: `'` `;` `\` plus the Java
+    * control-char escapes. */
+  def escHive(v: String): String = v.flatMap {
+    case '\'' => "\\'"
+    case ';' => "\\;"
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\t' => "\\t"
+    case '\r' => "\\r"
+    case '\b' => "\\b"
+    case '\f' => "\\f"
+    case c => c.toString
+  }
+
+  /** Hive records a view's EXPANDED text (stars expanded, every
+    * column backtick-qualified by its table, the table db-qualified —
+    * SemanticAnalyzer viewSelect expansion). Reconstruct it for the
+    * simple single-table SELECT shape; other shapes render the
+    * original text. */
+  def viewExpandedText(lc: String): String = {
+    val raw = viewText.getOrElse(lc, return "")
+    val m = "(?is)^select\\s+(.*?)\\s+from\\s+`?([\\w.]+)`?\\s*$".r
+      .findFirstMatchIn(raw.trim).getOrElse(return raw)
+    val t = m.group(2).split('.').last.toLowerCase
+    val db =
+      if (m.group(2).contains(".")) m.group(2).split('.').head.toLowerCase
+      else dbOwner.getOrElse(t, "default")
+    val items = splitTop(m.group(1), ',').map(_.trim)
+    val cols: Seq[String] =
+      if (items == Seq("*"))
+        scala.util.Try(spark.table(resolveLc(t)).columns.toSeq)
+          .getOrElse(return raw)
+      else items.map(_.replace("`", ""))
+    if (!cols.forall(_.matches("\\w+"))) return raw
+    cols.map(c => s"`$t`.`${c.toLowerCase}`")
+      .mkString("SELECT ", ", ", "") + s" FROM `$db`.`$t`"
+  }
+
+  private def appendSerde(sb: StringBuilder,
+      params: Map[String, String]): StringBuilder = {
+    sb.append("WITH SERDEPROPERTIES ( \n")
+    sb.append(params.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"  '$k'='${escHive(v)}'" }.mkString(", \n"))
+    sb.append(")")
+  }
+
+  /** Statistics keys excluded from the TBLPROPERTIES render
+    * (StatsSetupConst.TABLE_PARAMS_STATS_KEYS). */
+  private val statsKeys = Set("COLUMN_STATS_ACCURATE", "numFiles",
+    "totalSize", "numRows", "rawDataSize", "numPartitions")
+
+  /** SHOW CREATE TABLE statement LINES (the CLI splits the written
+    * statement on newline; empty template lines drop like the
+    * recordings). `location`: rendered under LOCATION when defined —
+    * storage-handler tables never need one
+    * (DDLTask.doesTableNeedLocation). */
+  def showCreateTableLines(lc: String, displayName: String,
+      schema: StructType, location: Option[String]): Seq[String] = {
+    val sb = new StringBuilder
+    if (tableKind.get(lc).contains("VIRTUAL_VIEW"))
+      sb.append(s"CREATE VIEW `$displayName` AS ${viewExpandedText(lc)}")
+    else {
+      val props: Map[String, String] =
+        tableProps.get(lc).map(_.toMap).getOrElse(Map.empty)
+      val isTemp = tempTables.contains(lc)
+      val isExternal = props.get("EXTERNAL")
+        .map(_.equalsIgnoreCase("TRUE"))
+        .getOrElse(tableKind.get(lc).contains("EXTERNAL_TABLE"))
+      val handler = storedBy.get(lc).orElse(props.get("storage_handler"))
+      val pcs = tablePartCols.getOrElse(lc, Nil).map(_.toLowerCase)
+      val (pFields, dFields) = schema.fields.toSeq.partition(f =>
+        pcs.contains(f.name.toLowerCase))
+      def colDef(f: StructField): String = {
+        val cmt = commentOf(lc, f.name)
+        s"  `${f.name.toLowerCase}` ${hiveTypeName(f.dataType)}" +
+          (if (cmt.nonEmpty) s" COMMENT '${escHive(cmt)}'" else "")
+      }
+      sb.append("CREATE ")
+      if (isTemp) sb.append("TEMPORARY ")
+      if (isExternal) sb.append("EXTERNAL ")
+      sb.append("TABLE `").append(displayName).append("`(\n")
+      sb.append(dFields.map(colDef).mkString(", \n")).append(")\n")
+      tableComment.get(lc).orElse(props.get("comment")).foreach(c =>
+        sb.append(s"COMMENT '${escHive(c)}'\n"))
+      if (pFields.nonEmpty) {
+        sb.append("PARTITIONED BY ( \n")
+        sb.append(pFields.map(colDef).mkString(", \n")).append(")\n")
+      }
+      val (bcols, scols, nbuckets) =
+        bucketMeta.getOrElse(lc, (Nil, Nil, -1))
+      if (bcols.nonEmpty) {
+        sb.append("CLUSTERED BY ( \n  ")
+        sb.append(bcols.mkString(", \n  ")).append(") \n")
+        if (scols.nonEmpty) {
+          sb.append("SORTED BY ( \n")
+          sb.append(scols.map { case (c, o) =>
+            s"  $c " + (if (o == 1) "ASC" else "DESC") }
+            .mkString(", \n"))
+          sb.append(") \n")
+        }
+        sb.append(s"INTO $nbuckets BUCKETS\n")
+      }
+      tableSkew.get(lc).filter(_._1.nonEmpty).foreach {
+        case (cols, values, dirs) =>
+          sb.append(s"SKEWED BY (${cols.mkString(",")})\n")
+          sb.append("  ON (" + values.map(vs =>
+            "('" + vs.mkString("','") + "')").mkString(",") + ")")
+          if (dirs) sb.append("\n  STORED AS DIRECTORIES")
+          sb.append("\n")
+      }
+      val triple = tableStorage.getOrElse(lc, fmtTriple(defaultFileFormat))
+      val sp0 = serdeProps.get(lc).map(_.toMap).getOrElse(Map.empty)
+      // the default serialization.format ("1") is not rendered
+      val sp =
+        if (sp0.get("serialization.format").contains("1"))
+          sp0 - "serialization.format"
+        else sp0
+      sb.append(s"ROW FORMAT SERDE \n  '${escHive(triple._1)}' \n")
+      handler match {
+        case None =>
+          if (sp.nonEmpty) appendSerde(sb, sp).append(" \n")
+          sb.append(s"STORED AS INPUTFORMAT \n  '${escHive(triple._2)}' \n")
+          sb.append(s"OUTPUTFORMAT \n  '${escHive(triple._3)}'\n")
+        case Some(h) =>
+          sb.append(s"STORED BY \n  '${escHive(h)}' \n")
+          if (sp0.nonEmpty) appendSerde(sb, sp0)
+          sb.append("\n")
+      }
+      location.filter(_ => handler.isEmpty).foreach(p =>
+        sb.append(s"LOCATION\n  '${escHive(p)}'\n"))
+      val exclude = statsKeys ++ Set("comment", "storage_handler") ++
+        (if (isExternal) Set("EXTERNAL") else Set.empty[String]) ++
+        (if (bcols.nonEmpty) Set("SORTBUCKETCOLSPREFIX")
+         else Set.empty[String])
+      val renderProps0 = props -- exclude
+      val renderProps =
+        if (isTemp) renderProps0
+        else renderProps0 + ("transient_lastDdlTime" ->
+          createTime.getOrElse(lc, 0L).toString)
+      sb.append("TBLPROPERTIES (\n")
+      sb.append(renderProps.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"  '$k'='${escHive(v)}'" }.mkString(", \n"))
+      sb.append(")")
+    }
+    sb.toString.split("\n", -1).toSeq.filter(_.nonEmpty)
+  }
+
+  /** SHOW CREATE DATABASE lines (DDLTask.showCreateDatabase). */
+  def showCreateDatabaseLines(db: String, location: String)
+      : Seq[String] = {
+    val (cmt, props) = dbMeta.getOrElse(db, ("", Nil))
+    val sb = new StringBuilder
+    sb.append(s"CREATE DATABASE `$db`\n")
+    if (cmt.nonEmpty) sb.append(s"COMMENT\n  '${escHive(cmt)}'\n")
+    sb.append(s"LOCATION\n  '$location'\n")
+    if (props.nonEmpty) {
+      sb.append("WITH DBPROPERTIES (\n")
+      sb.append(props.sortBy(_._1).map { case (k, v) =>
+        s"  '$k'='${escHive(v)}'" }.mkString(", \n"))
+      sb.append(")\n")
+    }
+    sb.toString.split("\n", -1).toSeq.filter(_.nonEmpty)
   }
 }

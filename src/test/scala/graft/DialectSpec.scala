@@ -176,6 +176,72 @@ class DialectSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS sct_t")
   }
 
+  test("public entry: SHOW CREATE TABLE matches the reference " +
+      "template byte-for-byte (DDLTask.showCreateTable ST layout)") {
+    val h = new HiveStatements(spark)
+    h.sql("DROP TABLE IF EXISTS sct_exact")
+    h.sql("CREATE TABLE sct_exact (key int, value string, " +
+      "newvalue bigint) ROW FORMAT DELIMITED FIELDS TERMINATED BY ',' " +
+      "COLLECTION ITEMS TERMINATED BY '|' MAP KEYS TERMINATED BY " +
+      "'\\045' LINES TERMINATED BY '\\n' STORED AS textfile")
+    val lines = h.sql("SHOW CREATE TABLE sct_exact").get.collect()
+      .map(_.getString(0)).toSeq
+    // the reference recording's exact lines
+    // (show_create_table_delimited.q.out), up to LOCATION/DDL-time
+    val stable = lines.filterNot(l =>
+      l.contains("transient_lastDdlTime") ||
+        (lines.indexOf(l) > 0 &&
+          lines(lines.indexOf(l) - 1) == "LOCATION"))
+    assert(stable.take(16) === Seq(
+      "CREATE TABLE `sct_exact`(",
+      "  `key` int, ",
+      "  `value` string, ",
+      "  `newvalue` bigint)",
+      "ROW FORMAT SERDE ",
+      "  'org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe' ",
+      "WITH SERDEPROPERTIES ( ",
+      "  'colelction.delim'='|', ",
+      "  'field.delim'=',', ",
+      "  'line.delim'='\\n', ",
+      "  'mapkey.delim'='%', ",
+      "  'serialization.format'=',') ",
+      "STORED AS INPUTFORMAT ",
+      "  'org.apache.hadoop.mapred.TextInputFormat' ",
+      "OUTPUTFORMAT ",
+      "  'org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat'"),
+      lines.mkString("\n"))
+    assert(lines.contains("LOCATION"), lines.mkString("\n"))
+    assert(lines.last == "TBLPROPERTIES (" ||
+      lines.exists(_.contains("transient_lastDdlTime")),
+      lines.mkString("\n"))
+    spark.sql("DROP TABLE IF EXISTS sct_exact")
+    // a VIEW renders the one-line CREATE VIEW shape with star
+    // expansion and db-qualified source (DDLTask.java:2223-2228)
+    views
+    h.sql("DROP VIEW IF EXISTS sct_v")
+    h.sql("DROP TABLE IF EXISTS sct_vb")
+    h.sql("CREATE TABLE sct_vb USING parquet AS " +
+      "SELECT n_nationkey, n_name FROM nation")
+    h.sql("CREATE VIEW sct_v AS SELECT * FROM sct_vb")
+    val v = h.sql("SHOW CREATE TABLE sct_v").get.collect()
+      .map(_.getString(0)).toSeq
+    assert(v === Seq("CREATE VIEW `sct_v` AS SELECT " +
+      "`sct_vb`.`n_nationkey`, `sct_vb`.`n_name` " +
+      "FROM `default`.`sct_vb`"), v.mkString("\n"))
+    h.sql("DROP VIEW sct_v")
+    h.sql("DROP TABLE sct_vb")
+    // SHOW CREATE DATABASE (DDLTask.showCreateDatabase)
+    h.sql("CREATE DATABASE IF NOT EXISTS sct_db COMMENT 'db cmt' " +
+      "WITH DBPROPERTIES ('a'='b')")
+    val d = h.sql("SHOW CREATE DATABASE sct_db").get.collect()
+      .map(_.getString(0)).toSeq
+    assert(d.head === "CREATE DATABASE `sct_db`", d.mkString("\n"))
+    assert(d.take(3) === Seq("CREATE DATABASE `sct_db`", "COMMENT",
+      "  'db cmt'"), d.mkString("\n"))
+    assert(d.takeRight(2) === Seq("WITH DBPROPERTIES (",
+      "  'a'='b')"), d.mkString("\n"))
+  }
+
   test("public entry: DESCRIBE FUNCTION [EXTENDED] renders Hive's " +
       "layout (usage, no-doc line, does-not-exist line, class line)") {
     val h = new HiveStatements(spark)
