@@ -42,6 +42,224 @@ class HiveDialect(val spark: SparkSession) {
     * flatten onto the temp-view namespace. */
   val knownDbs = scala.collection.mutable.Set[String]()
 
+  /** Physical table bindings per session database: db → bare table
+    * names bound as `db__name`. Always-mangle: every table CREATEd
+    * under a non-default database binds physically as `db__name`
+    * (default-db tables stay bare), so cross-db same-name tables
+    * coexist — the reference's two-level namespace
+    * (ql/metadata/Table.java getDbName/getTableName) over a flat
+    * view/catalog store. [[observeNamespace]] stamps entries before
+    * [[rewrite]] resolves references through them. */
+  val dbTables =
+    scala.collection.mutable.Map[String,
+      scala.collection.mutable.Set[String]]()
+
+  /** The flat binding of `db.t` under the always-mangle scheme. */
+  def physicalName(db: String, t: String): String = {
+    val d = db.toLowerCase
+    if (d == "default") t else s"${d}__$t"
+  }
+
+  private def dbTablesOf(db: String) =
+    dbTables.getOrElseUpdate(db.toLowerCase,
+      scala.collection.mutable.Set[String]())
+
+  private val nsCreateRe =
+    ("(?is)^\\s*create\\s+(?:or\\s+replace\\s+)?(?:temporary\\s+)?" +
+      "(?:external\\s+)?(?:materialized\\s+)?(?:table|view)\\s+" +
+      "(?:if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?").r
+  private val nsRenameRe =
+    ("(?is)^\\s*alter\\s+(?:table|view)\\s+`?([\\w.]+)`?\\s+" +
+      "rename\\s+to\\s+`?([\\w.]+)`?\\s*;?\\s*$").r
+
+  /** Observe one RAW statement's namespace effects — must run BEFORE
+    * [[rewrite]] so a CREATE's own target (and its references later
+    * in the session) resolve to the physical binding. Idempotent. */
+  def observeNamespace(raw: String): Unit = {
+    val ql = raw.trim.toLowerCase
+    if (ql.startsWith("use ")) {
+      currentDb = ql.stripPrefix("use ").stripSuffix(";").trim
+        .replace("`", "")
+    } else if (ql.startsWith("create database") ||
+        ql.startsWith("create schema")) {
+      ("(?is)^create\\s+(?:database|schema)\\s+" +
+        "(?:if\\s+not\\s+exists\\s+)?`?(\\w+)`?").r
+        .findFirstMatchIn(raw)
+        .foreach(m => knownDbs += m.group(1).toLowerCase)
+    } else if (ql.startsWith("drop database") ||
+        ql.startsWith("drop schema")) {
+      ("(?is)^drop\\s+(?:database|schema)\\s+" +
+        "(?:if\\s+exists\\s+)?`?(\\w+)`?").r.findFirstMatchIn(raw)
+        .foreach { m =>
+          val db = m.group(1).toLowerCase
+          knownDbs -= db
+          dbTables.remove(db)
+        }
+    } else if (ql.startsWith("create")) {
+      nsCreateRe.findFirstMatchIn(raw).foreach { m =>
+        val parts = m.group(1).split('.')
+        val db = (if (parts.length > 1) parts.head
+          else currentDb).toLowerCase
+        // only session-managed databases bind flat; tables in real
+        // catalog databases created outside this session stay Spark's
+        if (db != "default" && knownDbs.contains(db))
+          dbTablesOf(db) += parts.last.toLowerCase
+      }
+    } else if (ql.startsWith("alter")) raw match {
+      case nsRenameRe(from, to) =>
+        // RENAME keeps the table's database unless the target is
+        // explicitly qualified (DDLSemanticAnalyzer alterTableRename)
+        val fromParts = from.split('.')
+        val fromDb = (if (fromParts.length > 1) fromParts.head
+          else currentDb).toLowerCase
+        val toParts = to.split('.')
+        val toDb = (if (toParts.length > 1) toParts.head
+          else fromDb).toLowerCase
+        if (toDb != "default" && knownDbs.contains(toDb))
+          dbTablesOf(toDb) += toParts.last.toLowerCase
+      case _ =>
+    }
+  }
+
+  /** The span of the balanced paren group opening at `q(open)`. */
+  private def balancedSpan(q: String, open: Int): Option[(Int, Int)] = {
+    var d = 0; var i = open
+    while (i < q.length) {
+      q(i) match {
+        case '(' => d += 1
+        case ')' => d -= 1; if (d == 0) return Some((open, i + 1))
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** Mask the COLUMN-definition lists of CREATE/ALTER DDL (the parens
+    * after the target name and after PARTITIONED/CLUSTERED/SORTED/
+    * SKEWED BY / COLUMNS) so the unqualified namespace pass can't
+    * mangle a column that shares its table's name
+    * (describe_table.q: CREATE TABLE name1(name1 int) under db
+    * name1). Returns the masked text + restore map. */
+  private def maskDdlColumnLists(q: String)
+      : (String, Seq[(String, String)]) = {
+    val qt = q.trim.toLowerCase
+    val spans = scala.collection.mutable.Buffer[(Int, Int)]()
+    // DESCRIBE <table> <column...>: everything past the table token
+    // is COLUMN territory — a column sharing a table's name must not
+    // mangle (describe_table.q: DESCRIBE name1 name2 under db name1)
+    if (qt.startsWith("desc")) {
+      ("(?is)^\\s*desc(?:ribe)?\\s+(?:formatted\\s+|extended\\s+)?" +
+        "`?[\\w.]+`?\\s+").r.findPrefixMatchOf(q)
+        .filterNot(_ => qt.matches(
+          "(?s)^\\s*desc(?:ribe)?\\s+(?:function|database|schema)\\b.*"))
+        .foreach { m =>
+          if (m.end < q.length) spans += ((m.end, q.length))
+        }
+    }
+    if (!qt.startsWith("create") && !qt.startsWith("alter") &&
+        spans.isEmpty)
+      return (q, Nil)
+    nsCreateRe.findFirstMatchIn(q).foreach { m =>
+      var i = m.end
+      while (i < q.length && (q(i).isWhitespace || q(i) == '`')) i += 1
+      if (i < q.length && q(i) == '(')
+        balancedSpan(q, i).foreach(spans += _)
+    }
+    ("(?is)\\b(?:(?:partitioned|clustered|sorted|skewed)\\s+by|" +
+      "columns)\\s*\\(").r.findAllMatchIn(q).foreach { m =>
+      balancedSpan(q, m.end - 1).foreach(spans += _)
+    }
+    if (spans.isEmpty) return (q, Nil)
+    var out = q
+    val restore = scala.collection.mutable.Buffer[(String, String)]()
+    spans.sortBy(-_._1).foreach { case (s, e) =>
+      val token = s"NS${s}"
+      restore += token -> out.substring(s, e)
+      out = out.substring(0, s) + token + out.substring(e)
+    }
+    (out, restore.toSeq)
+  }
+
+  /** Resolve every table reference in `q` to its physical flat
+    * binding (always-mangle `db__name`), string literals untouched.
+    * Idempotent — [[rewrite]] applies it too; the engine also runs it
+    * standalone so metadata observation keys by physical name. */
+  def resolveNamespace(q00: String): String = {
+    if (dbTables.isEmpty && knownDbs.isEmpty) return q00
+    // USE names a DATABASE — never a table binding (a db-owned table
+    // sharing the db name of another would corrupt the cursor)
+    if (q00.trim.toLowerCase.startsWith("use ") ||
+        q00.trim.toLowerCase.matches(
+          "(?s)^(?:create|drop|alter)\\s+(?:database|schema)\\b.*"))
+      return q00
+    val (q0, restore) = maskDdlColumnLists(q00)
+    val resolved = mapOutsideLiterals(q0) { seg0 =>
+      var seg = seg0
+      val cur = currentDb.toLowerCase
+      // 1. unqualified references under USE <db> resolve to the
+      //    current database's physical bindings (`t` → `db__t`) —
+      //    FIRST, so pass 2's bare fallbacks aren't re-mangled
+      if (cur != "default")
+        dbTables.getOrElse(cur, Set.empty[String]).foreach { t =>
+          seg = (s"(?i)(?<![\\w.$$])`?$t`?(?![\\w$$])").r
+            .replaceAllIn(seg, m => {
+              // `name1.x` where name1 is ALSO a database: the
+              // qualifier wins — leave it for pass 2
+              // (describe_table.q: DESCRIBE name1.name1 under name1)
+              val qualifier = m.end < seg.length &&
+                seg.charAt(m.end) == '.' &&
+                knownDbs.contains(t)
+              scala.util.matching.Regex.quoteReplacement(
+                if (qualifier) m.matched else s"${cur}__$t")
+            })
+        }
+      // 2. db-qualified references resolve through dbResolver
+      knownDbs.foreach { db =>
+        seg = (s"(?i)(?<![\\w.`])`?$db`?\\.`?(\\w+)`?").r
+          .replaceAllIn(seg, m =>
+            scala.util.matching.Regex.quoteReplacement(
+              dbResolver(seg0, db, m.group(1))))
+      }
+      // 3. `default.`-qualified names → the bare binding (deferred
+      //    here under USE <db> so pass 1 can't capture them)
+      if (cur != "default")
+        seg = seg.replaceAll(
+          "(?i)(?<![\\w.`])`?default`?\\.(?=`?\\w)", "")
+      seg
+    }
+    restore.foldLeft(resolved) { case (acc, (token, body)) =>
+      acc.replace(token, body)
+    }
+  }
+
+  /** Apply `f` to the segments of `s` OUTSIDE single/double-quoted
+    * string literals (backslash escapes respected) — the namespace
+    * rewrites must never touch `db.t` text inside a literal. */
+  private def mapOutsideLiterals(s: String)(f: String => String)
+      : String = {
+    if (!s.contains('\'') && !s.contains('"')) return f(s)
+    val out = new StringBuilder(s.length)
+    val seg = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        out.append(c)
+        if (c == '\\' && i + 1 < s.length) {
+          out.append(s.charAt(i + 1)); i += 1
+        } else if (c == quote) quote = 0
+        i += 1
+      } else if (c == '\'' || c == '"') {
+        out.append(f(seg.result())); seg.clear()
+        quote = c; out.append(c); i += 1
+      } else { seg.append(c); i += 1 }
+    }
+    out.append(f(seg.result()))
+    out.result()
+  }
+
   /** hive.cbo.returnpath.hiveop struct-field naming (expr$0..) — the
     * cbo_rp goldens record Calcite's names instead of col1..colN. */
   var cboStructNames: Boolean = false
@@ -55,11 +273,15 @@ class HiveDialect(val spark: SparkSession) {
   var scriptResolver: String => Option[String] = _ => None
 
   /** Resolve a db-qualified table reference `db.t` within `stmt` to a
-    * flat view name. Default: the bare name (flat namespace). A
-    * binding with a real two-layer store can mangle names that exist
-    * in several databases at once. */
+    * flat view name. Default: the physical always-mangle binding
+    * `db__t` when the table was CREATEd under that database
+    * ([[dbTables]]); the bare name otherwise (pre-existing fixtures
+    * and tables never created through this session's DDL). */
   var dbResolver: (String, String, String) => String =
-    (_, _, t) => t
+    (_, db, t) =>
+      if (dbTables.get(db.toLowerCase).exists(
+          _.contains(t.toLowerCase))) s"${db.toLowerCase}__$t"
+      else t
 
   private val usingRe = "(?is)using\\s+'([^']*)'".r
 
@@ -144,7 +366,14 @@ class HiveDialect(val spark: SparkSession) {
         if (m.group(3).toInt == 1) s"(select * from ${m.group(1)})"
         else s"(select * from ${m.group(1)} where (hive_hash(${m.group(4).trim})" +
           s" & 2147483647) % ${m.group(3)} = ${m.group(2).toInt - 1})"))
-    var q4 = q3.replaceAll("(?i)(?<![\\w.`])`?default`?\\.(?=`?\\w)", "")
+    // `default.`-qualified names → bare — but under USE <db> the
+    // strip waits for resolveNamespace pass 3: stripping early would
+    // let the unqualified pass mangle `default.t` into the CURRENT
+    // db's binding (show_partitions.q: default.srcpart from db1)
+    var q4 =
+      if (currentDb.equalsIgnoreCase("default"))
+        q3.replaceAll("(?i)(?<![\\w.`])`?default`?\\.(?=`?\\w)", "")
+      else q3
     // bare ROW__ID virtual column: NULL on non-transactional tables
     // (every golden fixture here) — TableScanOperator.java:110 context
     q4 = q4.replaceAll(
@@ -252,15 +481,9 @@ class HiveDialect(val spark: SparkSession) {
             s"${mm.group(1)}(${mm.group(2)}))")
       })
     }
-    // flatten script-created databases into the temp-view namespace:
-    // each db-qualified reference resolves through dbResolver (bare
-    // name by default; bindings may mangle on cross-db name conflicts)
-    knownDbs.foreach { db =>
-      q4 = (s"(?i)(?<![\\w.`])`?$db`?\\.`?(\\w+)`?").r
-        .replaceAllIn(q4, m =>
-          scala.util.matching.Regex.quoteReplacement(
-            dbResolver(q000, db, m.group(1))))
-    }
+    // flatten script-created databases into the temp-view namespace
+    // (always-mangle: CREATEd-under-db tables live as `db__name`)
+    q4 = resolveNamespace(q4)
     // SORT BY + LIMIT: Hive's qtest runs one reducer, so its partial
     // sort IS total and LIMIT takes the global extremes; Spark's
     // partition-local sort would feed LIMIT arbitrary rows. ORDER BY

@@ -43,7 +43,18 @@ class HiveStatements(val spark: SparkSession) {
     * DESCRIBE/SHOW read surface. Bindings with fixture knowledge
     * override the factory. */
   protected def newMetaStore: graft.meta.HiveMetaStore =
-    new graft.meta.HiveMetaStore(spark, () => dialect.currentDb)
+    new graft.meta.HiveMetaStore(spark, () => dialect.currentDb) {
+      // always-mangle namespace: a name CREATEd under a session
+      // database resolves to its physical `db__name` binding
+      override def resolveLc(t: String): String = {
+        val base = t.split('.').last.toLowerCase
+        val db = (if (t.contains(".")) t.split('.').head
+          else dialect.currentDb).toLowerCase
+        if (dialect.dbTables.get(db).exists(_.contains(base)))
+          s"${db}__$base"
+        else base
+      }
+    }
   lazy val meta: graft.meta.HiveMetaStore = newMetaStore
 
   /** Whether [[sql]] itself observes DDL statements into [[meta]].
@@ -70,7 +81,48 @@ class HiveStatements(val spark: SparkSession) {
       case Some(df) => return Some(df)
       case None =>
     }
-    if (autoObserveMeta) observeMeta(raw)
+    if (autoObserveMeta) {
+      // `USE db`: session-managed databases bind flat (always-mangle
+      // `db__name`), so the namespace cursor moves WITHOUT touching
+      // Spark's current database; a real catalog database created
+      // outside this session forwards to Spark as-is
+      val useRe = "(?is)^use\\s+`?(\\w+)`?\\s*$".r
+      useRe.findFirstMatchIn(raw).foreach { m =>
+        val db = m.group(1).toLowerCase
+        dialect.currentDb = db
+        if (db != "default" && !dialect.knownDbs.contains(db))
+          spark.sql(s"use `$db`")
+        return None
+      }
+      dialect.observeNamespace(raw)
+      // metadata observation keys by the PHYSICAL binding — resolve
+      // names first (string literals untouched; idempotent under the
+      // full rewrite below)
+      val resolved = dialect.resolveNamespace(raw)
+      observeMeta(resolved)
+      // DROP removes every layer of the flat binding — the catalog
+      // table AND any temp view shadowing it (the in-place rebuild
+      // binding INSERT/UPDATE leave behind); one spark.sql would drop
+      // only the view and SHOW TABLES would keep listing the table
+      val dropRe = ("(?is)^drop\\s+(table|view)\\s+" +
+        "(if\\s+exists\\s+)?`?([\\w.]+)`?\\s*(?:purge\\s*)?$").r
+      dropRe.findFirstMatchIn(resolved).foreach { m =>
+        val kind = m.group(1).toUpperCase
+        val name = m.group(3)
+        if (!name.contains(".")) {
+          val hadTemp = spark.catalog.dropTempView(name)
+          val ident = org.apache.spark.sql.catalyst
+            .TableIdentifier(name.toLowerCase)
+          val hadObj =
+            spark.sessionState.catalog.tableExists(ident)
+          // kind mismatch (DROP TABLE on a view) surfaces Spark's
+          // own error, as Hive's DDLTask would
+          if (hadObj) spark.sql(s"DROP $kind IF EXISTS `$name`")
+          if (hadTemp || hadObj || m.group(2) != null) return None
+          // fall through for the analyzer's own NOT_FOUND error
+        }
+      }
+    }
     val q = dialect.rewrite(
       if (autoObserveMeta) hiveCreateRewrite(raw) else raw)
     if (execute(q)) None
@@ -111,15 +163,36 @@ class HiveStatements(val spark: SparkSession) {
       java.util.Arrays.asList(lines.map(Row(_)): _*), schema)
   }
 
+  /** Hive's SHOW listing pattern: '|' splits alternatives, '*'
+    * becomes '.*', matched as a FULL java regex ('.' is any-char) —
+    * ObjectStore.getTables / FunctionRegistry.getFunctionNames. */
+  private def hiveShowPattern(p: String): scala.util.matching.Regex = {
+    val subs = p.split("\\|").map { s0 =>
+      val s = s0.trim.replace("*", ".*")
+      if (scala.util.Try(s.r).isSuccess) s
+      else java.util.regex.Pattern.quote(s0.trim)
+    }
+    ("(?i)^(?:" + subs.mkString("|") + ")$").r
+  }
+
+  /** The session database a PHYSICAL binding belongs to, when the
+    * always-mangle prefix identifies one (`db__t` with db known). */
+  protected def dbOfPhysical(lc: String): Option[String] = {
+    val i = lc.indexOf("__")
+    if (i <= 0) None
+    else Some(lc.substring(0, i)).filter(dialect.knownDbs.contains)
+  }
+
   /** Resolve a possibly db-qualified table name to the session
     * binding + the database label DESCRIBE renders. */
   protected def resolveMetaTable(t0: String): Option[(String, String)] = {
     val base = t0.split('.').last
+    val bound = meta.resolveLc(t0)
     val db =
       if (t0.contains(".")) t0.split('.').head.toLowerCase
-      else meta.dbOwner.getOrElse(base.toLowerCase,
-        dialect.currentDb.toLowerCase)
-    val bound = meta.resolveLc(t0)
+      else dbOfPhysical(bound).getOrElse(
+        meta.dbOwner.getOrElse(base.toLowerCase,
+          dialect.currentDb.toLowerCase))
     if (scala.util.Try(spark.table(bound)).isSuccess) Some((bound, db))
     else if (scala.util.Try(spark.table(base)).isSuccess)
       Some((base, db))
@@ -198,12 +271,46 @@ class HiveStatements(val spark: SparkSession) {
         case Some(p) =>
           // Hive LIKE patterns here are '*' globs (DDLTask
           // showDatabases -> UDFLike-style simple pattern)
-          val re = ("(?i)^" + java.util.regex.Pattern.quote(p)
-            .replace("*", "\\E.*\\Q").replace("|", "\\E|\\Q") + "$").r
+          val re = hiveShowPattern(p)
           all.filter(d => re.findFirstIn(d).isDefined)
         case None => all
       }
       return Some(oneColDf("database_name", filtered))
+    }
+
+    // table inventory per session database, always-mangle aware:
+    //  - db tables bind flat as `db__name` → listed bare, per-db;
+    //  - default lists bare names minus mangled/internal bindings;
+    //  - a REAL catalog database (created outside this session)
+    //    unions in Spark's own listing.
+    def listDbTables(db: String, viewsOnly: Boolean): Seq[String] = {
+      val flat = spark.sessionState.catalog.listTables("default")
+        .map(_.table.toLowerCase)
+        .filter(t => !viewsOnly ||
+          meta.tableKind.get(t).exists(_.endsWith("_VIEW")))
+      val session =
+        if (db == "default")
+          flat.filter(t => !t.startsWith("__") &&
+            dbOfPhysical(t).isEmpty &&
+            meta.dbOwner.getOrElse(t, "default") == "default")
+        else flat.collect {
+          case t if dbOfPhysical(t).contains(db) =>
+            t.substring(db.length + 2)
+          // pre-namespace sessions stamped bare bindings with a
+          // creator db — honor those too
+          case t if !t.contains("__") &&
+              meta.dbOwner.get(t).contains(db) => t
+        }
+      // REAL catalog databases union in Spark's own listing —
+      // resident tables only (listTables(db) also returns every
+      // session temp view; those are the flat bindings above)
+      val catalog =
+        if (db == "default") Nil
+        else scala.util.Try(
+          spark.sessionState.catalog.listTables(db)
+            .filter(_.database.exists(_.equalsIgnoreCase(db)))
+            .map(_.table.toLowerCase)).getOrElse(Nil)
+      (session ++ catalog).distinct.sorted
     }
 
     // SHOW TABLES [IN db] [LIKE 'pattern' | 'pattern']
@@ -212,17 +319,10 @@ class HiveStatements(val spark: SparkSession) {
     shtRe.findFirstMatchIn(q).foreach { m =>
       val db = Option(m.group(1)).map(_.toLowerCase)
         .getOrElse(dialect.currentDb.toLowerCase)
-      // session tables are temp views; a table belongs to the db that
-      // created it (meta.dbOwner; unowned names belong to default)
-      val names = spark.sessionState.catalog.listTables("default")
-        .map(_.table.toLowerCase).filter { t =>
-          meta.dbOwner.getOrElse(t, "default") == db &&
-            !t.contains("__") // internal helper views
-        }.sorted
+      val names = listDbTables(db, viewsOnly = false)
       val filtered = Option(m.group(2)) match {
         case Some(p) =>
-          val re = ("(?i)^" + java.util.regex.Pattern.quote(p)
-            .replace("*", "\\E.*\\Q").replace("|", "\\E|\\Q") + "$").r
+          val re = hiveShowPattern(p)
           names.filter(t => re.findFirstIn(t).isDefined)
         case None => names
       }
@@ -260,16 +360,10 @@ class HiveStatements(val spark: SparkSession) {
     svRe.findFirstMatchIn(q).foreach { m =>
       val db = Option(m.group(1)).map(_.toLowerCase)
         .getOrElse(dialect.currentDb.toLowerCase)
-      val names = spark.sessionState.catalog.listTables("default")
-        .map(_.table.toLowerCase).filter { t =>
-          meta.tableKind.get(t).exists(_.endsWith("_VIEW")) &&
-            meta.dbOwner.getOrElse(t, "default") == db &&
-            !t.contains("__")
-        }.sorted
+      val names = listDbTables(db, viewsOnly = true)
       val filtered = Option(m.group(2)) match {
         case Some(p) =>
-          val re = ("(?i)^" + java.util.regex.Pattern.quote(p)
-            .replace("*", "\\E.*\\Q").replace("|", "\\E|\\Q") + "$").r
+          val re = hiveShowPattern(p)
           names.filter(t => re.findFirstIn(t).isDefined)
         case None => names
       }
@@ -287,8 +381,7 @@ class HiveStatements(val spark: SparkSession) {
         .distinct.sorted
       val filtered = Option(m.group(1)) match {
         case Some(p) =>
-          val re = ("(?i)^" + java.util.regex.Pattern.quote(p)
-            .replace("*", "\\E.*\\Q").replace("|", "\\E|\\Q") + "$").r
+          val re = hiveShowPattern(p)
           names.filter(f => re.findFirstIn(f).isDefined)
         case None => names
       }
@@ -492,9 +585,10 @@ class HiveStatements(val spark: SparkSession) {
           "(?:if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?").r
           .findFirstMatchIn(q).foreach { m =>
             val parts = m.group(1).split('.')
-            meta.dbOwner(parts.last.toLowerCase) =
-              (if (parts.length > 1) parts.head
-               else dialect.currentDb).toLowerCase
+            val phys = parts.last.toLowerCase
+            meta.dbOwner(phys) = dbOfPhysical(phys).getOrElse(
+              if (parts.length > 1) parts.head.toLowerCase
+              else dialect.currentDb.toLowerCase)
           }
       }
     } else if (ql.startsWith("alter")) {
@@ -1047,9 +1141,26 @@ class HiveStatements(val spark: SparkSession) {
       case _ => false
     } else if (ql.startsWith("import")) q match {
       case importRe(ext, t, part, path, loc) =>
-        val target = if (t == null)
+        val target0 = if (t == null)
           path.replaceAll("/+$", "").split('/').last.toLowerCase
         else t.split('.').last
+        // IMPORT materializes in the session's current database (or
+        // the statement's explicit qualifier — ImportSemanticAnalyzer
+        // .java tableName resolution): bind the physical
+        // always-mangle name so cross-db twins coexist
+        val impDb =
+          if (t != null && t.contains("."))
+            t.split('.').head.toLowerCase
+          else dialect.currentDb.toLowerCase
+        val target =
+          if (target0.contains("__") || impDb == "default" ||
+              !dialect.knownDbs.contains(impDb)) target0
+          else {
+            dialect.dbTables.getOrElseUpdate(impDb,
+              scala.collection.mutable.Set[String]()) +=
+              target0.toLowerCase
+            s"${impDb}__$target0"
+          }
         importSnapshot(target, part, path, ext != null, Option(loc))
         true
       case _ => false

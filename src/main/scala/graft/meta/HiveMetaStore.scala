@@ -641,7 +641,11 @@ class HiveMetaStore(val spark: SparkSession,
       tableProps.remove(lc)
       // a name-stripping rewrite may have removed the db qualifier —
       // recover the creating db from the ORIGINAL text
-      val base = nm.get.split('.').last.toLowerCase
+      val base0 = nm.get.split('.').last.toLowerCase
+      // an always-mangled binding (`db__t`) matches the ORIGINAL
+      // text's qualified form through its LOGICAL name
+      val sep = base0.indexOf("__")
+      val base = if (sep > 0) base0.substring(sep + 2) else base0
       val origQual = Option(origQ).flatMap(o =>
         ("(?is)create\\s+(?:or\\s+replace\\s+)?(?:temporary\\s+)?" +
           "(?:external\\s+)?(?:table|(?:materialized\\s+)?view)\\s+" +
@@ -649,7 +653,9 @@ class HiveMetaStore(val spark: SparkSession,
           base + "`?").r.findFirstMatchIn(o).map(_.group(1).toLowerCase))
       tablePropsOwner(lc) = nm.get.split('.') match {
         case a if a.length > 1 => a.head.toLowerCase
-        case _ => origQual.getOrElse(currentDb().toLowerCase)
+        case _ => origQual.getOrElse(
+          if (sep > 0) base0.substring(0, sep)
+          else currentDb().toLowerCase)
       }
     }
     val unset = !create &&
@@ -848,8 +854,11 @@ class HiveMetaStore(val spark: SparkSession,
         s"Order(col:$c, order:$o)" }))
     if (partKey.isEmpty) labels += ("Table Type:" -> kind)
     else {
-      // partition detail block (getPartitionMetaDataInformation)
-      labels += ("Table:" -> lc)
+      // partition detail block (getPartitionMetaDataInformation) —
+      // the LOGICAL name: strip the always-mangle db prefix
+      labels += ("Table:" ->
+        (if (lc.startsWith(db + "__")) lc.substring(db.length + 2)
+         else lc))
       labels += ("Partition Value:" -> jlist(partVals))
     }
     tableSkew.get(lc).foreach { case (c, v, dirs) =>

@@ -84,7 +84,62 @@ class DialectSpec extends SparkSpec {
       .map(_.getString(0))
     assert(like.contains("ns_t1"))
     spark.sql("DROP TABLE IF EXISTS ns_t1")
-    spark.sql("DROP TABLE IF EXISTS ns_t2")
+    // the always-mangle namespace binds db tables as `db__name`
+    spark.sql("DROP TABLE IF EXISTS nsdb1__ns_t2")
+  }
+
+  test("public entry: cross-db same-name tables coexist under the " +
+      "always-mangle namespace (USE routing, qualified refs, " +
+      "SHOW TABLES per db, DESCRIBE labels)") {
+    val h = new HiveStatements(spark)
+    h.sql("CREATE DATABASE IF NOT EXISTS nstwin1")
+    h.sql("CREATE DATABASE IF NOT EXISTS nstwin2")
+    h.sql("CREATE TABLE nstwin1.twin (k INT) USING parquet")
+    h.sql("CREATE TABLE nstwin2.twin (s STRING, extra INT) USING parquet")
+    h.sql("INSERT INTO nstwin1.twin VALUES (7)")
+    h.sql("INSERT INTO nstwin2.twin VALUES ('x', 1), ('y', 2)")
+    // both coexist: distinct schemas, distinct rows
+    assert(h.sql("SELECT k FROM nstwin1.twin").get.head().getInt(0) === 7)
+    assert(h.sql("SELECT count(*) AS c FROM nstwin2.twin").get
+      .head().getLong(0) === 2)
+    // USE routes unqualified references per database
+    h.sql("USE nstwin1")
+    assert(h.sql("SELECT * FROM twin").get.columns.toSeq === Seq("k"))
+    // cross-db qualified ref still resolves under another USE
+    assert(h.sql("SELECT s FROM nstwin2.twin ORDER BY s").get
+      .head().getString(0) === "x")
+    h.sql("USE nstwin2")
+    assert(h.sql("SELECT * FROM twin").get.columns.toSeq ===
+      Seq("s", "extra"))
+    h.sql("USE default")
+    // SHOW TABLES lists each db's own binding, bare
+    val in1 = h.sql("SHOW TABLES IN nstwin1").get.collect()
+      .map(_.getString(0))
+    val in2 = h.sql("SHOW TABLES IN nstwin2").get.collect()
+      .map(_.getString(0))
+    assert(in1.toSeq === Seq("twin"), in1.mkString(","))
+    assert(in2.toSeq === Seq("twin"), in2.mkString(","))
+    val dft = h.sql("SHOW TABLES").get.collect().map(_.getString(0))
+    assert(!dft.contains("twin") && !dft.exists(_.contains("nstwin")),
+      dft.mkString(","))
+    // DESCRIBE resolves the right twin and labels its database
+    val d1 = h.sql("DESCRIBE FORMATTED nstwin1.twin").get.collect()
+      .map(r => (r.getString(0).trim, r.getString(1).trim))
+    assert(d1.exists(r => r._1 == "k" && r._2 == "int"),
+      d1.mkString("\n"))
+    assert(d1.exists(r => r._1 == "Database:" && r._2 == "nstwin1"),
+      d1.mkString("\n"))
+    val d2 = h.sql("DESCRIBE nstwin2.twin").get.collect()
+      .map(_.getString(0).trim)
+    assert(d2.contains("s") && d2.contains("extra"), d2.mkString(","))
+    // DROP by qualified name removes only that db's twin
+    h.sql("DROP TABLE nstwin1.twin")
+    assert(h.sql("SHOW TABLES IN nstwin1").get.collect().isEmpty)
+    assert(h.sql("SELECT count(*) AS c FROM nstwin2.twin").get
+      .head().getLong(0) === 2)
+    h.sql("DROP TABLE nstwin2.twin")
+    spark.sql("DROP DATABASE IF EXISTS nstwin1")
+    spark.sql("DROP DATABASE IF EXISTS nstwin2")
   }
 
   test("public entry: DESCRIBE FORMATTED PARTITION resolves the " +

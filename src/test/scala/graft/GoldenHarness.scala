@@ -522,7 +522,14 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   // this harness's fixture machinery: virtual-column table rewrites,
   // deterministic qtest sampling, and vendored script-path shims.
   dialect.preRewrite = { q =>
-    recordAddedPartitions(q)
+    // preRewrite runs before the namespace flatten — resolve names
+    // here so partition metadata keys by the PHYSICAL binding
+    if (sys.env.contains("GOLDEN_DUMP") &&
+        q.toLowerCase.contains("partition"))
+      println(s"[prerewrite] cur=${dialect.currentDb} " +
+        s"dbt=${dialect.dbTables} resolved=" +
+        dialect.resolveNamespace(q).linesIterator.mkString(" ").take(120))
+    recordAddedPartitions(dialect.resolveNamespace(q))
     val q1 =
       if (q.toLowerCase.contains("input__file__name") ||
           q.toLowerCase.contains("block__offset__inside__file"))
@@ -549,27 +556,12 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   private var scriptOpId = 0
   private var scriptOpIdVar = "HIVE_SCRIPT_OPERATOR_ID"
 
-  /** Which database created the BARE temp view of this name, and the
-    * (db, table) pairs that had to be mangled to `db__table` because
-    * the bare name was already owned by another database — the flat
-    * namespace's two-layer escape hatch (database.q: conflict_name in
-    * db1 AND db2). */
+  /** Which database created the BARE temp view of this name.
+    * Non-default-db tables now bind physically as `db__table`
+    * (the dialect's always-mangle namespace — HiveDialect.dbTables /
+    * resolveNamespace), so this map only labels bare default-db
+    * bindings; mangled names carry their database in the prefix. */
   private def dbOwner = meta.dbOwner
-  private val dbQualified = scala.collection.mutable.Set[String]()
-  dialect.dbResolver = (stmt, db, t) => {
-    val key = s"${db.toLowerCase}__${t.toLowerCase}"
-    val creating = stmt.trim.toLowerCase.matches(
-      "(?s)create\\s+(?:temporary\\s+|external\\s+)?table\\s+" +
-        "(?:if\\s+not\\s+exists\\s+)?`?" + db.toLowerCase +
-        "`?\\.`?" + t.toLowerCase + "`?\\b.*")
-    if (creating) {
-      if (isTempView(t) &&
-          !dbOwner.get(t.toLowerCase).forall(_ == db.toLowerCase)) {
-        dbQualified += key; key
-      } else { dbOwner(t.toLowerCase) = db.toLowerCase; t }
-    } else if (dbQualified.contains(key)) key
-    else t
-  }
 
   /** Row counts per LOAD DATA, in load order, per table — view row
     * order equals load order, so position recovers each row's source
@@ -2781,8 +2773,22 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     if (meta.get("partitions") != null &&
         meta.get("partitions").size() > 0) return false
     val tbl = om.readTree(meta.get("table").asText)
-    val name = Option(m.group(1)).map(_.split('.').last)
+    val name0 = Option(m.group(1)).map(_.split('.').last)
       .getOrElse(tbl.get("1").get("str").asText)
+    // IMPORT materializes the table in the session's database (or the
+    // statement's explicit qualifier) — bind the physical
+    // always-mangle name and register it so later references resolve
+    val impDb = Option(m.group(1)).filter(_.contains("."))
+      .map(_.split('.').head.toLowerCase)
+      .getOrElse(dialect.currentDb.toLowerCase)
+    val name =
+      if (name0.contains("__") || impDb == "default" ||
+          !dialect.knownDbs.contains(impDb)) name0
+      else {
+        dialect.dbTables.getOrElseUpdate(impDb,
+          scala.collection.mutable.Set[String]()) += name0.toLowerCase
+        s"${impDb}__$name0"
+      }
     val sd = tbl.get("7").get("rec")
     import scala.jdk.CollectionConverters._
     val cols = sd.get("1").get("lst").elements.asScala.drop(2).map(c =>
@@ -3091,6 +3097,59 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       Option(m.group(2))))
   }
 
+  /** Hive's SHOW listing pattern: '|' splits alternatives, '*'
+    * becomes '.*', and the result matches as a FULL java regex —
+    * '.' is any-char (ObjectStore.getTables pattern handling;
+    * create_view.q matches 'view.*' against view1). */
+  private def hiveGlob(p: String): String => Boolean = {
+    val subs = p.split("\\|").map(s =>
+      scala.util.Try(("(?i)^" + s.trim.replace("*", ".*") + "$").r)
+        .toOption).toSeq
+    s => subs.exists(_.exists(_.findFirstIn(s).isDefined))
+  }
+
+  /** `SHOW DATABASES [LIKE 'p']` lines: default ∪ session-created
+    * databases — the session state models the full inventory, so the
+    * listing asserts exactly. */
+  private def showDatabasesLines(q0: String): Option[Seq[String]] = {
+    val m = ("(?is)^show\\s+(?:databases|schemas)" +
+      "(?:\\s+like\\s+['\"]([^'\"]*)['\"])?\\s*$").r
+      .findFirstMatchIn(q0.trim.stripSuffix(";").trim)
+      .getOrElse(return None)
+    if (jsonDdlOut) return None
+    val all = (dialect.knownDbs.toSet + "default").toSeq.sorted
+    Some(Option(m.group(1)).map(p => all.filter(hiveGlob(p)))
+      .getOrElse(all))
+  }
+
+  /** `SHOW TABLES [IN|FROM db] [LIKE 'p'|'p']` lines — assertable
+    * when the scope is drift-free: a non-default database (its
+    * inventory is exactly the file's own CREATEs, live in the
+    * always-mangle bindings) or a LIKE pattern narrowing the default
+    * listing away from fixture-era inventory. A bare default listing
+    * records whatever fixtures the recording era carried — skipped. */
+  private def showTablesLines(q0: String,
+      origQ: String = null): Option[Seq[String]] = {
+    val m = ("(?is)^show\\s+tables(?:\\s+(?:in|from)\\s+" +
+      "`?(\\w+)`?)?(?:\\s+(?:like\\s+)?['\"]([^'\"]*)['\"])?\\s*$").r
+      .findFirstMatchIn(q0.trim.stripSuffix(";").trim)
+      .getOrElse(return None)
+    if (jsonDdlOut) return None
+    val db = Option(m.group(1)).map(_.toLowerCase)
+      .getOrElse(dialect.currentDb.toLowerCase)
+    val pat = Option(m.group(2))
+    val names: Seq[String] =
+      if (db == "default") {
+        if (pat.isEmpty) return None // fixture-era inventory drift
+        spark.sessionState.catalog.listTables("default")
+          .map(_.table.toLowerCase)
+          .filterNot(_.contains("__")).sorted
+      } else dialect.dbTables.getOrElse(db, Set.empty[String])
+        .toSeq.filter(t => isTempView(s"${db}__$t"))
+        .map(_.toLowerCase).sorted
+    Some(pat.map(p => names.filter(hiveGlob(p))).getOrElse(names))
+  }
+
   /** `SHOW COLUMNS from|in t [db]` lines (%-20s padded names). */
   private def showColumnsLines(q0: String): Option[Seq[String]] = {
     val m = ("(?is)^show\\s+columns\\s+(?:from|in)\\s+" +
@@ -3136,11 +3195,6 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       "(?is)show\\s+partitions\\s+`?(\\w+)`?\\s*\\.".r
         .findFirstMatchIn(o).map(_.group(1).toLowerCase))
     val full = m.group(1)
-    if (!full.contains(".") && origDb.isDefined) {
-      val t0 = full.split('.').last
-      if (dbOwner.getOrElse(t0.toLowerCase,
-          origDb.get) != origDb.get) return None
-    }
     val table =
       if (full.contains(".")) {
         val head = full.substring(0, full.indexOf('.')).toLowerCase
@@ -3151,10 +3205,22 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         else return None // flat namespace can't resolve a cross-db twin
       } else {
         val t0 = full
-        if (cur != "default" && isTempView(s"${cur}__$t0"))
-          s"${cur}__$t0"
-        else if (isTempView(t0)) t0
-        else return None
+        origDb match {
+          // the ORIGINAL text was db-qualified (the dialect strips
+          // qualifiers) — resolve in THAT database, not the cursor's
+          case Some(d) if d != "default" =>
+            if (isTempView(s"${d}__$t0")) s"${d}__$t0"
+            else if (isTempView(t0) &&
+                dbOwner.getOrElse(t0.toLowerCase, d) == d) t0
+            else return None
+          case Some(_) => // default.t — the bare fixture binding
+            if (isTempView(t0)) t0 else return None
+          case None =>
+            if (cur != "default" && isTempView(s"${cur}__$t0"))
+              s"${cur}__$t0"
+            else if (isTempView(t0)) t0
+            else return None
+        }
       }
     val lc = table.toLowerCase
     if (sys.env.contains("GOLDEN_DUMP"))
@@ -4182,7 +4248,13 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     * wraps the sampled scan). */
   private val maskSql = scala.collection.mutable.Map[String, String]()
   private def applyTestMask(name: String): Unit = {
-    val n = name.toLowerCase
+    // the qtest masker keys by the LOGICAL name; a table created
+    // under USE <db> binds physically as `db__masking_test`
+    val n0 = name.toLowerCase
+    val n = n0.substring(n0.indexOf("__") + 2) match {
+      case s if n0.contains("__") && s.startsWith("masking_test") => s
+      case _ => n0
+    }
     if (n != "masking_test" && n != "masking_test_view" &&
         n != "masking_test_subq") return
     val raw = n + "__premask"
@@ -4655,8 +4727,12 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     def drainSetsBefore(q: String): Unit = {
       val key = norm(q).take(60)
       if (key.isEmpty) return
+      // the replayed key is post-rewrite (physical `db__name`
+      // bindings) — resolve the source side the same way to match
       val idx = (srcCursor until srcStatements.length).find(i =>
-        norm(srcStatements(i)).take(60) == key).getOrElse(return)
+        norm(srcStatements(i)).take(60) == key ||
+          norm(dialect.resolveNamespace(srcStatements(i)))
+            .take(60) == key).getOrElse(return)
       (srcCursor until idx).foreach { i =>
         val flat = srcStatements(i).replace(" ", "").stripSuffix(";")
         val fl = flat.toLowerCase
@@ -4664,7 +4740,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         // wholesale (db-dir location paths take the PREHOOK line too —
         // alter2's USE-db section) still registers its metadata
         if (fl.startsWith("altertable") || fl.startsWith("alterview"))
-          recordAddedPartitions(srcStatements(i))
+          recordAddedPartitions(
+            dialect.resolveNamespace(srcStatements(i)))
         if (fl.startsWith("sethive.default.rcfile.serde="))
           rcfileSerde = flat.substring(flat.indexOf('=') + 1)
         if (fl.startsWith("sethive.default.fileformat=") &&
@@ -5011,6 +5088,10 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       val q0 = stripLineComments(b.query.linesIterator
         .dropWhile(l => l.trim.isEmpty || l.trim.startsWith("--"))
         .mkString("\n")).trim
+      // namespace effects stamp BEFORE the rewrite so a CREATE's own
+      // target (and later references) resolve to the physical
+      // always-mangle binding `db__name`
+      dialect.observeNamespace(repairMasked(repairTruncated(q0)))
       val q = hiveJoinLimitRewrite(topNHashRewrite(
         dialect.rewrite(repairMasked(repairTruncated(q0)))))
       if (sys.env.contains("GOLDEN_DUMP"))
@@ -5485,6 +5566,11 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       } else if (ql.startsWith("show tblproperties")) {
         showTblPropsLines(q, b.query).foreach(ls =>
           assertShowLines(ls, filterManaged = true))
+      } else if (ql.startsWith("show tables")) {
+        showTablesLines(q, b.query).foreach(ls => assertShowLines(ls))
+      } else if (ql.startsWith("show databases") ||
+          ql.startsWith("show schemas")) {
+        showDatabasesLines(q).foreach(ls => assertShowLines(ls))
       } else
       if (ql.startsWith("create table") ||
           ql.startsWith("create temporary table") ||
@@ -5680,16 +5766,26 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           "'([^']*)'.*").r
         q match {
           case ixRe(ixName, t0, cols, handler) =>
-            val t = t0.split('.').last
-            val db =
-              if (t0.contains(".")) t0.split('.').head else dialect.currentDb
-            val base = spark.table(t)
+            // the PHYSICAL binding reads data; the index-table NAME
+            // derives from the LOGICAL (db, table) pair — Hive names
+            // it `<db>__<table>_<index>__` (HiveIndex.getIndexTableName)
+            val tphys = t0.split('.').last
+            val (db, t) =
+              if (t0.contains(".")) (t0.split('.').head, tphys)
+              else {
+                val i = tphys.indexOf("__")
+                if (i > 0 && dialect.knownDbs
+                    .contains(tphys.take(i).toLowerCase))
+                  (tphys.take(i), tphys.substring(i + 2))
+                else (dialect.currentDb, tphys)
+              }
+            val base = spark.table(tphys)
             val keyCols = cols.split(",").map(_.trim.replace("`", ""))
               .filter(_.nonEmpty).toSeq
             // index table layout: indexed cols, handler payload, then
             // the base table's PARTITION columns (one index partition
             // per base partition)
-            val pcs = tablePartCols.getOrElse(t.toLowerCase,
+            val pcs = tablePartCols.getOrElse(tphys.toLowerCase,
               if (t.equalsIgnoreCase("srcpart")) Seq("ds", "hr")
               else Nil)
             val fields = keyCols.map(c =>
@@ -5708,7 +5804,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             // indexed columns inherit the base table's comments
             // (index_serde DESCRIBEs them on the avro-backed index)
             val baseCmts = keyCols.flatMap(c =>
-              commentOf(t.toLowerCase, c) match {
+              commentOf(tphys.toLowerCase, c) match {
                 case "" => None
                 case cm => Some(c.toLowerCase -> cm)
               }).toMap
