@@ -51,6 +51,27 @@ object MergeInto {
   private def chain(cases: Seq[(Column, Column)], default: Column): Column =
     cases.foldRight(default) { case ((c, v), els) => when(c, v).otherwise(els) }
 
+  /** Literal partition predicate for the collected affected-partition
+    * tuples: OR of null-safe per-column conjunctions. Being a
+    * deterministic expression over partition columns only, it reaches
+    * the scan as a PARTITION FILTER — an UPDATE/MERGE touching one
+    * partition reads one partition, not the table. */
+  private[graft] def affPredicate(partitionCols: Seq[String],
+      affRows: Seq[org.apache.spark.sql.Row]): Column =
+    affRows.map { row =>
+      partitionCols.zipWithIndex.map { case (c, i) =>
+        if (row.isNullAt(i)) col(c).isNull
+        else col(c) <=> lit(row.get(i))
+      }.reduce(_ && _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+
+  /** The target restricted to the affected partitions — the scan every
+    * partition-scoped write path computes FROM, so unaffected
+    * partitions are never read (plan-pinned by PlanAuditSpec). */
+  private[graft] def prunedTarget(t: DataFrame, partitionCols: Seq[String],
+      affRows: Seq[org.apache.spark.sql.Row]): DataFrame =
+    t.filter(affPredicate(partitionCols, affRows))
+
   /** UPDATE target SET (via `updates` expr map) WHERE `cond`. */
   def update(spark: SparkSession, path: String, cond: Column,
              updates: Map[String, Column],
@@ -59,13 +80,19 @@ object MergeInto {
       "partition columns cannot be updated")
     val t = spark.read.parquet(path)
     val hit = coalesce(cond, lit(false))
-    val updated = updates.foldLeft(t) { case (df, (c, v)) =>
-      df.withColumn(c, when(hit, v).otherwise(col(c)))
-    }
-    if (partitionCols.isEmpty) rewrite(spark, updated, path)
+    def updated(base: DataFrame) =
+      updates.foldLeft(base) { case (df, (c, v)) =>
+        df.withColumn(c, when(hit, v).otherwise(col(c)))
+      }
+    if (partitionCols.isEmpty) rewrite(spark, updated(t), path)
     else {
-      val aff = t.filter(hit).select(partitionCols.map(col): _*).distinct()
-      rewritePartitions(spark, updated, path, partitionCols, aff)
+      // pass 1 (column-pruned): which partitions hold matching rows;
+      // pass 2 recomputes the update over the PRUNED scan only
+      val affRows = t.filter(hit)
+        .select(partitionCols.map(col): _*).distinct().collect().toSeq
+      rewritePartitions(spark,
+        updated(prunedTarget(t, partitionCols, affRows)),
+        path, partitionCols, affRows)
     }
   }
 
@@ -73,12 +100,14 @@ object MergeInto {
   def delete(spark: SparkSession, path: String, cond: Column,
              partitionCols: Seq[String] = Nil): Unit = {
     val t = spark.read.parquet(path)
-    val keep = t.filter(!coalesce(cond, lit(false)))
-    if (partitionCols.isEmpty) rewrite(spark, keep, path)
+    val hit = coalesce(cond, lit(false))
+    if (partitionCols.isEmpty) rewrite(spark, t.filter(!hit), path)
     else {
-      val aff = t.filter(coalesce(cond, lit(false)))
-        .select(partitionCols.map(col): _*).distinct()
-      rewritePartitions(spark, keep, path, partitionCols, aff)
+      val affRows = t.filter(hit)
+        .select(partitionCols.map(col): _*).distinct().collect().toSeq
+      rewritePartitions(spark,
+        prunedTarget(t, partitionCols, affRows).filter(!hit),
+        path, partitionCols, affRows)
     }
   }
 
@@ -88,56 +117,79 @@ object MergeInto {
   private case class MergePieces(kept: DataFrame, inserts: DataFrame,
       joined: DataFrame, isMatched: Column)
 
-  private def mergePieces(t: DataFrame, source: DataFrame, key: String,
-      matched: Seq[MatchedAction], notMatched: Seq[InsertAction])
-      : MergePieces = {
-    val spark = t.sparkSession
-    // Hive cardinality check (enforce.cardinality.check): error only when
-    // multiple SOURCE rows match the same TARGET row. Duplicate keys among
-    // not-matched source rows are legal and insert multiple rows.
-    val dups = source.join(t.select(col(key)), Seq(key), "left_semi")
+  /** Hive cardinality check (enforce.cardinality.check): error only
+    * when multiple SOURCE rows match the same TARGET row. `keys` must
+    * be the FULL target key set — a column-pruned scan, never the
+    * partition-pruned one (a duplicate match in an unaffected
+    * partition still violates). Duplicate keys among not-matched
+    * source rows are legal and insert multiple rows. */
+  private def cardinalityCheck(keys: DataFrame, source: DataFrame,
+      key: String): Unit = {
+    val dups = source.join(keys, Seq(key), "left_semi")
       .groupBy(col(key)).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1).limit(1).count()
     if (dups > 0) throw new IllegalArgumentException(
       s"MERGE cardinality violation: multiple source rows match one " +
         s"target row on key '$key'")
+  }
+
+  /** The NOT MATCHED insert rows. `keys` must be the FULL target key
+    * set (a source row matched only in an unaffected partition is
+    * still matched — not an insert). */
+  private def insertsOf(t: DataFrame, keys: DataFrame,
+      source: DataFrame, key: String,
+      notMatched: Seq[InsertAction]): DataFrame = {
+    val spark = t.sparkSession
     val tCols = t.columns.toSeq
     val sCols = source.columns.toSet
+    val unmatchedSrc = source.alias("s")
+      .join(keys.select(col(key).as("__tk")), col(s"s.$key") === col("__tk"),
+        "left_anti")
+    val (frames, _) = notMatched.foldLeft(
+        (Seq.empty[DataFrame], lit(false): Column)) {
+      case ((acc, prior), ins) =>
+        val cond = ins.cond.getOrElse(lit(true)) && !prior
+        val rows = unmatchedSrc.filter(cond).select(tCols.map { c =>
+          ins.values.getOrElse(c,
+            if (sCols(c)) col(s"s.$c")
+            else lit(null).cast(t.schema(c).dataType)).as(c)
+        }: _*)
+        (acc :+ rows, prior || ins.cond.getOrElse(lit(true)))
+    }
+    frames.reduceOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], t.schema))
+  }
+
+  /** The surviving (kept/updated) target rows of the merge over `t` —
+    * `t` may be the partition-pruned scan. */
+  private def keptOf(t: DataFrame, source: DataFrame, key: String,
+      matched: Seq[MatchedAction]): DataFrame = {
+    val tCols = t.columns.toSeq
     val joined = t.alias("t").join(source.alias("s"),
       col(s"t.$key") === col(s"s.$key"), "left")
     val isMatched = col(s"s.$key").isNotNull
     def armed(a: MatchedAction): Column =
       isMatched && a.cond.getOrElse(lit(true))
-
     val keepChain = chain(matched.map(a =>
       armed(a) -> lit(!a.isInstanceOf[DeleteAction])), lit(true))
-    val kept = joined.filter(keepChain).select(tCols.map { c =>
+    joined.filter(keepChain).select(tCols.map { c =>
       chain(matched.map(a => armed(a) -> (a match {
         case UpdateAction(set, _) => set.getOrElse(c, col(s"t.$c"))
         case _: DeleteAction => col(s"t.$c")
       })), col(s"t.$c")).as(c)
     }: _*)
+  }
 
-    val unmatchedSrc = source.alias("s")
-      .join(t.select(col(key).as("__tk")), col(s"s.$key") === col("__tk"),
-        "left_anti")
-    def insertRows(clauses: Seq[InsertAction]): DataFrame = {
-      val (frames, _) = clauses.foldLeft(
-          (Seq.empty[DataFrame], lit(false): Column)) {
-        case ((acc, prior), ins) =>
-          val cond = ins.cond.getOrElse(lit(true)) && !prior
-          val rows = unmatchedSrc.filter(cond).select(tCols.map { c =>
-            ins.values.getOrElse(c,
-              if (sCols(c)) col(s"s.$c")
-              else lit(null).cast(t.schema(c).dataType)).as(c)
-          }: _*)
-          (acc :+ rows, prior || ins.cond.getOrElse(lit(true)))
-      }
-      frames.reduceOption(_ unionByName _)
-        .getOrElse(spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], t.schema))
-    }
-    MergePieces(kept, insertRows(notMatched), joined, isMatched)
+  private def mergePieces(t: DataFrame, source: DataFrame, key: String,
+      matched: Seq[MatchedAction], notMatched: Seq[InsertAction])
+      : MergePieces = {
+    cardinalityCheck(t.select(col(key)), source, key)
+    val joined = t.alias("t").join(source.alias("s"),
+      col(s"t.$key") === col(s"s.$key"), "left")
+    MergePieces(keptOf(t, source, key, matched),
+      insertsOf(t, t.select(col(key)), source, key, notMatched),
+      joined, col(s"s.$key").isNotNull)
   }
 
   /** Merge clause semantics as a pure DataFrame transform (no write):
@@ -164,19 +216,31 @@ object MergeInto {
       case _ =>
     }
     val t = spark.read.parquet(path)
-    val MergePieces(kept, inserts, joined, isMatched) =
-      mergePieces(t, source, key, matched, notMatched)
-    val result = kept.unionByName(inserts)
-
-    if (partitionCols.isEmpty) rewrite(spark, result, path)
-    else {
+    if (partitionCols.isEmpty) {
+      val MergePieces(kept, inserts, _, _) =
+        mergePieces(t, source, key, matched, notMatched)
+      rewrite(spark, kept.unionByName(inserts), path)
+    } else {
+      // pass 1 over COLUMN-pruned scans (key + partition + condition
+      // columns only): the cardinality check, the insert rows, and the
+      // affected-partition tuples. Pass 2 recomputes the surviving
+      // rows over the PARTITION-pruned scan — a merge touching one
+      // partition reads one partition of full-width data.
+      cardinalityCheck(t.select(col(key)), source, key)
+      val inserts = insertsOf(t, t.select(col(key)), source, key,
+        notMatched)
       val anyMatchedCond = matched.map(_.cond.getOrElse(lit(true)))
         .reduceOption(_ || _).getOrElse(lit(false))
-      val affT = joined.filter(isMatched && anyMatchedCond)
+      val affT = t.alias("t").join(source.alias("s"),
+        col(s"t.$key") === col(s"s.$key"), "inner")
+        .filter(anyMatchedCond)
         .select(partitionCols.map(c => col(s"t.$c").as(c)): _*)
       val affI = inserts.select(partitionCols.map(col): _*)
-      val aff = affT.unionByName(affI).distinct()
-      rewritePartitions(spark, result, path, partitionCols, aff)
+      val affRows = affT.unionByName(affI).distinct().collect().toSeq
+      val kept = keptOf(prunedTarget(t, partitionCols, affRows),
+        source, key, matched)
+      rewritePartitions(spark, kept.unionByName(inserts), path,
+        partitionCols, affRows)
     }
   }
 
@@ -209,21 +273,22 @@ object MergeInto {
     * removed produces no staged directory — its live directory is
     * deleted so the removed rows don't survive. The table must be
     * physically partitioned by `partitionCols` (written via
-    * Writes.writePartitioned). `aff` is collected on the driver: it is
-    * the distinct partition-tuple set, bounded by partition count, not
-    * row count. */
+    * Writes.writePartitioned). `affRows` is the caller-collected
+    * distinct partition-tuple set — bounded by partition count, not
+    * row count — and the same tuples already pruned the target scan
+    * `df` was computed from. */
   private def rewritePartitions(spark: SparkSession, df: DataFrame,
                                 path: String, partitionCols: Seq[String],
-                                aff: DataFrame): Unit = {
-    val affRows = aff.collect()
+                                affRows: Seq[org.apache.spark.sql.Row])
+      : Unit = {
     if (affRows.isEmpty) return // nothing matched or inserted: no-op
     val dst = new Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(path + "__cow_tmp")
-    val affLocal = spark.createDataFrame(
-      java.util.Arrays.asList(affRows: _*), aff.schema)
-    df.join(broadcast(affLocal), partitionCols, "left_semi")
-      .write.mode(SaveMode.Overwrite)
+    // `df` is already computed from the partition-pruned target; the
+    // insert side may carry rows only for affected partitions too
+    // (affI covers every insert partition), so it stages directly
+    df.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*).parquet(tmp.toString)
     val stagedRels = partitionDirs(fs, tmp, partitionCols.length).map {
       staged =>
@@ -238,6 +303,9 @@ object MergeInto {
     // remove their live directories. Values are rendered via Spark's own
     // Cast-to-string (the writer path's rendering) — JVM toString differs
     // for timestamps (trailing ".0") and would never match a live dir.
+    val affLocal = spark.createDataFrame(
+      java.util.Arrays.asList(affRows: _*),
+      df.select(partitionCols.map(col): _*).schema)
     val affRendered = affLocal.select(partitionCols.map(c =>
       col(c).cast("string").as(c)): _*).collect()
     affRendered.foreach { row =>

@@ -3097,6 +3097,12 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       Option(m.group(2))))
   }
 
+  /** Hive's hidden INSERT-VALUES temp tables per database
+    * (`values__tmp__table__<n>`, session-wide counter). */
+  private var valuesTmpN = 0
+  private val valuesTmpTables = scala.collection.mutable
+    .Map[String, scala.collection.mutable.Buffer[String]]()
+
   /** Hive's SHOW listing pattern: '|' splits alternatives, '*'
     * becomes '.*', and the result matches as a FULL java regex —
     * '.' is any-char (ObjectStore.getTables pattern handling;
@@ -3144,9 +3150,10 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         spark.sessionState.catalog.listTables("default")
           .map(_.table.toLowerCase)
           .filterNot(_.contains("__")).sorted
-      } else dialect.dbTables.getOrElse(db, Set.empty[String])
+      } else (dialect.dbTables.getOrElse(db, Set.empty[String])
         .toSeq.filter(t => isTempView(s"${db}__$t"))
-        .map(_.toLowerCase).sorted
+        .map(_.toLowerCase) ++
+        valuesTmpTables.getOrElse(db, Nil)).sorted
     Some(pat.map(p => names.filter(hiveGlob(p))).getOrElse(names))
   }
 
@@ -5092,6 +5099,18 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       // target (and later references) resolve to the physical
       // always-mangle binding `db__name`
       dialect.observeNamespace(repairMasked(repairTruncated(q0)))
+      // Hive's INSERT ... VALUES materializes a hidden
+      // `values__tmp__table__<n>` in the CURRENT database
+      // (SemanticAnalyzer genValuesTempTable) and SHOW TABLES lists
+      // it (cte_5.q) — track the per-session counter
+      if (q0.toLowerCase.matches(
+          "(?s)^insert\\s+(?:into|overwrite)\\b.*\\bvalues\\s*\\(.*")) {
+        valuesTmpN += 1
+        valuesTmpTables.getOrElseUpdate(
+          dialect.currentDb.toLowerCase,
+          scala.collection.mutable.Buffer.empty) +=
+          s"values__tmp__table__$valuesTmpN"
+      }
       val q = hiveJoinLimitRewrite(topNHashRewrite(
         dialect.rewrite(repairMasked(repairTruncated(q0)))))
       if (sys.env.contains("GOLDEN_DUMP"))

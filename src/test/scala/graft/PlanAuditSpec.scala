@@ -48,6 +48,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning"), p.take(900))
   }
 
+  test("MERGE/UPDATE partition pruning: the affected-partition " +
+      "predicate reaches the scan as a partition filter, so a " +
+      "single-partition write reads one partition") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("merge_prune")
+      .toString + "/t"
+    Seq((1, "a", "p1"), (2, "b", "p2"), (3, "c", "p3"))
+      .toDF("k", "v", "ds").write.partitionBy("ds").parquet(dir)
+    val t = spark.read.parquet(dir)
+    val aff = Seq(org.apache.spark.sql.Row("p2"))
+    val pruned = operators.MergeInto.prunedTarget(t, Seq("ds"), aff)
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.getOrElse(fail("no file scan in pruned plan"))
+    assert(scan.partitionFilters.nonEmpty,
+      pruned.queryExecution.executedPlan.toString.take(900))
+    // the pruned scan reads exactly the affected partition's rows
+    assert(pruned.count() === 1)
+    assert(scan.metrics.get("numFiles").isDefined)
+    // end-to-end: an UPDATE touching p2 leaves p1/p3 directories
+    // byte-identical (their files are never rewritten)
+    def sig(p: String) = new java.io.File(s"$dir/ds=$p").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName + ":" + f.lastModified).sorted.toSeq
+    val (s1, s3) = (sig("p1"), sig("p3"))
+    operators.MergeInto.update(spark, dir,
+      col("k") === 2, Map("v" -> lit("B")), partitionCols = Seq("ds"))
+    assert(sig("p1") === s1 && sig("p3") === s3)
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("v") === "B").count() === 1)
+    assert(after.count() === 3)
+  }
+
   test("q_ddl_evolve: ALTER schema evolution is lazy — no checkpoint " +
       "materialization, the parquet scan survives the rebind") {
     // Hive performs ADD/REPLACE/CHANGE COLUMNS as a metastore-only
