@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.TableFunctions.all.foreach { case (name, builder, usage) =>
       e.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
+    // the HiveQL dialect surface as a session parser (inert until the
+    // session sets spark.graft.dialect=true) — the Spark Connect /
+    // JDBC-gateway remote entry, mirroring HiveServer2's SQLOperation
+    e.injectParser((session, delegate) =>
+      new GraftSqlParser(session, delegate))
     e.injectOptimizerRule(_ => graft.plans.StatsAnswerRule())
     e.injectResolutionRule(_ => graft.plans.HiveCharCoercion)
     e.injectResolutionRule(_ => graft.plans.HiveCasts)

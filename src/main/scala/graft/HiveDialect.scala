@@ -268,6 +268,11 @@ class HiveDialect(val spark: SparkSession) {
     * harness hook; identity in production). */
   var preRewrite: String => String = identity
 
+  /** The declared partition columns of a (resolved) table — feeds the
+    * Hive-exact `hash(*)` star expansion. Bindings with a metadata
+    * layer attach it; default none. */
+  var partColsOf: String => Seq[String] = _ => Nil
+
   /** Resolve a `USING '<script>'` command to a runnable replacement
     * (test harness hook; None keeps the original text). */
   var scriptResolver: String => Option[String] = _ => None
@@ -484,6 +489,29 @@ class HiveDialect(val spark: SparkSession) {
     // flatten script-created databases into the temp-view namespace
     // (always-mangle: CREATEd-under-db tables live as `db__name`)
     q4 = resolveNamespace(q4)
+    // Hive expands `*` inside a UDF call from the operator's column
+    // list WITHOUT partition pseudo-columns — hash(*) on a partitioned
+    // table hashes data columns only (verified against
+    // dynpart_sort_optimization.q's recorded sum: si,b,f, not s,t,i;
+    // ref SemanticAnalyzer TOK_ALLCOLREF expansion). Spark's star
+    // includes partition columns, so expand explicitly.
+    if ("(?is).*\\bhive_hash\\s*\\(\\s*\\*\\s*\\).*".r
+        .matches(q4))
+      "(?is)\\bfrom\\s+`?([\\w.]+)`?".r.findFirstMatchIn(q4)
+        .foreach { m =>
+          val t = m.group(1)
+          val pcs = partColsOf(t).map(_.toLowerCase)
+          if (pcs.nonEmpty)
+            scala.util.Try(spark.table(t).columns).toOption.foreach {
+              cols =>
+                val data = cols.filterNot(c =>
+                  pcs.contains(c.toLowerCase))
+                if (data.nonEmpty && data.length < cols.length)
+                  q4 = q4.replaceAll(
+                    "(?i)\\bhive_hash\\s*\\(\\s*\\*\\s*\\)",
+                    "hive_hash(" + data.mkString(", ") + ")")
+            }
+        }
     // SORT BY + LIMIT: Hive's qtest runs one reducer, so its partial
     // sort IS total and LIMIT takes the global extremes; Spark's
     // partition-local sort would feed LIMIT arbitrary rows. ORDER BY

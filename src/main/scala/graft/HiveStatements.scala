@@ -37,6 +37,8 @@ class HiveStatements(val spark: SparkSession) {
     * mutates its session state (USE, CREATE DATABASE/MACRO/FUNCTION);
     * bindings may attach fixture hooks. */
   val dialect: HiveDialect = new HiveDialect(spark)
+  dialect.partColsOf =
+    t => meta.tablePartCols.getOrElse(meta.resolveLc(t), Nil)
 
   /** The session's Hive metadata layer (storage descriptors, table
     * properties, column comments, partition lifecycle) feeding the
@@ -100,28 +102,7 @@ class HiveStatements(val spark: SparkSession) {
       // full rewrite below)
       val resolved = dialect.resolveNamespace(raw)
       observeMeta(resolved)
-      // DROP removes every layer of the flat binding — the catalog
-      // table AND any temp view shadowing it (the in-place rebuild
-      // binding INSERT/UPDATE leave behind); one spark.sql would drop
-      // only the view and SHOW TABLES would keep listing the table
-      val dropRe = ("(?is)^drop\\s+(table|view)\\s+" +
-        "(if\\s+exists\\s+)?`?([\\w.]+)`?\\s*(?:purge\\s*)?$").r
-      dropRe.findFirstMatchIn(resolved).foreach { m =>
-        val kind = m.group(1).toUpperCase
-        val name = m.group(3)
-        if (!name.contains(".")) {
-          val hadTemp = spark.catalog.dropTempView(name)
-          val ident = org.apache.spark.sql.catalyst
-            .TableIdentifier(name.toLowerCase)
-          val hadObj =
-            spark.sessionState.catalog.tableExists(ident)
-          // kind mismatch (DROP TABLE on a view) surfaces Spark's
-          // own error, as Hive's DDLTask would
-          if (hadObj) spark.sql(s"DROP $kind IF EXISTS `$name`")
-          if (hadTemp || hadObj || m.group(2) != null) return None
-          // fall through for the analyzer's own NOT_FOUND error
-        }
-      }
+      if (handleDrop(resolved)) return None
     }
     val q = dialect.rewrite(
       if (autoObserveMeta) hiveCreateRewrite(raw) else raw)
@@ -161,6 +142,79 @@ class HiveStatements(val spark: SparkSession) {
     val schema = StructType(Seq(StructField(name, StringType)))
     spark.createDataFrame(
       java.util.Arrays.asList(lines.map(Row(_)): _*), schema)
+  }
+
+  /** DROP removes every layer of the flat binding — the catalog
+    * table AND any temp view shadowing it (the in-place rebuild
+    * binding INSERT/UPDATE leave behind); one spark.sql would drop
+    * only the view and SHOW TABLES would keep listing the table.
+    * True = fully handled (the statement must not run again). */
+  private def handleDrop(resolved: String): Boolean = {
+    val dropRe = ("(?is)^drop\\s+(table|view)\\s+" +
+      "(if\\s+exists\\s+)?`?([\\w.]+)`?\\s*(?:purge\\s*)?$").r
+    dropRe.findFirstMatchIn(resolved).exists { m =>
+      val kind = m.group(1).toUpperCase
+      val name = m.group(3)
+      if (name.contains(".")) false
+      else {
+        val hadTemp = spark.catalog.dropTempView(name)
+        val ident = org.apache.spark.sql.catalyst
+          .TableIdentifier(name.toLowerCase)
+        val hadObj = spark.sessionState.catalog.tableExists(ident)
+        // kind mismatch (DROP TABLE on a view) surfaces Spark's own
+        // error, as Hive's DDLTask would
+        if (hadObj) spark.sql(s"DROP $kind IF EXISTS `$name`")
+        // false + no layers + no IF EXISTS → fall through for the
+        // analyzer's own NOT_FOUND error
+        hadTemp || hadObj || m.group(2) != null
+      }
+    }
+  }
+
+  /** Parse one HiveQL statement to a LAZY logical plan — the Spark
+    * Connect facade ([[graft.GraftSqlParser]]). Spark Connect
+    * re-parses the statement text on every dataframe operation, so
+    * this must be side-effect-free apart from idempotent metadata
+    * observation: metadata reads render to a local relation, the
+    * rewritten text parses through the stock grammar (commands then
+    * execute exactly once via Spark's command handling), and
+    * statements only the dialect understands (UPDATE/MERGE/LOAD/...)
+    * come back as a lazy [[HiveStatementCommand]] that dispatches on
+    * RUN — where HiveServer2's SQLOperation would run them. The
+    * analyzer-retry rewrites of [[sql]] don't apply on this path. */
+  def plan(text: String)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val raw = text.trim.stripSuffix(";")
+    if (serveMetaReads) metaQuery(raw) match {
+      case Some(df) => return df.queryExecution.logical
+      case None =>
+    }
+    // `USE db`: the namespace cursor is session state, not a plan
+    val useRe = "(?is)^use\\s+`?(\\w+)`?\\s*$".r
+    useRe.findFirstMatchIn(raw).foreach { m =>
+      val db = m.group(1).toLowerCase
+      dialect.currentDb = db
+      if (db != "default" && !dialect.knownDbs.contains(db))
+        return spark.sessionState.sqlParser.parsePlan(raw)
+      return LocalRelation(Nil)
+    }
+    dialect.observeNamespace(raw)
+    observeMeta(dialect.resolveNamespace(raw))
+    val q = dialect.rewrite(hiveCreateRewrite(raw))
+    // row-level DML parses in Spark's grammar but plans only against
+    // DSv2 catalogs — the dialect owns it here (MergeInto
+    // copy-on-write), as for LOAD/EXPORT/IMPORT
+    val ql = q.trim.toLowerCase
+    if (ql.startsWith("update ") || ql.startsWith("delete ") ||
+        ql.startsWith("merge ") || ql.startsWith("load data") ||
+        ql.startsWith("export table") || ql.startsWith("import "))
+      return HiveStatementCommand(this, q)
+    try spark.sessionState.sqlParser.parsePlan(q)
+    catch {
+      case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+        HiveStatementCommand(this, q)
+    }
   }
 
   /** Hive's SHOW listing pattern: '|' splits alternatives, '*'

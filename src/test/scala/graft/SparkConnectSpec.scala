@@ -1,0 +1,73 @@
+package graft
+
+/** SURVEY §3.4 remote entry: the engine's HiveQL surface served over
+  * Spark Connect — the Spark-native analogue of HiveServer2's thrift
+  * endpoint (service/cli/operation/SQLOperation.java:91). The server
+  * runs in-process on the suite's SparkContext; a REAL Connect client
+  * (gRPC over localhost, the bundled Scala client) drives Hive-format
+  * DDL, a dialect-only statement (UPDATE), a metadata read
+  * (DESCRIBE FORMATTED in Hive layout), and a query.
+  */
+class SparkConnectSpec extends SparkSpec {
+
+  test("Spark Connect endpoint serves the Hive dialect: CREATE " +
+      "STORED AS, UPDATE, DESCRIBE FORMATTED, query — via gRPC client") {
+    val sc = spark.sparkContext
+    org.apache.spark.sql.connect.service.SparkConnectService.start(sc)
+    // the bound port is private[connect] — read it reflectively
+    val svc = org.apache.spark.sql.connect.service.SparkConnectService
+    val srv = svc.getClass.getMethod("server").invoke(svc)
+    val port = srv.getClass.getMethod("getPort").invoke(srv)
+      .asInstanceOf[Int]
+    assert(port > 0, "connect server did not bind")
+    try {
+      val remote = org.apache.spark.sql.connect.SparkSession.builder()
+        .remote(s"sc://localhost:$port").create()
+      try {
+        // the parser facade is inert until the session opts in
+        remote.sql("SET spark.graft.dialect=true").collect()
+        remote.sql("DROP TABLE IF EXISTS conn_t").collect()
+        // Hive-format CREATE: Spark's in-memory catalog would reject
+        // STORED AS — the dialect converts it (hiveCreateRewrite) and
+        // the metadata layer keeps the declared storage descriptor
+        remote.sql("CREATE TABLE conn_t (k INT COMMENT 'the key', " +
+          "v STRING) STORED AS PARQUET").collect()
+        remote.sql("INSERT INTO conn_t VALUES (1, 'a'), (2, 'b')")
+          .collect()
+        val cnt = remote.sql("SELECT count(*) AS c FROM conn_t")
+          .collect()
+        assert(cnt.head.getLong(0) === 2L)
+        // dialect-only statement: Spark's parser rejects UPDATE on a
+        // non-Delta catalog — the facade dispatches it (MergeInto
+        // copy-on-write), exactly where HiveServer2 would run it
+        remote.sql("UPDATE conn_t SET v = 'z' WHERE k = 1").collect()
+        val z = remote.sql("SELECT v FROM conn_t WHERE k = 1 OR k = 2 " +
+          "ORDER BY k").collect().map(_.getString(0)).toSeq
+        assert(z === Seq("z", "b"))
+        // metadata read in Hive's exact DESCRIBE FORMATTED layout,
+        // served from the session's metadata layer over the wire
+        val desc = remote.sql("DESCRIBE FORMATTED conn_t").collect()
+          .map(r => (r.getString(0).trim, r.getString(1).trim))
+        assert(desc.exists(r => r._1 == "k" && r._2 == "int"),
+          desc.mkString("\n"))
+        assert(desc.exists(_._1 == "# Detailed Table Information"),
+          desc.mkString("\n"))
+        assert(desc.exists(r => r._1 == "SerDe Library:" &&
+          r._2.toLowerCase.contains("parquet")), desc.mkString("\n"))
+        remote.sql("DROP TABLE conn_t").collect()
+      } finally {
+        remote.close()
+        // session churn in the connect service clears the JVM-wide
+        // default/active session — concurrently running suites (and
+        // anything using SQLConf.get) depend on it
+        org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+        org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      }
+    } finally {
+      org.apache.spark.sql.connect.service.SparkConnectService
+        .stop(None, None)
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
+}
