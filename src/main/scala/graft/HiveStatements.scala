@@ -1157,6 +1157,37 @@ class HiveStatements(val spark: SparkSession) {
           Option(sAlias), on, clauses)
         true
       case _ => false
+    } else if (ql.matches("(?s)^create\\s+(?:temporary\\s+)?" +
+        "(?:external\\s+)?table\\b.*") &&
+        "(?is)\\bstored\\s+by\\s+['\"]".r.findFirstIn(q).isDefined) {
+      // CREATE ... STORED BY 'handler.class' — a registered storage
+      // handler owns the table's schema and scan (the dialect's
+      // HiveStorageHandler surface; graft.sources.StorageHandlers)
+      val nm = ("(?is)^create\\s+(?:temporary\\s+)?(?:external\\s+)?" +
+        "table\\s+(?:if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?").r
+        .findFirstMatchIn(q)
+      val cls = "(?is)\\bstored\\s+by\\s+['\"]([^'\"]+)['\"]".r
+        .findFirstMatchIn(q).map(_.group(1))
+      (nm, cls) match {
+        case (Some(n), Some(c)) =>
+          val name = n.group(1).split('.').last
+          val h = graft.sources.StorageHandlers.get(c).getOrElse(
+            throw new IllegalArgumentException(
+              s"no registered storage handler: $c"))
+          if (!(ql.contains("if not exists") && isTempView(name))) {
+            val lc = name.toLowerCase
+            val props = meta.tableProps.get(lc)
+              .map(_.toMap).getOrElse(Map.empty[String, String])
+            val df = h.scan(spark, props)
+            df.createOrReplaceTempView(name)
+            // a handler serde re-derives columns at describe time —
+            // comments render "from deserializer" (DruidSerDe path)
+            meta.colComments(lc) = df.schema.fieldNames
+              .map(f => f.toLowerCase -> "from deserializer").toMap
+          }
+          true
+        case _ => false
+      }
     } else if (ql.startsWith("truncate table")) q match {
       // TRUNCATE TABLE t [PARTITION (spec)] [COLUMNS (c, ...)] —
       // COLUMNS empties the named columns' stored data (reads as NULL

@@ -452,6 +452,12 @@ class HiveMetaStore(val spark: SparkSession,
         parseBucketClause(lc, q)
         parseSkewClause(lc, q)
     }
+    // a registered STORED BY handler owns the storage descriptor:
+    // serde from the handler, no file formats (handler tables record
+    // null input/output formats — druid_basic1.q.out)
+    storedBy.get(lc)
+      .flatMap(graft.sources.StorageHandlers.get)
+      .foreach(h => tableStorage(lc) = (h.serdeClass, "null", "null"))
   }
 
   // -----------------------------------------------------------------

@@ -5675,6 +5675,31 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             colSchema(p).fieldNames.toSeq)
           emptyView(name, full)
           deserTables += name.toLowerCase
+        case _ if "(?is)stored\\s+by\\s+['\"]([^'\"]+)['\"]".r
+            .findFirstMatchIn(q)
+            .flatMap(m => graft.sources.StorageHandlers.get(m.group(1)))
+            .isDefined =>
+          // STORED BY handler table: schema and scan come from the
+          // engine's registered storage handler (the QTest druid
+          // handlers serve the recorded wikipedia segment schema over
+          // an empty datasource — graft.sources.StorageHandlers)
+          val h = "(?is)stored\\s+by\\s+['\"]([^'\"]+)['\"]".r
+            .findFirstMatchIn(q)
+            .flatMap(m => graft.sources.StorageHandlers.get(m.group(1)))
+            .get
+          val name = ("(?is)create\\s+(?:external\\s+)?table\\s+" +
+            "(?:if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?").r
+            .findFirstMatchIn(q).get.group(1).split('.').last
+          val lc = name.toLowerCase
+          if (!lc.contains("__"))
+            dbOwner.getOrElseUpdate(lc, dialect.currentDb.toLowerCase)
+          val props = meta.tableProps.get(lc)
+            .map(_.toMap).getOrElse(Map.empty[String, String])
+          h.scan(spark, props).createOrReplaceTempView(name)
+          // a handler serde re-derives columns at describe time —
+          // every column comments "from deserializer"
+          colComments(lc) = h.schema(props).fieldNames
+            .map(f => f.toLowerCase -> "from deserializer").toMap
         case createRe(name) =>
           // balanced-paren column list (decimal(4,2) nests parens);
           // PARTITIONED BY columns are part of the logical schema

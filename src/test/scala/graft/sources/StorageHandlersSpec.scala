@@ -1,0 +1,79 @@
+package graft.sources
+
+import graft.{Engine, HiveStatements, SparkSpec}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** `CREATE TABLE ... STORED BY 'handler'` through the public entry:
+  * the registered handler owns schema and scan, and the metadata
+  * layer records the handler's serde with null file formats (ref
+  * ql/metadata/HiveStorageHandler.java; layout druid_basic1.q.out).
+  */
+class StorageHandlersSpec extends SparkSpec {
+
+  test("QTest druid handler: CREATE STORED BY binds the recorded " +
+      "wikipedia segment schema; DESCRIBE FORMATTED records the " +
+      "handler serde over null formats") {
+    val h = new HiveStatements(spark)
+    h.sql("DROP TABLE IF EXISTS druid_t")
+    h.sql("""CREATE EXTERNAL TABLE druid_t
+      STORED BY 'org.apache.hadoop.hive.druid.QTestDruidStorageHandler'
+      TBLPROPERTIES ("druid.datasource" = "wikipedia")""")
+    val df = spark.table("druid_t")
+    assert(df.schema.fieldNames.toSeq ===
+      Seq("__time", "robot", "namespace", "anonymous", "unpatrolled",
+        "page", "language", "newpage", "user", "count", "added",
+        "delta", "variation", "deleted"))
+    assert(df.schema("__time").dataType === TimestampType)
+    assert(df.schema("count").dataType === FloatType)
+    assert(df.count() === 0) // QTest datasource is empty
+    val rows = h.sql("DESCRIBE FORMATTED druid_t").get.collect()
+      .map(r => (r.getString(0).trim, r.getString(1).trim,
+        Option(r.getString(2)).map(_.trim).getOrElse("")))
+    assert(rows.exists(r => r._1 == "SerDe Library:" &&
+      r._2 == "org.apache.hadoop.hive.druid.QTestDruidSerDe"),
+      rows.mkString("\n"))
+    assert(rows.exists(r => r._1 == "InputFormat:" && r._2 == "null"))
+    assert(rows.exists(r => r._1 == "OutputFormat:" && r._2 == "null"))
+    assert(rows.exists(r => r._1 == "Table Type:" &&
+      r._2 == "EXTERNAL_TABLE"))
+    // handler serdes re-derive columns: "from deserializer" comments
+    assert(rows.exists(r => r._1 == "robot" && r._2 == "string" &&
+      r._3 == "from deserializer"), rows.mkString("\n"))
+    h.sql("DROP TABLE druid_t")
+  }
+
+  test("a user-registered handler serves real rows through its scan") {
+    StorageHandlers.register("example.KvStorageHandler",
+      new StorageHandler {
+        val serdeClass = "example.KvSerDe"
+        def schema(props: Map[String, String]) = StructType(Seq(
+          StructField("k", IntegerType), StructField("v", StringType)))
+        override def scan(spark: SparkSession,
+            props: Map[String, String]): DataFrame = {
+          // a connector would read its external store here; the
+          // row count doubles as a props-plumbing check
+          val n = props.getOrElse("kv.rows", "0").toInt
+          spark.range(n).selectExpr("cast(id as int) as k",
+            "concat('v', id) as v")
+        }
+      })
+    val h = new HiveStatements(spark)
+    h.sql("DROP TABLE IF EXISTS kv_t")
+    h.sql("""CREATE TABLE kv_t
+      STORED BY 'example.KvStorageHandler'
+      TBLPROPERTIES ('kv.rows' = '3')""")
+    val got = h.sql("SELECT k, v FROM kv_t ORDER BY k").get.collect()
+    assert(got.map(_.getInt(0)).toSeq === Seq(0, 1, 2))
+    assert(got.map(_.getString(1)).toSeq === Seq("v0", "v1", "v2"))
+    h.sql("DROP TABLE kv_t")
+  }
+
+  test("an unregistered handler class fails loudly") {
+    val h = new HiveStatements(spark)
+    val e = intercept[IllegalArgumentException] {
+      h.sql("CREATE TABLE nope_t STORED BY 'com.example.NoSuchHandler'")
+    }
+    assert(e.getMessage.contains("NoSuchHandler"))
+  }
+}
