@@ -42,6 +42,33 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
   }
 
+  /** Incremental exact dedup for a continuous-ingest pipeline: keep
+    * each NEW document whose content hash is neither in the persisted
+    * fingerprint ledger of prior ingests (`seen`, one hash column) nor
+    * claimed by an earlier document in the same batch. Output: one row
+    * per surviving content (`content_hash`, smallest `keep_id`, batch
+    * multiplicity `n_batch`).
+    *
+    * Scale: the ledger holds hashes, not documents — orders of
+    * magnitude smaller than the corpus — and the left-anti join + the
+    * in-batch group shuffle ONLY hashes. When the ledger is still
+    * small enough to sketch, prefilter with the engine's
+    * `bloom_filter`/`in_bloom_filter` aggregates before this call so
+    * clean batches skip the ledger join entirely; hash keys are
+    * uniform so neither shuffle can skew. */
+  def incrementalExact(newDocs: DataFrame, seen: DataFrame,
+                       textCol: String = "text", idCol: String = "doc_id",
+                       seenHashCol: String = "content_hash",
+                       normalized: Boolean = false): DataFrame = {
+    val key = if (normalized) md5(normalize(col(textCol)))
+              else md5(col(textCol))
+    newDocs.select(key.as("content_hash"), col(idCol))
+      .join(seen.select(col(seenHashCol).as("content_hash")).distinct(),
+        Seq("content_hash"), "left_anti")
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_batch"))
+  }
+
   /** Distinct word n-gram shingles per document: (id, shingle). */
   def shingles(docs: DataFrame, n: Int = 3, textCol: String = "text",
                idCol: String = "doc_id"): DataFrame =

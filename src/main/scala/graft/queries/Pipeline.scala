@@ -38,6 +38,27 @@ object Pipeline {
            min(doc_id) AS keep_id, count(*) AS n_dups
     FROM documents GROUP BY 1 ORDER BY keep_id"""
 
+  /** Continuous-ingest dedup: documents with doc_id % 3 = 0 stand in
+    * for the already-ingested ledger (its md5 fingerprints), the rest
+    * arrive as the new batch. */
+  def q_dedup_incremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir)("documents")
+    val seen = docs.filter(col("doc_id") % 3 === 0)
+      .select(md5(col("text")).as("content_hash"))
+    Dedup.incrementalExact(docs.filter(col("doc_id") % 3 =!= 0), seen)
+      .presentSorted("keep_id")
+  }
+
+  val q_dedup_incremental_sql: String = """
+    WITH seen AS (SELECT md5(text) AS h FROM documents
+                  WHERE doc_id % 3 = 0),
+    newd AS (SELECT doc_id, md5(text) AS content_hash FROM documents
+             WHERE doc_id % 3 <> 0)
+    SELECT content_hash, min(doc_id) AS keep_id, count(*) AS n_batch
+    FROM newd
+    WHERE NOT EXISTS (SELECT 1 FROM seen WHERE seen.h = newd.content_hash)
+    GROUP BY content_hash ORDER BY keep_id"""
+
   def q_dedup_jaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(t(spark, dir)("documents"), threshold = 0.05)
       .presentSorted("doc_a", "doc_b")
@@ -833,6 +854,7 @@ object Pipeline {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (q_dedup_exact _),
     "q_dedup_norm" -> (q_dedup_norm _),
+    "q_dedup_incremental" -> (q_dedup_incremental _),
     "q_dedup_jaccard" -> (q_dedup_jaccard _),
     "q_dedup_minhash" -> (q_dedup_minhash _),
     "q_dedup_corpus" -> (q_dedup_corpus _),
@@ -861,6 +883,7 @@ object Pipeline {
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" -> q_dedup_exact_sql,
     "q_dedup_norm" -> q_dedup_norm_sql,
+    "q_dedup_incremental" -> q_dedup_incremental_sql,
     "q_dedup_jaccard" -> q_dedup_jaccard_sql,
     "q_dedup_bloom" -> q_dedup_bloom_sql,
     "q_dedup_corpus" -> q_dedup_corpus_sql,

@@ -30,6 +30,33 @@ class DedupSpec extends SparkSpec {
     assert(g.length === 4)
   }
 
+  test("incrementalExact drops ledger hits and in-batch dups, " +
+      "keeps min id per surviving content") {
+    // ledger already holds doc 1's content; the batch re-ingests it
+    // (2: exact dup of 1), plants an in-batch pair (2/new 7), and
+    // carries clean docs
+    val batch = docs.filter($"doc_id" =!= 1L).union(
+      Seq((7L, "the quick brown fox jumps over the lazy dog again and again"))
+        .toDF("doc_id", "text"))
+    val seen = docs.filter($"doc_id" === 1L)
+      .select(md5($"text").as("content_hash"))
+    val out = Dedup.incrementalExact(batch, seen).collect()
+    // 2 and 7 match the ledger -> dropped entirely
+    assert(!out.exists(r => Set(2L, 7L)(r.getAs[Long]("keep_id"))))
+    // 3 survives (exact hash differs from 1), 4/5/6 are unique
+    assert(out.map(_.getAs[Long]("keep_id")).sorted.toSeq ===
+      Seq(3L, 4L, 5L, 6L))
+    assert(out.forall(_.getAs[Long]("n_batch") == 1L))
+    // in-batch multiplicity: a fresh pair groups to min id
+    val batch2 = Seq(
+      (10L, "novel content alpha"), (11L, "novel content alpha"),
+      (12L, "novel content beta")).toDF("doc_id", "text")
+    val out2 = Dedup.incrementalExact(batch2, seen).collect()
+    assert(out2.length === 2)
+    assert(out2.find(_.getAs[Long]("n_batch") == 2L)
+      .get.getAs[Long]("keep_id") === 10L)
+  }
+
   test("jaccardPairs finds planted near-dups with exact scores") {
     val pairs = Dedup.jaccardPairs(docs, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
