@@ -205,7 +205,7 @@ class HiveStatements(val spark: SparkSession) {
     // row-level DML parses in Spark's grammar but plans only against
     // DSv2 catalogs — the dialect owns it here (MergeInto
     // copy-on-write), as for LOAD/EXPORT/IMPORT
-    val ql = q.trim.toLowerCase
+    val ql = q.trim.take(200).split("\\s+").mkString(" ").toLowerCase
     if (ql.startsWith("update ") || ql.startsWith("delete ") ||
         ql.startsWith("merge ") || ql.startsWith("load data") ||
         ql.startsWith("export table") || ql.startsWith("import "))
@@ -603,7 +603,8 @@ class HiveStatements(val spark: SparkSession) {
     * DDL (the golden harness drives these from its replay loop
     * instead; see [[autoObserveMeta]]). */
   protected def observeMeta(q: String): Unit = {
-    val ql = q.trim.toLowerCase
+    // whitespace-run-collapsed head for dispatch (see execute)
+    val ql = q.trim.take(200).split("\\s+").mkString(" ").toLowerCase
     if (ql.matches("(?s)^create\\s+(?:database|schema)\\b.*")) {
       ("(?is)^create\\s+(?:database|schema)\\s+" +
         "(?:if\\s+not\\s+exists\\s+)?`?(\\w+)`?").r.findFirstMatchIn(q)
@@ -1105,7 +1106,16 @@ class HiveStatements(val spark: SparkSession) {
   /** Execute `sql0` if it is a dialect statement; false = not ours. */
   def execute(sql0: String): Boolean = {
     val q = sql0.trim.stripSuffix(";")
-    val ql = q.toLowerCase
+    // dispatch on a whitespace-run-collapsed head so `update\n  t`
+    // routes like `update t` (statement regexes already use \s+);
+    // the head/tail joint keeps a separator so no tokens glue
+    val ql = {
+      val head = q.take(200)
+      val joint =
+        if (q.length > 200 && head.lastOption.exists(_.isWhitespace)) " "
+        else ""
+      (head.split("\\s+").mkString(" ") + joint + q.drop(200)).toLowerCase
+    }
     if (ql.startsWith("update ")) q match {
       case updateRe(t, sets, w) =>
         val table = t.split('.').last

@@ -5436,20 +5436,28 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       // only the replay-specific kinds (CREATE-as-temp-view, SELECT
       // assertion, qtest function shims) are handled.
       def exec(q: String, ql: String): Unit = {
-      if (ql.startsWith("alter table")) {
+        // dispatch head, whitespace-run-insensitive: the recorder kept
+        // author spacing (`CREATE  TABLE k1(...)` in unicode_notation,
+        // newline-split heads elsewhere), which defeats a plain
+        // startsWith — statements then silently fall through dispatch
+        // and every later reference to the table fails or no-ops.
+        // ql stays exact (parenBody and friends index into q with
+        // offsets found in ql).
+        val qd = ql.take(200).split("\\s+").mkString(" ")
+      if (qd.startsWith("alter table")) {
         trackAlterComments(q); trackAlterStorage(q)
       }
-      if ((ql.startsWith("alter table") || ql.startsWith("alter view"))
+      if ((qd.startsWith("alter table") || qd.startsWith("alter view"))
           && ql.contains("tblproperties"))
         trackTblProps(q, create = false)
-      if (ql.startsWith("create table") || ql.startsWith("create view") ||
-          ql.startsWith("create or replace view") ||
-          ql.startsWith("create external table") ||
-          ql.startsWith("create temporary table") ||
-          ql.startsWith("create temporary external table") ||
-          ql.startsWith("create materialized view"))
+      if (qd.startsWith("create table") || qd.startsWith("create view") ||
+          qd.startsWith("create or replace view") ||
+          qd.startsWith("create external table") ||
+          qd.startsWith("create temporary table") ||
+          qd.startsWith("create temporary external table") ||
+          qd.startsWith("create materialized view"))
         trackTblProps(q, create = true, origQ = b.query)
-      if (ql.startsWith("alter table") || ql.startsWith("alter view")) {
+      if (qd.startsWith("alter table") || qd.startsWith("alter view")) {
         // PARTITION ... RENAME TO PARTITION: metadata-only entries
         // rename too (quotedid_alter)
         ("(?is)alter\\s+(?:table|view)\\s+`?([\\w.]+)`?\\s+" +
@@ -5576,29 +5584,29 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           }
         }
       }
-      if (ql.startsWith("describe") || ql.startsWith("desc ")) {
+      if (qd.startsWith("describe") || qd.startsWith("desc ")) {
         describeLines(q) match {
           case Some(ls) => assertDescribe(ls)
           case None => describeFormattedExpect(q, b.query).foreach {
             case (cols, labels) => assertFormatted(cols, labels) }
         }
-      } else if (ql.startsWith("show partitions")) {
+      } else if (qd.startsWith("show partitions")) {
         showPartitionsLines(q, b.query).foreach(assertShowPartitions)
-      } else if (ql.startsWith("show columns")) {
+      } else if (qd.startsWith("show columns")) {
         showColumnsLines(q).foreach(ls => assertShowLines(ls))
-      } else if (ql.startsWith("show tblproperties")) {
+      } else if (qd.startsWith("show tblproperties")) {
         showTblPropsLines(q, b.query).foreach(ls =>
           assertShowLines(ls, filterManaged = true))
-      } else if (ql.startsWith("show tables")) {
+      } else if (qd.startsWith("show tables")) {
         showTablesLines(q, b.query).foreach(ls => assertShowLines(ls))
-      } else if (ql.startsWith("show databases") ||
-          ql.startsWith("show schemas")) {
+      } else if (qd.startsWith("show databases") ||
+          qd.startsWith("show schemas")) {
         showDatabasesLines(q).foreach(ls => assertShowLines(ls))
       } else
-      if (ql.startsWith("create table") ||
-          ql.startsWith("create temporary table") ||
-          ql.startsWith("create external table") ||
-          ql.startsWith("create temporary external table")) {
+      if (qd.startsWith("create table") ||
+          qd.startsWith("create temporary table") ||
+          qd.startsWith("create external table") ||
+          qd.startsWith("create temporary external table")) {
         recordStorageMeta(q)
         q match {
         case ctasRe(name, _)
@@ -5756,9 +5764,9 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           recordDelims(name, q) // declared text delimiters for LOAD DATA
           bindLocationFixtures(name, q, qSourceText)
         case _ => unhandled("create", q)
-      } } else if (ql.startsWith("create view") ||
-          ql.startsWith("create or replace view") ||
-          ql.startsWith("create materialized view")) {
+      } } else if (qd.startsWith("create view") ||
+          qd.startsWith("create or replace view") ||
+          qd.startsWith("create materialized view")) {
         recordStorageMeta(q, view = true)
         q match {
         case viewRe(name, colList, sel) =>
@@ -5800,7 +5808,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         case _ if !ql.matches("(?s).*\\bas\\s+select.*") =>
           // enable/disable rewrite, rebuild — metadata-only, no-op
         case _ => unhandled("view", q)
-      } } else if (ql.startsWith("create index")) {
+      } } else if (qd.startsWith("create index")) {
         // CREATE INDEX name ON TABLE t(cols) AS 'HANDLER': Hive
         // materializes an index TABLE `<db>__<t>_<name>__` with the
         // indexed columns plus (_bucketname string, _offsets
@@ -5893,10 +5901,10 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
               }
           case _ => // EXPLAIN'd or unsupported index form: no-op
         }
-      } else if (ql.startsWith("alter index") ||
-          ql.startsWith("drop index")) {
+      } else if (qd.startsWith("alter index") ||
+          qd.startsWith("drop index")) {
         // REBUILD / DROP INDEX: the empty-index contract stands
-      } else if (ql.startsWith("alter view") &&
+      } else if (qd.startsWith("alter view") &&
           ql.matches("(?s)alter\\s+view\\s+\\S+\\s+as\\s+select.*")) {
         // ALTER VIEW ... AS SELECT replaces the definition
         // (DDLSemanticAnalyzer alterViewAs; alter_view_as_select)
@@ -5910,7 +5918,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         }
         viewDefs(name.toLowerCase) =
           (sel, None, spark.table(name).columns.toSeq)
-      } else if (ql.startsWith("create temporary macro")) {
+      } else if (qd.startsWith("create temporary macro")) {
         val mRe = ("(?is)create\\s+temporary\\s+macro\\s+`?(\\w+)`?" +
           "\\s*\\(([^)]*)\\)\\s*(.*)").r
         q match {
@@ -5920,12 +5928,12 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             dialect.macros(name.toLowerCase) = (ps, body.trim.stripSuffix(";"))
           case _ => unhandled("macro", q)
         }
-      } else if (ql.startsWith("drop temporary macro")) {
+      } else if (qd.startsWith("drop temporary macro")) {
         "(?is)drop\\s+temporary\\s+macro\\s+(?:if\\s+exists\\s+)?`?(\\w+)`?.*".r
           .findFirstMatchIn(q).foreach(m =>
             dialect.macros.remove(m.group(1).toLowerCase))
-      } else if (ql.startsWith("create temporary function") ||
-          ql.startsWith("create function")) {
+      } else if (qd.startsWith("create temporary function") ||
+          qd.startsWith("create function")) {
         // qtest helper UDFs ship in test jars; their semantics are in
         // the reference test sources (UDAFTestMax = max,
         // GenericUDFTestTranslate = translate, compile_processor.q's
@@ -5939,8 +5947,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             registerQtestUdf(fname, cls.split('.').last)
           case _ =>
         }
-      } else if (ql.startsWith("insert overwrite directory") ||
-          ql.startsWith("insert overwrite local directory")) {
+      } else if (qd.startsWith("insert overwrite directory") ||
+          qd.startsWith("insert overwrite local directory")) {
         // directory sink: rows land in dirStore so a later masked
         // LOAD DATA INPATH over the same path reads them back (the
         // goldens otherwise inspect it via masked dfs -cat output)
@@ -5952,9 +5960,9 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         // handled by the HiveStatements dialect layer (src/main):
         // UPDATE/DELETE/MERGE INTO, LOAD DATA, EXPORT/IMPORT, insert
         // forms, ALTER ... RENAME (incl. partitions), WITH-inserts
-      } else if (ql.startsWith("load data")) {
+      } else if (qd.startsWith("load data")) {
         unhandled("load", q)
-      } else if (ql.startsWith("alter table")) q match {
+      } else if (qd.startsWith("alter table")) q match {
         case exchangePartRe(dst0, spec, src0) =>
           // EXCHANGE PARTITION: the partition MOVES from the WITH
           // table into the ALTER'd table (DDLTask.exchangeTablePartition)
@@ -6227,9 +6235,9 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
               .collect().toVector, df.schema, t)
           }
         case _ => // other ALTERs (props/touch) are no-ops
-      } else if (ql.startsWith("insert")) {
+      } else if (qd.startsWith("insert")) {
         unhandled("insert", q)
-      } else if (ql.startsWith("from")) q match {
+      } else if (qd.startsWith("from")) q match {
         case _ if ql.contains("insert overwrite") &&
             ql.contains("directory") =>
           // FROM-first multi-insert with DIRECTORY sinks (possibly
@@ -6261,7 +6269,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
                 case _ => unhandled("insert segment", seg)
               }
             }
-        case _ if ql.startsWith("from uniquejoin") =>
+        case _ if qd.startsWith("from uniquejoin") =>
           // `FROM UNIQUEJOIN [PRESERVE] t a (keys), ... SELECT ...`
           // (FromClauseParser.g uniqueJoinToken) → the engine's
           // UniqueJoin operator; SELECT refs a.col map to the
@@ -6335,17 +6343,17 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             assertSelect(s"${body.substring(0, cut)} ${q.substring(0, at)} " +
               body.substring(cut))
           } else assertSelect(q)
-      } else if (ql.startsWith("select")) {
+      } else if (qd.startsWith("select")) {
         assertSelect(q)
-      } else if (ql.startsWith("create database") ||
-          ql.startsWith("create schema")) q match {
+      } else if (qd.startsWith("create database") ||
+          qd.startsWith("create schema")) q match {
         case createDbRe(db) => dialect.knownDbs += db.toLowerCase
         case _ =>
-      } else if (ql.startsWith("use ")) {
+      } else if (qd.startsWith("use ")) {
         dialect.currentDb = ql.stripPrefix("use ").trim.replace("`", "")
-      } else if (ql.startsWith("drop table") ||
-          ql.startsWith("drop view") ||
-          ql.startsWith("drop materialized view")) {
+      } else if (qd.startsWith("drop table") ||
+          qd.startsWith("drop view") ||
+          qd.startsWith("drop materialized view")) {
         // real drops matter: the exim pattern is export → drop →
         // import-recreate, and a stale view would shadow the import
         val dropRe =
@@ -6381,7 +6389,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
               spark.table(v + "__shadow").createOrReplaceTempView(v)
           case _ =>
         }
-      } else if (ql.startsWith("set ")) {
+      } else if (qd.startsWith("set ")) {
         // replay no-ops, except the vectorization flag which flips
         // the rot13 "bad example" UDF between its two contracts
         if (ql.replace(" ", "")
