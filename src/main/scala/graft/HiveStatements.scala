@@ -46,6 +46,8 @@ class HiveStatements(val spark: SparkSession) {
     * override the factory. */
   protected def newMetaStore: graft.meta.HiveMetaStore =
     new graft.meta.HiveMetaStore(spark, () => dialect.currentDb) {
+      override def knownDb(db: String): Boolean =
+        dialect.knownDbs.contains(db)
       // always-mangle namespace: a name CREATEd under a session
       // database resolves to its physical `db__name` binding
       override def resolveLc(t: String): String = {
@@ -855,7 +857,8 @@ class HiveStatements(val spark: SparkSession) {
     * `FOR METADATA REPLICATION(...)`: schema only, zero rows
     * (ReplicationSpec.isMetadataOnly). */
   protected def exportSnapshot(table: String, partSpec: String,
-      path: String, metadataOnly: Boolean = false): Unit = {
+      path: String, metadataOnly: Boolean = false,
+      replication: Boolean = false): Unit = {
     val df =
       if (metadataOnly) spark.table(table).limit(0)
       else partFiltered(table, partSpec)
@@ -866,6 +869,19 @@ class HiveStatements(val spark: SparkSession) {
       new org.apache.hadoop.fs.Path(s"$path/_graft_schema.json"), true)
     out.write(spark.table(table).schema.json.getBytes("UTF-8"))
     out.close()
+    // a replication-scoped dump marks itself; IMPORT stamps the
+    // replicated table's repl.last.id (ReplicationSpec — the qtest
+    // metastore's event id is 0)
+    if (replication)
+      fs.create(new org.apache.hadoop.fs.Path(s"$path/_graft_repl"),
+        true).close()
+    // the dump carries the table TYPE: an EXTERNAL table's dump
+    // imports as EXTERNAL (ImportSemanticAnalyzer carry-over)
+    meta.tableKind.get(table.toLowerCase).foreach { k =>
+      val kout = fs.create(
+        new org.apache.hadoop.fs.Path(s"$path/_graft_kind"), true)
+      kout.write(k.getBytes("UTF-8")); kout.close()
+    }
   }
 
   /** IMPORT: materialize an exported snapshot as `table` (appending
@@ -902,6 +918,26 @@ class HiveStatements(val spark: SparkSession) {
       case _ => df
     }
     rebuild(table, merged)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_graft_repl")))
+      meta.tableProps.getOrElseUpdate(table.toLowerCase,
+        scala.collection.mutable.LinkedHashMap.empty)(
+        "repl.last.id") = "0"
+    // a replication-scope import lands MANAGED — the replica owns
+    // its copy (ImportSemanticAnalyzer replication handling); a
+    // demoted external records EXTERNAL=FALSE
+    val kindFile = new org.apache.hadoop.fs.Path(s"$path/_graft_kind")
+    if (existing.isEmpty && fs.exists(kindFile)) {
+      val kin = fs.open(kindFile)
+      val kind = scala.io.Source.fromInputStream(kin).mkString.trim
+      kin.close()
+      val repl = fs.exists(
+        new org.apache.hadoop.fs.Path(s"$path/_graft_repl"))
+      if (!repl) meta.tableKind(table.toLowerCase) = kind
+      else if (kind == "EXTERNAL_TABLE")
+        meta.tableProps.getOrElseUpdate(table.toLowerCase,
+          scala.collection.mutable.LinkedHashMap.empty)(
+          "EXTERNAL") = "FALSE"
+    }
   }
 
   /** Re-dispatch the tail of a composite statement (WITH-prefixed
@@ -1231,7 +1267,9 @@ class HiveStatements(val spark: SparkSession) {
       case exportRe(t, part, path) =>
         exportSnapshot(t.split('.').last, part, path,
           metadataOnly = ql.matches(
-            "(?s).*\\bfor\\s+metadata\\s+replication\\b.*"))
+            "(?s).*\\bfor\\s+metadata\\s+replication\\b.*"),
+          replication = ql.matches(
+            "(?s).*\\bfor\\s+(?:metadata\\s+)?replication\\b.*"))
         true
       case _ => false
     } else if (ql.startsWith("import")) q match {
@@ -1619,7 +1657,12 @@ object HiveStatements {
     var quote: Char = 0
     while (i < s.length) {
       val c = s(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
+      if (quote != 0) {
+        // Hive string literals backslash-escape the delimiter
+        // (COMMENT 'a\'b') — the escaped quote must not end the literal
+        if (c == '\\' && i + 1 < s.length) i += 1
+        else if (c == quote) quote = 0
+      }
       else c match {
         case '\'' | '"' => quote = c
         case '(' => depth += 1

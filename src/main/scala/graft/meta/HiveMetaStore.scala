@@ -29,6 +29,10 @@ import MetaRender._
 class HiveMetaStore(val spark: SparkSession,
     val currentDb: () => String) {
 
+  /** Is `db` a session-known database? Wired by the owning dialect
+    * (identifies always-mangle `db__name` physical bindings). */
+  def knownDb(db: String): Boolean = false
+
   // -----------------------------------------------------------------
   // knobs (HiveConf-equivalent session settings)
   // -----------------------------------------------------------------
@@ -112,6 +116,11 @@ class HiveMetaStore(val spark: SparkSession,
   val tempTables = scala.collection.mutable.Set[String]()
   /** lc → CREATE VIEW select text (original, pre-expansion). */
   val viewText = scala.collection.mutable.Map[String, String]()
+
+  /** lc → the view's explicit column list names (CREATE VIEW v (a, b)
+    * ...): Hive's expanded text wraps the defining query to alias
+    * them (SemanticAnalyzer createView column renaming). */
+  val viewColList = scala.collection.mutable.Map[String, Seq[String]]()
   /** db → (comment, dbproperties) from CREATE DATABASE. */
   val dbMeta = scala.collection.mutable
     .Map[String, (String, Seq[(String, String)])]()
@@ -346,9 +355,21 @@ class HiveMetaStore(val spark: SparkSession,
     viewText.remove(lc)
     createTime(lc) = System.currentTimeMillis() / 1000
     if (m.group(1) != null) tempTables += lc else tempTables -= lc
-    if (view)
+    if (view) {
       "(?is)\\bas\\s+(select.*)$".r.findFirstMatchIn(q)
         .foreach(x => viewText(lc) = x.group(1).trim.stripSuffix(";"))
+      // an explicit view column list (names the expanded text wraps)
+      viewColList.remove(lc)
+      val afterName = m.end
+      val ws = q.substring(afterName).takeWhile(_.isWhitespace).length
+      if (afterName + ws < q.length && q.charAt(afterName + ws) == '(')
+        graft.HiveStatements.balancedBody(q, afterName + ws)
+          .foreach { case (body, _) =>
+            viewColList(lc) = splitTop(body, ',')
+              .map(_.trim.split("\\s+")(0).replace("`", "").toLowerCase)
+              .filter(_.nonEmpty)
+          }
+    }
     else {
       recordSerdeClauses(lc, q)
       "(?is)stored\\s+by\\s+['\"]([^'\"]+)['\"]".r.findFirstMatchIn(q)
@@ -680,6 +701,13 @@ class HiveMetaStore(val spark: SparkSession,
       ("['\"]([^'\"]+)['\"]\\s*=\\s*['\"]([^'\"]*)['\"]").r
         .findAllMatchIn(body)
         .foreach(m2 => props(m2.group(1)) = m2.group(2))
+    // an ALTER ... SET TBLPROPERTIES stamps the modifier identity
+    // (DDLTask/Hive metastore alter path: last_modified_by/_time)
+    if (!create && !unset) {
+      props("last_modified_by") = sys.props.getOrElse("user.name", "")
+      props("last_modified_time") =
+        (System.currentTimeMillis() / 1000).toString
+    }
   }
 
   /** Column-spec string → per-column COMMENT text (lc name → comment,
@@ -792,6 +820,7 @@ class HiveMetaStore(val spark: SparkSession,
     tableComment.remove(fromLc).foreach(tableComment(toLc) = _)
     storedBy.remove(fromLc).foreach(storedBy(toLc) = _)
     viewText.remove(fromLc).foreach(viewText(toLc) = _)
+    viewColList.remove(fromLc).foreach(viewColList(toLc) = _)
     createTime.remove(fromLc).foreach(createTime(toLc) = _)
     if (tempTables.remove(fromLc)) tempTables += toLc
     val ps = partStorage.filter(_._1._1 == fromLc)
@@ -811,7 +840,8 @@ class HiveMetaStore(val spark: SparkSession,
     addedParts.remove(lc); partSchemas.remove(lc)
     dbOwner.remove(lc)
     serdeProps.remove(lc); tableComment.remove(lc); storedBy.remove(lc)
-    viewText.remove(lc); createTime.remove(lc); tempTables -= lc
+    viewText.remove(lc); viewColList.remove(lc)
+    createTime.remove(lc); tempTables -= lc
     partStorage.filterInPlace((k, _) => k._1 != lc)
     partBucketMeta.filterInPlace((k, _) => k._1 != lc)
   }
@@ -953,22 +983,50 @@ class HiveMetaStore(val spark: SparkSession,
     * simple single-table SELECT shape; other shapes render the
     * original text. */
   def viewExpandedText(lc: String): String = {
-    val raw = viewText.getOrElse(lc, return "")
-    val m = "(?is)^select\\s+(.*?)\\s+from\\s+`?([\\w.]+)`?\\s*$".r
-      .findFirstMatchIn(raw.trim).getOrElse(return raw)
-    val t = m.group(2).split('.').last.toLowerCase
-    val db =
-      if (m.group(2).contains(".")) m.group(2).split('.').head.toLowerCase
-      else dbOwner.getOrElse(t, "default")
-    val items = splitTop(m.group(1), ',').map(_.trim)
+    viewExpandedTextExact(lc).getOrElse(viewText.getOrElse(lc, ""))
+  }
+
+  /** The exact reconstruction, when the defining query is the simple
+    * single-table SELECT shape; None → the caller falls back to the
+    * stored original text. Inner keywords keep the AUTHOR's case
+    * (Hive expands the original token stream in place); the wrapper
+    * generated for an explicit view column list is Hive's own
+    * uppercase `SELECT `c` AS `n` FROM (...) `db.view`` shape. */
+  def viewExpandedTextExact(lc: String): Option[String] = {
+    val raw = viewText.getOrElse(lc, return None)
+    val m = "(?is)^(select)\\s+(.*?)\\s+(from)\\s+`?([\\w.]+)`?\\s*$".r
+      .findFirstMatchIn(raw.trim).getOrElse(return None)
+    // resolve (db, logical) — a db-qualified or always-mangled
+    // binding names its database; a bare one asks the owner registry
+    def unbind(name: String): (String, String) = {
+      val base = name.split('.').last.toLowerCase
+      val sep = base.indexOf("__")
+      if (sep > 0 && (knownDb(base.substring(0, sep)) ||
+          dbOwner.get(base).contains(base.substring(0, sep))))
+        (base.substring(0, sep), base.substring(sep + 2))
+      else if (name.contains("."))
+        (name.split('.').head.toLowerCase, base)
+      else (dbOwner.getOrElse(base, "default"), base)
+    }
+    val (db, t) = unbind(m.group(4))
+    val items = splitTop(m.group(2), ',').map(_.trim)
     val cols: Seq[String] =
       if (items == Seq("*"))
-        scala.util.Try(spark.table(resolveLc(t)).columns.toSeq)
-          .getOrElse(return raw)
+        scala.util.Try(spark.table(resolveLc(m.group(4))).columns.toSeq)
+          .getOrElse(return None)
       else items.map(_.replace("`", ""))
-    if (!cols.forall(_.matches("\\w+"))) return raw
-    cols.map(c => s"`$t`.`${c.toLowerCase}`")
-      .mkString("SELECT ", ", ", "") + s" FROM `$db`.`$t`"
+    if (!cols.forall(_.matches("\\w+"))) return None
+    val inner = cols.map(c => s"`$t`.`${c.toLowerCase}`")
+      .mkString(m.group(1) + " ", ", ", "") +
+      s" ${m.group(3)} `$db`.`$t`"
+    Some(viewColList.get(lc).filter(_.nonEmpty) match {
+      case Some(names) if names.size == cols.size =>
+        val (vdb, vname) = unbind(lc)
+        cols.map(_.toLowerCase).zip(names).map { case (c, n) =>
+          s"`$c` AS `$n`" }
+          .mkString("SELECT ", ", ", s" FROM ($inner) `$vdb.$vname`")
+      case _ => inner
+    })
   }
 
   private def appendSerde(sb: StringBuilder,
@@ -1058,10 +1116,16 @@ class HiveMetaStore(val spark: SparkSession,
           sb.append(s"OUTPUTFORMAT \n  '${escHive(triple._3)}'\n")
         case Some(h) =>
           sb.append(s"STORED BY \n  '${escHive(h)}' \n")
-          if (sp0.nonEmpty) appendSerde(sb, sp0)
+          // a handler SD renders its serde params unfiltered, with
+          // the implicit default format (show_create_table_alter's
+          // DefaultStorageHandler block records '1')
+          val spH =
+            if (sp0.contains("serialization.format")) sp0
+            else sp0 + ("serialization.format" -> "1")
+          appendSerde(sb, spH)
           sb.append("\n")
       }
-      location.filter(_ => handler.isEmpty).foreach(p =>
+      location.foreach(p =>
         sb.append(s"LOCATION\n  '${escHive(p)}'\n"))
       val exclude = statsKeys ++ Set("comment", "storage_handler") ++
         (if (isExternal) Set("EXTERNAL") else Set.empty[String]) ++

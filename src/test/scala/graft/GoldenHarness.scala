@@ -2164,6 +2164,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       // qtest runs with hive.default.rcfile.serde=ColumnarSerDe
       // (data/conf/hive-site.xml:207)
       rcfileSerde = "org.apache.hadoop.hive.serde2.columnar.ColumnarSerDe"
+      override def knownDb(db: String): Boolean =
+        dialect.knownDbs.contains(db)
       override def resolveLc(t: String): String =
         GoldenHarness.this.resolveLc(t)
       override def commentOf(tableLc: String, col: String,
@@ -2557,13 +2559,16 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     * physically holds them (the export dir for IMPORT EXTERNAL TABLE,
     * the LOCATION clause when given — ImportSemanticAnalyzer), so a
     * later `dfs -rmr` of that directory empties them. */
-  /** EXPORTed table metadata (comments, partition cols) rides along
-    * with the snapshot so IMPORT-recreate DESCRIBEs faithfully. */
+  /** EXPORTed table metadata (comments, partition cols, table kind)
+    * rides along with the snapshot so IMPORT-recreate DESCRIBEs and
+    * SHOW CREATEs faithfully (a dump of an EXTERNAL table imports as
+    * EXTERNAL — ImportSemanticAnalyzer table-type carry-over). */
   private val exportMeta = scala.collection.mutable
-    .Map[String, (Map[String, String], Seq[String])]()
+    .Map[String, (Map[String, String], Seq[String], Option[String])]()
 
   override protected def exportSnapshot(table: String, partSpec: String,
-      path: String, metadataOnly: Boolean = false): Unit = {
+      path: String, metadataOnly: Boolean = false,
+      replication: Boolean = false): Unit = {
     exports(canonPath(path)) =
       (if (metadataOnly) Vector.empty
        else partFiltered(table, partSpec).collect().toVector,
@@ -2572,8 +2577,14 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     exportMeta(canonPath(path)) = (
       colComments.getOrElse(lc,
         fixtureComments.getOrElse(lc, Map.empty)),
-      tablePartCols.getOrElse(lc, fixturePartCols.getOrElse(lc, Nil)))
+      tablePartCols.getOrElse(lc, fixturePartCols.getOrElse(lc, Nil)),
+      meta.tableKind.get(lc))
+    if (replication) replExports += canonPath(path)
   }
+
+  /** Replication-scoped export dirs: IMPORT from one stamps the new
+    * table's repl.last.id (ReplicationSpec; qtest event id is 0). */
+  private val replExports = scala.collection.mutable.Set[String]()
 
   override protected def importSnapshot(table: String, partSpec: String,
       path: String, external: Boolean,
@@ -2610,12 +2621,27 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       register(merged, schema, table)
       if (!table.contains("__"))
         dbOwner(table.toLowerCase) = dialect.currentDb.toLowerCase
-      exportMeta.get(canonPath(path)).foreach { case (cmts, pcs) =>
+      exportMeta.get(canonPath(path)).foreach { case (cmts, pcs, kind) =>
         val lc = table.toLowerCase
         if (!colComments.contains(lc)) colComments(lc) = cmts
         if (!tablePartCols.contains(lc) && pcs.nonEmpty)
           tablePartCols(lc) = pcs
+        // a replication-scope import lands MANAGED — the replica
+        // owns its copy of the data (ImportSemanticAnalyzer
+        // replication handling): EXTERNAL doesn't carry over, and a
+        // demoted external records EXTERNAL=FALSE
+        if (replExports.contains(canonPath(path))) {
+          if (kind.contains("EXTERNAL_TABLE"))
+            meta.tableProps.getOrElseUpdate(lc,
+              scala.collection.mutable.LinkedHashMap.empty)(
+              "EXTERNAL") = "FALSE"
+        } else kind.foreach(k =>
+          if (!meta.tableKind.contains(lc)) meta.tableKind(lc) = k)
       }
+      if (replExports.contains(canonPath(path)))
+        meta.tableProps.getOrElseUpdate(table.toLowerCase,
+          scala.collection.mutable.LinkedHashMap.empty)(
+          "repl.last.id") = "0"
     }
 
   /** Canonical form of a qtest filesystem path: strips the scheme,
@@ -3099,6 +3125,41 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     // skips — emit only the USER properties, compare filtered
     Some(meta.showTblPropsLines(lc, db, t.split('.').last,
       Option(m.group(2))))
+  }
+
+  /** SHOW CREATE TABLE lines from the SHIPPED renderer
+    * (meta.showCreateTableLines) with the recorder-masked lines —
+    * the LOCATION path and the engine-stamped properties
+    * (transient_lastDdlTime, last_modified_*) — dropped from the
+    * render exactly as the golden masks them (a dropped property
+    * line carries its own trailing `, `/`)` punctuation on both
+    * sides, so the multiset compare stays aligned). */
+  private def showCreateTableGolden(q0: String,
+      origQ: String = null): Option[Seq[String]] = {
+    val sctRe = "(?is)^show\\s+create\\s+table\\s+`?([\\w.]+)`?\\s*$".r
+    val m = sctRe.findFirstMatchIn(q0.trim.stripSuffix(";").trim)
+      .getOrElse(return None)
+    if (jsonDdlOut) return None
+    val t = m.group(1)
+    val lc = resolveLc(t)
+    if (!isTempView(lc)) return None
+    val schema = scala.util.Try(spark.table(lc).schema)
+      .getOrElse(return None)
+    // a view whose defining text doesn't reconstruct exactly (multi-
+    // table / expression shapes) would render its ORIGINAL text, not
+    // Hive's expansion — out of golden-assert scope
+    if (meta.tableKind.get(lc).contains("VIRTUAL_VIEW") &&
+        meta.viewExpandedTextExact(lc).isEmpty) return None
+    // the display name echoes the statement's OWN text (a rewrite
+    // may have mangled the db qualifier: tmpdb.tmp1 -> tmpdb__tmp1)
+    val display = Option(origQ)
+      .flatMap(o => sctRe.findFirstMatchIn(o.trim.stripSuffix(";").trim))
+      .map(_.group(1)).getOrElse(t).toLowerCase
+    val lines = meta.showCreateTableLines(lc, display, schema,
+      Some("#masked#"))
+    if (sys.env.contains("GOLDEN_DUMP"))
+      lines.foreach(l => println(s"[sct] |$l|"))
+    Some(lines)
   }
 
   /** Hive's hidden INSERT-VALUES temp tables per database
@@ -5595,8 +5656,49 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       } else if (qd.startsWith("show columns")) {
         showColumnsLines(q).foreach(ls => assertShowLines(ls))
       } else if (qd.startsWith("show tblproperties")) {
+        // filterManaged drops the engine-stamped lines from the WANT
+        // side; drop the same from the render (last_modified_* now
+        // ride the property map)
         showTblPropsLines(q, b.query).foreach(ls =>
-          assertShowLines(ls, filterManaged = true))
+          assertShowLines(ls.filterNot(l =>
+            l.startsWith("last_modified_") ||
+              l.startsWith("transient_lastDdlTime")),
+            filterManaged = true))
+      } else if (qd.startsWith("show create table")) {
+        // ORDERED prefix compare: the recorder MASKS (removes) the
+        // LOCATION path and the engine-stamped property lines from
+        // the golden, so the same lines drop from the render; rows a
+        // masked-away hook block glued after the statement
+        // (nullformatCTAS) trail the prefix and are ignored.
+        showCreateTableGolden(q, b.query).foreach { got0 =>
+          val got = {
+            val out = scala.collection.mutable.Buffer[String]()
+            var dropNext = false
+            got0.foreach { l =>
+              if (dropNext) dropNext = false
+              else if (l == "LOCATION") { out += l; dropNext = true }
+              else if (!l.startsWith("  'transient_lastDdlTime'") &&
+                  !l.startsWith("  'last_modified_")) out += l
+            }
+            out.toSeq
+          }
+          val want = b.rows.filterNot(l => leakedLines.contains(l.trim))
+            .filterNot(_.startsWith("#### A masked"))
+          if (!(want.isEmpty && b.maskedRows)) {
+            def unpad(l: String): String = l.replaceAll("\\s+$", "")
+            val bad = (0 until got.length).find(i =>
+              i >= want.length || unpad(got(i)) != unpad(want(i)))
+            bad.foreach { i =>
+              throw new GoldenMismatch(
+                s"show create mismatch in $file for: " +
+                  b.query.linesIterator.mkString(" ").take(120) + "\n" +
+                  s"got  |${got(i).replace("\t", "\\t")}|\n" +
+                  s"want |${want.lift(i).getOrElse("<none>")
+                    .replace("\t", "\\t")}|")
+            }
+            asserted += 1
+          }
+        }
       } else if (qd.startsWith("show tables")) {
         showTablesLines(q, b.query).foreach(ls => assertShowLines(ls))
       } else if (qd.startsWith("show databases") ||

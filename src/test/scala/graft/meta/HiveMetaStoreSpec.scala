@@ -133,4 +133,55 @@ class HiveMetaStoreSpec extends SparkSpec {
     assert(MetaRender.escapePathName("x\u0001y") === "x%01y")
     assert(MetaRender.escapePathName("plain-1.0_z") === "plain-1.0_z")
   }
+
+  test("view expanded text: author keyword case, db qualification, " +
+      "column-list wrapper (SemanticAnalyzer createView expansion)") {
+    import org.apache.spark.sql.functions._
+    spark.range(1).select(col("id").as("col1"))
+      .createOrReplaceTempView("vsrc")
+    val m = store
+    m.recordStorageMeta("create table vsrc (col1 int)")
+    m.dbOwner("vsrc") = "default"
+    // plain view, lowercase author keywords
+    m.recordStorageMeta("create view v1 as select col1 from vsrc",
+      view = true)
+    assert(m.viewExpandedTextExact("v1").get ===
+      "select `vsrc`.`col1` from `default`.`vsrc`")
+    // uppercase author keywords survive; star expands
+    m.recordStorageMeta("CREATE VIEW v2 AS SELECT * FROM vsrc",
+      view = true)
+    assert(m.viewExpandedTextExact("v2").get ===
+      "SELECT `vsrc`.`col1` FROM `default`.`vsrc`")
+    // explicit column list wraps in Hive's aliasing subquery
+    m.recordStorageMeta(
+      "create view v3 (c COMMENT 'x') as select col1 from vsrc",
+      view = true)
+    m.dbOwner("v3") = "default"
+    assert(m.viewExpandedTextExact("v3").get ===
+      "SELECT `col1` AS `c` FROM " +
+        "(select `vsrc`.`col1` from `default`.`vsrc`) `default.v3`")
+    // multi-table shapes are not reconstructible -> None
+    m.recordStorageMeta(
+      "create view v4 as select a.col1 from vsrc a join vsrc b",
+      view = true)
+    assert(m.viewExpandedTextExact("v4").isEmpty)
+  }
+
+  test("a comment containing an escaped quote does not derail the " +
+      "balanced column-list scan (table comment still records)") {
+    val m = store
+    m.recordStorageMeta("create table ec (col1 string comment " +
+      "'a\\nb\\'\\;') comment 'tbl' partitioned by (p1 string)")
+    assert(m.tableComment.get("ec").contains("tbl"))
+  }
+
+  test("ALTER SET TBLPROPERTIES stamps last_modified_*") {
+    val m = store
+    m.trackTblProps("create table lm (a int)", create = true)
+    m.trackTblProps("alter table lm set tblproperties ('k'='v')",
+      create = false)
+    assert(m.tableProps("lm")("k") === "v")
+    assert(m.tableProps("lm").contains("last_modified_by"))
+    assert(m.tableProps("lm").contains("last_modified_time"))
+  }
 }
