@@ -297,6 +297,61 @@ class HiveStatements(val spark: SparkSession) {
         meta.showColumnsLines(spark.table(table).schema)))
     }
 
+    // the transactional manager has its own display surface
+    def txnMode: Boolean = scala.util.Try(
+      spark.conf.get("hive.txn.manager", "")).toOption
+      .exists(_.contains("DbTxnManager"))
+
+    // SHOW LOCKS [t [PARTITION (...)]] [EXTENDED] — or any SHOW
+    // LOCKS form under the txn manager (header-only; locks there are
+    // query-scoped and never outstanding between statements)
+    if (q.trim.toLowerCase.startsWith("show locks") && txnMode)
+      return Some(oneColDf("locks", Seq(meta.txnLocksHeader)))
+    val slkRe = ("(?is)^show\\s+locks" +
+      "(?:\\s+`?([\\w.]+)`?)?(?:\\s*partition\\s*\\(([^)]*)\\))?" +
+      "(\\s+extended)?\\s*$").r
+    slkRe.findFirstMatchIn(q).foreach { m =>
+      val bareExt = Option(m.group(1))
+        .exists(_.equalsIgnoreCase("extended")) &&
+        m.group(2) == null && m.group(3) == null
+      val table = if (bareExt) None else Option(m.group(1))
+      val ext = bareExt || m.group(3) != null
+      val lines = meta.showLocksLines(table, Option(m.group(2)),
+        dialect.currentDb.toLowerCase, ext)
+      val schema = StructType(Seq(StructField("tab_name", StringType),
+        StructField("mode", StringType)))
+      return Some(spark.createDataFrame(java.util.Arrays.asList(
+        lines.map { l =>
+          val kv = l.split("\t", 2).padTo(2, "")
+          Row(kv(0), kv(1))
+        }: _*), schema))
+    }
+
+    // SHOW TRANSACTIONS / SHOW COMPACTIONS (DbTxnManager surface)
+    if (q.trim.toLowerCase.matches("(?s)^show\\s+transactions\\s*$"))
+      return Some(oneColDf("transactions",
+        Seq(meta.txnTransactionsHeader)))
+    if (q.trim.toLowerCase.matches("(?s)^show\\s+compactions\\s*$"))
+      return Some(oneColDf("compactions", meta.showCompactionsLines()))
+
+    // SHOW [FORMATTED] INDEX|INDEXES ON t [FROM|IN db]
+    val sixRe = ("(?is)^show\\s+(formatted\\s+)?index(?:es)?\\s+on\\s+" +
+      "`?([\\w.]+)`?(?:\\s+(?:from|in)\\s+`?(\\w+)`?)?$").r
+    sixRe.findFirstMatchIn(q).foreach { m =>
+      val (table, db) = resolveMetaTable(m.group(2)).getOrElse(return None)
+      val lc = table.toLowerCase
+      val display =
+        if (lc.startsWith(db + "__")) lc.substring(db.length + 2) else lc
+      val lines = meta.showIndexLines(lc, display, db,
+        formatted = m.group(1) != null)
+      val cols6 = Seq("idx_name", "tab_name", "col_names",
+        "idx_tab_name", "idx_type", "comment")
+      val schema = StructType(cols6.map(StructField(_, StringType)))
+      return Some(spark.createDataFrame(java.util.Arrays.asList(
+        lines.map(l =>
+          Row.fromSeq(l.split("\t", -1).padTo(6, "").toSeq)): _*), schema))
+    }
+
     // SHOW TBLPROPERTIES t [("key")]
     val stRe = ("(?is)^show\\s+tblproperties\\s+`?([\\w.]+)`?" +
       "(?:\\s*\\(\\s*['\"]([^'\"]+)['\"]\\s*\\))?$").r
@@ -388,15 +443,24 @@ class HiveStatements(val spark: SparkSession) {
     // DESCRIBE DATABASE|SCHEMA [EXTENDED] db — name, comment,
     // location, owner (DDLTask.descDatabase layout)
     val ddbRe = ("(?is)^desc(?:ribe)?\\s+(?:database|schema)\\s+" +
-      "(?:extended\\s+)?`?(\\w+)`?$").r
+      "(extended\\s+)?`?(\\w+)`?$").r
     ddbRe.findFirstMatchIn(q).foreach { m =>
-      val db = m.group(1).toLowerCase
+      val db = m.group(2).toLowerCase
       val known = dialect.knownDbs.contains(db) || db == "default" ||
         scala.util.Try(spark.sessionState.catalog
           .databaseExists(db)).getOrElse(false)
       if (!known) return None
       val loc = scala.util.Try(spark.sessionState.catalog
         .getDatabaseMetadata(db).locationUri.toString).getOrElse("")
+      val (cmt, props) = meta.dbMeta.getOrElse(db, ("", Nil))
+      val (owner, otype) = meta.dbOwners.getOrElse(db,
+        (sys.props.getOrElse("user.name", ""), "USER"))
+      // parameters render only under EXTENDED (DDLTask.descDatabase)
+      val params =
+        if (m.group(1) != null && props.nonEmpty)
+          props.map { case (k, v) => s"$k=$v" }
+            .mkString("{", ", ", "}")
+        else ""
       val schema = StructType(Seq(
         StructField("db_name", StringType),
         StructField("comment", StringType),
@@ -405,8 +469,7 @@ class HiveStatements(val spark: SparkSession) {
         StructField("owner_type", StringType),
         StructField("parameters", StringType)))
       return Some(spark.createDataFrame(java.util.Arrays.asList(
-        Row(db, "", loc, sys.props.getOrElse("user.name", ""),
-          "USER", "")), schema))
+        Row(db, cmt, loc, owner, otype, params)), schema))
     }
 
     // SHOW VIEWS [IN db] ['pattern'] (HIVE-14558) — session views
@@ -610,21 +673,11 @@ class HiveStatements(val spark: SparkSession) {
     if (ql.matches("(?s)^create\\s+(?:database|schema)\\b.*")) {
       ("(?is)^create\\s+(?:database|schema)\\s+" +
         "(?:if\\s+not\\s+exists\\s+)?`?(\\w+)`?").r.findFirstMatchIn(q)
-        .foreach { m =>
-          val db = m.group(1).toLowerCase
-          dialect.knownDbs += db
-          val cmt = ("(?is)\\bcomment\\s+'((?:[^'\\\\]|\\\\.)*)'").r
-            .findFirstMatchIn(q).map(_.group(1)).getOrElse("")
-          val props = "(?is)with\\s+dbproperties\\s*".r
-            .findFirstMatchIn(q)
-            .flatMap(x => meta.balancedAfter(q, x.end)).toSeq
-            .flatMap(body =>
-              "['\"]([^'\"]+)['\"]\\s*=\\s*['\"]([^'\"]*)['\"]".r
-                .findAllMatchIn(body)
-                .map(kv => kv.group(1) -> kv.group(2)))
-          if (cmt.nonEmpty || props.nonEmpty)
-            meta.dbMeta(db) = (cmt, props)
-        }
+        .foreach(m => dialect.knownDbs += m.group(1).toLowerCase)
+      meta.recordDatabaseDdl(q)
+    } else if (ql.startsWith("alter database") ||
+        ql.startsWith("alter schema")) {
+      meta.recordDatabaseDdl(q)
     } else if (ql.startsWith("create")) {
       val isView = ql.matches(
         "(?s)create\\s+(?:or\\s+replace\\s+)?(?:materialized\\s+)?view\\b.*")
@@ -1203,6 +1256,46 @@ class HiveStatements(val spark: SparkSession) {
           Option(sAlias), on, clauses)
         true
       case _ => false
+    } else if (ql.startsWith("create index")) {
+      // Hive 2.x index DDL: record the definition (SHOW INDEX serves
+      // it); the engine's scans don't consult index tables — Spark's
+      // own pruning/pushdown replaces the rebuild-era machinery
+      ("(?is)^create\\s+index\\s+`?(\\w+)`?\\s+on\\s+table\\s+" +
+        "`?([\\w.]+)`?\\s*\\(([^)]*)\\)\\s+as\\s+['\"]([^'\"]+)['\"]").r
+        .findFirstMatchIn(q) match {
+        case Some(m) =>
+          val cmt = "(?is)\\bcomment\\s+['\"]([^'\"]*)['\"]".r
+            .findFirstMatchIn(q.substring(m.end)).map(_.group(1))
+            .getOrElse("")
+          meta.recordIndex(meta.resolveLc(m.group(2)), m.group(1),
+            m.group(3).split(",").map(_.trim.replace("`", ""))
+              .filter(_.nonEmpty).toSeq,
+            m.group(4), cmt)
+          true
+        case None => false
+      }
+    } else if (ql.startsWith("drop index")) {
+      ("(?is)^drop\\s+index\\s+(?:if\\s+exists\\s+)?`?(\\w+)`?\\s+" +
+        "on\\s+`?([\\w.]+)`?").r.findFirstMatchIn(q) match {
+        case Some(m) =>
+          meta.dropIndex(meta.resolveLc(m.group(2)), m.group(1)); true
+        case None => false
+      }
+    } else if (ql.startsWith("alter index") &&
+        ql.matches("(?s).*\\brebuild\\b.*")) {
+      true // REBUILD: nothing to materialize
+    } else if (ql.startsWith("lock table") ||
+        ql.startsWith("unlock table")) {
+      meta.recordLockDdl(q, dialect.currentDb.toLowerCase)
+    } else if (ql.startsWith("alter table") &&
+        ql.matches("(?s).*\\bcompact\\s+['\"](?:minor|major)['\"]\\s*$")) {
+      meta.recordCompact(q, dialect.currentDb.toLowerCase)
+    } else if (ql.matches("(?s)^alter\\s+(?:database|schema)\\s+\\S+\\s+" +
+        "set\\s+owner\\b.*")) {
+      // SET OWNER is dialect-only syntax — the metadata layer holds
+      // the owner (Spark's grammar rejects the clause)
+      meta.recordDatabaseDdl(q)
+      true
     } else if (ql.matches("(?s)^create\\s+(?:temporary\\s+)?" +
         "(?:external\\s+)?table\\b.*") &&
         "(?is)\\bstored\\s+by\\s+['\"]".r.findFirstIn(q).isDefined) {

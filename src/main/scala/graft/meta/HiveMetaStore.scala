@@ -124,6 +124,207 @@ class HiveMetaStore(val spark: SparkSession,
   /** db → (comment, dbproperties) from CREATE DATABASE. */
   val dbMeta = scala.collection.mutable
     .Map[String, (String, Seq[(String, String)])]()
+
+  /** db → (owner, USER|ROLE) from ALTER DATABASE SET OWNER; absent =
+    * the session user (metastore Database owner fields). */
+  val dbOwners = scala.collection.mutable
+    .Map[String, (String, String)]()
+
+  /** base-table lc → (index name → (cols, idx_type, comment)) in
+    * creation order (CREATE INDEX; Hive 2.x index DDL surface). */
+  val indexes = scala.collection.mutable.Map[String,
+    scala.collection.mutable.LinkedHashMap[String,
+      (Seq[String], String, String)]]()
+
+  /** Explicit-lock ledger: (`db@table[@partname]`, SHARED|EXCLUSIVE,
+    * the LOCK statement's own text) — the legacy lock-manager display
+    * surface (LOCK/UNLOCK TABLE, SHOW LOCKS; DDLTask.showLocks over
+    * ZooKeeperHiveLockManager). Re-locking a held key ADDS another
+    * lock (lock1.q records two coexisting SHARED locks); UNLOCK
+    * releases every lock on the exact key. */
+  val locks =
+    scala.collection.mutable.ListBuffer[(String, String, String)]()
+
+  /** `PARTITION (ds='2008-04-08', hr='11')` body → the lock-name
+    * suffix `ds=2008-04-08/hr=11`. */
+  def lockPartName(body: String): String =
+    splitTop(body, ',').map { kv =>
+      val p = kv.split("=", 2).map(_.trim)
+      p(0).replace("`", "").toLowerCase + "=" +
+        p.lift(1).getOrElse("").stripPrefix("'").stripSuffix("'")
+          .stripPrefix("\"").stripSuffix("\"")
+    }.mkString("/")
+
+  /** LOCK/UNLOCK TABLE statements against the ledger. `db`: the
+    * session's current database. True when handled. */
+  def recordLockDdl(q: String, db: String): Boolean = {
+    val lockRe = ("(?is)^lock\\s+table\\s+`?([\\w.]+)`?\\s*" +
+      "(?:partition\\s*\\(([^)]*)\\)\\s*)?(shared|exclusive)\\s*$").r
+    lockRe.findFirstMatchIn(q).foreach { m =>
+      val t = m.group(1).split('.').last.toLowerCase
+      val key = s"$db@$t" +
+        Option(m.group(2)).map(b => "@" + lockPartName(b)).getOrElse("")
+      locks += ((key, m.group(3).toUpperCase, q.trim.stripSuffix(";")))
+      return true
+    }
+    val unlockRe = ("(?is)^unlock\\s+table\\s+`?([\\w.]+)`?\\s*" +
+      "(?:partition\\s*\\(([^)]*)\\))?\\s*$").r
+    unlockRe.findFirstMatchIn(q).foreach { m =>
+      val t = m.group(1).split('.').last.toLowerCase
+      val key = s"$db@$t" +
+        Option(m.group(2)).map(b => "@" + lockPartName(b)).getOrElse("")
+      // a table unlock releases ONLY the table-level locks — explicit
+      // partition locks stand (lock2.q)
+      locks.filterInPlace(_._1 != key)
+      return true
+    }
+    false
+  }
+
+  /** SHOW LOCKS [t [PARTITION (...)]] [EXTENDED] lines. The filter
+    * is the EXACT lock object — `SHOW LOCKS t` does not list t's
+    * partition locks (lock2.q). */
+  def showLocksLines(table: Option[String], partBody: Option[String],
+      db: String, extended: Boolean): Seq[String] = {
+    val filter: String => Boolean = table match {
+      case None => _ => true
+      case Some(t0) =>
+        val t = t0.split('.').last.toLowerCase
+        val key = s"$db@$t" +
+          partBody.map(b => "@" + lockPartName(b)).getOrElse("")
+        k => k == key
+    }
+    locks.toSeq.sortBy(_._1).filter(l => filter(l._1)).flatMap {
+      case (k, mode, stmt) =>
+        Seq(s"$k\t$mode") ++
+          (if (extended)
+            Seq("LOCK_MODE:EXPLICIT\t ", s"LOCK_QUERYSTRING:$stmt\t ")
+          else Nil)
+    }
+  }
+
+  /** Requested compactions: (db, table, partName or " --- ", TYPE) —
+    * ALTER TABLE ... COMPACT under the transactional manager; the
+    * request stays `initiated` (no worker in this engine — Spark
+    * rewrites handle compaction; SHOW COMPACTIONS reports it). */
+  val compactions =
+    scala.collection.mutable.ListBuffer[(String, String, String, String)]()
+
+  def recordCompact(q: String, db: String): Boolean =
+    ("(?is)^alter\\s+table\\s+`?([\\w.]+)`?\\s*" +
+      "(?:partition\\s*\\(([^)]*)\\)\\s*)?compact\\s+" +
+      "['\"](minor|major)['\"]\\s*$").r.findFirstMatchIn(q).exists { m =>
+      compactions += ((db, m.group(1).split('.').last.toLowerCase,
+        Option(m.group(2)).map(lockPartName).getOrElse(" --- "),
+        m.group(3).toUpperCase))
+      true
+    }
+
+  /** The DbTxnManager display surface (no open transactions or
+    * blocked locks between statements in this engine): SHOW LOCKS /
+    * TRANSACTIONS print their header; SHOW COMPACTIONS lists the
+    * requested compactions as initiated. */
+  val txnLocksHeader: String = Seq("Lock ID", "Database", "Table",
+    "Partition", "State", "Blocked By", "Type", "Transaction ID",
+    "Last Heartbeat", "Acquired At", "User", "Hostname", "Agent Info")
+    .mkString("\t")
+  val txnTransactionsHeader: String = Seq("Transaction ID",
+    "Transaction State", "Started Time", "Last Heartbeat Time",
+    "User", "Hostname").mkString("\t")
+
+  def showCompactionsLines(): Seq[String] =
+    Seq("Database", "Table", "Partition", "Type", "State", "Worker",
+      "Start Time", "Duration(ms)", "HadoopJobId").mkString("\t") +:
+      compactions.toSeq.map { case (db, t, p, tp) =>
+        Seq(db, t, p, tp, "initiated", " --- ", " --- ", " --- ",
+          " --- ").mkString("\t")
+      }
+
+  /** AS 'handler' → the rendered idx_type (HiveIndex.IndexType:
+    * shorthand or handler class both print the short name). */
+  def indexTypeName(handler: String): String =
+    handler.toLowerCase match {
+      case "compact" => "compact"
+      case "bitmap" => "bitmap"
+      case h if h.endsWith("compactindexhandler") => "compact"
+      case h if h.endsWith("bitmapindexhandler") => "bitmap"
+      case h => h
+    }
+
+  def recordIndex(tableLc: String, idx: String, cols: Seq[String],
+      handler: String, comment: String): Unit =
+    indexes.getOrElseUpdate(tableLc,
+      scala.collection.mutable.LinkedHashMap.empty)(idx.toLowerCase) =
+      (cols.map(_.toLowerCase), indexTypeName(handler),
+        unescapeSql(comment))
+
+  def dropIndex(tableLc: String, idx: String): Unit = {
+    indexes.get(tableLc).foreach(_.remove(idx.toLowerCase))
+    if (indexes.get(tableLc).exists(_.isEmpty)) indexes.remove(tableLc)
+  }
+
+  /** SHOW [FORMATTED] INDEX[ES] ON t lines — %-20s cells; FORMATTED
+    * prepends the column header + two separator lines
+    * (MetaDataFormatUtils.getIndexColumnsHeader). The index table
+    * names `<db>__<table>_<index>__` (HiveIndex.getIndexTableName). */
+  def showIndexLines(tableLc: String, tableDisplay: String, db: String,
+      formatted: Boolean): Seq[String] = {
+    val sep6 = "\t \t \t \t \t "
+    val hdr =
+      if (!formatted) Nil
+      else Seq(Seq("idx_name", "tab_name", "col_names", "idx_tab_name",
+        "idx_type", "comment").map(pad).mkString("\t"), sep6, sep6)
+    hdr ++ indexes.getOrElse(tableLc,
+      scala.collection.mutable.LinkedHashMap
+        .empty[String, (Seq[String], String, String)])
+      .toSeq.flatMap { case (n, (cols, tp, cm)) =>
+        // an embedded newline in the comment wraps: continuation
+        // lines carry empty leading cells (MetaDataFormatUtils)
+        val frags = cm.split("\n", -1).toSeq
+        val row = Seq(pad(n), pad(tableDisplay),
+          pad(cols.mkString(", ")),
+          pad(s"${db}__${tableDisplay}_${n}__"), pad(tp),
+          if (frags.head.isEmpty) "" else pad(frags.head))
+          .mkString("\t")
+        row +: frags.tail.map(f => "\t\t\t\t\t" + pad(f))
+      }
+  }
+
+  /** CREATE/ALTER DATABASE metadata effects: comment + dbproperties
+    * at create, SET OWNER, SET DBPROPERTIES merge (DDLTask
+    * createDatabase/alterDatabase). */
+  def recordDatabaseDdl(q: String): Unit = {
+    ("(?is)^create\\s+(?:database|schema)\\s+" +
+      "(?:if\\s+not\\s+exists\\s+)?`?(\\w+)`?").r
+      .findFirstMatchIn(q).foreach { m =>
+        val db = m.group(1).toLowerCase
+        val cmt = "(?is)\\bcomment\\s+'((?:[^'\\\\]|\\\\.)*)'".r
+          .findFirstMatchIn(q).map(_.group(1)).getOrElse("")
+        val props = "(?is)with\\s+dbproperties\\s*".r
+          .findFirstMatchIn(q)
+          .flatMap(x => balancedAfter(q, x.end)).toSeq
+          .flatMap(body =>
+            "['\"]([^'\"]+)['\"]\\s*=\\s*['\"]([^'\"]*)['\"]".r
+              .findAllMatchIn(body)
+              .map(kv => kv.group(1) -> kv.group(2)))
+        if (cmt.nonEmpty || props.nonEmpty) dbMeta(db) = (cmt, props)
+      }
+    ("(?is)^alter\\s+(?:database|schema)\\s+`?(\\w+)`?\\s+" +
+      "set\\s+owner\\s+(user|role)\\s+`?(\\w+)`?").r
+      .findFirstMatchIn(q).foreach(m =>
+        dbOwners(m.group(1).toLowerCase) =
+          (m.group(3), m.group(2).toUpperCase))
+    ("(?is)^alter\\s+(?:database|schema)\\s+`?(\\w+)`?\\s+" +
+      "set\\s+dbproperties\\s*").r.findFirstMatchIn(q).foreach { m =>
+        val db = m.group(1).toLowerCase
+        val adds = balancedAfter(q, m.end).toSeq.flatMap(body =>
+          "['\"]([^'\"]+)['\"]\\s*=\\s*['\"]([^'\"]*)['\"]".r
+            .findAllMatchIn(body).map(kv => kv.group(1) -> kv.group(2)))
+        val (c, old) = dbMeta.getOrElse(db, ("", Nil))
+        dbMeta(db) =
+          (c, old.filterNot(o => adds.exists(_._1 == o._1)) ++ adds)
+      }
+  }
   /** lc → creation epoch seconds (transient_lastDdlTime). */
   val createTime = scala.collection.mutable.Map[String, Long]()
 
@@ -840,7 +1041,7 @@ class HiveMetaStore(val spark: SparkSession,
     addedParts.remove(lc); partSchemas.remove(lc)
     dbOwner.remove(lc)
     serdeProps.remove(lc); tableComment.remove(lc); storedBy.remove(lc)
-    viewText.remove(lc); viewColList.remove(lc)
+    viewText.remove(lc); viewColList.remove(lc); indexes.remove(lc)
     createTime.remove(lc); tempTables -= lc
     partStorage.filterInPlace((k, _) => k._1 != lc)
     partBucketMeta.filterInPlace((k, _) => k._1 != lc)

@@ -514,4 +514,47 @@ class DialectSpec extends SparkSpec {
     assert(spark.table("upd_t").filter(col("v") === "x").count() === 2)
     spark.catalog.dropTempView("upd_t")
   }
+
+  test("public entry: index DDL + SHOW INDEX, LOCK/UNLOCK + " +
+      "SHOW LOCKS, DESCRIBE DATABASE EXTENDED") {
+    val h = new HiveStatements(spark)
+    h.sql("DROP TABLE IF EXISTS ix_t")
+    h.sql("CREATE TABLE ix_t (k INT, v STRING) USING parquet")
+    h.sql("CREATE INDEX ix1 ON TABLE ix_t(k) AS 'COMPACT' " +
+      "WITH DEFERRED REBUILD COMMENT 'the idx'")
+    h.sql("ALTER INDEX ix1 ON ix_t REBUILD")
+    val ix = h.sql("SHOW FORMATTED INDEX ON ix_t").get.collect()
+    assert(ix.exists(_.getString(0).trim == "idx_name"))
+    val row = ix.find(_.getString(0).trim == "ix1").get
+    assert(row.getString(2).trim === "k")
+    assert(row.getString(3).trim === "default__ix_t_ix1__")
+    assert(row.getString(4).trim === "compact")
+    assert(row.getString(5).trim === "the idx")
+    h.sql("DROP INDEX ix1 ON ix_t")
+    assert(h.sql("SHOW INDEX ON ix_t").get.collect().isEmpty)
+    // explicit lock ledger
+    h.sql("LOCK TABLE ix_t SHARED")
+    val lk = h.sql("SHOW LOCKS ix_t EXTENDED").get.collect()
+    assert(lk.map(_.getString(0)).toSeq ===
+      Seq("default@ix_t", "LOCK_MODE:EXPLICIT",
+        "LOCK_QUERYSTRING:LOCK TABLE ix_t SHARED"))
+    assert(lk.head.getString(1) === "SHARED")
+    h.sql("UNLOCK TABLE ix_t")
+    assert(h.sql("SHOW LOCKS").get.collect().isEmpty)
+    h.sql("DROP TABLE ix_t")
+    // database comment/props/owner surface
+    h.sql("DROP DATABASE IF EXISTS ddb")
+    h.sql("CREATE DATABASE ddb COMMENT 'a db' " +
+      "WITH DBPROPERTIES ('k1'='v1')")
+    h.sql("ALTER DATABASE ddb SET OWNER ROLE r1")
+    val d = h.sql("DESCRIBE DATABASE EXTENDED ddb").get.collect().head
+    assert(d.getString(0) === "ddb")
+    assert(d.getString(1) === "a db")
+    assert(d.getString(3) === "r1")
+    assert(d.getString(4) === "ROLE")
+    assert(d.getString(5) === "{k1=v1}")
+    // non-extended: no parameters column content
+    val d2 = h.sql("DESCRIBE DATABASE ddb").get.collect().head
+    assert(d2.getString(5) === "")
+  }
 }

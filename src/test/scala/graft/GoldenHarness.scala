@@ -2911,9 +2911,60 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   /** `dfs -rmr <path>`: forget export snapshots under the directory
     * and drop every table row bound to it (external tables and
     * explicit-LOCATION imports read THROUGH that directory). */
+  /** Directories the .q script created via `dfs mkdir`/`-touchz`
+    * (canonPath'd) — the virtual warehouse MSCK scans. */
+  private val vfsDirs = scala.collection.mutable.Set[String]()
+
+  /** MSCK [REPAIR] TABLE t: diff partition-shaped directories under
+    * the table's root against the metastore's partitions
+    * (HiveMetaStoreChecker): unknown ones report on ONE tab-joined
+    * `Partitions not in metastore:` line; REPAIR then registers each
+    * (`Repair: Added partition to metastore db.t:spec`). */
+  private def msckLines(t0: String, repair: Boolean): Seq[String] = {
+    val lc = resolveLc(t0)
+    val pcs = tablePartCols.getOrElse(lc,
+      fixturePartCols.getOrElse(lc, Nil)).map(_.toLowerCase)
+    if (pcs.isEmpty) return Nil
+    val root = tableLoc.getOrElse(lc, lc)
+    val found: Seq[Seq[(String, String)]] = vfsDirs.toSeq
+      .filter(p => p == root || p.startsWith(root + "/"))
+      .map(_.stripPrefix(root).stripPrefix("/").split("/").toSeq)
+      .filter(_.size >= pcs.size)
+      .map(_.take(pcs.size))
+      .filter(_.zipWithIndex.forall { case (seg, i) =>
+        seg.startsWith(pcs(i) + "=") })
+      .map(_.zip(pcs).map { case (seg, pc) =>
+        pc -> seg.substring(pc.length + 1) })
+      .distinct
+    val known = addedParts.getOrElse(lc,
+      scala.collection.mutable.LinkedHashSet
+        .empty[Seq[(String, String)]])
+      .map(_.map { case (n, v) => n.toLowerCase -> v }).toSet
+    def render(s: Seq[(String, String)]): String =
+      s.map { case (n, v) => s"$n=$v" }.mkString("/")
+    val missing = found
+      .filterNot(s => known.contains(s.map { case (n, v) =>
+        n.toLowerCase -> v }))
+      .sortBy(render)
+    if (missing.isEmpty) return Nil
+    val disp = if (lc.contains("__")) lc.substring(lc.indexOf("__") + 2)
+      else lc
+    val head = "Partitions not in metastore:" +
+      missing.map(s => s"\t$disp:${render(s)}").mkString
+    if (!repair) Seq(head)
+    else {
+      val db = dbOwner.getOrElse(lc, dialect.currentDb.toLowerCase)
+      missing.foreach(s => addedParts.getOrElseUpdate(lc,
+        scala.collection.mutable.LinkedHashSet.empty) += s)
+      head +: missing.map(s =>
+        s"Repair: Added partition to metastore $db.$disp:${render(s)}")
+    }
+  }
+
   private def rmrPath(path: String): Unit = {
     val key = canonPath(path)
     if (key.isEmpty) return
+    vfsDirs.filterInPlace(k => k != key && !k.startsWith(key + "/"))
     exports.remove(key)
     dirStore.keys.toVector.foreach(k =>
       if (k == key || k.startsWith(key + "/")) dirStore.remove(k))
@@ -3125,6 +3176,31 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     // skips — emit only the USER properties, compare filtered
     Some(meta.showTblPropsLines(lc, db, t.split('.').last,
       Option(m.group(2))))
+  }
+
+  /** DESCRIBE DATABASE [EXTENDED] line, with the recorder's IN-LINE
+    * masks applied: absolute locations print `location/in/test`, the
+    * qtest process user prints `hive_test_user` (QTestUtil masking).
+    * Owner/type and dbproperties come from the SHIPPED metadata layer
+    * (meta.dbOwners / dbMeta). */
+  private def descDatabaseGolden(q0: String): Option[Seq[String]] = {
+    val m = ("(?is)^desc(?:ribe)?\\s+(?:database|schema)\\s+" +
+      "(extended\\s+)?`?(\\w+)`?\\s*$").r
+      .findFirstMatchIn(q0.trim.stripSuffix(";").trim)
+      .getOrElse(return None)
+    if (jsonDdlOut) return None
+    val db = m.group(2).toLowerCase
+    if (db != "default" && !dialect.knownDbs.contains(db)) return None
+    val (cmt, props) = meta.dbMeta.getOrElse(db, ("", Nil))
+    val me = sys.props.getOrElse("user.name", "")
+    val (owner0, otype) = meta.dbOwners.getOrElse(db, (me, "USER"))
+    val owner = if (owner0 == me) "hive_test_user" else owner0
+    val params =
+      if (m.group(1) != null && props.nonEmpty)
+        props.map { case (k, v) => s"$k=$v" }.mkString("{", ", ", "}")
+      else ""
+    Some(Seq(Seq(db, cmt, "location/in/test", owner, otype, params)
+      .mkString("\t")))
   }
 
   /** SHOW CREATE TABLE lines from the SHIPPED renderer
@@ -4886,7 +4962,10 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             l.contains("${hiveconf:") || l.contains("hdfs://") ||
             l.contains("file://") || l.contains("'/tmp/") ||
             l.contains("\"/tmp/"))
-        n.startsWith("set ") || n.startsWith("dfs ") ||
+        // `set role X` is a statement WITH a golden block
+        // (SHOW_ROLES type) — it counts as visible, unlike conf sets
+        (n.startsWith("set ") && !n.startsWith("set role ")) ||
+          n.startsWith("dfs ") ||
           n.startsWith("add file") || n.startsWith("add jar") ||
           n.startsWith("add archive") || n.startsWith("delete file") ||
           n.startsWith("delete jar") || n.startsWith("reset") ||
@@ -4894,6 +4973,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             n.startsWith("alter ") || n.startsWith("import") ||
             (n.startsWith("insert overwrite") &&
               n.contains("directory"))) && firstLineMasked) ||
+          // the OWNER name line is masked away with the whole block
+          n.matches("alter (database|schema) .* set owner .*") ||
           n.matches("create (temporary )?function .* using " +
             "(jar|file|archive).*")
       }
@@ -4911,7 +4992,19 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     }
     def sideEffect(s: String): Unit = {
       val n = norm(s)
-      if (n.startsWith("dfs -rmr ") || n.startsWith("dfs -rm "))
+      if (n.startsWith("alter database") || n.startsWith("alter schema"))
+        meta.recordDatabaseDdl(s.trim.stripSuffix(";"))
+      else if (n.startsWith("dfs ${system:test.dfs.mkdir}")) {
+        // dfs mkdir: register the directory with the virtual
+        // warehouse (MSCK scans it)
+        val p = s.trim.stripSuffix(";").split("\\s+")
+          .filterNot(_ == "-p").last
+        if (canonPath(p).nonEmpty) vfsDirs += canonPath(p)
+      } else if (n.startsWith("dfs -touchz ")) {
+        val p = s.trim.stripSuffix(";").split("\\s+").last
+        val parent = canonPath(p).split("/").dropRight(1).mkString("/")
+        if (parent.nonEmpty) vfsDirs += parent
+      } else if (n.startsWith("dfs -rmr ") || n.startsWith("dfs -rm "))
         rmrPath(s.trim.split("\\s+").last.stripSuffix(";"))
       else if (n.startsWith("dfs -cp ") &&
           s.contains("data/files") && viewSymlink.exists(t =>
@@ -5645,7 +5738,19 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           }
         }
       }
-      if (qd.startsWith("describe") || qd.startsWith("desc ")) {
+      if (qd.startsWith("describe database") ||
+          qd.startsWith("describe schema") ||
+          qd.startsWith("desc database") ||
+          qd.startsWith("desc schema")) {
+        // rows with in-line masked content (dbproperties holding
+        // paths) vanish entirely from the recording — assert only
+        // when a visible row survived (database_properties.q)
+        descDatabaseGolden(q).foreach { ls =>
+          if (b.rows.exists(l => !l.startsWith("#### A masked") &&
+              !leakedLines.contains(l.trim)))
+            assertShowLines(ls)
+        }
+      } else if (qd.startsWith("describe") || qd.startsWith("desc ")) {
         describeLines(q) match {
           case Some(ls) => assertDescribe(ls)
           case None => describeFormattedExpect(q, b.query).foreach {
@@ -5699,6 +5804,64 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             asserted += 1
           }
         }
+      } else if (qd.startsWith("lock table") ||
+          qd.startsWith("unlock table")) {
+        meta.recordLockDdl(q, dialect.currentDb.toLowerCase)
+      } else if (qd.startsWith("show locks")) {
+        // the txn manager's SHOW LOCKS prints a header (its locks
+        // are query-scoped — none outstanding between statements)
+        if (srcSetKeys.exists(_.contains("txn.manager"))) {
+          assertShowLines(Seq(meta.txnLocksHeader))
+        } else {
+          ("(?is)^show\\s+locks" +
+            "(?:\\s+`?([\\w.]+)`?)?(?:\\s*partition\\s*\\(([^)]*)\\))?" +
+            "(\\s+extended)?\\s*$").r.findFirstMatchIn(q).foreach { m =>
+              val bareExt = Option(m.group(1))
+                .exists(_.equalsIgnoreCase("extended")) &&
+                m.group(2) == null && m.group(3) == null
+              val table = if (bareExt) None else Option(m.group(1))
+              val ext = bareExt || m.group(3) != null
+              assertShowLines(meta.showLocksLines(table,
+                Option(m.group(2)), dialect.currentDb.toLowerCase, ext))
+            }
+        }
+      } else if (qd.startsWith("msck ")) {
+        // the hive.msck.path.validation special cases (escaped /
+        // rejected partition names, table_nonprintable) are owned by
+        // the location-fixture machinery — out of this assert
+        if (!srcSetKeys.exists(_.contains("msck.path.validation")))
+          ("(?is)^msck\\s+(repair\\s+)?table\\s+`?([\\w.]+)`?\\s*$").r
+            .findFirstMatchIn(q).foreach { m =>
+              assertShowLines(msckLines(m.group(2),
+                repair = m.group(1) != null))
+            }
+      } else if (qd.startsWith("show transactions")) {
+        assertShowLines(Seq(meta.txnTransactionsHeader))
+      } else if (qd.startsWith("show compactions")) {
+        assertShowLines(meta.showCompactionsLines())
+      } else if (qd.startsWith("alter table") &&
+          ql.matches("(?s).*\\bcompact\\s+['\"](?:minor|major)['\"]\\s*$")) {
+        meta.recordCompact(q, dialect.currentDb.toLowerCase)
+      } else if (qd.startsWith("show index") ||
+          qd.startsWith("show indexes") ||
+          qd.startsWith("show formatted index")) {
+        ("(?is)^show\\s+(formatted\\s+)?index(?:es)?\\s+on\\s+" +
+          "`?([\\w.]+)`?(?:\\s+(?:from|in)\\s+`?(\\w+)`?)?\\s*$").r
+          .findFirstMatchIn(q).foreach { m =>
+            val tphys = resolveLc(m.group(2))
+            if (isTempView(tphys)) {
+              val sep = tphys.indexOf("__")
+              val (db, disp) =
+                if (sep > 0 && dialect.knownDbs
+                    .contains(tphys.take(sep)))
+                  (tphys.take(sep), tphys.substring(sep + 2))
+                else (Option(m.group(3)).map(_.toLowerCase)
+                  .getOrElse(dbOwner.getOrElse(tphys,
+                    dialect.currentDb.toLowerCase)), tphys)
+              assertShowLines(meta.showIndexLines(tphys, disp, db,
+                formatted = m.group(1) != null))
+            }
+          }
       } else if (qd.startsWith("show tables")) {
         showTablesLines(q, b.query).foreach(ls => assertShowLines(ls))
       } else if (qd.startsWith("show databases") ||
@@ -5921,7 +6084,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         // run against the base table.
         val ixRe = ("(?is)create\\s+index\\s+`?(\\w+)`?\\s+on\\s+" +
           "table\\s+`?([\\w.]+)`?\\s*\\(([^)]*)\\)\\s+as\\s+" +
-          "'([^']*)'.*").r
+          "['\"]([^'\"]*)['\"].*").r
         q match {
           case ixRe(ixName, t0, cols, handler) =>
             // the PHYSICAL binding reads data; the index-table NAME
@@ -5940,6 +6103,11 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             val base = spark.table(tphys)
             val keyCols = cols.split(",").map(_.trim.replace("`", ""))
               .filter(_.nonEmpty).toSeq
+            // definition registry: SHOW INDEX serves from here
+            meta.recordIndex(tphys.toLowerCase, ixName, keyCols,
+              handler,
+              "(?is)\\bcomment\\s+['\"]([^'\"]*)['\"]".r
+                .findFirstMatchIn(q).map(_.group(1)).getOrElse(""))
             // index table layout: indexed cols, handler payload, then
             // the base table's PARTITION columns (one index partition
             // per base partition)
@@ -6005,7 +6173,11 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         }
       } else if (qd.startsWith("alter index") ||
           qd.startsWith("drop index")) {
-        // REBUILD / DROP INDEX: the empty-index contract stands
+        // REBUILD / DROP INDEX: the empty-index contract stands; the
+        // definition registry tracks the drop for SHOW INDEX
+        ("(?is)^drop\\s+index\\s+(?:if\\s+exists\\s+)?`?(\\w+)`?\\s+" +
+          "on\\s+`?([\\w.]+)`?").r.findFirstMatchIn(q).foreach(m =>
+          meta.dropIndex(resolveLc(m.group(2)), m.group(1)))
       } else if (qd.startsWith("alter view") &&
           ql.matches("(?s)alter\\s+view\\s+\\S+\\s+as\\s+select.*")) {
         // ALTER VIEW ... AS SELECT replaces the definition
@@ -6448,9 +6620,15 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       } else if (qd.startsWith("select")) {
         assertSelect(q)
       } else if (qd.startsWith("create database") ||
-          qd.startsWith("create schema")) q match {
-        case createDbRe(db) => dialect.knownDbs += db.toLowerCase
-        case _ =>
+          qd.startsWith("create schema")) {
+        q match {
+          case createDbRe(db) => dialect.knownDbs += db.toLowerCase
+          case _ =>
+        }
+        meta.recordDatabaseDdl(q)
+      } else if (qd.startsWith("alter database") ||
+          qd.startsWith("alter schema")) {
+        meta.recordDatabaseDdl(q)
       } else if (qd.startsWith("use ")) {
         dialect.currentDb = ql.stripPrefix("use ").trim.replace("`", "")
       } else if (qd.startsWith("drop table") ||
@@ -6471,6 +6649,11 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             rawStore.remove(lc); partSchemas.remove(lc)
             binaryStored -= lc
             colComments.remove(lc)
+            // a MANAGED table's warehouse directory dies with it
+            // (msck_repair_batchsize re-creates over a clean slate)
+            if (!tableLoc.contains(lc))
+              vfsDirs.filterInPlace(k =>
+                k != lc && !k.startsWith(lc + "/"))
             // storage metadata dies with the table (a re-CREATE IF
             // NOT EXISTS after a drop is a REAL create — drop_table2)
             tableStorage.remove(lc); bucketMeta.remove(lc)
