@@ -352,6 +352,49 @@ class HiveStatements(val spark: SparkSession) {
           Row.fromSeq(l.split("\t", -1).padTo(6, "").toSeq)): _*), schema))
     }
 
+    // SHOW TABLE EXTENDED [IN|FROM db] LIKE t [PARTITION (...)] —
+    // file statistics come from the table's real location when it is
+    // a catalog table; session temp views carry no files
+    val steRe = ("(?is)^show\\s+table\\s+extended\\s+" +
+      "(?:(?:in|from)\\s+`?(\\w+)`?\\s+)?" +
+      "like\\s+[`'\"]?([^`'\"\\s]+)[`'\"]?" +
+      "(?:\\s+partition\\s*\\(([^)]*)\\))?\\s*$").r
+    steRe.findFirstMatchIn(q).foreach { m =>
+      if (!m.group(2).matches("\\w+")) return None // pattern listing
+      val (table, db) = resolveMetaTable(m.group(2)).getOrElse(return None)
+      val lc = table.toLowerCase
+      val schema = scala.util.Try(spark.table(table).schema)
+        .getOrElse(return None)
+      val pcs = meta.tablePartCols.getOrElse(lc, Nil).map(_.toLowerCase)
+      val dFields = schema.fields.toSeq.filterNot(f =>
+        pcs.contains(f.name.toLowerCase))
+      val pFields = pcs.flatMap(p =>
+        schema.fields.find(_.name.equalsIgnoreCase(p))).toSeq
+      val triple = meta.tableStorage.getOrElse(lc,
+        meta.fmtTriple(meta.defaultFileFormat))
+      val sizes: Seq[Long] = scala.util.Try {
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(lc))
+            .location)
+        val fs = loc.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(loc, true)
+        val buf = scala.collection.mutable.ListBuffer[Long]()
+        while (it.hasNext) {
+          val st = it.next()
+          if (!st.getPath.getName.startsWith("_") &&
+              !st.getPath.getName.startsWith("."))
+            buf += st.getLen
+        }
+        buf.toSeq
+      }.getOrElse(Nil)
+      val display =
+        if (lc.startsWith(db + "__")) lc.substring(db.length + 2) else lc
+      return Some(oneColDf("tab_name", meta.showTableExtendedLines(
+        display, dFields, pFields, triple._2, triple._3, sizes)))
+    }
+
     // SHOW TBLPROPERTIES t [("key")]
     val stRe = ("(?is)^show\\s+tblproperties\\s+`?([\\w.]+)`?" +
       "(?:\\s*\\(\\s*['\"]([^'\"]+)['\"]\\s*\\))?$").r
@@ -1853,7 +1896,10 @@ object HiveStatements {
   private[graft] val dropPartRe =
     ("(?is)alter\\s+table\\s+`?([\\w.]+)`?\\s+drop\\s+(?:if\\s+exists\\s+)?" +
       "((?:partition\\s*\\([^)]*\\)\\s*,?\\s*)+)" +
-      "(?:ignore\\s+protection\\s*)?(?:purge\\s*)?").r
+      "(?:ignore\\s+protection\\s*)?(?:purge\\s*)?" +
+      // a replication-scoped partition drop executes like a plain one
+      // (partition objects carry no newer repl id here)
+      "(?:for\\s+replication\\s*\\('[^']*'\\)\\s*)?").r
   private[graft] val partitionCondRe = "(?is)partition\\s*\\(([^)]*)\\)".r
   private[graft] val partCompRe =
     "(?s)\\s*`?(\\w+)`?\\s*(=|<>|!=|<=|>=|<|>)\\s*(.+)".r

@@ -240,6 +240,61 @@ class HiveMetaStore(val spark: SparkSession,
           " --- ").mkString("\t")
       }
 
+  /** Hive's thrift DDL type names (MetaStoreUtils.typeToThriftType —
+    * the `columns:struct columns { i32 a, ...}` rendering). */
+  def thriftTypeName(dt: DataType): String = dt match {
+    case IntegerType => "i32"
+    case LongType => "i64"
+    case ShortType => "i16"
+    case ByteType => "byte"
+    case BooleanType => "bool"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case StringType => "string"
+    case BinaryType => "binary"
+    case DateType => "date"
+    case TimestampType => "timestamp"
+    case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+    case ArrayType(e, _) => s"list<${thriftTypeName(e)}>"
+    case MapType(k, v, _) =>
+      s"map<${thriftTypeName(k)},${thriftTypeName(v)}>"
+    case s: StructType => s.fields
+      .map(f => s"${thriftTypeName(f.dataType)} ${f.name.toLowerCase}")
+      .mkString("struct { ", ", ", "}")
+    case other => hiveTypeName(other)
+  }
+
+  /** SHOW TABLE EXTENDED section lines (DDLTask.showTableStatus →
+    * MetaDataFormatUtils.getTableInformation text shape); the
+    * owner/location/timestamp lines the recorder masks are omitted.
+    * `fileSizes`: byte sizes of the table's (or the one queried
+    * partition's) data files. */
+  def showTableExtendedLines(display: String, dataFields: Seq[StructField],
+      partFields: Seq[StructField], inputFormat: String,
+      outputFormat: String, fileSizes: Seq[Long]): Seq[String] = {
+    def cols(fs: Seq[StructField], label: String): String =
+      if (fs.isEmpty) ""
+      else fs.map(f =>
+        s"${thriftTypeName(f.dataType)} ${f.name.toLowerCase}")
+        .mkString(s"struct $label { ", ", ", "}")
+    Seq(
+      s"tableName:$display",
+      s"inputformat:$inputFormat",
+      s"outputformat:$outputFormat",
+      "columns:" + cols(dataFields, "columns"),
+      s"partitioned:${partFields.nonEmpty}",
+      "partitionColumns:" + cols(partFields, "partition_columns")) ++
+      // a table with NO data files prints no file statistics
+      // (repl_1_drop records stat-less sections after partition drops)
+      (if (fileSizes.isEmpty) Nil
+       else Seq(
+         s"totalNumberFiles:${fileSizes.size}",
+         s"totalFileSize:${fileSizes.sum}",
+         s"maxFileSize:${fileSizes.max}",
+         s"minFileSize:${fileSizes.min}")) ++
+      Seq("")
+  }
+
   /** AS 'handler' → the rendered idx_type (HiveIndex.IndexType:
     * shorthand or handler class both print the short name). */
   def indexTypeName(handler: String): String =

@@ -557,4 +557,24 @@ class DialectSpec extends SparkSpec {
     val d2 = h.sql("DESCRIBE DATABASE ddb").get.collect().head
     assert(d2.getString(5) === "")
   }
+
+  test("public entry: SHOW TABLE EXTENDED reports schema shape and " +
+      "real file statistics for a catalog table") {
+    val h = new HiveStatements(spark)
+    h.sql("DROP TABLE IF EXISTS ste_t")
+    h.sql("CREATE TABLE ste_t (k INT, v STRING) USING parquet")
+    // write through Spark's own INSERT so the files land at the
+    // catalog location (the dialect INSERT rebinds a session view)
+    spark.sql("INSERT INTO ste_t VALUES (1, 'a'), (2, 'b')")
+    val lines = h.sql("SHOW TABLE EXTENDED LIKE ste_t").get.collect()
+      .map(_.getString(0))
+    assert(lines.contains("tableName:ste_t"))
+    assert(lines.contains("columns:struct columns { i32 k, string v}"))
+    assert(lines.contains("partitioned:false"))
+    val nf = lines.find(_.startsWith("totalNumberFiles:")).get
+    assert(nf.stripPrefix("totalNumberFiles:").toInt >= 1)
+    val sz = lines.find(_.startsWith("totalFileSize:")).get
+    assert(sz.stripPrefix("totalFileSize:").toLong > 0)
+    h.sql("DROP TABLE ste_t")
+  }
 }

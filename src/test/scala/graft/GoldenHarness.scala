@@ -893,6 +893,9 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           spark.table(testModePrefix + t0)).isSuccess)
         testModePrefix + t0
       else t0
+    // INSERT output files have engine-specific sizes — the file
+    // inventory for SHOW TABLE EXTENDED becomes unknowable
+    loadTainted += target.toLowerCase
     val lc = target.toLowerCase
     tableSegs(lc) =
       if (overwrite) 1 else tableSegs.getOrElse(lc, 1) + 1
@@ -2549,7 +2552,76 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     val rel =
       if (i >= 0) p.substring(i + "data/files/".length)
       else p.split('/').last
+    // file-identity ledger for SHOW TABLE EXTENDED's file statistics
+    val lc = table.toLowerCase
+    val partName = Option(partSpec).map(meta.lockPartName).getOrElse("")
+    val led = loadedFiles.getOrElseUpdate(lc,
+      scala.collection.mutable.ListBuffer.empty)
+    if (overwrite) led.filterInPlace(_._1 != partName)
+    val dir = new java.io.File("/root/reference/data/files")
+    // byte-identity between the fixture and the recorded load holds
+    // for plain text; container formats (.rc/.seq/.orc) have drifted
+    // vs the recordings (alter_merge records 239B for a 222B .rc)
+    def textLike(n: String): Boolean =
+      n.endsWith(".txt") || n.endsWith(".dat") || n.endsWith(".csv")
+    val sub = rel.split('/')
+    if (rel.exists(c => "*?[".indexOf(c) >= 0)) {
+      // an inpath GLOB loads every matching fixture file
+      // (authorization_load: kv[123].tx*)
+      val parent = new java.io.File(dir,
+        sub.dropRight(1).mkString("/"))
+      val rx = ("^" + sub.last.flatMap {
+        case '*' => ".*"
+        case '?' => "."
+        case c @ ('[' | ']' | '-') => c.toString
+        case c if "\\.^$+(){}|".indexOf(c) >= 0 => "\\" + c
+        case c => c.toString
+      } + "$").r
+      val hits = Option(parent.listFiles()).toSeq.flatten
+        .filter(f => f.isFile && rx.findFirstIn(f.getName).isDefined)
+        .toSeq.sortBy(_.getName)
+      if (hits.nonEmpty && hits.forall(f => textLike(f.getName)))
+        hits.foreach(f => led += ((partName,
+          (sub.dropRight(1) :+ f.getName).mkString("/"))))
+      else loadTainted += lc
+    }
+    else if (textLike(sub.last) && new java.io.File(dir, rel).isFile)
+      led += ((partName, rel))
+    else loadTainted += lc // unresolvable provenance
     loadData(rel, table, overwrite, partSpec)
+  }
+
+  /** Tables whose file inventory is unknowable (unresolved load
+    * paths, CONCATENATE rewrites): SHOW TABLE EXTENDED skips. */
+  private val loadTainted = scala.collection.mutable.Set[String]()
+
+  /** (partName or "", data/files-relative path) of each LOAD DATA. */
+  private val loadedFiles = scala.collection.mutable
+    .Map[String, scala.collection.mutable.ListBuffer[(String, String)]]()
+
+  /** Byte sizes of the files behind `lc` (one partition's when
+    * `partName` given): the LOAD ledger, else fixture provenance;
+    * None = not file-backed here (CTAS/insert output) — the golden's
+    * recorded sizes are the reference run's own bytes then. */
+  private def tableFileSizes(lc: String,
+      partName: Option[String]): Option[Seq[Long]] = {
+    def size(rel: String): Long =
+      new java.io.File("/root/reference/data/files", rel).length
+    if (loadTainted.contains(lc)) return None
+    loadedFiles.get(lc) match {
+      // a PRESENT-but-empty ledger is known-empty (partitions
+      // dropped): stats render as absent, not unknown
+      case Some(led) => Some(partName match {
+        case Some(p) => led.toSeq.filter(_._1 == p).map(l => size(l._2))
+        case None => led.toSeq.map(l => size(l._2))
+      })
+      case None => fixtureFiles(lc).map { files =>
+        partName match {
+          case Some(_) => Seq(size(files.head))
+          case None => files.map(size)
+        }
+      }
+    }
   }
 
   /** EXPORT/IMPORT replay is in-memory (golden paths are masked):
@@ -5479,9 +5551,6 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         // an adjacent FAILED statement's error line glued into this
         // block (loadpart_err) poisons the multiset
         if (want.exists(_.startsWith("FAILED"))) return
-        // `drop table ... for replication(id)` carries metastore
-        // repl-id semantics this replay does not model
-        if (qSourceText.toLowerCase.contains("for replication")) return
         if (lines.sorted != want.sorted) {
           val d = lines.sorted.zipAll(want.sorted, "<none>", "<none>")
             .find(p => p._1 != p._2)
@@ -5734,6 +5803,17 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
                         case ">=" => cmp(n, v2, v) >= 0
                         case _ => false
                       }) } }))
+                // the dropped partitions' data files leave the
+                // file-identity ledger too (equality specs only)
+                if (conds.nonEmpty && conds.forall(_._2 == "="))
+                  loadedFiles.get(lc).foreach(_.filterInPlace {
+                    case (pn, _) =>
+                      val kv = pn.split("/").map(_.split("=", 2))
+                        .collect { case Array(a, b) => (a, b) }.toSeq
+                      !conds.forall { case (n, _, v) =>
+                        kv.exists { case (n2, v2) =>
+                          n2.equalsIgnoreCase(n) && v2 == v } }
+                  })
               }
           }
         }
@@ -5825,6 +5905,40 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
                 Option(m.group(2)), dialect.currentDb.toLowerCase, ext))
             }
         }
+      } else if (qd.startsWith("show table extended")) {
+        ("(?is)^show\\s+table\\s+extended\\s+" +
+          "(?:(?:in|from)\\s+`?(\\w+)`?\\s+)?" +
+          "like\\s+[`'\"]?([^`'\"\\s]+)[`'\"]?" +
+          "(?:\\s+partition\\s*\\(([^)]*)\\))?\\s*$").r
+          .findFirstMatchIn(q).foreach { m =>
+            val pat = m.group(2)
+            // regex-shaped patterns enumerate recording-era fixture
+            // inventory — out of assert scope, like bare SHOW TABLES
+            if (pat.matches("\\w+")) {
+              val lc = resolveLc(pat)
+              val partName = Option(m.group(3)).map(meta.lockPartName)
+              if (isTempView(lc)) tableFileSizes(lc, partName)
+                .foreach { sizes =>
+                  val schema = spark.table(lc).schema
+                  val pcs = tablePartCols.getOrElse(lc,
+                    fixturePartCols.getOrElse(lc, Nil))
+                    .map(_.toLowerCase)
+                  val dFields = schema.fields.toSeq.filterNot(f =>
+                    pcs.contains(f.name.toLowerCase))
+                  val pFields = pcs.flatMap(p =>
+                    schema.fields.find(_.name.equalsIgnoreCase(p)))
+                  val triple = meta.tableStorage.getOrElse(lc,
+                    meta.fmtTriple(meta.defaultFileFormat))
+                  val disp =
+                    if (lc.contains("__") && dialect.knownDbs
+                        .contains(lc.take(lc.indexOf("__"))))
+                      lc.substring(lc.indexOf("__") + 2)
+                    else lc
+                  assertShowLines(meta.showTableExtendedLines(disp,
+                    dFields, pFields, triple._2, triple._3, sizes))
+                }
+            }
+          }
       } else if (qd.startsWith("msck ")) {
         // the hive.msck.path.validation special cases (escaped /
         // rejected partition names, table_nonprintable) are owned by
@@ -6638,7 +6752,30 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         // import-recreate, and a stale view would shadow the import
         val dropRe =
           "(?is)drop\\s+(?:table|materialized\\s+view|view)\\s+(?:if\\s+exists\\s+)?`?([\\w.]+)`?\\s*(?:purge\\s*)?".r
+        // DROP TABLE t FOR REPLICATION('id'): the drop applies only
+        // when the event id is newer than the object's repl.last.id
+        // — an older (or empty) id drops the PARTITIONS but keeps
+        // the table (ReplicationSpec.allowEventReplacementInto;
+        // repl_1_drop.q)
+        val replDropRe = ("(?is)drop\\s+table\\s+(?:if\\s+exists\\s+)?" +
+          "`?([\\w.]+)`?\\s+for\\s+replication\\s*" +
+          "\\(\\s*'([^']*)'\\s*\\)\\s*").r
         q match {
+          case replDropRe(n, ev) =>
+            val phys = resolveLc(n)
+            val tblId = meta.tableProps.get(phys)
+              .flatMap(_.get("repl.last.id")).flatMap(_.toLongOption)
+              .getOrElse(-1L)
+            if (ev.toLongOption.exists(_ > tblId))
+              tailExec(s"DROP TABLE ${n.split('.').last}")
+            else {
+              scala.util.Try(spark.table(phys).limit(0)
+                .createOrReplaceTempView(phys))
+              addedParts.remove(phys)
+              loadedFiles(phys) =
+                scala.collection.mutable.ListBuffer.empty
+              rawStore.remove(phys); partSchemas.remove(phys)
+            }
           case dropRe(n) =>
             val v = n.split('.').last
             spark.catalog.dropTempView(v)
@@ -6654,6 +6791,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             if (!tableLoc.contains(lc))
               vfsDirs.filterInPlace(k =>
                 k != lc && !k.startsWith(lc + "/"))
+            loadedFiles.remove(lc); loadTainted -= lc
             // storage metadata dies with the table (a re-CREATE IF
             // NOT EXISTS after a drop is a REAL create — drop_table2)
             tableStorage.remove(lc); bucketMeta.remove(lc)
