@@ -302,6 +302,30 @@ class HiveStatements(val spark: SparkSession) {
       spark.conf.get("hive.txn.manager", "")).toOption
       .exists(_.contains("DbTxnManager"))
 
+    // DESCRIBE FORMATTED t c — the column-statistics table
+    val dcsRe = ("(?is)^desc(?:ribe)?\\s+formatted\\s+" +
+      "`?([\\w.]+)`?\\s+`?(\\w+)`?\\s*$").r
+    dcsRe.findFirstMatchIn(q).foreach { m =>
+      val (table, _) = resolveMetaTable(m.group(1)).getOrElse(return None)
+      val lc = table.toLowerCase
+      val schema = scala.util.Try(spark.table(table).schema)
+        .getOrElse(return None)
+      val f = schema.fields.find(_.name.equalsIgnoreCase(m.group(2)))
+        .getOrElse(return None)
+      meta.describeColumnStatsLines(lc, f.name,
+        graft.meta.MetaRender.hiveTypeName(f.dataType)) match {
+        case Some(lines) =>
+          val cols11 = Seq("col_name", "data_type", "min", "max",
+            "num_nulls", "distinct_count", "avg_col_len",
+            "max_col_len", "num_trues", "num_falses", "comment")
+          val schema11 = StructType(cols11.map(StructField(_, StringType)))
+          return Some(spark.createDataFrame(java.util.Arrays.asList(
+            lines.map(l => Row.fromSeq(
+              l.split("\t", -1).padTo(11, "").toSeq)): _*), schema11))
+        case None => return None
+      }
+    }
+
     // SHOW LOCKS [t [PARTITION (...)]] [EXTENDED] — or any SHOW
     // LOCKS form under the txn manager (header-only; locks there are
     // query-scoped and never outstanding between statements)
@@ -1036,6 +1060,58 @@ class HiveStatements(val spark: SparkSession) {
     }
   }
 
+  /** hive.stats.ndv.error → FM-sketch bit-vector count
+    * (HiveStatsUtils.getNumBitVectorsForNDVEstimation's ladder;
+    * default error 20.0 → 16 vectors). */
+  protected def ndvBitVectors: Int = {
+    val e = scala.util.Try(spark.conf.get("hive.stats.ndv.error",
+      "20.0").toDouble).getOrElse(20.0)
+    if (e <= 3.4) 1024 else if (e <= 4.8) 512 else if (e <= 6.8) 256
+    else if (e <= 9.7) 128 else if (e <= 13.8) 64
+    else if (e <= 19.6) 32 else if (e <= 28.2) 16
+    else if (e <= 40.9) 8 else if (e <= 61.0) 4 else 2
+  }
+
+  /** ANALYZE ... FOR COLUMNS: compute the per-column statistics the
+    * metastore would hold — min/max/nulls via ordinary aggregation,
+    * ndv via the bit-exact FM sketch (functions.ComputeStats, the
+    * same estimator ColumnStatsSemanticAnalyzer's rewritten query
+    * runs) — and record them for DESCRIBE FORMATTED t c. */
+  protected def analyzeColumns(table: String, cols0: Seq[String]): Unit = {
+    val df = spark.table(table)
+    val lc = table.toLowerCase
+    val pcs = meta.tablePartCols.getOrElse(lc, Nil).map(_.toLowerCase)
+    val cols =
+      if (cols0.nonEmpty) cols0
+      else df.columns.toSeq.filterNot(c => pcs.contains(c.toLowerCase))
+    val nv = ndvBitVectors
+    val row = df.selectExpr(cols.map(c =>
+      s"compute_stats(`$c`, $nv)").toIndexedSeq: _*).head()
+    cols.zipWithIndex.foreach { case (c, i) =>
+      val json = row.getString(i)
+      def g(k: String): Option[String] =
+        ("\"" + k + "\":(\"(?:[^\"\\\\]|\\\\.)*\"|[^,}]*)").r
+          .findFirstMatchIn(json)
+          .map(_.group(1).stripPrefix("\"").stripSuffix("\""))
+          .filter(_ != "null")
+      val st = scala.collection.mutable.Map[String, String]()
+      g("min").foreach(st("min") = _)
+      g("max").foreach(st("max") = _)
+      g("countnulls").foreach(st("numNulls") = _)
+      g("numdistinctvalues").foreach(st("numDVs") = _)
+      g("avglength").foreach(st("avgColLen") = _)
+      g("maxlength").foreach(st("maxColLen") = _)
+      g("counttrues").foreach(st("numTrues") = _)
+      g("countfalses").foreach(st("numFalses") = _)
+      // the analyzed TYPE rides along: a later ALTER that retypes the
+      // column invalidates these statistics (metastore behavior —
+      // alter_table_invalidate_column_stats)
+      df.schema.fields.find(_.name.equalsIgnoreCase(c)).foreach(f =>
+        st("__dtype") = graft.meta.MetaRender.hiveTypeName(f.dataType))
+      meta.colStats((lc, c.toLowerCase)) = st
+    }
+  }
+
   /** Re-dispatch the tail of a composite statement (WITH-prefixed
     * inserts). Default: this dialect, else a plain Spark query. */
   protected def dispatchTail(sql: String): Unit =
@@ -1330,6 +1406,23 @@ class HiveStatements(val spark: SparkSession) {
     } else if (ql.startsWith("lock table") ||
         ql.startsWith("unlock table")) {
       meta.recordLockDdl(q, dialect.currentDb.toLowerCase)
+    } else if (ql.startsWith("analyze table") &&
+        ql.matches("(?s).*\\bfor\\s+columns\\b.*")) {
+      // column statistics land in the metadata layer; a bare ANALYZE
+      // (no FOR COLUMNS) falls through to Spark's own command
+      ("(?is)^analyze\\s+table\\s+`?([\\w.]+)`?\\s+" +
+        "compute\\s+statistics\\s+for\\s+columns\\s*(.*)$").r
+        .findFirstMatchIn(q) match {
+        case Some(m) =>
+          analyzeColumns(m.group(1).split('.').last,
+            m.group(2).split(",").map(_.trim.replace("`", ""))
+              .filter(_.nonEmpty).toSeq)
+          true
+        case None => false
+      }
+    } else if (ql.startsWith("alter table") &&
+        ql.contains("update statistics")) {
+      meta.recordUpdateStatistics(q)
     } else if (ql.startsWith("alter table") &&
         ql.matches("(?s).*\\bcompact\\s+['\"](?:minor|major)['\"]\\s*$")) {
       meta.recordCompact(q, dialect.currentDb.toLowerCase)

@@ -240,6 +240,97 @@ class HiveMetaStore(val spark: SparkSession,
           " --- ").mkString("\t")
       }
 
+  /** (lc, col) → column statistics — ANALYZE ... FOR COLUMNS results
+    * and ALTER ... UPDATE STATISTICS overrides. Keys are Hive's stat
+    * names: min, max, numNulls, numDVs, avgColLen, maxColLen,
+    * numTrues, numFalses. */
+  val colStats = scala.collection.mutable
+    .Map[(String, String), scala.collection.mutable.Map[String, String]]()
+
+  /** ALTER TABLE t UPDATE STATISTICS FOR COLUMN c SET (...): merge
+    * the given stats (lowValue/highValue are the min/max aliases the
+    * statement grammar uses). True when the statement matched. */
+  def recordUpdateStatistics(q: String): Boolean =
+    ("(?is)^alter\\s+table\\s+`?([\\w.]+)`?\\s+update\\s+statistics\\s+" +
+      "for\\s+column\\s+`?(\\w+)`?\\s+set\\s*").r
+      .findFirstMatchIn(q).exists { m =>
+        val key = (resolveLc(m.group(1)), m.group(2).toLowerCase)
+        val st = colStats.getOrElseUpdate(key,
+          scala.collection.mutable.Map.empty)
+        balancedAfter(q, m.end).foreach(body =>
+          "['\"]([^'\"]+)['\"]\\s*=\\s*['\"]([^'\"]*)['\"]".r
+            .findAllMatchIn(body).foreach { kv =>
+              val k = kv.group(1) match {
+                case "lowValue" => "min"
+                case "highValue" => "max"
+                case other => other
+              }
+              st(k) = kv.group(2)
+            })
+        true
+      }
+
+  /** DESCRIBE FORMATTED t c — the column-statistics table
+    * (MetaDataFormatUtils.getAllColumns stats shape): header +
+    * separator + one %-20s-padded row; None when no stats were ever
+    * computed/set for the column. */
+  def describeColumnStatsLines(lc: String, col: String,
+      dtype: String): Option[Seq[String]] = {
+    val st0 = colStats.getOrElse((lc, col.toLowerCase), return None)
+    // a column retyped since ANALYZE has INVALID statistics — the
+    // row renders with empty cells (metastore invalidation)
+    val st =
+      if (st0.get("__dtype").exists(_ != dtype))
+        scala.collection.mutable.Map.empty[String, String]
+      else st0
+    val header = ("# " + pad("col_name")) +: Seq("data_type", "min",
+      "max", "num_nulls", "distinct_count", "avg_col_len",
+      "max_col_len", "num_trues", "num_falses", "comment").map(pad)
+    val longTyped = Set("tinyint", "smallint", "int", "bigint",
+      "timestamp").contains(dtype)
+    val dblTyped = dtype == "float" || dtype == "double"
+    // the metastore stores numeric bounds TYPED: an UPDATE
+    // STATISTICS text value renders back through the type ('8.00' →
+    // 8.0), and unset long/double bounds default to zero
+    // (LongColumnStatsData/DoubleColumnStatsData defaults —
+    // colstats_all_nulls records min 0 max 0)
+    def bound(k: String): String = st.get(k) match {
+      case Some(v) if dblTyped =>
+        v.toDoubleOption.map(_.toString).getOrElse(v)
+      case Some(v) if longTyped =>
+        v.toDoubleOption.map(_.toLong.toString).getOrElse(v)
+      case Some(v) if dtype == "date" =>
+        // date bounds store epoch DAYS; the display is the date
+        v.toLongOption
+          .map(d => java.time.LocalDate.ofEpochDay(d).toString)
+          .getOrElse(v)
+      case Some(v) => v
+      case None if st.isEmpty => "" // invalidated: all cells blank
+      case None if longTyped => "0"
+      case None if dblTyped => "0.0"
+      case None => ""
+    }
+    def cell(k: String): String = st.getOrElse(k, "")
+    // avgColLen is stored double, maxColLen long — text overrides
+    // render back through the type ('4.40' → 4.4)
+    def dbl(k: String): String = st.get(k)
+      .map(v => v.toDoubleOption.map(_.toString).getOrElse(v))
+      .getOrElse("")
+    def lng(k: String): String = st.get(k)
+      .map(v => v.toDoubleOption.map(_.toLong.toString).getOrElse(v))
+      .getOrElse("")
+    // the column cell echoes the statement's own spelling
+    // (columnstats_tbllvl records `destURL` as requested)
+    val row = Seq(col, dtype, bound("min"), bound("max"),
+      lng("numNulls"), lng("numDVs"), dbl("avgColLen"),
+      lng("maxColLen"), lng("numTrues"), lng("numFalses"),
+      "from deserializer")
+    Some(Seq(
+      header.mkString("\t"),
+      "\t \t \t \t \t \t \t \t \t \t ",
+      row.map(pad).mkString("\t")))
+  }
+
   /** Hive's thrift DDL type names (MetaStoreUtils.typeToThriftType —
     * the `columns:struct columns { i32 a, ...}` rendering). */
   def thriftTypeName(dt: DataType): String = dt match {

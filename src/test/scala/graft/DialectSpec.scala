@@ -577,4 +577,31 @@ class DialectSpec extends SparkSpec {
     assert(sz.stripPrefix("totalFileSize:").toLong > 0)
     h.sql("DROP TABLE ste_t")
   }
+
+  test("public entry: ANALYZE FOR COLUMNS computes FM-sketch column " +
+      "stats; UPDATE STATISTICS overrides; DESCRIBE FORMATTED t c " +
+      "renders the stats table") {
+    val h = new HiveStatements(spark)
+    spark.sql("DROP TABLE IF EXISTS cs_t")
+    spark.sql("CREATE TABLE cs_t (k INT, v STRING) USING parquet")
+    spark.sql("INSERT INTO cs_t VALUES (1,'aa'), (2,'bbb'), " +
+      "(2,'aa'), (NULL, NULL)")
+    h.sql("ANALYZE TABLE cs_t COMPUTE STATISTICS FOR COLUMNS k, v")
+    val kRow = h.sql("DESCRIBE FORMATTED cs_t k").get.collect()
+      .find(_.getString(0).trim == "k").get
+    assert(kRow.getString(2).trim === "1")   // min
+    assert(kRow.getString(3).trim === "2")   // max
+    assert(kRow.getString(4).trim === "1")   // num_nulls
+    assert(kRow.getString(5).trim === "2")   // ndv (FM estimate)
+    val vRow = h.sql("DESCRIBE FORMATTED cs_t v").get.collect()
+      .find(_.getString(0).trim == "v").get
+    assert(vRow.getString(7).trim === "3")   // max_col_len
+    h.sql("ALTER TABLE cs_t UPDATE STATISTICS FOR COLUMN k " +
+      "SET ('numDVs'='42', 'lowValue'='7')")
+    val k2 = h.sql("DESCRIBE FORMATTED cs_t k").get.collect()
+      .find(_.getString(0).trim == "k").get
+    assert(k2.getString(5).trim === "42")
+    assert(k2.getString(2).trim === "7")
+    spark.sql("DROP TABLE cs_t")
+  }
 }

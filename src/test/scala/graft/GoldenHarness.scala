@@ -2595,6 +2595,18 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     * paths, CONCATENATE rewrites): SHOW TABLE EXTENDED skips. */
   private val loadTainted = scala.collection.mutable.Set[String]()
 
+  /** hive.stats.ndv.error as set by the replayed script (the conf
+    * drives the FM bit-vector count — tunable_ndv.q). */
+  private var ndvError: Double = 20.0
+
+  override protected def ndvBitVectors: Int = {
+    val e = ndvError
+    if (e <= 3.4) 1024 else if (e <= 4.8) 512 else if (e <= 6.8) 256
+    else if (e <= 9.7) 128 else if (e <= 13.8) 64
+    else if (e <= 19.6) 32 else if (e <= 28.2) 16
+    else if (e <= 40.9) 8 else if (e <= 61.0) 4 else 2
+  }
+
   /** (partName or "", data/files-relative path) of each LOAD DATA. */
   private val loadedFiles = scala.collection.mutable
     .Map[String, scala.collection.mutable.ListBuffer[(String, String)]]()
@@ -3273,6 +3285,25 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       else ""
     Some(Seq(Seq(db, cmt, "location/in/test", owner, otype, params)
       .mkString("\t")))
+  }
+
+  /** DESCRIBE FORMATTED t c — the column-statistics table from the
+    * SHIPPED renderer (meta.describeColumnStatsLines); None when the
+    * column has no computed/set statistics or the form is dotted. */
+  private def describeColStatsGolden(q0: String): Option[Seq[String]] = {
+    val m = ("(?is)^desc(?:ribe)?\\s+formatted\\s+" +
+      "`?([\\w.]+)`?\\s+`?(\\w+)`?\\s*$").r
+      .findFirstMatchIn(q0.trim.stripSuffix(";").trim)
+      .getOrElse(return None)
+    if (jsonDdlOut) return None
+    val lc = resolveLc(m.group(1))
+    if (!isTempView(lc)) return None
+    val schema = scala.util.Try(spark.table(lc).schema)
+      .getOrElse(return None)
+    val f = schema.fields.find(_.name.equalsIgnoreCase(m.group(2)))
+      .getOrElse(return None)
+    meta.describeColumnStatsLines(lc, m.group(2),
+      graft.meta.MetaRender.hiveTypeName(f.dataType))
   }
 
   /** SHOW CREATE TABLE lines from the SHIPPED renderer
@@ -4973,6 +5004,8 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             flat.substring(flat.indexOf('=') + 1).toLowerCase
         if (fl.startsWith("sethive.decode.partition.name="))
           decodePartName = fl.endsWith("=true")
+        if (fl.startsWith("sethive.stats.ndv.error="))
+          ndvError = flat.substring(flat.indexOf('=') + 1).toDouble
       }
       srcCursor = idx + 1
     }
@@ -5833,8 +5866,11 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       } else if (qd.startsWith("describe") || qd.startsWith("desc ")) {
         describeLines(q) match {
           case Some(ls) => assertDescribe(ls)
-          case None => describeFormattedExpect(q, b.query).foreach {
-            case (cols, labels) => assertFormatted(cols, labels) }
+          case None => describeColStatsGolden(q) match {
+            case Some(lines) => assertDescribe(Seq(lines))
+            case None => describeFormattedExpect(q, b.query).foreach {
+              case (cols, labels) => assertFormatted(cols, labels) }
+          }
         }
       } else if (qd.startsWith("show partitions")) {
         showPartitionsLines(q, b.query).foreach(assertShowPartitions)
@@ -5939,6 +5975,26 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
                 }
             }
           }
+      } else if (qd.startsWith("analyze table") &&
+          ql.matches("(?s).*\\bfor\\s+columns\\b.*")) {
+        // partitioned column-stats scopes are out of replay scope;
+        // table-level ANALYZE computes real stats (FM ndv)
+        ("(?is)^analyze\\s+table\\s+`?([\\w.]+)`?\\s+" +
+          "compute\\s+statistics\\s+for\\s+columns\\s*(.*)$").r
+          .findFirstMatchIn(q).foreach { m =>
+            val t = m.group(1).split('.').last
+            val lc = resolveLc(t)
+            // a PARTITIONED table's recorded stats go through Hive's
+            // per-partition extrapolation — out of replay scope
+            if (tablePartCols.getOrElse(lc,
+                fixturePartCols.getOrElse(lc, Nil)).isEmpty)
+              scala.util.Try(analyzeColumns(t,
+                m.group(2).split(",").map(_.trim.replace("`", ""))
+                  .filter(_.nonEmpty).toSeq))
+          }
+      } else if (qd.startsWith("alter table") &&
+          ql.contains("update statistics")) {
+        meta.recordUpdateStatistics(q)
       } else if (qd.startsWith("msck ")) {
         // the hive.msck.path.validation special cases (escaped /
         // rejected partition names, table_nonprintable) are owned by
