@@ -103,6 +103,31 @@ class HiveStatements(val spark: SparkSession) {
       // names first (string literals untouched; idempotent under the
       // full rewrite below)
       val resolved = dialect.resolveNamespace(raw)
+      // DROP TABLE t FOR REPLICATION('id'): the drop applies only
+      // when the event id is newer than the table's repl.last.id —
+      // an older (or empty) id drops the PARTITIONS but keeps the
+      // table (ReplicationSpec.allowEventReplacementInto; must run
+      // BEFORE observeMeta so a gated-off drop keeps its metadata)
+      val replDropRe = ("(?is)^drop\\s+table\\s+(?:if\\s+exists\\s+)?" +
+        "`?([\\w.]+)`?\\s+for\\s+replication\\s*" +
+        "\\(\\s*'([^']*)'\\s*\\)\\s*$").r
+      replDropRe.findFirstMatchIn(resolved).foreach { m =>
+        val lc = m.group(1).split('.').last.toLowerCase
+        val tblId = meta.tableProps.get(lc)
+          .flatMap(_.get("repl.last.id")).flatMap(_.toLongOption)
+          .getOrElse(-1L)
+        if (m.group(2).toLongOption.exists(_ > tblId)) {
+          observeMeta(s"drop table `$lc`")
+          handleDrop(s"DROP TABLE IF EXISTS `$lc`")
+        } else {
+          scala.util.Try(rebuild(lc, spark.table(lc).limit(0)))
+          meta.addedParts.remove(lc)
+          meta.partSchemas.remove(lc)
+          meta.partStorage.filterInPlace((k, _) => k._1 != lc)
+          meta.partBucketMeta.filterInPlace((k, _) => k._1 != lc)
+        }
+        return None
+      }
       observeMeta(resolved)
       if (handleDrop(resolved)) return None
     }
@@ -396,6 +421,11 @@ class HiveStatements(val spark: SparkSession) {
         schema.fields.find(_.name.equalsIgnoreCase(p))).toSeq
       val triple = meta.tableStorage.getOrElse(lc,
         meta.fmtTriple(meta.defaultFileFormat))
+      // a PARTITION spec scopes the file statistics to that
+      // partition's subdirectory (name=value/...), mirroring Hive's
+      // per-partition descriptor; a spec naming no on-disk partition
+      // yields no row rather than whole-table totals
+      val partName = Option(m.group(3)).map(meta.lockPartName)
       val sizes: Seq[Long] = scala.util.Try {
         val loc = new org.apache.hadoop.fs.Path(
           spark.sessionState.catalog.getTableMetadata(
@@ -403,16 +433,24 @@ class HiveStatements(val spark: SparkSession) {
             .location)
         val fs = loc.getFileSystem(
           spark.sparkContext.hadoopConfiguration)
-        val it = fs.listFiles(loc, true)
-        val buf = scala.collection.mutable.ListBuffer[Long]()
-        while (it.hasNext) {
-          val st = it.next()
-          if (!st.getPath.getName.startsWith("_") &&
-              !st.getPath.getName.startsWith("."))
-            buf += st.getLen
+        val scanRoot = partName match {
+          case Some(p) => new org.apache.hadoop.fs.Path(loc, p)
+          case None => loc
         }
-        buf.toSeq
+        if (!fs.exists(scanRoot)) Nil
+        else {
+          val it = fs.listFiles(scanRoot, true)
+          val buf = scala.collection.mutable.ListBuffer[Long]()
+          while (it.hasNext) {
+            val st = it.next()
+            if (!st.getPath.getName.startsWith("_") &&
+                !st.getPath.getName.startsWith("."))
+              buf += st.getLen
+          }
+          buf.toSeq
+        }
       }.getOrElse(Nil)
+      if (partName.isDefined && sizes.isEmpty) return None
       val display =
         if (lc.startsWith(db + "__")) lc.substring(db.length + 2) else lc
       return Some(oneColDf("tab_name", meta.showTableExtendedLines(
@@ -823,11 +861,12 @@ class HiveStatements(val spark: SparkSession) {
     * delimited text to parquet would read garbage. Self-describing
     * formats (orc/parquet) keep their own source; `ROW FORMAT
     * DELIMITED`/TEXTFILE over a LOCATION maps to Spark's csv source
-    * with the declared field delimiter (`` default) and `\N`
-    * nulls — Hive's lazy-text layout for flat schemas; container
-    * formats Spark can't read natively (RCFile/SequenceFile/Avro
-    * serde with a LOCATION) raise a clear error instead of
-    * misreading. */
+    * with the declared field delimiter (ctrl-A default) and `\N`
+    * nulls — Hive's lazy-text layout for flat schemas; Avro and
+    * SequenceFile LOCATIONs route through the engine's own readers
+    * (registered datasources graft.sources.{Avro,SequenceFile}
+    * DataSource); only RCFile over a LOCATION raises a clear error
+    * instead of misreading (use the RcFileSource reader directly). */
   protected def hiveCreateRewrite(q: String): String = {
     val ql = q.toLowerCase
     if (!ql.trim.startsWith("create")) return q
@@ -843,13 +882,23 @@ class HiveStatements(val spark: SparkSession) {
       .find(k => k != "inputformat" && k != "directories")
     val src = declared match {
       case Some("orc") | Some("orcfile") => "orc"
+      case Some("parquet") | Some("parquetfile") => "parquet"
+      // container formats with pre-existing data route through the
+      // engine's own registered readers (sources/AvroSource.scala,
+      // sources/SequenceFileSource.scala) — full class names so the
+      // resolution can't collide with another registered "avro"
+      case Some("avro") | Some("avrofile") if hasLocation =>
+        "graft.sources.AvroDataSource"
+      case Some("sequencefile") if hasLocation =>
+        "graft.sources.SequenceFileDataSource"
       case Some("textfile") | None if hasLocation => "csv"
       case Some(other) if hasLocation =>
         throw new IllegalArgumentException(
           s"CREATE TABLE ... STORED AS $other with a LOCATION points " +
             "at pre-existing data this engine cannot read through a " +
             "Spark-native source; re-declare the table as orc/parquet/" +
-            "text or load through the engine's format readers")
+            "avro/sequencefile/text or load through the engine's " +
+            "format readers")
       case _ => "parquet"
     }
     // the declared lazy-text delimiter rides into the csv source's
@@ -859,10 +908,10 @@ class HiveStatements(val spark: SparkSession) {
       else {
         val delim = ("(?is)fields\\s+terminated\\s+by\\s+" +
           "'((?:[^'\\\\]|\\\\.)*)'").r.findFirstMatchIn(q)
-          .map(_.group(1).replace("\\t", "\t").replace("\\u0001", ""))
-          .getOrElse("")
+          .map(_.group(1).replace("\\t", "\t").replace("\\u0001", "\u0001"))
+          .getOrElse("\u0001")
         val d = delim.replace("\\", "\\\\").replace("'", "\\'")
-        s" OPTIONS (sep '$d', nullValue '\\\\N', quote ' '," +
+        s" OPTIONS (sep '$d', nullValue '\\\\N', quote '\u0000'," +
           " header 'false')"
       }
     val sq = "'(?:[^'\\\\]|\\\\.)*'"
@@ -1434,15 +1483,26 @@ class HiveStatements(val spark: SparkSession) {
       true
     } else if (ql.matches("(?s)^create\\s+(?:temporary\\s+)?" +
         "(?:external\\s+)?table\\b.*") &&
-        "(?is)\\bstored\\s+by\\s+['\"]".r.findFirstIn(q).isDefined) {
+        "(?is)\\bstored\\s+by\\s+['\"]".r.findFirstIn(
+          HiveStatements.maskStringLiterals(q)).isDefined) {
       // CREATE ... STORED BY 'handler.class' — a registered storage
       // handler owns the table's schema and scan (the dialect's
-      // HiveStorageHandler surface; graft.sources.StorageHandlers)
+      // HiveStorageHandler surface; graft.sources.StorageHandlers).
+      // The clause is located on the literal-MASKED text so a string
+      // literal containing "stored by '" cannot claim the statement;
+      // the class name reads back from the original at the same
+      // offsets (masking is 1:1).
       val nm = ("(?is)^create\\s+(?:temporary\\s+)?(?:external\\s+)?" +
         "table\\s+(?:if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?").r
         .findFirstMatchIn(q)
-      val cls = "(?is)\\bstored\\s+by\\s+['\"]([^'\"]+)['\"]".r
-        .findFirstMatchIn(q).map(_.group(1))
+      val cls = "(?is)\\bstored\\s+by\\s+['\"]".r
+        .findFirstMatchIn(HiveStatements.maskStringLiterals(q))
+        .flatMap { mm =>
+          val openQ = mm.end - 1
+          val close = q.indexOf(q.charAt(openQ), openQ + 1)
+          if (close > openQ) Some(q.substring(openQ + 1, close))
+          else None
+        }
       (nm, cls) match {
         case (Some(n), Some(c)) =>
           val name = n.group(1).split('.').last
@@ -1858,6 +1918,36 @@ object HiveStatements {
     }
     out += cur.result()
     out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** `q` with the CONTENTS of quoted string literals blanked to
+    * spaces (quote chars kept, 1:1 length — offsets into the masked
+    * text index the original) so clause keywords can be located
+    * without matching text INSIDE literals (`SELECT 'stored by x'`
+    * must not trip the STORED BY dispatch). Handles backslash
+    * escapes and SQL-doubled quotes. */
+  def maskStringLiterals(q: String): String = {
+    val sb = new StringBuilder(q)
+    var i = 0
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c == '\'' || c == '"') {
+        var j = i + 1
+        var closed = false
+        while (j < q.length && !closed) {
+          val cj = q.charAt(j)
+          if (cj == '\\' && j + 1 < q.length) {
+            sb.setCharAt(j, ' '); sb.setCharAt(j + 1, ' '); j += 2
+          } else if (cj == c && j + 1 < q.length &&
+              q.charAt(j + 1) == c) {
+            sb.setCharAt(j, ' '); sb.setCharAt(j + 1, ' '); j += 2
+          } else if (cj == c) { closed = true; j += 1 }
+          else { sb.setCharAt(j, ' '); j += 1 }
+        }
+        i = j
+      } else i += 1
+    }
+    sb.toString
   }
 
   /** Split on `sep` outside single/double quotes (a static partition

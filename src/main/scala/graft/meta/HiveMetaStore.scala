@@ -249,10 +249,14 @@ class HiveMetaStore(val spark: SparkSession,
 
   /** ALTER TABLE t UPDATE STATISTICS FOR COLUMN c SET (...): merge
     * the given stats (lowValue/highValue are the min/max aliases the
-    * statement grammar uses). True when the statement matched. */
-  def recordUpdateStatistics(q: String): Boolean =
-    ("(?is)^alter\\s+table\\s+`?([\\w.]+)`?\\s+update\\s+statistics\\s+" +
-      "for\\s+column\\s+`?(\\w+)`?\\s+set\\s*").r
+    * statement grammar uses). The TABLE-LEVEL form (no FOR COLUMN)
+    * sets basic-stat table parameters (numRows/rawDataSize/...),
+    * matching DDLSemanticAnalyzer's metadata-only semantics — the
+    * values land in tableProps and render in DESCRIBE FORMATTED's
+    * Table Parameters. True when either form matched. */
+  def recordUpdateStatistics(q: String): Boolean = {
+    val colForm = ("(?is)^alter\\s+table\\s+`?([\\w.]+)`?\\s+" +
+      "update\\s+statistics\\s+for\\s+column\\s+`?(\\w+)`?\\s+set\\s*").r
       .findFirstMatchIn(q).exists { m =>
         val key = (resolveLc(m.group(1)), m.group(2).toLowerCase)
         val st = colStats.getOrElseUpdate(key,
@@ -269,6 +273,20 @@ class HiveMetaStore(val spark: SparkSession,
             })
         true
       }
+    colForm || ("(?is)^alter\\s+table\\s+`?([\\w.]+)`?" +
+      "(?:\\s+partition\\s*\\([^)]*\\))?\\s+" +
+      "update\\s+statistics\\s+set\\s*").r
+      .findFirstMatchIn(q).exists { m =>
+        val lc = resolveLc(m.group(1))
+        val props = tableProps.getOrElseUpdate(lc,
+          scala.collection.mutable.LinkedHashMap.empty)
+        balancedAfter(q, m.end).foreach(body =>
+          "['\"]([^'\"]+)['\"]\\s*=\\s*['\"]([^'\"]*)['\"]".r
+            .findAllMatchIn(body).foreach(kv =>
+              props(kv.group(1)) = kv.group(2)))
+        true
+      }
+  }
 
   /** DESCRIBE FORMATTED t c — the column-statistics table
     * (MetaDataFormatUtils.getAllColumns stats shape): header +
@@ -298,7 +316,11 @@ class HiveMetaStore(val spark: SparkSession,
       case Some(v) if dblTyped =>
         v.toDoubleOption.map(_.toString).getOrElse(v)
       case Some(v) if longTyped =>
-        v.toDoubleOption.map(_.toLong.toString).getOrElse(v)
+        // exact long first: bigint bounds above 2^53 must not round
+        // through Double; decimal-formatted UPDATE STATISTICS
+        // overrides ('8.00') still fall back to the Double path
+        v.toLongOption.map(_.toString)
+          .orElse(v.toDoubleOption.map(_.toLong.toString)).getOrElse(v)
       case Some(v) if dtype == "date" =>
         // date bounds store epoch DAYS; the display is the date
         v.toLongOption
@@ -317,7 +339,8 @@ class HiveMetaStore(val spark: SparkSession,
       .map(v => v.toDoubleOption.map(_.toString).getOrElse(v))
       .getOrElse("")
     def lng(k: String): String = st.get(k)
-      .map(v => v.toDoubleOption.map(_.toLong.toString).getOrElse(v))
+      .map(v => v.toLongOption.map(_.toString)
+        .orElse(v.toDoubleOption.map(_.toLong.toString)).getOrElse(v))
       .getOrElse("")
     // the column cell echoes the statement's own spelling
     // (columnstats_tbllvl records `destURL` as requested)

@@ -604,4 +604,127 @@ class DialectSpec extends SparkSpec {
     assert(k2.getString(2).trim === "7")
     spark.sql("DROP TABLE cs_t")
   }
+
+  test("public entry: STORED AS PARQUET/AVRO/SEQUENCEFILE + LOCATION " +
+      "reads pre-existing external data through the engine's sources") {
+    import spark.implicits._
+    val h = new HiveStatements(spark)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ext").toString
+    val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    df.write.mode("overwrite").parquet(s"$base/pq")
+    df.write.mode("overwrite")
+      .format("graft.sources.AvroDataSource").save(s"$base/av")
+    df.write.mode("overwrite")
+      .format("sequencefile").save(s"$base/sq")
+    for ((fmt, dir) <- Seq(("PARQUET", "pq"), ("AVRO", "av"),
+        ("SEQUENCEFILE", "sq"))) {
+      val t = s"ext_${dir}"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      h.sql(s"CREATE EXTERNAL TABLE $t (k INT, v STRING) " +
+        s"STORED AS $fmt LOCATION '$base/$dir'")
+      val got = spark.table(t).collect()
+        .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+      assert(got.toSeq === Seq((1, "a"), (2, "b"), (3, "c")),
+        s"$fmt external table mismatch: ${got.mkString(",")}")
+      spark.sql(s"DROP TABLE $t")
+    }
+    // RCFile over a LOCATION still errors loudly instead of misreading
+    val e = intercept[IllegalArgumentException] {
+      h.sql("CREATE EXTERNAL TABLE ext_rc (k INT) STORED AS RCFILE " +
+        s"LOCATION '$base/rc'")
+    }
+    assert(e.getMessage.contains("rcfile"))
+  }
+
+  test("public entry: a string literal containing \"stored by '\" " +
+      "does not trip the storage-handler dispatch") {
+    val h = new HiveStatements(spark)
+    spark.sql("DROP TABLE IF EXISTS sb_lit")
+    h.sql("CREATE TABLE sb_lit STORED AS PARQUET AS " +
+      "SELECT \"stored by 'x'\" AS s")
+    assert(spark.table("sb_lit").head().getString(0) === "stored by 'x'")
+    spark.sql("DROP TABLE IF EXISTS sb_lit")
+    // a REAL clause still dispatches (and an unregistered class is a
+    // clear engine error, not a Spark parse error)
+    val e = intercept[IllegalArgumentException] {
+      h.sql("CREATE TABLE sb_real (k INT) STORED BY " +
+        "'org.example.NoSuchHandler'")
+    }
+    assert(e.getMessage.contains("no registered storage handler"))
+  }
+
+  test("public entry: table-level ALTER TABLE ... UPDATE STATISTICS " +
+      "SET lands in Table Parameters (metadata-only)") {
+    val h = new HiveStatements(spark)
+    spark.sql("DROP TABLE IF EXISTS ts_t")
+    h.sql("CREATE TABLE ts_t (k INT) STORED AS PARQUET")
+    h.sql("ALTER TABLE ts_t UPDATE STATISTICS " +
+      "SET ('numRows'='42', 'rawDataSize'='1234')")
+    val rows = h.sql("DESCRIBE FORMATTED ts_t").get.collect()
+      .map(r => (r.getString(1).trim,
+        Option(r.getString(2)).map(_.trim).getOrElse("")))
+    assert(rows.contains(("numRows", "42")), rows.mkString("\n"))
+    assert(rows.contains(("rawDataSize", "1234")), rows.mkString("\n"))
+    spark.sql("DROP TABLE IF EXISTS ts_t")
+  }
+
+  test("public entry: DROP TABLE ... FOR REPLICATION gates on " +
+      "repl.last.id (older id keeps the table, drops partitions)") {
+    val h = new HiveStatements(spark)
+    spark.sql("DROP TABLE IF EXISTS repl_t")
+    h.sql("CREATE TABLE repl_t (k INT) STORED AS PARQUET " +
+      "TBLPROPERTIES ('repl.last.id'='10')")
+    h.sql("INSERT INTO repl_t VALUES (1), (2)")
+    // older event id: drop is gated OFF — table stays, contents empty
+    h.sql("DROP TABLE repl_t FOR REPLICATION('5')")
+    assert(spark.table("repl_t").count() === 0)
+    // metadata survived the gated drop
+    val props = h.sql("SHOW TBLPROPERTIES repl_t ('repl.last.id')")
+      .get.collect()
+    assert(props.head.getString(0) === "10")
+    // newer event id: the drop applies
+    h.sql("DROP TABLE repl_t FOR REPLICATION('20')")
+    assert(!spark.catalog.tableExists("repl_t"))
+  }
+
+  test("public entry: SHOW TABLE EXTENDED ... PARTITION scopes file " +
+      "statistics to the partition subdirectory") {
+    val h = new HiveStatements(spark)
+    spark.sql("DROP TABLE IF EXISTS step_t")
+    spark.sql("CREATE TABLE step_t (k INT, ds STRING) USING parquet " +
+      "PARTITIONED BY (ds)")
+    spark.sql("INSERT INTO step_t PARTITION (ds='a') VALUES (1), (2)")
+    spark.sql("INSERT INTO step_t PARTITION (ds='b') VALUES (3)")
+    def size(q: String): Long =
+      h.sql(q).get.collect().map(_.getString(0))
+        .find(_.startsWith("totalFileSize:")).get
+        .stripPrefix("totalFileSize:").toLong
+    val whole = size("SHOW TABLE EXTENDED LIKE step_t")
+    val pa = size("SHOW TABLE EXTENDED LIKE step_t PARTITION (ds='a')")
+    val pb = size("SHOW TABLE EXTENDED LIKE step_t PARTITION (ds='b')")
+    assert(pa > 0 && pb > 0 && pa + pb === whole,
+      s"whole=$whole a=$pa b=$pb")
+    // a nonexistent partition is an error, not whole-table totals
+    intercept[Exception] {
+      h.sql("SHOW TABLE EXTENDED LIKE step_t PARTITION (ds='zzz')")
+        .get.collect()
+    }
+    spark.sql("DROP TABLE step_t")
+  }
+
+  test("public entry: bigint column-stat bounds above 2^53 render " +
+      "exactly (no Double round-trip)") {
+    val h = new HiveStatements(spark)
+    spark.sql("DROP TABLE IF EXISTS big_t")
+    spark.sql("CREATE TABLE big_t (k BIGINT) USING parquet")
+    spark.sql("INSERT INTO big_t VALUES (9223372036854775805), " +
+      "(9223372036854775807)")
+    h.sql("ANALYZE TABLE big_t COMPUTE STATISTICS FOR COLUMNS k")
+    val row = h.sql("DESCRIBE FORMATTED big_t k").get.collect()
+      .find(_.getString(0).trim == "k").get
+    assert(row.getString(2).trim === "9223372036854775805", "min")
+    assert(row.getString(3).trim === "9223372036854775807", "max")
+    spark.sql("DROP TABLE big_t")
+  }
 }
