@@ -66,7 +66,17 @@ object GraftSqlParser {
   }
 
   /** One [[HiveStatements]] per session: its dialect carries the
-    * session's namespace state (USE cursor, known dbs, bindings). */
+    * session's namespace state (USE cursor, known dbs, bindings).
+    * Spark Connect gives every client an ISOLATED server-side session
+    * (own SessionState/temp views/conf over the shared SparkContext),
+    * so each client gets its own dispatcher here — per-client USE
+    * cursors and namespaces cannot bleed (HiveServer2's per-session
+    * SQLOperation contract; verified end-to-end by SparkConnectSpec's
+    * two-client test). Durable metadata SHARING across clients goes
+    * through the metastore ledger (`spark.graft.metastore.path`,
+    * loaded at dispatcher construction) plus warehouse catalog
+    * tables — live mid-session mutations stay session-local, like
+    * HiveServer2 sessions with metastore caching. */
   private val perSession =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, HiveStatements]())
@@ -94,6 +104,7 @@ case class HiveStatementCommand(
       throw new IllegalArgumentException(
         s"statement is outside the dialect surface: " +
           rewritten.linesIterator.mkString(" ").take(200))
+    statements.persistAfter(rewritten)
     Nil
   }
 }

@@ -70,6 +70,134 @@ class HiveStatements(val spark: SparkSession) {
     * harness asserts those statements itself and turns this off. */
   protected def serveMetaReads: Boolean = true
 
+  // ---------------------------------------------------------------
+  // metastore persistence (spark.graft.metastore.path)
+  // ---------------------------------------------------------------
+
+  /** Where the metadata ledger lives, when configured
+    * (`spark.graft.metastore.path`): every metadata-mutating
+    * statement rewrites the ledger, and a new [[HiveStatements]]
+    * over the same conf restores the full metadata + namespace state
+    * in its constructor — the restart contract of the reference's
+    * metastore (ref metastore ObjectStore.java). The ledger holds
+    * METADATA ONLY (storage descriptors, table/serde properties,
+    * partition registry, column statistics, index/compaction
+    * ledgers, database namespace bindings — KBs); table DATA
+    * persists in the warehouse files independently. Session state
+    * (the USE cursor, temp tables, explicit locks, macros) stays
+    * session-scoped, as in HiveServer2. */
+  protected def metastorePath: Option[String] =
+    spark.conf.getOption("spark.graft.metastore.path")
+
+  /** Every persistent ledger, keyed for the snapshot file. The values
+    * are the LIVE collections — serialization snapshots their state;
+    * [[ledgerRestore]] pours a deserialized snapshot back in. */
+  private def ledgerSnapshot(): Map[String, AnyRef] = Map(
+    "tableStorage" -> meta.tableStorage,
+    "bucketMeta" -> meta.bucketMeta,
+    "tableSkew" -> meta.tableSkew,
+    "tableKind" -> meta.tableKind,
+    "partStorage" -> meta.partStorage,
+    "partBucketMeta" -> meta.partBucketMeta,
+    "tablePartCols" -> meta.tablePartCols,
+    "colComments" -> meta.colComments,
+    "tableProps" -> meta.tableProps,
+    "tablePropsOwner" -> meta.tablePropsOwner,
+    "dbOwner" -> meta.dbOwner,
+    "addedParts" -> meta.addedParts,
+    "partSchemas" -> meta.partSchemas,
+    "serdeProps" -> meta.serdeProps,
+    "tableComment" -> meta.tableComment,
+    "storedBy" -> meta.storedBy,
+    "viewText" -> meta.viewText,
+    "viewColList" -> meta.viewColList,
+    "dbMeta" -> meta.dbMeta,
+    "dbOwners" -> meta.dbOwners,
+    "indexes" -> meta.indexes,
+    "compactions" -> meta.compactions,
+    "colStats" -> meta.colStats,
+    "createTime" -> meta.createTime,
+    "knownDbs" -> dialect.knownDbs,
+    "dbTables" -> dialect.dbTables)
+
+  private def ledgerRestore(s: Map[String, AnyRef]): Unit = {
+    import scala.collection.mutable
+    def into[E](key: String,
+        dst: mutable.Growable[E] with mutable.Clearable): Unit =
+      s.get(key).foreach { v =>
+        dst.clear()
+        dst ++= v.asInstanceOf[scala.collection.Iterable[E]]
+      }
+    into("tableStorage", meta.tableStorage)
+    into("bucketMeta", meta.bucketMeta)
+    into("tableSkew", meta.tableSkew)
+    into("tableKind", meta.tableKind)
+    into("partStorage", meta.partStorage)
+    into("partBucketMeta", meta.partBucketMeta)
+    into("tablePartCols", meta.tablePartCols)
+    into("colComments", meta.colComments)
+    into("tableProps", meta.tableProps)
+    into("tablePropsOwner", meta.tablePropsOwner)
+    into("dbOwner", meta.dbOwner)
+    into("addedParts", meta.addedParts)
+    into("partSchemas", meta.partSchemas)
+    into("serdeProps", meta.serdeProps)
+    into("tableComment", meta.tableComment)
+    into("storedBy", meta.storedBy)
+    into("viewText", meta.viewText)
+    into("viewColList", meta.viewColList)
+    into("dbMeta", meta.dbMeta)
+    into("dbOwners", meta.dbOwners)
+    into("indexes", meta.indexes)
+    into("compactions", meta.compactions)
+    into("colStats", meta.colStats)
+    into("createTime", meta.createTime)
+    into("knownDbs", dialect.knownDbs)
+    into("dbTables", dialect.dbTables)
+  }
+
+  /** Rewrite the ledger file (write-temp + rename, through the
+    * Hadoop FS API so the ledger can live next to the warehouse on
+    * any supported filesystem). Metadata is small — the whole
+    * snapshot is a single driver-side write, no Spark job. */
+  def saveMetastoreLedger(): Unit = metastorePath.foreach { p =>
+    val path = new org.apache.hadoop.fs.Path(p)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = Option(path.getParent)
+      .getOrElse(new org.apache.hadoop.fs.Path("."))
+    val tmp = new org.apache.hadoop.fs.Path(parent,
+      "." + path.getName + ".tmp")
+    val out = new java.io.ObjectOutputStream(fs.create(tmp, true))
+    try out.writeObject(ledgerSnapshot()) finally out.close()
+    if (fs.exists(path)) fs.delete(path, false)
+    fs.rename(tmp, path)
+  }
+
+  private def loadMetastoreLedger(): Unit = metastorePath.foreach { p =>
+    val path = new org.apache.hadoop.fs.Path(p)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) {
+      val in = new java.io.ObjectInputStream(fs.open(path))
+      try ledgerRestore(
+        in.readObject().asInstanceOf[Map[String, AnyRef]])
+      finally in.close()
+    }
+  }
+
+  // restore at construction — a fresh dispatcher over the same conf
+  // serves DESCRIBE/SHOW/stats for everything created before it
+  loadMetastoreLedger()
+
+  /** Persist after any statement head that can mutate metadata. */
+  private[graft] def persistAfter(q: String): Unit =
+    if (metastorePath.isDefined) {
+      val head = q.trim.takeWhile(!_.isWhitespace).toLowerCase
+      if (!Set("select", "with", "show", "describe", "desc",
+          "explain", "values", "set", "refresh", "use",
+          "").contains(head))
+        saveMetastoreLedger()
+    }
+
   /** Run one HiveQL statement end-to-end: serve metadata reads
     * (DESCRIBE/SHOW) from [[meta]] in Hive's exact layout,
     * dialect-rewrite the text ([[HiveDialect.rewrite]]), dispatch
@@ -80,6 +208,12 @@ class HiveStatements(val spark: SparkSession) {
     * compares, DISTINCT window aggregates, interval sugar, char
     * overflow). Returns the query result, or None for statements. */
   def sql(text: String): Option[DataFrame] = {
+    val r = sqlImpl(text)
+    persistAfter(text)
+    r
+  }
+
+  private def sqlImpl(text: String): Option[DataFrame] = {
     val raw = text.trim.stripSuffix(";")
     if (serveMetaReads) metaQuery(raw) match {
       case Some(df) => return Some(df)
@@ -228,6 +362,7 @@ class HiveStatements(val spark: SparkSession) {
     }
     dialect.observeNamespace(raw)
     observeMeta(dialect.resolveNamespace(raw))
+    persistAfter(raw)
     val q = dialect.rewrite(hiveCreateRewrite(raw))
     // row-level DML parses in Spark's grammar but plans only against
     // DSv2 catalogs — the dialect owns it here (MergeInto

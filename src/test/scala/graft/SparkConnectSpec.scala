@@ -70,4 +70,58 @@ class SparkConnectSpec extends SparkSpec {
       org.apache.spark.sql.SparkSession.setActiveSession(spark)
     }
   }
+
+  test("two Connect clients get isolated USE cursors and namespaces " +
+      "(per-session HiveStatements, like HiveServer2 sessions)") {
+    val sc = spark.sparkContext
+    org.apache.spark.sql.connect.service.SparkConnectService.start(sc)
+    val svc = org.apache.spark.sql.connect.service.SparkConnectService
+    val srv = svc.getClass.getMethod("server").invoke(svc)
+    val port = srv.getClass.getMethod("getPort").invoke(srv)
+      .asInstanceOf[Int]
+    try {
+      val c1 = org.apache.spark.sql.connect.SparkSession.builder()
+        .remote(s"sc://localhost:$port").create()
+      val c2 = org.apache.spark.sql.connect.SparkSession.builder()
+        .remote(s"sc://localhost:$port").create()
+      try {
+        for (c <- Seq(c1, c2))
+          c.sql("SET spark.graft.dialect=true").collect()
+        // interleaved: each client creates ITS OWN db, moves its USE
+        // cursor there, and creates a same-named table — the cursors
+        // and bindings must not bleed across clients
+        c1.sql("CREATE DATABASE IF NOT EXISTS isodb1").collect()
+        c2.sql("CREATE DATABASE IF NOT EXISTS isodb2").collect()
+        c1.sql("USE isodb1").collect()
+        c2.sql("USE isodb2").collect()
+        c1.sql("CREATE TABLE tiso (k INT) STORED AS PARQUET").collect()
+        c2.sql("CREATE TABLE tiso (k INT) STORED AS PARQUET").collect()
+        c1.sql("INSERT INTO tiso VALUES (1)").collect()
+        c2.sql("INSERT INTO tiso VALUES (2)").collect()
+        // the bare name resolves through each client's own cursor
+        val v1 = c1.sql("SELECT k FROM tiso").collect()
+        val v2 = c2.sql("SELECT k FROM tiso").collect()
+        assert(v1.map(_.getInt(0)).toSeq === Seq(1))
+        assert(v2.map(_.getInt(0)).toSeq === Seq(2))
+        // each client's SHOW TABLES lists its own cursor's namespace
+        val t1 = c1.sql("SHOW TABLES").collect().map(_.getString(0))
+        val t2 = c2.sql("SHOW TABLES").collect().map(_.getString(0))
+        assert(t1.contains("tiso"), t1.mkString(","))
+        assert(t2.contains("tiso"), t2.mkString(","))
+        // c1's cursor is still isodb1 after c2's USE — a second
+        // same-client query keeps resolving to its own table
+        assert(c1.sql("SELECT sum(k) AS s FROM tiso").collect()
+          .head.getLong(0) === 1L)
+      } finally {
+        c1.close(); c2.close()
+        org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+        org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      }
+    } finally {
+      org.apache.spark.sql.connect.service.SparkConnectService
+        .stop(None, None)
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
 }
