@@ -42,5 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectResolutionRule(_ => graft.plans.HiveCharCoercion)
     e.injectResolutionRule(_ => graft.plans.HiveCasts)
     e.injectPostHocResolutionRule(_ => graft.plans.HiveCharArgStrip)
+    e.injectPostHocResolutionRule(_ =>
+      graft.plans.HiveInSubqueryCoercion)
   }
 }

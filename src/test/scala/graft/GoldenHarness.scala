@@ -1228,21 +1228,31 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       maskedRows: Boolean = false)
 
   /** One block per POSTHOOK statement: the (possibly multi-line) query
-    * text, then its emitted rows (tab-separated, NULL for null). */
+    * text, then its emitted rows (tab-separated, NULL for null).
+    * Goldens recorded with the LineageLogger post-exec hook carry NO
+    * `POSTHOOK: query:` echoes at all (the hook's JSON line replaces
+    * them — lineage2/3, cbo_rp_lineage2); those parse from the
+    * PREHOOK headers instead, and the JSON hook lines are filtered
+    * from result asserts downstream. */
   def blocks(file: String): Seq[Block] = {
     val lines = GoldenFixtures.readLines(s"$outDir/$file")
+    val marker =
+      if (lines.exists(_.startsWith("POSTHOOK: query: "))) "POSTHOOK"
+      else "PREHOOK"
     val out = Vector.newBuilder[Block]
     var i = 0
     while (i < lines.length) {
-      if (lines(i).startsWith("POSTHOOK: query: ")) {
+      if (lines(i).startsWith(s"$marker: query: ")) {
         val q = new StringBuilder(
-          lines(i).stripPrefix("POSTHOOK: query: "))
+          lines(i).stripPrefix(s"$marker: query: "))
         i += 1
         while (i < lines.length &&
-            !lines(i).startsWith("POSTHOOK: type:")) {
+            !lines(i).startsWith(s"$marker: type:")) {
           q.append('\n').append(lines(i)); i += 1
         }
         while (i < lines.length && (lines(i).startsWith("POSTHOOK:") ||
+            (marker == "PREHOOK" && lines(i).startsWith("PREHOOK:") &&
+              !lines(i).startsWith("PREHOOK: query:")) ||
             lines(i).startsWith("#### A masked pattern"))) i += 1
         val rows = Vector.newBuilder[String]
         var maskedRows = false
@@ -5307,8 +5317,45 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         }
       }
     }
+    // CheckQueryPropertiesHook goldens record the analyzer's
+    // QueryProperties flags after every statement (QueryProperties
+    // .java via SemanticAnalyzer) — derive them from the statement
+    // text: JOIN/GROUP/SORT/ORDER/DISTRIBUTE/CLUSTER BY presence,
+    // script usage, and the per-query-block "group by after join"
+    // (a subquery's join doesn't count — paren groups strip first)
+    def queryPropsLines(q0: String): Seq[String] = {
+      val ql = q0.toLowerCase
+      var top = ql; var prev: String = null
+      while (prev != top) {
+        prev = top; top = top.replaceAll("\\([^()]*\\)", " ")
+      }
+      def has(re: String, s: String = ql) =
+        s.matches("(?s).*\\b" + re + ".*")
+      Seq(
+        s"Has Join: ${has("join\\b")}",
+        s"Has Group By: ${has("group\\s+by\\b")}",
+        s"Has Sort By: ${has("sort\\s+by\\b")}",
+        s"Has Order By: ${has("order\\s+by\\b")}",
+        "Has Group By After Join: " +
+          (has("join\\b", top) && has("group\\s+by\\b", top)),
+        s"Uses Script: ${has("transform\\b")}",
+        s"Has Distribute By: ${has("distribute\\s+by\\b")}",
+        s"Has Cluster By: ${has("cluster\\s+by\\b")}")
+    }
     allBlocks.zipWithIndex.foreach { case (b, blockIdx) =>
       sideEffectsAt.getOrElse(blockIdx, Vector.empty).foreach(sideEffect)
+      if (qSourceText.contains("CheckQueryPropertiesHook") &&
+          b.rows.exists(_.startsWith("Has Join: "))) {
+        val got = queryPropsLines(b.query)
+        val want = b.rows.filter(l => l.startsWith("Has ") ||
+          l.startsWith("Uses Script: "))
+        if (got != want)
+          throw new GoldenMismatch("query properties mismatch in " +
+            s"$file for: " +
+            b.query.linesIterator.mkString(" ").take(100) +
+            s"\ngot  $got\nwant $want")
+        asserted += 1
+      }
       // a masked `dfs -cat` right after this block dumps file contents
       // as bare lines the recorder glued into THIS block's rows — the
       // golden multiset is unrecoverable, skip the assert
@@ -5396,6 +5443,21 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         val setEchoes: Set[String] = srcSetKeys
         val want0 = b.rows.filterNot(isHashLine)
           .filterNot(l => l.startsWith("WARNING:") ||
+            // LineageLogger hook output (one JSON line per statement,
+            // lineage2/3) — hook telemetry, not result data
+            l.startsWith("{\"version\":\"1.0\",\"engine\":\"") ||
+            // post-exec hook echoes recorded among result rows —
+            // telemetry shapes identified by the hook the .q sets
+            (qSourceText.contains("CheckColumnAccessHook") &&
+              (l.startsWith("Table:") || l.startsWith("Columns:") ||
+                l.isEmpty)) ||
+            (qSourceText.contains("CheckTableAccessHook") &&
+              (l.startsWith("Operator:") || l.startsWith("Table:") ||
+                l.startsWith("Keys:") || l.isEmpty)) ||
+            (qSourceText.contains("VerifyOverriddenConfigsHook") &&
+              l.startsWith("Key: ")) ||
+            (qSourceText.contains("CheckQueryPropertiesHook") &&
+              (l.startsWith("Has ") || l.startsWith("Uses Script: "))) ||
             // dfs -ls output whose path lines were masked away leaves
             // its "Found N items" header among the result rows
             l.matches("Found \\d+ items") ||

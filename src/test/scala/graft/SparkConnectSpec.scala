@@ -85,6 +85,13 @@ class SparkConnectSpec extends SparkSpec {
       val c2 = org.apache.spark.sql.connect.SparkSession.builder()
         .remote(s"sc://localhost:$port").create()
       try {
+        // a previous run's MANAGED-table dirs would fail CREATE with
+        // LOCATION_ALREADY_EXISTS (in-memory catalog, durable files)
+        for (d <- Seq("isodb1__tiso", "isodb2__tiso")) {
+          val f = new java.io.File(s"spark-warehouse/$d")
+          if (f.exists())
+            org.apache.commons.io.FileUtils.deleteDirectory(f)
+        }
         for (c <- Seq(c1, c2))
           c.sql("SET spark.graft.dialect=true").collect()
         // interleaved: each client creates ITS OWN db, moves its USE
@@ -112,6 +119,8 @@ class SparkConnectSpec extends SparkSpec {
         // same-client query keeps resolving to its own table
         assert(c1.sql("SELECT sum(k) AS s FROM tiso").collect()
           .head.getLong(0) === 1L)
+        c1.sql("DROP TABLE tiso").collect()
+        c2.sql("DROP TABLE tiso").collect()
       } finally {
         c1.close(); c2.close()
         org.apache.spark.sql.SparkSession.setDefaultSession(spark)

@@ -69,6 +69,58 @@ class StorageHandlersSpec extends SparkSpec {
     h.sql("DROP TABLE kv_t")
   }
 
+  test("JdbcStorageHandler serves a REAL backend scan end-to-end " +
+      "(embedded Derby): DDL, schema from JDBC metadata, rows, " +
+      "predicate, parallel ranged read") {
+    // a real external store: embedded Derby with actual rows
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_derby")
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    Class.forName("org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE EMP (ID INT NOT NULL, NAME VARCHAR(32), " +
+        "SAL DOUBLE)")
+      st.execute("INSERT INTO EMP VALUES (1,'ann',10.5), (2,'bob',20.0)," +
+        " (3,'cat',30.25), (4,'dee',40.0)")
+    } finally conn.close()
+
+    val h = new HiveStatements(spark)
+    h.sql("DROP TABLE IF EXISTS jdbc_t")
+    h.sql(s"""CREATE EXTERNAL TABLE jdbc_t
+      STORED BY 'org.apache.hive.storage.jdbc.JdbcStorageHandler'
+      TBLPROPERTIES ('hive.sql.jdbc.url' = '$url',
+        'hive.sql.table' = 'EMP',
+        'hive.sql.partitionColumn' = 'ID',
+        'hive.sql.lowerBound' = '1', 'hive.sql.upperBound' = '5',
+        'hive.sql.numPartitions' = '2')""")
+    val df = spark.table("jdbc_t")
+    // schema came from the backend's metadata, and the scan is a
+    // ranged PARALLEL read (2 partitions), not one connection
+    assert(df.schema.fieldNames.map(_.toLowerCase).toSeq ===
+      Seq("id", "name", "sal"))
+    assert(df.rdd.getNumPartitions === 2)
+    val got = h.sql("SELECT id, name FROM jdbc_t WHERE sal > 15 " +
+      "ORDER BY id").get.collect()
+    assert(got.map(_.getInt(0)).toSeq === Seq(2, 3, 4))
+    assert(got.map(_.getString(1)).toSeq === Seq("bob", "cat", "dee"))
+    // handler.schema(props) agrees with the live scan's schema
+    val hd = StorageHandlers
+      .get("org.apache.hive.storage.jdbc.JdbcStorageHandler").get
+    val probed = hd.schema(Map("hive.sql.jdbc.url" -> url,
+      "hive.sql.table" -> "EMP"))
+    assert(probed.fieldNames.toSeq === Seq("id", "name", "sal"))
+    assert(probed("sal").dataType === org.apache.spark.sql.types
+      .DoubleType)
+    // metadata surface records the jdbc serde for the handler table
+    val rows = h.sql("DESCRIBE FORMATTED jdbc_t").get.collect()
+      .map(r => (r.getString(0).trim, r.getString(1).trim))
+    assert(rows.exists(r => r._1 == "SerDe Library:" &&
+      r._2 == "org.apache.hive.storage.jdbc.JdbcSerDe"),
+      rows.mkString("\n"))
+    h.sql("DROP TABLE jdbc_t")
+  }
+
   test("an unregistered handler class fails loudly") {
     val h = new HiveStatements(spark)
     val e = intercept[IllegalArgumentException] {
