@@ -1,0 +1,101 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/** Column lineage from the analyzed plan (LineageLogger analog).
+  * The CTAS case asserts BYTE-EXACT parity with a line the reference
+  * recorded (lineage2.q.out:8 — the `create table src2 as select`
+  * statement), including the guava-md5 query hash and the
+  * targets-then-sources vertex numbering.
+  */
+class ColumnLineageSpec extends SparkSpec {
+
+  private def seed(): Unit = {
+    import spark.implicits._
+    Seq(("128", "val_128"), ("146", "val_146"), ("150", "val_150"))
+      .toDF("key", "value").createOrReplaceTempView("src1")
+  }
+
+  test("CTAS lineage JSON matches the reference recording byte-exactly " +
+      "(lineage2.q.out, create table src2 as select)") {
+    seed()
+    val queryText =
+      "create table src2 as select key key2, value value2 from src1"
+    val df = spark.sql("select key key2, value value2 from src1")
+    val json = ColumnLineage.toJson(
+      ColumnLineage.of(df, queryText, destTable = Some("default.src2")),
+      engine = "mr")
+    val recorded = "{\"version\":\"1.0\",\"engine\":\"mr\"," +
+      "\"database\":\"default\"," +
+      "\"hash\":\"3a39d46286e4c2cd2139c9bb248f7b4f\"," +
+      "\"queryText\":\"create table src2 as select key key2, " +
+      "value value2 from src1\"," +
+      "\"edges\":[{\"sources\":[2],\"targets\":[0]," +
+      "\"edgeType\":\"PROJECTION\"}," +
+      "{\"sources\":[3],\"targets\":[1]," +
+      "\"edgeType\":\"PROJECTION\"}]," +
+      "\"vertices\":[" +
+      "{\"id\":0,\"vertexType\":\"COLUMN\"," +
+      "\"vertexId\":\"default.src2.key2\"}," +
+      "{\"id\":1,\"vertexType\":\"COLUMN\"," +
+      "\"vertexId\":\"default.src2.value2\"}," +
+      "{\"id\":2,\"vertexType\":\"COLUMN\"," +
+      "\"vertexId\":\"default.src1.key\"}," +
+      "{\"id\":3,\"vertexType\":\"COLUMN\"," +
+      "\"vertexId\":\"default.src1.value\"}]}"
+    assert(json === recorded)
+  }
+
+  test("filters and join conditions become PREDICATE edges targeting " +
+      "every output column; aggregates carry substituted expressions") {
+    seed()
+    val df = spark.sql(
+      "select key, count(value) as n from src1 " +
+        "where key > '100' group by key")
+    val l = ColumnLineage.of(df, "q")
+    val proj = l.edges.filter(_.edgeType == "PROJECTION")
+    assert(proj.exists(e => e.targets == Seq("key") &&
+      e.sources == Seq("default.src1.key") && e.expression.isEmpty), l)
+    assert(proj.exists(e => e.targets == Seq("n") &&
+      e.sources == Seq("default.src1.value") &&
+      e.expression.exists(_.contains("count(default.src1.value)"))), l)
+    val pred = l.edges.filter(_.edgeType == "PREDICATE")
+    assert(pred.length === 1, l)
+    assert(pred.head.targets === Seq("key", "n"))
+    assert(pred.head.sources === Seq("default.src1.key"))
+    assert(pred.head.expression.exists(_.contains("default.src1.key")))
+    // vertex numbering: targets first, then sources
+    assert(l.vertices.take(2) === Seq("key", "n"))
+  }
+
+  test("aliases over base tables keep the TABLE as the source and " +
+      "join edges record both sides") {
+    seed()
+    import spark.implicits._
+    Seq(("128", 1), ("146", 2)).toDF("key", "n")
+      .createOrReplaceTempView("src2l")
+    val df = spark.sql(
+      "select a.value, b.n from src1 a join src2l b on a.key = b.key")
+    val l = ColumnLineage.of(df, "q")
+    val proj = l.edges.filter(_.edgeType == "PROJECTION")
+    assert(proj.exists(_.sources == Seq("default.src1.value")), l)
+    assert(proj.exists(_.sources == Seq("default.src2l.n")), l)
+    val pred = l.edges.filter(_.edgeType == "PREDICATE")
+    assert(pred.exists(e =>
+      e.sources.toSet == Set("default.src1.key", "default.src2l.key")),
+      l)
+  }
+
+  test("union output columns depend on every branch; duplicate " +
+      "conditions record once (reference addEdge merge)") {
+    seed()
+    val df = spark.sql(
+      "select key from src1 where key > '1' union all " +
+        "select value from src1 where key > '1'")
+    val l = ColumnLineage.of(df, "q")
+    val proj = l.edges.filter(_.edgeType == "PROJECTION")
+    assert(proj.exists(e => e.sources.toSet ==
+      Set("default.src1.key", "default.src1.value")), l)
+    assert(l.edges.count(_.edgeType == "PREDICATE") === 1, l)
+  }
+}
