@@ -74,9 +74,9 @@ object Bench {
 
     def r3(v: Double): String = f"$v%.3f"
     // regression gate: per-query budgets (committed bench_budget.json,
-    // 1.75× the best committed min-of-2 at sf0.1 — wide enough for the
-    // measured same-box inter-run variance, tight enough that a 2×
-    // regression fails) — a real slowdown
+    // 1.75× the per-query min over 3 consecutive quiet-box runs at
+    // sf0.1 — wide enough for the measured same-box inter-run
+    // variance, tight enough that a 2× regression fails) — a real slowdown
     // fails loudly instead of hiding in box variance. Violations are
     // always reported in the JSON; SPARK_GRAFT_BUDGET_STRICT=1 also
     // exits nonzero (CI mode). Budgets only apply at the sf they were

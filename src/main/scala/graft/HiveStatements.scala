@@ -423,6 +423,34 @@ class HiveStatements(val spark: SparkSession) {
     val q = q0.trim.stripSuffix(";").trim
     val ql = q.toLowerCase
 
+    // EXPLAIN LINEAGE <statement> — the dialect's surface for the
+    // reference's LineageLogger post-exec hook (hive.exec.post.hooks;
+    // the hook logs, this returns): one row holding the hook's JSON
+    // document for the statement's column lineage, computed from the
+    // ANALYZED plan (no execution, no data read). CTAS/INSERT forms
+    // report the write-side target columns, like the hook.
+    val elRe = "(?is)^explain\\s+lineage\\s+(.+)$".r
+    elRe.findFirstMatchIn(q).foreach { m =>
+      val stmt = m.group(1).trim
+      val ctas = ("(?is)^create\\s+table\\s+(?:if\\s+not\\s+exists\\s+)?" +
+        "`?([\\w.]+)`?\\s+as\\s+(.+)$").r
+      val ins = ("(?is)^insert\\s+(?:into|overwrite)\\s+(?:table\\s+)?" +
+        "`?([\\w.]+)`?\\s+(select\\b.+)$").r
+      val (dest, sel) = stmt match {
+        case ctas(t, s) => (Some(t), s)
+        case ins(t, s) => (Some(t), s)
+        case s => (None, s)
+      }
+      val db = dialect.currentDb.toLowerCase
+      val destQualified = dest.map(t =>
+        if (t.contains(".")) t else s"$db.$t")
+      val df = spark.sql(dialect.rewrite(sel))
+      val json = graft.plans.ColumnLineage.toJson(
+        graft.plans.ColumnLineage.of(df, stmt,
+          destTable = destQualified, database = db))
+      return Some(oneColDf("lineage", Seq(json)))
+    }
+
     // DESCRIBE FUNCTION [EXTENDED] name
     val fnRe = "(?is)^desc(?:ribe)?\\s+function\\s+(extended\\s+)?(.+)$".r
     fnRe.findFirstMatchIn(q).foreach { m =>

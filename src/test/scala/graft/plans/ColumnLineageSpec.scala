@@ -86,6 +86,23 @@ class ColumnLineageSpec extends SparkSpec {
       l)
   }
 
+  test("EXPLAIN LINEAGE serves the hook JSON through the public " +
+      "dialect entry (SELECT and CTAS forms)") {
+    seed()
+    val h = new graft.HiveStatements(spark)
+    val sel = h.sql("EXPLAIN LINEAGE select key from src1 " +
+      "where value = 'val_146'").get.collect().head.getString(0)
+    assert(sel.contains("\"edges\":["), sel)
+    assert(sel.contains("\"vertexId\":\"default.src1.key\""), sel)
+    assert(sel.contains("\"edgeType\":\"PREDICATE\""), sel)
+    assert(sel.contains(
+      "\"hash\":\"" + ColumnLineage.queryHash(
+        "select key from src1 where value = 'val_146'") + "\""), sel)
+    val ctas = h.sql("EXPLAIN LINEAGE create table dst_l as " +
+      "select key key2 from src1").get.collect().head.getString(0)
+    assert(ctas.contains("\"vertexId\":\"default.dst_l.key2\""), ctas)
+  }
+
   test("union output columns depend on every branch; duplicate " +
       "conditions record once (reference addEdge merge)") {
     seed()
