@@ -118,7 +118,66 @@ class HiveStatements(val spark: SparkSession) {
     "colStats" -> meta.colStats,
     "createTime" -> meta.createTime,
     "knownDbs" -> dialect.knownDbs,
-    "dbTables" -> dialect.dbTables)
+    "dbTables" -> dialect.dbTables,
+    "catalogTables" -> catalogSnapshot())
+
+  /** Catalog DATA tables ride in the ledger too — the in-memory
+    * catalog forgets its bindings on restart even though the
+    * warehouse files survive, so a fresh process re-registers each
+    * table (name, schema, provider, location, partition columns,
+    * type) and `SELECT` keeps working, not just DESCRIBE. The
+    * reference gets this from the RDBMS metastore's TBLS/SDS rows. */
+  private def catalogSnapshot()
+      : Seq[(String, String, String, String, Seq[String], String)] = {
+    val cat = spark.sessionState.catalog
+    scala.util.Try {
+      cat.listTables("default").flatMap { ident =>
+        scala.util.Try(cat.getTableMetadata(
+          ident.copy(database = Some("default")))).toOption.collect {
+          case t if t.tableType !=
+              org.apache.spark.sql.catalyst.catalog
+                .CatalogTableType.VIEW && t.provider.isDefined =>
+            (t.identifier.table, t.schema.json, t.provider.get,
+              t.location.toString, t.partitionColumnNames,
+              t.tableType.name)
+        }
+      }
+    }.getOrElse(Nil)
+  }
+
+  private def restoreCatalogTables(entries: Seq[(String, String,
+      String, String, Seq[String], String)]): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat,
+      CatalogTable, CatalogTableType}
+    val cat = spark.sessionState.catalog
+    entries.foreach {
+      case (name, schemaJson, provider, location, partCols, typ) =>
+        val ident = TableIdentifier(name, Some("default"))
+        if (!cat.tableExists(ident) &&
+            !spark.catalog.tableExists(name)) {
+          val schema = DataType.fromJson(schemaJson)
+            .asInstanceOf[StructType]
+          val ct = CatalogTable(
+            identifier = ident,
+            tableType =
+              if (typ == CatalogTableType.MANAGED.name)
+                CatalogTableType.MANAGED
+              else CatalogTableType.EXTERNAL,
+            storage = CatalogStorageFormat.empty.copy(
+              locationUri = Some(new java.net.URI(location))),
+            schema = schema,
+            provider = Some(provider),
+            partitionColumnNames = partCols)
+          scala.util.Try {
+            cat.createTable(ct, ignoreIfExists = true)
+            // partition registry rebuilds from the directory layout
+            if (partCols.nonEmpty)
+              spark.sql(s"MSCK REPAIR TABLE `$name`")
+          }
+        }
+    }
+  }
 
   private def ledgerRestore(s: Map[String, AnyRef]): Unit = {
     import scala.collection.mutable
@@ -154,6 +213,9 @@ class HiveStatements(val spark: SparkSession) {
     into("createTime", meta.createTime)
     into("knownDbs", dialect.knownDbs)
     into("dbTables", dialect.dbTables)
+    s.get("catalogTables").foreach(v => restoreCatalogTables(
+      v.asInstanceOf[Seq[(String, String, String, String,
+        Seq[String], String)]]))
   }
 
   /** Rewrite the ledger file (write-temp + rename, through the
@@ -1467,6 +1529,55 @@ class HiveStatements(val spark: SparkSession) {
           else cvCast(raw, f.dataType).as(f.name)
       }
     }.toIndexedSeq: _*)
+    // a CATALOG table takes a REAL write — files under the table
+    // location, durable across sessions (with the metastore ledger,
+    // a restart then recovers both metadata AND data). The temp-view
+    // rebuild below is for session tables and harness fixtures; at
+    // 100 TB an in-memory shadow of a catalog table is a scale and
+    // durability bug, not an optimization.
+    if (!isTempView(table) &&
+        scala.util.Try(spark.catalog.tableExists(table))
+          .getOrElse(false)) {
+      // Hive allows INSERT OVERWRITE t ... FROM t; Spark's native
+      // write refuses to overwrite its own input — materialize the
+      // self-reading case first (only then: a checkpoint on every
+      // overwrite would double the write volume at scale)
+      def readsSelf: Boolean = cast.queryExecution.analyzed.exists {
+        case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation =>
+          lr.catalogTable.exists(
+            _.identifier.table.equalsIgnoreCase(table))
+        case _ => false
+      }
+      val data =
+        if (overwrite && readsSelf) cast.localCheckpoint() else cast
+      if (overwrite && spec.nonEmpty) {
+        // partition-scoped overwrite: only the partitions present in
+        // the insert's output replace (Hive's dynamic contract; a
+        // fully-static spec names exactly one)
+        val prev = spark.conf
+          .getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+          "dynamic")
+        try {
+          if (dynamic.isEmpty && data.isEmpty)
+            // Hive truncates the static partition even on zero rows
+            scala.util.Try(spark.sql(
+              s"ALTER TABLE `$table` DROP IF EXISTS " +
+                s"PARTITION ($partSpec)"))
+          else data.write.mode("overwrite").insertInto(table)
+        } finally prev match {
+          case Some(v) => spark.conf
+            .set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf
+            .unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      } else if (overwrite) data.write.mode("overwrite")
+        .insertInto(table)
+      else data.write.insertInto(table)
+      recordInsertPartition(table, schema, static)
+      return
+    }
     val merged =
       if (overwrite && spec.nonEmpty && dynamic.isEmpty) {
         // fully-STATIC partition OVERWRITE clears that partition even
@@ -1497,10 +1608,15 @@ class HiveStatements(val spark: SparkSession) {
       } else if (overwrite) cast
       else spark.table(table).union(cast)
     rebuild(table, merged)
-    // partition registry: a fully-static insert creates (or refreshes)
-    // its partition's written-schema entry + descriptor snapshot, so
-    // `DESCRIBE FORMATTED t PARTITION(...)` resolves through the
-    // public entry (metastore add_partition-on-write semantics)
+    recordInsertPartition(table, schema, static)
+  }
+
+  /** Partition registry: a fully-static insert creates (or refreshes)
+    * its partition's written-schema entry + descriptor snapshot, so
+    * `DESCRIBE FORMATTED t PARTITION(...)` resolves through the
+    * public entry (metastore add_partition-on-write semantics). */
+  private def recordInsertPartition(table: String, schema: StructType,
+      static: Map[String, String]): Unit =
     if (autoObserveMeta && static.nonEmpty) {
       val lc = table.toLowerCase
       val pcs = meta.tablePartCols.getOrElse(lc, Nil)
@@ -1517,7 +1633,6 @@ class HiveStatements(val spark: SparkSession) {
         }
       }
     }
-  }
 
   // ---------------------------------------------------------------
   // dispatch

@@ -256,25 +256,48 @@ object HiveCasts extends Rule[LogicalPlan] {
       // STRING ("0.220" != "0.22"); the reference compares numerically
       // (common class numeric+string = double) — d in ('0.22') matches
       // decimal 0.220
-      case In(Cast(v, StringType, tz, mode), list)
-          if v.resolved && v.dataType.isInstanceOf[NumericType] &&
+      // the widened value may already be this rule's own decimal
+      // rendering (the StaticInvoke form) — match either shape via
+      // stringWidenedNumeric, else "146.0 IN ('146.0')" compares
+      // "146" (normalized) to "146.0" and misses
+      case In(v0, list)
+          if HiveCasts.stringWidenedNumeric(v0).isDefined &&
             list.nonEmpty && list.forall(e =>
               e.foldable && e.dataType == StringType) =>
-        In(Cast(v, DoubleType, tz, mode),
-          list.map(e => Cast(e, DoubleType, tz, mode)))
+        In(Cast(HiveCasts.stringWidenedNumeric(v0).get, DoubleType),
+          list.map(e => Cast(e, DoubleType)))
+      // the mirror: STRING value IN (numeric operands) — Spark widens
+      // the whole IN to string (and the decimal text rule below then
+      // renders "146" for 146.0, so '146.0' IN (146.0) would miss);
+      // the reference's comparison class is double here too. Only
+      // ANALYZER-inserted string casts unwrap — a user's explicit
+      // cast keeps the string compare, as in Hive.
+      case In(v, list)
+          if v.resolved && v.dataType == StringType &&
+            list.nonEmpty && list.forall(e => e.resolved &&
+              HiveCasts.stringWidenedNumeric(e).isDefined) =>
+        In(Cast(v, DoubleType),
+          list.map(e =>
+            Cast(HiveCasts.stringWidenedNumeric(e).get, DoubleType)))
       // decimal → string renders the NORMALIZED value (HiveDecimal
       // .toString: trailing zeros trimmed, "100.00" -> "100");
       // Spark's cast keeps the declared scale
-      case Cast(child, StringType, _, _)
+      case c0 @ Cast(child, StringType, _, _)
           if child.resolved &&
             child.dataType.isInstanceOf[DecimalType] &&
             child.dataType.asInstanceOf[DecimalType].scale > 0 &&
             hiveDecimalText =>
-        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
-          graft.functions.HiveDecimalText.getClass,
-          StringType, "decimalString", Seq(child),
-          inputTypes = Seq(child.dataType),
-          returnNullable = true)
+        val si = org.apache.spark.sql.catalyst.expressions.objects
+          .StaticInvoke(
+            graft.functions.HiveDecimalText.getClass,
+            StringType, "decimalString", Seq(child),
+            inputTypes = Seq(child.dataType),
+            returnNullable = true)
+        // a USER-written cast keeps its provenance (the IN coercion
+        // rules above must not unwrap it back to a numeric compare)
+        if (c0.getTagValue(Cast.USER_SPECIFIED_CAST).isDefined)
+          si.setTagValue(HiveCasts.UserCastTag, ())
+        si
       // char/varchar casts TRUNCATE on overflow
       // (serde2/typeinfo/BaseCharUtils.enforceMaxLength) — Spark
       // raises EXCEED_LIMIT_LENGTH instead; pre-truncating with
@@ -304,4 +327,30 @@ object HiveCasts extends Rule[LogicalPlan] {
       case _ => false
     }
   }
+
+  /** Marks a HiveDecimalText rendering that replaced a USER-written
+    * cast (vs an analyzer-inserted coercion cast). */
+  val UserCastTag =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit](
+      "graft.userSpecifiedCast")
+
+  /** The numeric operand under an ANALYZER-inserted string widening:
+    * a coercion `Cast(numeric → string)` (no USER_SPECIFIED_CAST
+    * tag), or this rule's own HiveDecimalText rendering of one. */
+  def stringWidenedNumeric(e: Expression): Option[Expression] =
+    e match {
+      case c @ Cast(child, StringType, _, _)
+          if child.resolved &&
+            child.dataType.isInstanceOf[NumericType] &&
+            c.getTagValue(Cast.USER_SPECIFIED_CAST).isEmpty =>
+        Some(child)
+      case si: org.apache.spark.sql.catalyst.expressions.objects
+            .StaticInvoke
+          if si.functionName == "decimalString" &&
+            si.getTagValue(UserCastTag).isEmpty &&
+            si.arguments.length == 1 && si.arguments.head.resolved &&
+            si.arguments.head.dataType.isInstanceOf[NumericType] =>
+        Some(si.arguments.head)
+      case _ => None
+    }
 }

@@ -713,6 +713,40 @@ class DialectSpec extends SparkSpec {
     spark.sql("DROP TABLE step_t")
   }
 
+  test("public entry: catalog tables take REAL file writes on INSERT " +
+      "(durable under the table location), incl. self-overwrite") {
+    val h = new HiveStatements(spark)
+    spark.sql("DROP TABLE IF EXISTS real_w")
+    h.sql("CREATE TABLE real_w (k INT, v STRING) STORED AS PARQUET")
+    h.sql("INSERT INTO real_w VALUES (1, 'a'), (2, 'b')")
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst
+        .TableIdentifier("real_w")).location.getPath
+    def files() = Option(new java.io.File(loc).list())
+      .map(_.count(_.endsWith(".parquet"))).getOrElse(0)
+    assert(files() > 0, s"no parquet files under $loc")
+    // the table is NOT shadowed by a session temp view
+    assert(spark.sessionState.catalog.getTempView("real_w").isEmpty)
+    // Hive allows overwriting a table from itself
+    h.sql("INSERT OVERWRITE TABLE real_w SELECT k + 10, v FROM real_w")
+    val got = spark.table("real_w").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq === Seq((11, "a"), (12, "b")))
+    assert(files() > 0)
+    // partitioned static overwrite writes only that partition's dir
+    spark.sql("DROP TABLE IF EXISTS real_p")
+    h.sql("CREATE TABLE real_p (k INT) PARTITIONED BY (ds STRING) " +
+      "STORED AS PARQUET")
+    h.sql("INSERT INTO real_p PARTITION (ds='a') VALUES (1)")
+    h.sql("INSERT INTO real_p PARTITION (ds='b') VALUES (2)")
+    h.sql("INSERT OVERWRITE TABLE real_p PARTITION (ds='a') VALUES (9)")
+    val p = spark.table("real_p").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._2)
+    assert(p.toSeq === Seq((9, "a"), (2, "b")))
+    spark.sql("DROP TABLE real_w")
+    spark.sql("DROP TABLE real_p")
+  }
+
   test("public entry: bigint column-stat bounds above 2^53 render " +
       "exactly (no Double round-trip)") {
     val h = new HiveStatements(spark)

@@ -70,6 +70,48 @@ class MetastorePersistenceSpec extends SparkSpec {
     }
   }
 
+  test("catalog DATA tables re-register from the ledger: a fresh " +
+      "dispatcher serves SELECT after the in-memory catalog forgot " +
+      "the binding (restart recovery, not just DESCRIBE)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_msd")
+    val ledger = s"$base/metastore.ledger"
+    spark.conf.set("spark.graft.metastore.path", ledger)
+    try {
+      val h1 = new HiveStatements(spark)
+      spark.sql("DROP TABLE IF EXISTS per_data")
+      // EXTERNAL: dropping the catalog entry below simulates a
+      // restart (files survive; a managed drop would delete them)
+      h1.sql(s"CREATE EXTERNAL TABLE per_data (k INT, v STRING) " +
+        s"STORED AS PARQUET LOCATION '$base/per_data'")
+      h1.sql("INSERT INTO per_data VALUES (1,'a'), (2,'b')")
+      spark.sql("DROP TABLE IF EXISTS per_part")
+      h1.sql(s"CREATE EXTERNAL TABLE per_part (k INT) " +
+        s"PARTITIONED BY (ds STRING) STORED AS PARQUET " +
+        s"LOCATION '$base/per_part'")
+      h1.sql("INSERT INTO per_part PARTITION (ds='a') VALUES (1)")
+      h1.sql("INSERT INTO per_part PARTITION (ds='b') VALUES (2)")
+      // the "restart": catalog forgets, warehouse files survive
+      spark.sessionState.catalog.dropTable(
+        org.apache.spark.sql.catalyst.TableIdentifier("per_data"),
+        ignoreIfNotExists = false, purge = false)
+      spark.sessionState.catalog.dropTable(
+        org.apache.spark.sql.catalyst.TableIdentifier("per_part"),
+        ignoreIfNotExists = false, purge = false)
+      assert(!spark.catalog.tableExists("per_data"))
+      val h2 = new HiveStatements(spark)
+      val got = h2.sql("SELECT k, v FROM per_data ORDER BY k").get
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(got === Seq((1, "a"), (2, "b")))
+      // partitioned recovery: partitions rebuilt from the dir layout,
+      // and partition pruning still applies to the recovered table
+      val p = h2.sql("SELECT k FROM per_part WHERE ds='b'").get
+        .collect().map(_.getInt(0)).toSeq
+      assert(p === Seq(2))
+      spark.sql("DROP TABLE IF EXISTS per_data")
+      spark.sql("DROP TABLE IF EXISTS per_part")
+    } finally spark.conf.unset("spark.graft.metastore.path")
+  }
+
   test("the ledger file is written on DDL and absent conf means no " +
       "writes (session-only metadata, harness-safe default)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ms2")
