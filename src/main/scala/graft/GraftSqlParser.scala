@@ -108,3 +108,21 @@ case class HiveStatementCommand(
     Nil
   }
 }
+
+/** A STOCK metadata-mutating command (CREATE/ALTER/DROP/... parsed by
+  * Spark's own grammar on the Connect path) wrapped so the metastore
+  * ledger persists AFTER the command executes — a parse-time persist
+  * could neither see the object the statement creates nor honor
+  * plan()'s side-effect-free contract. Leaf on purpose: the inner
+  * plan analyzes and runs inside [[run]], exactly once. */
+case class GraftPersistCommand(
+    @transient statements: HiveStatements,
+    @transient inner: LogicalPlan, text: String)
+    extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def run(session: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    org.apache.spark.sql.GraftSqlShim.runPlan(session, inner)
+    statements.persistAfter(text)
+    Nil
+  }
+}

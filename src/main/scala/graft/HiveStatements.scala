@@ -61,6 +61,20 @@ class HiveStatements(val spark: SparkSession) {
     }
   lazy val meta: graft.meta.HiveMetaStore = newMetaStore
 
+  /** The session's authorization store (GRANT/REVOKE/ROLE bookkeeping
+    * + SHOW GRANT display surface; graft.meta.AuthStore). Privileges
+    * persist across restarts through the metastore ledger. The
+    * session user comes from `spark.graft.user` (falling back to the
+    * Spark context's user), matching the reference's
+    * SessionStateConfigUserAuthenticator contract. */
+  val auth: graft.meta.AuthStore = {
+    val a = new graft.meta.AuthStore
+    a.expandAll = true // SQL-standard authorizer semantics by default
+    a.currentUser = spark.conf.getOption("spark.graft.user")
+      .getOrElse(spark.sparkContext.sparkUser)
+    a
+  }
+
   /** Whether [[sql]] itself observes DDL statements into [[meta]].
     * The golden-replay harness drives the store from its own replay
     * loop (with fixture-aware sequencing) and turns this off. */
@@ -119,6 +133,14 @@ class HiveStatements(val spark: SparkSession) {
     "createTime" -> meta.createTime,
     "knownDbs" -> dialect.knownDbs,
     "dbTables" -> dialect.dbTables,
+    // authorization state rides as plain string rows so the ledger
+    // format stays self-describing (AuthStore.Grant is session-inner)
+    "authGrants" -> auth.grants.toVector.map(g => Vector(g.db, g.table,
+      g.part, g.col, g.principal, g.ptype, g.priv,
+      g.grantOpt.toString, g.grantor)),
+    "authRoles" -> auth.roles.toVector,
+    "authRoleGrants" -> auth.roleGrants.toVector.map(e =>
+      Vector(e._1, e._2, e._3, e._4.toString, e._5, e._6)),
     "catalogTables" -> catalogSnapshot())
 
   /** Catalog DATA tables ride in the ledger too — the in-memory
@@ -128,7 +150,8 @@ class HiveStatements(val spark: SparkSession) {
     * type) and `SELECT` keeps working, not just DESCRIBE. The
     * reference gets this from the RDBMS metastore's TBLS/SDS rows. */
   private def catalogSnapshot()
-      : Seq[(String, String, String, String, Seq[String], String)] = {
+      : Seq[(String, String, String, String, Seq[String], String,
+        Seq[(String, String)], Seq[(String, String)])] = {
     val cat = spark.sessionState.catalog
     scala.util.Try {
       cat.listTables("default").flatMap { ident =>
@@ -139,20 +162,28 @@ class HiveStatements(val spark: SparkSession) {
                 .CatalogTableType.VIEW && t.provider.isDefined =>
             (t.identifier.table, t.schema.json, t.provider.get,
               t.location.toString, t.partitionColumnNames,
-              t.tableType.name)
+              t.tableType.name,
+              // storage OPTIONS decide how the files read back — a
+              // csv table with sep='' restored without them
+              // would silently re-read comma-split (the misread
+              // hiveCreateRewrite exists to prevent)
+              t.storage.properties.toSeq.sortBy(_._1),
+              t.properties.toSeq.sortBy(_._1))
         }
       }
     }.getOrElse(Nil)
   }
 
   private def restoreCatalogTables(entries: Seq[(String, String,
-      String, String, Seq[String], String)]): Unit = {
+      String, String, Seq[String], String, Seq[(String, String)],
+      Seq[(String, String)])]): Unit = {
     import org.apache.spark.sql.catalyst.TableIdentifier
     import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat,
       CatalogTable, CatalogTableType}
     val cat = spark.sessionState.catalog
     entries.foreach {
-      case (name, schemaJson, provider, location, partCols, typ) =>
+      case (name, schemaJson, provider, location, partCols, typ,
+          storageProps, tblProps) =>
         val ident = TableIdentifier(name, Some("default"))
         if (!cat.tableExists(ident) &&
             !spark.catalog.tableExists(name)) {
@@ -165,9 +196,11 @@ class HiveStatements(val spark: SparkSession) {
                 CatalogTableType.MANAGED
               else CatalogTableType.EXTERNAL,
             storage = CatalogStorageFormat.empty.copy(
-              locationUri = Some(new java.net.URI(location))),
+              locationUri = Some(new java.net.URI(location)),
+              properties = storageProps.toMap),
             schema = schema,
             provider = Some(provider),
+            properties = tblProps.toMap,
             partitionColumnNames = partCols)
           scala.util.Try {
             cat.createTable(ct, ignoreIfExists = true)
@@ -213,36 +246,113 @@ class HiveStatements(val spark: SparkSession) {
     into("createTime", meta.createTime)
     into("knownDbs", dialect.knownDbs)
     into("dbTables", dialect.dbTables)
+    s.get("authGrants").foreach { v =>
+      auth.grants.clear()
+      v.asInstanceOf[Iterable[Seq[String]]].foreach { r =>
+        auth.grants += auth.Grant(r(0), r(1), r(2), r(3), r(4), r(5),
+          r(6), r(7).toBoolean, r(8))
+      }
+    }
+    s.get("authRoles").foreach { v =>
+      auth.roles.clear()
+      auth.roles ++= v.asInstanceOf[Iterable[String]]
+    }
+    s.get("authRoleGrants").foreach { v =>
+      auth.roleGrants.clear()
+      v.asInstanceOf[Iterable[Seq[String]]].foreach { r =>
+        auth.roleGrants += ((r(0), r(1), r(2), r(3).toBoolean,
+          r(4), r(5)))
+      }
+    }
     s.get("catalogTables").foreach(v => restoreCatalogTables(
       v.asInstanceOf[Seq[(String, String, String, String,
-        Seq[String], String)]]))
+        Seq[String], String, Seq[(String, String)],
+        Seq[(String, String)])]]))
   }
 
-  /** Rewrite the ledger file (write-temp + rename, through the
+  /** Rewrite the ledger file CRASH-ATOMICALLY: write the full
+    * snapshot to `.tmp`, then rename ONTO the primary with overwrite
+    * semantics (FileContext.rename OVERWRITE — no delete-then-rename
+    * window where a crash leaves no ledger at all). Through the
     * Hadoop FS API so the ledger can live next to the warehouse on
-    * any supported filesystem). Metadata is small — the whole
-    * snapshot is a single driver-side write, no Spark job. */
+    * any supported filesystem. Metadata is small — the whole
+    * snapshot is a single driver-side write, no Spark job.
+    *
+    * Format v2: a versioned header line + one self-describing JSON
+    * line per metadata map ([[graft.meta.LedgerJson]]) — durable
+    * across Scala/JVM upgrades, unlike Java serialization. */
   def saveMetastoreLedger(): Unit = metastorePath.foreach { p =>
+    val path = new org.apache.hadoop.fs.Path(p)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = path.getFileSystem(conf)
+    val parent = Option(path.getParent)
+      .getOrElse(new org.apache.hadoop.fs.Path("."))
+    val tmp = new org.apache.hadoop.fs.Path(parent,
+      "." + path.getName + ".tmp")
+    val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+      fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      out.println("""{"graftLedgerVersion":2}""")
+      ledgerSnapshot().foreach { case (k, v) =>
+        out.println(graft.meta.LedgerJson.encodeLine(k, v))
+      }
+    } finally out.close()
+    try {
+      org.apache.hadoop.fs.FileContext.getFileContext(path.toUri, conf)
+        .rename(tmp, path,
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: Exception =>
+        // filesystems without FileContext support fall back to
+        // delete+rename (the historical non-atomic path; load's
+        // `.tmp` fallback below still closes the crash window)
+        if (fs.exists(path)) fs.delete(path, false)
+        fs.rename(tmp, path)
+    }
+  }
+
+  private def loadMetastoreLedger(): Unit = metastorePath.foreach { p =>
     val path = new org.apache.hadoop.fs.Path(p)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parent = Option(path.getParent)
       .getOrElse(new org.apache.hadoop.fs.Path("."))
     val tmp = new org.apache.hadoop.fs.Path(parent,
       "." + path.getName + ".tmp")
-    val out = new java.io.ObjectOutputStream(fs.create(tmp, true))
-    try out.writeObject(ledgerSnapshot()) finally out.close()
-    if (fs.exists(path)) fs.delete(path, false)
-    fs.rename(tmp, path)
-  }
-
-  private def loadMetastoreLedger(): Unit = metastorePath.foreach { p =>
-    val path = new org.apache.hadoop.fs.Path(p)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) {
-      val in = new java.io.ObjectInputStream(fs.open(path))
-      try ledgerRestore(
-        in.readObject().asInstanceOf[Map[String, AnyRef]])
-      finally in.close()
+    // a crash after writing `.tmp` but before the rename leaves the
+    // newest complete snapshot in the temp file — recover it
+    val src = if (fs.exists(path)) Some(path)
+      else if (fs.exists(tmp)) Some(tmp) else None
+    src.foreach { f =>
+      val head = {
+        val in = fs.open(f)
+        try { val b = new Array[Byte](24); val n = in.read(b)
+          new String(b, 0, math.max(n, 0),
+            java.nio.charset.StandardCharsets.UTF_8) }
+        finally in.close()
+      }
+      if (head.startsWith("""{"graftLedgerVersion""")) {
+        val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
+          fs.open(f), java.nio.charset.StandardCharsets.UTF_8))
+        try {
+          rd.readLine() // version header
+          val m = Map.newBuilder[String, AnyRef]
+          var line = rd.readLine()
+          while (line != null) {
+            if (line.trim.nonEmpty) {
+              val (k, v) = graft.meta.LedgerJson.decodeLine(line)
+              m += k -> v.asInstanceOf[AnyRef]
+            }
+            line = rd.readLine()
+          }
+          ledgerRestore(m.result())
+        } finally rd.close()
+      } else {
+        // pre-v2 ledger (Java serialization): one-time upgrade read
+        val in = new java.io.ObjectInputStream(fs.open(f))
+        try ledgerRestore(
+          in.readObject().asInstanceOf[Map[String, AnyRef]])
+        finally in.close()
+      }
     }
   }
 
@@ -250,15 +360,19 @@ class HiveStatements(val spark: SparkSession) {
   // serves DESCRIBE/SHOW/stats for everything created before it
   loadMetastoreLedger()
 
+  /** Can this statement head mutate metadata (→ the ledger rewrites
+    * after it runs)? */
+  private[graft] def persistWorthy(q: String): Boolean =
+    metastorePath.isDefined && {
+      val head = q.trim.takeWhile(!_.isWhitespace).toLowerCase
+      !Set("select", "with", "show", "describe", "desc",
+        "explain", "values", "set", "refresh", "use",
+        "").contains(head)
+    }
+
   /** Persist after any statement head that can mutate metadata. */
   private[graft] def persistAfter(q: String): Unit =
-    if (metastorePath.isDefined) {
-      val head = q.trim.takeWhile(!_.isWhitespace).toLowerCase
-      if (!Set("select", "with", "show", "describe", "desc",
-          "explain", "values", "set", "refresh", "use",
-          "").contains(head))
-        saveMetastoreLedger()
-    }
+    if (persistWorthy(q)) saveMetastoreLedger()
 
   /** Run one HiveQL statement end-to-end: serve metadata reads
     * (DESCRIBE/SHOW) from [[meta]] in Hive's exact layout,
@@ -315,13 +429,22 @@ class HiveStatements(val spark: SparkSession) {
         if (m.group(2).toLongOption.exists(_ > tblId)) {
           observeMeta(s"drop table `$lc`")
           handleDrop(s"DROP TABLE IF EXISTS `$lc`")
-        } else {
+        } else if (meta.tablePartCols.getOrElse(lc, Nil).nonEmpty) {
+          // gated-off drop of a PARTITIONED table: the table survives
+          // but partitions without a NEWER repl id are replaceable and
+          // drop (ReplicationSpec.allowEventReplacementInto — this
+          // engine keeps no per-partition repl ids, so every partition
+          // is treated as older than the event, like a partition the
+          // reference sees without replication state)
           scala.util.Try(rebuild(lc, spark.table(lc).limit(0)))
           meta.addedParts.remove(lc)
           meta.partSchemas.remove(lc)
           meta.partStorage.filterInPlace((k, _) => k._1 != lc)
           meta.partBucketMeta.filterInPlace((k, _) => k._1 != lc)
         }
+        // gated-off drop of a NON-partitioned table: the table is
+        // newer than the replication event — data and metadata stay
+        // untouched (DDLTask.dropTable early return)
         return None
       }
       observeMeta(resolved)
@@ -424,7 +547,6 @@ class HiveStatements(val spark: SparkSession) {
     }
     dialect.observeNamespace(raw)
     observeMeta(dialect.resolveNamespace(raw))
-    persistAfter(raw)
     val q = dialect.rewrite(hiveCreateRewrite(raw))
     // row-level DML parses in Spark's grammar but plans only against
     // DSv2 catalogs — the dialect owns it here (MergeInto
@@ -434,8 +556,19 @@ class HiveStatements(val spark: SparkSession) {
         ql.startsWith("merge ") || ql.startsWith("load data") ||
         ql.startsWith("export table") || ql.startsWith("import "))
       return HiveStatementCommand(this, q)
-    try spark.sessionState.sqlParser.parsePlan(q)
-    catch {
+    try {
+      val parsed = spark.sessionState.sqlParser.parsePlan(q)
+      // ledger writes happen AFTER execution, not at parse time (plan()
+      // is re-entered on every Connect dataframe operation and must
+      // stay side-effect-free; and a parse-time snapshot cannot see
+      // the table this statement is about to create) — wrap stock
+      // metadata-mutating commands so persistAfter runs post-run,
+      // mirroring HiveStatementCommand.run
+      if (persistWorthy(raw) && parsed.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.Command])
+        GraftPersistCommand(this, parsed, raw)
+      else parsed
+    } catch {
       case _: org.apache.spark.sql.catalyst.parser.ParseException =>
         HiveStatementCommand(this, q)
     }
@@ -512,6 +645,22 @@ class HiveStatements(val spark: SparkSession) {
           destTable = destQualified, database = db))
       return Some(oneColDf("lineage", Seq(json)))
     }
+
+    // SHOW GRANT / SHOW ROLES / SHOW CURRENT ROLES / SHOW ROLE GRANT /
+    // SHOW PRINCIPALS — the authorization read surface, rendered from
+    // the session AuthStore in Hive's recorded layouts
+    if (ql.startsWith("show grant") || ql.startsWith("show roles") ||
+        ql.startsWith("show current roles") ||
+        ql.startsWith("show role grant") ||
+        ql.startsWith("show principals"))
+      auth.showLines(q, dialect.currentDb).foreach { case (cols, lines) =>
+        val schema = StructType(cols.map(StructField(_, StringType)))
+        val rows = lines.map { l =>
+          Row(l.split("\t", -1).padTo(cols.size, ""): _*)
+        }
+        return Some(spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), schema))
+      }
 
     // DESCRIBE FUNCTION [EXTENDED] name
     val fnRe = "(?is)^desc(?:ribe)?\\s+function\\s+(extended\\s+)?(.+)$".r
@@ -1651,6 +1800,13 @@ class HiveStatements(val spark: SparkSession) {
         else ""
       (head.split("\\s+").mkString(" ") + joint + q.drop(200)).toLowerCase
     }
+    // authorization statements (GRANT/REVOKE privilege-or-role,
+    // CREATE/DROP ROLE, SET ROLE) mutate the session AuthStore —
+    // SHOW GRANT and friends are metadata reads served by metaQuery
+    if ((ql.startsWith("grant ") || ql.startsWith("revoke ") ||
+        ql.startsWith("create role ") || ql.startsWith("drop role ") ||
+        ql.startsWith("set role ")) &&
+        auth.executeStatement(q, dialect.currentDb)) return true
     if (ql.startsWith("update ")) q match {
       case updateRe(t, sets, w) =>
         val table = t.split('.').last

@@ -70,19 +70,28 @@ object ColumnLineage {
   }
 
   /** Is `alias` a catalog-visible table/view name (a base-table
-    * boundary), as opposed to a subquery/CTE alias? */
-  private def isTableBoundary(df: DataFrame, name: String): Boolean =
-    scala.util.Try(df.sparkSession.catalog.tableExists(name))
-      .getOrElse(false)
+    * boundary), as opposed to a subquery/CTE alias? The name check
+    * alone is not enough: `FROM (SELECT ...) src` with a real table
+    * named `src` must NOT attribute the derived columns to
+    * default.src — the alias only binds a relation when its child is
+    * a leaf relation (LogicalRelation/UnresolvedCatalogRelation) or
+    * a resolved View, never an arbitrary subplan. */
+  private def isTableBoundary(df: DataFrame, s: SubqueryAlias): Boolean =
+    (s.child.children.isEmpty ||
+      s.child.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.View] ||
+      s.child.isInstanceOf[SubqueryAlias]) &&
+      scala.util.Try(df.sparkSession.catalog.tableExists(s.alias))
+        .getOrElse(false)
 
   private def walk(df: DataFrame, database: String,
       plan: LogicalPlan): Acc = plan match {
     case s: SubqueryAlias
-        if isTableBoundary(df, s.alias) &&
+        if isTableBoundary(df, s) &&
           // an alias OVER a catalog name keeps the inner table as
           // the base (`from src1 a` — sources stay default.src1.*)
           !(s.child.isInstanceOf[SubqueryAlias] && isTableBoundary(
-            df, s.child.asInstanceOf[SubqueryAlias].alias)) =>
+            df, s.child.asInstanceOf[SubqueryAlias])) =>
       val qualifier = s.identifier.qualifier.lastOption
         .getOrElse(database)
       val tbl = s"$qualifier.${s.alias}"

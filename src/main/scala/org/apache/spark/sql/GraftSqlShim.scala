@@ -12,6 +12,16 @@ object GraftSqlShim {
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** Executes a logical plan on the session (commands run eagerly,
+    * exactly once). Used by graft's deferred-persist command wrapper
+    * on the Spark Connect path. */
+  def runPlan(session: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Unit =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      session.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      plan)
+
   /** Eagerly converts the Column's node tree to a Catalyst expression.
     * Needed when an expression built from Column API (e.g. a typed UDAF
     * invocation) is returned from a FunctionRegistry builder — the lazy

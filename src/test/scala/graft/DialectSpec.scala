@@ -676,9 +676,11 @@ class DialectSpec extends SparkSpec {
     h.sql("CREATE TABLE repl_t (k INT) STORED AS PARQUET " +
       "TBLPROPERTIES ('repl.last.id'='10')")
     h.sql("INSERT INTO repl_t VALUES (1), (2)")
-    // older event id: drop is gated OFF — table stays, contents empty
+    // older event id: drop is gated OFF — a NON-partitioned table
+    // keeps its DATA too (DDLTask.dropTable leaves a table newer
+    // than the event untouched; only partitions are replaceable)
     h.sql("DROP TABLE repl_t FOR REPLICATION('5')")
-    assert(spark.table("repl_t").count() === 0)
+    assert(spark.table("repl_t").count() === 2)
     // metadata survived the gated drop
     val props = h.sql("SHOW TBLPROPERTIES repl_t ('repl.last.id')")
       .get.collect()
