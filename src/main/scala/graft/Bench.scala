@@ -34,9 +34,38 @@ object Bench {
     // phases so earlier reps' state never squeezes later ones
     def drainDeadBlocks(): Unit = { System.gc(); Thread.sleep(500) }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b runs a subset (scaling studies)
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(list) =>
+        val want = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        names0.filter(want)
+      case None => names0
+    }
     names.foreach(materialize(_, "/root/testdata/sf0.001")) // warmup
     drainDeadBlocks()
+
+    // ---- load calibration ----------------------------------------
+    // The box the driver benches on demonstrably varies ~1.4× run to
+    // run under concurrent load, while the budgets are ratcheted from
+    // quiet-box minima with only 1.75× headroom. Measure the box's
+    // CURRENT slowdown with a fixed pure-CPU control job (identical
+    // work every run: a 32-partition xxhash64 fold over spark.range —
+    // no IO, no shuffle, nothing the engine's own code can change)
+    // and scale every budget by it, capped at 2× so a genuine 2×
+    // code regression still fails even on a maximally loaded box.
+    // The quiet-box reference time lives in bench_budget.json
+    // ("control_ref"); both the raw control seconds and the factor
+    // are reported in the JSON for auditability.
+    def controlRun(): Double = {
+      import org.apache.spark.sql.functions.{col, sum, xxhash64}
+      val t0 = System.nanoTime()
+      spark.range(0, 150000000L, 1, 32)
+        .select(sum(xxhash64(col("id")))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    controlRun() // codegen warmup
+    val controlSec = (1 to 3).map(_ => controlRun()).min
     // two timed reps, report the min — steady-state per-query cost,
     // insulated from one-off GC/scheduler noise on a shared box
     val rep1 = names.map(n => n -> materialize(n, sfDir)).toMap
@@ -81,20 +110,30 @@ object Bench {
     // always reported in the JSON; SPARK_GRAFT_BUDGET_STRICT=1 also
     // exits nonzero (CI mode). Budgets only apply at the sf they were
     // recorded for.
-    val budgets: Map[String, Double] = {
+    val (budgets: Map[String, Double], controlRef: Option[Double]) = {
       val f = new java.io.File("bench_budget.json")
-      if (!f.exists()) Map.empty
+      if (!f.exists()) (Map.empty[String, Double], None)
       else {
         val txt = scala.io.Source.fromFile(f, "UTF-8").mkString
         val budgetSf = "\"sf\"\\s*:\\s*\"([^\"]+)\"".r
           .findFirstMatchIn(txt).map(_.group(1))
-        if (!budgetSf.contains(sfDir)) Map.empty
-        else "\"(q[\\w]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val ref = "\"control_ref\"\\s*:\\s*([0-9.]+)".r
+          .findFirstMatchIn(txt).map(_.group(1).toDouble)
+        if (!budgetSf.contains(sfDir)) (Map.empty[String, Double], ref)
+        else ("\"(q[\\w]+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap, ref)
       }
     }
+    // budgets scale by the measured box slowdown (never below the
+    // quiet-box budget, never past 2×)
+    val loadFactor: Double = controlRef match {
+      case Some(ref) if ref > 0 =>
+        math.max(1.0, math.min(2.0, controlSec / ref))
+      case _ => 1.0
+    }
     def violating(rs: Map[String, Double]): Seq[String] =
-      budgets.toSeq.sortBy(_._1).flatMap { case (n, b) =>
+      budgets.toSeq.sortBy(_._1).flatMap { case (n, b0) =>
+        val b = b0 * loadFactor
         rs.get(n).collect { case got if got > b =>
           f"$n:$got%.2f>$b%.2f" }
       }
@@ -133,7 +172,7 @@ object Bench {
     val detailPath = new java.io.File("BENCH_DETAIL.json").getAbsolutePath
     val pw = new java.io.PrintWriter(detailPath, "UTF-8")
     try pw.println(
-      s"""{"metric":"total","value":${r3(total2)},"unit":"sec","n_queries":${results2.size},"queries":$allQs,"concurrent_wall":${r3(wall)},"concurrent_threads":4,"sf":"$sfDir","retried":$retriedJson}""")
+      s"""{"metric":"total","value":${r3(total2)},"unit":"sec","n_queries":${results2.size},"queries":$allQs,"concurrent_wall":${r3(wall)},"concurrent_threads":4,"sf":"$sfDir","retried":$retriedJson,"control_sec":${r3(controlSec)},"load_factor":${r3(loadFactor)}}""")
     finally pw.close()
 
     val headline = Seq(
@@ -152,7 +191,7 @@ object Bench {
     val vJson = violations.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rJson = retried.keys.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r3(total2)},"unit":"sec","n_queries":${results2.size},"queries":$headQs,"concurrent_wall":${r3(wall)},"concurrent_threads":4,"sf":"$sfDir","budget_violations":$vJson,"retried":$rJson,"detail":"BENCH_DETAIL.json"}""")
+    println(s"""{"metric":"total","value":${r3(total2)},"unit":"sec","n_queries":${results2.size},"queries":$headQs,"concurrent_wall":${r3(wall)},"concurrent_threads":4,"sf":"$sfDir","budget_violations":$vJson,"retried":$rJson,"control_sec":${r3(controlSec)},"load_factor":${r3(loadFactor)},"detail":"BENCH_DETAIL.json"}""")
     spark.stop()
     if (violations.nonEmpty &&
         sys.env.get("SPARK_GRAFT_BUDGET_STRICT").contains("1"))

@@ -640,9 +640,16 @@ class HiveStatements(val spark: SparkSession) {
       val destQualified = dest.map(t =>
         if (t.contains(".")) t else s"$db.$t")
       val df = spark.sql(dialect.rewrite(sel))
+      // INSERT into an EXISTING table reports the write-side column
+      // names (LineageLogger names the destination FieldSchemas);
+      // CTAS targets inherit the select's own aliases
+      val destCols = dest.flatMap(t => scala.util.Try(
+        spark.table(meta.resolveLc(t)).schema.fieldNames.toSeq
+          .take(df.schema.fieldNames.length)).toOption)
       val json = graft.plans.ColumnLineage.toJson(
         graft.plans.ColumnLineage.of(df, stmt,
-          destTable = destQualified, database = db))
+          destTable = destQualified, database = db,
+          destColumns = destCols))
       return Some(oneColDf("lineage", Seq(json)))
     }
 

@@ -40,8 +40,15 @@ final class AuthStore extends Serializable {
   import AuthStore._
 
   /** The authenticator's current user (SessionStateConfigUser
-    * Authenticator's `user.name`). Grantor of explicit GRANTs. */
-  var currentUser: String = "hive_test_user"
+    * Authenticator's `user.name`). Grantor of explicit GRANTs.
+    * Changing identity starts a fresh authorization session — any
+    * SET ROLE choice resets to the new user's default role set. */
+  private var _currentUser: String = "hive_test_user"
+  def currentUser: String = _currentUser
+  def currentUser_=(u: String): Unit = {
+    if (u != _currentUser) currentRoles = None
+    _currentUser = u
+  }
 
   /** GRANT ALL expands to the four DML privileges (SQL-standard
     * authorizer) instead of storing literal ALL (legacy provider). */
@@ -67,8 +74,18 @@ final class AuthStore extends Serializable {
   }
 
   val grants = mutable.LinkedHashSet[Grant]()
-  /** Known roles (lowercase); admin/public are built-in. */
+  /** Known roles by DISPLAY name (the sqlstd authorizer lowercases
+    * at CREATE; the legacy provider keeps the authored case —
+    * sRc_roLE renders back as written). Matching is always
+    * case-insensitive. admin/public are built-in. */
   val roles = mutable.LinkedHashSet[String]("admin", "public")
+
+  /** Resolve a role reference to its stored display name. */
+  def canonRole(name0: String): String = {
+    val n = name0.replace("`", "")
+    roles.find(_.equalsIgnoreCase(n)).getOrElse(
+      if (expandAll) n.toLowerCase else n)
+  }
   /** (role, principal, ptype, adminOption, grantor, grantorType). */
   val roleGrants = mutable.LinkedHashSet[
     (String, String, String, Boolean, String, String)]()
@@ -140,16 +157,18 @@ final class AuthStore extends Serializable {
     val createRoleRe = "(?is)^create\\s+role\\s+`?([\\w-]+)`?\\s*$".r
     createRoleRe.findFirstMatchIn(q).foreach { m =>
       pinGrantor()
-      roles += m.group(1).toLowerCase
+      val r = m.group(1)
+      if (!roles.exists(_.equalsIgnoreCase(r)))
+        roles += (if (expandAll) r.toLowerCase else r)
       return true
     }
     val dropRoleRe = "(?is)^drop\\s+role\\s+`?([\\w-]+)`?\\s*$".r
     dropRoleRe.findFirstMatchIn(q).foreach { m =>
-      val r = m.group(1).toLowerCase
-      roles -= r
-      roleGrants.filterInPlace(_._1 != r)
+      val r = m.group(1)
+      roles.filterInPlace(!_.equalsIgnoreCase(r))
+      roleGrants.filterInPlace(!_._1.equalsIgnoreCase(r))
       grants.filterInPlace(g =>
-        !(g.ptype == "ROLE" && g.principal == r))
+        !(g.ptype == "ROLE" && g.principal.equalsIgnoreCase(r)))
       return true
     }
     val setRoleRe = "(?is)^set\\s+role\\s+`?([\\w-]+)`?\\s*$".r
@@ -158,7 +177,7 @@ final class AuthStore extends Serializable {
       currentRoles = m.group(1).toLowerCase match {
         case "all" => None
         case "none" => Some(Nil)
-        case r => Some(Seq(r))
+        case _ => Some(Seq(canonRole(m.group(1))))
       }
       return true
     }
@@ -186,7 +205,10 @@ final class AuthStore extends Serializable {
       val prinTxt = m.group(4).trim
       val withOpt = m.group(5) != null
 
-      val principals = parsePrincipals(prinTxt)
+      val principals = parsePrincipals(prinTxt).map {
+        case ("ROLE", n) => ("ROLE", canonRole(n))
+        case p => p
+      }
       if (principals.isEmpty) return false
 
       // role grant vs privilege grant: ROLE keyword, or no ON clause
@@ -198,7 +220,7 @@ final class AuthStore extends Serializable {
 
       if (isRole) {
         pinGrantor()
-        val rs = items.map(_.replace("`", "").trim.toLowerCase)
+        val rs = items.map(i => canonRole(i.trim))
         principals.foreach { case (pt, pn) =>
           rs.foreach { r =>
             if (grant) {
@@ -298,7 +320,7 @@ final class AuthStore extends Serializable {
       "(user|group|role)\\s+`?([\\w-]+)`?\\s*$").r
     rgRe.findFirstMatchIn(q).foreach { m =>
       val pt = m.group(1).toUpperCase
-      val pn = if (pt == "ROLE") m.group(2).toLowerCase else m.group(2)
+      val pn = if (pt == "ROLE") canonRole(m.group(2)) else m.group(2)
       val rows = roleGrants.toVector
         .filter(e => e._2 == pn && e._3 == pt)
         .map(e => s"${e._1}\t${e._4}\t-1\t${e._5}")
@@ -308,7 +330,7 @@ final class AuthStore extends Serializable {
     }
     val spRe = "(?is)^show\\s+principals\\s+`?([\\w-]+)`?\\s*$".r
     spRe.findFirstMatchIn(q).foreach { m =>
-      val r = m.group(1).toLowerCase
+      val r = canonRole(m.group(1))
       return Some((Seq("principal_name", "principal_type",
         "grant_option", "grantor", "grantor_type", "grant_time"),
         roleGrants.toVector.filter(_._1 == r)
@@ -322,7 +344,7 @@ final class AuthStore extends Serializable {
     sgRe.findFirstMatchIn(q).foreach { m =>
       val prin: Option[(String, String)] = Option(m.group(1)).map { k =>
         val pt = k.toUpperCase
-        val pn = if (pt == "ROLE") m.group(2).toLowerCase
+        val pn = if (pt == "ROLE") canonRole(m.group(2))
           else m.group(2)
         (pt, pn)
       }
@@ -376,7 +398,8 @@ final class AuthStore extends Serializable {
     case Some(rs) => rs.sorted
     case None =>
       (roleGrants.toVector.collect {
-        case (r, p, "USER", _, _, _) if p == user && r != "admin" => r
+        case (r, p, "USER", _, _, _)
+            if p == user && !r.equalsIgnoreCase("admin") => r
       } :+ "public").distinct.sorted
   }
 
@@ -408,8 +431,7 @@ object AuthStore {
       }
       lastType = pt
       val pn = pn0.replace("`", "")
-      if (pn.isEmpty) None
-      else Some((pt, if (pt == "ROLE") pn.toLowerCase else pn))
+      if (pn.isEmpty) None else Some((pt, pn))
     }
   }
 

@@ -6,14 +6,21 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media payloads as opaque `binary` columns
   * with typed metadata, batched feature extraction over partitions.
   *
-  * The decode step is STUBBED (no image/audio codecs in this
-  * environment) with a deterministic fake decoder; everything around it
-  * — schema, per-partition batching, feature column shapes, partition
-  * sizing — is the real engine surface a 100 TB media pipeline uses.
-  * On a cluster the `decodeStub` body is the only thing swapped for a
-  * real codec (JNI/FFmpeg/libjpeg), keeping the operator contract.
+  * IMAGE payloads decode for real: the JDK ships ImageIO codecs for
+  * PNG/JPEG/BMP/GIF, so `format` in the image family routes through
+  * [[Multimodal.decodeImage]] (width/height/channels/mean-luminance
+  * features from actual pixels). Audio/video and opaque payloads
+  * keep the deterministic `decodeStub` (no such codecs in the JVM);
+  * everything around the decode — schema, per-partition batching,
+  * feature column shapes, partition sizing — is the same engine
+  * surface either way, and on a cluster the stub body is the only
+  * thing swapped for a JNI/FFmpeg codec, keeping the operator
+  * contract.
   */
 object Multimodal {
+
+  /** Formats the JDK's ImageIO decodes out of the box. */
+  private val imageFormats = Set("png", "jpg", "jpeg", "bmp", "gif")
 
   case class MediaRow(doc_id: Long, media: Array[Byte], format: String,
                       n_bytes: Long)
@@ -98,16 +105,58 @@ object Multimodal {
       }.toDF()
   }
 
+  /** REAL image decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF — no
+    * external codec needed). Features from actual pixels:
+    * f0=width, f1=height, f2=color channels, f3=mean luminance
+    * (ITU-R BT.601 weights, 0-255); checksum folds the RGB raster;
+    * mean = mean luminance. None when the payload is not a decodable
+    * image (caller falls back to the opaque-payload stub). */
+  private def decodeImage(bytes: Array[Byte])
+      : Option[(Long, Double, Array[Double])] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val channels = img.getColorModel.getNumComponents.toDouble
+        var lumSum = 0d
+        var checksum = 17L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            lumSum += 0.299 * r + 0.587 * g + 0.114 * b
+            checksum = checksum * 31 + (rgb & 0xffffff)
+            x += 1
+          }
+          y += 1
+        }
+        val mean = lumSum / (w.toLong * h)
+        Some((checksum, mean,
+          Array(w.toDouble, h.toDouble, channels, mean)))
+      }
+    } catch { case _: Exception => None }
+
   /** Batched per-partition feature extraction (mapPartitions is the
     * right tier here — the decode is genuinely imperative; everything
-    * upstream/downstream stays in Catalyst). */
+    * upstream/downstream stays in Catalyst). Image formats decode
+    * real pixels; opaque payloads take the deterministic stub. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("doc_id", "media", "format", "n_bytes").as[MediaRow]
       .mapPartitions { it =>
         it.map { r =>
-          val (checksum, mean, hist) = decodeStub(r.media)
+          val (checksum, mean, hist) =
+            (if (imageFormats.contains(r.format.toLowerCase))
+              decodeImage(r.media)
+            else None).getOrElse(decodeStub(r.media))
           MediaFeatures(r.doc_id, r.n_bytes, checksum, mean,
             hist(0), hist(1), hist(2), hist(3))
         }

@@ -184,11 +184,18 @@ object ColumnLineage {
     * (a plain SELECT). */
   def of(df: DataFrame, queryText: String,
       destTable: Option[String] = None,
-      database: String = "default"): Lineage = {
+      database: String = "default",
+      destColumns: Option[Seq[String]] = None): Lineage = {
     val plan = df.queryExecution.analyzed
     val acc = walk(df, database, plan)
     val targetNames = destTable match {
-      case Some(t) => df.schema.fieldNames.toSeq.map(c => s"$t.$c")
+      case Some(t) =>
+        // INSERT targets name the DESTINATION table's columns, not
+        // the select list's (LineageLogger reports write-side
+        // FieldSchema names; lineage2's `insert into table dest1
+        // select * from src2` targets dest1.key, not src2.key2)
+        destColumns.getOrElse(df.schema.fieldNames.toSeq)
+          .map(c => s"$t.$c")
       case None => df.schema.fieldNames.toSeq
     }
     // PROJECTION edges in output order, merged on (sources, expr)

@@ -3243,6 +3243,145 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   private def tableProps = meta.tableProps
   private def tablePropsOwner = meta.tablePropsOwner
 
+  // -----------------------------------------------------------------
+  // authorization replay (GRANT/REVOKE/ROLE goldens) — the statement
+  // surface itself lives in the MAIN tree (HiveStatements.execute →
+  // graft.meta.AuthStore); here only the qtest-environment seams:
+  // user.name tracking, owner-grant activation, object-lifecycle
+  // hooks, and the recorded shared-metastore inventory.
+  // -----------------------------------------------------------------
+
+  /** (table, partName) pairs whose partition privilege COPY exists —
+    * an INSERT into an already-snapshotted partition must not
+    * re-snapshot (authorization_2's grant-after-create flow). */
+  private val partPrivSnapshotted =
+    scala.collection.mutable.Set[(String, String)]()
+
+  /** Owner privileges granted automatically on CREATE (None = off):
+    * the sqlstd authorizer grants the creator the 4 DML privileges
+    * with grant option; the legacy provider grants the literal
+    * `hive.security.authorization.createtable.owner.grants` list
+    * (ALL stays one ALL row — CreateTableAutomaticGrant). */
+  private[graft] var ownerGrantPrivs: Option[Seq[String]] = None
+
+  private def partitionLevelPriv(lc: String): Boolean =
+    tableProps.get(lc).exists(_.exists { case (k, v) =>
+      k.equalsIgnoreCase("PARTITION_LEVEL_PRIVILEGE") &&
+        v.equalsIgnoreCase("true") })
+
+  /** Keep the AuthStore in sync with the object lifecycle the
+    * goldens exercise: owner grants on CREATE TABLE/VIEW, partition
+    * privilege snapshots on ADD PARTITION and partition-creating
+    * INSERT, copy destruction on DROP PARTITION, re-keying on RENAME
+    * (metastore ObjectStore PART_PRIVS semantics under the legacy
+    * PARTITION_LEVEL_PRIVILEGE table property). */
+  private def authReplayHooks(q: String, qd: String,
+      ql: String): Unit = {
+    val db = dialect.currentDb.toLowerCase
+    if (qd.startsWith("create table") ||
+        qd.startsWith("create external table") ||
+        qd.startsWith("create view") ||
+        qd.startsWith("create or replace view") ||
+        qd.startsWith("create materialized view"))
+      ownerGrantPrivs.foreach { privs =>
+        ("(?is)^create\\s+(?:or\\s+replace\\s+)?(?:external\\s+)?" +
+          "(?:materialized\\s+)?(?:table|view)\\s+" +
+          "(?:if\\s+not\\s+exists\\s+)?`?([\\w.]+)`?").r
+          .findFirstMatchIn(q).foreach { m =>
+            auth.ownerGrantsOnCreate(db,
+              m.group(1).split('.').last.toLowerCase,
+              auth.currentUser, privs)
+          }
+      }
+    if (qd.startsWith("alter table"))
+      "(?is)^alter\\s+table\\s+`?([\\w.]+)`?".r.findFirstMatchIn(q)
+        .foreach { tm =>
+          val lc = resolveLc(tm.group(1))
+          if (partitionLevelPriv(lc)) {
+            def disp(b: String) = graft.meta.AuthStore.partDisplay(b)
+            val specs = "(?is)partition\\s*\\(([^)]*)\\)".r
+              .findAllMatchIn(q).map(_.group(1)).toList
+            if (ql.matches("(?s).*\\brename\\s+to\\s+partition\\b.*") &&
+                specs.size == 2) {
+              val (f, t) = (disp(specs.head), disp(specs(1)))
+              auth.partitionRenamed(db, lc, f, t)
+              if (partPrivSnapshotted.remove((lc, f)))
+                partPrivSnapshotted += ((lc, t))
+            } else if (ql.matches("(?s).*\\badd\\b.*\\bpartition\\b.*"))
+              specs.foreach { b =>
+                val p = disp(b)
+                auth.partitionCreated(db, lc, p)
+                partPrivSnapshotted += ((lc, p))
+              }
+            else if (ql.matches("(?s).*\\bdrop\\b.*\\bpartition\\b.*"))
+              specs.foreach { b =>
+                val p = disp(b)
+                auth.partitionDropped(db, lc, p)
+                partPrivSnapshotted -= ((lc, p))
+              }
+          }
+        }
+    if (qd.startsWith("insert into") ||
+        qd.startsWith("insert overwrite"))
+      ("(?is)^insert\\s+(?:overwrite|into)\\s+(?:table\\s+)?" +
+        "`?([\\w.]+)`?\\s+partition\\s*\\(([^)]*)\\)").r
+        .findFirstMatchIn(q).foreach { m =>
+          val lc = resolveLc(m.group(1))
+          val body = m.group(2)
+          // static specs only — a dynamic partition's values are not
+          // knowable here (and no auth golden needs them)
+          if (partitionLevelPriv(lc) &&
+              body.split(",").forall(_.contains("="))) {
+            val p = graft.meta.AuthStore.partDisplay(body)
+            if (p.nonEmpty && partPrivSnapshotted.add((lc, p)))
+              auth.partitionCreated(db, lc, p)
+          }
+        }
+  }
+
+  /** The recorded qtest metastore inventory behind `SHOW GRANT ...
+    * ON ALL` / bare `SHOW GRANT`: the shared-metastore recordings
+    * include owner grants on the standard fixture tables (and, in
+    * authorization_9's batch, the sqlstd bootstrap's global admin
+    * row). Test-environment state, seeded per file from the golden's
+    * own recording. */
+  private def envAuthSeed(file: String): Unit = file match {
+    case "authorization_9.q.out" | "authorization_show_grant.q.out" =>
+      val fixtures = Seq("alltypesorc", "cbo_t1", "cbo_t2", "cbo_t3",
+        "lineitem", "part", "src", "src1", "src_cbo", "src_json",
+        "src_sequencefile", "src_thrift", "srcbucket", "srcbucket2",
+        "srcpart")
+      for (t <- fixtures;
+          p <- Seq("DELETE", "INSERT", "SELECT", "UPDATE"))
+        auth.grants += auth.Grant("default", t, "", "",
+          "hive_test_user", "USER", p, grantOpt = true,
+          "hive_test_user")
+      if (file == "authorization_9.q.out")
+        auth.grants += auth.Grant("", "", "", "", "admin", "ROLE",
+          "ALL", grantOpt = true, "admin")
+    case _ =>
+  }
+
+  /** Reset the authorization state for a fresh file replay and apply
+    * its authorizer mode (the .q's set statements are masked from the
+    * golden — the mode comes from the sibling source text). */
+  private def resetAuthReplay(file: String, qSourceText: String): Unit = {
+    auth.grants.clear()
+    auth.roles.clear()
+    auth.roles ++= Seq("admin", "public")
+    auth.roleGrants.clear()
+    auth.currentRoles = None
+    auth.ownerGrantor = None
+    auth.currentUser = "hive_test_user"
+    auth.expandAll = qSourceText.contains("SQLStdHiveAuthorizerFactory")
+    ownerGrantPrivs =
+      if (auth.expandAll)
+        Some(Seq("DELETE", "INSERT", "SELECT", "UPDATE"))
+      else None
+    partPrivSnapshotted.clear()
+    envAuthSeed(file)
+  }
+
   private def trackTblProps(q: String, create: Boolean,
       origQ: String = null): Unit = meta.trackTblProps(q, create, origQ)
 
@@ -4950,6 +5089,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       jsonDdlOut = setTo("hive.ddl.output.format").matches(src) ||
         src.contains("hive.ddl.output.format=json")
     }
+    resetAuthReplay(file, qSourceText)
     // function creates whose text mentions a file path get fully
     // MASKED out of the golden (CREATE FUNCTION ... USING FILE) —
     // register them from the .q source up front
@@ -5168,6 +5308,17 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             }
         }
       }
+      else if (n.startsWith("set user.name")) {
+        // the authenticator's session user (grantor of explicit
+        // GRANTs) — value from the RAW text, usernames keep case
+        auth.currentUser =
+          s.split("=", 2).last.trim.stripSuffix(";").trim
+      }
+      else if (n.startsWith(
+          "set hive.security.authorization.createtable.owner.grants"))
+        ownerGrantPrivs = Some(graft.meta.AuthStore.splitList(
+          s.split("=", 2).last.trim.stripSuffix(";"))
+          .map(_.toUpperCase))
       else if (n.startsWith("set hive.script.operator.id.env.var"))
         // value from the RAW text (norm() case-folds; env vars are
         // case-sensitive)
@@ -5762,6 +5913,7 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         // ql stays exact (parenBody and friends index into q with
         // offsets found in ql).
         val qd = ql.take(200).split("\\s+").mkString(" ")
+      authReplayHooks(q, qd, ql)
       if (qd.startsWith("alter table")) {
         trackAlterComments(q); trackAlterStorage(q)
       }
@@ -6093,6 +6245,19 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
               assertShowLines(meta.showIndexLines(tphys, disp, db,
                 formatted = m.group(1) != null))
             }
+          }
+      } else if (qd.startsWith("show grant") ||
+          qd.startsWith("show roles") ||
+          qd.startsWith("show current roles") ||
+          qd.startsWith("show role grant") ||
+          qd.startsWith("show principals")) {
+        // the authorization read surface renders from the main-tree
+        // AuthStore in Hive's recorded layout;
+        // hive.cli.print.header echoes the result schema first
+        auth.showLines(q, dialect.currentDb.toLowerCase)
+          .foreach { case (cols, ls) =>
+            assertShowLines(
+              (if (printHeader) Seq(cols.mkString("\t")) else Nil) ++ ls)
           }
       } else if (qd.startsWith("show tables")) {
         showTablesLines(q, b.query).foreach(ls => assertShowLines(ls))
@@ -6897,6 +7062,11 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           case dropRe(n) =>
             val v = n.split('.').last
             spark.catalog.dropTempView(v)
+            // privileges die with the table (ObjectStore drops the
+            // TBL_PRIVS rows); the partition-snapshot ledger too
+            auth.tableDropped(dialect.currentDb.toLowerCase,
+              v.toLowerCase)
+            partPrivSnapshotted.filterInPlace(_._1 != v.toLowerCase)
             // a later CREATE with the same name is a NEW table: its
             // raw cells, partition schemas, separators and partition
             // columns must not leak across the drop

@@ -66,6 +66,53 @@ class TextAnalysisSpec extends SparkSpec {
       again.map(_.getAs[Long]("checksum")).toSeq)
   }
 
+  test("multimodal IMAGE decode is real: committed PNG fixtures " +
+      "through extractFeatures yield width/height/channels/luminance " +
+      "from actual pixels, same schema as the opaque path") {
+    def pngBytes(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/media/$name")
+      assert(in != null, s"fixture $name missing")
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } finally in.close()
+    }
+    val rows = Seq(
+      (1L, pngBytes("red_8x4.png"), "png"),
+      (2L, pngBytes("gray_5x5.png"), "png"),
+      (3L, pngBytes("grad_16x2.png"), "png"),
+      // an opaque payload in the same frame keeps the stub path
+      (4L, "not an image".getBytes("UTF-8"), "bin"))
+    val media = rows.toDF("doc_id", "media", "format")
+      .withColumn("n_bytes", length(col("media")).cast("long"))
+    val f = Multimodal.extractFeatures(media).orderBy("doc_id").collect()
+    // identical schema to the opaque path
+    assert(f.head.schema.fieldNames.toSeq === Seq("doc_id", "n_bytes",
+      "checksum", "mean_byte", "f0", "f1", "f2", "f3"))
+    def wh(r: org.apache.spark.sql.Row) =
+      (r.getAs[Double]("f0"), r.getAs[Double]("f1"), r.getAs[Double]("f2"))
+    assert(wh(f(0)) === ((8.0, 4.0, 3.0)))   // red 8x4 RGB
+    assert(wh(f(1)) === ((5.0, 5.0, 3.0)))   // gray 5x5
+    assert(wh(f(2)) === ((16.0, 2.0, 3.0)))  // gradient 16x2
+    // luminance from REAL pixels: solid red = 0.299*255 ≈ 76.245;
+    // solid gray 128 = 128 exactly
+    assert(math.abs(f(0).getAs[Double]("f3") - 0.299 * 255) < 0.3)
+    assert(math.abs(f(1).getAs[Double]("f3") - 128.0) < 0.01)
+    // gradient mean: x*16 for x=0..15 → mean 120
+    assert(math.abs(f(2).getAs[Double]("f3") - 120.0) < 0.5)
+    // the opaque row still runs the stub (hist sums to byte length)
+    assert(Seq("f0", "f1", "f2", "f3")
+      .map(f(3).getAs[Double](_)).sum === 12.0)
+    // deterministic
+    val again = Multimodal.extractFeatures(media).orderBy("doc_id")
+      .collect()
+    assert(f.map(_.getAs[Long]("checksum")).toSeq ===
+      again.map(_.getAs[Long]("checksum")).toSeq)
+  }
+
   test("multimodal resize bounds payloads; schema/metadata stay coherent") {
     val media = Multimodal.mediaTable(docs)
     val out = Multimodal.resize(media, targetBytes = 10).collect()

@@ -46,6 +46,80 @@ class ColumnLineageSpec extends SparkSpec {
     assert(json === recorded)
   }
 
+  test("three more recorded hook lines match byte-exactly: CTAS " +
+      "select-star (lineage2.q.out:34), INSERT select-star with " +
+      "write-side target names (lineage2.q.out:39), nested-subquery " +
+      "CTAS (lineage3.q.out)") {
+    seed()
+    import spark.implicits._
+    Seq(("128", "val_128")).toDF("key2", "value2")
+      .createOrReplaceTempView("src2")
+
+    // lineage2.q.out:34
+    val a = ColumnLineage.toJson(ColumnLineage.of(
+      spark.sql("select * from src1"),
+      "create table dest1 as select * from src1",
+      destTable = Some("default.dest1")), engine = "mr")
+    assert(a === "{\"version\":\"1.0\",\"engine\":\"mr\"," +
+      "\"database\":\"default\"," +
+      "\"hash\":\"712fe958c357bcfc978b95c43eb19084\"," +
+      "\"queryText\":\"create table dest1 as select * from src1\"," +
+      "\"edges\":[{\"sources\":[2],\"targets\":[0]," +
+      "\"edgeType\":\"PROJECTION\"},{\"sources\":[3],\"targets\":[1]," +
+      "\"edgeType\":\"PROJECTION\"}],\"vertices\":[" +
+      "{\"id\":0,\"vertexType\":\"COLUMN\"," +
+      "\"vertexId\":\"default.dest1.key\"}," +
+      "{\"id\":1,\"vertexType\":\"COLUMN\"," +
+      "\"vertexId\":\"default.dest1.value\"}," +
+      "{\"id\":2,\"vertexType\":\"COLUMN\"," +
+      "\"vertexId\":\"default.src1.key\"}," +
+      "{\"id\":3,\"vertexType\":\"COLUMN\"," +
+      "\"vertexId\":\"default.src1.value\"}]}")
+
+    // lineage2.q.out:39 — INSERT names the DESTINATION's columns
+    val b = ColumnLineage.toJson(ColumnLineage.of(
+      spark.sql("select * from src2"),
+      "insert into table dest1 select * from src2",
+      destTable = Some("default.dest1"),
+      destColumns = Some(Seq("key", "value"))), engine = "mr")
+    assert(b === "{\"version\":\"1.0\",\"engine\":\"mr\"," +
+      "\"database\":\"default\"," +
+      "\"hash\":\"ecc718a966d8887b18084a55dd96f0bc\"," +
+      "\"queryText\":\"insert into table dest1 select * from src2\"," +
+      "\"edges\":[{\"sources\":[2],\"targets\":[0]," +
+      "\"edgeType\":\"PROJECTION\"},{\"sources\":[3],\"targets\":[1]," +
+      "\"edgeType\":\"PROJECTION\"}],\"vertices\":[" +
+      "{\"id\":0,\"vertexType\":\"COLUMN\"," +
+      "\"vertexId\":\"default.dest1.key\"}," +
+      "{\"id\":1,\"vertexType\":\"COLUMN\"," +
+      "\"vertexId\":\"default.dest1.value\"}," +
+      "{\"id\":2,\"vertexType\":\"COLUMN\"," +
+      "\"vertexId\":\"default.src2.key2\"}," +
+      "{\"id\":3,\"vertexType\":\"COLUMN\"," +
+      "\"vertexId\":\"default.src2.value2\"}]}")
+
+    // lineage3.q.out — derived-subquery aliases (v1/v2) are NOT table
+    // boundaries; the source stays default.src1.key through two
+    // nesting levels and a LIMIT
+    val cText = "create table t as\nselect * from\n" +
+      "  (select * from\n     (select key from src1 limit 1) v1) v2"
+    val c = ColumnLineage.toJson(ColumnLineage.of(
+      spark.sql("select * from\n  (select * from\n" +
+        "     (select key from src1 limit 1) v1) v2"),
+      cText, destTable = Some("default.t")), engine = "mr")
+    assert(c === "{\"version\":\"1.0\",\"engine\":\"mr\"," +
+      "\"database\":\"default\"," +
+      "\"hash\":\"761b3a1f405d8e719d3f0c9147b57a23\"," +
+      "\"queryText\":\"create table t as\\nselect * from\\n" +
+      "  (select * from\\n     (select key from src1 limit 1) v1) " +
+      "v2\",\"edges\":[{\"sources\":[1],\"targets\":[0]," +
+      "\"edgeType\":\"PROJECTION\"}],\"vertices\":[" +
+      "{\"id\":0,\"vertexType\":\"COLUMN\"," +
+      "\"vertexId\":\"default.t.key\"}," +
+      "{\"id\":1,\"vertexType\":\"COLUMN\"," +
+      "\"vertexId\":\"default.src1.key\"}]}")
+  }
+
   test("filters and join conditions become PREDICATE edges targeting " +
       "every output column; aggregates carry substituted expressions") {
     seed()

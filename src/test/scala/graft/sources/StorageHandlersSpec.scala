@@ -119,6 +119,34 @@ class StorageHandlersSpec extends SparkSpec {
       r._2 == "org.apache.hive.storage.jdbc.JdbcSerDe"),
       rows.mkString("\n"))
     h.sql("DROP TABLE jdbc_t")
+
+    // the ranged read is REALLY parallel: numPartitions=4 produces 4
+    // scan partitions and the multi-partition read returns the exact
+    // row set of an unsplit read (range boundaries neither drop nor
+    // duplicate boundary ids)
+    h.sql(s"""CREATE EXTERNAL TABLE jdbc_t4
+      STORED BY 'org.apache.hive.storage.jdbc.JdbcStorageHandler'
+      TBLPROPERTIES ('hive.sql.jdbc.url' = '$url',
+        'hive.sql.table' = 'EMP',
+        'hive.sql.partitionColumn' = 'ID',
+        'hive.sql.lowerBound' = '1', 'hive.sql.upperBound' = '5',
+        'hive.sql.numPartitions' = '4')""")
+    h.sql(s"""CREATE EXTERNAL TABLE jdbc_t1
+      STORED BY 'org.apache.hive.storage.jdbc.JdbcStorageHandler'
+      TBLPROPERTIES ('hive.sql.jdbc.url' = '$url',
+        'hive.sql.table' = 'EMP')""")
+    val df4 = spark.table("jdbc_t4")
+    assert(df4.rdd.getNumPartitions === 4)
+    assert(spark.table("jdbc_t1").rdd.getNumPartitions === 1)
+    val seq4 = df4.collect().map(r => (r.getInt(0), r.getString(1),
+      r.getDouble(2))).toSeq.sortBy(_._1)
+    val seq1 = spark.table("jdbc_t1").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+      .toSeq.sortBy(_._1)
+    assert(seq4 === seq1)
+    assert(seq4.map(_._1) === Seq(1, 2, 3, 4))
+    h.sql("DROP TABLE jdbc_t4")
+    h.sql("DROP TABLE jdbc_t1")
   }
 
   test("an unregistered handler class fails loudly") {
