@@ -60,8 +60,11 @@ object Bench {
     def controlRun(): Double = {
       import org.apache.spark.sql.functions.{col, sum, xxhash64}
       val t0 = System.nanoTime()
-      spark.range(0, 150000000L, 1, 32)
-        .select(sum(xxhash64(col("id")))).collect()
+      // ~1s of real work on a quiet box — long enough that scheduler
+      // jitter doesn't dominate the load measurement
+      spark.range(0, 7000000000L, 1, 32)
+        .select(sum(xxhash64(col("id") * 31 + 7)))
+        .collect()
       (System.nanoTime() - t0) / 1e9
     }
     controlRun() // codegen warmup
