@@ -175,7 +175,7 @@ object Bench {
     val detailPath = new java.io.File("BENCH_DETAIL.json").getAbsolutePath
     val pw = new java.io.PrintWriter(detailPath, "UTF-8")
     try pw.println(
-      s"""{"metric":"total","value":${r3(total2)},"unit":"sec","n_queries":${results2.size},"queries":$allQs,"concurrent_wall":${r3(wall)},"concurrent_threads":4,"sf":"$sfDir","retried":$retriedJson,"control_sec":${r3(controlSec)},"load_factor":${r3(loadFactor)}}""")
+      s"""{"metric":"total","value":${r3(total2)},"unit":"sec","n_queries":${results2.size},"queries":$allQs,"concurrent_wall":${r3(wall)},"concurrent_threads":4,"sf":"$sfDir","retried":$retriedJson,"control_sec":${r3(controlSec)},"load_factor":${r3(loadFactor)},"value_normalized":${r3(total2 / loadFactor)}}""")
     finally pw.close()
 
     val headline = Seq(
@@ -194,7 +194,7 @@ object Bench {
     val vJson = violations.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rJson = retried.keys.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r3(total2)},"unit":"sec","n_queries":${results2.size},"queries":$headQs,"concurrent_wall":${r3(wall)},"concurrent_threads":4,"sf":"$sfDir","budget_violations":$vJson,"retried":$rJson,"control_sec":${r3(controlSec)},"load_factor":${r3(loadFactor)},"detail":"BENCH_DETAIL.json"}""")
+    println(s"""{"metric":"total","value":${r3(total2)},"unit":"sec","n_queries":${results2.size},"queries":$headQs,"concurrent_wall":${r3(wall)},"concurrent_threads":4,"sf":"$sfDir","budget_violations":$vJson,"retried":$rJson,"control_sec":${r3(controlSec)},"load_factor":${r3(loadFactor)},"value_normalized":${r3(total2 / loadFactor)},"detail":"BENCH_DETAIL.json"}""")
     spark.stop()
     if (violations.nonEmpty &&
         sys.env.get("SPARK_GRAFT_BUDGET_STRICT").contains("1"))

@@ -554,7 +554,13 @@ class HiveStatements(val spark: SparkSession) {
     val ql = q.trim.take(200).split("\\s+").mkString(" ").toLowerCase
     if (ql.startsWith("update ") || ql.startsWith("delete ") ||
         ql.startsWith("merge ") || ql.startsWith("load data") ||
-        ql.startsWith("export table") || ql.startsWith("import "))
+        ql.startsWith("export table") || ql.startsWith("import ") ||
+        // authorization statements dispatch through execute() on RUN;
+        // left to Spark's grammar, `SET ROLE x` would silently parse
+        // as a conf assignment and GRANT/REVOKE as parse errors
+        ql.startsWith("grant ") || ql.startsWith("revoke ") ||
+        ql.startsWith("create role ") || ql.startsWith("drop role ") ||
+        ql.startsWith("set role "))
       return HiveStatementCommand(this, q)
     try {
       val parsed = spark.sessionState.sqlParser.parsePlan(q)

@@ -149,6 +149,29 @@ class AuthorizationSpec extends SparkSpec {
       "auth_p(key) partition (ds='2010_tmp')").isEmpty)
   }
 
+  test("the Connect path routes authorization statements as lazy " +
+      "commands: plan() defers to execute() on RUN, SHOW GRANT " +
+      "renders as a local relation") {
+    val h = new HiveStatements(spark)
+    h.auth.currentUser = "cxn"
+    val p = h.plan("GRANT SELECT ON TABLE cxn_t TO USER frank")
+    assert(p.isInstanceOf[graft.HiveStatementCommand], p.getClass)
+    // nothing mutated at parse time (plan() is side-effect-free)
+    assert(h.auth.grants.isEmpty)
+    p.asInstanceOf[graft.HiveStatementCommand].run(spark)
+    assert(h.auth.grants.size === 1)
+    // SET ROLE must not fall through to Spark's SET conf grammar
+    h.sql("CREATE ROLE cxr")
+    h.sql("GRANT ROLE cxr TO USER cxn")
+    val pr = h.plan("SET ROLE cxr")
+    assert(pr.isInstanceOf[graft.HiveStatementCommand], pr.getClass)
+    pr.asInstanceOf[graft.HiveStatementCommand].run(spark)
+    assert(h.auth.currentRoles === Some(Seq("cxr")))
+    // the read surface renders through metaQuery → plan() local rel
+    val show = h.plan("SHOW GRANT USER frank ON TABLE cxn_t")
+    assert(!show.isInstanceOf[graft.HiveStatementCommand])
+  }
+
   test("owner grants pin their grantor at first auth use " +
       "(CreateTableAutomaticGrant captures the session user once)") {
     val a = new AuthStore
