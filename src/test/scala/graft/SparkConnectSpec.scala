@@ -71,6 +71,62 @@ class SparkConnectSpec extends SparkSpec {
     }
   }
 
+  test("authorization over gRPC: GRANT / SET ROLE / SHOW GRANT / " +
+      "SHOW CURRENT ROLES round-trip through a real Connect client") {
+    val sc = spark.sparkContext
+    org.apache.spark.sql.connect.service.SparkConnectService.start(sc)
+    val svc = org.apache.spark.sql.connect.service.SparkConnectService
+    val srv = svc.getClass.getMethod("server").invoke(svc)
+    val port = srv.getClass.getMethod("getPort").invoke(srv)
+      .asInstanceOf[Int]
+    try {
+      val remote = org.apache.spark.sql.connect.SparkSession.builder()
+        .remote(s"sc://localhost:$port").create()
+      try {
+        remote.sql("SET spark.graft.dialect=true").collect()
+        remote.sql("CREATE ROLE connrole").collect()
+        remote.sql("GRANT ROLE connrole TO USER connuser").collect()
+        remote.sql("GRANT SELECT, INSERT ON TABLE conn_auth_t " +
+          "TO USER connuser WITH GRANT OPTION").collect()
+        val g = remote.sql(
+          "SHOW GRANT USER connuser ON TABLE conn_auth_t").collect()
+          .map(_.toSeq.map(v => if (v == null) "" else v.toString)
+            .mkString("\t")).toSeq
+        assert(g.length === 2, g.mkString("\n"))
+        assert(g.forall(_.startsWith("default\tconn_auth_t\t\t\t" +
+          "connuser\tUSER\t")), g.mkString("\n"))
+        assert(g.exists(_.contains("\tINSERT\ttrue\t")), g.mkString("\n"))
+        // the 10-column Hive result schema rides over the wire
+        val cols = remote.sql(
+          "SHOW GRANT USER connuser ON TABLE conn_auth_t").columns
+        assert(cols.toSeq === Seq("database", "table", "partition",
+          "column", "principal_name", "principal_type", "privilege",
+          "grant_option", "grant_time", "grantor"))
+        // SET ROLE must dispatch to the dialect, not parse as a
+        // Spark conf assignment
+        remote.sql("SET ROLE connrole").collect()
+        val cur = remote.sql("SHOW CURRENT ROLES").collect()
+          .map(_.getString(0)).toSeq
+        assert(cur === Seq("connrole"), cur)
+        remote.sql("REVOKE ALL ON TABLE conn_auth_t FROM USER connuser")
+          .collect()
+        assert(remote.sql(
+          "SHOW GRANT USER connuser ON TABLE conn_auth_t").collect()
+          .isEmpty)
+        remote.sql("DROP ROLE connrole").collect()
+      } finally {
+        remote.close()
+        org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+        org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      }
+    } finally {
+      org.apache.spark.sql.connect.service.SparkConnectService
+        .stop(None, None)
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("two Connect clients get isolated USE cursors and namespaces " +
       "(per-session HiveStatements, like HiveServer2 sessions)") {
     val sc = spark.sparkContext
