@@ -270,44 +270,93 @@ class HiveStatements(val spark: SparkSession) {
         Seq[(String, String)])]]))
   }
 
-  /** Rewrite the ledger file CRASH-ATOMICALLY: write the full
-    * snapshot to `.tmp`, then rename ONTO the primary with overwrite
-    * semantics (FileContext.rename OVERWRITE — no delete-then-rename
-    * window where a crash leaves no ledger at all). Through the
-    * Hadoop FS API so the ledger can live next to the warehouse on
-    * any supported filesystem. Metadata is small — the whole
-    * snapshot is a single driver-side write, no Spark job.
+  /** Last encoded line written per ledger key — the diff base that
+    * makes each statement's persist cost O(changed keys), not
+    * O(whole metastore): a 100k-`ADD PARTITION` migration writes
+    * 100k small deltas + periodic compactions instead of 100k full
+    * snapshots (the reference's RDBMS pays per-row writes the same
+    * way). Cleared on construction; primed by load/full-write. */
+  private val ledgerWritten =
+    scala.collection.mutable.Map[String, String]()
+  private var ledgerDeltaSeq = 0
+
+  private def ledgerDeltaDir(path: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(
+      Option(path.getParent)
+        .getOrElse(new org.apache.hadoop.fs.Path(".")),
+      "." + path.getName + ".delta")
+
+  /** Atomic small-file write: tmp in the same dir, rename-overwrite
+    * (FileContext), delete+rename fallback for filesystems without
+    * FileContext support. */
+  private def atomicWrite(fs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration,
+      dst: org.apache.hadoop.fs.Path, lines: Seq[String]): Unit = {
+    val parent = Option(dst.getParent)
+      .getOrElse(new org.apache.hadoop.fs.Path("."))
+    val tmp = new org.apache.hadoop.fs.Path(parent,
+      "." + dst.getName + ".tmp")
+    val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
+      fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))
+    try lines.foreach(out.println) finally out.close()
+    try {
+      org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+        .rename(tmp, dst,
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: Exception =>
+        if (fs.exists(dst)) fs.delete(dst, false)
+        fs.rename(tmp, dst)
+    }
+  }
+
+  /** How many delta segments accumulate before the ledger compacts
+    * back to one base snapshot. */
+  protected def ledgerCompactEvery: Int = 64
+
+  /** Persist the metastore CRASH-ATOMICALLY and INCREMENTALLY.
     *
-    * Format v2: a versioned header line + one self-describing JSON
-    * line per metadata map ([[graft.meta.LedgerJson]]) — durable
-    * across Scala/JVM upgrades, unlike Java serialization. */
+    * Format v2 ([[graft.meta.LedgerJson]]): a versioned header line +
+    * one self-describing JSON line per metadata map — durable across
+    * Scala/JVM upgrades, unlike Java serialization. Layout on disk:
+    * the base snapshot at the configured path plus a
+    * `.«name».delta/NNNNNNNN.json` segment per incremental save, each
+    * holding only the KEYS whose encoding changed since the last
+    * write (full value per key — the loader applies segments in
+    * order, last writer wins, the same semantics as a full rewrite).
+    * Every file lands via write-tmp + rename-with-OVERWRITE, so a
+    * crash at any instant leaves either the old or the new state.
+    * After [[ledgerCompactEvery]] segments the whole thing compacts
+    * back to one base snapshot and the segments are removed. */
   def saveMetastoreLedger(): Unit = metastorePath.foreach { p =>
     val path = new org.apache.hadoop.fs.Path(p)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = path.getFileSystem(conf)
-    val parent = Option(path.getParent)
-      .getOrElse(new org.apache.hadoop.fs.Path("."))
-    val tmp = new org.apache.hadoop.fs.Path(parent,
-      "." + path.getName + ".tmp")
-    val out = new java.io.PrintWriter(new java.io.OutputStreamWriter(
-      fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))
-    try {
-      out.println("""{"graftLedgerVersion":2}""")
-      ledgerSnapshot().foreach { case (k, v) =>
-        out.println(graft.meta.LedgerJson.encodeLine(k, v))
+    val lines: Seq[(String, String)] = ledgerSnapshot().toSeq.map {
+      case (k, v) => k -> graft.meta.LedgerJson.encodeLine(k, v)
+    }
+    def fullWrite(): Unit = {
+      atomicWrite(fs, conf, path,
+        """{"graftLedgerVersion":2}""" +: lines.map(_._2))
+      val dd = ledgerDeltaDir(path)
+      if (fs.exists(dd)) fs.delete(dd, true)
+      ledgerWritten.clear()
+      ledgerWritten ++= lines
+      ledgerDeltaSeq = 0
+    }
+    if (ledgerWritten.isEmpty || !fs.exists(path) ||
+        ledgerDeltaSeq + 1 >= ledgerCompactEvery) fullWrite()
+    else {
+      val changed = lines.filter { case (k, l) =>
+        !ledgerWritten.get(k).contains(l) }
+      if (changed.nonEmpty) {
+        ledgerDeltaSeq += 1
+        val dd = ledgerDeltaDir(path)
+        if (!fs.exists(dd)) fs.mkdirs(dd)
+        atomicWrite(fs, conf, new org.apache.hadoop.fs.Path(dd,
+          f"$ledgerDeltaSeq%08d.json"), changed.map(_._2))
+        ledgerWritten ++= changed
       }
-    } finally out.close()
-    try {
-      org.apache.hadoop.fs.FileContext.getFileContext(path.toUri, conf)
-        .rename(tmp, path,
-          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case _: Exception =>
-        // filesystems without FileContext support fall back to
-        // delete+rename (the historical non-atomic path; load's
-        // `.tmp` fallback below still closes the crash window)
-        if (fs.exists(path)) fs.delete(path, false)
-        fs.rename(tmp, path)
     }
   }
 
@@ -331,21 +380,34 @@ class HiveStatements(val spark: SparkSession) {
         finally in.close()
       }
       if (head.startsWith("""{"graftLedgerVersion""")) {
-        val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
-          fs.open(f), java.nio.charset.StandardCharsets.UTF_8))
-        try {
-          rd.readLine() // version header
-          val m = Map.newBuilder[String, AnyRef]
-          var line = rd.readLine()
-          while (line != null) {
-            if (line.trim.nonEmpty) {
-              val (k, v) = graft.meta.LedgerJson.decodeLine(line)
-              m += k -> v.asInstanceOf[AnyRef]
+        val m = scala.collection.mutable.LinkedHashMap[String, AnyRef]()
+        def readLines(file: org.apache.hadoop.fs.Path,
+            skipHeader: Boolean): Unit = {
+          val rd = new java.io.BufferedReader(
+            new java.io.InputStreamReader(fs.open(file),
+              java.nio.charset.StandardCharsets.UTF_8))
+          try {
+            if (skipHeader) rd.readLine()
+            var line = rd.readLine()
+            while (line != null) {
+              if (line.trim.nonEmpty) {
+                val (k, v) = graft.meta.LedgerJson.decodeLine(line)
+                m(k) = v.asInstanceOf[AnyRef]
+              }
+              line = rd.readLine()
             }
-            line = rd.readLine()
-          }
-          ledgerRestore(m.result())
-        } finally rd.close()
+          } finally rd.close()
+        }
+        readLines(f, skipHeader = true)
+        // delta segments apply over the base in sequence order —
+        // last writer per key wins (incremental saves)
+        val dd = ledgerDeltaDir(path)
+        if (fs.exists(dd))
+          fs.listStatus(dd).map(_.getPath)
+            .filter(_.getName.endsWith(".json"))
+            .sortBy(_.getName)
+            .foreach(readLines(_, skipHeader = false))
+        ledgerRestore(m.toMap)
       } else {
         // pre-v2 ledger (Java serialization): one-time upgrade read
         val in = new java.io.ObjectInputStream(fs.open(f))

@@ -209,6 +209,59 @@ class MetastorePersistenceSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.metastore.path")
   }
 
+  test("incremental persistence: a mass ADD PARTITION script writes " +
+      "per-statement DELTA segments (changed keys only), not full " +
+      "snapshots; restart merges base+deltas; compaction bounds the " +
+      "segment count") {
+    val base = java.nio.file.Files.createTempDirectory("graft_msi")
+    val ledger = s"$base/ms.ledger"
+    spark.conf.set("spark.graft.metastore.path", ledger)
+    try {
+      val h1 = new HiveStatements(spark)
+      spark.sql("DROP TABLE IF EXISTS inc_t")
+      h1.sql("CREATE TABLE inc_t (k INT) PARTITIONED BY (ds STRING) " +
+        "STORED AS PARQUET")
+      val lf = new java.io.File(ledger)
+      val dd = new java.io.File(lf.getParentFile,
+        "." + lf.getName + ".delta")
+      val baseLenAfterCreate = lf.length()
+      val baseModAfterCreate = lf.lastModified()
+      // 40 ADD PARTITIONs: each persists durably but must cost only
+      // a small delta, never a base rewrite (O(changed-keys) bytes —
+      // the O(n^2) mass-migration hazard)
+      (1 to 40).foreach(i =>
+        h1.sql(s"ALTER TABLE inc_t ADD PARTITION (ds='d$i')"))
+      assert(lf.length() === baseLenAfterCreate &&
+        lf.lastModified() === baseModAfterCreate,
+        "base snapshot must not rewrite per statement")
+      val segs = dd.listFiles().filter(_.getName.endsWith(".json"))
+      assert(segs.length === 40, s"got ${segs.length} delta segments")
+      // each delta holds only the keys that changed (a handful of
+      // lines), not the whole metastore
+      val segLines = scala.io.Source.fromFile(segs.head)
+        .getLines().size
+      assert(segLines < 8, s"delta holds $segLines keys")
+      // restart: base + deltas merge, last writer per key wins
+      val h2 = new HiveStatements(spark)
+      val parts = h2.sql("SHOW PARTITIONS inc_t").get.collect()
+        .map(_.getString(0)).toSeq
+      assert(parts.size === 40 && parts.contains("ds=d40"), parts.size)
+      // compaction: 70 more statements cross the in-process segment
+      // threshold (64) — everything folds back into one base snapshot
+      // and the segment count stays bounded
+      (41 to 110).foreach(i =>
+        h2.sql(s"ALTER TABLE inc_t ADD PARTITION (ds='d$i')"))
+      val segs2 = Option(dd.listFiles()).map(
+        _.count(_.getName.endsWith(".json"))).getOrElse(0)
+      assert(segs2 < 64, s"compaction never ran: $segs2 segments")
+      assert(lf.lastModified() > baseModAfterCreate,
+        "compaction rewrote the base")
+      val h3 = new HiveStatements(spark)
+      assert(h3.sql("SHOW PARTITIONS inc_t").get.collect().length === 110)
+      spark.sql("DROP TABLE IF EXISTS inc_t")
+    } finally spark.conf.unset("spark.graft.metastore.path")
+  }
+
   test("the ledger file is written on DDL and absent conf means no " +
       "writes (session-only metadata, harness-safe default)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ms2")
