@@ -418,9 +418,25 @@ class HiveStatements(val spark: SparkSession) {
     }
   }
 
+  /** The ledger path already restored into this dispatcher. The conf
+    * can legitimately arrive AFTER construction (a Connect client
+    * runs `SET spark.graft.metastore.path=...` as its own statement —
+    * the per-session dispatcher is built while parsing that very
+    * SET), so [[sql]]/[[plan]] re-check on every statement and load
+    * on first sight of a path. */
+  private var ledgerLoadedPath: Option[String] = None
+
+  private def maybeLoadLedger(): Unit = {
+    val p = metastorePath
+    if (p.isDefined && p != ledgerLoadedPath) {
+      loadMetastoreLedger()
+      ledgerLoadedPath = p
+    }
+  }
+
   // restore at construction — a fresh dispatcher over the same conf
   // serves DESCRIBE/SHOW/stats for everything created before it
-  loadMetastoreLedger()
+  maybeLoadLedger()
 
   /** Can this statement head mutate metadata (→ the ledger rewrites
     * after it runs)? */
@@ -452,6 +468,7 @@ class HiveStatements(val spark: SparkSession) {
   }
 
   private def sqlImpl(text: String): Option[DataFrame] = {
+    maybeLoadLedger()
     val raw = text.trim.stripSuffix(";")
     if (serveMetaReads) metaQuery(raw) match {
       case Some(df) => return Some(df)
@@ -593,6 +610,7 @@ class HiveStatements(val spark: SparkSession) {
   def plan(text: String)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    maybeLoadLedger()
     val raw = text.trim.stripSuffix(";")
     if (serveMetaReads) metaQuery(raw) match {
       case Some(df) => return df.queryExecution.logical

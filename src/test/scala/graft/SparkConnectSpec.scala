@@ -127,6 +127,50 @@ class SparkConnectSpec extends SparkSpec {
     }
   }
 
+  test("durable grants across Connect clients: a grant by client A " +
+      "persists through the metastore ledger and a LATER client B " +
+      "sees it at construction (HiveServer2-style metastore sharing)") {
+    val sc = spark.sparkContext
+    org.apache.spark.sql.connect.service.SparkConnectService.start(sc)
+    val svc = org.apache.spark.sql.connect.service.SparkConnectService
+    val srv = svc.getClass.getMethod("server").invoke(svc)
+    val port = srv.getClass.getMethod("getPort").invoke(srv)
+      .asInstanceOf[Int]
+    val ledger = java.nio.file.Files
+      .createTempDirectory("graft_cxl").toString + "/ms.ledger"
+    try {
+      val a = org.apache.spark.sql.connect.SparkSession.builder()
+        .remote(s"sc://localhost:$port").create()
+      try {
+        a.sql("SET spark.graft.dialect=true").collect()
+        a.sql(s"SET spark.graft.metastore.path=$ledger").collect()
+        a.sql("GRANT SELECT ON TABLE shared_auth_t TO USER mallory")
+          .collect()
+      } finally a.close()
+      val b = org.apache.spark.sql.connect.SparkSession.builder()
+        .remote(s"sc://localhost:$port").create()
+      try {
+        b.sql("SET spark.graft.dialect=true").collect()
+        b.sql(s"SET spark.graft.metastore.path=$ledger").collect()
+        val got = b.sql(
+          "SHOW GRANT USER mallory ON TABLE shared_auth_t").collect()
+          .map(_.toSeq.map(v => if (v == null) "" else v.toString)
+            .mkString("\t")).toSeq
+        assert(got.length === 1 && got.head.contains("\tSELECT\t"),
+          got.mkString("\n"))
+      } finally {
+        b.close()
+        org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+        org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      }
+    } finally {
+      org.apache.spark.sql.connect.service.SparkConnectService
+        .stop(None, None)
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("two Connect clients get isolated USE cursors and namespaces " +
       "(per-session HiveStatements, like HiveServer2 sessions)") {
     val sc = spark.sparkContext
