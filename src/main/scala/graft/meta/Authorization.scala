@@ -21,8 +21,11 @@ import scala.collection.mutable
   *    tab-separated; absent scopes render empty. The goldens mask
   *    grant times to -1 and this store keeps no wall clock, so the
   *    time field always renders -1.
-  *  - role names store and render LOWERCASE (Hive lowercases roles);
-  *    user/group principal names preserve case (userA stays userA).
+  *  - role names render in their STORED case: the sqlstd authorizer
+  *    lowercases at CREATE ROLE, the legacy provider keeps the
+  *    authored case (sRc_roLE renders back as written); matching is
+  *    case-insensitive either way. User/group principal names
+  *    preserve case (userA stays userA).
   *  - GRANT ALL expands to DELETE/INSERT/SELECT/UPDATE when
   *    `expandAll` (the SQL-standard authorizer's behavior); the
   *    legacy provider stores the literal ALL.
@@ -350,8 +353,8 @@ final class AuthStore extends Serializable {
       }
       val obj = Option(m.group(3)).map(_.trim).filter(_.nonEmpty)
       val rows: Seq[Grant] = obj match {
-        case None | Some("all") | Some("ALL") | Some("All") =>
-          grants.toVector
+        case None => grants.toVector
+        case Some(a) if a.equalsIgnoreCase("all") => grants.toVector
         case Some(o) =>
           val dbRe = "(?is)^database\\s+`?([\\w-]+)`?$".r
           val tRe = ("(?is)^(?:table\\s+)?`?([\\w.-]+)`?\\s*" +
@@ -391,16 +394,28 @@ final class AuthStore extends Serializable {
   }
 
   /** The session's active roles (SHOW CURRENT ROLES): SET ROLE's
-    * choice, else every granted role plus public — admin only ever
+    * choice, else every granted role — direct AND through role→role
+    * grants (transitive membership, like the metastore's
+    * get_role_grants closure) — plus public; admin only ever
     * activates through an explicit SET ROLE ADMIN
     * (SQLStdHiveAccessController.getCurrentRoleNames). */
   def currentRolesOf(user: String): Seq[String] = currentRoles match {
     case Some(rs) => rs.sorted
     case None =>
-      (roleGrants.toVector.collect {
-        case (r, p, "USER", _, _, _)
-            if p == user && !r.equalsIgnoreCase("admin") => r
-      } :+ "public").distinct.sorted
+      val all = mutable.LinkedHashSet[String]()
+      var frontier = roleGrants.toVector.collect {
+        case (r, p, "USER", _, _, _) if p == user => r
+      }
+      while (frontier.nonEmpty) {
+        val fresh = frontier.filterNot(all.contains)
+        all ++= fresh
+        frontier = roleGrants.toVector.collect {
+          case (r, p, "ROLE", _, _, _)
+              if fresh.exists(_.equalsIgnoreCase(p)) => r
+        }
+      }
+      (all.toVector.filterNot(_.equalsIgnoreCase("admin")) :+ "public")
+        .distinct.sorted
   }
 
   private def renderGrant(g: Grant): String = {
@@ -419,8 +434,8 @@ object AuthStore {
     "show_database")
 
   /** `USER a, GROUP b, ROLE c` (a bare name after the first keyword
-    * inherits it: `TO USER u1, u2`). Backquotes strip; role names
-    * lowercase. */
+    * inherits it: `TO USER u1, u2`). Backquotes strip; ROLE names
+    * canonicalize at the call site (instance state decides case). */
   def parsePrincipals(txt: String): Seq[(String, String)] = {
     var lastType = "USER"
     txt.split(",").toSeq.map(_.trim).filter(_.nonEmpty).flatMap { p =>

@@ -94,6 +94,16 @@ class AuthorizationSpec extends SparkSpec {
     assert(lines(h, "SHOW CURRENT ROLES").isEmpty)
     h.sql("SET ROLE ALL")
     assert(lines(h, "SHOW CURRENT ROLES") === Seq("analyst", "public"))
+    // transitive membership: a role granted TO analyst activates too
+    h.auth.currentUser = "adm"
+    h.sql("CREATE ROLE nested")
+    h.sql("GRANT ROLE nested TO ROLE analyst")
+    h.auth.currentUser = "dana"
+    assert(lines(h, "SHOW CURRENT ROLES") ===
+      Seq("analyst", "nested", "public"))
+    h.auth.currentUser = "adm"
+    h.sql("DROP ROLE nested")
+    h.auth.currentUser = "dana"
     h.auth.currentUser = "adm"
     h.sql("REVOKE ROLE analyst FROM USER dana")
     assert(lines(h, "SHOW ROLE GRANT USER dana") === Seq(
