@@ -279,6 +279,12 @@ class HiveStatements(val spark: SparkSession) {
   private val ledgerWritten =
     scala.collection.mutable.Map[String, String]()
   private var ledgerDeltaSeq = 0
+  /** Compaction epoch: the base snapshot records it and delta
+    * segments carry it in their file names, so a crash between
+    * base-write and segment cleanup can never replay STALE segments
+    * over a newer base — the loader applies only segments whose
+    * epoch matches the base it read. */
+  private var ledgerEpoch = 0
 
   private def ledgerDeltaDir(path: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(
@@ -335,11 +341,20 @@ class HiveStatements(val spark: SparkSession) {
     val lines: Seq[(String, String)] = ledgerSnapshot().toSeq.map {
       case (k, v) => k -> graft.meta.LedgerJson.encodeLine(k, v)
     }
+    val dd = ledgerDeltaDir(path)
     def fullWrite(): Unit = {
+      // a NEW epoch supersedes every existing segment: base first
+      // (crash here → loader still reads the old base + old-epoch
+      // segments), cleanup after (crash here → stale segments carry
+      // a non-matching epoch and are ignored)
+      val existingEpochs = scala.util.Try(fs.listStatus(dd).toSeq
+        .flatMap(_.getPath.getName.split("\\.").headOption
+          .flatMap(_.toIntOption))).getOrElse(Nil)
+      ledgerEpoch = (existingEpochs :+ ledgerEpoch).max + 1
       atomicWrite(fs, conf, path,
-        """{"graftLedgerVersion":2}""" +: lines.map(_._2))
-      val dd = ledgerDeltaDir(path)
-      if (fs.exists(dd)) fs.delete(dd, true)
+        s"""{"graftLedgerVersion":2,"epoch":$ledgerEpoch}""" +:
+          lines.map(_._2))
+      scala.util.Try(if (fs.exists(dd)) fs.delete(dd, true))
       ledgerWritten.clear()
       ledgerWritten ++= lines
       ledgerDeltaSeq = 0
@@ -351,10 +366,10 @@ class HiveStatements(val spark: SparkSession) {
         !ledgerWritten.get(k).contains(l) }
       if (changed.nonEmpty) {
         ledgerDeltaSeq += 1
-        val dd = ledgerDeltaDir(path)
         if (!fs.exists(dd)) fs.mkdirs(dd)
         atomicWrite(fs, conf, new org.apache.hadoop.fs.Path(dd,
-          f"$ledgerDeltaSeq%08d.json"), changed.map(_._2))
+          f"$ledgerEpoch%08d.$ledgerDeltaSeq%08d.json"),
+          changed.map(_._2))
         ledgerWritten ++= changed
       }
     }
@@ -381,13 +396,19 @@ class HiveStatements(val spark: SparkSession) {
       }
       if (head.startsWith("""{"graftLedgerVersion""")) {
         val m = scala.collection.mutable.LinkedHashMap[String, AnyRef]()
+        var baseEpoch = 0
         def readLines(file: org.apache.hadoop.fs.Path,
-            skipHeader: Boolean): Unit = {
+            header: Boolean): Unit = {
           val rd = new java.io.BufferedReader(
             new java.io.InputStreamReader(fs.open(file),
               java.nio.charset.StandardCharsets.UTF_8))
           try {
-            if (skipHeader) rd.readLine()
+            if (header) {
+              val h = rd.readLine()
+              baseEpoch = "\"epoch\"\\s*:\\s*(\\d+)".r
+                .findFirstMatchIn(Option(h).getOrElse(""))
+                .map(_.group(1).toInt).getOrElse(0)
+            }
             var line = rd.readLine()
             while (line != null) {
               if (line.trim.nonEmpty) {
@@ -398,15 +419,21 @@ class HiveStatements(val spark: SparkSession) {
             }
           } finally rd.close()
         }
-        readLines(f, skipHeader = true)
+        readLines(f, header = true)
+        ledgerEpoch = baseEpoch
         // delta segments apply over the base in sequence order —
-        // last writer per key wins (incremental saves)
+        // last writer per key wins. Only the BASE's epoch counts: a
+        // crash between a compaction's base-write and its segment
+        // cleanup leaves stale segments with an older epoch, which
+        // must not replay over the newer base.
         val dd = ledgerDeltaDir(path)
         if (fs.exists(dd))
           fs.listStatus(dd).map(_.getPath)
-            .filter(_.getName.endsWith(".json"))
+            .filter(p0 => p0.getName.endsWith(".json") &&
+              p0.getName.split("\\.").headOption
+                .flatMap(_.toIntOption).contains(baseEpoch))
             .sortBy(_.getName)
-            .foreach(readLines(_, skipHeader = false))
+            .foreach(readLines(_, header = false))
         ledgerRestore(m.toMap)
       } else {
         // pre-v2 ledger (Java serialization): one-time upgrade read

@@ -258,6 +258,20 @@ class MetastorePersistenceSpec extends SparkSpec {
         "compaction rewrote the base")
       val h3 = new HiveStatements(spark)
       assert(h3.sql("SHOW PARTITIONS inc_t").get.collect().length === 110)
+      // crash between a compaction's base-write and its segment
+      // cleanup: a STALE segment (older epoch) must not replay over
+      // the newer base — plant one carrying a bogus table comment
+      val stale = new java.io.File(dd, "00000000.00000001.json")
+      dd.mkdirs()
+      val pw = new java.io.PrintWriter(stale, "UTF-8")
+      try pw.println(graft.meta.LedgerJson.encodeLine("tableComment",
+        scala.collection.mutable.LinkedHashMap(
+          "inc_t" -> "STALE-EPOCH")))
+      finally pw.close()
+      val h4 = new HiveStatements(spark)
+      assert(!h4.meta.tableComment.get("inc_t").contains("STALE-EPOCH"),
+        "stale-epoch segment replayed over the newer base")
+      assert(h4.sql("SHOW PARTITIONS inc_t").get.collect().length === 110)
       spark.sql("DROP TABLE IF EXISTS inc_t")
     } finally spark.conf.unset("spark.graft.metastore.path")
   }
