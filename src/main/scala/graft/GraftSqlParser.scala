@@ -114,15 +114,21 @@ case class HiveStatementCommand(
   * ledger persists AFTER the command executes — a parse-time persist
   * could neither see the object the statement creates nor honor
   * plan()'s side-effect-free contract. Leaf on purpose: the inner
-  * plan analyzes and runs inside [[run]], exactly once. */
+  * plan analyzes and runs inside [[run]], exactly once. The inner
+  * command's own output schema and rows pass through (SHOW-like
+  * commands wrapped here must still answer). */
 case class GraftPersistCommand(
     @transient statements: HiveStatements,
     @transient inner: LogicalPlan, text: String)
     extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+  override def output
+      : Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    scala.util.Try(inner.output).getOrElse(Nil)
   override def run(session: org.apache.spark.sql.SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
-    org.apache.spark.sql.GraftSqlShim.runPlan(session, inner)
+    val rows =
+      org.apache.spark.sql.GraftSqlShim.runPlan(session, inner)
     statements.persistAfter(text)
-    Nil
+    rows
   }
 }

@@ -271,14 +271,27 @@ class HiveStatements(val spark: SparkSession) {
   }
 
   /** Last encoded line written per ledger key — the diff base that
-    * makes each statement's persist cost O(changed keys), not
-    * O(whole metastore): a 100k-`ADD PARTITION` migration writes
-    * 100k small deltas + periodic compactions instead of 100k full
-    * snapshots (the reference's RDBMS pays per-row writes the same
-    * way). Cleared on construction; primed by load/full-write. */
+    * makes each statement's persist cost O(changed ENTRIES), not
+    * O(whole metastore): the partition/grant/stat-scale collections
+    * are persisted one line PER ENTRY ([[shardedNames]]), so a
+    * 100k-`ADD PARTITION` migration writes 100k one-entry deltas +
+    * periodic compactions instead of re-encoding the whole partition
+    * registry per statement (the reference's RDBMS pays per-row
+    * INSERTs the same way). Cleared on construction; primed by
+    * load/full-write. */
   private val ledgerWritten =
     scala.collection.mutable.Map[String, String]()
   private var ledgerDeltaSeq = 0
+  /** Collision-free segment naming for CONCURRENT writers: two
+    * dispatchers sharing one metastore path (two Connect clients in
+    * one server) each stamp their own nonce into segment file names,
+    * so same-sequence writes can never rename-overwrite each other;
+    * the loader applies all matching-epoch segments in sorted order
+    * and [[saveMetastoreLedger]] rescans the segment dir before every
+    * write to pick the next free sequence. In-JVM writers additionally
+    * serialize through [[HiveStatements.ledgerLock]]. */
+  private val ledgerNonce =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(8)
   /** Compaction epoch: the base snapshot records it and delta
     * segments carry it in their file names, so a crash between
     * base-write and segment cleanup can never replay STALE segments
@@ -293,8 +306,11 @@ class HiveStatements(val spark: SparkSession) {
       "." + path.getName + ".delta")
 
   /** Atomic small-file write: tmp in the same dir, rename-overwrite
-    * (FileContext), delete+rename fallback for filesystems without
-    * FileContext support. */
+    * (FileContext). Filesystems without FileContext support fall back
+    * to [[atomicReplaceFallback]] — move the CURRENT file aside to
+    * `.bak` first, never delete-then-rename: a crash between those
+    * two steps must always leave a complete snapshot recoverable
+    * (the loader reads `path`, then `.tmp`, then `.bak`). */
   private def atomicWrite(fs: org.apache.hadoop.fs.FileSystem,
       conf: org.apache.hadoop.conf.Configuration,
       dst: org.apache.hadoop.fs.Path, lines: Seq[String]): Unit = {
@@ -310,15 +326,157 @@ class HiveStatements(val spark: SparkSession) {
         .rename(tmp, dst,
           org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     } catch {
-      case _: Exception =>
-        if (fs.exists(dst)) fs.delete(dst, false)
-        fs.rename(tmp, dst)
+      case _: Exception => atomicReplaceFallback(fs, dst, tmp)
     }
   }
 
-  /** How many delta segments accumulate before the ledger compacts
-    * back to one base snapshot. */
+  /** Replace `dst` with `tmp` without a lost-state window: the old
+    * file renames ASIDE to `.bak` (crash here → `.tmp` holds the new
+    * complete snapshot, `.bak` the old one — the loader prefers
+    * `.tmp`), then the new file renames into place, then the backup
+    * clears. Package-visible so the crash window is spec-testable. */
+  private[graft] def atomicReplaceFallback(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dst: org.apache.hadoop.fs.Path,
+      tmp: org.apache.hadoop.fs.Path): Unit = {
+    val parent = Option(dst.getParent)
+      .getOrElse(new org.apache.hadoop.fs.Path("."))
+    val bak = new org.apache.hadoop.fs.Path(parent,
+      "." + dst.getName + ".bak")
+    if (fs.exists(dst)) {
+      if (fs.exists(bak)) fs.delete(bak, false)
+      fs.rename(dst, bak)
+    }
+    fs.rename(tmp, dst)
+    if (fs.exists(bak)) fs.delete(bak, false)
+  }
+
+  /** Ledger names persisted one line PER ENTRY (`name/«md5 of entry
+    * identity»`) rather than one line per map: these are the
+    * collections that grow with PARTITION/GRANT/COLUMN cardinality —
+    * at 100k partitions a whole-map encoding would make every delta
+    * O(metastore). Entry removal writes a tombstone line. The
+    * KB-scale maps (table props, storage descriptors, namespaces)
+    * stay whole-map: one line each, cheap to diff. */
+  private val shardedNames = Set("addedParts", "partSchemas",
+    "partStorage", "partBucketMeta", "colStats", "authGrants",
+    "authRoles", "authRoleGrants")
+
+  private def isShardKey(k: String): Boolean = {
+    val i = k.indexOf('/')
+    i > 0 && shardedNames.contains(k.substring(0, i))
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  /** Flatten a sharded collection to (entry identity, entry value)
+    * pairs. Works on both the LIVE collections and their DECODED
+    * ledger forms (both expose the scala.collection interfaces), so
+    * a legacy whole-map base line normalizes through the same path
+    * at load. Identity excludes mutable attributes (a re-grant with
+    * a different grantor overwrites its row in place). */
+  private def explodeSharded(name: String, v: Any): Seq[(Any, Any)] =
+    name match {
+      case "addedParts" =>
+        v.asInstanceOf[scala.collection.Map[Any, Any]].toSeq.flatMap {
+          case (t, ps) =>
+            ps.asInstanceOf[scala.collection.Iterable[Any]].toSeq
+              .map(p => ((t, p), (t, p)))
+        }
+      case "partSchemas" =>
+        v.asInstanceOf[scala.collection.Map[Any, Any]].toSeq.flatMap {
+          case (t, m) =>
+            m.asInstanceOf[scala.collection.Map[Any, Any]].toSeq.map {
+              case (pv, st) => ((t, pv), (t, pv, st))
+            }
+        }
+      case "partStorage" | "partBucketMeta" | "colStats" =>
+        v.asInstanceOf[scala.collection.Map[Any, Any]].toSeq.map {
+          case (k, x) => (k, (k, x))
+        }
+      case "authGrants" =>
+        v.asInstanceOf[scala.collection.Iterable[Any]].toSeq.map { r =>
+          (r.asInstanceOf[scala.collection.Seq[Any]].take(7).toVector, r)
+        }
+      case "authRoles" =>
+        v.asInstanceOf[scala.collection.Iterable[Any]].toSeq
+          .map(r => (r, r))
+      case "authRoleGrants" =>
+        // identity = (role, principal, ptype); admin option + grantor
+        // are attributes a re-grant overwrites in place
+        v.asInstanceOf[scala.collection.Iterable[Any]].toSeq.map { r =>
+          (r.asInstanceOf[scala.collection.Seq[Any]].take(3).toVector, r)
+        }
+      case other => throw new IllegalStateException(
+        s"not a sharded ledger name: $other")
+    }
+
+  /** Reassemble a sharded collection from its per-entry values, in
+    * line order (insertion order survives restart — SHOW PARTITIONS
+    * renders in registration order like the metastore's row order). */
+  private def rebuildSharded(name: String, vs: Seq[Any]): AnyRef = {
+    import scala.collection.mutable
+    name match {
+      case "addedParts" =>
+        val out = mutable.Map[String,
+          mutable.LinkedHashSet[Seq[(String, String)]]]()
+        vs.foreach { v =>
+          val (t, p) = v.asInstanceOf[(String, Any)]
+          out.getOrElseUpdate(t, mutable.LinkedHashSet()) +=
+            p.asInstanceOf[Seq[(String, String)]]
+        }
+        out
+      case "partSchemas" =>
+        val out = mutable.Map[String, mutable.Map[Seq[String], StructType]]()
+        vs.foreach { v =>
+          val (t, pv, st) = v.asInstanceOf[(String, Any, Any)]
+          out.getOrElseUpdate(t, mutable.Map())(
+            pv.asInstanceOf[Seq[String]]) = st.asInstanceOf[StructType]
+        }
+        out
+      case "partStorage" | "partBucketMeta" | "colStats" =>
+        val out = mutable.LinkedHashMap[Any, Any]()
+        vs.foreach { v =>
+          val (k, x) = v.asInstanceOf[(Any, Any)]
+          out(k) = x
+        }
+        out
+      case "authGrants" | "authRoles" | "authRoleGrants" => vs.toVector
+      case other => throw new IllegalStateException(
+        s"not a sharded ledger name: $other")
+    }
+  }
+
+  /** The current metastore state as flat persisted lines: whole-map
+    * names one line each, sharded names one line per entry. */
+  private def ledgerLines(): Seq[(String, String)] =
+    ledgerSnapshot().toSeq.flatMap { case (k, v) =>
+      if (!shardedNames.contains(k))
+        Seq(k -> graft.meta.LedgerJson.encodeLine(k, v))
+      else explodeSharded(k, v).map { case (id, value) =>
+        val full = k + "/" + md5hex(graft.meta.LedgerJson.encode(id))
+        full -> graft.meta.LedgerJson.encodeLine(full, value)
+      }
+    }
+
+  /** How many delta segments accumulate before the ledger considers
+    * compacting back to one base snapshot. Compaction additionally
+    * requires the accumulated delta BYTES to be a meaningful fraction
+    * of the base ([[ledgerCompactRatio]]) — a pure count trigger
+    * would rewrite an O(n)-byte base every k statements during a
+    * mass ADD PARTITION migration, Σ O(n²/k); the size gate makes
+    * compaction geometric (each one at least grows the base by a
+    * constant factor), so total bytes written stay O(final base). A
+    * hard segment-count cap (64 × this) bounds directory listings
+    * regardless. */
   protected def ledgerCompactEvery: Int = 64
+
+  /** Compact only once delta bytes reach base × this ratio (subject
+    * to the count floor above). */
+  protected def ledgerCompactRatio: Double = 0.5
 
   /** Persist the metastore CRASH-ATOMICALLY and INCREMENTALLY.
     *
@@ -335,113 +493,212 @@ class HiveStatements(val spark: SparkSession) {
     * After [[ledgerCompactEvery]] segments the whole thing compacts
     * back to one base snapshot and the segments are removed. */
   def saveMetastoreLedger(): Unit = metastorePath.foreach { p =>
+    HiveStatements.ledgerLock(p).synchronized {
     val path = new org.apache.hadoop.fs.Path(p)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = path.getFileSystem(conf)
-    val lines: Seq[(String, String)] = ledgerSnapshot().toSeq.map {
-      case (k, v) => k -> graft.meta.LedgerJson.encodeLine(k, v)
-    }
+    val lines: Seq[(String, String)] = ledgerLines()
+    val lineKeys = lines.map(_._1).toSet
+    // per-entry keys we wrote before that no longer exist (DROP
+    // PARTITION / REVOKE / DROP TABLE) → tombstone lines
+    val removed = ledgerWritten.keysIterator
+      .filter(k => isShardKey(k) && !lineKeys.contains(k)).toVector
     val dd = ledgerDeltaDir(path)
+    // rescan the segment dir every save: a CONCURRENT writer on the
+    // same path may have appended segments since our last write —
+    // never reuse a sequence number it (or anyone) already took
+    def liveSegs(): Seq[org.apache.hadoop.fs.Path] =
+      scala.util.Try(fs.listStatus(dd).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".json"))).getOrElse(Nil)
+    def segEpoch(p0: org.apache.hadoop.fs.Path): Option[Int] =
+      p0.getName.split("\\.").headOption.flatMap(_.toIntOption)
+    def segSeq(p0: org.apache.hadoop.fs.Path): Option[Int] =
+      p0.getName.split("\\.").lift(1).flatMap(_.toIntOption)
     def fullWrite(): Unit = {
       // a NEW epoch supersedes every existing segment: base first
       // (crash here → loader still reads the old base + old-epoch
       // segments), cleanup after (crash here → stale segments carry
-      // a non-matching epoch and are ignored)
-      val existingEpochs = scala.util.Try(fs.listStatus(dd).toSeq
-        .flatMap(_.getPath.getName.split("\\.").headOption
-          .flatMap(_.toIntOption))).getOrElse(Nil)
+      // a non-matching epoch and are ignored). Per-entry keys another
+      // writer appended since we loaded ride along into the new base —
+      // a compaction must never erase a sibling session's grants/DDL.
+      val segs = liveSegs()
+      val foreign = readLedgerRawLines(fs, path).map(_._2)
+        .getOrElse(scala.collection.mutable.LinkedHashMap.empty)
+        .filter { case (k, _) =>
+          isShardKey(k) && !lineKeys.contains(k) &&
+            !ledgerWritten.contains(k) }
+      val existingEpochs = segs.flatMap(segEpoch)
       ledgerEpoch = (existingEpochs :+ ledgerEpoch).max + 1
+      val all = lines ++ foreign.toSeq
       atomicWrite(fs, conf, path,
         s"""{"graftLedgerVersion":2,"epoch":$ledgerEpoch}""" +:
-          lines.map(_._2))
+          all.map(_._2))
       scala.util.Try(if (fs.exists(dd)) fs.delete(dd, true))
       ledgerWritten.clear()
-      ledgerWritten ++= lines
+      ledgerWritten ++= all
       ledgerDeltaSeq = 0
     }
-    if (ledgerWritten.isEmpty || !fs.exists(path) ||
-        ledgerDeltaSeq + 1 >= ledgerCompactEvery) fullWrite()
+    val segsNow = liveSegs()
+    val segCount = segsNow.size
+    def segBytes: Long = segsNow
+      .map(s => scala.util.Try(fs.getFileStatus(s).getLen).getOrElse(0L))
+      .sum
+    def baseBytes: Long =
+      scala.util.Try(fs.getFileStatus(path).getLen).getOrElse(1L)
+    val compactDue = segCount + 1 >= ledgerCompactEvery &&
+      (segBytes >= baseBytes * ledgerCompactRatio ||
+        segCount + 1 >= ledgerCompactEvery * 16)
+    if (ledgerWritten.isEmpty || !fs.exists(path) || compactDue)
+      fullWrite()
     else {
       val changed = lines.filter { case (k, l) =>
         !ledgerWritten.get(k).contains(l) }
-      if (changed.nonEmpty) {
-        ledgerDeltaSeq += 1
+      if (changed.nonEmpty || removed.nonEmpty) {
+        val taken = liveSegs().filter(s => segEpoch(s).contains(ledgerEpoch))
+          .flatMap(segSeq)
+        ledgerDeltaSeq = ((taken :+ ledgerDeltaSeq).max) + 1
         if (!fs.exists(dd)) fs.mkdirs(dd)
         atomicWrite(fs, conf, new org.apache.hadoop.fs.Path(dd,
-          f"$ledgerEpoch%08d.$ledgerDeltaSeq%08d.json"),
-          changed.map(_._2))
+          f"$ledgerEpoch%08d.$ledgerDeltaSeq%08d.$ledgerNonce.json"),
+          changed.map(_._2) ++
+            removed.map(graft.meta.LedgerJson.encodeTombstone))
         ledgerWritten ++= changed
+        ledgerWritten --= removed
       }
     }
+    }
+  }
+
+  /** Read the on-disk ledger (base + matching-epoch segments, `.tmp`
+    * and `.bak` crash fallbacks) into RAW encoded lines keyed by
+    * ledger key, with tombstones applied and any legacy whole-map
+    * line for a sharded name normalized to per-entry form. None when
+    * nothing is on disk or the file predates format v2. Shared by
+    * [[loadMetastoreLedger]] and the compaction merge. */
+  private def readLedgerRawLines(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path)
+      : Option[(Int, scala.collection.mutable.LinkedHashMap[String, String])] = {
+    val parent = Option(path.getParent)
+      .getOrElse(new org.apache.hadoop.fs.Path("."))
+    def alt(suffix: String) = new org.apache.hadoop.fs.Path(parent,
+      "." + path.getName + suffix)
+    // crash recovery order: the live file, else the fully-written
+    // replacement (`.tmp` — newest complete state), else the moved-
+    // aside previous state (`.bak`)
+    val src = Seq(path, alt(".tmp"), alt(".bak")).find(fs.exists)
+      .getOrElse(return None)
+    val head = {
+      val in = fs.open(src)
+      try { val b = new Array[Byte](24); val n = in.read(b)
+        new String(b, 0, math.max(n, 0),
+          java.nio.charset.StandardCharsets.UTF_8) }
+      finally in.close()
+    }
+    if (!head.startsWith("""{"graftLedgerVersion""")) return None
+    val m = scala.collection.mutable.LinkedHashMap[String, String]()
+    var baseEpoch = 0
+    def applyLine(line: String): Unit = {
+      val (k, v) = graft.meta.LedgerJson.decodeLine(line)
+      if (graft.meta.LedgerJson.isTombstone(line)) m.remove(k)
+      else if (shardedNames.contains(k)) {
+        // legacy whole-map line for a now-sharded name: REPLACES the
+        // name's accumulated entries wholesale (v2.0 semantics), then
+        // later per-entry lines edit inside it
+        m.filterInPlace((k0, _) => !k0.startsWith(k + "/"))
+        explodeSharded(k, v).foreach { case (id, value) =>
+          val full = k + "/" + md5hex(graft.meta.LedgerJson.encode(id))
+          m(full) = graft.meta.LedgerJson.encodeLine(full, value)
+        }
+      } else m(k) = line
+    }
+    def readLines(file: org.apache.hadoop.fs.Path,
+        header: Boolean): Unit = {
+      val rd = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(file),
+          java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        if (header) {
+          val h = rd.readLine()
+          baseEpoch = "\"epoch\"\\s*:\\s*(\\d+)".r
+            .findFirstMatchIn(Option(h).getOrElse(""))
+            .map(_.group(1).toInt).getOrElse(0)
+        }
+        var line = rd.readLine()
+        while (line != null) {
+          if (line.trim.nonEmpty) applyLine(line)
+          line = rd.readLine()
+        }
+      } finally rd.close()
+    }
+    readLines(src, header = true)
+    // delta segments apply over the base in (sequence, nonce) name
+    // order — last writer per key wins. Only the BASE's epoch counts:
+    // a crash between a compaction's base-write and its segment
+    // cleanup leaves stale segments with an older epoch, which must
+    // not replay over the newer base.
+    val dd = ledgerDeltaDir(path)
+    if (fs.exists(dd))
+      fs.listStatus(dd).map(_.getPath)
+        .filter(p0 => p0.getName.endsWith(".json") &&
+          p0.getName.split("\\.").headOption
+            .flatMap(_.toIntOption).contains(baseEpoch))
+        .sortBy(_.getName)
+        .foreach(readLines(_, header = false))
+    Some((baseEpoch, m))
   }
 
   private def loadMetastoreLedger(): Unit = metastorePath.foreach { p =>
     val path = new org.apache.hadoop.fs.Path(p)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parent = Option(path.getParent)
-      .getOrElse(new org.apache.hadoop.fs.Path("."))
-    val tmp = new org.apache.hadoop.fs.Path(parent,
-      "." + path.getName + ".tmp")
-    // a crash after writing `.tmp` but before the rename leaves the
-    // newest complete snapshot in the temp file — recover it
-    val src = if (fs.exists(path)) Some(path)
-      else if (fs.exists(tmp)) Some(tmp) else None
-    src.foreach { f =>
-      val head = {
-        val in = fs.open(f)
-        try { val b = new Array[Byte](24); val n = in.read(b)
-          new String(b, 0, math.max(n, 0),
-            java.nio.charset.StandardCharsets.UTF_8) }
-        finally in.close()
-      }
-      if (head.startsWith("""{"graftLedgerVersion""")) {
+    readLedgerRawLines(fs, path) match {
+      case Some((epoch, raw)) =>
+        ledgerEpoch = epoch
         val m = scala.collection.mutable.LinkedHashMap[String, AnyRef]()
-        var baseEpoch = 0
-        def readLines(file: org.apache.hadoop.fs.Path,
-            header: Boolean): Unit = {
-          val rd = new java.io.BufferedReader(
-            new java.io.InputStreamReader(fs.open(file),
-              java.nio.charset.StandardCharsets.UTF_8))
-          try {
-            if (header) {
-              val h = rd.readLine()
-              baseEpoch = "\"epoch\"\\s*:\\s*(\\d+)".r
-                .findFirstMatchIn(Option(h).getOrElse(""))
-                .map(_.group(1).toInt).getOrElse(0)
-            }
-            var line = rd.readLine()
-            while (line != null) {
-              if (line.trim.nonEmpty) {
-                val (k, v) = graft.meta.LedgerJson.decodeLine(line)
-                m(k) = v.asInstanceOf[AnyRef]
-              }
-              line = rd.readLine()
-            }
-          } finally rd.close()
+        val shardVals = scala.collection.mutable
+          .LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Any]]()
+        raw.foreach { case (k, line) =>
+          val (_, v) = graft.meta.LedgerJson.decodeLine(line)
+          if (isShardKey(k)) {
+            val name = k.substring(0, k.indexOf('/'))
+            shardVals.getOrElseUpdate(name,
+              scala.collection.mutable.ArrayBuffer[Any]()) += v
+          } else m(k) = v.asInstanceOf[AnyRef]
         }
-        readLines(f, header = true)
-        ledgerEpoch = baseEpoch
-        // delta segments apply over the base in sequence order —
-        // last writer per key wins. Only the BASE's epoch counts: a
-        // crash between a compaction's base-write and its segment
-        // cleanup leaves stale segments with an older epoch, which
-        // must not replay over the newer base.
-        val dd = ledgerDeltaDir(path)
-        if (fs.exists(dd))
-          fs.listStatus(dd).map(_.getPath)
-            .filter(p0 => p0.getName.endsWith(".json") &&
-              p0.getName.split("\\.").headOption
-                .flatMap(_.toIntOption).contains(baseEpoch))
-            .sortBy(_.getName)
-            .foreach(readLines(_, header = false))
+        shardVals.foreach { case (name, vs) =>
+          m(name) = rebuildSharded(name, vs.toSeq)
+        }
         ledgerRestore(m.toMap)
-      } else {
+        // prime the diff base from what disk already holds: the first
+        // save after a load is a small delta, not a full rewrite (and
+        // a compaction by THIS session can tell its own keys from a
+        // concurrent sibling's)
+        ledgerWritten.clear()
+        ledgerWritten ++= raw
+        val dd = ledgerDeltaDir(path)
+        ledgerDeltaSeq = scala.util.Try(fs.listStatus(dd).toSeq
+          .map(_.getPath.getName)
+          .filter(n => n.endsWith(".json") &&
+            n.split("\\.").headOption.flatMap(_.toIntOption)
+              .contains(epoch))
+          .flatMap(_.split("\\.").lift(1).flatMap(_.toIntOption)))
+          .getOrElse(Nil).foldLeft(0)(math.max)
+      case None =>
         // pre-v2 ledger (Java serialization): one-time upgrade read
-        val in = new java.io.ObjectInputStream(fs.open(f))
-        try ledgerRestore(
-          in.readObject().asInstanceOf[Map[String, AnyRef]])
-        finally in.close()
-      }
+        if (fs.exists(path)) {
+          val head = {
+            val in = fs.open(path)
+            try { val b = new Array[Byte](24); val n = in.read(b)
+              new String(b, 0, math.max(n, 0),
+                java.nio.charset.StandardCharsets.UTF_8) }
+            finally in.close()
+          }
+          if (!head.startsWith("""{"graftLedgerVersion""")) {
+            val in = new java.io.ObjectInputStream(fs.open(path))
+            try ledgerRestore(
+              in.readObject().asInstanceOf[Map[String, AnyRef]])
+            finally in.close()
+          }
+        }
     }
   }
 
@@ -456,7 +713,16 @@ class HiveStatements(val spark: SparkSession) {
   private def maybeLoadLedger(): Unit = {
     val p = metastorePath
     if (p.isDefined && p != ledgerLoadedPath) {
-      loadMetastoreLedger()
+      // a path SWITCH resets all diff/sequence state FIRST: carrying
+      // the previous path's sequence counter into the new path's
+      // epoch would let the next delta overwrite one of the new
+      // path's existing segments (its keys silently lost on reload)
+      ledgerWritten.clear()
+      ledgerDeltaSeq = 0
+      ledgerEpoch = 0
+      HiveStatements.ledgerLock(p.get).synchronized {
+        loadMetastoreLedger()
+      }
       ledgerLoadedPath = p
     }
   }
@@ -676,9 +942,14 @@ class HiveStatements(val spark: SparkSession) {
       // stay side-effect-free; and a parse-time snapshot cannot see
       // the table this statement is about to create) — wrap stock
       // metadata-mutating commands so persistAfter runs post-run,
-      // mirroring HiveStatementCommand.run
-      if (persistWorthy(raw) && parsed.isInstanceOf[
-          org.apache.spark.sql.catalyst.plans.logical.Command])
+      // mirroring HiveStatementCommand.run. ParsedStatement DML
+      // (INSERT INTO ... SELECT parses to InsertIntoStatement, not a
+      // Command) persists the same way — insert-side metadata
+      // (partition tracking, stats) must not silently skip the ledger
+      if (persistWorthy(raw) && (parsed.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.Command] ||
+          parsed.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.ParsedStatement]))
         GraftPersistCommand(this, parsed, raw)
       else parsed
     } catch {
@@ -1305,6 +1576,16 @@ class HiveStatements(val spark: SparkSession) {
       meta.trackAlterStorage(q)
       meta.trackTblProps(q, create = false)
       meta.recordAddedPartitions(q)
+      // partition registry removals/renames carry their privilege
+      // snapshots with them (ObjectStore PART_PRIVS rows share the
+      // partition object's fate)
+      meta.recordDroppedPartitions(q).foreach { case (lc, kv) =>
+        auth.partitionDropped(authDbOf(lc), lc, kv.map(_._2).mkString("/"))
+      }
+      meta.recordRenamedPartition(q).foreach { case (lc, from, to) =>
+        auth.partitionRenamed(authDbOf(lc), lc,
+          from.map(_._2).mkString("/"), to.map(_._2).mkString("/"))
+      }
       q match {
         case renameRe(from, to) =>
           meta.renameTable(from.split('.').last.toLowerCase,
@@ -1313,13 +1594,33 @@ class HiveStatements(val spark: SparkSession) {
       }
     } else if (ql.startsWith("drop table") || ql.startsWith("drop view"))
       "(?is)^drop\\s+(?:table|view)\\s+(?:if\\s+exists\\s+)?`?([\\w.]+)`?"
-        .r.findFirstMatchIn(q)
-        .foreach(m => meta.dropTable(m.group(1).split('.').last.toLowerCase))
+        .r.findFirstMatchIn(q).foreach { m =>
+          val parts = m.group(1).split('.')
+          val lc = parts.last.toLowerCase
+          meta.dropTable(lc)
+          // privileges die with the table — the metastore drops the
+          // TBL_PRIVS/TBL_COL_PRIVS/PART_PRIVS rows on dropTable (ref
+          // metastore ObjectStore.java dropTable); without this a
+          // later re-CREATE of the same name would silently inherit
+          // the old table's grants
+          val db = if (parts.length > 1) parts.head.toLowerCase
+            else authDbOf(lc)
+          auth.tableDropped(db, lc)
+        }
     else if (ql.startsWith("drop database") || ql.startsWith("drop schema"))
       ("(?is)^drop\\s+(?:database|schema)\\s+" +
         "(?:if\\s+exists\\s+)?`?(\\w+)`?").r.findFirstMatchIn(q)
-        .foreach(m => dialect.knownDbs -= m.group(1).toLowerCase)
+        .foreach { m =>
+          dialect.knownDbs -= m.group(1).toLowerCase
+          auth.databaseDropped(m.group(1).toLowerCase)
+        }
   }
+
+  /** The database label authorization rows carry for a physical
+    * binding (grants key on the SESSION database at grant time). */
+  private def authDbOf(lc: String): String =
+    dbOfPhysical(lc).getOrElse(
+      meta.dbOwner.getOrElse(lc, dialect.currentDb)).toLowerCase
 
   /** CREATE TABLE (cols...) → column comments + PARTITIONED BY →
     * declared partition columns. */
@@ -2451,6 +2752,16 @@ class HiveStatements(val spark: SparkSession) {
 }
 
 object HiveStatements {
+
+  /** Process-wide ledger write/load serialization per metastore
+    * path: multiple Connect dispatchers share one server JVM (the
+    * reference serializes all metadata writes through one RDBMS).
+    * CROSS-process writers additionally stay safe through nonce-named
+    * delta segments + a directory rescan before every write. */
+  private val ledgerLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[graft] def ledgerLock(path: String): Object =
+    ledgerLocks.computeIfAbsent(path, _ => new Object)
 
   /** hive.exec.default.partition.name's default. */
   val DefaultPartitionName = "__HIVE_DEFAULT_PARTITION__"

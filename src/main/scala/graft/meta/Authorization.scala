@@ -145,6 +145,11 @@ final class AuthStore extends Serializable {
   def tableDropped(db: String, table: String): Unit =
     grants.filterInPlace(g => !(g.db == db && g.table == table))
 
+  /** DROP DATABASE destroys the DB_PRIVS rows and (CASCADE) every
+    * contained table's privileges with it. */
+  def databaseDropped(db: String): Unit =
+    grants.filterInPlace(g => g.db != db)
+
   // ---------------------------------------------------------------
   // statement surface
   // ---------------------------------------------------------------

@@ -1019,6 +1019,108 @@ class HiveMetaStore(val spark: SparkSession,
     }
   }
 
+  /** ALTER TABLE ... DROP PARTITION: remove every matching spec from
+    * the partition registry and the per-partition schema/storage
+    * snapshots. Hive drops ALL partitions matching the comparator set
+    * (ref ql/exec/DDLTask.java dropPartitions → metastore
+    * dropPartitionsByExpr), so comparators (`p < '2014-09'`) filter
+    * the registered specs, numerically when both sides parse.
+    * Returns the removed specs for authorization cleanup. */
+  def recordDroppedPartitions(q: String)
+      : Seq[(String, Seq[(String, String)])] = {
+    val m = graft.HiveStatements.dropPartRe.findFirstMatchIn(q)
+      .getOrElse(return Nil)
+    val lc = resolveLc(m.group(1).split('.').last)
+    val condsPer = graft.HiveStatements.partitionCondRe
+      .findAllMatchIn(m.group(2)).map { pm =>
+        splitTop(pm.group(1), ',').flatMap { e =>
+          graft.HiveStatements.partCompRe.findFirstMatchIn(e).map { c =>
+            val raw = c.group(3).trim
+              .replaceFirst("(?is)^(?:date|timestamp)\\s+'", "'")
+              .stripPrefix("'").stripSuffix("'")
+              .stripPrefix("\"").stripSuffix("\"")
+            (c.group(1).toLowerCase, c.group(2), raw)
+          }
+        }
+      }.toSeq
+    def cmp(a: String, b: String): Int =
+      (a.toDoubleOption, b.toDoubleOption) match {
+        case (Some(x), Some(y)) => java.lang.Double.compare(x, y)
+        case _ => a.compareTo(b)
+      }
+    def hit(kv: Seq[(String, String)]): Boolean =
+      condsPer.exists(conds => conds.nonEmpty && conds.forall {
+        case (n, op, v) =>
+          kv.collectFirst {
+            case (kn, kvv) if kn.equalsIgnoreCase(n) => kvv
+          } match {
+            case None => false
+            case Some(x) => op match {
+              case "=" => x == v
+              case "<>" | "!=" => x != v
+              case "<" => cmp(x, v) < 0
+              case "<=" => cmp(x, v) <= 0
+              case ">" => cmp(x, v) > 0
+              case ">=" => cmp(x, v) >= 0
+            }
+          }
+      })
+    val removed = scala.collection.mutable
+      .ArrayBuffer[Seq[(String, String)]]()
+    addedParts.get(lc).foreach { set =>
+      val gone = set.toVector.filter(hit)
+      set --= gone
+      removed ++= gone
+    }
+    val pcs = tablePartCols.getOrElse(lc, Nil)
+    def keyOf(kv: Seq[(String, String)]): Seq[String] =
+      pcs.map(pc => kv.collectFirst {
+        case (n, v) if n.equalsIgnoreCase(pc) => v
+      }.getOrElse(""))
+    val goneKeys = removed.map(keyOf).toSet
+    if (goneKeys.nonEmpty) {
+      partSchemas.get(lc).foreach(pm => goneKeys.foreach(pm.remove))
+      partStorage.filterInPlace((k, _) =>
+        !(k._1 == lc && goneKeys.contains(k._2)))
+      partBucketMeta.filterInPlace((k, _) =>
+        !(k._1 == lc && goneKeys.contains(k._2)))
+    }
+    removed.toSeq.map(kv => (lc, kv))
+  }
+
+  /** ALTER TABLE ... PARTITION (a) RENAME TO PARTITION (b): re-key
+    * the partition registry + snapshots. Returns (table, from, to)
+    * when a registered spec renamed. */
+  def recordRenamedPartition(q: String)
+      : Option[(String, Seq[(String, String)], Seq[(String, String)])] = {
+    val m = graft.HiveStatements.renamePartRe.findFirstMatchIn(q)
+      .getOrElse(return None)
+    val lc = resolveLc(m.group(1).split('.').last)
+    val from = parsePartSpec(m.group(2)).collect {
+      case (n, Some(v)) => n -> v }
+    val to = parsePartSpec(m.group(3)).collect {
+      case (n, Some(v)) => n -> v }
+    val set = addedParts.getOrElse(lc, return None)
+    val hit = set.toVector.filter(kv => kv.size == from.size &&
+      from.forall { case (n, v) => kv.exists { case (kn, kvv) =>
+        kn.equalsIgnoreCase(n) && kvv == v } })
+    if (hit.isEmpty) return None
+    set --= hit
+    set ++= hit.map(_ => to)
+    val pcs = tablePartCols.getOrElse(lc, Nil)
+    def keyOf(kv: Seq[(String, String)]): Seq[String] =
+      pcs.map(pc => kv.collectFirst {
+        case (n, v) if n.equalsIgnoreCase(pc) => v
+      }.getOrElse(""))
+    val (fk, tk) = (keyOf(from), keyOf(to))
+    partSchemas.get(lc).foreach(pm =>
+      pm.remove(fk).foreach(pm(tk) = _))
+    partStorage.remove((lc, fk)).foreach(partStorage((lc, tk)) = _)
+    partBucketMeta.remove((lc, fk))
+      .foreach(partBucketMeta((lc, tk)) = _)
+    Some((lc, from, to))
+  }
+
   // -----------------------------------------------------------------
   // table properties + column comments
   // -----------------------------------------------------------------

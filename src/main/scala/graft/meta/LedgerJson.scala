@@ -13,6 +13,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * out-of-band type information:
   *  - `["s", "text"]` string, `["i", 42]` Int, `["l", 42]` Long,
   *    `["d", 4.2]` Double, `["b", true]` Boolean, `["n"]` null
+  *  - `["f", 4.2]` Float, `["h", 4]` Short, `["y", 4]` Byte
+  *  - `["d!", "NaN"]` / `["f!", "-Infinity"]` non-finite Double/Float
+  *    (bare NaN/Infinity tokens are not JSON — encoded tagged so a
+  *    single non-finite statistic can never write a ledger the next
+  *    load chokes on)
   *  - `["t", [v...]]` tuple (arity from length, 2..6)
   *  - `["q", [v...]]` Seq → Vector
   *  - `["e", [v...]]` insertion-ordered Set → mutable.LinkedHashSet
@@ -80,7 +85,18 @@ object LedgerJson {
       sb.append("[\"s\","); writeString(s, sb); sb.append(']')
     case i: Int => sb.append("[\"i\",").append(i).append(']')
     case l: Long => sb.append("[\"l\",").append(l).append(']')
-    case d: Double => sb.append("[\"d\",").append(d).append(']')
+    case d: Double =>
+      if (java.lang.Double.isFinite(d))
+        sb.append("[\"d\",").append(d).append(']')
+      else { sb.append("[\"d!\","); writeString(d.toString, sb)
+        sb.append(']') }
+    case f: Float =>
+      if (java.lang.Float.isFinite(f))
+        sb.append("[\"f\",").append(f).append(']')
+      else { sb.append("[\"f!\","); writeString(f.toString, sb)
+        sb.append(']') }
+    case h: Short => sb.append("[\"h\",").append(h).append(']')
+    case y: Byte => sb.append("[\"y\",").append(y).append(']')
     case b: Boolean =>
       sb.append("[\"b\",").append(b).append(']')
     case st: StructType =>
@@ -125,6 +141,14 @@ object LedgerJson {
         case "l" => arr(1).asInstanceOf[java.math.BigDecimal].longValue
         case "d" =>
           arr(1).asInstanceOf[java.math.BigDecimal].doubleValue
+        case "d!" => arr(1).asInstanceOf[String].toDouble
+        case "f" =>
+          arr(1).asInstanceOf[java.math.BigDecimal].floatValue
+        case "f!" => arr(1).asInstanceOf[String].toFloat
+        case "h" =>
+          arr(1).asInstanceOf[java.math.BigDecimal].shortValue
+        case "y" =>
+          arr(1).asInstanceOf[java.math.BigDecimal].byteValue
         case "b" => arr(1)
         case "st" => DataType.fromJson(arr(1).asInstanceOf[String])
         case "t" =>
@@ -261,7 +285,23 @@ object LedgerJson {
   def decodeLine(line: String): (String, Any) = {
     val p = new Parser(line)
     val obj = p.parseObjectHeader()
-    (obj("k").asInstanceOf[String], untag(obj("v")))
+    (obj("k").asInstanceOf[String], untag(obj.getOrElse("v", null)))
+  }
+
+  /** Is this line a deletion tombstone (`{"k":…,"del":true}`)? A
+    * delta segment records a REMOVED per-entry key this way — the
+    * loader drops the key instead of assigning it a value. */
+  def isTombstone(line: String): Boolean = {
+    val p = new Parser(line)
+    p.parseObjectHeader().get("del").contains(true)
+  }
+
+  def encodeTombstone(key: String): String = {
+    val sb = new StringBuilder
+    sb.append("{\"k\":")
+    writeString(key, sb)
+    sb.append(",\"del\":true}")
+    sb.result()
   }
 
   def encodeLine(key: String, v: Any): String = {

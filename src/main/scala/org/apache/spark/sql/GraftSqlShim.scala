@@ -13,14 +13,14 @@ object GraftSqlShim {
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
   /** Executes a logical plan on the session (commands run eagerly,
-    * exactly once). Used by graft's deferred-persist command wrapper
-    * on the Spark Connect path. */
+    * exactly once) and returns its result rows. Used by graft's
+    * deferred-persist command wrapper on the Spark Connect path. */
   def runPlan(session: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-      : Unit =
+      : Seq[Row] =
     org.apache.spark.sql.classic.Dataset.ofRows(
       session.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      plan)
+      plan).collect().toSeq
 
   /** Eagerly converts the Column's node tree to a Catalyst expression.
     * Needed when an expression built from Column API (e.g. a typed UDAF

@@ -8,6 +8,17 @@ package graft
   */
 class MetastorePersistenceSpec extends SparkSpec {
 
+  /** DROP TABLE IF EXISTS + clear a stale warehouse dir a previous
+    * aborted run may have left (LOCATION_ALREADY_EXISTS guard). */
+  private def freshTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    val d = new java.io.File("spark-warehouse/" + name)
+    if (d.exists()) rm(d)
+  }
+
   private def render(h: HiveStatements, q: String): Seq[String] =
     h.sql(q).get.collect().map(_.toSeq.map {
       case null => ""
@@ -246,18 +257,22 @@ class MetastorePersistenceSpec extends SparkSpec {
       val parts = h2.sql("SHOW PARTITIONS inc_t").get.collect()
         .map(_.getString(0)).toSeq
       assert(parts.size === 40 && parts.contains("ds=d40"), parts.size)
-      // compaction: 70 more statements cross the in-process segment
-      // threshold (64) — everything folds back into one base snapshot
-      // and the segment count stays bounded
-      (41 to 110).foreach(i =>
-        h2.sql(s"ALTER TABLE inc_t ADD PARTITION (ds='d$i')"))
+      // compaction: a dispatcher with a count-only trigger (ratio 0)
+      // folds everything back into one base snapshot every 16
+      // segments — the segment count stays bounded
+      val h2c = new HiveStatements(spark) {
+        override protected def ledgerCompactEvery = 16
+        override protected def ledgerCompactRatio = 0.0
+      }
+      (41 to 140).foreach(i =>
+        h2c.sql(s"ALTER TABLE inc_t ADD PARTITION (ds='d$i')"))
       val segs2 = Option(dd.listFiles()).map(
         _.count(_.getName.endsWith(".json"))).getOrElse(0)
-      assert(segs2 < 64, s"compaction never ran: $segs2 segments")
+      assert(segs2 < 16, s"compaction never ran: $segs2 segments")
       assert(lf.lastModified() > baseModAfterCreate,
         "compaction rewrote the base")
       val h3 = new HiveStatements(spark)
-      assert(h3.sql("SHOW PARTITIONS inc_t").get.collect().length === 110)
+      assert(h3.sql("SHOW PARTITIONS inc_t").get.collect().length === 140)
       // crash between a compaction's base-write and its segment
       // cleanup: a STALE segment (older epoch) must not replay over
       // the newer base — plant one carrying a bogus table comment
@@ -271,8 +286,297 @@ class MetastorePersistenceSpec extends SparkSpec {
       val h4 = new HiveStatements(spark)
       assert(!h4.meta.tableComment.get("inc_t").contains("STALE-EPOCH"),
         "stale-epoch segment replayed over the newer base")
-      assert(h4.sql("SHOW PARTITIONS inc_t").get.collect().length === 110)
+      assert(h4.sql("SHOW PARTITIONS inc_t").get.collect().length === 140)
       spark.sql("DROP TABLE IF EXISTS inc_t")
+    } finally spark.conf.unset("spark.graft.metastore.path")
+  }
+
+  test("per-entry deltas: 500 ADD PARTITIONs cost O(N) total bytes — " +
+      "every delta holds one partition entry, not the whole registry, " +
+      "and compaction is geometric (size-gated), so the mass-migration " +
+      "write volume stays linear") {
+    val base = java.nio.file.Files.createTempDirectory("graft_msn")
+    val ledger = s"$base/ms.ledger"
+    spark.conf.set("spark.graft.metastore.path", ledger)
+    try {
+      val h1 = new HiveStatements(spark)
+      freshTable("massadd_t")
+      h1.sql("CREATE TABLE massadd_t (k INT) PARTITIONED BY (ds STRING) " +
+        "STORED AS PARQUET")
+      val lf = new java.io.File(ledger)
+      val dd = new java.io.File(lf.getParentFile,
+        "." + lf.getName + ".delta")
+      var totalBytes = 0L // every byte the ledger wrote, ever
+      var compactions = 0
+      var maxSegBytes = 0L
+      val seenSegs = scala.collection.mutable.Set[String]()
+      var lastBaseMod = lf.lastModified()
+      (1 to 500).foreach { i =>
+        h1.sql(s"ALTER TABLE massadd_t ADD PARTITION (ds='p$i')")
+        Option(dd.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.endsWith(".json") &&
+            !seenSegs.contains(f.getName))
+          .foreach { f =>
+            seenSegs += f.getName
+            totalBytes += f.length()
+            maxSegBytes = math.max(maxSegBytes, f.length())
+          }
+        if (lf.lastModified() != lastBaseMod) {
+          lastBaseMod = lf.lastModified()
+          compactions += 1
+          totalBytes += lf.length()
+        }
+      }
+      // a delta carries ONE partition entry (plus the occasional
+      // sibling key), never the whole registry: at statement 499 a
+      // whole-map encoding would be ~50KB
+      assert(maxSegBytes < 2000,
+        s"a delta segment reached $maxSegBytes bytes — not per-entry")
+      // geometric compaction: each base rewrite needs delta bytes >=
+      // base/2, so rewrites thin out as the base grows (a fixed
+      // count-trigger would rewrite the full base every 64 statements)
+      assert(compactions <= 8, s"$compactions base rewrites in 500 adds")
+      // the O(N) headline: 500 one-entry deltas + geometric
+      // compactions; the old whole-map delta format wrote ~15MB here
+      assert(totalBytes < 2500000,
+        s"total ledger write volume $totalBytes bytes is super-linear")
+      val h2 = new HiveStatements(spark)
+      assert(h2.sql("SHOW PARTITIONS massadd_t").get.collect()
+        .length === 500)
+      freshTable("massadd_t")
+    } finally spark.conf.unset("spark.graft.metastore.path")
+  }
+
+  test("tombstones: DROP PARTITION and REVOKE inside delta segments " +
+      "remove their entries across restart (no resurrection from the " +
+      "base snapshot)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mst")
+    spark.conf.set("spark.graft.metastore.path", s"$base/ms.ledger")
+    try {
+      // compact-on-every-save setup dispatcher: everything below
+      // lands in the BASE snapshot
+      val h0 = new HiveStatements(spark) {
+        override protected def ledgerCompactEvery = 1
+        override protected def ledgerCompactRatio = 0.0
+      }
+      freshTable("tomb_t")
+      h0.sql("CREATE TABLE tomb_t (k INT) PARTITIONED BY (ds STRING) " +
+        "STORED AS PARQUET")
+      h0.sql("GRANT SELECT ON TABLE tomb_t TO USER tombuser")
+      (1 to 3).foreach(i =>
+        h0.sql(s"ALTER TABLE tomb_t ADD PARTITION (ds='t$i')"))
+      // the removals land in DELTA segments over a base that still
+      // holds the entries — only a tombstone line can kill them
+      val h1 = new HiveStatements(spark)
+      h1.sql("ALTER TABLE tomb_t DROP PARTITION (ds='t2')")
+      h1.sql("REVOKE SELECT ON TABLE tomb_t FROM USER tombuser")
+      val h2 = new HiveStatements(spark)
+      val parts = h2.sql("SHOW PARTITIONS tomb_t").get.collect()
+        .map(_.getString(0)).toSeq
+      assert(parts === Seq("ds=t1", "ds=t3"), parts)
+      val g = h2.sql("SHOW GRANT USER tombuser ON TABLE tomb_t").get
+        .collect()
+      assert(g.isEmpty, "revoked grant resurrected across restart")
+      freshTable("tomb_t")
+    } finally spark.conf.unset("spark.graft.metastore.path")
+  }
+
+  test("two dispatchers on ONE metastore path: interleaved and " +
+      "concurrent writes union — nonce segment names + dir rescan + " +
+      "in-JVM lock close the segment-overwrite race") {
+    val base = java.nio.file.Files.createTempDirectory("graft_msw")
+    val ledger = s"$base/ms.ledger"
+    val sA = spark.newSession()
+    val sB = spark.newSession()
+    sA.conf.set("spark.graft.metastore.path", ledger)
+    sB.conf.set("spark.graft.metastore.path", ledger)
+    val hA = new HiveStatements(sA)
+    // A writes first so B's construction sees an existing base
+    hA.sql("CREATE ROLE race_role_a")
+    val hB = new HiveStatements(sB)
+    hB.sql("CREATE ROLE race_role_b")
+    hA.sql("GRANT SELECT ON TABLE race_t TO USER userA")
+    hB.sql("GRANT INSERT ON TABLE race_t TO USER userB")
+    // same-sequence concurrent burst: 20 grants from each dispatcher
+    // on two threads — without collision-free segment names one
+    // side's rename-OVERWRITE would silently drop the other's rows
+    val tA = new Thread(() => (1 to 20).foreach(i =>
+      hA.sql(s"GRANT SELECT ON TABLE race_t TO USER burstA$i")))
+    val tB = new Thread(() => (1 to 20).foreach(i =>
+      hB.sql(s"GRANT INSERT ON TABLE race_t TO USER burstB$i")))
+    tA.start(); tB.start(); tA.join(); tB.join()
+    val sC = spark.newSession()
+    sC.conf.set("spark.graft.metastore.path", ledger)
+    val hC = new HiveStatements(sC)
+    val roles = hC.sql("SHOW ROLES").get.collect()
+      .map(_.getString(0)).toSet
+    assert(roles.contains("race_role_a") && roles.contains("race_role_b"),
+      s"roles lost in the race: $roles")
+    val grants = hC.sql("SHOW GRANT ON TABLE race_t").get.collect()
+      .map(_.getString(4)).toSet
+    assert(grants.contains("userA") && grants.contains("userB"))
+    (1 to 20).foreach { i =>
+      assert(grants.contains(s"burstA$i"), s"burstA$i lost")
+      assert(grants.contains(s"burstB$i"), s"burstB$i lost")
+    }
+    // compaction by one writer must carry the OTHER writer's entries
+    // into the new base (foreign-key merge), not erase them
+    val hA2 = new HiveStatements(sA) {
+      override protected def ledgerCompactEvery = 2
+      override protected def ledgerCompactRatio = 0.0
+    }
+    (1 to 6).foreach(i =>
+      hA2.sql(s"GRANT SELECT ON TABLE compact_t TO USER cmp$i"))
+    val sD = spark.newSession()
+    sD.conf.set("spark.graft.metastore.path", ledger)
+    val hD = new HiveStatements(sD)
+    val after = hD.sql("SHOW GRANT ON TABLE race_t").get.collect()
+      .map(_.getString(4)).toSet
+    assert(after.contains("userB") && after.contains("burstB20"),
+      "compaction by writer A erased writer B's grants")
+    assert(hD.sql("SHOW ROLES").get.collect().map(_.getString(0))
+      .toSet.contains("race_role_b"))
+  }
+
+  test("atomicReplaceFallback crash window: dst moved aside to .bak, " +
+      "crash before the new file renames in — the loader recovers " +
+      "the NEWEST complete snapshot from .tmp, never loses both") {
+    val base = java.nio.file.Files.createTempDirectory("graft_msb")
+    val ledger = s"$base/ms.ledger"
+    spark.conf.set("spark.graft.metastore.path", ledger)
+    try {
+      val h1 = new HiveStatements(spark)
+      freshTable("bak_t")
+      h1.sql("CREATE TABLE bak_t (k INT) COMMENT 'v1' STORED AS PARQUET")
+      val lf = new java.io.File(ledger)
+      val v1 = java.nio.file.Files.readAllBytes(lf.toPath)
+      // a compact-on-every-save dispatcher folds the v2 state into
+      // ONE base file for a clean simulation
+      val h1b = new HiveStatements(spark) {
+        override protected def ledgerCompactEvery = 1
+        override protected def ledgerCompactRatio = 0.0
+      }
+      h1b.sql("ALTER TABLE bak_t SET TBLPROPERTIES ('ver'='v2')")
+      val v2 = java.nio.file.Files.readAllBytes(lf.toPath)
+      // simulate the fallback's crash window: old state at .bak, new
+      // complete state at .tmp, dst missing
+      val tmp = new java.io.File(lf.getParentFile, "." + lf.getName + ".tmp")
+      val bak = new java.io.File(lf.getParentFile, "." + lf.getName + ".bak")
+      java.nio.file.Files.write(tmp.toPath, v2)
+      java.nio.file.Files.write(bak.toPath, v1)
+      // the deltas belong to the surviving snapshots' epoch lineage;
+      // clear them so the recovered state is exactly the snapshot
+      val dd = new java.io.File(lf.getParentFile, "." + lf.getName + ".delta")
+      Option(dd.listFiles()).foreach(_.foreach(_.delete()))
+      lf.delete()
+      val h2 = new HiveStatements(spark)
+      assert(h2.meta.tableProps.get("bak_t").exists(_.contains("ver")),
+        ".tmp (newest complete) snapshot not recovered")
+      // and when only .bak survives (crash before tmp finished is
+      // impossible in the fallback ordering, but a manual wipe isn't):
+      tmp.delete()
+      val h3 = new HiveStatements(spark)
+      assert(h3.meta.tableComment.get("bak_t").contains("v1"),
+        ".bak fallback not read")
+      spark.sql("DROP TABLE IF EXISTS bak_t")
+    } finally spark.conf.unset("spark.graft.metastore.path")
+  }
+
+  test("metastore path SWITCH mid-session resets delta state: the " +
+      "first save against the new path never overwrites one of its " +
+      "existing segments with a stale sequence number") {
+    val base = java.nio.file.Files.createTempDirectory("graft_msp")
+    val ledgerA = s"$base/a.ledger"
+    val ledgerB = s"$base/b.ledger"
+    val s1 = spark.newSession()
+    s1.conf.set("spark.graft.metastore.path", ledgerB)
+    val hB = new HiveStatements(s1)
+    hB.sql("GRANT SELECT ON TABLE switch_t TO USER beforeswitch")
+    hB.sql("GRANT INSERT ON TABLE switch_t TO USER beforeswitch2")
+    val ddB = new java.io.File(new java.io.File(ledgerB).getParentFile,
+      ".b.ledger.delta")
+    val segsBefore = Option(ddB.listFiles())
+      .map(_.map(_.getName).toSet).getOrElse(Set.empty)
+    // a session that already persisted deltas to path A switches to B
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.metastore.path", ledgerA)
+    val hA = new HiveStatements(s2)
+    (1 to 5).foreach(i =>
+      hA.sql(s"GRANT SELECT ON TABLE pre_t TO USER pre$i"))
+    s2.conf.set("spark.graft.metastore.path", ledgerB)
+    hA.sql("GRANT SELECT ON TABLE switch_t TO USER afterswitch")
+    assert(Option(ddB.listFiles()).map(_.map(_.getName).toSet)
+      .getOrElse(Set.empty).intersect(segsBefore) === segsBefore,
+      "path switch overwrote an existing segment of the new path")
+    val s3 = spark.newSession()
+    s3.conf.set("spark.graft.metastore.path", ledgerB)
+    val hChk = new HiveStatements(s3)
+    val who = hChk.sql("SHOW GRANT ON TABLE switch_t").get.collect()
+      .map(_.getString(4)).toSet
+    assert(who === Set("beforeswitch", "beforeswitch2", "afterswitch"),
+      s"keys lost across the path switch: $who")
+  }
+
+  test("5k-partition lifecycle: batched ADDs with interleaved DROP/" +
+      "RENAME and real INSERTs restart-recover — SHOW PARTITIONS, " +
+      "DESCRIBE, pruned SELECT all correct and the ledger directory " +
+      "stays bounded") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ms5k")
+    val ledger = s"$base/ms.ledger"
+    spark.conf.set("spark.graft.metastore.path", ledger)
+    try {
+      val h1 = new HiveStatements(spark)
+      freshTable("life_t")
+      h1.sql("CREATE TABLE life_t (k INT) PARTITIONED BY (ds STRING) " +
+        "STORED AS PARQUET")
+      // 100 batched statements × 50 partitions — how a real migration
+      // runs (the metastore API batches adds); every statement still
+      // persists durably through the delta path
+      var next = 0
+      val dropped = scala.collection.mutable.Set[String]()
+      val renamed = scala.collection.mutable.Set[(String, String)]()
+      (1 to 100).foreach { b =>
+        val specs = (1 to 50).map { _ =>
+          next += 1; s"PARTITION (ds='p$next')" }.mkString(" ")
+        h1.sql(s"ALTER TABLE life_t ADD IF NOT EXISTS $specs")
+        if (b % 10 == 0) {
+          val d = s"p${next - 5}"
+          h1.sql(s"ALTER TABLE life_t DROP PARTITION (ds='$d')")
+          dropped += d
+          val r = s"p${next - 7}"
+          h1.sql(s"ALTER TABLE life_t PARTITION (ds='$r') " +
+            s"RENAME TO PARTITION (ds='${r}_r')")
+          renamed += ((r, s"${r}_r"))
+        }
+      }
+      h1.sql("INSERT INTO life_t PARTITION (ds='real1') VALUES (1)")
+      h1.sql("INSERT INTO life_t PARTITION (ds='real2') VALUES (2)")
+      // restart
+      val h2 = new HiveStatements(spark)
+      val parts = h2.sql("SHOW PARTITIONS life_t").get.collect()
+        .map(_.getString(0)).toSet
+      assert(parts.size === 5000 - dropped.size + 2, parts.size)
+      dropped.foreach(d => assert(!parts.contains(s"ds=$d"), s"$d back"))
+      renamed.foreach { case (f, t) =>
+        assert(!parts.contains(s"ds=$f") && parts.contains(s"ds=$t"),
+          s"rename $f->$t lost") }
+      assert(parts.contains("ds=real1") && parts.contains("ds=real2"))
+      assert(h2.sql("DESCRIBE FORMATTED life_t").get.collect().nonEmpty)
+      val sel = h2.sql("SELECT k FROM life_t WHERE ds='real2'").get
+        .collect().map(_.getInt(0)).toSeq
+      assert(sel === Seq(2))
+      // bounded footprint: one base O(#partitions × entry bytes) +
+      // a compaction-bounded delta tail
+      val lf = new java.io.File(ledger)
+      val dd = new java.io.File(lf.getParentFile,
+        "." + lf.getName + ".delta")
+      val segBytes = Option(dd.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".json")).map(_.length()).sum
+      assert(lf.length() < 4000000L,
+        s"base snapshot ${lf.length()} bytes at 5k partitions")
+      assert(segBytes < math.max(lf.length(), 200000L),
+        s"delta tail $segBytes bytes not compaction-bounded")
+      freshTable("life_t")
     } finally spark.conf.unset("spark.graft.metastore.path")
   }
 
