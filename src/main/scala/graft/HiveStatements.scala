@@ -131,6 +131,8 @@ class HiveStatements(val spark: SparkSession) {
     "compactions" -> meta.compactions,
     "colStats" -> meta.colStats,
     "createTime" -> meta.createTime,
+    "pkConstraints" -> meta.primaryKeys,
+    "fkConstraints" -> meta.foreignKeys,
     "knownDbs" -> dialect.knownDbs,
     "dbTables" -> dialect.dbTables,
     // authorization state rides as plain string rows so the ledger
@@ -141,6 +143,7 @@ class HiveStatements(val spark: SparkSession) {
     "authRoles" -> auth.roles.toVector,
     "authRoleGrants" -> auth.roleGrants.toVector.map(e =>
       Vector(e._1, e._2, e._3, e._4.toString, e._5, e._6)),
+    "authOwners" -> auth.owners,
     "catalogTables" -> catalogSnapshot())
 
   /** Catalog DATA tables ride in the ledger too — the in-memory
@@ -244,6 +247,8 @@ class HiveStatements(val spark: SparkSession) {
     into("compactions", meta.compactions)
     into("colStats", meta.colStats)
     into("createTime", meta.createTime)
+    into("pkConstraints", meta.primaryKeys)
+    into("fkConstraints", meta.foreignKeys)
     into("knownDbs", dialect.knownDbs)
     into("dbTables", dialect.dbTables)
     s.get("authGrants").foreach { v =>
@@ -263,6 +268,11 @@ class HiveStatements(val spark: SparkSession) {
         auth.roleGrants += ((r(0), r(1), r(2), r(3).toBoolean,
           r(4), r(5)))
       }
+    }
+    s.get("authOwners").foreach { v =>
+      auth.owners.clear()
+      auth.owners ++=
+        v.asInstanceOf[Iterable[((String, String), String)]]
     }
     s.get("catalogTables").foreach(v => restoreCatalogTables(
       v.asInstanceOf[Seq[(String, String, String, String,
@@ -360,7 +370,7 @@ class HiveStatements(val spark: SparkSession) {
     * stay whole-map: one line each, cheap to diff. */
   private val shardedNames = Set("addedParts", "partSchemas",
     "partStorage", "partBucketMeta", "colStats", "authGrants",
-    "authRoles", "authRoleGrants")
+    "authRoles", "authRoleGrants", "authOwners")
 
   private def isShardKey(k: String): Boolean = {
     val i = k.indexOf('/')
@@ -393,7 +403,8 @@ class HiveStatements(val spark: SparkSession) {
               case (pv, st) => ((t, pv), (t, pv, st))
             }
         }
-      case "partStorage" | "partBucketMeta" | "colStats" =>
+      case "partStorage" | "partBucketMeta" | "colStats" |
+          "authOwners" =>
         v.asInstanceOf[scala.collection.Map[Any, Any]].toSeq.map {
           case (k, x) => (k, (k, x))
         }
@@ -437,7 +448,8 @@ class HiveStatements(val spark: SparkSession) {
             pv.asInstanceOf[Seq[String]]) = st.asInstanceOf[StructType]
         }
         out
-      case "partStorage" | "partBucketMeta" | "colStats" =>
+      case "partStorage" | "partBucketMeta" | "colStats" |
+          "authOwners" =>
         val out = mutable.LinkedHashMap[Any, Any]()
         vs.foreach { v =>
           val (k, x) = v.asInstanceOf[(Any, Any)]
@@ -763,6 +775,8 @@ class HiveStatements(val spark: SparkSession) {
   private def sqlImpl(text: String): Option[DataFrame] = {
     maybeLoadLedger()
     val raw = text.trim.stripSuffix(";")
+    observeSetUser(raw)
+    enforceAuthorization(raw)
     if (serveMetaReads) metaQuery(raw) match {
       case Some(df) => return Some(df)
       case None =>
@@ -823,7 +837,8 @@ class HiveStatements(val spark: SparkSession) {
       if (handleDrop(resolved)) return None
     }
     val q = dialect.rewrite(
-      if (autoObserveMeta) hiveCreateRewrite(raw) else raw)
+      if (autoObserveMeta) hiveCreateRewrite(stripConstraintsRewrite(raw))
+      else raw)
     if (execute(q)) None
     else try Some(spark.sql(q)) catch {
       case e: org.apache.spark.sql.AnalysisException =>
@@ -905,6 +920,8 @@ class HiveStatements(val spark: SparkSession) {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     maybeLoadLedger()
     val raw = text.trim.stripSuffix(";")
+    observeSetUser(raw)
+    enforceAuthorization(raw)
     if (serveMetaReads) metaQuery(raw) match {
       case Some(df) => return df.queryExecution.logical
       case None =>
@@ -920,7 +937,7 @@ class HiveStatements(val spark: SparkSession) {
     }
     dialect.observeNamespace(raw)
     observeMeta(dialect.resolveNamespace(raw))
-    val q = dialect.rewrite(hiveCreateRewrite(raw))
+    val q = dialect.rewrite(hiveCreateRewrite(stripConstraintsRewrite(raw)))
     // row-level DML parses in Spark's grammar but plans only against
     // DSv2 catalogs — the dialect owns it here (MergeInto
     // copy-on-write), as for LOAD/EXPORT/IMPORT
@@ -1512,7 +1529,12 @@ class HiveStatements(val spark: SparkSession) {
           Seq("", "# Storage Information\t\t") ++
             storage.collect { case k if labels.contains(k) =>
               s"$k\t${labels(k)}\t" }
-        return Some(linesDf(cols ++ detail))
+        // informational PK/FK block (tables only — a partition
+        // describe has no constraint section)
+        val constraints =
+          if (partKey.isDefined) Nil
+          else meta.constraintsFormattedLines(lc, db)
+        return Some(linesDf(cols ++ detail ++ constraints))
       }
       // plain / EXTENDED describe: column block (+ partition block)
       import graft.meta.MetaRender._
@@ -1528,7 +1550,13 @@ class HiveStatements(val spark: SparkSession) {
           partFieldsAll.flatMap(f =>
             colLines(f.name.toLowerCase, hiveTypeName(f.dataType),
               meta.commentOf(lc, f.name, isPartCol = true)))
-      return Some(linesDf(cols ++ partBlock))
+      // EXTENDED appends the constraint summary rows (the plain
+      // describe does not show them)
+      val constraints =
+        if (mode == "extended" && partKey.isEmpty)
+          meta.constraintsExtendedLines(lc, db)
+        else Nil
+      return Some(linesDf(cols ++ partBlock ++ constraints))
     }
     None
   }
@@ -1569,6 +1597,13 @@ class HiveStatements(val spark: SparkSession) {
             meta.dbOwner(phys) = dbOfPhysical(phys).getOrElse(
               if (parts.length > 1) parts.head.toLowerCase
               else dialect.currentDb.toLowerCase)
+            // under enforcement, CREATE records ownership + the
+            // sqlstd automatic owner grants
+            // (SQLStdHiveAccessController default table policy)
+            if (authEnforcementOn)
+              auth.ownerGrantsOnCreate(meta.dbOwner(phys), phys,
+                auth.currentUser,
+                Seq("INSERT", "SELECT", "UPDATE", "DELETE"))
           }
       }
     } else if (ql.startsWith("alter")) {
@@ -1586,10 +1621,28 @@ class HiveStatements(val spark: SparkSession) {
         auth.partitionRenamed(authDbOf(lc), lc,
           from.map(_._2).mkString("/"), to.map(_._2).mkString("/"))
       }
+      // informational constraint DDL (metadata-only; the reference's
+      // metastore add/dropConstraint)
+      ("(?is)^alter\\s+table\\s+`?([\\w.]+)`?\\s+add\\s+" +
+        "(constraint\\s+.*)$").r.findFirstMatchIn(q).foreach { m =>
+        val parts = m.group(1).split('.')
+        val lc = meta.resolveLc(parts.last)
+        val db = if (parts.length > 1) parts.head.toLowerCase
+          else dialect.currentDb.toLowerCase
+        meta.recordConstraintEntry(lc, m.group(2), db)
+      }
+      ("(?is)^alter\\s+table\\s+`?([\\w.]+)`?\\s+drop\\s+" +
+        "constraint\\s+`?([\\w-]+)`?\\s*$").r.findFirstMatchIn(q)
+        .foreach { m =>
+          meta.dropConstraint(meta.resolveLc(m.group(1).split('.').last),
+            m.group(2))
+        }
       q match {
         case renameRe(from, to) =>
-          meta.renameTable(from.split('.').last.toLowerCase,
-            to.split('.').last.toLowerCase)
+          val fromLc = from.split('.').last.toLowerCase
+          val toLc = to.split('.').last.toLowerCase
+          meta.renameTable(fromLc, toLc)
+          auth.tableRenamed(authDbOf(toLc), fromLc, toLc)
         case _ =>
       }
     } else if (ql.startsWith("drop table") || ql.startsWith("drop view"))
@@ -1622,6 +1675,181 @@ class HiveStatements(val spark: SparkSession) {
     dbOfPhysical(lc).getOrElse(
       meta.dbOwner.getOrElse(lc, dialect.currentDb)).toLowerCase
 
+  // ---------------------------------------------------------------
+  // authorization enforcement (conf-gated; SQLStdHiveAuthorization-
+  // Validator semantics — see graft.AuthEnforcement)
+  // ---------------------------------------------------------------
+
+  /** Enforcement is opt-in via the ENGINE's conf only. The scripts'
+    * `hive.security.authorization.enabled` deliberately does NOT
+    * engage it: the golden corpus replays those scripts against the
+    * BOOKKEEPING surface (1997 files ratified against it), and
+    * flipping live enforcement under them would re-litigate every
+    * legacy-provider nuance at once. Deployments opt in explicitly. */
+  private def authEnforcementOn: Boolean =
+    spark.conf.getOption("spark.graft.authorization").contains("true")
+
+  /** `SET user.name=...` switches the authenticated identity as a
+    * SIDE effect (SessionStateConfigUserAuthenticator reads the conf
+    * var); the statement still runs as a normal conf SET. */
+  private def observeSetUser(q: String): Unit =
+    "(?is)^set\\s+user\\.name\\s*=\\s*(\\S+)\\s*$".r
+      .findFirstMatchIn(q.trim.stripSuffix(";"))
+      .foreach(x => auth.currentUser = x.group(1).trim)
+
+  /** Input tables referenced by a query text: UnresolvedRelations of
+    * the stock-parsed plan minus CTE names; regex fallback when the
+    * text is dialect-only. */
+  private def inputTablesOf(q: String): Seq[Seq[String]] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
+    scala.util.Try {
+      val plan = org.apache.spark.sql.catalyst.parser
+        .CatalystSqlParser.parsePlan(q)
+      val cte = plan.collect { case w: UnresolvedWith =>
+        w.cteRelations.map(_._1.toLowerCase) }.flatten.toSet
+      plan.collect { case r: UnresolvedRelation =>
+        r.multipartIdentifier }
+        .filterNot(id =>
+          id.length == 1 && cte.contains(id.head.toLowerCase))
+        .distinct
+    }.getOrElse {
+      "(?is)(?:\\bfrom|\\bjoin)\\s+`?([A-Za-z_][\\w.]*)`?".r
+        .findAllMatchIn(q)
+        .map(_.group(1).split('.').toSeq)
+        .filterNot(id => Set("select", "values", "lateral")
+          .contains(id.head.toLowerCase))
+        .toSeq.distinct
+    }
+  }
+
+  /** Check the statement's required privileges against the session
+    * AuthStore (enabled via `spark.graft.authorization=true` or
+    * `hive.security.authorization.enabled=true`); a denial raises
+    * HiveAccessControlException with the reference's message. The
+    * operation → privilege table mirrors Operation2Privilege.java. */
+  private[graft] def enforceAuthorization(raw0: String): Unit = {
+    if (!authEnforcementOn) return
+    import AuthEnforcement.Check
+    val q = raw0.trim.stripSuffix(";").trim
+    val ql = q.take(300).split("\\s+").mkString(" ").toLowerCase
+    def mk(t: String, req: Seq[String], action: String = ""): Check = {
+      val parts = t.replace("`", "").split('.')
+      val base = parts.last.toLowerCase
+      val db = if (parts.length > 1) parts.head.toLowerCase
+        else authDbOf(base)
+      Check(db, base, req, action)
+    }
+    def inputs(text: String, req: Seq[String] = Seq("SELECT")) =
+      inputTablesOf(text).map(id => mk(id.mkString("."), req))
+    def run(op: String, cs: Seq[Check]): Unit =
+      AuthEnforcement.enforce(op, cs, auth)
+
+    val tbl = "`?([\\w.]+)`?"
+    val descRe = ("(?is)^desc(?:ribe)?\\s+(?!function\\b|database\\b|" +
+      s"schema\\b)(?:formatted\\s+|extended\\s+)?$tbl.*$$").r
+    val showColsRe = s"(?is)^show\\s+columns\\s+(?:from|in)\\s+$tbl.*$$".r
+    val showCreateRe = s"(?is)^show\\s+create\\s+table\\s+$tbl\\s*$$".r
+    val showPropsRe = s"(?is)^show\\s+tblproperties\\s+$tbl.*$$".r
+    val showPartsRe = s"(?is)^show\\s+partitions\\s+$tbl.*$$".r
+    val analyzeRe = s"(?is)^analyze\\s+table\\s+$tbl.*$$".r
+    val dropRe = s"(?is)^drop\\s+(table|view)\\s+(?:if\\s+exists\\s+)?$tbl.*$$".r
+    val truncateRe = s"(?is)^truncate\\s+table\\s+$tbl.*$$".r
+    val alterRe = s"(?is)^alter\\s+table\\s+$tbl\\s+(.*)$$".r
+    val createViewRe = ("(?is)^create\\s+(?:or\\s+replace\\s+)?view\\s+" +
+      s"(?:if\\s+not\\s+exists\\s+)?$tbl\\s.*?\\bas\\s+(.*)$$").r
+    val ctasRe = ("(?is)^create\\s+(?:temporary\\s+)?(?:external\\s+)?" +
+      s"table\\s+(?:if\\s+not\\s+exists\\s+)?$tbl\\b.*?\\bas\\s+" +
+      "(select\\b.*)$").r
+    val loadRe = ("(?is)^load\\s+data\\s+(?:local\\s+)?inpath\\s+.*?" +
+      s"(?:into|overwrite\\s+into)\\s+table\\s+$tbl.*$$").r
+    val updateRe = s"(?is)^update\\s+$tbl\\s.*$$".r
+    val deleteRe = s"(?is)^delete\\s+from\\s+$tbl.*$$".r
+    val mergeRe = s"(?is)^merge\\s+into\\s+$tbl(?:\\s+\\w+)?\\s+using\\s+(.*)$$".r
+    val insertRe2 = ("(?is)insert\\s+(overwrite|into)\\s+(?:table\\s+)?" +
+      s"$tbl").r
+
+    q match {
+      case _ if ql.startsWith("select") || ql.startsWith("with") ||
+          ql.startsWith("(select") =>
+        run("QUERY", inputs(q))
+      case descRe(t) => run("DESCTABLE", Seq(mk(t, Seq("SELECT"))))
+      case showColsRe(t) => run("SHOWCOLUMNS", Seq(mk(t, Seq("SELECT"))))
+      case showCreateRe(t) =>
+        run("SHOW_CREATETABLE", Seq(mk(t, Seq("SELECT with grant"))))
+      case showPropsRe(t) =>
+        run("SHOW_TBLPROPERTIES", Seq(mk(t, Seq("SELECT"))))
+      case showPartsRe(t) =>
+        run("SHOWPARTITIONS", Seq(mk(t, Seq("SELECT"))))
+      case analyzeRe(t) =>
+        run("ANALYZE_TABLE", Seq(mk(t, Seq("SELECT", "INSERT"))))
+      case dropRe(kind, t) =>
+        // only check objects this session knows — DROP IF EXISTS of a
+        // missing table must keep falling through to the analyzer
+        run(if (kind.equalsIgnoreCase("view")) "DROPVIEW" else "DROPTABLE",
+          Seq(mk(t, Seq("OBJECT OWNERSHIP"))))
+      case truncateRe(t) =>
+        run("TRUNCATETABLE", Seq(mk(t, Seq("OBJECT OWNERSHIP"))))
+      case createViewRe(_, sel) => run("CREATEVIEW",
+        inputs(sel, Seq("SELECT with grant")))
+      case ctasRe(_, sel) => run("CREATETABLE_AS_SELECT", inputs(sel))
+      case loadRe(t) =>
+        run("LOAD", Seq(mk(t, Seq("INSERT", "DELETE"))))
+      case updateRe(t) => run("QUERY",
+        Seq(mk(t, Seq("UPDATE"), "UPDATE")) ++
+          inputs(q).filterNot(_.table == mk(t, Nil).table))
+      case deleteRe(t) =>
+        run("QUERY", Seq(mk(t, Seq("DELETE"), "DELETE")))
+      case mergeRe(t, rest) =>
+        val restL = rest.toLowerCase
+        val req = (if (restL.contains("when matched") &&
+            restL.contains("update")) Seq("UPDATE") else Nil) ++
+          (if (restL.contains("delete")) Seq("DELETE") else Nil) ++
+          (if (restL.contains("insert")) Seq("INSERT") else Nil)
+        val src = "(?is)^`?([\\w.]+)`?".r.findFirstMatchIn(rest.trim)
+          .map(_.group(1)).toSeq.map(s => mk(s, Seq("SELECT")))
+        run("QUERY", Seq(mk(t, req, "UPDATE")) ++ src)
+      case _ if ql.startsWith("insert") || (ql.startsWith("from") &&
+          ql.contains("insert")) =>
+        val outs = insertRe2.findAllMatchIn(q).map { m =>
+          val overwrite = m.group(1).equalsIgnoreCase("overwrite")
+          mk(m.group(2),
+            if (overwrite) Seq("INSERT", "DELETE") else Seq("INSERT"),
+            if (overwrite) "INSERT_OVERWRITE" else "INSERT")
+        }.toSeq
+        val outNames = outs.map(_.table).toSet
+        run("QUERY", outs ++
+          inputs(q).filterNot(c => outNames.contains(c.table)))
+      case alterRe(t, rest) =>
+        val rl = rest.trim.toLowerCase
+        if (rl.matches("(?s)add\\s+(if\\s+not\\s+exists\\s+)?partition\\b.*"))
+          run("ALTERTABLE_ADDPARTS", Seq(mk(t, Seq("SELECT", "INSERT",
+            "DELETE", "OBJECT OWNERSHIP"))))
+        else if (rl.matches("(?s)drop\\s+(if\\s+exists\\s+)?partition\\b.*"))
+          run("ALTERTABLE_DROPPARTS", Seq(mk(t, Seq("DELETE"))))
+        else {
+          val op =
+            if (rl.startsWith("rename to")) "ALTERTABLE_RENAME"
+            else if (rl.startsWith("add columns")) "ALTERTABLE_ADDCOLS"
+            else if (rl.startsWith("replace columns"))
+              "ALTERTABLE_REPLACECOLS"
+            else if (rl.startsWith("change")) "ALTERTABLE_RENAMECOL"
+            else if (rl.startsWith("set location")) "ALTERTABLE_LOCATION"
+            else if (rl.startsWith("set serde")) "ALTERTABLE_SERIALIZER"
+            else if (rl.startsWith("set tblproperties") ||
+              rl.startsWith("unset tblproperties"))
+              "ALTERTABLE_PROPERTIES"
+            else if (rl.startsWith("set fileformat"))
+              "ALTERTABLE_FILEFORMAT"
+            else "ALTERTABLE_PROPERTIES"
+          run(op, Seq(mk(t, Seq("OBJECT OWNERSHIP"))))
+        }
+      case _ => // CREATE TABLE (db ownership — out of scope), SHOW
+        // DATABASES/TABLES (no privileges required), SET, USE,
+        // authorization statements (AuthStore owns their rules)
+    }
+  }
+
   /** CREATE TABLE (cols...) → column comments + PARTITIONED BY →
     * declared partition columns. */
   private def observeCreateCols(q: String): Unit = {
@@ -1631,6 +1859,12 @@ class HiveStatements(val spark: SparkSession) {
     val lc = m.group(1).split('.').last.toLowerCase
     meta.balancedAfter(q, m.end).foreach { cols =>
       meta.colComments(lc) = meta.colCommentsOf(cols)
+      // PK/FK entries ride in the column list (table-level syntax);
+      // unqualified REFERENCES parents bind to the session database
+      val db = if (m.group(1).contains("."))
+        m.group(1).split('.').head.toLowerCase
+      else dialect.currentDb.toLowerCase
+      meta.recordConstraints(lc, cols, db)
     }
     "(?is)partitioned\\s+by\\s*".r.findFirstMatchIn(q)
       .flatMap(x => meta.balancedAfter(q, x.end)).foreach { body =>
@@ -1640,6 +1874,43 @@ class HiveStatements(val spark: SparkSession) {
         meta.colComments(lc) = meta.colComments.getOrElse(lc, Map.empty) ++
           meta.colCommentsOf(body)
       }
+  }
+
+  /** Remove table-level PK/FK constraint entries from a CREATE
+    * TABLE's column list before Spark parses it — Spark's grammar has
+    * no `DISABLE NOVALIDATE` informational constraints; the metadata
+    * layer recorded them in [[observeMeta]] and DESCRIBE renders them
+    * (ref MetaDataFormatUtils `# Constraints`). */
+  protected def stripConstraintsRewrite(q: String): String = {
+    val ql = q.trim.toLowerCase
+    if (!ql.startsWith("create")) return q
+    if ("(?is)(primary\\s+key|foreign\\s+key|\\bconstraint\\b)".r
+        .findFirstIn(q).isEmpty) return q
+    val m = ("(?is)create\\s+(?:or\\s+replace\\s+)?(?:temporary\\s+)?" +
+      "(?:external\\s+)?table\\s+(?:if\\s+not\\s+exists\\s+)?" +
+      "`?[\\w.]+`?\\s*").r.findFirstMatchIn(q).getOrElse(return q)
+    val open = q.indexOf('(', m.end - 1)
+    if (open < 0) return q
+    var i = open + 1
+    var depth = 1
+    var inStr = ' '
+    while (i < q.length && depth > 0) {
+      val c = q.charAt(i)
+      if (inStr != ' ') { if (c == inStr) inStr = ' ' }
+      else c match {
+        case '\'' | '"' => inStr = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    if (depth != 0) return q
+    val body = q.substring(open + 1, i - 1)
+    val entries = splitTop(body, ',')
+    val kept = entries.filterNot(meta.isConstraintEntry)
+    if (kept.size == entries.size) return q
+    q.substring(0, open + 1) + kept.mkString(", ") + q.substring(i - 1)
   }
 
   /** Hive-format CREATE TABLE → Spark datasource CREATE. Spark's
@@ -2443,6 +2714,11 @@ class HiveStatements(val spark: SparkSession) {
       case _ => false
     } else if (ql.startsWith("alter table") || ql.startsWith("alter view"))
       q match {
+        // informational PK/FK constraint DDL is metadata-only
+        // (observeMeta recorded it; Spark's v1 grammar has no
+        // ADD/DROP CONSTRAINT to forward to)
+        case _ if ql.matches("(?s)alter\\s+table\\s+\\S+\\s+" +
+            "(?:add|drop)\\s+constraint\\b.*") => true
         // ADD PARTITION on a session (temp-view) table is metadata-
         // only — the metadata layer recorded the spec in observeMeta;
         // there is no directory to create (Hive: metastore add_partition)

@@ -77,6 +77,10 @@ final class AuthStore extends Serializable {
   }
 
   val grants = mutable.LinkedHashSet[Grant]()
+  /** (db, table) → owning user — OBJECT OWNERSHIP for the sqlstd
+    * enforcement rules (the metastore's TBLS.OWNER column). Recorded
+    * at CREATE when enforcement is on; renames re-key, drops clear. */
+  val owners = mutable.LinkedHashMap[(String, String), String]()
   /** Known roles by DISPLAY name (the sqlstd authorizer lowercases
     * at CREATE; the legacy provider keeps the authored case —
     * sRc_roLE renders back as written). Matching is always
@@ -115,6 +119,7 @@ final class AuthStore extends Serializable {
   def ownerGrantsOnCreate(db: String, table: String, owner: String,
       privList: Seq[String]): Unit = {
     pinGrantor()
+    owners((db, table)) = owner
     privList.foreach(p => addGrant(Grant(db, table, "", "", owner,
       "USER", p.toUpperCase, grantOpt = true,
       ownerGrantor.getOrElse(owner))))
@@ -142,13 +147,65 @@ final class AuthStore extends Serializable {
     grants ++= hit.map(_.copy(part = to))
   }
 
-  def tableDropped(db: String, table: String): Unit =
+  def tableDropped(db: String, table: String): Unit = {
     grants.filterInPlace(g => !(g.db == db && g.table == table))
+    owners.remove((db, table))
+  }
+
+  def tableRenamed(db: String, from: String, to: String): Unit = {
+    val hit = grants.toVector.filter(g => g.db == db && g.table == from)
+    grants --= hit
+    grants ++= hit.map(_.copy(table = to))
+    owners.remove((db, from)).foreach(owners((db, to)) = _)
+  }
 
   /** DROP DATABASE destroys the DB_PRIVS rows and (CASCADE) every
     * contained table's privileges with it. */
-  def databaseDropped(db: String): Unit =
+  def databaseDropped(db: String): Unit = {
     grants.filterInPlace(g => g.db != db)
+    owners.filterInPlace((k, _) => k._1 != db)
+  }
+
+  // ---------------------------------------------------------------
+  // enforcement support (SQLStdHiveAuthorizationValidator semantics)
+  // ---------------------------------------------------------------
+
+  /** Is the ADMIN role active (only via an explicit SET ROLE admin —
+    * SQLStdHiveAccessController.getCurrentRoleNames)? Admin holds
+    * every privilege (RequiredPrivileges.findMissingPrivs). */
+  def adminActive: Boolean =
+    currentRolesOf(currentUser).exists(_.equalsIgnoreCase("admin"))
+
+  /** The privilege descriptors `user` holds on (db, table):
+    * grants to the user, to any ACTIVE role (transitive, + public),
+    * plus "X with grant" for grant-option rows and OBJECT OWNERSHIP
+    * for the recorded owner (SQLAuthorizationUtils
+    * getPrivilegesFromMetaStore). Table-level rows only — sqlstd
+    * manages privileges at table/view granularity. */
+  def availableOn(user: String, db: String, table: String): Set[String] = {
+    val activeRoles = currentRolesOf(user).map(_.toLowerCase).toSet
+    val out = mutable.Set[String]()
+    grants.foreach { g =>
+      if (g.db == db && g.table == table && g.part.isEmpty &&
+          g.col.isEmpty) {
+        val hit = (g.ptype == "USER" && g.principal == user) ||
+          (g.ptype == "ROLE" &&
+            activeRoles.contains(g.principal.toLowerCase))
+        if (hit) {
+          val ps =
+            if (g.priv == "ALL")
+              Seq("SELECT", "INSERT", "UPDATE", "DELETE")
+            else Seq(g.priv)
+          ps.foreach { p =>
+            out += p
+            if (g.grantOpt) out += s"$p with grant"
+          }
+        }
+      }
+    }
+    if (owners.get((db, table)).contains(user)) out += "OBJECT OWNERSHIP"
+    out.toSet
+  }
 
   // ---------------------------------------------------------------
   // statement surface

@@ -1206,6 +1206,164 @@ class HiveMetaStore(val spark: SparkSession,
     c.trim.toLowerCase.matches(
       "(?s)(primary\\s+key|foreign\\s+key|constraint\\b|unique\\s*\\().*")
 
+  // -----------------------------------------------------------------
+  // informational PK/FK constraints (DISABLE NOVALIDATE bookkeeping —
+  // ref metastore PrimaryKeyInfo/ForeignKeyInfo; rendered by DESCRIBE
+  // per MetaDataFormatUtils.getConstraintsInformation:278-301)
+  // -----------------------------------------------------------------
+
+  /** lc → (constraint name, PK column names in declaration order). */
+  val primaryKeys =
+    scala.collection.mutable.Map[String, (String, Seq[String])]()
+  /** lc → FK rels in declaration order:
+    * (constraint name, parent "db.table", (parentCol, childCol)s). */
+  val foreignKeys = scala.collection.mutable.Map[String,
+    Vector[(String, String, Seq[(String, String)])]]()
+  private var constraintSeq = 0
+
+  /** Record every table-level constraint entry of a CREATE column
+    * spec. Unnamed constraints get a generated name, like the
+    * metastore's random pk_/fk_ identifiers (the goldens mask them). */
+  def recordConstraints(lc: String, colSpec: String, db: String): Unit =
+    splitTop(colSpec, ',').map(_.trim).filter(isConstraintEntry)
+      .foreach(recordConstraintEntry(lc, _, db))
+
+  /** Parse one `[CONSTRAINT name] PRIMARY KEY (...)` /
+    * `[CONSTRAINT name] FOREIGN KEY (...) REFERENCES t(...)` entry.
+    * True when recognized. */
+  def recordConstraintEntry(lc: String, e: String, db: String): Boolean = {
+    def cols(s: String): Seq[String] = s.split(",").toSeq
+      .map(_.trim.replace("`", "").toLowerCase).filter(_.nonEmpty)
+    def gen(prefix: String): String = {
+      constraintSeq += 1
+      s"${prefix}_${lc}_$constraintSeq"
+    }
+    val fkRe = ("(?is)^(?:constraint\\s+`?([\\w-]+)`?\\s+)?" +
+      "foreign\\s+key\\s*\\(([^)]*)\\)\\s*references\\s+" +
+      "`?([\\w.]+)`?\\s*\\(([^)]*)\\).*$").r
+    val pkRe = ("(?is)^(?:constraint\\s+`?([\\w-]+)`?\\s+)?" +
+      "primary\\s+key\\s*\\(([^)]*)\\).*$").r
+    e.trim match {
+      case fkRe(n, childCols, parent, parentCols) =>
+        val name = Option(n).getOrElse(gen("fk"))
+        val pl = parent.toLowerCase
+        val pt = if (pl.contains(".")) pl else s"$db.$pl"
+        foreignKeys(lc) = foreignKeys.getOrElse(lc, Vector.empty) :+
+          ((name, pt, cols(parentCols).zip(cols(childCols))))
+        true
+      case pkRe(n, pkCols) =>
+        primaryKeys(lc) = (Option(n).getOrElse(gen("pk")), cols(pkCols))
+        true
+      case _ => false
+    }
+  }
+
+  /** ALTER TABLE ... DROP CONSTRAINT name. */
+  def dropConstraint(lc: String, name: String): Unit = {
+    if (primaryKeys.get(lc).exists(_._1.equalsIgnoreCase(name)))
+      primaryKeys.remove(lc)
+    foreignKeys.get(lc).foreach { v =>
+      val nv = v.filterNot(_._1.equalsIgnoreCase(name))
+      if (nv.isEmpty) foreignKeys.remove(lc) else foreignKeys(lc) = nv
+    }
+  }
+
+  /** FK display order: explicitly-named rels before generated-name
+    * rels, insertion order within each group — the recorded
+    * create_with_constraints layout (the reference iterates a
+    * name-keyed HashMap; its generated names are long random strings
+    * that hash after short user names in every recorded file). */
+  private def fkDisplayOrder(
+      fks: Vector[(String, String, Seq[(String, String)])])
+      : Vector[(String, String, Seq[(String, String)])] = {
+    val (gen, named) = fks.partition(
+      _._1.matches("(?i)(pk|fk)_.*_\\d+"))
+    named ++ gen
+  }
+
+  /** An FK rel renders only while its PARENT table has a primary
+    * key — the metastore's get_foreign_keys joins the FK rows to the
+    * parent's PK constraint, so dropping the parent PK hides the FK
+    * until a PK is re-added (recorded: table6's FK on table2
+    * disappears after `table2 DROP CONSTRAINT pk1` and reappears
+    * after `ADD CONSTRAINT pkt2`). */
+  private def visibleFks(lc: String)
+      : Vector[(String, String, Seq[(String, String)])] =
+    foreignKeys.getOrElse(lc, Vector.empty).filter { f =>
+      val parts = f._2.split('.')
+      val (db, t) =
+        if (parts.length > 1) (parts.head, parts.last)
+        else ("default", parts.last)
+      primaryKeys.contains(t) || primaryKeys.contains(s"${db}__$t")
+    }
+
+  private def constraintDisplayName(lc: String, db: String): String = {
+    val logical = if (lc.startsWith(db + "__")) lc.substring(db.length + 2)
+      else lc
+    s"$db.$logical"
+  }
+
+  /** DESCRIBE FORMATTED `# Constraints` block
+    * (MetaDataFormatUtils.getConstraintsInformation — blank line,
+    * header, PK table/name/columns, FK table then one name + column
+    * triplet group per rel, blank line after each rel). */
+  def constraintsFormattedLines(lc: String, db: String): Seq[String] = {
+    val pk = primaryKeys.get(lc)
+    val fks = visibleFks(lc)
+    if (pk.isEmpty && fks.isEmpty) return Nil
+    val disp = constraintDisplayName(lc, db)
+    val out = Vector.newBuilder[String]
+    out += ""
+    out += "# Constraints\t\t"
+    pk.foreach { case (name, pkCols) =>
+      out += ""
+      out += "# Primary Key\t\t"
+      out += s"Table:\t$disp\t"
+      out += s"Constraint Name:\t$name\t"
+      out += "Column Names:" + pkCols.map("\t" + _).mkString
+    }
+    if (fks.nonEmpty) {
+      out += ""
+      out += "# Foreign Keys\t\t"
+      out += s"Table:\t$disp\t"
+      fkDisplayOrder(fks).foreach { case (name, parent, colPairs) =>
+        out += s"Constraint Name:\t$name\t"
+        colPairs.zipWithIndex.foreach { case ((pc, cc), i) =>
+          out += s"Parent Column Name:$parent.$pc\tColumn Name:$cc\t" +
+            s"Key Sequence:${i + 1}"
+        }
+        out += ""
+      }
+    }
+    out.result()
+  }
+
+  /** DESCRIBE EXTENDED constraint rendering: the `Constraints` row
+    * holds PrimaryKeyInfo.toString; ForeignKeyInfo.toString follows
+    * on its own line (the recorded create_with_constraints layout). */
+  def constraintsExtendedLines(lc: String, db: String): Seq[String] = {
+    val pk = primaryKeys.get(lc)
+    val fks = visibleFks(lc)
+    if (pk.isEmpty && fks.isEmpty) return Nil
+    val disp = constraintDisplayName(lc, db)
+    val pkText = pk.map { case (name, pkCols) =>
+      s"Primary Key for $disp:[${pkCols.mkString(",")}], " +
+        s"Constraint Name: $name"
+    }.getOrElse("")
+    val fkText =
+      if (fks.isEmpty) None
+      else Some("Foreign Keys for " + disp + ":[ " +
+        fkDisplayOrder(fks).map {
+        case (name, parent, colPairs) =>
+          "{Constraint Name: " + name + ", " + colPairs.zipWithIndex
+            .map { case ((pc, cc), i) =>
+              s"(Parent Column Name: $parent.$pc, Column Name: $cc, " +
+                s"Key Sequence: ${i + 1})"
+            }.mkString(", ") + "}"
+      }.mkString(", ") + "]")
+    Seq(s"Constraints\t$pkText\t") ++ fkText.map(t => s"$t\t\t").toSeq
+  }
+
   private def unescapeSql(v: String): String = {
     val sb = new StringBuilder(v.length)
     var i = 0
@@ -1294,6 +1452,8 @@ class HiveMetaStore(val spark: SparkSession,
     viewText.remove(fromLc).foreach(viewText(toLc) = _)
     viewColList.remove(fromLc).foreach(viewColList(toLc) = _)
     createTime.remove(fromLc).foreach(createTime(toLc) = _)
+    primaryKeys.remove(fromLc).foreach(primaryKeys(toLc) = _)
+    foreignKeys.remove(fromLc).foreach(foreignKeys(toLc) = _)
     if (tempTables.remove(fromLc)) tempTables += toLc
     val ps = partStorage.filter(_._1._1 == fromLc)
     ps.foreach { case ((_, k), v) =>
@@ -1314,6 +1474,7 @@ class HiveMetaStore(val spark: SparkSession,
     serdeProps.remove(lc); tableComment.remove(lc); storedBy.remove(lc)
     viewText.remove(lc); viewColList.remove(lc); indexes.remove(lc)
     createTime.remove(lc); tempTables -= lc
+    primaryKeys.remove(lc); foreignKeys.remove(lc)
     partStorage.filterInPlace((k, _) => k._1 != lc)
     partBucketMeta.filterInPlace((k, _) => k._1 != lc)
   }

@@ -3698,7 +3698,6 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     if (sys.env.contains("GOLDEN_DUMP"))
       println(s"[descfmt] t0=$t0 table=$table db=$db " +
         s"cur=${dialect.currentDb}")
-    if (constraintTables.contains(lc)) return None
     if (deserTables.contains(lc)) return None
     val schema = scala.util.Try(spark.table(table).schema)
       .getOrElse(return None)
@@ -3795,7 +3794,6 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
     }
     val lc = table.toLowerCase
     if (extended && viewDefs.contains(lc)) return None
-    if (constraintTables.contains(lc)) return None
     val schema = scala.util.Try(spark.table(table).schema)
       .getOrElse(return None)
     colPath match {
@@ -3827,10 +3825,21 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
               colLines(f.name.toLowerCase, hiveTypeName(f.dataType),
                 commentOf(lc, f.name, isPartCol = true)))
         val tail = if (extended) Vector(sepLine) else Vector.empty
+        // EXTENDED appends the constraint summary rows after the
+        // (masked) detail line (create_with_constraints layout)
+        val constraintTail =
+          if (extended) {
+            val i = lc.indexOf("__")
+            val db = if (i > 0 && dialect.knownDbs.contains(
+                lc.substring(0, i))) lc.substring(0, i)
+              else dialect.currentDb.toLowerCase
+            meta.constraintsExtendedLines(lc, db).toVector
+          } else Vector.empty
         // pre-partition-info-era goldens (loadpart_err) record the
         // column rows alone — offered as a fallback candidate
-        if (partBlock.nonEmpty) Some(Seq(cols ++ partBlock ++ tail, cols))
-        else Some(Seq(cols ++ partBlock ++ tail))
+        if (partBlock.nonEmpty)
+          Some(Seq(cols ++ partBlock ++ tail ++ constraintTail, cols))
+        else Some(Seq(cols ++ partBlock ++ tail ++ constraintTail))
       case Some(path) =>
         val segs = path.split("\\.").toVector.filter(_.nonEmpty)
         var dt: DataType = schema.fields
@@ -5882,9 +5891,19 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         // (loadpart_err) — compare with per-field right-trim
         def unpad(l: String): String = l.split("\t", -1)
           .map(_.replaceAll("\\s+$", "")).mkString("\t")
+        // a want line with an EMBEDDED mask token (a generated
+        // constraint name inside a Constraints row) matches any got
+        // text in the masked span
+        val maskTok = "#### A masked pattern was here ####"
+        def maskOk(g: String, w: String): Boolean =
+          w.contains(maskTok) && unpad(g).matches(
+            w.split(java.util.regex.Pattern.quote(maskTok), -1)
+              .map(s => java.util.regex.Pattern.quote(unpad(s)))
+              .mkString("(?s)", ".*", ""))
         def tol(ls: Seq[String]): Boolean = ls.size == want.size &&
           ls.zip(want).forall { case (g, w) =>
-            g == w || w.contains('\uFFFD') || unpad(g) == unpad(w) }
+            g == w || w.contains('\uFFFD') || unpad(g) == unpad(w) ||
+              maskOk(g, w) }
         if (cands.exists(ls => ls == want || tol(ls))) {
           asserted += 1; return
         }
@@ -5916,6 +5935,20 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
       authReplayHooks(q, qd, ql)
       if (qd.startsWith("alter table")) {
         trackAlterComments(q); trackAlterStorage(q)
+        // informational PK/FK DDL is metadata-only
+        ("(?is)^alter\\s+table\\s+`?([\\w.]+)`?\\s+add\\s+" +
+          "(constraint\\s+.*)$").r.findFirstMatchIn(q).foreach { cm =>
+          meta.recordConstraintEntry(resolveLc(cm.group(1)),
+            cm.group(2).trim.stripSuffix(";"),
+            dialect.currentDb.toLowerCase)
+          return
+        }
+        ("(?is)^alter\\s+table\\s+`?([\\w.]+)`?\\s+drop\\s+" +
+          "constraint\\s+`?([\\w-]+)`?\\s*;?\\s*$").r
+          .findFirstMatchIn(q).foreach { cm =>
+            meta.dropConstraint(resolveLc(cm.group(1)), cm.group(2))
+            return
+          }
       }
       if ((qd.startsWith("alter table") || qd.startsWith("alter view"))
           && ql.contains("tblproperties"))
@@ -6401,8 +6434,12 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
           colComments(name.toLowerCase) =
             GoldenFixtures.colCommentsOf(full)
           if (GoldenFixtures.splitTop(cols, ',')
-              .exists(GoldenFixtures.isConstraintEntry))
+              .exists(GoldenFixtures.isConstraintEntry)) {
             constraintTables += name.toLowerCase
+            // PK/FK bookkeeping so DESCRIBE renders # Constraints
+            meta.recordConstraints(name.toLowerCase, cols,
+              dialect.currentDb.toLowerCase)
+          }
           // a serde OUTSIDE hive.serdes.using.metastore.for.schema
           // (HiveConf.java:1209) re-derives columns at describe time:
           // comments render "from deserializer" (json_serde_qualified_
