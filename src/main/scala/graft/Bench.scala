@@ -49,36 +49,52 @@ object Bench {
     // The box the driver benches on demonstrably varies ~1.4× run to
     // run under concurrent load, while the budgets are ratcheted from
     // quiet-box minima with only 1.75× headroom. Measure the box's
-    // CURRENT slowdown with a fixed pure-CPU control job (identical
-    // work every run: a 32-partition xxhash64 fold over spark.range —
-    // no IO, no shuffle, nothing the engine's own code can change)
-    // and scale every budget by it, capped at 2× so a genuine 2×
-    // code regression still fails even on a maximally loaded box.
-    // The quiet-box reference time lives in bench_budget.json
-    // ("control_ref"); both the raw control seconds and the factor
+    // CURRENT slowdown with a fixed pure-CPU control job and scale
+    // every budget by it, capped at 2× so a genuine 2× code
+    // regression still fails even on a maximally loaded box. Two
+    // hardenings against self-serving calibration: (1) the control is
+    // a raw RDD job — a tight scalar mix loop over
+    // sparkContext.parallelize, never touching the SQL engine, so a
+    // regression in the engine's own plan rules cannot inflate its
+    // own budgets; (2) samples INTERLEAVE with the query reps (before
+    // rep1, between reps, after rep2) and the factor takes their MIN —
+    // a transient load spike loosens nothing unless it spans the
+    // whole run. The quiet-box reference time lives in
+    // bench_budget.json ("control_ref"); every sample and the factor
     // are reported in the JSON for auditability.
     def controlRun(): Double = {
-      import org.apache.spark.sql.functions.{col, sum, xxhash64}
       val t0 = System.nanoTime()
       // ~1s of real work on a quiet box — long enough that scheduler
       // jitter doesn't dominate the load measurement
-      spark.range(0, 7000000000L, 1, 32)
-        .select(sum(xxhash64(col("id") * 31 + 7)))
-        .collect()
+      spark.sparkContext.parallelize(0 until 32, 32).map { slice =>
+        var h = 0x9e3779b97f4a7c15L + slice
+        var i = 0L
+        while (i < 220000000L) {
+          h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+          h ^= h >>> 29; h *= 0xc4ceb9fe1a85ec53L
+          h += i
+          i += 1
+        }
+        h
+      }.reduce(_ ^ _)
       (System.nanoTime() - t0) / 1e9
     }
-    controlRun() // codegen warmup
-    val controlSec = (1 to 3).map(_ => controlRun()).min
+    controlRun() // JIT warmup
+    val controlSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    controlSamples += controlRun()
     // two timed reps, report the min — steady-state per-query cost,
     // insulated from one-off GC/scheduler noise on a shared box
     val rep1 = names.map(n => n -> materialize(n, sfDir)).toMap
     drainDeadBlocks()
+    controlSamples += controlRun()
     val results = names.map { n =>
       val t2 = materialize(n, sfDir)
       val t1 = rep1(n)
       n -> (if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
     }
     drainDeadBlocks()
+    controlSamples += controlRun()
+    val controlSec = controlSamples.min
 
     val total = results.map(_._2).filter(_ >= 0).sum
     // secondary throughput metric: wall-clock to drain the whole set
@@ -172,10 +188,11 @@ object Bench {
       .map { case (n, (m2, t3)) =>
         "\"" + n + "\":{\"min2\":" + r3(m2) + ",\"retry\":" + r3(t3) + "}" }
       .mkString("{", ",", "}")
+    val samplesJson = controlSamples.map(r3).mkString("[", ",", "]")
     val detailPath = new java.io.File("BENCH_DETAIL.json").getAbsolutePath
     val pw = new java.io.PrintWriter(detailPath, "UTF-8")
     try pw.println(
-      s"""{"metric":"total","value":${r3(total2)},"unit":"sec","n_queries":${results2.size},"queries":$allQs,"concurrent_wall":${r3(wall)},"concurrent_threads":4,"sf":"$sfDir","retried":$retriedJson,"control_sec":${r3(controlSec)},"load_factor":${r3(loadFactor)},"value_normalized":${r3(total2 / loadFactor)}}""")
+      s"""{"metric":"total","value":${r3(total2)},"unit":"sec","n_queries":${results2.size},"queries":$allQs,"concurrent_wall":${r3(wall)},"concurrent_threads":4,"sf":"$sfDir","retried":$retriedJson,"control_sec":${r3(controlSec)},"control_samples":$samplesJson,"load_factor":${r3(loadFactor)},"value_normalized":${r3(total2 / loadFactor)}}""")
     finally pw.close()
 
     val headline = Seq(
@@ -194,7 +211,7 @@ object Bench {
     val vJson = violations.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rJson = retried.keys.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r3(total2)},"unit":"sec","n_queries":${results2.size},"queries":$headQs,"concurrent_wall":${r3(wall)},"concurrent_threads":4,"sf":"$sfDir","budget_violations":$vJson,"retried":$rJson,"control_sec":${r3(controlSec)},"load_factor":${r3(loadFactor)},"value_normalized":${r3(total2 / loadFactor)},"detail":"BENCH_DETAIL.json"}""")
+    println(s"""{"metric":"total","value":${r3(total2)},"unit":"sec","n_queries":${results2.size},"queries":$headQs,"concurrent_wall":${r3(wall)},"concurrent_threads":4,"sf":"$sfDir","budget_violations":$vJson,"retried":$rJson,"control_sec":${r3(controlSec)},"control_samples":$samplesJson,"load_factor":${r3(loadFactor)},"value_normalized":${r3(total2 / loadFactor)},"detail":"BENCH_DETAIL.json"}""")
     spark.stop()
     if (violations.nonEmpty &&
         sys.env.get("SPARK_GRAFT_BUDGET_STRICT").contains("1"))

@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   * IMAGE payloads decode for real: the JDK ships ImageIO codecs for
   * PNG/JPEG/BMP/GIF, so `format` in the image family routes through
   * [[Multimodal.decodeImage]] (width/height/channels/mean-luminance
-  * features from actual pixels). Audio/video and opaque payloads
+  * features from actual pixels). AUDIO payloads decode for real too:
+  * javax.sound.sampled reads WAV/AU/AIFF PCM, so the audio family
+  * routes through [[Multimodal.decodeAudio]] (sample rate/channels/
+  * duration/RMS from actual samples). Video and opaque payloads
   * keep the deterministic `decodeStub` (no such codecs in the JVM);
   * everything around the decode — schema, per-partition batching,
   * feature column shapes, partition sizing — is the same engine
@@ -21,6 +24,9 @@ object Multimodal {
 
   /** Formats the JDK's ImageIO decodes out of the box. */
   private val imageFormats = Set("png", "jpg", "jpeg", "bmp", "gif")
+
+  /** Formats the JDK's javax.sound.sampled decodes out of the box. */
+  private val audioFormats = Set("wav", "wave", "au", "aiff", "aif")
 
   case class MediaRow(doc_id: Long, media: Array[Byte], format: String,
                       n_bytes: Long)
@@ -143,19 +149,78 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** REAL audio decode via the JDK's javax.sound.sampled
+    * (WAV/AU/AIFF PCM — no external codec needed). Features from
+    * actual samples: f0=sample rate (Hz), f1=channels, f2=duration
+    * (seconds), f3=RMS amplitude normalized to [0,1]; checksum folds
+    * the raw sample words; mean = the normalized RMS. None when the
+    * payload is not a decodable audio stream (caller falls back to
+    * the opaque-payload stub — compressed codecs like MP3/Opus are
+    * the deployment-time swap, same contract). */
+  private def decodeAudio(bytes: Array[Byte])
+      : Option[(Long, Double, Array[Double])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val rate = fmt.getSampleRate.toDouble
+        val channels = fmt.getChannels
+        val bits = fmt.getSampleSizeInBits
+        val frames = in.getFrameLength
+        if (rate <= 0 || channels <= 0 || frames <= 0) return None
+        val data = in.readAllBytes()
+        var sumSq = 0d
+        var n = 0L
+        var checksum = 17L
+        if (bits == 16) {
+          val big = fmt.isBigEndian
+          var i = 0
+          while (i + 1 < data.length) {
+            val s =
+              if (big) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+              else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+            val x = s / 32768d
+            sumSq += x * x
+            checksum = checksum * 31 + s
+            n += 1
+            i += 2
+          }
+        } else if (bits == 8) {
+          // WAV 8-bit PCM is UNSIGNED, centered at 128
+          var i = 0
+          while (i < data.length) {
+            val s = (data(i) & 0xff) - 128
+            val x = s / 128d
+            sumSq += x * x
+            checksum = checksum * 31 + s
+            n += 1
+            i += 1
+          }
+        } else return None
+        if (n == 0) return None
+        val rms = math.sqrt(sumSq / n)
+        val duration = frames / rate
+        Some((checksum, rms,
+          Array(rate, channels.toDouble, duration, rms)))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
   /** Batched per-partition feature extraction (mapPartitions is the
     * right tier here — the decode is genuinely imperative; everything
     * upstream/downstream stays in Catalyst). Image formats decode
-    * real pixels; opaque payloads take the deterministic stub. */
+    * real pixels, audio formats real PCM samples; opaque payloads
+    * take the deterministic stub. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("doc_id", "media", "format", "n_bytes").as[MediaRow]
       .mapPartitions { it =>
         it.map { r =>
+          val f = r.format.toLowerCase
           val (checksum, mean, hist) =
-            (if (imageFormats.contains(r.format.toLowerCase))
-              decodeImage(r.media)
+            (if (imageFormats.contains(f)) decodeImage(r.media)
+            else if (audioFormats.contains(f)) decodeAudio(r.media)
             else None).getOrElse(decodeStub(r.media))
           MediaFeatures(r.doc_id, r.n_bytes, checksum, mean,
             hist(0), hist(1), hist(2), hist(3))

@@ -171,6 +171,60 @@ class SparkConnectSpec extends SparkSpec {
     }
   }
 
+  test("CONCURRENT grants from two live Connect clients on one " +
+      "metastore path union — the nonce-named segments + per-path " +
+      "lock close the rename-overwrite race end-to-end over gRPC") {
+    val sc = spark.sparkContext
+    org.apache.spark.sql.connect.service.SparkConnectService.start(sc)
+    val svc = org.apache.spark.sql.connect.service.SparkConnectService
+    val srv = svc.getClass.getMethod("server").invoke(svc)
+    val port = srv.getClass.getMethod("getPort").invoke(srv)
+      .asInstanceOf[Int]
+    val ledger = java.nio.file.Files
+      .createTempDirectory("graft_cxr").toString + "/ms.ledger"
+    try {
+      def client() = {
+        val s = org.apache.spark.sql.connect.SparkSession.builder()
+          .remote(s"sc://localhost:$port").create()
+        s.sql("SET spark.graft.dialect=true").collect()
+        s.sql(s"SET spark.graft.metastore.path=$ledger").collect()
+        s
+      }
+      val a = client()
+      // A writes first so B's dispatcher loads an existing base
+      a.sql("GRANT SELECT ON TABLE race_conn_t TO USER seedA").collect()
+      val b = client()
+      try {
+        val tA = new Thread(() => (1 to 12).foreach(i => a.sql(
+          s"GRANT SELECT ON TABLE race_conn_t TO USER connA$i")
+          .collect()))
+        val tB = new Thread(() => (1 to 12).foreach(i => b.sql(
+          s"GRANT INSERT ON TABLE race_conn_t TO USER connB$i")
+          .collect()))
+        tA.start(); tB.start(); tA.join(); tB.join()
+      } finally { a.close(); b.close() }
+      val c = client()
+      try {
+        val who = c.sql("SHOW GRANT ON TABLE race_conn_t").collect()
+          .map(_.getString(4)).toSet
+        (1 to 12).foreach { i =>
+          assert(who.contains(s"connA$i"), s"connA$i lost in the race")
+          assert(who.contains(s"connB$i"), s"connB$i lost in the race")
+        }
+        assert(who.contains("seedA"))
+      } finally {
+        c.close()
+        org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+        org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      }
+    } finally {
+      org.apache.spark.sql.connect.service.SparkConnectService
+        .stop(None, None)
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("two Connect clients get isolated USE cursors and namespaces " +
       "(per-session HiveStatements, like HiveServer2 sessions)") {
     val sc = spark.sparkContext

@@ -113,6 +113,50 @@ class TextAnalysisSpec extends SparkSpec {
       again.map(_.getAs[Long]("checksum")).toSeq)
   }
 
+  test("multimodal AUDIO decode is real: committed WAV fixtures " +
+      "through extractFeatures yield sample-rate/channels/duration/" +
+      "RMS from actual PCM samples, same schema as the opaque path") {
+    def wavBytes(name: String): Array[Byte] = {
+      val in = getClass.getResourceAsStream(s"/media/$name")
+      assert(in != null, s"fixture $name missing")
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } finally in.close()
+    }
+    val rows = Seq(
+      // 0.1 s, 8 kHz mono 16-bit, 440 Hz sine at amplitude 0.5
+      (1L, wavBytes("tone_8k_mono.wav"), "wav"),
+      // 0.05 s, 4 kHz stereo 8-bit, ±0.5 square wave
+      (2L, wavBytes("square_4k_stereo8.wav"), "wav"),
+      (3L, "not audio".getBytes("UTF-8"), "bin"))
+    val media = rows.toDF("doc_id", "media", "format")
+      .withColumn("n_bytes", length(col("media")).cast("long"))
+    val f = Multimodal.extractFeatures(media).orderBy("doc_id").collect()
+    assert(f.head.schema.fieldNames.toSeq === Seq("doc_id", "n_bytes",
+      "checksum", "mean_byte", "f0", "f1", "f2", "f3"))
+    // sine: rate 8000, 1 channel, 0.1 s, RMS = 0.5/sqrt(2) ≈ 0.3536
+    assert(f(0).getAs[Double]("f0") === 8000.0)
+    assert(f(0).getAs[Double]("f1") === 1.0)
+    assert(math.abs(f(0).getAs[Double]("f2") - 0.1) < 1e-9)
+    assert(math.abs(f(0).getAs[Double]("f3") - 0.5 / math.sqrt(2)) < 0.01)
+    // square: rate 4000, 2 channels, 0.05 s, |x| = 0.5 everywhere
+    assert(f(1).getAs[Double]("f0") === 4000.0)
+    assert(f(1).getAs[Double]("f1") === 2.0)
+    assert(math.abs(f(1).getAs[Double]("f2") - 0.05) < 1e-9)
+    assert(math.abs(f(1).getAs[Double]("f3") - 0.5) < 0.01)
+    // opaque payload keeps the stub path (hist sums to byte length)
+    assert(Seq("f0", "f1", "f2", "f3")
+      .map(f(2).getAs[Double](_)).sum === 9.0)
+    val again = Multimodal.extractFeatures(media).orderBy("doc_id")
+      .collect()
+    assert(f.map(_.getAs[Long]("checksum")).toSeq ===
+      again.map(_.getAs[Long]("checksum")).toSeq)
+  }
+
   test("multimodal resize bounds payloads; schema/metadata stay coherent") {
     val media = Multimodal.mediaTable(docs)
     val out = Multimodal.resize(media, targetBytes = 10).collect()
