@@ -42,25 +42,34 @@ object AuthEnforcement {
     "UPDATE", "UPDATE with grant", "DELETE", "DELETE with grant",
     "OBJECT OWNERSHIP", "ADMIN PRIVILEGE").zipWithIndex.toMap
 
-  /** One object to check: required privileges must ALL be available. */
+  /** One object to check: required privileges must ALL be available.
+    * `objType` is TABLE_OR_VIEW or DATABASE (database objects check
+    * ownership/admin; their name renders without a table part). The
+    * action suffix renders only for INSERT/INSERT_OVERWRITE —
+    * HivePrivilegeObject.toString's switch falls through for
+    * UPDATE/DELETE actions. */
   case class Check(db: String, table: String, required: Seq[String],
-      action: String = "") {
+      action: String = "", objType: String = "TABLE_OR_VIEW") {
     def render: String = {
-      val act = if (action.isEmpty) "" else s", action=$action"
-      s"Object [type=TABLE_OR_VIEW, name=$db.$table$act]"
+      val act =
+        if (action == "INSERT" || action == "INSERT_OVERWRITE")
+          s", action=$action"
+        else ""
+      val name = if (objType == "DATABASE") db else s"$db.$table"
+      s"Object [type=$objType, name=$name$act]"
     }
   }
 
   def enforce(op: String, checks: Seq[Check], auth: AuthStore): Unit = {
     if (checks.isEmpty || auth.adminActive) return
     val user = auth.currentUser
-    val denied = checks.flatMap { c =>
+    val denied = checks.map { c =>
       val avail = auth.availableOn(user, c.db, c.table)
       val missing = c.required.filterNot(avail.contains)
         .distinct.sortBy(p => privOrder.getOrElse(p, 99))
       if (missing.isEmpty) None
       else Some(missing.mkString("[", ", ", "]") + " on " + c.render)
-    }.sorted
+    }.collect { case Some(m) => m }.sorted
     if (denied.nonEmpty)
       throw new HiveAccessControlException(
         s"Permission denied: Principal [name=$user, type=USER] does " +

@@ -1571,10 +1571,24 @@ class HiveStatements(val spark: SparkSession) {
     if (ql.matches("(?s)^create\\s+(?:database|schema)\\b.*")) {
       ("(?is)^create\\s+(?:database|schema)\\s+" +
         "(?:if\\s+not\\s+exists\\s+)?`?(\\w+)`?").r.findFirstMatchIn(q)
-        .foreach(m => dialect.knownDbs += m.group(1).toLowerCase)
+        .foreach { m =>
+          val d = m.group(1).toLowerCase
+          dialect.knownDbs += d
+          // database ownership for the sqlstd enforcement rules —
+          // recorded as the owners entry with an empty table part
+          // (the metastore's DBS.OWNER_NAME; default db stays
+          // everyone's, like its 'public' owner in the reference)
+          if (!auth.owners.contains((d, "")))
+            auth.owners((d, "")) = auth.currentUser
+        }
       meta.recordDatabaseDdl(q)
     } else if (ql.startsWith("alter database") ||
         ql.startsWith("alter schema")) {
+      ("(?is)^alter\\s+(?:database|schema)\\s+`?(\\w+)`?\\s+set\\s+" +
+        "owner\\s+(?:user|role)\\s+`?([\\w-]+)`?").r
+        .findFirstMatchIn(q).foreach { m =>
+          auth.owners((m.group(1).toLowerCase, "")) = m.group(2)
+        }
       meta.recordDatabaseDdl(q)
     } else if (ql.startsWith("create")) {
       val isView = ql.matches(
@@ -1599,11 +1613,19 @@ class HiveStatements(val spark: SparkSession) {
               else dialect.currentDb.toLowerCase)
             // under enforcement, CREATE records ownership + the
             // sqlstd automatic owner grants
-            // (SQLStdHiveAccessController default table policy)
-            if (authEnforcementOn)
-              auth.ownerGrantsOnCreate(meta.dbOwner(phys), phys,
-                auth.currentUser,
+            // (SQLStdHiveAccessController default table policy).
+            // Grants key on the LOGICAL base name (the always-mangle
+            // prefix is this engine's binding detail, not the name
+            // GRANT statements use)
+            if (authEnforcementOn) {
+              val db = meta.dbOwner(phys)
+              val baseName =
+                if (phys.startsWith(db + "__"))
+                  phys.substring(db.length + 2)
+                else phys
+              auth.ownerGrantsOnCreate(db, baseName, auth.currentUser,
                 Seq("INSERT", "SELECT", "UPDATE", "DELETE"))
+            }
           }
       }
     } else if (ql.startsWith("alter")) {
@@ -1742,6 +1764,20 @@ class HiveStatements(val spark: SparkSession) {
     }
     def inputs(text: String, req: Seq[String] = Seq("SELECT")) =
       inputTablesOf(text).map(id => mk(id.mkString("."), req))
+    // DATABASE ownership (sqlstd: CREATE/DROP in a db needs db
+    // ownership; the default db's owner is the public role — everyone
+    // — and a db created before ownership tracking stays lenient)
+    def dbCheck(db0: String): Seq[Check] = {
+      val db = db0.toLowerCase
+      if (db == "default" || !auth.owners.contains((db, ""))) Nil
+      else Seq(Check(db, "", Seq("OBJECT OWNERSHIP"),
+        objType = "DATABASE"))
+    }
+    def dbOfTarget(t: String): String = {
+      val parts = t.replace("`", "").split('.')
+      if (parts.length > 1) parts.head.toLowerCase
+      else dialect.currentDb.toLowerCase
+    }
     def run(op: String, cs: Seq[Check]): Unit =
       AuthEnforcement.enforce(op, cs, auth)
 
@@ -1757,7 +1793,7 @@ class HiveStatements(val spark: SparkSession) {
     val truncateRe = s"(?is)^truncate\\s+table\\s+$tbl.*$$".r
     val alterRe = s"(?is)^alter\\s+table\\s+$tbl\\s+(.*)$$".r
     val createViewRe = ("(?is)^create\\s+(?:or\\s+replace\\s+)?view\\s+" +
-      s"(?:if\\s+not\\s+exists\\s+)?$tbl\\s.*?\\bas\\s+(.*)$$").r
+      s"(?:if\\s+not\\s+exists\\s+)?$tbl\\b.*?\\bas\\s+(.*)$$").r
     val ctasRe = ("(?is)^create\\s+(?:temporary\\s+)?(?:external\\s+)?" +
       s"table\\s+(?:if\\s+not\\s+exists\\s+)?$tbl\\b.*?\\bas\\s+" +
       "(select\\b.*)$").r
@@ -1784,22 +1820,31 @@ class HiveStatements(val spark: SparkSession) {
       case analyzeRe(t) =>
         run("ANALYZE_TABLE", Seq(mk(t, Seq("SELECT", "INSERT"))))
       case dropRe(kind, t) =>
-        // only check objects this session knows — DROP IF EXISTS of a
-        // missing table must keep falling through to the analyzer
-        run(if (kind.equalsIgnoreCase("view")) "DROPVIEW" else "DROPTABLE",
-          Seq(mk(t, Seq("OBJECT OWNERSHIP"))))
+        // DROPTABLE requires ownership on the INPUT only; DROPVIEW
+        // lists the view as input AND output, so its denial carries
+        // the object twice (Operation2Privilege DROPVIEW (OWNER,
+        // OWNER) vs DROPTABLE (OWNER, null))
+        if (kind.equalsIgnoreCase("view"))
+          run("DROPVIEW", Seq(mk(t, Seq("OBJECT OWNERSHIP")),
+            mk(t, Seq("OBJECT OWNERSHIP"))))
+        else run("DROPTABLE", Seq(mk(t, Seq("OBJECT OWNERSHIP"))))
       case truncateRe(t) =>
         run("TRUNCATETABLE", Seq(mk(t, Seq("OBJECT OWNERSHIP"))))
-      case createViewRe(_, sel) => run("CREATEVIEW",
-        inputs(sel, Seq("SELECT with grant")))
-      case ctasRe(_, sel) => run("CREATETABLE_AS_SELECT", inputs(sel))
+      case createViewRe(v, sel) => run("CREATEVIEW",
+        dbCheck(dbOfTarget(v)) ++ inputs(sel, Seq("SELECT with grant")))
+      case ctasRe(t, sel) => run("CREATETABLE_AS_SELECT",
+        dbCheck(dbOfTarget(t)) ++ inputs(sel))
       case loadRe(t) =>
         run("LOAD", Seq(mk(t, Seq("INSERT", "DELETE"))))
+      // DELETE/UPDATE rewrite into INSERT..SELECT over the table
+      // (UpdateDeleteSemanticAnalyzer), so the table is BOTH the
+      // written output (DELETE/UPDATE priv) and a read input (SELECT)
       case updateRe(t) => run("QUERY",
-        Seq(mk(t, Seq("UPDATE"), "UPDATE")) ++
+        Seq(mk(t, Seq("UPDATE"), "UPDATE"), mk(t, Seq("SELECT"))) ++
           inputs(q).filterNot(_.table == mk(t, Nil).table))
       case deleteRe(t) =>
-        run("QUERY", Seq(mk(t, Seq("DELETE"), "DELETE")))
+        run("QUERY", Seq(mk(t, Seq("DELETE"), "DELETE"),
+          mk(t, Seq("SELECT"))))
       case mergeRe(t, rest) =>
         val restL = rest.toLowerCase
         val req = (if (restL.contains("when matched") &&
@@ -1823,10 +1868,13 @@ class HiveStatements(val spark: SparkSession) {
       case alterRe(t, rest) =>
         val rl = rest.trim.toLowerCase
         if (rl.matches("(?s)add\\s+(if\\s+not\\s+exists\\s+)?partition\\b.*"))
-          run("ALTERTABLE_ADDPARTS", Seq(mk(t, Seq("SELECT", "INSERT",
-            "DELETE", "OBJECT OWNERSHIP"))))
+          // the table is the OUTPUT (INSERT); the location uri would
+          // be the input (Operation2Privilege ALTERTABLE_ADDPARTS)
+          run("ALTERTABLE_ADDPARTS", Seq(mk(t, Seq("INSERT"))))
         else if (rl.matches("(?s)drop\\s+(if\\s+exists\\s+)?partition\\b.*"))
           run("ALTERTABLE_DROPPARTS", Seq(mk(t, Seq("DELETE"))))
+        else if (rl.startsWith("add constraint") ||
+          rl.startsWith("drop constraint")) ()
         else {
           val op =
             if (rl.startsWith("rename to")) "ALTERTABLE_RENAME"
@@ -1835,6 +1883,8 @@ class HiveStatements(val spark: SparkSession) {
               "ALTERTABLE_REPLACECOLS"
             else if (rl.startsWith("change")) "ALTERTABLE_RENAMECOL"
             else if (rl.startsWith("set location")) "ALTERTABLE_LOCATION"
+            else if (rl.startsWith("set serdeproperties"))
+              "ALTERTABLE_SERDEPROPERTIES"
             else if (rl.startsWith("set serde")) "ALTERTABLE_SERIALIZER"
             else if (rl.startsWith("set tblproperties") ||
               rl.startsWith("unset tblproperties"))
@@ -1842,11 +1892,35 @@ class HiveStatements(val spark: SparkSession) {
             else if (rl.startsWith("set fileformat"))
               "ALTERTABLE_FILEFORMAT"
             else "ALTERTABLE_PROPERTIES"
-          run(op, Seq(mk(t, Seq("OBJECT OWNERSHIP"))))
+          // the table is input AND output for these (both OWNER):
+          // the recorded denials list the object twice
+          run(op, Seq(mk(t, Seq("OBJECT OWNERSHIP")),
+            mk(t, Seq("OBJECT OWNERSHIP"))))
         }
-      case _ => // CREATE TABLE (db ownership — out of scope), SHOW
-        // DATABASES/TABLES (no privileges required), SET, USE,
-        // authorization statements (AuthStore owns their rules)
+      case _ =>
+        val createTblRe = ("(?is)^create\\s+(?:temporary\\s+)?" +
+          "(?:external\\s+)?table\\s+(?:if\\s+not\\s+exists\\s+)?" +
+          s"$tbl\\b.*$$").r
+        val dropDbRe = ("(?is)^drop\\s+(?:database|schema)\\s+" +
+          "(?:if\\s+exists\\s+)?`?(\\w+)`?\\s*(cascade|restrict)?\\s*$").r
+        val alterDbOwnerRe = ("(?is)^alter\\s+(?:database|schema)\\s+" +
+          "`?(\\w+)`?\\s+set\\s+owner\\b.*$").r
+        val msckRe = ("(?is)^msck\\s+(?:repair\\s+)?table\\s+" +
+          s"$tbl.*$$").r
+        q match {
+          case createTblRe(t) =>
+            run("CREATETABLE", dbCheck(dbOfTarget(t)))
+          case dropDbRe(d, _) =>
+            run("DROPDATABASE", dbCheck(d))
+          case alterDbOwnerRe(d) =>
+            // ADMIN-only (Operation2Privilege ALTERDATABASE_OWNER);
+            // satisfiable only through an active admin role
+            run("ALTERDATABASE_OWNER", Seq(Check(d.toLowerCase, "",
+              Seq("ADMIN PRIVILEGE"), objType = "DATABASE")))
+          case msckRe(t) => run("MSCK", Seq(mk(t, Seq("INSERT"))))
+          case _ => // SHOW DATABASES/TABLES (no privileges), SET,
+          // USE, authorization statements (AuthStore owns their rules)
+        }
     }
   }
 

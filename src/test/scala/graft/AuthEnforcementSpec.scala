@@ -165,6 +165,120 @@ class AuthEnforcementSpec extends SparkSpec {
     }
   }
 
+  /** Replay one clientnegative authorization script end-to-end
+    * against a fresh enforcement-enabled dispatcher and compare the
+    * FIRST denial raised to the recorded one. Statements outside the
+    * replay surface (EXPLAIN AUTHORIZATION, dfs, exotic DDL) are
+    * tolerated — the reference executed them fine; the DENIAL text is
+    * the contract under test. Returns None on byte-identical match. */
+  private def replayNegative(name: String): Option[String] = {
+    val qPath = new java.io.File(
+      "/root/reference/ql/src/test/queries/clientnegative", s"$name.q")
+    val want = recordedDenial(s"$name.q.out")
+    val text = {
+      val src = scala.io.Source.fromFile(qPath, "UTF-8")
+      try src.mkString finally src.close()
+    }
+    // split on top-level ';' with strings respected, comments stripped
+    val stmts = {
+      val out = Vector.newBuilder[String]
+      val cur = new StringBuilder
+      var i = 0
+      var inStr = ' '
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if (inStr != ' ') {
+          cur.append(c); if (c == inStr) inStr = ' '
+        } else if (c == '\'' || c == '"') { cur.append(c); inStr = c }
+        else if (c == '-' && i + 1 < text.length &&
+            text.charAt(i + 1) == '-') {
+          while (i < text.length && text.charAt(i) != '\n') i += 1
+        } else if (c == ';') { out += cur.result(); cur.clear() }
+        else cur.append(c)
+        i += 1
+      }
+      out += cur.result()
+      out.result().map(_.trim).filter(_.nonEmpty)
+    }
+    val s = spark.newSession()
+    s.conf.set("spark.graft.authorization", "true")
+    val h = new HiveStatements(s)
+    val createdTables = scala.collection.mutable.Buffer[String]()
+    val createdDbs = scala.collection.mutable.Buffer[String]()
+    var denial: Option[String] = None
+    val it = stmts.iterator
+    while (denial.isEmpty && it.hasNext) {
+      val st = it.next()
+      val sl = st.toLowerCase
+      if (!sl.startsWith("set hive.") && !sl.startsWith("dfs ") &&
+          !sl.startsWith("add jar") && !sl.startsWith("reload")) {
+        ("(?is)^create\\s+(?:temporary\\s+)?(?:external\\s+)?" +
+          "(?:table|view)\\s+(?:if\\s+not\\s+exists\\s+)?" +
+          "`?([\\w.]+)`?").r.findFirstMatchIn(st)
+          .foreach(m => createdTables += m.group(1).toLowerCase)
+        "(?is)^create\\s+(?:database|schema)\\s+`?(\\w+)`?".r
+          .findFirstMatchIn(st)
+          .foreach(m => createdDbs += m.group(1).toLowerCase)
+        try h.sql(st)
+        catch {
+          case e: AuthEnforcement.HiveAccessControlException =>
+            denial = Some(e.getMessage)
+          case _: Throwable => // out-of-scope statement, tolerated
+        }
+      }
+    }
+    // cleanup: enforcement off, drop everything this file created
+    s.conf.unset("spark.graft.authorization")
+    createdTables.foreach { t =>
+      val base = t.split('.').last
+      Seq(base, t.replace(".", "__")) ++
+        createdDbs.map(d => s"${d}__$base") foreach { cand =>
+          scala.util.Try(spark.sql(s"DROP TABLE IF EXISTS `$cand`"))
+          scala.util.Try(spark.catalog.dropTempView(cand))
+          val dir = new java.io.File("spark-warehouse/" + cand)
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          if (dir.exists()) rm(dir)
+        }
+    }
+    denial match {
+      case Some(msg) if msg == want => None
+      case Some(msg) =>
+        Some(s"DENIAL MISMATCH\n got  $msg\n want $want")
+      case None => Some(s"no denial raised (want $want)")
+    }
+  }
+
+  test("clientnegative denial sweep: recorded authorization scripts " +
+      "replay end-to-end through an enforcement-enabled dispatcher " +
+      "and every denial message byte-matches the reference recording") {
+    val files = Seq(
+      "authorization_select", "authorization_select_view",
+      "authorization_insert_noinspriv",
+      "authorization_insert_noselectpriv",
+      "authorization_insertoverwrite_nodel",
+      "authorization_insertpart_noinspriv",
+      "authorization_delete_nodeletepriv",
+      "authorization_update_noupdatepriv",
+      "authorization_desc_table_nosel",
+      "authorization_show_parts_nosel",
+      "authorization_not_owner_drop_tab",
+      "authorization_not_owner_drop_view",
+      "authorization_droppartition", "authorization_alter_drop_ptn",
+      "authorization_addpartition",
+      "authorization_not_owner_alter_tab_rename",
+      "authorization_not_owner_alter_tab_serdeprop",
+      "authorization_truncate", "authorization_truncate_2",
+      "authorization_create_tbl", "authorization_ctas",
+      "authorization_create_view", "authorization_createview",
+      "authorization_alter_db_owner", "authorization_drop_db_empty",
+      "authorization_msck", "authorization_rolehierarchy_privs")
+    val failures = files.flatMap(f => replayNegative(f).map(f -> _))
+    assert(failures.isEmpty, failures.map { case (f, m) =>
+      s"$f:\n$m" }.mkString("\n\n"))
+  }
+
   test("enforcement stays fully off without the conf — the " +
       "bookkeeping surface is unchanged for every existing caller") {
     val h = new HiveStatements(spark)
