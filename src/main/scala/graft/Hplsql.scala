@@ -46,6 +46,15 @@ final class Hplsql(engine: HiveStatements) {
   private val out = Vector.newBuilder[String]
 
   private case class ExitLoop(label: String) extends RuntimeException
+  private case class ReturnValue(v: Any) extends RuntimeException
+
+  /** Stored procedures/functions (Exec.java functions map): body kept
+    * as text, re-tokenized per invocation in its own cursor frame. */
+  private case class Param(name: String, mode: String)
+  private case class Routine(params: Seq[Param], body: String,
+      isFunc: Boolean)
+  private val routines =
+    scala.collection.mutable.LinkedHashMap[String, Routine]()
 
   // ---------------------------------------------------------------
   // tokens — (text, lower, start, end) over the original script so
@@ -195,17 +204,120 @@ final class Hplsql(engine: HiveStatements) {
     sb.result()
   }
 
+  /** Split an argument list at top-level commas (parens + strings
+    * respected). */
+  private def splitArgs(s: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = ' '
+    s.foreach { c =>
+      if (inStr != ' ') { cur.append(c); if (c == inStr) inStr = ' ' }
+      else c match {
+        case '\'' | '"' => cur.append(c); inStr = c
+        case '(' => depth += 1; cur.append(c)
+        case ')' => depth -= 1; cur.append(c)
+        case ',' if depth == 0 => out += cur.result(); cur.clear()
+        case c2 => cur.append(c2)
+      }
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Replace invocations of DECLARED HPL/SQL functions in an
+    * expression with their evaluated results (as literals) — the
+    * function body runs in its own cursor frame, its PRINTs emit
+    * before the surrounding expression finishes, like Exec.java's
+    * eager function evaluation. */
+  private def resolveFunctionCalls(text0: String): String = {
+    var s = text0
+    var changed = true
+    while (changed) {
+      changed = false
+      routines.iterator.filter(_._2.isFunc).map(_._1)
+        .find { name =>
+          val re = ("(?i)(?<![\\w.'])" +
+            java.util.regex.Pattern.quote(name) + "\\s*\\(").r
+          re.findFirstMatchIn(s) match {
+            case Some(m) =>
+              var i = m.end
+              var depth = 1
+              var inStr = ' '
+              while (i < s.length && depth > 0) {
+                val c = s.charAt(i)
+                if (inStr != ' ') { if (c == inStr) inStr = ' ' }
+                else c match {
+                  case '\'' | '"' => inStr = c
+                  case '(' => depth += 1
+                  case ')' => depth -= 1
+                  case _ =>
+                }
+                i += 1
+              }
+              val argText = s.substring(m.end, i - 1)
+              val args =
+                if (argText.trim.isEmpty) Nil
+                else splitArgs(argText)
+              val v = invokeRoutine(name, args)
+              s = s.substring(0, m.start) + lit(v) + s.substring(i)
+              changed = true
+              true
+            case None => false
+          }
+        }
+    }
+    s
+  }
+
   private def evalExpr(e: String): Any = {
-    val rendered = substitute(e.trim)
+    val rendered = substitute(resolveFunctionCalls(e.trim))
     spark.sql(s"SELECT ${rendered}").collect().head.get(0)
   }
 
   private def evalCond(c: String): Boolean = {
-    val rendered = substitute(c.trim)
+    val rendered = substitute(resolveFunctionCalls(c.trim))
     val r = spark.sql(
       s"SELECT CASE WHEN ($rendered) THEN true ELSE false END")
       .collect().head
     !r.isNullAt(0) && r.getBoolean(0)
+  }
+
+  /** Run a routine: IN args evaluate in the caller's scope, params
+    * bind as shadowing locals, OUT/INOUT params write back to bare
+    * caller variables after the body, RETURN supplies the function
+    * value. */
+  private def invokeRoutine(name: String, argExprs: Seq[String]): Any = {
+    val r = routines(name)
+    val padded = argExprs.map(Option(_)).padTo(r.params.size, None)
+    val argVals = r.params.zip(padded).map {
+      case (pm, _) if pm.mode == "OUT" => null
+      case (_, Some(e)) => evalExpr(e)
+      case (_, None) => null
+    }
+    val saved = r.params.map(pm => pm.name -> vars.get(pm.name))
+    r.params.zip(argVals).foreach { case (pm, v) => vars(pm.name) = v }
+    var ret: Any = null
+    val (t0, s0, p0) = (toks, src, p)
+    toks = tokenize(r.body); src = r.body; p = 0
+    try runUntil(Set.empty)
+    catch {
+      case ReturnValue(v) => ret = v
+      case ExitLoop(_) =>
+    } finally { toks = t0; src = s0; p = p0 }
+    val outVals = r.params.map(pm => vars.get(pm.name).orNull)
+    saved.foreach { case (k, old) => old match {
+      case Some(x) => vars(k) = x
+      case None => vars.remove(k)
+    } }
+    r.params.zipWithIndex.foreach { case (pm, i) =>
+      if ((pm.mode == "OUT" || pm.mode == "INOUT") &&
+          i < argExprs.size && argExprs(i) != null) {
+        val target = argExprs(i).trim.toLowerCase
+        if (target.matches("[a-z_]\\w*")) vars(target) = outVals(i)
+      }
+    }
+    ret
   }
 
   private def runSql(text: String): Option[Seq[org.apache.spark.sql.Row]] =
@@ -244,6 +356,20 @@ final class Hplsql(engine: HiveStatements) {
         skipSemi()
         throw ExitLoop("")
       }
+    case "create" if routineCreateAhead => createRoutine()
+    case "call" =>
+      p += 1
+      invokeFromCursor()
+    case "return" =>
+      p += 1
+      val end = skipToSemi(p)
+      val stop = if (toks(end - 1).lo == ";") end - 1 else end
+      val v = if (stop > p) evalExpr(slice(p, stop)) else null
+      p = end
+      throw ReturnValue(v)
+    case n if routines.contains(n) &&
+        (at(1) == "(" || at(1) == ";" || at(1) == "") =>
+      invokeFromCursor()
     case "execute" if at(1) == "immediate" =>
       p += 2
       val end = skipToSemi(p)
@@ -438,14 +564,16 @@ final class Hplsql(engine: HiveStatements) {
     while (!eof) {
       cur match {
         case k if depth == 0 && until.contains(k) => return
-        case "if" | "while" | "for" | "begin" | "loop" =>
-          // `end if`/`end loop`/`end while`/`end` all close one level
-          if (cur == "if" || cur == "begin") depth += 1
+        case "if" | "while" | "for" | "begin" | "loop" | "case" =>
+          // `end [if|loop|while|case]`/`end` all close one level;
+          // SQL CASE expressions balance with their END too
+          if (cur == "if" || cur == "begin" || cur == "case") depth += 1
           else if (cur == "loop" &&
             toks(math.max(0, p - 1)).lo != "end") depth += 1
           p += 1
         case "end" =>
-          if (at(1) == "if" || at(1) == "loop" || at(1) == "while") {
+          if (at(1) == "if" || at(1) == "loop" || at(1) == "while" ||
+              at(1) == "case") {
             depth -= 1; p += 2
           } else { depth -= 1; p += 1 }
         case _ => p += 1
@@ -618,6 +746,106 @@ final class Hplsql(engine: HiveStatements) {
     p = endPos
     expect("end")
     skipSemi()
+  }
+
+  /** Is this CREATE an HPL/SQL routine (vs a SQL CREATE FUNCTION UDF
+    * registration)? Routines carry RETURNS/BEGIN before the first
+    * top-level `;` (their header has none — the first `;` sits inside
+    * the BEGIN body). */
+  private def routineCreateAhead: Boolean = {
+    var i = p + 1
+    if (at(1) == "or" && at(2) == "replace") i += 2
+    val kind = if (i - p == 1) at(1) else at(3)
+    if (kind == "procedure" || kind == "proc") return true
+    if (kind != "function" && kind != "func") return false
+    var j = i + 1
+    var depth = 0
+    while (j < toks.size) {
+      toks(j).lo match {
+        case "(" => depth += 1
+        case ")" => depth -= 1
+        case ";" if depth == 0 => return false
+        case "returns" | "begin" if depth == 0 => return true
+        case _ =>
+      }
+      j += 1
+    }
+    false
+  }
+
+  private def createRoutine(): Unit = {
+    p += 1 // create
+    if (cur == "or" && at(1) == "replace") p += 2
+    val isFunc = cur == "function" || cur == "func"
+    p += 1 // kind
+    val name = cur.toLowerCase
+    p += 1
+    val params = Vector.newBuilder[Param]
+    if (cur == "(") {
+      p += 1
+      while (!eof && cur != ")") {
+        val mode =
+          if (Set("in", "out", "inout").contains(cur) &&
+              at(1) != "," && at(1) != ")") {
+            val m = cur.toUpperCase; p += 1; m
+          } else "IN"
+        val pname = cur
+        p += 1
+        while (!eof && cur != "," && cur != ")") {
+          if (cur == "(") {
+            var d = 0
+            while (!eof && { val c0 = cur
+              if (c0 == "(") d += 1
+              if (c0 == ")") d -= 1
+              p += 1
+              d > 0 }) {}
+          } else p += 1
+        }
+        params += Param(pname, mode)
+        if (cur == ",") p += 1
+      }
+      p += 1 // )
+    }
+    if (isFunc && cur == "returns") {
+      p += 1
+      while (!eof && cur != "begin" && cur != "as" && cur != "is")
+        p += 1
+    }
+    if (cur == "as" || cur == "is") p += 1
+    if (cur != "begin") throw new IllegalArgumentException(
+      s"hplsql: routine $name body must be BEGIN..END near ${ctx()}")
+    val a = p
+    p += 1
+    skipBody(Set("end"))
+    val b = p // on the matching "end"
+    p += 1
+    routines(name) = Routine(params.result().map(pm =>
+      Param(pm.name.toLowerCase, pm.mode)),
+      slice(a, b + 1), isFunc)
+    skipSemi()
+  }
+
+  /** `name` / `name(arg, ...)` at the cursor → invoke. */
+  private def invokeFromCursor(): Unit = {
+    val name = cur
+    p += 1
+    val args = Vector.newBuilder[String]
+    if (cur == "(") {
+      p += 1
+      var depth = 0
+      var a = p
+      while (!eof && !(depth == 0 && cur == ")")) {
+        if (cur == "(") depth += 1
+        if (cur == ")") depth -= 1
+        if (depth == 0 && cur == ",") {
+          args += slice(a, p); p += 1; a = p
+        } else p += 1
+      }
+      if (p > a) args += slice(a, p)
+      p += 1 // )
+    }
+    skipSemi()
+    invokeRoutine(name, args.result())
   }
 
   private def hasTopLevelInto(from: Int): Boolean = {

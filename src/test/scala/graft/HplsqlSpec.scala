@@ -158,6 +158,88 @@ class HplsqlSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS hpl_t")
   }
 
+  test("create_procedure.sql: OUT parameter writes back to the " +
+      "caller's variable through CALL") {
+    val out = run("""
+      CREATE PROCEDURE set_message(IN name STRING, OUT result STRING)
+      BEGIN
+        SET result = 'Hello, ' || name || '!';
+      END;
+      DECLARE str STRING;
+      CALL set_message('world', str);
+      PRINT str;""")
+    assert(out === Seq("Hello, world!"))
+  }
+
+  test("create_function.sql: RETURN exits the body early and the " +
+      "value substitutes into the calling expression") {
+    val out = run("""
+      CREATE FUNCTION hello()
+       RETURNS STRING
+      BEGIN
+       PRINT 'Start';
+       RETURN 'Hello, world';
+       PRINT 'Must not be printed';
+      END;
+      PRINT hello() || '!';
+      PRINT 'End of script';""")
+    assert(out === Seq("Start", "Hello, world!", "End of script"))
+  }
+
+  test("create_procedure_no_params.sql: CALL name / name() / bare " +
+      "name all invoke; parameters shadow and restore caller " +
+      "variables") {
+    val out = run("""
+      create procedure sp1
+      begin
+        print 'a';
+      end;
+      create procedure sp2()
+      begin
+        print 'b';
+      end;
+      call sp1;
+      call sp1();
+      sp1;
+      sp1();
+      call sp2;
+      sp2();
+      DECLARE x INT DEFAULT 99;
+      CREATE PROCEDURE shadow(IN x INT)
+      BEGIN
+        PRINT x;
+      END;
+      CALL shadow(5);
+      PRINT x;""")
+    assert(out === Seq("a", "a", "a", "a", "b", "b", "5", "99"))
+  }
+
+  test("functions with arguments compose with SQL expressions and " +
+      "other statements; CASE expressions inside bodies don't " +
+      "unbalance block parsing") {
+    val out = run("""
+      CREATE FUNCTION grade(score INT)
+        RETURNS STRING
+      BEGIN
+        DECLARE g STRING;
+        SET g = CASE WHEN score >= 90 THEN 'A'
+                     WHEN score >= 80 THEN 'B'
+                     ELSE 'C' END;
+        RETURN g;
+      END;
+      IF 1 = 1 THEN
+        PRINT grade(95) || grade(85) || grade(10);
+      END IF;
+      DECLARE total INT DEFAULT 0;
+      FOR i IN 1..3 LOOP
+        IF grade(i * 30) = 'A' THEN
+          total := total + 1;
+        END IF;
+      END LOOP;
+      PRINT total;""")
+    assert(out === Seq("ABC", "1"))
+  }
+
   test("variables substitute into embedded SQL statements as " +
       "literals (Exec.java interpolation), leaving string bodies " +
       "untouched") {
