@@ -1054,6 +1054,17 @@ class HiveStatements(val spark: SparkSession) {
       return Some(oneColDf("lineage", Seq(json)))
     }
 
+    // EXPLAIN [FORMATTED] AUTHORIZATION <stmt> — the reference's
+    // ExplainTask authorization output: input/output entities (with
+    // per-partition rows for partitioned inputs), current user,
+    // operation (ql/exec/ExplainTask.java outputDependencies /
+    // getJSONLogicalPlan authorization mode)
+    val eaRe = "(?is)^explain\\s+(formatted\\s+)?authorization\\s+(.+)$".r
+    eaRe.findFirstMatchIn(q).foreach { m =>
+      return Some(oneColDf("Explain",
+        authorizationExplainLines(m.group(2), m.group(1) != null)))
+    }
+
     // SHOW GRANT / SHOW ROLES / SHOW CURRENT ROLES / SHOW ROLE GRANT /
     // SHOW PRINCIPALS — the authorization read surface, rendered from
     // the session AuthStore in Hive's recorded layouts
@@ -1745,6 +1756,85 @@ class HiveStatements(val spark: SparkSession) {
     }
   }
 
+  /** Partition columns for EXPLAIN AUTHORIZATION's per-partition
+    * input entities (the golden harness also consults its fixture
+    * registry). */
+  protected def partColsForAuth(lc: String): Seq[String] =
+    meta.tablePartCols.getOrElse(lc, Nil).map(_.toLowerCase)
+
+  /** EXPLAIN [FORMATTED] AUTHORIZATION output lines: INPUTS (tables,
+    * plus one entity per partition of a partitioned input — the
+    * analyzer's ReadEntity set), OUTPUTS, CURRENT_USER, OPERATION —
+    * the reference ExplainTask's text layout, or its one-line JSON
+    * for FORMATTED. */
+  private[graft] def authorizationExplainLines(stmt0: String,
+      formatted: Boolean): Seq[String] = {
+    val stmt = stmt0.trim.stripSuffix(";")
+    val sl = stmt.toLowerCase
+    def bare(t: String): Seq[String] = {
+      val parts = t.replace("`", "").split('.')
+      val base = parts.last.toLowerCase
+      val db = if (parts.length > 1) parts.head.toLowerCase
+        else authDbOf(base)
+      Seq(s"$db@$base")
+    }
+    def entity(t: String,
+        seen: Set[String] = Set.empty): Seq[String] = {
+      val parts = t.replace("`", "").split('.')
+      val base = parts.last.toLowerCase
+      if (seen.contains(base)) return Nil
+      val db = if (parts.length > 1) parts.head.toLowerCase
+        else authDbOf(base)
+      val resolved = meta.resolveLc(base)
+      // a VIEW input expands to its underlying reads too (the
+      // analyzer's ReadEntity parents): view first, then sources
+      val under = meta.viewText.get(resolved).toSeq.flatMap(vt =>
+        inputTablesOf(vt).map(_.mkString("."))
+          .flatMap(entity(_, seen + base)))
+      val pcs = partColsForAuth(resolved)
+      val partEnts =
+        if (pcs.isEmpty) Nil
+        else meta.showPartitionNames(resolved, resolved, pcs, Nil,
+          isView = false).getOrElse(Nil).map(p => s"$db@$base@$p")
+      (s"$db@$base" +: partEnts) ++ under
+    }
+    val useRe = "(?is)^use\\s+`?(\\w+)`?$".r
+    val insRe = ("(?is)insert\\s+(?:overwrite|into)\\s+" +
+      "(?:table\\s+)?`?([\\w.]+)`?").r
+    val exchRe = ("(?is)^alter\\s+table\\s+`?([\\w.]+)`?\\s+exchange\\s+" +
+      "partition\\s*\\([^)]*\\)\\s+with\\s+table\\s+`?([\\w.]+)`?\\s*$").r
+    val (ins, outs, op) = stmt match {
+      case useRe(d) =>
+        (Seq(s"database:${d.toLowerCase}"), Nil, "SWITCHDATABASE")
+      case exchRe(dest, srcT) =>
+        // the WITH table is the read side; the ALTERed table receives
+        // the partition (the recorded INPUTS/OUTPUTS split)
+        (bare(srcT), bare(dest), "ALTERTABLE_EXCHANGEPARTITION")
+      case _ if sl.startsWith("insert") ||
+          (sl.startsWith("from") && sl.contains("insert")) =>
+        val targets = insRe.findAllMatchIn(stmt).map(_.group(1)).toSeq
+        val inputsT = inputTablesOf(stmt).map(_.mkString("."))
+          .filterNot(t => targets.exists(x =>
+            x.split('.').last.equalsIgnoreCase(t.split('.').last)))
+          .sorted
+        (inputsT.flatMap(t => entity(t)),
+          targets.sorted.flatMap(t => entity(t)), "QUERY")
+      case _ if sl.startsWith("select") || sl.startsWith("with") =>
+        (inputTablesOf(stmt).map(_.mkString(".")).sorted
+          .flatMap(entity(_)), Nil, "QUERY")
+      case _ => (Nil, Nil, "QUERY")
+    }
+    if (formatted)
+      Seq(s"""{"INPUTS":[${ins.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""OUTPUTS":[${outs.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""CURRENT_USER":"${auth.currentUser}","OPERATION":"$op"}""")
+    else
+      Seq("INPUTS: ") ++ ins.map("  " + _) ++
+        Seq("OUTPUTS: ") ++ outs.map("  " + _) ++
+        Seq("CURRENT_USER: ", s"  ${auth.currentUser}",
+          "OPERATION: ", s"  $op")
+  }
+
   /** Check the statement's required privileges against the session
     * AuthStore (enabled via `spark.graft.authorization=true` or
     * `hive.security.authorization.enabled=true`); a denial raises
@@ -1967,10 +2057,10 @@ class HiveStatements(val spark: SparkSession) {
     if (open < 0) return q
     var i = open + 1
     var depth = 1
-    var inStr = ' '
+    var inStr = '\u0000'
     while (i < q.length && depth > 0) {
       val c = q.charAt(i)
-      if (inStr != ' ') { if (c == inStr) inStr = ' ' }
+      if (inStr != '\u0000') { if (c == inStr) inStr = '\u0000' }
       else c match {
         case '\'' | '"' => inStr = c
         case '(' => depth += 1

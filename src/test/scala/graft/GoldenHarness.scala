@@ -3132,6 +3132,12 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   private val fixturePartCols: Map[String, Seq[String]] = Map(
     "srcpart" -> Seq("ds", "hr"), "primitives" -> Seq("year", "month"))
 
+  /** EXPLAIN AUTHORIZATION's per-partition inputs consult the
+    * fixture registry too. */
+  override protected def partColsForAuth(lc: String): Seq[String] =
+    tablePartCols.getOrElse(lc,
+      fixturePartCols.getOrElse(lc, Nil)).map(_.toLowerCase)
+
   /** Set per replay(): hive.ddl.output.format=json files render
     * describes as JSON — not this column-block shape. */
   private var jsonDdlOut = false
@@ -5933,6 +5939,33 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
         // offsets found in ql).
         val qd = ql.take(200).split("\\s+").mkString(" ")
       authReplayHooks(q, qd, ql)
+      // EXPLAIN [FORMATTED] AUTHORIZATION: assert the shipped
+      // renderer's lines against the recording (masked scratch-dir
+      // OUTPUTS drop from the expectation like everywhere else)
+      if (qd.startsWith("explain authorization") ||
+          qd.startsWith("explain formatted authorization")) {
+        val formatted = qd.startsWith("explain formatted")
+        val stmt = "(?is)^explain\\s+(?:formatted\\s+)?authorization\\s+"
+          .r.replaceFirstIn(q.trim.stripSuffix(";"), "")
+        val lines = authorizationExplainLines(stmt, formatted)
+        val want = b.rows
+          .filterNot(l => leakedLines.contains(l.trim))
+        // a fully-masked recording (the FORMATTED select's JSON holds
+        // a scratch path) leaves nothing to assert
+        if (want.nonEmpty) {
+          if (lines != want) {
+            val d = lines.zipAll(want, "<none>", "<none>")
+              .find(p => p._1 != p._2)
+            throw new GoldenMismatch(
+              s"explain authorization mismatch in $file for: " +
+                b.query.linesIterator.mkString(" ").take(120) + "\n" +
+                s"got  |${d.map(_._1).getOrElse("")}|\n" +
+                s"want |${d.map(_._2).getOrElse("")}|")
+          }
+          asserted += 1
+        }
+        return
+      }
       if (qd.startsWith("alter table")) {
         trackAlterComments(q); trackAlterStorage(q)
         // informational PK/FK DDL is metadata-only
