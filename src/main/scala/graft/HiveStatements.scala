@@ -370,7 +370,7 @@ class HiveStatements(val spark: SparkSession) {
     * stay whole-map: one line each, cheap to diff. */
   private val shardedNames = Set("addedParts", "partSchemas",
     "partStorage", "partBucketMeta", "colStats", "authGrants",
-    "authRoles", "authRoleGrants", "authOwners")
+    "authRoles", "authRoleGrants", "authOwners", "catalogTables")
 
   private def isShardKey(k: String): Boolean = {
     val i = k.indexOf('/')
@@ -415,6 +415,12 @@ class HiveStatements(val spark: SparkSession) {
       case "authRoles" =>
         v.asInstanceOf[scala.collection.Iterable[Any]].toSeq
           .map(r => (r, r))
+      case "catalogTables" =>
+        // identity = the table name (one line per catalog table —
+        // 100k tables must not re-encode as one giant line per DDL)
+        v.asInstanceOf[scala.collection.Iterable[Any]].toSeq.map { r =>
+          (r.asInstanceOf[Product].productElement(0), r)
+        }
       case "authRoleGrants" =>
         // identity = (role, principal, ptype); admin option + grantor
         // are attributes a re-grant overwrites in place
@@ -456,23 +462,78 @@ class HiveStatements(val spark: SparkSession) {
           out(k) = x
         }
         out
-      case "authGrants" | "authRoles" | "authRoleGrants" => vs.toVector
+      case "authGrants" | "authRoles" | "authRoleGrants" |
+          "catalogTables" => vs.toVector
       case other => throw new IllegalStateException(
         s"not a sharded ledger name: $other")
     }
   }
 
+  /** Identity-memoized per-entry encodings for the PARTITION-scale
+    * maps: re-encoding 100k unchanged partition lines on every save
+    * would make each statement O(metastore) CPU even though the
+    * bytes written are O(changed entries). Cache keys are the STORED
+    * collection objects (stable across saves — a mutable Map yields
+    * its stored key/element objects on every iteration); a replaced
+    * value object or a re-keyed table invalidates via `tag`/`extra`
+    * and re-encodes once. Grant/auth rows re-encode every save (the
+    * snapshot builds fresh row vectors) — they are session-scale,
+    * not partition-scale. */
+  private final class ShardCacheLine(val tag: String,
+      val extra: AnyRef, val full: String, val line: String)
+  private val shardEncodeCache =
+    new java.util.IdentityHashMap[AnyRef, ShardCacheLine]()
+
+  private def memoLine(name: String, cacheKey: AnyRef, tag: String,
+      extra: AnyRef, id: => Any, value: => Any): (String, String) = {
+    val hit = shardEncodeCache.get(cacheKey)
+    if (hit != null && hit.tag == tag && (hit.extra eq extra))
+      (hit.full, hit.line)
+    else {
+      val full = name + "/" + md5hex(graft.meta.LedgerJson.encode(id))
+      val line = graft.meta.LedgerJson.encodeLine(full, value)
+      shardEncodeCache.put(cacheKey,
+        new ShardCacheLine(tag, extra, full, line))
+      (full, line)
+    }
+  }
+
   /** The current metastore state as flat persisted lines: whole-map
     * names one line each, sharded names one line per entry. */
-  private def ledgerLines(): Seq[(String, String)] =
-    ledgerSnapshot().toSeq.flatMap { case (k, v) =>
+  private def ledgerLines(): Seq[(String, String)] = {
+    val out = ledgerSnapshot().toSeq.flatMap { case (k, v) =>
       if (!shardedNames.contains(k))
         Seq(k -> graft.meta.LedgerJson.encodeLine(k, v))
-      else explodeSharded(k, v).map { case (id, value) =>
-        val full = k + "/" + md5hex(graft.meta.LedgerJson.encode(id))
-        full -> graft.meta.LedgerJson.encodeLine(full, value)
+      else k match {
+        case "addedParts" =>
+          meta.addedParts.toSeq.flatMap { case (t, ps) =>
+            ps.toSeq.map(p => memoLine(k,
+              p.asInstanceOf[AnyRef], t, null, (t, p), (t, p)))
+          }
+        case "partSchemas" =>
+          meta.partSchemas.toSeq.flatMap { case (t, pm) =>
+            pm.toSeq.map { case (pv, st) => memoLine(k,
+              pv.asInstanceOf[AnyRef], t, st, (t, pv), (t, pv, st)) }
+          }
+        case "partStorage" =>
+          meta.partStorage.toSeq.map { case (pk, x) => memoLine(k,
+            pk.asInstanceOf[AnyRef], "", x, pk, (pk, x)) }
+        case "partBucketMeta" =>
+          meta.partBucketMeta.toSeq.map { case (pk, x) => memoLine(k,
+            pk.asInstanceOf[AnyRef], "", x, pk, (pk, x)) }
+        case _ =>
+          explodeSharded(k, v).map { case (id, value) =>
+            val full =
+              k + "/" + md5hex(graft.meta.LedgerJson.encode(id))
+            full -> graft.meta.LedgerJson.encodeLine(full, value)
+          }
       }
     }
+    // dropped entries leave stale cache rows behind — bound the cache
+    if (shardEncodeCache.size > 2 * out.size + 1024)
+      shardEncodeCache.clear()
+    out
+  }
 
   /** How many delta segments accumulate before the ledger considers
     * compacting back to one base snapshot. Compaction additionally
