@@ -197,6 +197,30 @@ class MetastorePersistenceSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.metastore.path")
   }
 
+  test("format pin v2.1: a COMMITTED per-entry ledger (sharded " +
+      "partition/grant lines, a delta segment with a tombstone, " +
+      "nonce-stamped segment names) loads across upgrades") {
+    val url = getClass.getResource("/ledger_v21/ms.ledger")
+    assert(url != null, "ledger_v21 fixture missing from resources")
+    spark.conf.set("spark.graft.metastore.path", url.getPath)
+    try {
+      val h = new HiveStatements(spark)
+      assert(h.meta.tableComment.get("fix21_t").contains("pinned v2.1"))
+      // ds='a' was tombstoned in a later delta segment; ds='b' survives
+      val parts = h.meta.addedParts.getOrElse("fix21_t",
+        scala.collection.mutable.LinkedHashSet.empty).toSeq
+      assert(parts === Seq(Seq(("ds", "b"))), parts)
+      val g = h.sql("SHOW GRANT USER pinuser ON TABLE fix21_t").get
+        .collect().map(_.toSeq.mkString("\t"))
+      assert(g.length === 1 && g.head.contains("\tSELECT\t"),
+        g.mkString("\n"))
+    } finally {
+      spark.conf.unset("spark.graft.metastore.path")
+      // the ledger re-registers its catalog table; drop the stray
+      spark.sql("DROP TABLE IF EXISTS fix21_t")
+    }
+  }
+
   test("authorization state persists: grant -> restart -> SHOW " +
       "GRANT / SHOW ROLES identical") {
     val base = java.nio.file.Files.createTempDirectory("graft_msa")
