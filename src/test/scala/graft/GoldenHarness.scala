@@ -3164,9 +3164,6 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
   private var autogenPrefix = "_c"
   private var autogenFuncName = false
 
-  /** Tables created WITH CONSTRAINTS: their extended describes carry
-    * a Constraints section this replay does not model — no-assert. */
-  private val constraintTables = scala.collection.mutable.Set[String]()
 
   private def commentOf(tableLc: String, col: String,
       isPartCol: Boolean = false): String = {
@@ -6466,13 +6463,11 @@ class GoldenHarness(spark0: SparkSession) extends HiveStatements(spark0) {
             binaryStored += name.toLowerCase
           colComments(name.toLowerCase) =
             GoldenFixtures.colCommentsOf(full)
+          // PK/FK bookkeeping so DESCRIBE renders # Constraints
           if (GoldenFixtures.splitTop(cols, ',')
-              .exists(GoldenFixtures.isConstraintEntry)) {
-            constraintTables += name.toLowerCase
-            // PK/FK bookkeeping so DESCRIBE renders # Constraints
+              .exists(GoldenFixtures.isConstraintEntry))
             meta.recordConstraints(name.toLowerCase, cols,
               dialect.currentDb.toLowerCase)
-          }
           // a serde OUTSIDE hive.serdes.using.metastore.for.schema
           // (HiveConf.java:1209) re-derives columns at describe time:
           // comments render "from deserializer" (json_serde_qualified_
