@@ -3,9 +3,12 @@ package graft
 import graft.meta.AuthStore
 
 /** SQL-standard authorization ENFORCEMENT, conf-gated behind
-  * `spark.graft.authorization=true` (or the reference's
-  * `hive.security.authorization.enabled=true`): before a statement
-  * runs, its required privileges are checked against the session
+  * `spark.graft.authorization=true` — the ENGINE conf only; the
+  * scripts' `hive.security.authorization.enabled` deliberately does
+  * NOT engage it (see HiveStatements.authEnforcementOn for why the
+  * golden bookkeeping corpus must replay un-enforced). Before a
+  * statement runs, its required privileges are checked against the
+  * session
   * [[AuthStore]] and a denial raises [[HiveAccessControlException]]
   * with the reference's exact message layout.
   *

@@ -543,7 +543,7 @@ class HiveStatements(val spark: SparkSession) {
     * mass ADD PARTITION migration, Σ O(n²/k); the size gate makes
     * compaction geometric (each one at least grows the base by a
     * constant factor), so total bytes written stay O(final base). A
-    * hard segment-count cap (64 × this) bounds directory listings
+    * hard segment-count cap (16 × this) bounds directory listings
     * regardless. */
   protected def ledgerCompactEvery: Int = 64
 
@@ -1784,25 +1784,48 @@ class HiveStatements(val spark: SparkSession) {
     spark.conf.getOption("spark.graft.authorization").contains("true")
 
   /** `SET user.name=...` switches the authenticated identity as a
-    * SIDE effect (SessionStateConfigUserAuthenticator reads the conf
-    * var); the statement still runs as a normal conf SET. */
+    * SIDE effect — the semantics of the reference's TEST
+    * authenticator (SessionStateConfigUserAuthenticator reads the
+    * conf var), NOT a trust boundary. While ENFORCEMENT is on, an
+    * unauthenticated identity switch would let any client assume any
+    * owner/admin and bypass every check, so it additionally requires
+    * the explicit test-authenticator opt-in
+    * `spark.graft.authorization.userswitch=true`; without it the
+    * statement still runs as a normal conf SET (the reference with a
+    * production authenticator likewise ignores the conf var) but the
+    * authenticated identity stays put. With enforcement OFF the
+    * switch is always honored — the bookkeeping surface (SHOW
+    * GRANT/ROLE goldens) replays the reference scripts, which all
+    * assume the test authenticator. */
   private def observeSetUser(q: String): Unit =
     "(?is)^set\\s+user\\.name\\s*=\\s*(\\S+)\\s*$".r
       .findFirstMatchIn(q.trim.stripSuffix(";"))
-      .foreach(x => auth.currentUser = x.group(1).trim)
+      .foreach { x =>
+        val allowed = !authEnforcementOn ||
+          spark.conf.getOption("spark.graft.authorization.userswitch")
+            .contains("true")
+        if (allowed) auth.currentUser = x.group(1).trim
+      }
 
   /** Input tables referenced by a query text: UnresolvedRelations of
-    * the stock-parsed plan minus CTE names; regex fallback when the
-    * text is dialect-only. */
+    * the stock-parsed plan minus CTE names — INCLUDING relations that
+    * appear only inside subquery expressions (IN/EXISTS/scalar
+    * subqueries), which the analyzer turns into ReadEntities and the
+    * reference authorizer therefore checks
+    * (ql/parse/SemanticAnalyzer.java getMetaData walks subquery
+    * QBs). `collect` alone stops at the relational tree, so a plain
+    * traversal would let `WHERE x IN (SELECT y FROM secret)` skip
+    * the SELECT check on `secret`. Regex fallback when the text is
+    * dialect-only. */
   private def inputTablesOf(q: String): Seq[Seq[String]] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
     import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
     scala.util.Try {
       val plan = org.apache.spark.sql.catalyst.parser
         .CatalystSqlParser.parsePlan(q)
-      val cte = plan.collect { case w: UnresolvedWith =>
+      val cte = plan.collectWithSubqueries { case w: UnresolvedWith =>
         w.cteRelations.map(_._1.toLowerCase) }.flatten.toSet
-      plan.collect { case r: UnresolvedRelation =>
+      plan.collectWithSubqueries { case r: UnresolvedRelation =>
         r.multipartIdentifier }
         .filterNot(id =>
           id.length == 1 && cte.contains(id.head.toLowerCase))
@@ -1897,8 +1920,8 @@ class HiveStatements(val spark: SparkSession) {
   }
 
   /** Check the statement's required privileges against the session
-    * AuthStore (enabled via `spark.graft.authorization=true` or
-    * `hive.security.authorization.enabled=true`); a denial raises
+    * AuthStore (enabled via `spark.graft.authorization=true` only —
+    * see [[authEnforcementOn]]); a denial raises
     * HiveAccessControlException with the reference's message. The
     * operation → privilege table mirrors Operation2Privilege.java. */
   private[graft] def enforceAuthorization(raw0: String): Unit = {

@@ -32,8 +32,15 @@ class AuthEnforcementSpec extends SparkSpec {
 
   private def withEnforcement(body: HiveStatements => Unit): Unit = {
     spark.conf.set("spark.graft.authorization", "true")
+    // the reference clientnegative scripts switch identity via
+    // `set user.name=...` (test authenticator); that switch is gated
+    // behind its own opt-in while enforcement is on
+    spark.conf.set("spark.graft.authorization.userswitch", "true")
     try body(new HiveStatements(spark))
-    finally spark.conf.unset("spark.graft.authorization")
+    finally {
+      spark.conf.unset("spark.graft.authorization")
+      spark.conf.unset("spark.graft.authorization.userswitch")
+    }
   }
 
   private def denialOf(h: HiveStatements, q: String): String =
@@ -202,6 +209,9 @@ class AuthEnforcementSpec extends SparkSpec {
     }
     val s = spark.newSession()
     s.conf.set("spark.graft.authorization", "true")
+    // the scripts drive identity via `set user.name` (the
+    // reference's test authenticator) — opt in explicitly
+    s.conf.set("spark.graft.authorization.userswitch", "true")
     val h = new HiveStatements(s)
     val createdTables = scala.collection.mutable.Buffer[String]()
     val createdDbs = scala.collection.mutable.Buffer[String]()
@@ -277,6 +287,48 @@ class AuthEnforcementSpec extends SparkSpec {
     val failures = files.flatMap(f => replayNegative(f).map(f -> _))
     assert(failures.isEmpty, failures.map { case (f, m) =>
       s"$f:\n$m" }.mkString("\n\n"))
+  }
+
+  test("a denied table referenced ONLY inside a subquery (IN / " +
+      "EXISTS / scalar) is still checked — subquery plans are " +
+      "ReadEntities, exactly as the reference's SemanticAnalyzer " +
+      "collects them") {
+    withEnforcement { h =>
+      fresh("sq_pub", "sq_secret")
+      h.sql("create table sq_pub(i int)")
+      h.sql("create table sq_secret(j int)")
+      h.sql("grant select on table sq_pub to user user1")
+      h.sql("set user.name=user1")
+      // the outer table is granted; only the subquery table is not
+      for (q <- Seq(
+          "select * from sq_pub where i in (select j from sq_secret)",
+          "select * from sq_pub p where exists " +
+            "(select 1 from sq_secret s where s.j = p.i)",
+          "select i, (select max(j) from sq_secret) m from sq_pub"))
+        assert(denialOf(h, q).contains(
+          "[SELECT] on Object [type=TABLE_OR_VIEW, " +
+            "name=default.sq_secret]"), q)
+      h.sql("set user.name=hive_test_user")
+      fresh("sq_pub", "sq_secret")
+    }
+  }
+
+  test("while enforcement is ON, `set user.name` does NOT switch " +
+      "identity unless the test-authenticator opt-in conf is set — " +
+      "no unauthenticated privilege escalation") {
+    spark.conf.set("spark.graft.authorization", "true")
+    try {
+      val h = new HiveStatements(spark)
+      fresh("gate_t")
+      h.sql("create table gate_t(i int)") // owner: hive_test_user
+      val before = h.auth.currentUser
+      h.sql("set user.name=intruder")
+      assert(h.auth.currentUser === before,
+        "identity must not change without the userswitch opt-in")
+      // and the (unchanged) owner can still read their table
+      assert(h.sql("select * from gate_t").isDefined)
+      fresh("gate_t")
+    } finally spark.conf.unset("spark.graft.authorization")
   }
 
   test("enforcement stays fully off without the conf — the " +
