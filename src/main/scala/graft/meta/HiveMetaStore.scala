@@ -1538,8 +1538,23 @@ class HiveMetaStore(val spark: SparkSession,
     (cols, labels)
   }
 
-  /** SHOW PARTITIONS names for a RESOLVED table: current rows'
-    * distinct partition tuples ∪ metadata-only ADD PARTITION specs,
+  /** SHOW PARTITIONS names for a RESOLVED table, answered from
+    * METADATA ONLY — the reference answers from the metastore
+    * (ObjectStore.listPartitionNames), never from a table scan, and
+    * at scale a metadata query must not read data. Sources, unioned:
+    *  1. the session catalog's tracked partitions
+    *     (CREATE TABLE ... PARTITIONED BY tables track partitions in
+    *     the catalog; INSERT registers the ones it writes),
+    *  2. the partition DIRECTORY names under the table location
+    *     (filesystem-namespace listing, depth = #partition columns —
+    *     covers writers that bypass catalog partition tracking; no
+    *     file content is ever opened),
+    *  3. metadata-only ADD PARTITION specs recorded by this store.
+    * A temp-view-backed name falls back to the legacy distinct()
+    * scan — temp views (including a rebuild()'s checkpoint view
+    * shadowing the physical table after a row-level partition edit)
+    * are this engine's mutable-view model and carry no catalog
+    * metadata that could answer (the reference has no such object).
     * escapePathName-rendered, metastore-sorted. `isView`: a view's
     * partitions are ONLY the explicitly ADDed ones. */
   def showPartitionNames(table: String, lc: String, pcs: Seq[String],
@@ -1547,14 +1562,50 @@ class HiveMetaStore(val spark: SparkSession,
     val df = scala.util.Try(spark.table(table)).getOrElse(return None)
     val pFields = pcs.flatMap(p => df.columns.find(_.equalsIgnoreCase(p)))
     if (pFields.size != pcs.size) return None
+    val shadowed = spark.sessionState.catalog.getTempView(table).isDefined
+    val catMeta: Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] =
+      if (shadowed) None
+      else scala.util.Try(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))).toOption
+    def fromCatalog: Seq[Seq[String]] = catMeta.toSeq.flatMap { _ =>
+      scala.util.Try(spark.sessionState.catalog.listPartitions(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+        .getOrElse(Nil)
+        .flatMap { p =>
+          val vals = pcs.map(pc => p.spec.collectFirst {
+            case (n, v) if n.equalsIgnoreCase(pc) => v })
+          if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
+        }
+    }
+    def fromLocation: Seq[Seq[String]] = catMeta.toSeq.flatMap { m =>
+      scala.util.Try {
+        val root = new org.apache.hadoop.fs.Path(m.location)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def walk(dir: org.apache.hadoop.fs.Path, depth: Int,
+            acc: List[String]): Seq[Seq[String]] =
+          if (depth == pcs.size) Seq(acc.reverse)
+          else fs.listStatus(dir).toSeq
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.toLowerCase.startsWith(
+                pcs(depth).toLowerCase + "="))
+            .flatMap(st => walk(st.getPath, depth + 1,
+              unescapePathName(st.getPath.getName
+                .substring(pcs(depth).length + 1)) :: acc))
+        if (fs.exists(root)) walk(root, 0, Nil) else Nil
+      }.getOrElse(Nil)
+    }
+    // last resort, NON-catalog objects only (temp view over a
+    // DataFrame): no metadata exists, scan for distinct tuples
+    def fromScan: Seq[Seq[String]] = df
+      .select(pFields.map(org.apache.spark.sql.functions.col): _*)
+      .distinct().collect().toSeq.map(r =>
+        (0 until r.length).map(i =>
+          if (r.isNullAt(i)) graft.HiveStatements.DefaultPartitionName
+          else r.get(i).toString))
     val fromRows: Seq[Seq[String]] =
       if (isView) Nil
-      else df
-        .select(pFields.map(org.apache.spark.sql.functions.col): _*)
-        .distinct().collect().toSeq.map(r =>
-          (0 until r.length).map(i =>
-            if (r.isNullAt(i)) graft.HiveStatements.DefaultPartitionName
-            else r.get(i).toString))
+      else if (catMeta.isDefined) fromCatalog ++ fromLocation
+      else fromScan
     val fromAdds: Seq[Seq[String]] =
       addedParts.getOrElse(lc, Nil).toSeq.map(kv =>
         pcs.map(pc => kv.collectFirst {

@@ -90,6 +90,26 @@ object MetaRender {
     sb.toString
   }
 
+  /** FileUtils.unescapePathName: the inverse of [[escapePathName]] —
+    * `%XX` sequences in a partition DIRECTORY name decode back to the
+    * raw partition value (used when SHOW PARTITIONS answers from the
+    * filesystem namespace instead of a data scan). */
+  def unescapePathName(v: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '%' && i + 2 < v.length &&
+          v.substring(i + 1, i + 3).forall(h =>
+            h.isDigit || ('A' <= h && h <= 'F') ||
+              ('a' <= h && h <= 'f'))) {
+        sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** MetaDataFormatUtils list rendering: `[a, b, c]`. */
   def jlist(xs: Seq[String]): String = xs.mkString("[", ", ", "]")
 }

@@ -312,26 +312,43 @@ class DialectSpec extends SparkSpec {
     assert(nope.toSeq === Seq("Function 'no_such_fn_xyz' does not exist."))
   }
 
-  test("public entry: SHOW PARTITIONS lists rows ∪ metadata-only " +
-      "ADD PARTITION specs with escapePathName naming") {
+  test("public entry: SHOW PARTITIONS lists inserted partitions ∪ " +
+      "metadata-only ADD PARTITION specs with escapePathName naming, " +
+      "and answers from METADATA ONLY — zero Spark jobs, no data " +
+      "scan (reference ObjectStore.listPartitionNames)") {
     val h = new HiveStatements(spark)
     h.sql("DROP TABLE IF EXISTS meta_parts")
     h.sql("CREATE TABLE meta_parts (k INT) PARTITIONED BY (ds STRING)")
     // real rows in two partitions through the dialect INSERT path
-    import spark.implicits._
-    Seq((1, "2008-04-08"), (2, "2008-04-09")).toDF("k", "ds")
-      .createOrReplaceTempView("meta_parts")
+    h.sql("INSERT INTO meta_parts PARTITION (ds='2008-04-08') VALUES (1)")
+    h.sql("INSERT INTO meta_parts PARTITION (ds='2008-04-09') VALUES (2)")
     // a metadata-only partition (no rows)
     h.sql("ALTER TABLE meta_parts ADD PARTITION (ds='2008-04-10')")
-    val parts = h.sql("SHOW PARTITIONS meta_parts").get.collect()
-      .map(_.getString(0)).toSeq
+    // count Spark jobs across the metadata query: a distinct() scan
+    // would submit at least one; the metastore answer submits none
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (parts, one) = try {
+      val p = h.sql("SHOW PARTITIONS meta_parts").get.collect()
+        .map(_.getString(0)).toSeq
+      val o = h.sql(
+        "SHOW PARTITIONS meta_parts PARTITION (ds='2008-04-09')").get
+        .collect().map(_.getString(0)).toSeq
+      Thread.sleep(500) // listener events deliver asynchronously
+      (p, o)
+    } finally spark.sparkContext.removeSparkListener(listener)
     assert(parts === Seq("ds=2008-04-08", "ds=2008-04-09",
       "ds=2008-04-10"), parts.mkString("\n"))
-    val one = h.sql(
-      "SHOW PARTITIONS meta_parts PARTITION (ds='2008-04-09')").get
-      .collect().map(_.getString(0)).toSeq
     assert(one === Seq("ds=2008-04-09"))
-    spark.catalog.dropTempView("meta_parts")
+    assert(jobs.get() === 0,
+      s"SHOW PARTITIONS submitted ${jobs.get()} Spark job(s) — it " +
+        "must answer from catalog/filesystem metadata, never a scan")
+    h.sql("DROP TABLE IF EXISTS meta_parts")
   }
 
   test("CREATE TEMPORARY MACRO equivalent: SQL scalar function") {
