@@ -23,6 +23,10 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// forward opt-in flags into the forked test JVM
+// (sbt -Dgraft.slow=1 ... / sbt -Dgraft.hplsql.regen=1 ...)
+javaOptions ++= Seq("graft.slow", "graft.hplsql.regen")
+  .flatMap(k => sys.props.get(k).map(v => s"-D$k=$v"))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   // per-session function re-registration WARNs flood the replay logs

@@ -372,9 +372,17 @@ class HiveStatements(val spark: SparkSession) {
     "partStorage", "partBucketMeta", "colStats", "authGrants",
     "authRoles", "authRoleGrants", "authOwners", "catalogTables")
 
+  /** Prefix match without the per-call substring allocation — this
+    * runs O(entries) times per save, so constants matter at 50k+
+    * partitions. */
+  private val shardedPrefixes = shardedNames.toArray.map(_ + "/")
   private def isShardKey(k: String): Boolean = {
-    val i = k.indexOf('/')
-    i > 0 && shardedNames.contains(k.substring(0, i))
+    var i = 0
+    while (i < shardedPrefixes.length) {
+      if (k.startsWith(shardedPrefixes(i))) return true
+      i += 1
+    }
+    false
   }
 
   private def md5hex(s: String): String =
@@ -480,59 +488,66 @@ class HiveStatements(val spark: SparkSession) {
     * snapshot builds fresh row vectors) — they are session-scale,
     * not partition-scale. */
   private final class ShardCacheLine(val tag: String,
-      val extra: AnyRef, val full: String, val line: String)
+      val extra: AnyRef, val kv: (String, String))
   private val shardEncodeCache =
     new java.util.IdentityHashMap[AnyRef, ShardCacheLine]()
 
   private def memoLine(name: String, cacheKey: AnyRef, tag: String,
       extra: AnyRef, id: => Any, value: => Any): (String, String) = {
     val hit = shardEncodeCache.get(cacheKey)
-    if (hit != null && hit.tag == tag && (hit.extra eq extra))
-      (hit.full, hit.line)
+    if (hit != null && hit.tag == tag && (hit.extra eq extra)) hit.kv
     else {
       val full = name + "/" + md5hex(graft.meta.LedgerJson.encode(id))
-      val line = graft.meta.LedgerJson.encodeLine(full, value)
-      shardEncodeCache.put(cacheKey,
-        new ShardCacheLine(tag, extra, full, line))
-      (full, line)
+      // the cached KEY and LINE are stable String objects, and the
+      // tuple itself is cached too — a hit is pure pointer work, so
+      // the per-save walk costs O(entries) identity checks, not
+      // O(entries) re-encoding or allocation
+      val kv = (full, graft.meta.LedgerJson.encodeLine(full, value))
+      shardEncodeCache.put(cacheKey, new ShardCacheLine(tag, extra, kv))
+      kv
     }
   }
 
   /** The current metastore state as flat persisted lines: whole-map
     * names one line each, sharded names one line per entry. */
   private def ledgerLines(): Seq[(String, String)] = {
-    val out = ledgerSnapshot().toSeq.flatMap { case (k, v) =>
+    // direct foreach into one buffer — no intermediate per-map Lists;
+    // this walk runs once per save, so at partition scale its
+    // allocation profile is the save's allocation profile
+    val out = new scala.collection.mutable.ArrayBuffer[(String, String)](
+      1024)
+    ledgerSnapshot().foreach { case (k, v) =>
       if (!shardedNames.contains(k))
-        Seq(k -> graft.meta.LedgerJson.encodeLine(k, v))
+        out += (k -> graft.meta.LedgerJson.encodeLine(k, v))
       else k match {
         case "addedParts" =>
-          meta.addedParts.toSeq.flatMap { case (t, ps) =>
-            ps.toSeq.map(p => memoLine(k,
+          meta.addedParts.foreach { case (t, ps) =>
+            ps.foreach(p => out += memoLine(k,
               p.asInstanceOf[AnyRef], t, null, (t, p), (t, p)))
           }
         case "partSchemas" =>
-          meta.partSchemas.toSeq.flatMap { case (t, pm) =>
-            pm.toSeq.map { case (pv, st) => memoLine(k,
+          meta.partSchemas.foreach { case (t, pm) =>
+            pm.foreach { case (pv, st) => out += memoLine(k,
               pv.asInstanceOf[AnyRef], t, st, (t, pv), (t, pv, st)) }
           }
         case "partStorage" =>
-          meta.partStorage.toSeq.map { case (pk, x) => memoLine(k,
+          meta.partStorage.foreach { case (pk, x) => out += memoLine(k,
             pk.asInstanceOf[AnyRef], "", x, pk, (pk, x)) }
         case "partBucketMeta" =>
-          meta.partBucketMeta.toSeq.map { case (pk, x) => memoLine(k,
-            pk.asInstanceOf[AnyRef], "", x, pk, (pk, x)) }
+          meta.partBucketMeta.foreach { case (pk, x) => out += memoLine(
+            k, pk.asInstanceOf[AnyRef], "", x, pk, (pk, x)) }
         case _ =>
-          explodeSharded(k, v).map { case (id, value) =>
+          explodeSharded(k, v).foreach { case (id, value) =>
             val full =
               k + "/" + md5hex(graft.meta.LedgerJson.encode(id))
-            full -> graft.meta.LedgerJson.encodeLine(full, value)
+            out += (full -> graft.meta.LedgerJson.encodeLine(full, value))
           }
       }
     }
     // dropped entries leave stale cache rows behind — bound the cache
     if (shardEncodeCache.size > 2 * out.size + 1024)
       shardEncodeCache.clear()
-    out
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out.toArray)
   }
 
   /** How many delta segments accumulate before the ledger considers
@@ -564,18 +579,62 @@ class HiveStatements(val spark: SparkSession) {
     * Every file lands via write-tmp + rename-with-OVERWRITE, so a
     * crash at any instant leaves either the old or the new state.
     * After [[ledgerCompactEvery]] segments the whole thing compacts
-    * back to one base snapshot and the segments are removed. */
+    * back to one base snapshot and the segments are removed.
+    *
+    * MULTI-WRITER GUARANTEE (precise): concurrent writers on one
+    * path — threads in this JVM or separate JVMs — never lose each
+    * other's writes to the SHARDED per-entry collections
+    * (partitions, grants, roles, owners, stats, catalog-table
+    * records): segment names are nonce-collision-free, every save
+    * rescans the dir, compaction folds foreign shard entries into
+    * the new base and re-lists before deleting anything, and a
+    * writer whose epoch went stale under a foreign compaction adopts
+    * the advanced base epoch from the header before its next delta.
+    * The WHOLE-MAP keys (tableProps, dbTables, knownDbs, colComments,
+    * view texts, …) are snapshot-encoded per session: two sessions
+    * concurrently editing the SAME map merge last-writer-wins at the
+    * granularity of the whole map, like HiveConf-level metadata in
+    * the reference. Concurrent DDL on DISJOINT maps is safe;
+    * concurrent DDL mutating the same whole-map key from two
+    * sessions is not serialized — deployments needing that should
+    * route DDL through one dispatcher (the Connect endpoint does).
+    * Residual cross-process window: a stale-epoch delta landing
+    * AFTER the compactor's final re-list pass survives on disk but
+    * is ignored by loaders; the window is one directory listing
+    * wide. */
   def saveMetastoreLedger(): Unit = metastorePath.foreach { p =>
     HiveStatements.ledgerLock(p).synchronized {
     val path = new org.apache.hadoop.fs.Path(p)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = path.getFileSystem(conf)
     val lines: Seq[(String, String)] = ledgerLines()
-    val lineKeys = lines.map(_._1).toSet
+    // ONE pass for the key set + the changed-vs-last-write diff: a
+    // java HashSet (flat, open-addressed buckets) beats rebuilding an
+    // immutable trie per save — this is the per-save O(entries) walk,
+    // so its constant decides the 100k-partition DDL latency
+    val lineKeys = new java.util.HashSet[String](lines.size * 2)
+    val changedB = Vector.newBuilder[(String, String)]
+    var newKeys = 0
+    lines.foreach { kv =>
+      lineKeys.add(kv._1)
+      // memoized entries return the SAME String object save-to-save,
+      // so the unchanged case is a reference check, no Option alloc
+      val prev = ledgerWritten.getOrElse(kv._1, null)
+      if (prev eq null) { newKeys += 1; changedB += kv }
+      else if ((prev ne kv._2) && prev != kv._2) changedB += kv
+    }
+    val changed = changedB.result()
     // per-entry keys we wrote before that no longer exist (DROP
-    // PARTITION / REVOKE / DROP TABLE) → tombstone lines
-    val removed = ledgerWritten.keysIterator
-      .filter(k => isShardKey(k) && !lineKeys.contains(k)).toVector
+    // PARTITION / REVOKE / DROP TABLE) → tombstone lines. Keys are
+    // unique per entry, so set arithmetic tells whether ANY removal
+    // happened — the common ADD/GRANT save skips this walk entirely,
+    // and when it does run, membership is checked before the prefix
+    // scan (almost every key is still live)
+    val removedCount = ledgerWritten.size + newKeys - lineKeys.size
+    val removed =
+      if (removedCount <= 0) Vector.empty[String]
+      else ledgerWritten.keysIterator
+        .filter(k => !lineKeys.contains(k) && isShardKey(k)).toVector
     val dd = ledgerDeltaDir(path)
     // rescan the segment dir every save: a CONCURRENT writer on the
     // same path may have appended segments since our last write —
@@ -595,20 +654,79 @@ class HiveStatements(val spark: SparkSession) {
       // writer appended since we loaded ride along into the new base —
       // a compaction must never erase a sibling session's grants/DDL.
       val segs = liveSegs()
+      val preOwned = ledgerWritten.keySet.toSet
+      def isForeign(k: String): Boolean =
+        isShardKey(k) && !lineKeys.contains(k) && !preOwned.contains(k)
       val foreign = readLedgerRawLines(fs, path).map(_._2)
         .getOrElse(scala.collection.mutable.LinkedHashMap.empty)
-        .filter { case (k, _) =>
-          isShardKey(k) && !lineKeys.contains(k) &&
-            !ledgerWritten.contains(k) }
+        .filter { case (k, _) => isForeign(k) }
       val existingEpochs = segs.flatMap(segEpoch)
       ledgerEpoch = (existingEpochs :+ ledgerEpoch).max + 1
-      val all = lines ++ foreign.toSeq
-      atomicWrite(fs, conf, path,
+      val allMap = scala.collection.mutable.LinkedHashMap[String, String]()
+      allMap ++= lines
+      allMap ++= foreign
+      def writeBase(): Unit = atomicWrite(fs, conf, path,
         s"""{"graftLedgerVersion":2,"epoch":$ledgerEpoch}""" +:
-          all.map(_._2))
-      scala.util.Try(if (fs.exists(dd)) fs.delete(dd, true))
+          allMap.values.toSeq)
+      writeBase()
+      onCompactionBaseWritten()
+      // CROSS-PROCESS window: a sibling JVM's delta may land between
+      // our pre-read above and the cleanup below (the in-JVM per-path
+      // lock cannot see another process). Deleting it unapplied would
+      // lose the sibling's write, so before removing ANY segment,
+      // re-list the dir and fold every segment we did not account for
+      // into the base, looping until a pass discovers nothing new.
+      // Cleanup then deletes exactly the accounted files — a delta
+      // landing after the final pass survives on disk: if it carries
+      // the new epoch (its writer adopted it from the base header) the
+      // loader applies it; a stale-epoch one is the residual
+      // last-instant window, documented in SURVEY's durability notes.
+      val accounted = scala.collection.mutable.Set[String]()
+      accounted ++= segs.map(_.getName)
+      var passes = 0
+      var stable = false
+      while (!stable && passes < 8) {
+        passes += 1
+        val newcomers = liveSegs()
+          .filterNot(s => accounted.contains(s.getName))
+          .sortBy(_.getName)
+        if (newcomers.isEmpty) stable = true
+        else {
+          var changed = false
+          newcomers.foreach { s =>
+            accounted += s.getName
+            scala.util.Try {
+              val rd = new java.io.BufferedReader(
+                new java.io.InputStreamReader(fs.open(s),
+                  java.nio.charset.StandardCharsets.UTF_8))
+              try {
+                var line = rd.readLine()
+                while (line != null) {
+                  if (line.trim.nonEmpty) {
+                    val (k, _) = graft.meta.LedgerJson.decodeLine(line)
+                    if (isForeign(k)) {
+                      if (graft.meta.LedgerJson.isTombstone(line)) {
+                        if (allMap.remove(k).isDefined) changed = true
+                      } else if (!allMap.get(k).contains(line)) {
+                        allMap(k) = line; changed = true
+                      }
+                    }
+                  }
+                  line = rd.readLine()
+                }
+              } finally rd.close()
+            }
+          }
+          if (changed) writeBase()
+        }
+      }
+      accounted.foreach(n => scala.util.Try(
+        fs.delete(new org.apache.hadoop.fs.Path(dd, n), false)))
+      scala.util.Try(
+        if (fs.exists(dd) && fs.listStatus(dd).isEmpty)
+          fs.delete(dd, true))
       ledgerWritten.clear()
-      ledgerWritten ++= all
+      ledgerWritten ++= allMap
       ledgerDeltaSeq = 0
     }
     val segsNow = liveSegs()
@@ -624,9 +742,17 @@ class HiveStatements(val spark: SparkSession) {
     if (ledgerWritten.isEmpty || !fs.exists(path) || compactDue)
       fullWrite()
     else {
-      val changed = lines.filter { case (k, l) =>
-        !ledgerWritten.get(k).contains(l) }
       if (changed.nonEmpty || removed.nonEmpty) {
+        // CROSS-PROCESS: a sibling JVM's compaction may have advanced
+        // the base epoch since we loaded; a segment stamped with our
+        // stale epoch would be invisible to every future loader. One
+        // cheap header read per save keeps our deltas applied — the
+        // sibling's compaction folded our previously-written shard
+        // entries into its base, so our diff base stays valid.
+        baseEpochOf(fs, path).filter(_ > ledgerEpoch).foreach { be =>
+          ledgerEpoch = be
+          ledgerDeltaSeq = 0
+        }
         val taken = liveSegs().filter(s => segEpoch(s).contains(ledgerEpoch))
           .flatMap(segSeq)
         ledgerDeltaSeq = ((taken :+ ledgerDeltaSeq).max) + 1
@@ -641,6 +767,28 @@ class HiveStatements(val spark: SparkSession) {
     }
     }
   }
+
+  /** Test seam: invoked between a compaction's base write and its
+    * re-list-and-merge pass, where a concurrent writer's delta may
+    * land. Production no-op. */
+  protected def onCompactionBaseWritten(): Unit = ()
+
+  /** The epoch recorded in the on-disk base snapshot's header line,
+    * None when the file is missing or pre-v2. A small single-line
+    * read — cheap enough to run once per delta save. */
+  private def baseEpochOf(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): Option[Int] =
+    scala.util.Try {
+      val rd = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(path),
+          java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        val h = Option(rd.readLine()).getOrElse("")
+        if (!h.startsWith("""{"graftLedgerVersion""")) None
+        else "\"epoch\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(h)
+          .map(_.group(1).toInt)
+      } finally rd.close()
+    }.toOption.flatten
 
   /** Read the on-disk ledger (base + matching-epoch segments, `.tmp`
     * and `.bak` crash fallbacks) into RAW encoded lines keyed by

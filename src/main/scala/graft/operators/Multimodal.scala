@@ -46,6 +46,42 @@ object Multimodal {
       lit("txt").as("format"),
       length(col("text")).cast("long").as("n_bytes"))
 
+  /** Build an AUDIO media table from documents: each doc's UTF-8
+    * bytes become the sample words of a REAL RIFF/WAVE container
+    * (8-bit unsigned mono PCM at 8 kHz), so the downstream
+    * [[extractFeatures]] exercises the genuine javax.sound.sampled
+    * decode path — header parse, format negotiation, PCM read — not
+    * the opaque-payload stub. Deterministic by construction, which
+    * is what lets a SQL oracle re-derive rate/channels/duration/RMS
+    * arithmetically from the same bytes. mapPartitions is the codec
+    * boundary tier (same as decode); nothing shuffles. */
+  def audioTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, data) =>
+          val n = data.length
+          val bb = java.nio.ByteBuffer.allocate(44 + n)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + n)
+          bb.put("WAVE".getBytes("US-ASCII"))
+          bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+          bb.putShort(1) // PCM
+          bb.putShort(1) // mono
+          bb.putInt(8000) // sample rate
+          bb.putInt(8000) // byte rate (8-bit mono)
+          bb.putShort(1) // block align
+          bb.putShort(8) // bits per sample
+          bb.put("data".getBytes("US-ASCII")); bb.putInt(n)
+          bb.put(data)
+          MediaRow(id, bb.array(), "wav", n.toLong)
+        }
+      }.toDF()
+  }
+
   /** STUB decoder: deterministic byte statistics standing in for a real
     * image/audio decode. Replace with a codec at deployment; signature
     * (bytes -> fixed-width feature vector) is the contract. */
@@ -170,36 +206,41 @@ object Multimodal {
         val frames = in.getFrameLength
         if (rate <= 0 || channels <= 0 || frames <= 0) return None
         val data = in.readAllBytes()
-        var sumSq = 0d
+        // INTEGER sum of squares: the RMS is then sqrt of one exact
+        // rational — bit-reproducible against any oracle that folds
+        // the same sample words, with no float-accumulation-order
+        // drift (Long holds 16-bit squares for ~2^33 samples)
+        var sumSq = 0L
         var n = 0L
         var checksum = 17L
+        var scale = 1d
         if (bits == 16) {
+          scale = 32768d
           val big = fmt.isBigEndian
           var i = 0
           while (i + 1 < data.length) {
             val s =
               if (big) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
               else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
-            val x = s / 32768d
-            sumSq += x * x
+            sumSq += s.toLong * s
             checksum = checksum * 31 + s
             n += 1
             i += 2
           }
         } else if (bits == 8) {
           // WAV 8-bit PCM is UNSIGNED, centered at 128
+          scale = 128d
           var i = 0
           while (i < data.length) {
             val s = (data(i) & 0xff) - 128
-            val x = s / 128d
-            sumSq += x * x
+            sumSq += s.toLong * s
             checksum = checksum * 31 + s
             n += 1
             i += 1
           }
         } else return None
         if (n == 0) return None
-        val rms = math.sqrt(sumSq / n)
+        val rms = math.sqrt(sumSq / (n * scale * scale))
         val duration = frames / rate
         Some((checksum, rms,
           Array(rate, channels.toDouble, duration, rms)))

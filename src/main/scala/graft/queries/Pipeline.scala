@@ -708,6 +708,42 @@ object Pipeline {
            CAST(h2 AS DOUBLE) AS f2, CAST(h3 AS DOUBLE) AS f3
     FROM agg ORDER BY doc_id"""
 
+  /** REAL audio decode, oracle-checked end-to-end: each document's
+    * bytes are wrapped as a genuine 8-bit unsigned mono 8 kHz WAV
+    * (Multimodal.audioTable), decoded through javax.sound.sampled —
+    * header parse, PCM read, per-sample math — and the oracle
+    * re-derives every output arithmetically from the same bytes:
+    * f0 = 8000 (rate), f1 = 1 (channels), f2 = n/8000 (duration s),
+    * f3 = mean_byte = RMS of (b-128)/128, checksum = the signed
+    * sample fold h*31+s mod 2^64. */
+  def q_multimodal_audio(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.audioTable(t(spark, dir)("documents")))
+      .presentSorted("doc_id")
+
+  val q_multimodal_audio_sql: String = """
+    WITH b AS (SELECT doc_id, length(text) AS n,
+                      list_transform(range(1, length(text) + 1),
+                        i -> unicode(text[i]) - 128) AS ss
+               FROM documents),
+    agg AS (SELECT doc_id, n,
+      list_reduce(list_prepend(CAST(17 AS HUGEINT),
+          list_transform(ss, x -> CAST(x AS HUGEINT))),
+        (h, x) -> (((h * 31 + x) % 18446744073709551616)
+                   + 18446744073709551616) % 18446744073709551616)
+        AS cs,
+      list_sum(list_transform(ss, x -> x * x)) AS ssq
+      FROM b)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN cs >= 9223372036854775808
+                THEN cs - 18446744073709551616 ELSE cs END AS BIGINT)
+             AS checksum,
+           CAST(sqrt(ssq / (n * 16384.0)) AS DOUBLE) AS mean_byte,
+           CAST(8000 AS DOUBLE) AS f0, CAST(1 AS DOUBLE) AS f1,
+           CAST(n / 8000.0 AS DOUBLE) AS f2,
+           CAST(sqrt(ssq / (n * 16384.0)) AS DOUBLE) AS f3
+    FROM agg ORDER BY doc_id"""
+
   /** Frame-sample plumbing: one payload -> 4 contiguous byte-range
     * "frames", one row each, digested per frame under a composite
     * frame_id = doc_id * 4 + frame_no; the oracle slices the same
@@ -877,6 +913,7 @@ object Pipeline {
     "q_decontaminate" -> (q_decontaminate _),
     "q_multimodal_resize" -> (q_multimodal_resize _),
     "q_multimodal_frames" -> (q_multimodal_frames _),
+    "q_multimodal_audio" -> (q_multimodal_audio _),
     "q_multimodal" -> (q_multimodal _),
     "q_agg_approx" -> (q_agg_approx _))
 
@@ -906,6 +943,7 @@ object Pipeline {
     "q_decontaminate" -> q_decontaminate_sql,
     "q_multimodal_resize" -> q_multimodal_resize_sql,
     "q_multimodal_frames" -> q_multimodal_frames_sql,
+    "q_multimodal_audio" -> q_multimodal_audio_sql,
     "q_sim_ivf" -> q_sim_ivf_sql,
     "q_agg_approx" -> q_agg_approx_sql)
 }

@@ -462,6 +462,62 @@ class MetastorePersistenceSpec extends SparkSpec {
       .toSet.contains("race_role_b"))
   }
 
+  test("cross-PROCESS compaction window: a foreign delta landing " +
+      "between the compaction's pre-read and its cleanup is folded " +
+      "into the new base (re-list-and-merge), and a writer whose " +
+      "epoch went stale under a foreign compaction adopts the " +
+      "advanced base epoch so its next delta stays visible") {
+    val base = java.nio.file.Files.createTempDirectory("graft_msx")
+    val ledger = s"$base/ms.ledger"
+    val sA = spark.newSession()
+    val sB = spark.newSession()
+    sA.conf.set("spark.graft.metastore.path", ledger)
+    sB.conf.set("spark.graft.metastore.path", ledger)
+    val hA = new HiveStatements(sA)
+    hA.sql("GRANT SELECT ON TABLE xw_t TO USER seedA") // writes the base
+    // a sibling "process" writes a delta; capture its bytes and pull
+    // the file back OFF disk so the compactor's pre-read cannot see
+    // it — the in-JVM lock is deliberately bypassed, exactly like a
+    // second JVM whose delta lands mid-compaction
+    val hB = new HiveStatements(sB)
+    hB.sql("GRANT INSERT ON TABLE xw_t TO USER victimB")
+    val dd = new java.io.File(s"$base/.ms.ledger.delta")
+    val seg = dd.listFiles().filter(_.getName.endsWith(".json"))
+      .maxBy(_.getName)
+    val segBytes = java.nio.file.Files.readAllBytes(seg.toPath)
+    java.nio.file.Files.delete(seg.toPath)
+    // compactor: every save compacts; the seam re-lands the sibling's
+    // (stale-epoch) delta exactly between base write and cleanup
+    val hC = new HiveStatements(sA) {
+      override protected def ledgerCompactEvery = 1
+      override protected def ledgerCompactRatio = 0.0
+      override protected def onCompactionBaseWritten(): Unit =
+        java.nio.file.Files.write(seg.toPath, segBytes)
+    }
+    hC.sql("GRANT SELECT ON TABLE xw_t TO USER fromC")
+    assert(!seg.exists(),
+      "the folded foreign segment should be cleaned up")
+    val sD = spark.newSession()
+    sD.conf.set("spark.graft.metastore.path", ledger)
+    val hD = new HiveStatements(sD)
+    val grants = hD.sql("SHOW GRANT ON TABLE xw_t").get.collect()
+      .map(_.getString(4)).toSet
+    assert(grants === Set("seedA", "victimB", "fromC"),
+      s"foreign delta lost in the compaction window: $grants")
+    // epoch adoption: hB still believes the PRE-compaction epoch; its
+    // next delta must adopt the advanced base epoch or every future
+    // loader would ignore the segment
+    hB.sql("GRANT INSERT ON TABLE xw_t TO USER lateB")
+    val sE = spark.newSession()
+    sE.conf.set("spark.graft.metastore.path", ledger)
+    val hE = new HiveStatements(sE)
+    val after = hE.sql("SHOW GRANT ON TABLE xw_t").get.collect()
+      .map(_.getString(4)).toSet
+    assert(after === Set("seedA", "victimB", "fromC", "lateB"),
+      s"stale-epoch writer's delta invisible after foreign " +
+        s"compaction: $after")
+  }
+
   test("atomicReplaceFallback crash window: dst moved aside to .bak, " +
       "crash before the new file renames in — the loader recovers " +
       "the NEWEST complete snapshot from .tmp, never loses both") {
@@ -539,6 +595,66 @@ class MetastorePersistenceSpec extends SparkSpec {
       .map(_.getString(4)).toSet
     assert(who === Set("beforeswitch", "beforeswitch2", "afterswitch"),
       s"keys lost across the path switch: $who")
+  }
+
+  test("50k-entry ledger scale (slow; run with -Dgraft.slow=1): " +
+      "per-statement SAVE latency stays flat as the metastore grows " +
+      "— the identity-memoized entry encodings make each delta save " +
+      "O(changed entries) + a cheap cache-hit walk, not " +
+      "O(metastore) re-encoding") {
+    assume(sys.props.contains("graft.slow"),
+      "slow-tagged: ~6-8 min, dominated by Spark's own per-partition " +
+        "catalog directory creation; enable with -Dgraft.slow=1")
+    val base = java.nio.file.Files.createTempDirectory("graft_ms50k")
+    val ledger = s"$base/ms.ledger"
+    spark.conf.set("spark.graft.metastore.path", ledger)
+    try {
+      // measure OUR persistence layer per save — the statement wall
+      // time is dominated by Spark's InMemoryCatalog mkdir-per-
+      // partition (the reference metastore mkdirs per add_partition
+      // too), which is not what the memoization claim is about
+      val saveTimes = scala.collection.mutable.ArrayBuffer[Long]()
+      val h1 = new HiveStatements(spark) {
+        override def saveMetastoreLedger(): Unit = {
+          val t0 = System.nanoTime()
+          super.saveMetastoreLedger()
+          saveTimes += System.nanoTime() - t0
+        }
+      }
+      freshTable("big_t")
+      h1.sql("CREATE TABLE big_t (k INT) PARTITIONED BY (ds STRING) " +
+        "STORED AS PARQUET")
+      // 1000 batched statements × 50 partitions = 50k entries, the
+      // shape of a real migration
+      var next = 0
+      (0 until 1000).foreach { _ =>
+        val specs = (1 to 50).map { _ =>
+          next += 1; s"PARTITION (ds='p$next')" }.mkString(" ")
+        h1.sql(s"ALTER TABLE big_t ADD IF NOT EXISTS $specs")
+      }
+      def medianMs(xs: Seq[Long]): Double = {
+        val s = xs.sorted; s(s.size / 2) / 1e6
+      }
+      // early steady state (~5k-10k entries) vs late (~45k-50k);
+      // median sidesteps the rare geometric compaction rewrites
+      val n = saveTimes.size
+      val early = medianMs(saveTimes.slice(n / 10, n / 5).toSeq)
+      val late = medianMs(saveTimes.slice(n - 100, n).toSeq)
+      info(f"per-save median: early(~5-10k)=$early%.1f ms, " +
+        f"late(~45-50k)=$late%.1f ms over $n saves")
+      assert(late < 300.0,
+        f"median save latency $late%.1f ms at 50k entries — " +
+          "per-entry memoization is not holding (re-encoding all " +
+          "entries would sit at 1s+; the memoized walk is ~3 µs/entry)")
+      assert(late < math.max(early, 5.0) * 8,
+        f"save latency grew ${late / math.max(early, 5.0)}%.1fx " +
+          "from 5k to 50k entries — cost is scaling with re-encoding")
+      // durability: a fresh loader sees all 50k
+      val h2 = new HiveStatements(spark)
+      val cnt = h2.sql("SHOW PARTITIONS big_t").get.collect().length
+      assert(cnt === 50000, s"$cnt partitions after restart")
+      freshTable("big_t")
+    } finally spark.conf.unset("spark.graft.metastore.path")
   }
 
   test("5k-partition lifecycle: batched ADDs with interleaved DROP/" +

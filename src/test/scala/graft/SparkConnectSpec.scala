@@ -127,6 +127,57 @@ class SparkConnectSpec extends SparkSpec {
     }
   }
 
+  test("enforcement DENIAL over gRPC: with authorization on, an " +
+      "unprivileged client's SELECT raises and the wire error " +
+      "carries the reference's Permission denied text") {
+    val sc = spark.sparkContext
+    org.apache.spark.sql.connect.service.SparkConnectService.start(sc)
+    val svc = org.apache.spark.sql.connect.service.SparkConnectService
+    val srv = svc.getClass.getMethod("server").invoke(svc)
+    val port = srv.getClass.getMethod("getPort").invoke(srv)
+      .asInstanceOf[Int]
+    try {
+      val remote = org.apache.spark.sql.connect.SparkSession.builder()
+        .remote(s"sc://localhost:$port").create()
+      try {
+        remote.sql("SET spark.graft.dialect=true").collect()
+        remote.sql("SET spark.graft.authorization=true").collect()
+        // the scripts' identity model (test authenticator) is its own
+        // opt-in while enforcement is on
+        remote.sql("SET spark.graft.authorization.userswitch=true")
+          .collect()
+        // pin the creator identity (the session default is the OS
+        // user; ownership keys on whoever runs the CREATE)
+        remote.sql("SET user.name=conn_owner").collect()
+        remote.sql("CREATE TABLE conn_deny_t (i INT)").collect()
+        remote.sql("SET user.name=conn_unpriv").collect()
+        val e = intercept[Exception](
+          remote.sql("SELECT * FROM conn_deny_t").collect())
+        val msg = Option(e.getMessage).getOrElse("")
+        assert(msg.contains("Permission denied: Principal " +
+          "[name=conn_unpriv, type=USER] does not have following " +
+          "privileges for operation QUERY"), msg)
+        assert(msg.contains("[SELECT] on Object [type=TABLE_OR_VIEW, " +
+          "name=default.conn_deny_t]"), msg)
+        // the owner still reads fine over the same wire
+        remote.sql("SET user.name=conn_owner").collect()
+        assert(remote.sql("SELECT * FROM conn_deny_t").collect()
+          .isEmpty)
+        remote.sql("SET spark.graft.authorization=false").collect()
+        remote.sql("DROP TABLE IF EXISTS conn_deny_t").collect()
+      } finally {
+        remote.close()
+        org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+        org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      }
+    } finally {
+      org.apache.spark.sql.connect.service.SparkConnectService
+        .stop(None, None)
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("durable grants across Connect clients: a grant by client A " +
       "persists through the metastore ledger and a LATER client B " +
       "sees it at construction (HiveServer2-style metastore sharing)") {
