@@ -55,18 +55,29 @@ final class Hplsql(engine: HiveStatements) {
     private var frames: List[
       scala.collection.mutable.LinkedHashMap[String, Any]] = Nil
     private def scope = frames.headOption.getOrElse(global)
+    private def pkgKey(n: String): Option[String] =
+      if (currentPkg.nonEmpty && !n.contains("."))
+        Some(currentPkg + "." + n).filter(global.contains)
+      else None
     def get(n: String): Option[Any] =
       frames.headOption.flatMap(_.get(n)) match {
         case s @ Some(_) => s
-        case None => global.get(n)
+        case None => global.get(n) match {
+          case s @ Some(_) => s
+          case None => pkgKey(n).flatMap(global.get)
+        }
       }
     def contains(n: String): Boolean =
-      frames.headOption.exists(_.contains(n)) || global.contains(n)
+      frames.headOption.exists(_.contains(n)) || global.contains(n) ||
+        pkgKey(n).isDefined
     def apply(n: String): Any = get(n).orNull
     def update(n: String, v: Any): Unit =
       if (frames.nonEmpty && frames.head.contains(n)) frames.head(n) = v
       else if (global.contains(n)) global(n) = v
-      else scope(n) = v
+      else pkgKey(n) match {
+        case Some(k) => global(k) = v
+        case None => scope(n) = v
+      }
     def declare(n: String, v: Any): Unit = scope(n) = v
     def remove(n: String): Unit =
       if (frames.nonEmpty && frames.head.contains(n))
@@ -143,9 +154,14 @@ final class Hplsql(engine: HiveStatements) {
     * as text, re-tokenized per invocation in its own cursor frame. */
   private case class Param(name: String, mode: String)
   private case class Routine(params: Seq[Param], body: String,
-      isFunc: Boolean)
+      isFunc: Boolean, pkg: String = "")
   private val routines =
     scala.collection.mutable.LinkedHashMap[String, Routine]()
+
+  /** Package whose routine body is currently executing — bare
+    * sibling-member and package-variable references resolve through
+    * it (CREATE PACKAGE BODY; Package.java's package scope). */
+  private var currentPkg: String = ""
 
   // ---------------------------------------------------------------
   // tokens — (text, lower, start, end) over the original script so
@@ -363,10 +379,21 @@ final class Hplsql(engine: HiveStatements) {
     var changed = true
     while (changed) {
       changed = false
-      routines.iterator.filter(_._2.isFunc).map(_._1)
-        .find { name =>
+      // every function under its stored key, plus bare aliases for
+      // the executing package's own members (sibling calls)
+      val aliases = routines.iterator.filter(_._2.isFunc).map(_._1)
+        .flatMap { k =>
+          val bare =
+            if (currentPkg.nonEmpty &&
+                k.startsWith(currentPkg + "."))
+              Seq(k.substring(currentPkg.length + 1) -> k)
+            else Nil
+          Seq(k -> k) ++ bare
+        }.toVector
+      aliases
+        .find { case (alias, name) =>
           val re = ("(?i)(?<![\\w.'])" +
-            java.util.regex.Pattern.quote(name) + "\\s*\\(").r
+            java.util.regex.Pattern.quote(alias) + "\\s*\\(").r
           re.findFirstMatchIn(s) match {
             case Some(m) =>
               var i = m.end
@@ -388,7 +415,14 @@ final class Hplsql(engine: HiveStatements) {
                 if (argText.trim.isEmpty) Nil
                 else splitArgs(argText)
               // the reference's ctx-less trace on no-arg calls
-              if (trace && args.isEmpty) out += s"EXEC FUNCTION $name"
+              if (trace && args.isEmpty) {
+                val r = routines(name)
+                out +=
+                  (if (r.pkg.nonEmpty)
+                    s"EXEC PACKAGE FUNCTION ${r.pkg.toUpperCase}." +
+                      name.substring(r.pkg.length + 1)
+                  else s"EXEC FUNCTION $name")
+              }
               val v = invokeRoutine(name, args)
               s = s.substring(0, m.start) + lit(v) + s.substring(i)
               changed = true
@@ -642,6 +676,8 @@ final class Hplsql(engine: HiveStatements) {
       vars.declare(pm.name, v) }
     var ret: Any = null
     val (t0, s0, p0) = (toks, src, p)
+    val pkg0 = currentPkg
+    currentPkg = r.pkg
     toks = tokenize(r.body); src = r.body; p = 0
     var outVals: Seq[Any] = Nil
     try runUntil(Set.empty)
@@ -650,6 +686,7 @@ final class Hplsql(engine: HiveStatements) {
       case ExitLoop(_) =>
     } finally {
       toks = t0; src = s0; p = p0
+      currentPkg = pkg0
       outVals = r.params.map(pm => vars.get(pm.name).orNull)
       vars.pop()
     }
@@ -705,7 +742,11 @@ final class Hplsql(engine: HiveStatements) {
     case "print" =>
       p += 1
       val stop = exprEnd(p)
-      out += Option(evalExpr(slice(p, stop))).map(formatValue)
+      // hplsql's grammar has no double-quoted strings: `print "x"`
+      // echoes the quotes (create_package3.out.txt)
+      if (stop - p == 1 && toks(p).s.startsWith("\""))
+        out += toks(p).s
+      else out += Option(evalExpr(slice(p, stop))).map(formatValue)
         .getOrElse("null")
       p = stop
       skipSemi()
@@ -772,6 +813,9 @@ final class Hplsql(engine: HiveStatements) {
       val isQuit = cur == "." && at(1) == "quit"
       while (!eof && toks(p).a < lineEnd) p += 1
       if (isQuit && evalCond(cond)) throw StopScript()
+    case "create" if (at(1) == "package" ||
+        (at(1) == "or" && at(2) == "replace" && at(3) == "package")) =>
+      createPackage()
     case "create" if routineCreateAhead => createRoutine()
     case "function" | "procedure" | "proc"
         if isIdent(at(1)) && Set("(", "begin", "returns", "return",
@@ -779,7 +823,11 @@ final class Hplsql(engine: HiveStatements) {
       createRoutine(consumeCreate = false)
     case "call" =>
       p += 1
-      invokeFromCursor(viaCall = true)
+      if (isIdent(cur) && at(1) == "." &&
+          routines.contains(cur + "." + at(2)))
+        invokeFromCursor(viaCall = true,
+          nameOverride = cur + "." + at(2), nameTokens = 3)
+      else invokeFromCursor(viaCall = true)
     case "return" =>
       p += 1
       val end = skipToSemi(p)
@@ -790,6 +838,18 @@ final class Hplsql(engine: HiveStatements) {
     case n if routines.contains(n) &&
         (at(1) == "(" || at(1) == ";" || at(1) == "") =>
       invokeFromCursor(viaCall = false)
+    case n if isIdent(n) && at(1) == "." &&
+        routines.contains(n + "." + at(2)) &&
+        (at(3) == "(" || at(3) == ";" || at(3) == "") =>
+      // qualified package-member invocation: pack.member(...)
+      invokeFromCursor(viaCall = false,
+        nameOverride = n + "." + at(2), nameTokens = 3)
+    case n if currentPkg.nonEmpty &&
+        routines.contains(currentPkg + "." + n) &&
+        (at(1) == "(" || at(1) == ";" || at(1) == "") =>
+      // bare sibling-member invocation inside a package body
+      invokeFromCursor(viaCall = false,
+        nameOverride = currentPkg + "." + n, nameTokens = 1)
     case "execute" if at(1) == "immediate" =>
       p += 2
       val end = skipToSemi(p)
@@ -1393,14 +1453,16 @@ final class Hplsql(engine: HiveStatements) {
     false
   }
 
-  private def createRoutine(consumeCreate: Boolean = true): Unit = {
+  private def createRoutine(consumeCreate: Boolean = true,
+      pkg: String = ""): Unit = {
     if (consumeCreate) {
       p += 1 // create
       if (cur == "or" && at(1) == "replace") p += 2
     }
     val isFunc = cur == "function" || cur == "func"
     p += 1 // kind
-    val name = cur.toLowerCase
+    val name =
+      (if (pkg.nonEmpty) pkg + "." else "") + cur.toLowerCase
     p += 1
     val params = Vector.newBuilder[Param]
     if (cur == "(") {
@@ -1460,7 +1522,76 @@ final class Hplsql(engine: HiveStatements) {
     p += 1
     routines(name) = Routine(params.result().map(pm =>
       Param(pm.name.toLowerCase, pm.mode)),
-      declPrefix + slice(a, b + 1), isFunc)
+      declPrefix + slice(a, b + 1), isFunc, pkg)
+    skipSemi()
+  }
+
+  /** CREATE [OR REPLACE] PACKAGE name AS|IS spec END; and
+    * CREATE ... PACKAGE BODY name AS|IS defs END; — package
+    * variables persist globally under `pkg.name` (package state,
+    * Package.java), spec routine SIGNATURES are skipped, body
+    * routines register as `pkg.member`. */
+  private def createPackage(): Unit = {
+    p += 1 // create
+    if (cur == "or" && at(1) == "replace") p += 2
+    p += 1 // package
+    val isBody = cur == "body"
+    if (isBody) p += 1
+    val pkg = cur.toLowerCase
+    p += 1
+    if (cur == "as" || cur == "is") p += 1
+    while (!eof && !(cur == "end" &&
+        (at(1) == ";" || at(1) == ""))) {
+      if (Set("function", "procedure", "proc", "func").contains(cur)) {
+        // signature (no body before the terminating `;`) vs definition
+        var i = p
+        var sig = true
+        var depth = 0
+        var scanning = true
+        while (i < toks.size && scanning) {
+          toks(i).lo match {
+            case "(" => depth += 1
+            case ")" => depth -= 1
+            case ";" if depth == 0 => scanning = false
+            case "begin" | "is" | "as" if depth == 0 =>
+              sig = false; scanning = false
+            case _ =>
+          }
+          i += 1
+        }
+        if (sig) p = skipToSemi(p)
+        else createRoutine(consumeCreate = false, pkg = pkg)
+      } else if (isIdent(cur)) {
+        // package variable: name type [:=|=|DEFAULT expr];
+        val vname = cur
+        p += 1
+        while (!eof && cur != ";" && cur != ":=" && cur != "=" &&
+            cur != "default") {
+          if (cur == "(") {
+            var d = 0
+            while (!eof && { val c0 = cur
+              if (c0 == "(") d += 1
+              if (c0 == ")") d -= 1
+              p += 1
+              d > 0 }) {}
+          } else p += 1
+        }
+        val init: Any =
+          if (cur == ":=" || cur == "=" || cur == "default") {
+            p += 1
+            val stop = skipToSemi(p)
+            val e = if (toks(stop - 1).lo == ";") stop - 1 else stop
+            val v = evalExpr(slice(p, e))
+            p = stop
+            v
+          } else { p = skipToSemi(p); null }
+        // the spec declares; the body's re-declarations must not
+        // clobber state a prior statement already built up
+        if (!vars.contains(pkg + "." + vname) || !isBody)
+          vars.declare(pkg + "." + vname, init)
+      } else p += 1
+    }
+    p += 1 // end
     skipSemi()
   }
 
@@ -1469,9 +1600,10 @@ final class Hplsql(engine: HiveStatements) {
     * ctx-less `EXEC PROCEDURE|FUNCTION` trace line; a bare FUNCTION
     * statement prints its return value (it IS an expression
     * statement — var_scope2's `f1(i);` prints 7). */
-  private def invokeFromCursor(viaCall: Boolean): Unit = {
-    val name = cur
-    p += 1
+  private def invokeFromCursor(viaCall: Boolean,
+      nameOverride: String = null, nameTokens: Int = 1): Unit = {
+    val name = if (nameOverride != null) nameOverride else cur
+    p += nameTokens
     var hadParens = false
     val args = Vector.newBuilder[String]
     if (cur == "(") {
@@ -1492,8 +1624,14 @@ final class Hplsql(engine: HiveStatements) {
     skipSemi()
     val argList = args.result()
     val r = routines(name)
-    if (trace && !viaCall && hadParens && argList.isEmpty)
-      out += s"EXEC ${if (r.isFunc) "FUNCTION" else "PROCEDURE"} $name"
+    if (trace && !viaCall && hadParens && argList.isEmpty) {
+      val kind = if (r.isFunc) "FUNCTION" else "PROCEDURE"
+      out +=
+        (if (r.pkg.nonEmpty)
+          s"EXEC PACKAGE $kind ${r.pkg.toUpperCase}." +
+            name.substring(r.pkg.length + 1)
+        else s"EXEC $kind $name")
+    }
     val ret = invokeRoutine(name, argList)
     if (!viaCall && r.isFunc)
       out += Option(ret).map(formatValue).getOrElse("null")
