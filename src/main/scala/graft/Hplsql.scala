@@ -150,6 +150,18 @@ final class Hplsql(engine: HiveStatements) {
   private val condHandlers =
     scala.collection.mutable.ArrayBuffer[CondHandler]()
 
+  /** Explicit cursors (DECLARE CURSOR c IS|FOR <query>; OPEN/FETCH/
+    * CLOSE; c%ISOPEN / c%FOUND / c%NOTFOUND). The row buffer is
+    * driver-side — the reference's JDBC fetch semantics; each
+    * embedded query is still a full distributed job. */
+  private final class Cursor(val query: String) {
+    var rows: Iterator[org.apache.spark.sql.Row] = Iterator.empty
+    var open: Boolean = false
+    var lastFound: Option[Boolean] = None
+  }
+  private val cursors =
+    scala.collection.mutable.LinkedHashMap[String, Cursor]()
+
   /** Stored procedures/functions (Exec.java functions map): body kept
     * as text, re-tokenized per invocation in its own cursor frame. */
   private case class Param(name: String, mode: String)
@@ -511,6 +523,17 @@ final class Hplsql(engine: HiveStatements) {
     * integrally. */
   private def rewriteExpr(s0: String): String = {
     var s = s0
+    // cursor attributes evaluate against CURRENT cursor state:
+    // %ISOPEN -> bool, %FOUND/%NOTFOUND -> NULL before first FETCH
+    s = "(?i)([A-Za-z_]\\w*)\\s*%\\s*(isopen|found|notfound)".r
+      .replaceAllIn(s, m => cursors.get(m.group(1).toLowerCase) match {
+        case Some(c) => m.group(2).toLowerCase match {
+          case "isopen" => c.open.toString
+          case "found" => c.lastFound.map(_.toString).getOrElse("NULL")
+          case _ => c.lastFound.map(b => (!b).toString).getOrElse("NULL")
+        }
+        case None => m.matched
+      })
     // DB2 timestamp literal TIMESTAMP '2015-03-03-11.39.31.123'
     s = ("(?i)TIMESTAMP\\s*'(\\d{4}-\\d{2}-\\d{2})-(\\d{2})\\." +
       "(\\d{2})\\.(\\d{2})(\\.\\d+)?'").r
@@ -791,6 +814,52 @@ final class Hplsql(engine: HiveStatements) {
       val label = if (isIdent(cur)) { val l = cur; p += 1; l } else ""
       skipSemi()
       throw ExitLoop(label)
+    case "open" if cursors.contains(at(1)) =>
+      p += 1
+      val c = cursors(cur)
+      p += 1
+      if (cur == "(") { // parameterized-open arguments unsupported;
+        var d = 0       // consume the list
+        while (!eof && { val c0 = cur
+          if (c0 == "(") d += 1
+          if (c0 == ")") d -= 1
+          p += 1
+          d > 0 }) {}
+      }
+      skipSemi()
+      c.rows = spark.sql(substitute(resolveFunctionCalls(c.query)))
+        .collect().iterator
+      c.open = true
+      c.lastFound = None
+    case "fetch" =>
+      p += 1
+      val name = cur
+      p += 1
+      expect("into")
+      val targets = Vector.newBuilder[String]
+      targets += cur
+      p += 1
+      while (cur == ",") { p += 1; targets += cur; p += 1 }
+      skipSemi()
+      cursors.get(name) match {
+        case Some(c) if c.open =>
+          if (c.rows.hasNext) {
+            val r = c.rows.next()
+            targets.result().zipWithIndex.foreach { case (t, i) =>
+              if (i < r.length) vars(t) = r.get(i) }
+            c.lastFound = Some(true)
+          } else c.lastFound = Some(false)
+        case _ =>
+          // the reference's runtime error text (exception.sql's
+          // recorded trace) — catchable by EXCEPTION handlers
+          throw new RuntimeException(s"Cursor not found: $name")
+      }
+    case "close" if cursors.contains(at(1)) =>
+      p += 1
+      cursors(cur).open = false
+      cursors(cur).lastFound = None
+      p += 1
+      skipSemi()
     case "signal" =>
       p += 1
       val name = cur
@@ -1058,6 +1127,17 @@ final class Hplsql(engine: HiveStatements) {
     * assigns every name in the group. */
   private def declGroup(): Unit = {
     while (!eof && cur != ";" && cur != "begin") {
+      // CURSOR c IS|FOR <query> / c CURSOR IS|FOR <query>
+      if (cur == "cursor" || at(1) == "cursor") {
+        val name = if (cur == "cursor") { p += 1; val n = cur; p += 1; n }
+          else { val n = cur; p += 2; n }
+        if (cur == "is" || cur == "for") p += 1
+        val stop = skipToSemi(p)
+        val e = if (toks(stop - 1).lo == ";") stop - 1 else stop
+        cursors(name) = new Cursor(slice(p, e))
+        p = stop - (if (toks(stop - 1).lo == ";") 1 else 0)
+        return
+      }
       val names = Vector.newBuilder[String]
       names += cur
       p += 1

@@ -240,6 +240,30 @@ class HplsqlSpec extends SparkSpec {
     assert(out === Seq("ABC", "1"))
   }
 
+  test("explicit cursors: the reference's cursor_attributes.sql " +
+      "(queries/db) replays against its recording — DECLARE CURSOR " +
+      "IS, OPEN/FETCH/CLOSE, %ISOPEN/%FOUND/%NOTFOUND incl. the " +
+      "NULL-before-first-FETCH states") {
+    spark.sql("DROP TABLE IF EXISTS src")
+    spark.sql("CREATE TABLE src (key STRING, value STRING)")
+    spark.sql("INSERT INTO src VALUES ('238', 'val_238')")
+    val qf = new java.io.File(
+      "/root/reference/hplsql/src/test/queries/db/cursor_attributes.sql")
+    val script = {
+      val s = scala.io.Source.fromFile(qf, "UTF-8")
+      try s.mkString finally s.close()
+    }
+    val want = {
+      val s = scala.io.Source.fromFile(new java.io.File(
+        "/root/reference/hplsql/src/test/results/db/" +
+          "cursor_attributes.out.txt"), "UTF-8")
+      try s.getLines().filterNot(_.startsWith("Ln:")).toVector
+      finally s.close()
+    }
+    assert(run(script) === want)
+    spark.sql("DROP TABLE IF EXISTS src")
+  }
+
   test("variables substitute into embedded SQL statements as " +
       "literals (Exec.java interpolation), leaving string bodies " +
       "untouched") {
