@@ -657,10 +657,16 @@ class HiveStatements(val spark: SparkSession) {
       val preOwned = ledgerWritten.keySet.toSet
       def isForeign(k: String): Boolean =
         isShardKey(k) && !lineKeys.contains(k) && !preOwned.contains(k)
-      val foreign = readLedgerRawLines(fs, path).map(_._2)
+      val diskState = readLedgerRawLines(fs, path)
+      val foreign = diskState.map(_._2)
         .getOrElse(scala.collection.mutable.LinkedHashMap.empty)
         .filter { case (k, _) => isForeign(k) }
-      val existingEpochs = segs.flatMap(segEpoch)
+      // the new epoch must supersede EVERYTHING on disk — including a
+      // base a foreign compactor advanced past our in-memory epoch
+      // (else that sibling's future deltas would outrank our base and
+      // ours would orphan theirs)
+      val existingEpochs = segs.flatMap(segEpoch) ++
+        diskState.map(_._1)
       ledgerEpoch = (existingEpochs :+ ledgerEpoch).max + 1
       val allMap = scala.collection.mutable.LinkedHashMap[String, String]()
       allMap ++= lines

@@ -665,7 +665,14 @@ final class Hplsql(engine: HiveStatements) {
             .getOrElse(throw ex)
           val re = ("(?i)(?<![\\w.'])" +
             java.util.regex.Pattern.quote(name) + "(?![\\w.(])").r
-          val next = re.replaceAllIn(rendered, "NULL")
+          // string literals are opaque — replace only between them
+          val lit = "('(?:[^']|'')*')".r
+          val parts = lit.pattern.split(rendered, -1)
+          val strs = lit.findAllIn(rendered).toVector
+          val next = parts.zipWithIndex.map { case (part, i) =>
+            re.replaceAllIn(part, "NULL") +
+              (if (i < strs.size) strs(i) else "")
+          }.mkString
           if (next == rendered) throw ex
           rendered = next
           attempts += 1
