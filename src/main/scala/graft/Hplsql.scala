@@ -110,6 +110,7 @@ final class Hplsql(engine: HiveStatements) {
   // Oracle-semantics INSTR (negative start searches backward from
   // end+pos, occurrence counts in the search direction) — HPL/SQL's
   // Function.specExecSql instr; Spark's locate has neither form
+  if (!spark.catalog.functionExists("hplsql_instr"))
   spark.udf.register("hplsql_instr",
     (s: String, sub: String, pos: Int, occ: Int) => {
       if (s == null || sub == null) null.asInstanceOf[java.lang.Integer]
