@@ -65,7 +65,9 @@ object Curation {
       GraftSqlShim.column(graft.functions.WordGrams(
         GraftSqlShim.expression(col("tks")), n))
     }
-    val counts = docs
+    // conditional spread before the tokenize+explode hot loop (no-op
+    // when the scan is already parallel — see Engine.spread)
+    val counts = graft.Engine.spread(docs, col(idCol))
       .select(col(idCol).as("id"), toks.as("tks"))
       .filter(size(col("tks")) >= n)
       .select(col("id"), explode(grams).as("gram"))
@@ -122,10 +124,14 @@ object Curation {
     // re-deriving the whole upstream chain per consumer. (A production
     // 100 TB run would write intermediate tables at the same
     // boundaries.)
+    // conditional spread at the pipeline head: every checkpointed stage
+    // inherits this partitioning, so one spread parallelizes the whole
+    // chain past an unsplittable local input (no-op at cluster scale)
+    val docsSpread = graft.Engine.spread(docs, col(idCol))
     // 1. repetition-quality gate (docs too short for a bigram pass)
-    val rep = repetitionStats(docs, n = 2, textCol, idCol)
+    val rep = repetitionStats(docsSpread, n = 2, textCol, idCol)
       .select(col(idCol), col("top_frac"))
-    val quality = docs.join(rep, Seq(idCol), "left")
+    val quality = docsSpread.join(rep, Seq(idCol), "left")
       .filter(col("top_frac").isNull || col("top_frac") <= maxTopGramFrac)
       .drop("top_frac")
       .localCheckpoint(eager = false)

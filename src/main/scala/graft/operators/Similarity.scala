@@ -71,7 +71,8 @@ object Similarity {
   def cosinePairsRaw(corpus: DataFrame, threshold: Double,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    val base = corpus.select(col(idCol).as("vec_a"),
+    val base = graft.Engine.spread(corpus, col(idCol))
+      .select(col(idCol).as("vec_a"),
         asDouble(col(vecCol)).as("va"))
       .withColumn("na", sqrt(dot(col("va"), col("va"))))
     val a = base
@@ -204,6 +205,10 @@ object Similarity {
               nCentroids: Int = 16, nprobe: Int = 4, iters: Int = 3,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
+    // deliberately NOT spread: the Lloyd loop's per-step state is tiny
+    // (k×dim centroid averages) and each of the `iters`+2 executed
+    // queries pays per-stage scheduling on every partition — measured
+    // +1.4 s at sf0.1 when the 1-partition local scan was spread to 32
     val c = corpus.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("v"))
       .cache()
     // deterministic seeds: k smallest hashes of the id — the centroid
@@ -295,7 +300,7 @@ object Similarity {
               .bitwiseAND((1L << rows) - 1).as("bucket"))): _*)).as("e"))
         .select(col(id), col("e.band"), col("e.bucket"))
     }
-    val c = withBands(corpus, "neighbor_id")
+    val c = withBands(graft.Engine.spread(corpus, col(idCol)), "neighbor_id")
     val q = withBands(queries, "query_id")
       .withColumnRenamed("band", "band_q")
       .withColumnRenamed("bucket", "bucket_q")
