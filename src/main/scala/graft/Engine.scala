@@ -67,7 +67,7 @@ object Engine {
       // the sort fallback still engages as the safety valve. Measured:
       // the jaccard postings stage dropped 4.1 s -> 1.6 s at sf0.1.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "65536")
+        sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "65536"))
       // Hive 2.x arithmetic is non-ANSI (overflow wraps, bad casts -> NULL);
       // keep ANSI off so dialect-sensitive expressions match the reference.
       .config("spark.sql.ansi.enabled", "false")
@@ -100,7 +100,8 @@ object Engine {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
     spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
     spark.conf.set(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "65536"))
     spark
   }
 
@@ -124,6 +125,9 @@ object Engine {
     * aggregations downstream.
     */
   def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    // dev A/B toggle: SPARK_GRAFT_NOSPREAD=1 disables every conditional
+    // spread so a spread's win can be measured in isolation
+    if (sys.env.get("SPARK_GRAFT_NOSPREAD").contains("1")) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.execution.LogicalRDD

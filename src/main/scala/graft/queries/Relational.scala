@@ -296,7 +296,11 @@ object Relational {
   /** Multi-DISTINCT aggregation (Catalyst Expand, like Hive's
     * ReduceSink distinct columns). */
   def q_agg_distinct(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir)("lineitem")
+    // conditional spread (no-op at cluster scan parallelism): the
+    // multi-distinct Expand multiplies every row 5x BEFORE the first
+    // exchange — on an unsplittable local file all of it on one core.
+    // Keyed on l_partkey, which the query already reads.
+    val li = graft.Engine.spread(t(spark, dir)("lineitem"), col("l_partkey"))
     li.groupBy("l_returnflag")
       .agg(
         countDistinct(col("l_suppkey")).as("n_supp"),
@@ -459,7 +463,11 @@ object Relational {
   /** Exact percentiles with linear interpolation (ref:
     * ql/udf/UDAFPercentile.java). */
   def q_agg_percentile(spark: SparkSession, dir: String): DataFrame = {
-    val li = t(spark, dir)("lineitem")
+    // conditional spread: exact percentile buffers all 600k values in
+    // ObjectHashAggregate buffers — parallelize the partial phase past
+    // the unsplittable local file. Keyed on a column already read.
+    val li = graft.Engine.spread(t(spark, dir)("lineitem"),
+      col("l_extendedprice"))
     li.groupBy("l_returnflag")
       .agg(
         round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
