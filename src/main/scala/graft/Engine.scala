@@ -32,7 +32,9 @@ object Engine {
 
   def session(appName: String = "graft",
               master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
-              shufflePartitions: Int = 32): SparkSession = {
+              shufflePartitions: Int =
+                sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+                  .toInt): SparkSession = {
     val spark = SparkSession.builder()
       .appName(appName)
       .master(master)
@@ -53,7 +55,11 @@ object Engine {
       // AQE coalesces shuffles to actual data size at runtime; keep the
       // pre-AQE partition count modest so stage task counts match the
       // local core budget rather than a cluster's.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "32")
+      // scale-dependent: default matches the local core budget; a
+      // cluster deployment sets SPARK_GRAFT_SHUFFLE_PARTITIONS to
+      // 2-3x total executor cores and AQE coalesces downward from it
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        shufflePartitions.toString)
       // iterative operators localCheckpoint transient state; the
       // ContextCleaner only reclaims those blocks after a driver GC,
       // and the default periodic GC (30 min) lets them pile up across
