@@ -116,11 +116,24 @@ object Dedup {
     *   this (stop-shingle cap bounding join fanout at corpus scale);
     *   None = exact result.
     */
+  /** @param postingsWidth explicit partition count for the postings
+    *   exchange. The stage ABOVE that exchange emits O(df²) pair rows
+    *   per postings list — CPU super-linear in its input bytes — which
+    *   AQE's byte-based partition coalescing cannot see: left implicit
+    *   (None), AQE folded a 6 MB postings stream to 5 partitions (1
+    *   for a post-LSH verification subset) and the pair explode ran
+    *   near-serial (measured 1.05 s / 0.73 s at sf0.1). Standalone
+    *   corpus-scale callers pass the session's shuffle-partition knob;
+    *   None (the default) keeps AQE coalescing for pipelines whose
+    *   pair stage is provably tiny (post-dedup chains), where extra
+    *   task launches cost more than the parallelism wins — both
+    *   choices measured, see OPTIMIZATION_r14.md. */
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3,
                    maxShingleFreq: Option[Int] = None,
                    textCol: String = "text",
                    idCol: String = "doc_id",
-                   maxExactPostings: Int = DefaultMaxExactPostings)
+                   maxExactPostings: Int = DefaultMaxExactPostings,
+                   postingsWidth: Option[Int] = None)
       : DataFrame = maxShingleFreq match {
     // Both paths build the inverted index as ONE groupBy(shingle)
     // instead of a self-join: the tokenize+shingle pipeline runs once
@@ -151,8 +164,11 @@ object Dedup {
       // the exchange carries the same rows either way. (Measured at
       // sf0.1 with a 32-task map side: 18.9 MB fragmented partials +
       // 1.5 s merge -> complete lists built where they're consumed.)
-      val grouped = shinglesWithSize(docs, n, textCol, idCol)
-        .repartition(col("shingle"))
+      val sh = shinglesWithSize(docs, n, textCol, idCol)
+      val grouped = (postingsWidth match {
+          case Some(w) => sh.repartition(w, col("shingle"))
+          case None => sh.repartition(col("shingle"))
+        })
         .groupBy("shingle")
         .agg(collect_list(struct(col("id"), col("sz"))).as("ds"))
         .filter(size(col("ds")) >= 2)
@@ -186,9 +202,13 @@ object Dedup {
       // id-only shuffle — so Jaccard stays a true ratio of the filtered
       // shingle space (identical docs still score 1.0 under any cap).
       // raw-row repartition before the postings groupBy — same
-      // fragmentation argument as the exact path above
-      val groups = shingles(docs, n, textCol, idCol)
-        .repartition(col("shingle"))
+      // fragmentation argument (and same optional explicit width) as
+      // the exact path above
+      val shs = shingles(docs, n, textCol, idCol)
+      val groups = (postingsWidth match {
+          case Some(w) => shs.repartition(w, col("shingle"))
+          case None => shs.repartition(col("shingle"))
+        })
         .groupBy("shingle").agg(collect_list(col("id")).as("ids"))
         .filter(size(col("ids")) <= cap)
         .select("ids")
@@ -292,7 +312,12 @@ object Dedup {
     val subset = spreadDocs.join(candDocs,
         spreadDocs(idCol) === candDocs("id"))
       .drop(candDocs("id"))
-    jaccardPairs(subset, threshold, n, None, textCol, idCol)
+    // explicit postings width: the verification subset is byte-tiny, so
+    // AQE would coalesce its pair stage to ONE task (measured 0.73 s
+    // near-serial at sf0.1) despite the O(df²) per-row work
+    jaccardPairs(subset, threshold, n, None, textCol, idCol,
+        postingsWidth =
+          Some(docs.sparkSession.sessionState.conf.numShufflePartitions))
       .join(cands, Seq("doc_a", "doc_b"), "left_semi")
   }
 

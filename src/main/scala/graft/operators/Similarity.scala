@@ -194,95 +194,114 @@ object Similarity {
     * quantizer (deterministic init: the k corpus vectors with the
     * smallest xxhash64(id) — a uniform pseudo-random sample picked by a
     * distributed TakeOrdered top-k, no global sort or single-partition
-    * window anywhere; `iters` Lloyd steps, all as broadcast-join +
-    * groupBy-avg), assign each corpus vector to its nearest centroid
-    * (inverted lists), then answer queries by exact-scoring only the
-    * `nprobe` nearest lists. At 100 TB: centroids broadcast (k x dim
-    * doubles), the corpus is scanned once per Lloyd step and once to
-    * assign; queries never touch vectors outside their probed lists.
+    * window anywhere; `iters` Lloyd steps), assign each corpus vector to
+    * its nearest centroid (inverted lists), then answer queries by
+    * exact-scoring only the `nprobe` nearest lists.
+    *
+    * The quantizer state (k × dim doubles — bounded by the nCentroids
+    * PARAMETER, never by data size) lives on the DRIVER between Lloyd
+    * steps, exactly like Spark MLlib's KMeans collects cluster centers
+    * per iteration: each step is ONE distributed aggregation over the
+    * corpus (nearest-centroid argmin folded into the groupBy key as
+    * literal-plane expressions, per-dimension avg as codegen'd
+    * aggregates) whose k-row result is collected and re-embedded as
+    * literals for the next step. Guide §2.4 (remove shuffles/stages
+    * outright): the previous formulation ran the same math as
+    * crossJoin-fanout + argmin groupBy + posexplode + two more groupBys
+    * + an eager checkpoint per step — ~10 scheduled jobs per iteration
+    * of kilobyte state, measured 2.8 s at sf0.1 with only 1.7 s inside
+    * jobs. At 100 TB the corpus scan per step is the irreducible cost
+    * and is all that remains; the k-row collect is metadata-sized.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nprobe: Int = 4, iters: Int = 3,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
     // deliberately NOT spread: the Lloyd loop's per-step state is tiny
-    // (k×dim centroid averages) and each of the `iters`+2 executed
-    // queries pays per-stage scheduling on every partition — measured
-    // +1.4 s at sf0.1 when the 1-partition local scan was spread to 32
+    // (k×dim centroid averages) and each executed step pays per-stage
+    // scheduling on every partition — measured +1.4 s at sf0.1 when the
+    // 1-partition local scan was spread to 32
     val c = corpus.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("v"))
       .cache()
-    // deterministic seeds: k smallest hashes of the id — the centroid
-    // label is the hash itself (any distinct label works; contiguity is
-    // not needed). Plans as TakeOrderedAndProject: parallel partial
-    // top-k, only k rows ever meet. localCheckpoint keeps each Lloyd
-    // step's lineage flat (k rows, eager, cheap).
-    var centroids = c
-      .select(xxhash64(col("cid")).as("centroid_id"), col("v").as("cv"))
-      .orderBy("centroid_id").limit(nCentroids)
-      .localCheckpoint()
-    (1 to iters).foreach { _ =>
-      // assignNearest keeps v on the row, so the mean step needs no
-      // corpus re-join — each Lloyd iteration is broadcast-score +
-      // groupBy only. The per-step EAGER checkpoint stays: the final
-      // centroids feed two consumers (list build + query probes), so a
-      // lazy chain re-executes the whole loop per consumer — measured
-      // 2.7 s -> 5.1 s when tried.
-      centroids = assignNearest(c, centroids)
-        .select(col("centroid_id"),
-          posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy("centroid_id", "i").agg(avg(col("x")).as("m"))
-        .groupBy("centroid_id")
-        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("p"))
-        .select(col("centroid_id"), expr("transform(p, e -> e.m)").as("cv"))
-        .localCheckpoint()
+    // nearest-centroid id for a vector column, against the CURRENT
+    // driver-held centroids as constant-folded literal arrays: argmin
+    // via array_min over (-score, centroid_id) structs — the same
+    // deterministic tie-break as ORDER BY score DESC, centroid_id
+    def nearest(centroids: Array[(Long, Array[Double])])
+               (vec: Column): Column = {
+      val picks = centroids.map { case (cid, cv) =>
+        struct((-dot(vec, array(cv.map(lit): _*))).as("ns"),
+          lit(cid).as("ci"))
+      }
+      array_min(array(picks.toIndexedSeq: _*)).getField("ci")
     }
-    // inverted lists materialize here (two longs per corpus row — the
-    // index IVF exists to build); after this the cached vectors are no
-    // longer needed, so release them instead of pinning the corpus in
-    // executor memory for the rest of the session
-    val lists = assignNearest(c, centroids)
-      .select("cid", "centroid_id").localCheckpoint()
-    c.unpersist()
-    val cf = corpus.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("v"))
+    // The training loop's queries shuffle nothing but k-row aggregates;
+    // AQE's per-query re-planning jobs are pure overhead there (guide
+    // §2.4 — the fixed driver cost per stage IS the cost at kilobyte
+    // state). Scope it off for the loop only and restore after: this
+    // only ever changes scheduling of the tiny training queries, never
+    // a result. The serving-side query below keeps AQE.
+    val aqeBefore = c.sparkSession.conf.get("spark.sql.adaptive.enabled")
+    c.sparkSession.conf.set("spark.sql.adaptive.enabled", "false")
+    var centroids: Array[(Long, Array[Double])] = null
+    try {
+      // deterministic seeds: k smallest hashes of the id — the centroid
+      // label is the hash itself (any distinct label works; contiguity
+      // is not needed). Plans as TakeOrderedAndProject: parallel
+      // partial top-k, only k rows ever reach the driver.
+      centroids = c
+        .select(xxhash64(col("cid")).as("centroid_id"), col("v").as("cv"))
+        .orderBy("centroid_id").limit(nCentroids)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val dim = centroids.head._2.length
+      (1 to iters).foreach { _ =>
+        // one aggregation per Lloyd step: group by nearest centroid,
+        // per-dimension mean as dim codegen'd avg expressions (same
+        // sum/count merge the posexplode+avg formulation computed,
+        // minus its 64x row fanout and two extra shuffles)
+        val means = (0 until dim).map(i => avg(col("v")(i)).as(s"m$i"))
+        centroids = c.groupBy(nearest(centroids)(col("v")).as("centroid_id"))
+          .agg(means.head, means.tail: _*)
+          .collect()
+          .map(r => (r.getLong(0),
+            Array.tabulate(dim)(i => r.getDouble(i + 1))))
+      }
+    } finally
+      c.sparkSession.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    // inverted lists: a pure projection over the corpus scan with the
+    // final centroids — no shuffle, no checkpoint; vectors stay on the
+    // row so scoring needs no re-join
+    val lists = c.select(col("cid"), col("v"),
+      nearest(centroids)(col("v")).as("centroid_id"))
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))
-    // nprobe nearest centroids per query
-    val probes = q.crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("qv"), col("centroid_id"),
-        dot(col("qv"), col("cv")).as("score"))
-      .withColumn("pr", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("score").desc, col("centroid_id"))))
-      .filter(col("pr") <= nprobe)
-      .select("query_id", "qv", "centroid_id")
-    val cand = probes.join(lists, "centroid_id")
-      .join(cf, "cid")
+    // nprobe nearest centroids per query — a per-row sort of k literal
+    // scores (array_sort ascending on (-score, id) = score DESC with id
+    // tiebreak), no crossJoin, no window shuffle
+    val probeArr = array(centroids.map { case (cid, cv) =>
+      struct((-dot(col("qv"), array(cv.map(lit): _*))).as("ns"),
+        lit(cid).as("ci"))
+    }.toIndexedSeq: _*)
+    val probes = q
+      .select(col("query_id"), col("qv"),
+        explode(slice(array_sort(probeArr), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("qv"), col("p.ci").as("centroid_id"))
+    val cand = lists.join(broadcast(probes), "centroid_id")
       .filter(col("cid") =!= col("query_id"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    cand.select(col("query_id"), col("cid").as("neighbor_id"),
+    val out = cand.select(col("query_id"), col("cid").as("neighbor_id"),
         cosine(col("qv"), col("v")).as("cos_sim"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .presentSorted("query_id", "rnk")
+    // the training scans are done; don't pin the corpus in executor
+    // memory for the rest of the session (the final query re-derives
+    // `lists` straight from the source scan)
+    c.unpersist()
+    out
   }
-
-  /** Nearest centroid per corpus vector (broadcast argmax of dot — the
-    * corpus side never shuffles). Keeps `v` on the output row so
-    * downstream steps don't re-join the corpus.
-    *
-    * Argmax as min(struct(-score, centroid_id)) — a partial-aggregable
-    * groupBy (map-side combine collapses the k-fanout before the
-    * shuffle, no per-key sort), with the same deterministic tie-break
-    * as ORDER BY score DESC, centroid_id. first(v) is well-defined:
-    * every fanout row of a cid carries the identical vector. */
-  private def assignNearest(c: DataFrame, centroids: DataFrame): DataFrame =
-    c.crossJoin(broadcast(centroids))
-      .select(col("cid"), col("v"), struct(
-        (-dot(col("v"), col("cv"))).as("ns"),
-        col("centroid_id").as("ci")).as("pick"))
-      .groupBy("cid")
-      .agg(min(col("pick")).as("best"), first(col("v")).as("v"))
-      .select(col("cid"), col("best.ci").as("centroid_id"), col("v"))
 
   /** Approximate top-k: score only candidates sharing the query's LSH
     * bucket (multi-band: `bands` sub-signatures, any-band match). At

@@ -60,7 +60,13 @@ object Pipeline {
     GROUP BY content_hash ORDER BY keep_id"""
 
   def q_dedup_jaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(t(spark, dir)("documents"), threshold = 0.05)
+    // explicit postings width (standalone corpus-scale call): the pair
+    // stage is CPU super-linear per postings row, which AQE's
+    // byte-based coalescing can't see — measured 1.05 s on 5 coalesced
+    // tasks vs 0.52 s on the full width at sf0.1
+    Dedup.jaccardPairs(t(spark, dir)("documents"), threshold = 0.05,
+        postingsWidth =
+          Some(spark.sessionState.conf.numShufflePartitions))
       .presentSorted("doc_a", "doc_b")
 
   val q_dedup_jaccard_sql: String = """

@@ -316,6 +316,28 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("presentSorted: single partition only below the provable size " +
+      "bound; a provably large input keeps the scalable range sort " +
+      "with the identical row order") {
+    import graft.Present._
+    val df = Engine.tables(spark, sfDir)("lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .filter(col("l_quantity") >= 45)
+    val small = df.presentSorted("l_orderkey", "l_linenumber")
+    assert(small.queryExecution.executedPlan.toString
+      .contains("Exchange SinglePartition, REPARTITION_BY_NUM"))
+    // shrink the bound below the file size: the SAME call now plans the
+    // parallel range sort (what a 100 TB input gets)
+    sys.props.put("graft.present.maxbytes", "16")
+    try {
+      val large = df.presentSorted("l_orderkey", "l_linenumber")
+      val p = large.queryExecution.executedPlan.toString
+      assert(p.contains("rangepartitioning"), p.take(800))
+      assert(!p.contains("Exchange SinglePartition"), p.take(800))
+      assert(large.collect().toSeq === small.collect().toSeq)
+    } finally sys.props.remove("graft.present.maxbytes")
+  }
+
   test("semi/anti joins plan as joins, not subquery re-execution") {
     assert(plan("q_join_semi").contains("LeftSemi"))
     assert(plan("q_join_anti").contains("LeftAnti"))

@@ -111,4 +111,22 @@ class SimilaritySpec extends SparkSpec {
       .collect().toSeq
     assert(s1 === s2)
   }
+
+  test("ivfTopK deterministic across invocations (driver-held Lloyd " +
+      "state re-derives the same centroids, assignments and ranking)") {
+    val q = emb.filter(col("vec_id") < 5)
+    val r1 = Similarity.ivfTopK(emb, q, k = 5, nCentroids = 8, nprobe = 3)
+      .collect().toSeq
+    val r2 = Similarity.ivfTopK(emb, q, k = 5, nCentroids = 8, nprobe = 3)
+      .collect().toSeq
+    assert(r1 === r2)
+  }
+
+  test("ivfTopK restores the session's AQE setting after the " +
+      "scoped-off training loop") {
+    val before = spark.conf.get("spark.sql.adaptive.enabled")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3), k = 3,
+      nCentroids = 4, nprobe = 2).collect()
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === before)
+  }
 }
